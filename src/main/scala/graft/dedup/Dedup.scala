@@ -1,0 +1,182 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2
+  * north-star ops): exact, MinHash+LSH, SimHash, token-set Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every signature computation is a narrow per-row array
+  * expression (codegen'd, no UDFs, no shuffle); candidate generation
+  * shuffles only (key, id) pairs — LSH band buckets or block keys — never
+  * document text. Pairwise work is always confined to a bucket/block, so
+  * nothing is quadratic in the corpus.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one hash-partitioned aggregate. At 100 TB
+    * md5(text) groups distribute uniformly; the doc payload never shuffles
+    * (only hash + id).
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Distinct-token array for shingle/set based dedup. */
+  private def tokenSet(textCol: String): Column = array_distinct(split(col(textCol), " "))
+
+  /** MinHash signatures over distinct tokens: numHashes independent hash
+    * functions simulated as xxhash64(seed=i, token); signature element i is
+    * the min. Plus LSH banding: bands of rows hashed together — docs
+    * sharing any band hash are near-dup candidates.
+    */
+  def minhash(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 32,
+      bands: Int = 8,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(tokenSet(textCol), t => xxhash64(i, t))),
+    )
+    docs
+      .withColumn("minhash_sig", sig)
+      .withColumn(
+        "band_hashes",
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("minhash_sig"), b * lit(rows) + 1, lit(rows))),
+        ),
+      )
+      .select(col(idCol), col("minhash_sig"), col("band_hashes"))
+  }
+
+  /** LSH candidate pairs: explode band hashes, self-join per bucket.
+    * estJaccard = fraction of agreeing signature positions.
+    */
+  def minhashCandidatePairs(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val buckets = sigs.select(
+      col(idCol),
+      col("minhash_sig"),
+      posexplode(col("band_hashes")).as(Seq("band", "bucket")),
+    )
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("minhash_sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("minhash_sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v,
+        ) / size(col("sig_a")),
+      )
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (term frequency weighted):
+    * bit j is set iff sum over tokens of ±1 (sign = bit j of xxhash64(token))
+    * is positive. Expressed as nested SQL higher-order functions — stays in
+    * codegen, no shuffle.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      expr(s"""
+        aggregate(sequence(0, 63), cast(0 as bigint), (acc, j) -> acc + if(
+          aggregate(split($textCol, ' '), cast(0 as bigint),
+            (a, t) -> a + if((shiftright(xxhash64(t), j) & 1) = 1,
+                             cast(1 as bigint), cast(-1 as bigint))) > 0,
+          shiftleft(cast(1 as bigint), j), cast(0 as bigint)))
+      """).as("simhash"),
+    )
+
+  /** Hamming distance between two long columns (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")
+
+  /** SimHash near-dup pairs within maxHamming. Banding on 16-bit chunks
+    * (pigeonhole: distance ≤3 ⇒ some 16-bit quarter is identical) keeps the
+    * join bucketed instead of all-pairs.
+    */
+  def simhashPairs(sims: DataFrame, idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val chunked = sims.select(
+      col(idCol),
+      col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), q -> (shiftright(simhash, q * 16) & 65535))"))
+        .as(Seq("quarter", "qval")),
+    )
+    val a = chunked.select(col("quarter"), col("qval"), col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("quarter"), col("qval"), col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("quarter", "qval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact token-set Jaccard similarity via inverted-index join, blocked by
+    * `blockCol` (e.g. source) so candidate generation never goes quadratic
+    * in the corpus. Returns pairs with jaccard >= threshold.
+    */
+  def tokenJaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      blockCol: String = "source",
+      threshold: Double = 0.5,
+  ): DataFrame = {
+    val tok = docs.select(col(idCol), col(blockCol), explode(tokenSet(textCol)).as("term"))
+    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val aTok = tok.select(col(blockCol), col("term"), col(idCol).as("doc_a"))
+    val bTok = tok.select(col(blockCol), col("term"), col(idCol).as("doc_b"))
+    val inter = aTok
+      .join(bTok, Seq(blockCol, "term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicate pairs. Brute force all-pairs — correct
+    * baseline for modest corpora; the LSH-bucketed scale path is
+    * [[graft.similarity.Ann.lshBuckets]] feeding the same scoring.
+    */
+  def embeddingCosinePairs(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.35,
+  ): DataFrame = {
+    val e = emb.select(
+      col(idCol),
+      col(vecCol).cast("array<double>").as("e"),
+    )
+    val withNorm = e.withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = withNorm.select(col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn(
+        "dot",
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x),
+      )
+      .withColumn("cos_sim", round(col("dot") / (col("na") * col("nb")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video as opaque `BinaryType`
+  * payloads with typed metadata, plus distributed feature extraction.
+  *
+  * The Spark-side plumbing — schema, partition-parallel batch kernels,
+  * output shape — is real and tested. The codec step (actual JPEG/WAV
+  * decode) is STUBBED behind [[decodeStub]] because media libraries are not
+  * available in this environment; swap in a real decoder without touching
+  * anything else.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: id, modality tag, opaque payload, meta. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true),
+  ))
+
+  /** Wrap a text corpus as multimodal rows (payload = UTF-8 bytes) — the
+    * in-container stand-in for a directory of media files. A real ingest
+    * would be `spark.read.format("binaryFile")` over object storage.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      lit("text").as("modality"),
+      col("text").cast("binary").as("payload"),
+      map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"),
+    )
+
+  /** STUB decoder: where a real image/audio decode would run. Returns a
+    * deterministic fake "decoded frame" derived from payload length so the
+    * pipeline shape (bytes in → float tensor out) is exercised end-to-end.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    // ??? <- real codec goes here (e.g. javax.imageio / ffmpeg bindings)
+    val n = math.min(payload.length, 8)
+    Array.tabulate(n)(i => (payload(i) & 0xff) / 255.0f)
+  }
+
+  /** Distributed feature extraction: byte histogram moments per payload —
+    * a real (non-stub) per-partition kernel demonstrating the batch shape:
+    * binary in, fixed-width numeric features out, embarrassingly parallel
+    * (mapPartitions, no shuffle, no driver collect).
+    */
+  def byteFeatures(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("mean_byte", DoubleType, nullable = false),
+      StructField("stddev_byte", DoubleType, nullable = false),
+      StructField("entropy", DoubleType, nullable = false),
+      StructField("decoded_head", ArrayType(FloatType), nullable = true),
+    ))
+    val rdd = mm.select(col("id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val hist = new Array[Long](256)
+        var i = 0
+        var sum = 0.0
+        var sumSq = 0.0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          hist(b) += 1
+          sum += b
+          sumSq += b.toLong * b
+          i += 1
+        }
+        val n = bytes.length.toDouble
+        val mean = if (n > 0) sum / n else 0.0
+        val variance = if (n > 0) sumSq / n - mean * mean else 0.0
+        var entropy = 0.0
+        var j = 0
+        while (j < 256) {
+          if (hist(j) > 0) {
+            val p = hist(j) / n
+            entropy -= p * math.log(p) / math.log(2)
+          }
+          j += 1
+        }
+        Row(id, bytes.length.toLong, mean, math.sqrt(math.max(variance, 0.0)), entropy,
+          decodeStub(bytes))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

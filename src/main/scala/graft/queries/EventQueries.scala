@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.{Q, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table analytics (batch form of the streaming surface in
+  * graft.streaming.EventStreams).
+  *
+  * The source timestamps are nanosecond-precision; Spark timestamps are
+  * micro. All comparisons/bucketing therefore run on the raw `ts_ns` long so
+  * results are bit-identical to a nanosecond-aware oracle, and outputs carry
+  * epoch seconds as BIGINT, never timestamps.
+  */
+object EventQueries {
+  private val NS_PER_HOUR = 3600L * 1000 * 1000 * 1000
+  private val NS_PER_30MIN = 30L * 60 * 1000 * 1000 * 1000
+
+  val all: Seq[Q] = Seq(
+    // Tumbling 1-hour windows per event type (batch mirror of the
+    // structured-streaming windowed aggregation).
+    Q(
+      "ev_hourly_by_type",
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d)
+          .groupBy(
+            $"event_type",
+            (($"ts_ns" / lit(NS_PER_HOUR)).cast("bigint") * 3600).as("hour_s"),
+          )
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(sum($"value"), 2).as("total_value"),
+            countDistinct($"user_id").as("n_users"),
+          )
+          .orderBy($"event_type", $"hour_s")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY event_type, hour_s
+      """),
+    ),
+    // Sessionization: a new session starts after a >30 min gap per user.
+    // lag + running-sum windows partitioned by user_id — scales as a single
+    // shuffle on user_id regardless of total event volume.
+    Q(
+      "ev_sessions",
+      (s, d) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+        T.events(s, d)
+          .withColumn("prev_ns", lag($"ts_ns", 1).over(byUser))
+          .withColumn(
+            "new_sess",
+            when($"prev_ns".isNull || $"ts_ns" - $"prev_ns" > NS_PER_30MIN, 1L).otherwise(0L),
+          )
+          .withColumn("session_id", sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            expr("min(ts_ns) div 1000000000").as("start_s"),
+            round(sum($"value"), 2).as("sess_value"),
+          )
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+               ROUND(SUM(value), 2) AS sess_value
+        FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id
+      """),
+    ),
+    // Semi-structured extraction from the props JSON payload via regex
+    // (portable across engines), aggregated per event type.
+    Q(
+      "ev_props_extract",
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d)
+          .withColumn("k", regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("bigint"))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(avg($"k"), 4).as("avg_k"),
+            max($"k").as("max_k"),
+          )
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(AVG(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 4) AS avg_k,
+               MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+      """),
+    ),
+    // User funnel: per user first/last event epoch, event-type breadth.
+    Q(
+      "ev_user_profile",
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct($"event_type").as("n_types"),
+            expr("min(ts_ns) div 1000000000").as("first_s"),
+            expr("max(ts_ns) div 1000000000").as("last_s"),
+            round(sum(when($"event_type" === "purchase", $"value").otherwise(0.0)), 2).as("purchase_value"),
+          )
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_s,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_s,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+        FROM events GROUP BY user_id ORDER BY user_id
+      """),
+    ),
+  )
+}

@@ -1,0 +1,439 @@
+package graft.queries
+
+import graft.{Q, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface of the engine over the TPC-H-ish star schema.
+  *
+  * Scale notes (designed for 100 TB, tested on local[32]):
+  *  - fact-side scans (lineitem/orders/events) stay fully distributed; every
+  *    query below is a scan → (partial agg | shuffle-on-key) pipeline with
+  *    filters and projections pushed into the parquet reader by Catalyst;
+  *  - dimension tables (region 5, nation 25, supplier 1e3, customer 1.5e5 at
+  *    sf1-equivalent) are explicitly `broadcast()` so star joins never
+  *    shuffle the fact table by a dimension key;
+  *  - top-k uses orderBy+limit (Spark's TakeOrderedAndProject — a per-
+  *    partition partial top-k then a driver merge, no global sort);
+  *  - the only intentionally-global windows (running totals) operate on
+  *    *aggregated* rows (one per date), never on raw fact rows.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------- q1
+    // TPC-H Q1 pricing summary: single scan, partial+final hash agg.
+    Q(
+      "q1_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "lineitem")
+          .filter($"l_shipdate" <= lit("2000-01-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"),
+            round(avg($"l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"),
+          )
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """),
+    ),
+    // ----------------------------------------------------------------- q2
+    // Top-10 customers by revenue: fact-fact join on the natural key, then
+    // TakeOrderedAndProject (partial top-k per partition, no global sort).
+    Q(
+      "q2_top_revenue_customers",
+      (s, d) => {
+        import s.implicits._
+        val li = T(s, d, "lineitem")
+        val o = T(s, d, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy($"o_custkey")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"revenue".desc, $"o_custkey")
+          .limit(10)
+      },
+      Some("""
+        SELECT o_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+        ORDER BY revenue DESC, o_custkey
+        LIMIT 10
+      """),
+    ),
+    // ----------------------------------------------------------------- q3
+    // Star join: fact joined to broadcast dimension chain, agg by nation/yr.
+    Q(
+      "q3_revenue_by_nation_year",
+      (s, d) => {
+        import s.implicits._
+        val li = T(s, d, "lineitem")
+        val o = T(s, d, "orders")
+        val c = T(s, d, "customer")
+        val n = T(s, d, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy($"n_name", year($"o_orderdate").cast("bigint").as("o_year"))
+          .agg(
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+            countDistinct($"o_orderkey").as("n_orders"),
+          )
+          .orderBy($"n_name", $"o_year")
+      },
+      Some("""
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+        ORDER BY n_name, o_year
+      """),
+    ),
+    // ----------------------------------------------------------------- q4
+    // Left-semi join (EXISTS): customers that placed an open order.
+    Q(
+      "q4_semi_join_open_orders",
+      (s, d) => {
+        import s.implicits._
+        val c = T(s, d, "customer")
+        val o = T(s, d, "orders").filter($"o_orderstatus" === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        ORDER BY c_custkey
+      """),
+    ),
+    // ----------------------------------------------------------------- q5
+    // Left-anti join (NOT EXISTS): parts that never shipped.
+    Q(
+      "q5_anti_join_never_ordered",
+      (s, d) => {
+        import s.implicits._
+        val p = T(s, d, "part")
+        val li = T(s, d, "lineitem")
+        p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+          .select($"p_partkey", $"p_name", $"p_brand")
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        ORDER BY p_partkey
+      """),
+    ),
+    // ----------------------------------------------------------------- q6
+    // Ranking window: top-3 orders per customer by price.
+    Q(
+      "q6_window_top3_per_customer",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        T(s, d, "orders")
+          .withColumn("rk", row_number().over(w).cast("bigint"))
+          .filter($"rk" <= 3)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+          .orderBy($"o_custkey", $"rk")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+        ORDER BY o_custkey, rk
+      """),
+    ),
+    // ----------------------------------------------------------------- q7
+    // Frame window: running total over pre-aggregated daily revenue.
+    // The global window runs over ~2500 date rows, not the fact table.
+    Q(
+      "q7_running_daily_revenue",
+      (s, d) => {
+        import s.implicits._
+        val daily = T(s, d, "orders")
+          .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
+          .agg(sum($"o_totalprice").as("daily_raw"))
+        val w = Window.orderBy($"order_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .select(
+            $"order_date",
+            round($"daily_raw", 2).as("daily_total"),
+            round(sum($"daily_raw").over(w), 2).as("running_total"),
+          )
+          .orderBy($"order_date")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                 SUM(o_totalprice) AS daily_raw
+          FROM orders GROUP BY 1
+        )
+        SELECT order_date, ROUND(daily_raw, 2) AS daily_total,
+               ROUND(SUM(daily_raw) OVER (ORDER BY order_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM daily ORDER BY order_date
+      """),
+    ),
+    // ----------------------------------------------------------------- q8
+    // Set ops: INTERSECT / EXCEPT / UNION with explicit dedup semantics.
+    Q(
+      "q8_set_ops",
+      (s, d) => {
+        import s.implicits._
+        val c = T(s, d, "customer")
+        val o = T(s, d, "orders")
+        val rich = c.filter($"c_acctbal" > 5000).select($"c_custkey")
+        val buyers = o.select($"o_custkey".as("c_custkey"))
+        val building = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        val fBuyers = o.filter($"o_orderstatus" === "F").select($"o_custkey".as("c_custkey"))
+        rich.intersect(buyers).union(building.except(fBuyers)).distinct()
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey FROM (
+          (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+           INTERSECT
+           SELECT o_custkey FROM orders)
+          UNION
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        ) ORDER BY c_custkey
+      """),
+    ),
+    // ----------------------------------------------------------------- q9
+    // Distinct aggregates per group.
+    Q(
+      "q9_segment_profile",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(
+            countDistinct($"c_nationkey").as("n_nations"),
+            count(lit(1)).as("n_customers"),
+            round(avg($"c_acctbal"), 4).as("avg_acctbal"),
+            round(min($"c_acctbal"), 2).as("min_acctbal"),
+            round(max($"c_acctbal"), 2).as("max_acctbal"),
+          )
+          .orderBy($"c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment,
+               COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(*) AS n_customers,
+               ROUND(AVG(c_acctbal), 4) AS avg_acctbal,
+               ROUND(MIN(c_acctbal), 2) AS min_acctbal,
+               ROUND(MAX(c_acctbal), 2) AS max_acctbal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """),
+    ),
+    // ---------------------------------------------------------------- q10
+    // ROLLUP grouping sets (subtotals + grand total).
+    Q(
+      "q10_rollup_status_priority",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "orders")
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_price"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """),
+    ),
+    // ---------------------------------------------------------------- q11
+    // Conditional aggregation over a 3-table broadcast star.
+    Q(
+      "q11_urgent_share_by_nation",
+      (s, d) => {
+        import s.implicits._
+        val o = T(s, d, "orders")
+        val c = T(s, d, "customer")
+        val n = T(s, d, "nation")
+        val urgent = when($"o_orderpriority" === "1-URGENT", $"o_totalprice").otherwise(lit(0.0))
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy($"n_name")
+          .agg(
+            round(sum(urgent), 2).as("urgent_total"),
+            round(sum(urgent) / sum($"o_totalprice"), 6).as("urgent_share"),
+            count(lit(1)).as("n_orders"),
+          )
+          .orderBy($"n_name")
+      },
+      Some("""
+        SELECT n_name,
+               ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total,
+               ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END)
+                     / SUM(o_totalprice), 6) AS urgent_share,
+               COUNT(*) AS n_orders
+        FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+      """),
+    ),
+    // ---------------------------------------------------------------- q12
+    // String functions: split/upper/like + group on a derived key.
+    Q(
+      "q12_part_type_stats",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "part")
+          .filter($"p_name".like("%a%"))
+          .groupBy(upper(element_at(split($"p_type", " "), 1)).as("type_head"))
+          .agg(
+            count(lit(1)).as("n_parts"),
+            round(min($"p_retailprice"), 2).as("min_price"),
+            round(max($"p_retailprice"), 2).as("max_price"),
+          )
+          .orderBy($"type_head")
+      },
+      Some("""
+        SELECT UPPER(string_split(p_type, ' ')[1]) AS type_head,
+               COUNT(*) AS n_parts,
+               ROUND(MIN(p_retailprice), 2) AS min_price,
+               ROUND(MAX(p_retailprice), 2) AS max_price
+        FROM part WHERE p_name LIKE '%a%'
+        GROUP BY 1 ORDER BY type_head
+      """),
+    ),
+    // ---------------------------------------------------------------- q13
+    // Date extraction aggregates.
+    Q(
+      "q13_orders_by_month",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "orders")
+          .groupBy(
+            year($"o_orderdate").cast("bigint").as("o_year"),
+            month($"o_orderdate").cast("bigint").as("o_month"),
+          )
+          .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_price"))
+          .orderBy($"o_year", $"o_month")
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(month(o_orderdate) AS BIGINT) AS o_month,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month
+      """),
+    ),
+    // ---------------------------------------------------------------- q14
+    // HAVING-style post-aggregation filter + broadcast dim join.
+    Q(
+      "q14_big_suppliers",
+      (s, d) => {
+        import s.implicits._
+        val li = T(s, d, "lineitem")
+        val sup = T(s, d, "supplier")
+        li.groupBy($"l_suppkey")
+          .agg(round(sum($"l_quantity"), 2).as("total_qty"), count(lit(1)).as("n_lines"))
+          .filter($"total_qty" > 1000)
+          .join(broadcast(sup), $"l_suppkey" === sup("s_suppkey"))
+          .select($"s_suppkey", $"s_name", $"total_qty", $"n_lines")
+          .orderBy($"s_suppkey")
+      },
+      Some("""
+        SELECT s_suppkey, s_name, total_qty, n_lines FROM (
+          SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS total_qty, COUNT(*) AS n_lines
+          FROM lineitem GROUP BY l_suppkey HAVING ROUND(SUM(l_quantity), 2) > 1000
+        ) JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY s_suppkey
+      """),
+    ),
+    // ---------------------------------------------------------------- q15
+    // Analytic window as a decorrelated scalar subquery: parts priced above
+    // their brand average.
+    Q(
+      "q15_above_brand_avg",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"p_brand")
+        T(s, d, "part")
+          .withColumn("b_avg", avg($"p_retailprice").over(w))
+          .filter($"p_retailprice" > $"b_avg")
+          .select($"p_partkey", $"p_brand", $"p_retailprice", round($"b_avg", 4).as("brand_avg"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_brand, p_retailprice, ROUND(b_avg, 4) AS brand_avg FROM (
+          SELECT p_partkey, p_brand, p_retailprice,
+                 AVG(p_retailprice) OVER (PARTITION BY p_brand) AS b_avg
+          FROM part
+        ) WHERE p_retailprice > b_avg
+        ORDER BY p_partkey
+      """),
+    ),
+    // ---------------------------------------------------------------- q16
+    // Multi-way join across the full dimension chain (region->nation->
+    // customer) exercising join reorder + broadcast on every dim.
+    Q(
+      "q16_region_order_volume",
+      (s, d) => {
+        import s.implicits._
+        val o = T(s, d, "orders")
+        val c = T(s, d, "customer")
+        val n = T(s, d, "nation")
+        val r = T(s, d, "region")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy($"r_name")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 2).as("total_price"),
+            countDistinct($"o_custkey").as("n_customers"),
+          )
+          .orderBy($"r_name")
+      },
+      Some("""
+        SELECT r_name, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+      """),
+    ),
+  )
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{Q, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.volume.VoxelOps
+
+/** The reference's volume semantics (SURVEY.md §2.7) expressed long-form on
+  * a deterministic dense 16³ label grid that both engines can generate
+  * (Spark `range` / DuckDB `range`), so every operator is oracle-checkable.
+  * Labels form 4³ axis-aligned blobs so outline mode has real edges, echoing
+  * the ADMBA atlas structure. The chunk-form (binary-block) equivalents are
+  * exercised by the ScalaTest suite on synthetic MHD/RAW fixtures.
+  */
+object VolumeQueries {
+  val D = 16L // grid edge
+
+  /** Dense (z,y,x,label) cube: z=id/256, y=(id/16)%16, x=id%16,
+    * label = (z/4)*100 + (y/4)*10 + (x/4).
+    */
+  def grid(s: SparkSession): DataFrame =
+    s.range(D * D * D)
+      .select(
+        expr("id div 256").as("z"),
+        expr("(id div 16) % 16").as("y"),
+        expr("id % 16").as("x"),
+        expr("((id div 256) div 4) * 100 + (((id div 16) % 16) div 4) * 10 + ((id % 16) div 4)").as("label"),
+      )
+
+  private val voxCte = """
+    WITH vox AS (
+      SELECT id // 256 AS z, (id // 16) % 16 AS y, id % 16 AS x,
+             ((id // 256) // 4) * 100 + (((id // 16) % 16) // 4) * 10 + ((id % 16) // 4) AS label
+      FROM range(4096) t(id)
+    )"""
+
+  val all: Seq[Q] = Seq(
+    // T1: nearest-neighbor ×2 upscale, long form (label preservation is the
+    // invariant: every source voxel appears at (2z+dz, 2y+dy, 2x+dx)).
+    Q(
+      "vol_upscale_x2",
+      (s, _) => VoxelOps.upscale(grid(s), 2).orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT 2 * v.z + dz.range AS z, 2 * v.y + dy.range AS y, 2 * v.x + dx.range AS x, v.label
+        FROM vox v, range(2) dz, range(2) dy, range(2) dx
+        ORDER BY z, y, x
+      """),
+    ),
+    // T3: stride-2 decimation (pyramid level 1).
+    Q(
+      "vol_pyramid_level1",
+      (s, _) => VoxelOps.decimate(grid(s)).orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
+        FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+        ORDER BY z, y, x
+      """),
+    ),
+    // T2: outline with wrap-around (da.roll parity), 6 modular neighbors.
+    Q(
+      "vol_outline",
+      (s, _) => VoxelOps.outline(grid(s), D, D, D).orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT v.z, v.y, v.x,
+               CASE WHEN v.label <> zp.label OR v.label <> zm.label
+                      OR v.label <> yp.label OR v.label <> ym.label
+                      OR v.label <> xp.label OR v.label <> xm.label
+                    THEN v.label ELSE 0 END AS out_label
+        FROM vox v
+          JOIN vox zp ON zp.z = (v.z + 1) % 16 AND zp.y = v.y AND zp.x = v.x
+          JOIN vox zm ON zm.z = (v.z + 15) % 16 AND zm.y = v.y AND zm.x = v.x
+          JOIN vox yp ON yp.z = v.z AND yp.y = (v.y + 1) % 16 AND yp.x = v.x
+          JOIN vox ym ON ym.z = v.z AND ym.y = (v.y + 15) % 16 AND ym.x = v.x
+          JOIN vox xp ON xp.z = v.z AND xp.y = v.y AND xp.x = (v.x + 1) % 16
+          JOIN vox xm ON xm.z = v.z AND xm.y = v.y AND xm.x = (v.x + 15) % 16
+        ORDER BY v.z, v.y, v.x
+      """),
+    ),
+    // A-row: label histogram (README before/after frequency figures).
+    Q(
+      "vol_histogram",
+      (s, _) => VoxelOps.histogram(grid(s)),
+      Some(s"""$voxCte
+        SELECT label, COUNT(*) AS n FROM vox GROUP BY label ORDER BY label
+      """),
+    ),
+    // J2: full-volume label-preservation verification join
+    // (verify_labels.py generalized from one spot check to every voxel).
+    Q(
+      "vol_verify_upscale",
+      (s, _) => {
+        val orig = grid(s)
+        val up = VoxelOps.upscale(orig, 2)
+          .select(col("z").as("uz"), col("y").as("uy"), col("x").as("ux"), col("label").as("ulabel"))
+        orig
+          .join(up, col("uz") === col("z") * 2 && col("uy") === col("y") * 2 && col("ux") === col("x") * 2)
+          .agg(
+            count(lit(1)).as("n_checked"),
+            sum(when(col("label") === col("ulabel"), 1L).otherwise(0L)).as("n_match"),
+          )
+      },
+      Some(s"""$voxCte, up AS (
+          SELECT 2 * v.z + dz.range AS z, 2 * v.y + dy.range AS y, 2 * v.x + dx.range AS x, v.label
+          FROM vox v, range(2) dz, range(2) dy, range(2) dx
+        )
+        SELECT COUNT(*) AS n_checked,
+               SUM(CASE WHEN o.label = u.label THEN 1 ELSE 0 END) AS n_match
+        FROM vox o JOIN up u ON u.z = 2 * o.z AND u.y = 2 * o.y AND u.x = 2 * o.x
+      """),
+    ),
+    // J1/P4: point lookups joined to the region ontology table with
+    // left-outer "Unknown region ID" semantics (lookup_test2.py).
+    Q(
+      "vol_region_lookup",
+      (s, d) => {
+        val vox = grid(s)
+          .filter(col("z") === 3 && col("y").isin(0L, 5L, 10L))
+          .withColumn("label", col("label") % 7)
+        VoxelOps
+          .regionLookup(vox, T(s, d, "region"), "r_regionkey", "r_name")
+          .select(col("z"), col("y"), col("x"), col("label"), col("region_name"))
+          .orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT v.z, v.y, v.x, v.label % 7 AS label,
+               COALESCE(r.r_name, 'Unknown region ID: ' || CAST(v.label % 7 AS VARCHAR)) AS region_name
+        FROM vox v LEFT JOIN region r ON v.label % 7 = r.r_regionkey
+        WHERE v.z = 3 AND v.y IN (0, 5, 10)
+        ORDER BY v.z, v.y, v.x
+      """),
+    ),
+  )
+}

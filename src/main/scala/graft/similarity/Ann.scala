@@ -1,0 +1,119 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Two paths:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Query set must be small (it broadcasts); the corpus side streams.
+  *  - [[lshBuckets]] / [[lshTopK]]: random-hyperplane LSH. Hyperplane
+  *    components are ±1 derived from xxhash64 so the "random" planes are
+  *    deterministic, shippable in the plan, and identical on every executor
+  *    — no driver-side randomness, no broadcast of plane matrices.
+  *
+  * At 100 TB the bucketed join shuffles only (bucket, id, vec) rows and
+  * each bucket's candidate set is ~corpus/2^nPlanes, giving tunable
+  * recall/cost. Multi-probe = union of per-table buckets (nTables seeds).
+  */
+object Ann {
+
+  private def asDouble(vecCol: String): Column = col(vecCol).cast("array<double>")
+
+  private def norm(e: Column): Column = sqrt(aggregate(e, lit(0.0), (acc, x) => acc + x * x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded), ranked by (rounded) cosine desc with id
+    * tie-break. The ranking window partitions by query id, so the sort is
+    * per-query, never global.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q)
+      .crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+
+  /** Random-hyperplane LSH bucket id (nPlanes sign bits). Plane p's j-th
+    * component is ±1 from bit 0 of xxhash64(seed, p*dim+j). Pure
+    * higher-order-function expression: codegen'd, shuffle-free.
+    */
+  def bucketExpr(vecCol: String, dim: Int, nPlanes: Int, seed: Int): Column =
+    expr(s"""
+      aggregate(sequence(0, ${nPlanes - 1}), cast(0 as bigint), (acc, p) -> acc + if(
+        aggregate(sequence(0, ${dim - 1}), cast(0 as double),
+          (a, j) -> a + cast(element_at($vecCol, j + 1) as double)
+                        * if((xxhash64($seed, p * $dim + j) & 1) = 1,
+                             cast(1 as double), cast(-1 as double))) > 0,
+        shiftleft(cast(1 as bigint), p), cast(0 as bigint)))
+    """)
+
+  /** Assign each vector its LSH bucket per hash table. */
+  def lshBuckets(
+      emb: DataFrame,
+      dim: Int,
+      nPlanes: Int = 12,
+      nTables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame =
+    emb.select(
+      col(idCol) +: (0 until nTables).map(t => bucketExpr(vecCol, dim, nPlanes, t).as(s"bucket_$t")): _*
+    )
+
+  /** ANN top-k via LSH: candidates = corpus vectors sharing any table's
+    * bucket with the query; exact cosine rank within candidates.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      dim: Int,
+      k: Int,
+      queryFilter: Column,
+      nPlanes: Int = 12,
+      nTables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = lshBuckets(emb, dim, nPlanes, nTables, idCol, vecCol)
+      .join(emb.select(col(idCol), asDouble(vecCol).as("e")), Seq(idCol))
+      .withColumn("nrm", norm(col("e")))
+    val long = bucketed.select(
+      col(idCol),
+      col("e"),
+      col("nrm"),
+      explode(array((0 until nTables).map(t => struct(lit(t).as("tbl"), col(s"bucket_$t").as("bucket"))): _*))
+        .as("tb"),
+    ).select(col(idCol), col("e"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = long.filter(queryFilter)
+      .select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = long.select(col("tbl"), col("bucket"), col(idCol).as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+}

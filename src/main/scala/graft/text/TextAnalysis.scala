@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, language ID, fingerprinting. Everything is built from
+  * codegen'd `org.apache.spark.sql.functions` array/string expressions — no
+  * UDFs — so the ops scan-pipeline at 100 TB (narrow, no shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation: runs of letters, runs of digits, or a
+    * single other non-space symbol — the classic pre-tokenizer regex.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("bigint")
+
+  val StopWords: Seq[String] = Seq("the", "a")
+
+  /** Per-document token statistics. Adds n_tokens, n_distinct_tokens,
+    * avg_token_len, bpe_tokens.
+    */
+  def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs
+      .withColumn("n_tokens", size(t).cast("bigint"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("bigint"))
+      .withColumn(
+        "avg_token_len",
+        round((length(col(textCol)) - (col("n_tokens") - 1)) / col("n_tokens"), 4),
+      )
+      .withColumn("bpe_tokens", bpeTokenCount(col(textCol)))
+  }
+
+  /** Heuristic quality score in [0,1]: lexical diversity + length band +
+    * stopword presence, the standard cheap pre-filters for LLM corpora.
+    * Deterministic arithmetic only (oracle-matchable).
+    */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val stopArr = array(StopWords.map(lit): _*)
+    docs
+      .withColumn("n_tokens", size(t).cast("bigint"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("bigint"))
+      .withColumn("n_stopwords", size(filter(t, w => array_contains(stopArr, w))).cast("bigint"))
+      .withColumn(
+        "quality_score",
+        round(
+          lit(0.5) * (col("n_distinct_tokens") / col("n_tokens"))
+            + lit(0.3) * (least(col("n_tokens"), lit(100L)) / lit(100.0))
+            + lit(0.2) * (col("n_stopwords") / col("n_tokens")),
+          4,
+        ),
+      )
+  }
+
+  /** Language profiles: characteristic function words per language. The
+    * predictor votes on profile-word hits (the classic stopword-profile
+    * heuristic, e.g. Grefenstette 1995); ties break by profile order.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"),
+  )
+
+  /** Adds pred_lang + lang_hits. */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = array_distinct(tokens(col(textCol)))
+    // score per language = #profile words present; argmax via array_max over
+    // (hits, -order, lang) structs — struct comparison is lexicographic.
+    val scored = array(Profiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        size(array_intersect(t, array(words.map(lit): _*))).as("hits"),
+        lit(-i).as("prio"),
+        lit(lang).as("lang"),
+      )
+    }: _*)
+    docs
+      .withColumn("lang_best", array_max(scored))
+      .withColumn("pred_lang", col("lang_best.lang"))
+      .withColumn("lang_hits", col("lang_best.hits").cast("bigint"))
+      .drop("lang_best")
+  }
+
+  /** Adds fp64 rolling-hash fingerprint of the document text. */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fp64", GraftFunctions.fp64(col(textCol)))
+}

@@ -1,0 +1,133 @@
+package graft.volume
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Long-form (relational) volume operators over a VoxelTable
+  * `DataFrame(z: LONG, y: LONG, x: LONG, label: LONG)`.
+  *
+  * These are the pure-Catalyst expressions of the reference's array kernels
+  * (see SURVEY.md §2.7); the chunk-form equivalents (packed binary blocks +
+  * local kernels, the scale path for dense volumes) live in
+  * [[ChunkVolume]]. Long form is what you want when the volume is sparse or
+  * when the result feeds a relational pipeline (joins against the region
+  * ontology etc.) — every op below is whole-stage-codegen'd and, except for
+  * `outline`, shuffle-free.
+  */
+object VoxelOps {
+
+  /** Nearest-neighbor integer upscale (reference upscale.py:15–20,
+    * `da.repeat` ×3). Each voxel expands to s³ voxels with the same label —
+    * expressed as three chained `explode(sequence(...))` generators, a
+    * narrow map-side transform with no shuffle at any scale.
+    */
+  def upscale(vox: DataFrame, s: Int): DataFrame = {
+    require(s >= 1, s"scale must be >= 1, got $s")
+    vox
+      .withColumn("dz", explode(sequence(lit(0L), lit(s - 1L))))
+      .withColumn("dy", explode(sequence(lit(0L), lit(s - 1L))))
+      .withColumn("dx", explode(sequence(lit(0L), lit(s - 1L))))
+      .select(
+        (col("z") * s + col("dz")).as("z"),
+        (col("y") * s + col("dy")).as("y"),
+        (col("x") * s + col("dx")).as("x"),
+        col("label"),
+      )
+  }
+
+  /** Stride-2 decimation — one pyramid level (reference
+    * upscale_streaming_enhance.py:125–139: `prev[::2,::2,::2]`, explicitly
+    * decimation not averaging). Pure filter+project; the parquet scan only
+    * materializes matching rows.
+    */
+  def decimate(vox: DataFrame): DataFrame =
+    vox
+      .filter(col("z") % 2 === 0 && col("y") % 2 === 0 && col("x") % 2 === 0)
+      .select(
+        expr("z div 2").as("z"),
+        expr("y div 2").as("y"),
+        expr("x div 2").as("x"),
+        col("label"),
+      )
+
+  /** Full pyramid: level 0 is the input, level i is decimate(level i-1).
+    * Returns one DataFrame with a `level` column.
+    */
+  def pyramid(vox: DataFrame, levels: Int): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    (1 until levels)
+      .scanLeft(vox)((prev, _) => decimate(prev))
+      .zipWithIndex
+      .map { case (df, i) => df.withColumn("level", lit(i)) }
+      .reduce(_ unionAll _)
+  }
+
+  /** Outline / edge-voxel extraction (reference
+    * upscale_streaming_enhance.py:107–119): keep a voxel's label iff it
+    * differs from at least one of its 6 face neighbors, else 0. The
+    * reference uses `da.roll`, which WRAPS AROUND volume edges — parity
+    * requires modular neighbor coordinates, hence the self-joins on
+    * `(z±1) mod dimZ` rather than null-padded lag/lead windows.
+    *
+    * Cost: 6 equi-joins of the voxel table against itself. At 100 TB you'd
+    * use the chunk-form halo exchange ([[ChunkVolume.outline]]) which only
+    * shuffles face planes; this form is for sparse/relational inputs.
+    */
+  def outline(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long): DataFrame = {
+    // Precompute each voxel's 6 modular neighbor coordinates, then join the
+    // voxel table back on each to fetch the neighbor label.
+    val withNbrCoords = vox
+      .withColumn("c_zp", (col("z") + 1) % dimZ)
+      .withColumn("c_zm", (col("z") + (dimZ - 1)) % dimZ)
+      .withColumn("c_yp", (col("y") + 1) % dimY)
+      .withColumn("c_ym", (col("y") + (dimY - 1)) % dimY)
+      .withColumn("c_xp", (col("x") + 1) % dimX)
+      .withColumn("c_xm", (col("x") + (dimX - 1)) % dimX)
+    val joined = Seq(
+      ("zp", "c_zp", "y", "x"),
+      ("zm", "c_zm", "y", "x"),
+      ("yp", "z", "c_yp", "x"),
+      ("ym", "z", "c_ym", "x"),
+      ("xp", "z", "y", "c_xp"),
+      ("xm", "z", "y", "c_xm"),
+    ).foldLeft(withNbrCoords) { case (acc, (name, zc, yc, xc)) =>
+      val nbr = vox.select(
+        col("z").as(s"z_$name"),
+        col("y").as(s"y_$name"),
+        col("x").as(s"x_$name"),
+        col("label").as(s"l_$name"),
+      )
+      acc
+        .join(nbr, col(zc) === col(s"z_$name") && col(yc) === col(s"y_$name") && col(xc) === col(s"x_$name"))
+        .drop(s"z_$name", s"y_$name", s"x_$name")
+    }
+    val differs = Seq("zp", "zm", "yp", "ym", "xp", "xm")
+      .map(n => col(s"l_$n") =!= col("label"))
+      .reduce(_ || _)
+    joined.select(
+      col("z"),
+      col("y"),
+      col("x"),
+      when(differs, col("label")).otherwise(lit(0L)).as("out_label"),
+    )
+  }
+
+  /** Label histogram (the README's before/after frequency figures —
+    * SURVEY.md §2.5 A-row): classic partial+final hash aggregate.
+    */
+  def histogram(vox: DataFrame): DataFrame =
+    vox.groupBy(col("label")).agg(count(lit(1)).as("n")).orderBy(col("label"))
+
+  /** Voxel label → region-ontology lookup join (reference lookup_test2.py
+    * :21–29, view_with_labels.py:22–28): left-outer broadcast hash join with
+    * "Unknown region ID: <id>" on miss. `regions` is the 2,692-row ontology
+    * — always broadcast, never shuffles the voxel side.
+    */
+  def regionLookup(vox: DataFrame, regions: DataFrame, keyCol: String, nameCol: String): DataFrame =
+    vox
+      .join(broadcast(regions), vox("label") === regions(keyCol), "left_outer")
+      .withColumn(
+        "region_name",
+        coalesce(col(nameCol), concat(lit("Unknown region ID: "), col("label").cast("string"))),
+      )
+}
