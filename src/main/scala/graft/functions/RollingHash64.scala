@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit polynomial rolling hash of a string's UTF-8 bytes:
@@ -10,12 +11,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * fingerprinting (SURVEY.md §2 north-star text ops). A native Catalyst
   * expression with codegen so it stays inside whole-stage codegen in the
   * hot path (vs a Scala UDF, which would box and break the codegen span).
+  *
+  * Only public/stable-ish Catalyst surface is used (UnaryExpression +
+  * checkInputDataTypes override) — no `private[sql]` types like
+  * `AbstractDataType`/`ExpectsInputTypes` helpers that broke round 1.
   */
-case class RollingHash64(child: Expression)
-    extends UnaryExpression
-    with ExpectsInputTypes {
+case class RollingHash64(child: Expression) extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash64 requires STRING input, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash64"
 

@@ -63,7 +63,8 @@ object Multimodal {
     val rdd = mm.select(col("id"), col("payload")).rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        // payload is nullable in the canonical schema — treat null as empty
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
         val hist = new Array[Long](256)
         var i = 0
         var sum = 0.0

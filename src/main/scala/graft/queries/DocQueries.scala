@@ -1,0 +1,328 @@
+package graft.queries
+
+import graft.{Q, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+
+/** Training-data-pipeline queries over the `documents` and `embeddings`
+  * tables: deduplication (exact, MinHash+LSH, SimHash, token Jaccard),
+  * similarity search, text analysis, fingerprinting, multimodal features,
+  * and the batch face of the streaming surface.
+  *
+  * Oracle strategy for hash-based LSH ops: xxhash64 is not expressible in
+  * DuckDB, so those queries run the standard two-phase pipeline — LSH
+  * candidate generation followed by EXACT verification — on a corpus with
+  * injected duplicates. LSH recall at similarity 1.0 is exactly 1 (identical
+  * inputs hash to identical signatures/bands), so the verified output is a
+  * deterministic set DuckDB can compute independently of the hash functions.
+  */
+object DocQueries {
+
+  /** Offset for the injected duplicate copy of the corpus. */
+  private val DupOffset = 1000000L
+
+  /** documents ∪ an exact copy shifted by DupOffset: every text appears
+    * exactly twice, giving the dedup ops real duplicates to find.
+    */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + DupOffset))
+  }
+
+  private val dupCorpusSql =
+    s"(SELECT doc_id, text, lang, source, n_chars FROM documents UNION ALL SELECT doc_id + $DupOffset, text, lang, source, n_chars FROM documents)"
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------- exact dedup
+    // One hash-partitioned aggregate; only (hash, id) shuffles at scale.
+    Q(
+      "doc_exact_dedup",
+      (s, d) =>
+        Dedup.exactGroups(dupCorpus(s, d))
+          .orderBy(col("keep_id")),
+      Some(s"""
+        SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+        FROM $dupCorpusSql
+        GROUP BY 1 ORDER BY keep_id
+      """),
+    ),
+    // -------------------------------------------- MinHash + LSH + verify
+    // Candidates from band-bucket self-join, then exact token-SET equality
+    // verification (jaccard == 1). Recall at j=1 is guaranteed, so the
+    // output is hash-independent and oracle-checkable.
+    Q(
+      "doc_minhash_dedup",
+      (s, d) => {
+        val corpus = dupCorpus(s, d)
+        val cands = Dedup.minhashCandidatePairs(Dedup.minhash(corpus))
+        val toks = corpus.select(
+          col("doc_id"),
+          array_sort(array_distinct(split(col("text"), " "))).as("toks"),
+        )
+        cands
+          .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+          .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+          .filter(col("toks_a") === col("toks_b"))
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH ts AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(list_distinct(string_split(text, ' '))), chr(31)) AS tk
+          FROM $dupCorpusSql
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ts a JOIN ts b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+      """),
+    ),
+    // ------------------------------------------------- SimHash + verify
+    // Pigeonhole-banded SimHash candidates (hamming 0 ⇒ some 16-bit quarter
+    // matches ⇒ found), then exact token-MULTISET equality verification.
+    Q(
+      "doc_simhash_dedup",
+      (s, d) => {
+        val corpus = dupCorpus(s, d)
+        val pairs = Dedup.simhashPairs(Dedup.simhash(corpus), maxHamming = 0)
+        val toks = corpus.select(
+          col("doc_id"),
+          array_sort(split(col("text"), " ")).as("toks"),
+        )
+        pairs
+          .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+          .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+          .filter(col("toks_a") === col("toks_b"))
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH ts AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(string_split(text, ' ')), chr(31)) AS tk
+          FROM $dupCorpusSql
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ts a JOIN ts b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+      """),
+    ),
+    // ------------------------------------------- exact n-gram/token Jaccard
+    // Blocked inverted-index join (block = source): candidate generation is
+    // per-block, never quadratic in the corpus.
+    Q(
+      "doc_jaccard_pairs",
+      (s, d) =>
+        Dedup.tokenJaccardPairs(T(s, d, "documents"), threshold = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.source = b.source AND a.term = b.term
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, ROUND(c / (na.n + nb.n - c), 4) AS jaccard
+        FROM inter
+          JOIN sizes na ON inter.doc_a = na.doc_id
+          JOIN sizes nb ON inter.doc_b = nb.doc_id
+        WHERE c / (na.n + nb.n - c) >= 0.5
+        ORDER BY doc_a, doc_b
+      """),
+    ),
+    // ----------------------------------------------------- text statistics
+    Q(
+      "doc_text_stats",
+      (s, d) =>
+        TextAnalysis.withStats(T(s, d, "documents"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"), col("avg_token_len"), col("bpe_tokens"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+               ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+                     / len(string_split(text, ' ')), 4) AS avg_token_len,
+               len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens
+        FROM documents ORDER BY doc_id
+      """),
+    ),
+    // ------------------------------------------------------ quality score
+    Q(
+      "doc_quality",
+      (s, d) =>
+        TextAnalysis.withQuality(T(s, d, "documents"))
+          .select(col("doc_id"), col("n_tokens"), col("n_stopwords"), col("quality_score"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stopwords,
+               ROUND(0.5 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+                   + 0.3 * (least(len(string_split(text, ' ')), 100) / 100.0)
+                   + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                            / len(string_split(text, ' '))), 4) AS quality_score
+        FROM documents ORDER BY doc_id
+      """),
+    ),
+    // ------------------------------------------------------- language ID
+    // Confusion-matrix style rollup: tagged lang × predicted lang.
+    Q(
+      "doc_lang_id",
+      (s, d) =>
+        TextAnalysis.withLangId(T(s, d, "documents"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents
+        ), h AS (
+          SELECT doc_id, lang,
+                 len(list_intersect(toks, ['the','a','of','and','is'])) AS s_en,
+                 len(list_intersect(toks, ['el','la','de','y','es'])) AS s_es,
+                 len(list_intersect(toks, ['der','die','das','und','ist'])) AS s_de,
+                 len(list_intersect(toks, ['le','la','de','et','est'])) AS s_fr,
+                 len(list_intersect(toks, ['的','是','了','在','和'])) AS s_zh
+          FROM t
+        ), p AS (
+          SELECT lang,
+                 CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                      WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                      WHEN s_fr >= s_zh THEN 'fr'
+                      ELSE 'zh' END AS pred_lang
+          FROM h
+        )
+        SELECT lang, pred_lang, COUNT(*) AS n FROM p
+        GROUP BY 1, 2 ORDER BY lang, pred_lang
+      """),
+    ),
+    // ----------------------------------------------------- fingerprinting
+    // fp64 is a native codegen'd Catalyst expression; with no collisions the
+    // per-source distinct-fingerprint count equals the distinct-text count,
+    // which DuckDB verifies independently of the hash function.
+    Q(
+      "doc_fingerprint",
+      (s, d) =>
+        TextAnalysis.withFingerprint(T(s, d, "documents"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("fp64")).as("n_distinct_fp"), count(lit(1)).as("n_docs"))
+          .orderBy(col("source")),
+      Some("""
+        SELECT source, COUNT(DISTINCT text) AS n_distinct_fp, COUNT(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source
+      """),
+    ),
+    // --------------------------------------------- similarity: exact top-k
+    // Brute-force cosine top-k for a small broadcast query set — the
+    // correctness baseline; the corpus side streams (never collected).
+    Q(
+      "emb_cosine_topk",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        s AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qe, ce), 6) AS cos_sim
+          FROM q, c WHERE query_id <> neighbor_id
+        ), r AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+          FROM s
+        )
+        SELECT query_id, neighbor_id, cos_sim, rk FROM r WHERE rk <= 5
+        ORDER BY query_id, rk
+      """),
+    ),
+    // ------------------------------------------------ similarity: LSH ANN
+    // The scale path: bucketed random-hyperplane LSH (deterministic planes
+    // from xxhash64 — not oracle-expressible, so rows-only check; recall vs
+    // the exact path is asserted in the ScalaTest suite).
+    Q(
+      "emb_lsh_topk",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Ann.lshTopK(emb, dim = 64, k = 5, queryFilter = col("vec_id") < 10, nPlanes = 8, nTables = 4)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      None,
+    ),
+    // ------------------------------------------------ multimodal features
+    // Opaque binary payloads → per-partition byte-feature kernel
+    // (mapPartitions, no shuffle). Text bytes stand in for media payloads;
+    // the decode step proper is stubbed (no codecs in this environment).
+    Q(
+      "mm_byte_features",
+      (s, d) => {
+        val mm = Multimodal.fromDocuments(T(s, d, "documents"))
+        Multimodal.byteFeatures(mm)
+          .select(
+            col("id"),
+            col("n_bytes"),
+            round(col("mean_byte"), 4).as("mean_byte"),
+            round(col("stddev_byte"), 4).as("stddev_byte"),
+            round(col("entropy"), 4).as("entropy"),
+          )
+          .orderBy(col("id"))
+      },
+      Some("""
+        WITH chars AS (
+          SELECT doc_id, ascii(unnest(string_split(text, ''))) AS b FROM documents
+        ), stats AS (
+          SELECT doc_id, COUNT(*) AS n, AVG(b) AS mean_b,
+                 SQRT(GREATEST(AVG(b * b) - AVG(b) * AVG(b), 0.0)) AS sd_b
+          FROM chars GROUP BY 1
+        ), freq AS (
+          SELECT doc_id, b, COUNT(*) AS c FROM chars GROUP BY 1, 2
+        ), ent AS (
+          SELECT f.doc_id, -SUM((c / s.n) * log2(c / s.n)) AS e
+          FROM freq f JOIN stats s ON f.doc_id = s.doc_id GROUP BY 1
+        )
+        SELECT s.doc_id AS id, s.n AS n_bytes,
+               ROUND(s.mean_b, 4) AS mean_byte,
+               ROUND(s.sd_b, 4) AS stddev_byte,
+               ROUND(ent.e, 4) AS entropy
+        FROM stats s JOIN ent ON s.doc_id = ent.doc_id
+        ORDER BY id
+      """),
+    ),
+    // --------------------------------- streaming surface, batch execution
+    // The same windowed-aggregation code that runs under readStream with a
+    // watermark, executed here on the batch frame for oracle parity.
+    Q(
+      "ev_stream_hourly",
+      (s, d) =>
+        EventStreams.hourlyByType(T.events(s, d))
+          .select(
+            col("event_type"),
+            unix_timestamp(col("window.start")).as("hour_s"),
+            col("n_events"),
+            round(col("total_value"), 2).as("total_value"),
+          )
+          .orderBy(col("event_type"), col("hour_s")),
+      Some("""
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, hour_s
+      """),
+    ),
+  )
+}

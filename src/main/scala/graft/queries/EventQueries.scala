@@ -26,7 +26,10 @@ object EventQueries {
         T.events(s, d)
           .groupBy(
             $"event_type",
-            (($"ts_ns" / lit(NS_PER_HOUR)).cast("bigint") * 3600).as("hour_s"),
+            // integral div, not `/`: column `/` is double division and
+            // epoch-nanos exceed double's 53-bit mantissa (≈256 ns ulp),
+            // which would mis-bucket events near hour boundaries.
+            expr(s"(ts_ns div $NS_PER_HOUR) * 3600").as("hour_s"),
           )
           .agg(
             count(lit(1)).as("n_events"),

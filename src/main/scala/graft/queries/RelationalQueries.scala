@@ -381,24 +381,41 @@ object RelationalQueries {
     ),
     // ---------------------------------------------------------------- q15
     // Analytic window as a decorrelated scalar subquery: parts priced above
-    // their brand average.
+    // their brand average. Computed in integer CENTS so the average
+    // comparison and the reported avg derive from identical integers on
+    // both engines — float summation order can otherwise flip the last ulp
+    // and break hash parity.
     Q(
       "q15_above_brand_avg",
       (s, d) => {
         import s.implicits._
         val w = Window.partitionBy($"p_brand")
         T(s, d, "part")
-          .withColumn("b_avg", avg($"p_retailprice").over(w))
-          .filter($"p_retailprice" > $"b_avg")
-          .select($"p_partkey", $"p_brand", $"p_retailprice", round($"b_avg", 4).as("brand_avg"))
+          .withColumn("cents", round($"p_retailprice" * 100).cast("bigint"))
+          .withColumn("sum_c", sum($"cents").over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter($"cents" * $"cnt" > $"sum_c")
+          .select(
+            $"p_partkey",
+            $"p_brand",
+            $"p_retailprice",
+            round($"sum_c" / ($"cnt" * lit(100.0)), 4).as("brand_avg"),
+          )
           .orderBy($"p_partkey")
       },
       Some("""
-        SELECT p_partkey, p_brand, p_retailprice, ROUND(b_avg, 4) AS brand_avg FROM (
+        WITH c AS (
           SELECT p_partkey, p_brand, p_retailprice,
-                 AVG(p_retailprice) OVER (PARTITION BY p_brand) AS b_avg
+                 CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
           FROM part
-        ) WHERE p_retailprice > b_avg
+        ), a AS (
+          SELECT *, SUM(cents) OVER (PARTITION BY p_brand) AS sum_c,
+                 COUNT(*) OVER (PARTITION BY p_brand) AS cnt
+          FROM c
+        )
+        SELECT p_partkey, p_brand, p_retailprice,
+               ROUND(sum_c / (cnt * 100.0), 4) AS brand_avg
+        FROM a WHERE cents * cnt > sum_c
         ORDER BY p_partkey
       """),
     ),

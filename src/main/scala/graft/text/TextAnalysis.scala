@@ -90,7 +90,11 @@ object TextAnalysis {
       .drop("lang_best")
   }
 
-  /** Adds fp64 rolling-hash fingerprint of the document text. */
-  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+  /** Adds fp64 rolling-hash fingerprint of the document text (native
+    * codegen'd Catalyst expression, registered idempotently per session).
+    */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     docs.withColumn("fp64", GraftFunctions.fp64(col(textCol)))
+  }
 }

@@ -97,12 +97,15 @@ object VoxelOps {
         col("x").as(s"x_$name"),
         col("label").as(s"l_$name"),
       )
+      // left_outer: a voxel whose neighbor coordinate is absent from a
+      // sparse input must still appear; a missing neighbor counts as a
+      // boundary (label differs) below.
       acc
-        .join(nbr, col(zc) === col(s"z_$name") && col(yc) === col(s"y_$name") && col(xc) === col(s"x_$name"))
+        .join(nbr, col(zc) === col(s"z_$name") && col(yc) === col(s"y_$name") && col(xc) === col(s"x_$name"), "left_outer")
         .drop(s"z_$name", s"y_$name", s"x_$name")
     }
     val differs = Seq("zp", "zm", "yp", "ym", "xp", "xm")
-      .map(n => col(s"l_$n") =!= col("label"))
+      .map(n => coalesce(col(s"l_$n") =!= col("label"), lit(true)))
       .reduce(_ || _)
     joined.select(
       col("z"),
