@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.volume.VoxelOps
+import graft.volume.{ChunkVolume, VoxelOps}
 
 /** The reference's volume semantics (SURVEY.md §2.7) expressed long-form on
   * a deterministic dense 16³ label grid that both engines can generate
@@ -26,6 +26,12 @@ object VolumeQueries {
         expr("id % 16").as("x"),
         expr("((id div 256) div 4) * 100 + (((id div 16) % 16) div 4) * 10 + ((id % 16) div 4)").as("label"),
       )
+
+  /** The 16³ grid packed into a ChunkVolume on a deliberately non-aligned
+    * (5,6,7) chunk grid.
+    */
+  def chunked(s: SparkSession): ChunkVolume =
+    ChunkVolume.fromVoxels(grid(s), D, D, D, 5, 6, 7)
 
   private val voxCte = """
     WITH vox AS (
@@ -106,6 +112,77 @@ object VolumeQueries {
         SELECT COUNT(*) AS n_checked,
                SUM(CASE WHEN o.label = u.label THEN 1 ELSE 0 END) AS n_match
         FROM vox o JOIN up u ON u.z = 2 * o.z AND u.y = 2 * o.y AND u.x = 2 * o.x
+      """),
+    ),
+    // ------------------------------------------------------------------
+    // Chunk-form twins of the ops above: the same semantics through the
+    // packed-binary ChunkVolume path (the 100 TB scale representation),
+    // verified against the SAME DuckDB oracles as the long forms. Chunk
+    // dims (5,6,7) are deliberately non-aligned so edge chunks, partial
+    // reads, and grid contiguity are all exercised.
+    // ------------------------------------------------------------------
+    Q(
+      "vol_chunk_upscale_x2",
+      (s, _) => chunked(s).upscale(2).toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT 2 * v.z + dz.range AS z, 2 * v.y + dy.range AS y, 2 * v.x + dx.range AS x, v.label
+        FROM vox v, range(2) dz, range(2) dy, range(2) dx
+        ORDER BY z, y, x
+      """),
+    ),
+    Q(
+      "vol_chunk_outline",
+      (s, _) =>
+        chunked(s).outline().toVoxels
+          .select(col("z"), col("y"), col("x"), col("label").as("out_label"))
+          .orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT v.z, v.y, v.x,
+               CASE WHEN v.label <> zp.label OR v.label <> zm.label
+                      OR v.label <> yp.label OR v.label <> ym.label
+                      OR v.label <> xp.label OR v.label <> xm.label
+                    THEN v.label ELSE 0 END AS out_label
+        FROM vox v
+          JOIN vox zp ON zp.z = (v.z + 1) % 16 AND zp.y = v.y AND zp.x = v.x
+          JOIN vox zm ON zm.z = (v.z + 15) % 16 AND zm.y = v.y AND zm.x = v.x
+          JOIN vox yp ON yp.z = v.z AND yp.y = (v.y + 1) % 16 AND yp.x = v.x
+          JOIN vox ym ON ym.z = v.z AND ym.y = (v.y + 15) % 16 AND ym.x = v.x
+          JOIN vox xp ON xp.z = v.z AND xp.y = v.y AND xp.x = (v.x + 1) % 16
+          JOIN vox xm ON xm.z = v.z AND xm.y = v.y AND xm.x = (v.x + 15) % 16
+        ORDER BY v.z, v.y, v.x
+      """),
+    ),
+    Q(
+      "vol_chunk_pyramid_l1",
+      (s, _) => chunked(s).decimate().toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
+        FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+        ORDER BY z, y, x
+      """),
+    ),
+    // Round-trip identity: VoxelTable → packed chunks → VoxelTable.
+    Q(
+      "vol_chunk_roundtrip",
+      (s, _) => chunked(s).toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // P4: point lookups that must each touch exactly one chunk (range
+    // predicates on chunk-coordinate columns → partition pruning).
+    Q(
+      "vol_chunk_point_lookup",
+      (s, _) => {
+        val vol = chunked(s)
+        val pts = Seq((3L, 4L, 5L), (0L, 0L, 0L), (15L, 15L, 15L), (7L, 12L, 9L))
+        val rows = pts.map { case (z, y, x) => (z, y, x, vol.pointLookup(z, y, x).getOrElse(-1L)) }
+        s.createDataFrame(rows).toDF("z", "y", "x", "label").orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox
+        WHERE (z, y, x) IN ((3, 4, 5), (0, 0, 0), (15, 15, 15), (7, 12, 9))
+        ORDER BY z, y, x
       """),
     ),
     // J1/P4: point lookups joined to the region ontology table with

@@ -37,35 +37,52 @@ object EventStreams {
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)
 
-  /** Custom stateful sessionization via mapGroupsWithState: a session closes
-    * after 30 min of inactivity (processing-time timeout on the stream).
-    * Emits closed sessions.
+  /** Custom stateful sessionization via flatMapGroupsWithState: a session
+    * closes after `gapUs` of event-time inactivity. Uses EventTimeTimeout
+    * against the stream's watermark so an idle user's final session IS
+    * emitted (when the watermark passes last-event + gap) and state never
+    * grows unboundedly. Input must carry an event-time `ts` timestamp
+    * column (micros of ts_us) for the watermark.
     */
   def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000 * 1000): Dataset[Session] = {
-    import events.sparkSession.implicits._
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapUs / 1000
     events
-      .groupByKey(_.user_id)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 seconds")
+      .as[(Long, Long, String, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[List[SessionState], Session](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout,
-      ) { (user: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
-        // sort this micro-batch's events; fold into the open session
-        val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_type))
-        var open: Option[SessionState] = state.getOption.flatMap(_.headOption)
-        val closed = Seq.newBuilder[Session]
-        sorted.foreach { e =>
-          open match {
-            case Some(s) if e.ts_us - s.last > gapUs =>
-              closed += Session(user, s.start, s.last, s.n, s.total)
-              open = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
-            case Some(s) =>
-              open = Some(SessionState(s.start, e.ts_us, s.n + 1, s.total + e.value))
-            case None =>
-              open = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+        GroupStateTimeout.EventTimeTimeout,
+      ) { (user: Long, it: Iterator[(Long, Long, String, Double, java.sql.Timestamp)], state: GroupState[List[SessionState]]) =>
+        if (state.hasTimedOut) {
+          // watermark passed last-event + gap: flush and clear the open session
+          val flushed = state.getOption.flatMap(_.headOption)
+            .map(s => Session(user, s.start, s.last, s.n, s.total))
+          state.remove()
+          flushed.iterator
+        } else {
+          // sort this micro-batch's events; fold into the open session
+          val sorted = it.toSeq.sortBy(e => (e._2, e._3))
+          var open: Option[SessionState] = state.getOption.flatMap(_.headOption)
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e._2 - s.last > gapUs =>
+                closed += Session(user, s.start, s.last, s.n, s.total)
+                open = Some(SessionState(e._2, e._2, 1, e._4))
+              case Some(s) =>
+                open = Some(SessionState(s.start, e._2, s.n + 1, s.total + e._4))
+              case None =>
+                open = Some(SessionState(e._2, e._2, 1, e._4))
+            }
           }
+          state.update(open.toList)
+          open.foreach(s => state.setTimeoutTimestamp(s.last / 1000 + gapMs))
+          closed.result().iterator
         }
-        state.update(open.toList)
-        closed.result().iterator
       }
   }
 }

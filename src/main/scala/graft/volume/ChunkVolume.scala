@@ -1,0 +1,288 @@
+package graft.volume
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** One dense sub-block of a chunked volume. `data` is a packed C-order
+  * (z,y,x) little-endian byte block of nz·ny·nx elements.
+  * (cz,cy,cx) is the chunk-grid coordinate; (z0,y0,x0) the global voxel
+  * origin. Grid invariant maintained by every producer: chunks with
+  * consecutive grid coordinates tile the volume contiguously per axis, so
+  * chunk-coordinate adjacency == spatial adjacency (the halo exchange and
+  * wrap-around semantics depend on exactly this).
+  */
+final case class Chunk(
+    cz: Int, cy: Int, cx: Int,
+    z0: Long, y0: Long, x0: Long,
+    nz: Int, ny: Int, nx: Int,
+    data: Array[Byte],
+)
+
+/** Volume-level metadata carried on the driver (the Spark analog of the
+  * reference's MHD-header dict + dask chunk grid — SURVEY.md §1.1).
+  */
+final case class VolumeMeta(
+    dimZ: Long, dimY: Long, dimX: Long,
+    chunkZ: Int, chunkY: Int, chunkX: Int,
+    ncz: Int, ncy: Int, ncx: Int,
+    elementType: String,
+    spacingX: Double, spacingY: Double, spacingZ: Double,
+) {
+  def bytesPerVoxel: Int = MhdMeta.BytesPerVoxel(elementType)
+  def isUnsigned: Boolean = elementType.startsWith("MET_U")
+  def isFloating: Boolean = elementType == "MET_FLOAT" || elementType == "MET_DOUBLE"
+  def nVoxels: Long = dimZ * dimY * dimX
+}
+
+/** A distributed dense 3D volume: Dataset[Chunk] + metadata. The engine's
+  * scale-path representation (SURVEY.md §2.7): every transform below is
+  * either chunk-local (upscale, decimate) or shuffles only face planes
+  * (outline halo exchange) — never the volume body.
+  */
+final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
+  import ChunkVolume._
+
+  private def spark: SparkSession = chunks.sparkSession
+
+  /** Nearest-neighbor ×s upscale (T1 scale path): each chunk emits s³
+    * aligned child chunks — embarrassingly parallel, zero shuffle,
+    * unlike the reference's output rechunk (upscale_streaming.py:126).
+    */
+  def upscale(s: Int): ChunkVolume = {
+    require(s >= 1, s"scale must be >= 1, got $s")
+    if (s == 1) return this
+    val bpp = meta.bytesPerVoxel
+    import chunks.sparkSession.implicits._
+    val out = chunks.flatMap { c =>
+      ChunkKernels.upscaleChildren(c.data, c.nz, c.ny, c.nx, bpp, s).map {
+        case (i, j, k, child) =>
+          Chunk(
+            c.cz * s + i, c.cy * s + j, c.cx * s + k,
+            c.z0 * s + i.toLong * c.nz, c.y0 * s + j.toLong * c.ny, c.x0 * s + k.toLong * c.nx,
+            c.nz, c.ny, c.nx, child)
+      }
+    }
+    ChunkVolume(out, meta.copy(
+      dimZ = meta.dimZ * s, dimY = meta.dimY * s, dimX = meta.dimX * s,
+      ncz = meta.ncz * s, ncy = meta.ncy * s, ncx = meta.ncx * s))
+  }
+
+  /** Stride-2 decimation (T3) on the global lattice; chunk-local. */
+  def decimate(): ChunkVolume = {
+    val bpp = meta.bytesPerVoxel
+    import chunks.sparkSession.implicits._
+    val out = chunks.flatMap { c =>
+      val (z0, y0, x0, nz, ny, nx, data) =
+        ChunkKernels.decimate(c.data, c.z0, c.y0, c.x0, c.nz, c.ny, c.nx, bpp)
+      if (nz == 0 || ny == 0 || nx == 0) Iterator.empty
+      else Iterator.single(Chunk(c.cz, c.cy, c.cx, z0, y0, x0, nz, ny, nx, data))
+    }
+    ChunkVolume(out, meta.copy(
+      dimZ = (meta.dimZ + 1) / 2, dimY = (meta.dimY + 1) / 2, dimX = (meta.dimX + 1) / 2,
+      chunkZ = (meta.chunkZ + 1) / 2, chunkY = (meta.chunkY + 1) / 2, chunkX = (meta.chunkX + 1) / 2))
+  }
+
+  /** Multiscale pyramid: level 0 = this, level i+1 = decimate(level i). */
+  def pyramid(levels: Int): Seq[ChunkVolume] = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    (1 until levels).scanLeft(this)((prev, _) => prev.decimate())
+  }
+
+  /** Outline / edge extraction (T2 scale path): halo exchange shuffles ONLY
+    * the 6 face planes of each chunk (≈ 2·(1/cz+1/cy+1/cx) of the data),
+    * then a chunk-local stencil. Wrap-around (da.roll parity) comes from
+    * modular chunk-grid neighbor addressing.
+    */
+  def outline(): ChunkVolume = {
+    val bpp = meta.bytesPerVoxel
+    val (ncz, ncy, ncx) = (meta.ncz, meta.ncy, meta.ncx)
+    import chunks.sparkSession.implicits._
+
+    // side tags for halo messages
+    val CORE = 0; val ZM = 1; val ZP = 2; val YM = 3; val YP = 4; val XM = 5; val XP = 6
+
+    val msgs = chunks.flatMap { c =>
+      import ChunkKernels._
+      val core = (c.cz, c.cy, c.cx, CORE, c.z0, c.y0, c.x0, c.nz, c.ny, c.nx, c.data)
+      // my top plane becomes the z-minus halo of chunk cz+1 (mod ncz), etc.
+      val faces = Iterator(
+        (((c.cz + 1) % ncz, c.cy, c.cx), ZM, planeZ(c.data, c.nz - 1, c.ny, c.nx, bpp)),
+        (((c.cz - 1 + ncz) % ncz, c.cy, c.cx), ZP, planeZ(c.data, 0, c.ny, c.nx, bpp)),
+        ((c.cz, (c.cy + 1) % ncy, c.cx), YM, planeY(c.data, c.ny - 1, c.nz, c.ny, c.nx, bpp)),
+        ((c.cz, (c.cy - 1 + ncy) % ncy, c.cx), YP, planeY(c.data, 0, c.nz, c.ny, c.nx, bpp)),
+        ((c.cz, c.cy, (c.cx + 1) % ncx), XM, planeX(c.data, c.nx - 1, c.nz, c.ny, c.nx, bpp)),
+        ((c.cz, c.cy, (c.cx - 1 + ncx) % ncx), XP, planeX(c.data, 0, c.nz, c.ny, c.nx, bpp)),
+      ).map { case ((tz, ty, tx), side, plane) =>
+        (tz, ty, tx, side, 0L, 0L, 0L, 0, 0, 0, plane)
+      }
+      Iterator.single(core) ++ faces
+    }
+
+    val out = msgs
+      .groupByKey { case (cz, cy, cx, _, _, _, _, _, _, _, _) => (cz, cy, cx) }
+      .mapGroups { (key, it) =>
+        val (cz, cy, cx) = key
+        var core: (Long, Long, Long, Int, Int, Int, Array[Byte]) = null
+        val planes = new Array[Array[Byte]](7)
+        it.foreach {
+          case (_, _, _, CORE, z0, y0, x0, nz, ny, nx, data) => core = (z0, y0, x0, nz, ny, nx, data)
+          case (_, _, _, side, _, _, _, _, _, _, data) => planes(side) = data
+        }
+        val (z0, y0, x0, nz, ny, nx, data) = core
+        val res = ChunkKernels.outline(
+          data, nz, ny, nx, bpp,
+          planes(ZM), planes(ZP), planes(YM), planes(YP), planes(XM), planes(XP))
+        Chunk(cz, cy, cx, z0, y0, x0, nz, ny, nx, res)
+      }
+    ChunkVolume(out, meta)
+  }
+
+  /** Long-form VoxelTable view: DataFrame(z,y,x,label) — for joining into
+    * the relational surface. Integral element types only.
+    */
+  def toVoxels: DataFrame = {
+    require(!meta.isFloating, s"toVoxels requires an integral element type, got ${meta.elementType}")
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    import chunks.sparkSession.implicits._
+    chunks.flatMap { c =>
+      Iterator.range(0, c.nz).flatMap { z =>
+        Iterator.range(0, c.ny).flatMap { y =>
+          Iterator.range(0, c.nx).map { x =>
+            val i = (z * c.ny + y) * c.nx + x
+            (c.z0 + z, c.y0 + y, c.x0 + x, ChunkKernels.decodeLong(c.data, i, bpp, unsigned))
+          }
+        }
+      }
+    }.toDF("z", "y", "x", "label")
+  }
+
+  /** Point lookup WITHOUT a volume scan (P4): range predicates on the chunk
+    * coordinate columns prune to the single owning chunk (parquet row-group
+    * min/max stats after a sorted write; a narrow filter in memory), then
+    * one element is decoded. Mirrors verify_labels.py:21 /
+    * view_with_labels.py:24 touching exactly one zarr chunk.
+    */
+  def pointLookup(z: Long, y: Long, x: Long): Option[Long] = {
+    require(!meta.isFloating, "pointLookup decodes integral labels")
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    import chunks.sparkSession.implicits._
+    chunks
+      .filter(col("z0") <= z && lit(z) < col("z0") + col("nz")
+        && col("y0") <= y && lit(y) < col("y0") + col("ny")
+        && col("x0") <= x && lit(x) < col("x0") + col("nx"))
+      .map { c =>
+        val i = ((z - c.z0).toInt * c.ny + (y - c.y0).toInt) * c.nx + (x - c.x0).toInt
+        ChunkKernels.decodeLong(c.data, i, bpp, unsigned)
+      }
+      .take(1).headOption
+  }
+
+  /** Chunk-store write (K1/K2): zstd parquet, one chunk per row, sorted by
+    * grid coordinate so point lookups prune on row-group stats; plus the
+    * JSON provenance sidecar (K4, `.atlas_upscale_meta.json` analog).
+    */
+  def write(path: String, extraProvenance: Map[String, String] = Map.empty): Unit = {
+    chunks.toDF()
+      .repartitionByRange(col("cz"), col("cy"), col("cx"))
+      .sortWithinPartitions(col("cz"), col("cy"), col("cx"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(path)
+    writeSidecar(path, meta, extraProvenance)
+  }
+}
+
+object ChunkVolume {
+
+  val SidecarName = ".graft_volume_meta.json"
+
+  /** Assemble a ChunkVolume from a dense VoxelTable (z,y,x,label) on a
+    * uniform chunk grid — the inverse of toVoxels. Voxels absent from the
+    * input decode as 0 (background).
+    */
+  def fromVoxels(
+      vox: DataFrame,
+      dimZ: Long, dimY: Long, dimX: Long,
+      chunkZ: Int, chunkY: Int, chunkX: Int,
+      elementType: String = "MET_UINT",
+      spacing: (Double, Double, Double) = (1.0, 1.0, 1.0),
+  ): ChunkVolume = {
+    val meta = VolumeMeta(
+      dimZ, dimY, dimX, chunkZ, chunkY, chunkX,
+      ncz = ((dimZ + chunkZ - 1) / chunkZ).toInt,
+      ncy = ((dimY + chunkY - 1) / chunkY).toInt,
+      ncx = ((dimX + chunkX - 1) / chunkX).toInt,
+      elementType = elementType,
+      spacingX = spacing._1, spacingY = spacing._2, spacingZ = spacing._3)
+    val bpp = meta.bytesPerVoxel
+    val spark = vox.sparkSession
+    import spark.implicits._
+    val out = vox
+      .select(col("z").cast("long"), col("y").cast("long"), col("x").cast("long"), col("label").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey { case (z, y, x, _) => ((z / chunkZ).toInt, (y / chunkY).toInt, (x / chunkX).toInt) }
+      .mapGroups { (key, it) =>
+        val (cz, cy, cx) = key
+        val z0 = cz.toLong * chunkZ; val y0 = cy.toLong * chunkY; val x0 = cx.toLong * chunkX
+        val nz = math.min(chunkZ.toLong, dimZ - z0).toInt
+        val ny = math.min(chunkY.toLong, dimY - y0).toInt
+        val nx = math.min(chunkX.toLong, dimX - x0).toInt
+        val data = new Array[Byte](nz * ny * nx * bpp)
+        it.foreach { case (z, y, x, label) =>
+          val i = ((z - z0).toInt * ny + (y - y0).toInt) * nx + (x - x0).toInt
+          ChunkKernels.encodeLong(label, data, i, bpp)
+        }
+        Chunk(cz, cy, cx, z0, y0, x0, nz, ny, nx, data)
+      }
+    ChunkVolume(out, meta)
+  }
+
+  /** Read back a chunk store written by [[ChunkVolume.write]]. */
+  def read(spark: SparkSession, path: String): ChunkVolume = {
+    val meta = readSidecar(path)
+    import spark.implicits._
+    ChunkVolume(spark.read.parquet(path).as[Chunk], meta)
+  }
+
+  private[volume] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def writeSidecar(path: String, meta: VolumeMeta, extra: Map[String, String]): Unit = {
+    val fields = Seq(
+      "dimZ" -> meta.dimZ.toString, "dimY" -> meta.dimY.toString, "dimX" -> meta.dimX.toString,
+      "chunkZ" -> meta.chunkZ.toString, "chunkY" -> meta.chunkY.toString, "chunkX" -> meta.chunkX.toString,
+      "ncz" -> meta.ncz.toString, "ncy" -> meta.ncy.toString, "ncx" -> meta.ncx.toString,
+      "spacingX" -> meta.spacingX.toString, "spacingY" -> meta.spacingY.toString, "spacingZ" -> meta.spacingZ.toString,
+    ).map { case (k, v) => s"  ${jsonStr(k)}: $v" } ++
+      Seq(s"  ${jsonStr("elementType")}: ${jsonStr(meta.elementType)}") ++
+      extra.toSeq.sortBy(_._1).map { case (k, v) => s"  ${jsonStr(k)}: ${jsonStr(v)}" }
+    val json = fields.mkString("{\n", ",\n", "\n}\n")
+    Files.writeString(Paths.get(path, SidecarName), json)
+  }
+
+  def readSidecar(path: String): VolumeMeta = {
+    val json = Files.readString(Paths.get(path, SidecarName))
+    def num(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*([-0-9.Ee+]+)").r.findFirstMatchIn(json)
+      m.getOrElse(throw new IllegalArgumentException(s"sidecar missing $k")).group(1)
+    }
+    def str(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json)
+      m.getOrElse(throw new IllegalArgumentException(s"sidecar missing $k")).group(1)
+    }
+    VolumeMeta(
+      dimZ = num("dimZ").toLong, dimY = num("dimY").toLong, dimX = num("dimX").toLong,
+      chunkZ = num("chunkZ").toInt, chunkY = num("chunkY").toInt, chunkX = num("chunkX").toInt,
+      ncz = num("ncz").toInt, ncy = num("ncy").toInt, ncx = num("ncx").toInt,
+      elementType = str("elementType"),
+      spacingX = num("spacingX").toDouble, spacingY = num("spacingY").toDouble, spacingZ = num("spacingZ").toDouble)
+  }
+}

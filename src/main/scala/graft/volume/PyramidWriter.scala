@@ -1,0 +1,80 @@
+package graft.volume
+
+import java.nio.file.{Files, Paths}
+
+/** Multiscale pyramid sink (K3) + OME-style `multiscales` metadata.
+  *
+  * Mirrors write_ome_zarr_pyramid (upscale_streaming_enhance.py:190–255):
+  * level i is written under `level=i/`, and the group attrs carry one
+  * coordinateTransformations scale per level:
+  *   scale_zyx(i) = (spacing_xyz reversed) · 2^i / upscaleFactor
+  * — ElementSpacing is (x,y,z) in the header but OME axes here are
+  * (z,y,x), hence the reversal (…:229–241); upscaling by `s` divides the
+  * voxel pitch by s; each pyramid level doubles it.
+  */
+object PyramidWriter {
+
+  import ChunkVolume.jsonStr
+
+  def multiscalesJson(meta: VolumeMeta, upscaleFactor: Int, levels: Int, name: String = "labels"): String = {
+    val datasets = (0 until levels).map { i =>
+      val f = (1 << i).toDouble / upscaleFactor
+      s"""    {
+         |      "path": "$i",
+         |      "coordinateTransformations": [{
+         |        "type": "scale",
+         |        "scale": [${meta.spacingZ * f}, ${meta.spacingY * f}, ${meta.spacingX * f}]
+         |      }]
+         |    }""".stripMargin
+    }.mkString(",\n")
+    s"""{
+       |  "multiscales": [{
+       |    "version": "0.4",
+       |    "name": ${jsonStr(name)},
+       |    "axes": [
+       |      {"name": "z", "type": "space", "unit": "micrometer"},
+       |      {"name": "y", "type": "space", "unit": "micrometer"},
+       |      {"name": "x", "type": "space", "unit": "micrometer"}
+       |    ],
+       |    "datasets": [
+       |$datasets
+       |    ]
+       |  }],
+       |  "image-label": true
+       |}
+       |""".stripMargin
+  }
+
+  /** Write `levels` pyramid levels of `vol` under `path/level=i/`, then the
+    * multiscales attrs (`.zattrs` analog) and provenance sidecar. Levels
+    * execute sequentially, each a chunk-local decimation of the previous —
+    * same lifecycle as the reference's per-level `da.store` loop.
+    */
+  def write(vol: ChunkVolume, levels: Int, path: String, upscaleFactor: Int = 1): Unit = {
+    val pyr = vol.pyramid(levels)
+    Files.createDirectories(Paths.get(path))
+    pyr.zipWithIndex.foreach { case (level, i) =>
+      level.chunks.toDF()
+        .repartitionByRange(org.apache.spark.sql.functions.col("cz"),
+          org.apache.spark.sql.functions.col("cy"), org.apache.spark.sql.functions.col("cx"))
+        .sortWithinPartitions("cz", "cy", "cx")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$path/level=$i")
+    }
+    Files.writeString(Paths.get(path, ".zattrs"), multiscalesJson(vol.meta, upscaleFactor, levels))
+    ChunkVolume.writeSidecar(path, vol.meta, Map(
+      "pyramid_levels" -> levels.toString,
+      "upscale_factor" -> upscaleFactor.toString))
+  }
+
+  /** Read back one pyramid level written by [[write]]. */
+  def readLevel(spark: org.apache.spark.sql.SparkSession, path: String, level: Int): ChunkVolume = {
+    val base = ChunkVolume.readSidecar(path)
+    import spark.implicits._
+    val df = spark.read.parquet(s"$path/level=$level").as[Chunk]
+    // dims at level L are halved L times
+    def shrink(d: Long, l: Int): Long = (0 until l).foldLeft(d)((v, _) => (v + 1) / 2)
+    ChunkVolume(df, base.copy(
+      dimZ = shrink(base.dimZ, level), dimY = shrink(base.dimY, level), dimX = shrink(base.dimX, level)))
+  }
+}

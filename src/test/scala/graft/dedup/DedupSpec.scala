@@ -1,0 +1,75 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextAnalysis
+import graft.functions.RollingHash64
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps", "a"),
+      (2L, "the quick brown fox jumps", "a"), // exact dup of 1
+      (3L, "quick brown the fox jumps", "a"), // same token set/multiset, reordered
+      (4L, "a completely different document body", "a"),
+      (5L, "the quick brown fox leaps", "b"), // near-dup of 1 (4/6 jaccard)
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("exactGroups finds exact duplicates only") {
+    val g = Dedup.exactGroups(docs).collect().map(r => (r.getLong(2), r.getLong(1))).toMap
+    // keep_id -> n_copies
+    assert(g(1L) === 2) // docs 1,2
+    assert(g(3L) === 1)
+    assert(g(4L) === 1)
+    assert(g(5L) === 1)
+  }
+
+  test("minhash LSH: identical token sets always land in the same buckets") {
+    val pairs = Dedup.minhashCandidatePairs(Dedup.minhash(docs))
+      .select("id_a", "id_b", "est_jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 1,2,3 share the exact token set → est_jaccard 1.0, guaranteed found
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) === 1.0)
+    assert(pairs((2L, 3L)) === 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simhash: identical token multisets collide at hamming 0") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs), maxHamming = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L))) // reorder does not change the multiset
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("tokenJaccardPairs: exact set jaccard, blocked by source") {
+    val pairs = Dedup.tokenJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
+    // NOTE collect order: columns are doc_b, doc_a, jaccard after select
+    val byPair = Dedup.tokenJaccardPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(byPair((1L, 2L)) === 1.0)
+    assert(byPair((1L, 3L)) === 1.0)
+    // doc 5 is in block "b": never compared to doc 1 despite 4/6 overlap
+    assert(!byPair.contains((1L, 5L)))
+  }
+
+  test("rolling-hash fingerprint: deterministic h=h*31+b over UTF-8, via codegen and literal") {
+    val s = "the quick brown fox jumps" // doc 1's exact text
+    val expected = {
+      var h = RollingHash64.Seed
+      s.getBytes("UTF-8").foreach(b => h = h * 31 + b)
+      h
+    }
+    assert(RollingHash64.hash(s.getBytes("UTF-8")) === expected)
+    val viaDf = TextAnalysis.withFingerprint(docs).filter(col("doc_id") === 1L)
+      .select("fp64").collect().head.getLong(0)
+    assert(viaDf === expected)
+  }
+}
