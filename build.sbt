@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // multi-MB chunk byte arrays are humongous allocations under G1's
+  // default region size; larger regions avoid GCLocker stalls
+  "-XX:G1HeapRegionSize=32m",
 )

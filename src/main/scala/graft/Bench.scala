@@ -30,7 +30,17 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.allQs.map { q =>
+    // headline volume benchmark FIRST, on the clean JVM — the reference's
+    // recorded runs (BASELINE.md ×2 = 2.98 s) were fresh single processes,
+    // so measuring after 38 queries of broadcast/GC residue would skew it.
+    val volume =
+      try graft.volume.VolumeBench.run(spark)
+      catch {
+        case e: Throwable =>
+          errors("vol_atlas_upscale_x2") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          Seq("vol_atlas_upscale_x2" -> -1.0)
+      }
+    val registered = SparkEntry.allQs.map { q =>
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -43,6 +53,7 @@ object Bench {
         }
       q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val results = volume ++ registered
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -41,12 +41,15 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // hoist the token set so split/distinct runs once, not once per hash
     val sig = transform(
       sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(tokenSet(textCol), t => xxhash64(i, t))),
+      i => array_min(transform(col("__toks"), t => xxhash64(i, t))),
     )
     docs
+      .withColumn("__toks", tokenSet(textCol))
       .withColumn("minhash_sig", sig)
+      .drop("__toks")
       .withColumn(
         "band_hashes",
         transform(
@@ -59,15 +62,30 @@ object Dedup {
 
   /** LSH candidate pairs: explode band hashes, self-join per bucket.
     * estJaccard = fraction of agreeing signature positions.
+    *
+    * `maxBucketSize` is the skew guard: a degenerate bucket (e.g. a
+    * boilerplate band shared by millions of docs) would otherwise go
+    * quadratic; buckets above the cap are dropped with a documented recall
+    * cost — true near-dup pairs still collide in their other bands with
+    * probability 1-(1-j^r)^(b-1).
     */
-  def minhashCandidatePairs(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def minhashCandidatePairs(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
     val buckets = sigs.select(
       col(idCol),
       col("minhash_sig"),
       posexplode(col("band_hashes")).as(Seq("band", "bucket")),
     )
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("minhash_sig").as("sig_a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("minhash_sig").as("sig_b"))
+    val capped = buckets
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("minhash_sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("minhash_sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
@@ -82,6 +100,40 @@ object Dedup {
       )
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
+
+  /** Expand each >1-member group's sorted `members` array into ordered
+    * (id_a, id_b) pairs — the required output of a dedup pass.
+    */
+  private def explodePairs(groups: DataFrame): DataFrame =
+    groups
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        """flatten(transform(members, (a, i) ->
+          |  transform(slice(members, i + 2, size(members)), b ->
+          |    struct(a AS id_a, b AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+
+  /** Exact-duplicate pairs at jaccard = 1 via FULL-signature grouping: an
+    * identical token set always yields an identical MinHash signature, so
+    * grouping by the whole signature has exact recall at j=1 and shuffles
+    * only (signature, id) — no candidate-pair explosion, no banding needed.
+    * (Banded [[minhashCandidatePairs]] is the sub-1.0-threshold path.)
+    * Hash coincidences are removed downstream by exact verification.
+    */
+  def minhashDupPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    explodePairs(
+      minhash(docs, idCol, textCol)
+        .groupBy(col("minhash_sig"))
+        .agg(sort_array(collect_list(col(idCol))).as("members")))
+
+  /** Hamming-0 SimHash pairs via direct value grouping (distance 0 ⇔ equal
+    * hash — banding is only needed for distance ≥ 1). Shuffles (hash, id).
+    */
+  def simhashDupPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    explodePairs(
+      simhash(docs, idCol, textCol)
+        .groupBy(col("simhash"))
+        .agg(sort_array(collect_list(col(idCol))).as("members")))
 
   /** 64-bit SimHash over whitespace tokens (term frequency weighted):
     * bit j is set iff sum over tokens of ±1 (sign = bit j of xxhash64(token))

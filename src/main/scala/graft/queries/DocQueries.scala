@@ -51,15 +51,18 @@ object DocQueries {
         GROUP BY 1 ORDER BY keep_id
       """),
     ),
-    // -------------------------------------------- MinHash + LSH + verify
-    // Candidates from band-bucket self-join, then exact token-SET equality
-    // verification (jaccard == 1). Recall at j=1 is guaranteed, so the
-    // output is hash-independent and oracle-checkable.
+    // ----------------------------------------- MinHash signature + verify
+    // Full-signature grouping (identical token set ⇒ identical signature ⇒
+    // same group; recall at j=1 is exact), then exact token-SET equality
+    // verification removes hash coincidences — so the output is
+    // hash-independent and oracle-checkable. Banded LSH (sub-1.0
+    // thresholds) is covered by the unit suite; its bucket joins on this
+    // deliberately duplicate-heavy corpus would be all skew and no signal.
     Q(
       "doc_minhash_dedup",
       (s, d) => {
         val corpus = dupCorpus(s, d)
-        val cands = Dedup.minhashCandidatePairs(Dedup.minhash(corpus))
+        val cands = Dedup.minhashDupPairs(corpus)
         val toks = corpus.select(
           col("doc_id"),
           array_sort(array_distinct(split(col("text"), " "))).as("toks"),
@@ -83,13 +86,14 @@ object DocQueries {
       """),
     ),
     // ------------------------------------------------- SimHash + verify
-    // Pigeonhole-banded SimHash candidates (hamming 0 ⇒ some 16-bit quarter
-    // matches ⇒ found), then exact token-MULTISET equality verification.
+    // Hamming-0 pairs via direct hash grouping (distance 0 ⇔ equal hash),
+    // then exact token-MULTISET equality verification. The pigeonhole-
+    // banded path (hamming ≥ 1) is covered by the unit suite.
     Q(
       "doc_simhash_dedup",
       (s, d) => {
         val corpus = dupCorpus(s, d)
-        val pairs = Dedup.simhashPairs(Dedup.simhash(corpus), maxHamming = 0)
+        val pairs = Dedup.simhashDupPairs(corpus)
         val toks = corpus.select(
           col("doc_id"),
           array_sort(split(col("text"), " ")).as("toks"),

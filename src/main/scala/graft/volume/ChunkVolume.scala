@@ -180,16 +180,26 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
       .take(1).headOption
   }
 
-  /** Chunk-store write (K1/K2): zstd parquet, one chunk per row, sorted by
-    * grid coordinate so point lookups prune on row-group stats; plus the
-    * JSON provenance sidecar (K4, `.atlas_upscale_meta.json` analog).
+  /** Chunk-store write (K1/K2): compressed parquet, one chunk per row,
+    * sorted WITHIN each task's partition by grid coordinate so point
+    * lookups prune on per-file/row-group min-max stats; plus the JSON
+    * provenance sidecar (K4, `.atlas_upscale_meta.json` analog).
+    *
+    * Deliberately NO global repartition: producers (reader, upscale)
+    * already emit locality-grouped chunks, and a range shuffle here would
+    * move the entire volume body through the shuffle for no pruning gain
+    * (per-file stats carry the same information). Use [[rechunk]]-style
+    * repartitioning explicitly if a different layout is required.
     */
-  def write(path: String, extraProvenance: Map[String, String] = Map.empty): Unit = {
+  def write(
+      path: String,
+      extraProvenance: Map[String, String] = Map.empty,
+      compression: String = "zstd",
+  ): Unit = {
     chunks.toDF()
-      .repartitionByRange(col("cz"), col("cy"), col("cx"))
       .sortWithinPartitions(col("cz"), col("cy"), col("cx"))
       .write.mode("overwrite")
-      .option("compression", "zstd")
+      .option("compression", compression)
       .parquet(path)
     writeSidecar(path, meta, extraProvenance)
   }

@@ -45,21 +45,18 @@ object PyramidWriter {
        |""".stripMargin
   }
 
-  /** Write `levels` pyramid levels of `vol` under `path/level=i/`, then the
-    * multiscales attrs (`.zattrs` analog) and provenance sidecar. Levels
-    * execute sequentially, each a chunk-local decimation of the previous —
-    * same lifecycle as the reference's per-level `da.store` loop.
+  /** Write `levels` pyramid levels of `vol` under `path/0`, `path/1`, …
+    * (the OME-Zarr group layout), then the multiscales attrs (`.zattrs`)
+    * and provenance sidecar. Levels execute sequentially, each a
+    * chunk-local decimation of the previous — same lifecycle as the
+    * reference's per-level `da.store` loop. Each level is a zstd
+    * ChunkStore (the DirectoryStore analog).
     */
   def write(vol: ChunkVolume, levels: Int, path: String, upscaleFactor: Int = 1): Unit = {
     val pyr = vol.pyramid(levels)
     Files.createDirectories(Paths.get(path))
     pyr.zipWithIndex.foreach { case (level, i) =>
-      level.chunks.toDF()
-        .repartitionByRange(org.apache.spark.sql.functions.col("cz"),
-          org.apache.spark.sql.functions.col("cy"), org.apache.spark.sql.functions.col("cx"))
-        .sortWithinPartitions("cz", "cy", "cx")
-        .write.mode("overwrite").option("compression", "zstd")
-        .parquet(s"$path/level=$i")
+      ChunkStore.write(level, s"$path/$i")
     }
     Files.writeString(Paths.get(path, ".zattrs"), multiscalesJson(vol.meta, upscaleFactor, levels))
     ChunkVolume.writeSidecar(path, vol.meta, Map(
@@ -68,13 +65,6 @@ object PyramidWriter {
   }
 
   /** Read back one pyramid level written by [[write]]. */
-  def readLevel(spark: org.apache.spark.sql.SparkSession, path: String, level: Int): ChunkVolume = {
-    val base = ChunkVolume.readSidecar(path)
-    import spark.implicits._
-    val df = spark.read.parquet(s"$path/level=$level").as[Chunk]
-    // dims at level L are halved L times
-    def shrink(d: Long, l: Int): Long = (0 until l).foldLeft(d)((v, _) => (v + 1) / 2)
-    ChunkVolume(df, base.copy(
-      dimZ = shrink(base.dimZ, level), dimY = shrink(base.dimY, level), dimX = shrink(base.dimX, level)))
-  }
+  def readLevel(spark: org.apache.spark.sql.SparkSession, path: String, level: Int): ChunkVolume =
+    ChunkStore.read(spark, s"$path/$level")
 }

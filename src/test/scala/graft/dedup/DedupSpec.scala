@@ -39,6 +39,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("minhashDupPairs / simhashDupPairs: signature-group pipeline finds the same dups") {
+    val mh = Dedup.minhashDupPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val sh = Dedup.simhashDupPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhashCandidatePairs bucket cap drops degenerate buckets (skew guard)") {
+    // cap of 1: every bucket with both members of a dup pair is dropped
+    val none = Dedup.minhashCandidatePairs(Dedup.minhash(docs), maxBucketSize = 1).count()
+    assert(none === 0)
+    // default cap keeps them
+    val some = Dedup.minhashCandidatePairs(Dedup.minhash(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(some.contains((1L, 2L)))
+  }
+
   test("simhash: identical token multisets collide at hamming 0") {
     val pairs = Dedup.simhashPairs(Dedup.simhash(docs), maxHamming = 0)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -133,6 +133,23 @@ class ChunkVolumeSpec extends AnyFunSuite with SparkSpec {
     assert(up.pointLookup(7, 5, 3) === Some(label(3, 2, 1)))
   }
 
+  test("ChunkStore: zarr-style directory store round-trip + overwrite") {
+    val dir = Files.createTempDirectory("cstore").toString + "/vol"
+    ChunkStore.write(vol, dir, extraProvenance = Map("source" -> "fixture"))
+    // one file per chunk named cz.cy.cx + sidecar
+    val names = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+    assert(names.exists(_.endsWith("/0.0.0")))
+    assert(names.exists(_.endsWith(ChunkVolume.SidecarName)))
+    val back = ChunkStore.read(spark, dir)
+    assert(back.meta === vol.meta)
+    assert(collectVox(back.toVoxels) === collectVox(vox))
+    // overwrite replaces wholesale (reference rmtree semantics)
+    ChunkStore.write(vol.decimate(), dir)
+    val dec = ChunkStore.read(spark, dir)
+    assert(dec.meta.dimZ === (dz + 1) / 2)
+    assert(collectVox(dec.toVoxels) === collectVox(vol.decimate().toVoxels))
+  }
+
   test("PyramidWriter: levels on disk + OME multiscales metadata") {
     val dir = Files.createTempDirectory("pyr").toString + "/ome"
     PyramidWriter.write(vol, levels = 3, dir, upscaleFactor = 2)
