@@ -185,6 +185,23 @@ object VolumeQueries {
         ORDER BY z, y, x
       """),
     ),
+    // T4: re-block to a different uniform chunk grid — the one explicit
+    // volume-body shuffle — then verify the voxels are untouched.
+    Q(
+      "vol_chunk_rechunk",
+      (s, _) => chunked(s).rechunk(4, 8, 3).toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // T7: virtual rotation — pure coordinate projection.
+    Q(
+      "vol_rotate90",
+      (s, _) => VoxelOps.rotate90(grid(s), D).orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT 15 - y AS z, z AS y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
     // J1/P4: point lookups joined to the region ontology table with
     // left-outer "Unknown region ID" semantics (lookup_test2.py).
     Q(

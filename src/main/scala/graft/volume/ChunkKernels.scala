@@ -199,6 +199,51 @@ object ChunkKernels {
     out
   }
 
+  /** Copy the local box [bz,bz+bnz)×[by,by+bny)×[bx,bx+bnx) out of a
+    * (nz,ny,nx) chunk into a new contiguous block (rechunk split step).
+    */
+  def extractBox(
+      data: Array[Byte], ny: Int, nx: Int, bpp: Int,
+      bz: Int, by: Int, bx: Int, bnz: Int, bny: Int, bnx: Int,
+  ): Array[Byte] = {
+    val out = new Array[Byte](bnz * bny * bnx * bpp)
+    var z = 0
+    while (z < bnz) {
+      var y = 0
+      while (y < bny) {
+        System.arraycopy(
+          data, (((bz + z) * ny + (by + y)) * nx + bx) * bpp,
+          out, ((z * bny + y) * bnx) * bpp,
+          bnx * bpp)
+        y += 1
+      }
+      z += 1
+    }
+    out
+  }
+
+  /** Place a (bnz,bny,bnx) block into a (nz,ny,nx) chunk at local offset
+    * (bz,by,bx) (rechunk assemble step).
+    */
+  def placeBox(
+      dst: Array[Byte], ny: Int, nx: Int, bpp: Int,
+      bz: Int, by: Int, bx: Int, bnz: Int, bny: Int, bnx: Int,
+      src: Array[Byte],
+  ): Unit = {
+    var z = 0
+    while (z < bnz) {
+      var y = 0
+      while (y < bny) {
+        System.arraycopy(
+          src, ((z * bny + y) * bnx) * bpp,
+          dst, (((bz + z) * ny + (by + y)) * nx + bx) * bpp,
+          bnx * bpp)
+        y += 1
+      }
+      z += 1
+    }
+  }
+
   /** Decode one element at linear index `i` to a widened Long
     * (little-endian packing; unsigned types widen, signed sign-extend).
     */

@@ -138,6 +138,57 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     ChunkVolume(out, meta)
   }
 
+  /** Re-block to a new uniform chunk grid (T4, the reference's
+    * `up.rechunk(out_chunks)` — upscale_streaming.py:126). The ONLY
+    * volume-body shuffle in the engine, and an explicit opt-in: each chunk
+    * splits into the sub-boxes that intersect target chunks, the boxes
+    * shuffle by target key, and receivers assemble. Shuffled bytes = the
+    * volume body exactly once (no halo, no amplification).
+    */
+  def rechunk(newChunkZ: Int, newChunkY: Int, newChunkX: Int): ChunkVolume = {
+    val bpp = meta.bytesPerVoxel
+    val (dimZ, dimY, dimX) = (meta.dimZ, meta.dimY, meta.dimX)
+    import chunks.sparkSession.implicits._
+    val pieces = chunks.flatMap { c =>
+      for {
+        tz <- ((c.z0 / newChunkZ) to ((c.z0 + c.nz - 1) / newChunkZ)).iterator
+        ty <- ((c.y0 / newChunkY) to ((c.y0 + c.ny - 1) / newChunkY)).iterator
+        tx <- ((c.x0 / newChunkX) to ((c.x0 + c.nx - 1) / newChunkX)).iterator
+      } yield {
+        // intersection of this chunk with target chunk (tz,ty,tx), global
+        val gz0 = math.max(c.z0, tz * newChunkZ); val gz1 = math.min(c.z0 + c.nz, (tz + 1) * newChunkZ)
+        val gy0 = math.max(c.y0, ty * newChunkY); val gy1 = math.min(c.y0 + c.ny, (ty + 1) * newChunkY)
+        val gx0 = math.max(c.x0, tx * newChunkX); val gx1 = math.min(c.x0 + c.nx, (tx + 1) * newChunkX)
+        val box = ChunkKernels.extractBox(
+          c.data, c.ny, c.nx, bpp,
+          (gz0 - c.z0).toInt, (gy0 - c.y0).toInt, (gx0 - c.x0).toInt,
+          (gz1 - gz0).toInt, (gy1 - gy0).toInt, (gx1 - gx0).toInt)
+        (tz.toInt, ty.toInt, tx.toInt, gz0, gy0, gx0,
+          (gz1 - gz0).toInt, (gy1 - gy0).toInt, (gx1 - gx0).toInt, box)
+      }
+    }
+    val out = pieces
+      .groupByKey(p => (p._1, p._2, p._3))
+      .mapGroups { (key, it) =>
+        val (tz, ty, tx) = key
+        val z0 = tz.toLong * newChunkZ; val y0 = ty.toLong * newChunkY; val x0 = tx.toLong * newChunkX
+        val nz = math.min(newChunkZ.toLong, dimZ - z0).toInt
+        val ny = math.min(newChunkY.toLong, dimY - y0).toInt
+        val nx = math.min(newChunkX.toLong, dimX - x0).toInt
+        val data = new Array[Byte](nz * ny * nx * bpp)
+        it.foreach { case (_, _, _, gz0, gy0, gx0, bnz, bny, bnx, box) =>
+          ChunkKernels.placeBox(data, ny, nx, bpp,
+            (gz0 - z0).toInt, (gy0 - y0).toInt, (gx0 - x0).toInt, bnz, bny, bnx, box)
+        }
+        Chunk(tz, ty, tx, z0, y0, x0, nz, ny, nx, data)
+      }
+    ChunkVolume(out, meta.copy(
+      chunkZ = newChunkZ, chunkY = newChunkY, chunkX = newChunkX,
+      ncz = ((dimZ + newChunkZ - 1) / newChunkZ).toInt,
+      ncy = ((dimY + newChunkY - 1) / newChunkY).toInt,
+      ncx = ((dimX + newChunkX - 1) / newChunkX).toInt))
+  }
+
   /** Long-form VoxelTable view: DataFrame(z,y,x,label) — for joining into
     * the relational surface. Integral element types only.
     */

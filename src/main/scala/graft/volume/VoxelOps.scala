@@ -115,6 +115,20 @@ object VoxelOps {
     )
   }
 
+  /** Virtual +90° rotation in the (z,y) plane (reference np.rot90 on
+    * axes (0,1), anno_upsampling.py:84,100): (z,y,x) → (dimY-1-y, z, x).
+    * A pure coordinate projection — free in the relational representation,
+    * which is exactly why the reference's 2-pass PIL trick is unnecessary
+    * here (SURVEY §2.7 T7).
+    */
+  def rotate90(vox: DataFrame, dimY: Long): DataFrame =
+    vox.select(
+      (lit(dimY - 1) - col("y")).as("z"),
+      col("z").as("y"),
+      col("x"),
+      col("label"),
+    )
+
   /** Label histogram (the README's before/after frequency figures —
     * SURVEY.md §2.5 A-row): classic partial+final hash aggregate.
     */

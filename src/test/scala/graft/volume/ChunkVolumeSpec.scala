@@ -133,6 +133,20 @@ class ChunkVolumeSpec extends AnyFunSuite with SparkSpec {
     assert(up.pointLookup(7, 5, 3) === Some(label(3, 2, 1)))
   }
 
+  test("rechunk: re-blocks to a new uniform grid without touching voxels") {
+    val orig = collectVox(vox)
+    for ((cz, cy, cx) <- Seq((3, 3, 3), (12, 10, 14), (7, 2, 5))) {
+      val r = vol.rechunk(cz, cy, cx)
+      assert(r.meta.chunkZ === cz && r.meta.ncz === ((dz + cz - 1) / cz).toInt)
+      assert(collectVox(r.toVoxels) === orig)
+      // grid is uniform: every chunk origin is a multiple of the chunk dims
+      val cs = r.chunks.collect()
+      assert(cs.forall(c => c.z0 % cz == 0 && c.y0 % cy == 0 && c.x0 % cx == 0))
+      // outline still works on the rechunked grid (adjacency preserved)
+      assert(collectVox(r.outline().toVoxels) === collectVox(vol.outline().toVoxels))
+    }
+  }
+
   test("ChunkStore: zarr-style directory store round-trip + overwrite") {
     val dir = Files.createTempDirectory("cstore").toString + "/vol"
     ChunkStore.write(vol, dir, extraProvenance = Map("source" -> "fixture"))
