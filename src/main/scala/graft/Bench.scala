@@ -40,6 +40,11 @@ object Bench {
           errors("vol_atlas_upscale_x2") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           Seq("vol_atlas_upscale_x2" -> -1.0)
       }
+    // untimed warmup: session init, parquet reader, join/agg codegen —
+    // otherwise the first registered query absorbs several seconds of
+    // one-time JVM cost and skews its number.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val registered = SparkEntry.allQs.map { q =>
       val t0 = System.nanoTime()
       val ok =

@@ -202,6 +202,34 @@ object VolumeQueries {
         SELECT 15 - y AS z, z AS y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // S6: the region-ontology CSV scan — the harness region table is
+    // exported to CSV in the reference's column layout, read back through
+    // RegionTable.readCsv's explicit schema, and checked against the
+    // parquet original.
+    Q(
+      "vol_region_csv_scan",
+      (s, d) => {
+        val target = java.nio.file.Files.createTempDirectory("graft_region_csv")
+          .resolve("region_ids.csv").toString
+        val rows = T(s, d, "region")
+          .select(col("r_regionkey").cast("long"), col("r_name"))
+          .orderBy(col("r_regionkey")).collect()
+        val body = "Region,RegionAbbr,RegionName,Level,Parent\n" + rows.map { r =>
+          val name = r.getString(1)
+          s"${r.getLong(0)},${name.take(3).toUpperCase},$name,0,0"
+        }.mkString("\n")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(target), body)
+        graft.volume.RegionTable.readCsv(s, target)
+          .select(col("Region"), col("RegionAbbr"), col("RegionName"))
+          .orderBy(col("Region"))
+      },
+      Some("""
+        SELECT CAST(r_regionkey AS BIGINT) AS Region,
+               UPPER(substr(r_name, 1, 3)) AS RegionAbbr,
+               r_name AS RegionName
+        FROM region ORDER BY Region
+      """),
+    ),
     // J1/P4: point lookups joined to the region ontology table with
     // left-outer "Unknown region ID" semantics (lookup_test2.py).
     Q(

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Windowed streaming aggregations under a real streaming query with a
+  * watermark: finalized hourly windows emit once the watermark passes; a
+  * late event beyond the watermark is dropped.
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+  // hour-aligned base so (h, m) lands inside tumbling window h
+  private val Base = 1_600_002_000L // = 444445 * 3600
+  private def us(h: Int, m: Int): Timestamp = new Timestamp(
+    (Base + h * 3600L + m * 60L) * 1000L)
+
+  test("hourlyByType: append-mode windows finalize via watermark; late data dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStreams.hourlyByType(input.toDF())
+      .select(col("window.start").as("w"), col("event_type"), col("n_events"), col("total_value"))
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Ev(us(0, 10), "click", 1, 1.0),
+        Ev(us(0, 50), "click", 2, 2.0),
+        Ev(us(0, 20), "buy", 1, 10.0))
+      query.processAllAvailable()
+      // watermark is 2h: nothing finalized yet
+      assert(spark.table("hourly_out").count() === 0)
+
+      // an event 4 hours later pushes the watermark past hour 0
+      input.addData(Ev(us(4, 0), "click", 3, 1.0))
+      query.processAllAvailable()
+      input.addData(Ev(us(4, 1), "click", 3, 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select("event_type", "n_events", "total_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("click", 2L, 3.0), ("buy", 1L, 10.0)))
+
+      // a straggler for hour 0 is now beyond the watermark → dropped
+      input.addData(Ev(us(0, 30), "click", 9, 99.0))
+      query.processAllAvailable()
+      val after = spark.table("hourly_out").count()
+      assert(after === 2)
+    } finally query.stop()
+  }
+
+  test("slidingValue: 1h window every 15m assigns events to 4 overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStreams.slidingValue(input.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Ev(us(1, 7), "click", 1, 4.0))
+      input.addData(Ev(us(9, 0), "click", 2, 1.0)) // advance watermark far
+      query.processAllAvailable()
+      input.addData(Ev(us(9, 1), "click", 2, 1.0))
+      query.processAllAvailable()
+      val windows = spark.table("sliding_out").filter(col("total_value") === 4.0).count()
+      assert(windows === 4) // 60/15 overlapping windows contain the event
+    } finally query.stop()
+  }
+}
