@@ -176,9 +176,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact token-set Jaccard similarity via inverted-index join, blocked by
-    * `blockCol` (e.g. source) so candidate generation never goes quadratic
-    * in the corpus. Returns pairs with jaccard >= threshold.
+  /** Exact token-set Jaccard similarity ≥ threshold via a count-based
+    * inverted-index join, blocked by `blockCol`: pair intersection sizes
+    * come from a groupBy COUNT over co-occurrences, so nothing wider than
+    * (block, term, id) ever shuffles. The right strategy when the
+    * vocabulary is dense relative to the corpus (most terms co-occur
+    * anyway, so pruning can't help but array-shipping would hurt).
+    * For realistic large-vocab text, where a handful of stop-terms would
+    * fan a block into |block|² pairs, use [[tokenJaccardPairsPrefix]].
     */
   def tokenJaccardPairs(
       docs: DataFrame,
@@ -199,6 +204,50 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** Exact token-set Jaccard ≥ threshold via PREFIX-FILTERED candidate
+    * generation (PPJoin-style): index only each doc's `n - ⌈t·n⌉ + 1`
+    * tokens rarest by in-block document frequency (lossless by the prefix
+    * theorem — a pair with jaccard ≥ t must overlap inside both prefixes),
+    * then verify candidates exactly. Identical output to
+    * [[tokenJaccardPairs]]; wins on realistic large-vocabulary corpora
+    * where rare prefix terms make candidate buckets tiny, loses on dense
+    * tiny vocabularies where nothing is rare (measured on the harness
+    * corpus: 4× slower — hence both strategies exist).
+    */
+  def tokenJaccardPairsPrefix(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      blockCol: String = "source",
+      threshold: Double = 0.5,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col(idCol), col(blockCol),
+      array_sort(tokenSet(textCol)).as("toks"),
+    ).withColumn("n", size(col("toks")).cast("long"))
+    val tok = toks.select(col(idCol), col(blockCol), col("n"), explode(col("toks")).as("term"))
+    val termDf = tok.groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("term"))
+    val prefix = tok
+      .join(termDf, Seq(blockCol, "term"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col(blockCol), col("term"), col(idCol))
+    val cands = prefix.select(col(blockCol), col("term"), col(idCol).as("doc_a"))
+      .join(prefix.select(col(blockCol), col("term"), col(idCol).as("doc_b")), Seq(blockCol, "term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(toks.select(col(idCol).as("doc_a"), col("toks").as("toks_a"), col("n").as("na")), Seq("doc_a"))
+      .join(toks.select(col(idCol).as("doc_b"), col("toks").as("toks_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))

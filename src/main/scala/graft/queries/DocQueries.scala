@@ -262,7 +262,7 @@ object DocQueries {
       "emb_lsh_topk",
       (s, d) => {
         val emb = T(s, d, "embeddings")
-        Ann.lshTopK(emb, dim = 64, k = 5, queryFilter = col("vec_id") < 10, nPlanes = 8, nTables = 4)
+        Ann.lshTopK(emb, dim = 64, k = 5, queryFilter = col("vec_id") < 10, nPlanes = 4, nTables = 8)
           .orderBy(col("query_id"), col("rk"))
       },
       None,

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * At 100 TB the bucketed join shuffles only (bucket, id, vec) rows and
   * each bucket's candidate set is ~corpus/2^nPlanes, giving tunable
   * recall/cost. Multi-probe = union of per-table buckets (nTables seeds).
+  *
+  * Tuning: per-plane sign agreement for neighbors at angle θ is 1-θ/π, so
+  * a table's hit probability is (1-θ/π)^nPlanes and recall ≈
+  * 1-(1-p)^nTables. Tight clusters (small θ) tolerate many planes; for
+  * weakly-separated corpora drop nPlanes / raise nTables — candidates per
+  * query scale as nTables·corpus/2^nPlanes, so recall is bought with
+  * candidate volume (measured floor on the near-isotropic harness
+  * embeddings: planes=4, tables=8 → recall@5 ≈ 0.64; see AnnSpec).
   */
 object Ann {
 

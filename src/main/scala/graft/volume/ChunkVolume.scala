@@ -89,10 +89,18 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     (1 until levels).scanLeft(this)((prev, _) => prev.decimate())
   }
 
-  /** Outline / edge extraction (T2 scale path): halo exchange shuffles ONLY
-    * the 6 face planes of each chunk (≈ 2·(1/cz+1/cy+1/cx) of the data),
-    * then a chunk-local stencil. Wrap-around (da.roll parity) comes from
-    * modular chunk-grid neighbor addressing.
+  /** Outline / edge extraction (T2 scale path): each chunk sends its 6
+    * face planes (≈ 2·(1/cz+1/cy+1/cx) of the data) to its grid neighbors,
+    * then a chunk-local stencil runs. Wrap-around (da.roll parity) comes
+    * from modular chunk-grid neighbor addressing.
+    *
+    * Cost honesty: the groupByKey co-locates chunk bodies with their
+    * incoming halos, so a one-shot call moves the body once (same class of
+    * movement as [[rechunk]], vs SIX body shuffles for the long-form
+    * self-join). The extra payload beyond the body is only the face
+    * planes. A persistent-partitioned volume (cache chunks hash-partitioned
+    * by grid key, send faces each round) would amortize the body movement
+    * away for iterated stencils.
     */
   def outline(): ChunkVolume = {
     val bpp = meta.bytesPerVoxel

@@ -77,6 +77,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!byPair.contains((1L, 5L)))
   }
 
+  test("tokenJaccardPairsPrefix: prefix filtering is lossless (same output)") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      assert(norm(Dedup.tokenJaccardPairsPrefix(docs, threshold = t)) ===
+        norm(Dedup.tokenJaccardPairs(docs, threshold = t)), s"threshold $t")
+    }
+  }
+
   test("rolling-hash fingerprint: deterministic h=h*31+b over UTF-8, via codegen and literal") {
     val s = "the quick brown fox jumps" // doc 1's exact text
     val expected = {

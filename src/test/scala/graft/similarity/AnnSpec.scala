@@ -1,0 +1,44 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH ANN quality vs the exact baseline on the harness embeddings
+  * (deterministic planes ⇒ deterministic recall). This is the promised
+  * companion to the rows-only `emb_lsh_topk` registered query.
+  */
+class AnnSpec extends AnyFunSuite with SparkSpec {
+
+  // sf0.01 = 500 vectors: enough for meaningful bucket statistics.
+  // These synthetic embeddings are near-isotropic — hyperplane LSH's worst
+  // case (top-5 cosine ≈ 0.35 ⇒ per-plane agreement ≈ 0.6): measured
+  // recalls here are the conservative floor, clustered real embeddings
+  // bucket far better.
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  private val k = 5
+  private def qf = col("vec_id") < 10
+
+  private lazy val exact = Ann.bruteForceTopK(emb.filter(qf), emb, k)
+    .select("query_id", "neighbor_id").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recallWith(planes: Int, tables: Int): Double = {
+    val a = Ann.lshTopK(emb, 64, k, qf, nPlanes = planes, nTables = tables)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (exact intersect a).size.toDouble / exact.size
+  }
+
+  test("lshTopK recall@5 vs bruteForceTopK clears the floor at the default operating point") {
+    assert(exact.size === 10 * k)
+    val recall = recallWith(4, 8) // the registered query's operating point
+    assert(recall >= 0.5, f"LSH recall@5 = $recall%.2f below floor")
+  }
+
+  test("recall responds to tuning: more tables help, more planes cut candidates") {
+    assert(recallWith(4, 16) >= recallWith(4, 4) - 1e-9)
+    assert(recallWith(2, 8) >= recallWith(8, 8) - 1e-9)
+  }
+}
