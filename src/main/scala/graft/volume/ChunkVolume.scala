@@ -217,6 +217,26 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     }.toDF("z", "y", "x", "label")
   }
 
+  /** Long-form view for floating element types: DataFrame(z,y,x,value). */
+  def toVoxelsDouble: DataFrame = {
+    require(meta.isFloating, s"toVoxelsDouble requires MET_FLOAT/MET_DOUBLE, got ${meta.elementType}")
+    val bpp = meta.bytesPerVoxel
+    import chunks.sparkSession.implicits._
+    chunks.flatMap { c =>
+      Iterator.range(0, c.nz).flatMap { z =>
+        Iterator.range(0, c.ny).flatMap { y =>
+          Iterator.range(0, c.nx).map { x =>
+            val i = (z * c.ny + y) * c.nx + x
+            val bits = ChunkKernels.decodeLong(c.data, i, bpp, unsigned = true)
+            val v = if (bpp == 4) java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+                    else java.lang.Double.longBitsToDouble(bits)
+            (c.z0 + z, c.y0 + y, c.x0 + x, v)
+          }
+        }
+      }
+    }.toDF("z", "y", "x", "value")
+  }
+
   /** Point lookup WITHOUT a volume scan (P4): range predicates on the chunk
     * coordinate columns prune to the single owning chunk (parquet row-group
     * min/max stats after a sorted write; a narrow filter in memory), then

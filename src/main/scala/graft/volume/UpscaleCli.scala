@@ -1,0 +1,104 @@
+package graft.volume
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's CLI lifecycle (upscale_streaming_enhance.py:274–364,
+  * SURVEY §3.2): parse → validate header → plan chunks → estimate cost →
+  * print plan → admission control → (dry-run exit) → execute → commit
+  * metadata. A user of `upscale.py`/`upscale_streaming_enhance.py` drives
+  * the same flags here; output lines mirror the recorded transcripts
+  * (Screenshots/upscale_streaming.png).
+  *
+  * Usage:
+  *   graft.volume.UpscaleCli --input vol.mhd --output out_store
+  *     [--scale 2] [--chunk-mb 128] [--mode labels|outline]
+  *     [--pyramid-levels 1] [--max-gb 500] [--dry-run] [--force]
+  */
+object UpscaleCli {
+
+  final case class Args(
+      input: String = "",
+      output: String = "",
+      scale: Int = 2,
+      chunkMb: Int = 128,
+      mode: String = "labels",
+      pyramidLevels: Int = 1,
+      maxGb: Double = 500.0,
+      dryRun: Boolean = false,
+      force: Boolean = false,
+  )
+
+  def parseArgs(argv: Seq[String]): Args = {
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--input" :: v :: t => loop(t, acc.copy(input = v))
+      case "--output" :: v :: t => loop(t, acc.copy(output = v))
+      case "--scale" :: v :: t => loop(t, acc.copy(scale = v.toInt))
+      case "--chunk-mb" :: v :: t => loop(t, acc.copy(chunkMb = v.toInt))
+      case "--mode" :: v :: t => loop(t, acc.copy(mode = v))
+      case "--pyramid-levels" :: v :: t => loop(t, acc.copy(pyramidLevels = v.toInt))
+      case "--max-gb" :: v :: t => loop(t, acc.copy(maxGb = v.toDouble))
+      case "--dry-run" :: t => loop(t, acc.copy(dryRun = true))
+      case "--force" :: t => loop(t, acc.copy(force = true))
+      case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    val a = loop(argv.toList, Args())
+    require(a.input.nonEmpty, "--input is required")
+    require(a.output.nonEmpty || a.dryRun, "--output is required unless --dry-run")
+    require(a.scale >= 1, "--scale must be >= 1")
+    require(a.mode == "labels" || a.mode == "outline", "--mode must be labels|outline")
+    require(a.pyramidLevels >= 1, "--pyramid-levels must be >= 1")
+    a
+  }
+
+  /** Run the lifecycle; returns the transcript lines (testable — the main
+    * just prints them). Throws on rejected admission without --force.
+    */
+  def run(spark: SparkSession, a: Args): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val meta = MhdMeta.parse(a.input) // parse + validate (required fields)
+    val (z, y, x) = meta.shapeZyx
+    out += s"Source shape (z,y,x): ($z, $y, $x), dtype=${meta.elementType}, spacing=${meta.spacingXyz}"
+    val chunks = ChunkPlanner.chooseChunks(meta.shapeZyx, meta.bytesPerVoxel, a.chunkMb)
+    out += s"Using input chunks (z,y,x): $chunks  (~${a.chunkMb} MB target per chunk)"
+    val est = ChunkPlanner.estimateOutputGb(meta.shapeZyx, meta.bytesPerVoxel, a.scale, a.pyramidLevels)
+    out += ChunkPlanner.planReport(meta, a.scale, a.chunkMb, chunks, a.mode, a.pyramidLevels,
+      a.output, "zstd")
+    ChunkPlanner.guard(a.scale, est, a.maxGb, a.pyramidLevels, a.force) match {
+      case ChunkPlanner.Admitted => ()
+      case ChunkPlanner.Rejected(reasons) =>
+        throw new IllegalStateException(
+          ("Refusing to run (use --force to override):" +: reasons.map("  - " + _)).mkString("\n"))
+    }
+    if (a.dryRun) {
+      out += "Dry run: no compute executed."
+      return out.result()
+    }
+    val vol = MhdReader.read(spark, meta, chunks._1, chunks._2, chunks._3)
+    val upscaled = vol.upscale(a.scale)
+    val processed = if (a.mode == "outline") upscaled.outline() else upscaled
+    out += s"Upscaled shape (z,y,x): (${z * a.scale}, ${y * a.scale}, ${x * a.scale})"
+    val provenance = Map(
+      "source" -> a.input, "scale" -> a.scale.toString, "mode" -> a.mode)
+    if (a.pyramidLevels > 1) {
+      PyramidWriter.write(processed, a.pyramidLevels, a.output, a.scale)
+      out += s"Finished. OME-style pyramid (${a.pyramidLevels} levels) written to: ${a.output}"
+    } else {
+      ChunkStore.write(processed, a.output, extraProvenance = provenance)
+      out += s"Finished. Chunk store written to: ${a.output}"
+    }
+    out.result()
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, a).foreach(println)
+    finally spark.stop()
+  }
+}

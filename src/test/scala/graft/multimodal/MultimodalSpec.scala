@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "abab", "en", "s1"),
+      (2L, "zzzz", "en", "s1"),
+      (3L, "", "en", "s2"),
+    ).toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("fromDocuments produces the canonical multimodal schema") {
+    val mm = Multimodal.fromDocuments(docs)
+    assert(mm.columns.toSeq === Seq("id", "modality", "payload", "meta"))
+    val r = mm.filter(col("id") === 1L).collect().head
+    assert(r.getAs[String]("modality") === "text")
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") === "abab")
+    assert(r.getAs[Map[String, String]]("meta") === Map("source" -> "s1", "lang" -> "en"))
+  }
+
+  test("byteFeatures: exact moments and entropy; empty and null payloads survive") {
+    val mm = Multimodal.fromDocuments(docs)
+    val f = Multimodal.byteFeatures(mm).collect().map(r => r.getLong(0) -> r).toMap
+    // "abab": bytes {97,98} equally likely → entropy 1 bit, mean 97.5
+    assert(f(1L).getLong(1) === 4L)
+    assert(math.abs(f(1L).getDouble(2) - 97.5) < 1e-9)
+    assert(math.abs(f(1L).getDouble(4) - 1.0) < 1e-9)
+    // "zzzz": single symbol → entropy 0, stddev 0
+    assert(f(2L).getDouble(3) === 0.0 && f(2L).getDouble(4) === 0.0)
+    // empty payload → zeros, no NaN/exception
+    assert(f(3L).getLong(1) === 0L && f(3L).getDouble(2) === 0.0)
+
+    // a null payload row (nullable in the schema) must not NPE
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "image", null, null))),
+      Multimodal.schema)
+    val g = Multimodal.byteFeatures(withNull).collect().head
+    assert(g.getLong(1) === 0L)
+  }
+
+  test("decodeStub is deterministic and bounded to [0,1]") {
+    val a = Multimodal.decodeStub(Array[Byte](0, 127, -1))
+    assert(a.toSeq === Multimodal.decodeStub(Array[Byte](0, 127, -1)).toSeq)
+    assert(a.length === 3 && a.forall(v => v >= 0f && v <= 1f))
+  }
+}

@@ -112,6 +112,31 @@ class ChunkVolumeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("float dtypes: MET_FLOAT volume reads and decodes as doubles") {
+    val dir = Files.createTempDirectory("floatvol")
+    val (nz, ny, nx) = (3, 4, 5)
+    val raw = java.nio.ByteBuffer.allocate(nz * ny * nx * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (z <- 0 until nz; y <- 0 until ny; x <- 0 until nx)
+      raw.putFloat(z * 1.5f + y * 0.25f + x * 0.125f)
+    Files.write(dir.resolve("f.raw"), raw.array())
+    Files.writeString(dir.resolve("f.mhd"),
+      s"DimSize = $nx $ny $nz\nElementType = MET_FLOAT\nElementDataFile = f.raw\n")
+    val v = MhdReader.read(spark, MhdMeta.parse(dir.resolve("f.mhd").toString), 2, 3, 3)
+    assert(v.meta.isFloating)
+    intercept[IllegalArgumentException](v.toVoxels)
+    val got = v.toVoxelsDouble.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    assert(got.size === nz * ny * nx)
+    for (z <- 0 until nz; y <- 0 until ny; x <- 0 until nx)
+      assert(got((z.toLong, y.toLong, x.toLong)) === (z * 1.5f + y * 0.25f + x * 0.125f).toDouble)
+    // byte kernels still work on float payloads (dtype-agnostic): ×2 then decode
+    val up = v.upscale(2)
+    val upv = up.toVoxelsDouble.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    assert(upv((4L, 6L, 8L)) === got((2L, 3L, 4L)))
+  }
+
   test("MhdReader → upscale → chunk store → pruned lookup (the flagship slice)") {
     // SURVEY §7.2: header → chunked scan → ×2 chunk kernel → sink → point
     // lookup at (2z,2y,2x) must equal the source label (verify_labels.py).

@@ -1,0 +1,78 @@
+package graft.volume
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden end-to-end lifecycle test (FIXTURES.md: replicate the screenshot
+  * transcript on a fixture): parse → plan → estimate → guard → execute →
+  * verify the written store, plus dry-run and admission-control paths.
+  */
+class UpscaleCliSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val fixtureDir = {
+    val dir = Files.createTempDirectory("cli")
+    val (nz, ny, nx) = (6, 8, 10)
+    val raw = new Array[Byte](nz * ny * nx * 4)
+    for (z <- 0 until nz; y <- 0 until ny; x <- 0 until nx)
+      ChunkKernels.encodeLong(15564L + z / 2 * 10 + y / 4, raw, (z * ny + y) * nx + x, 4)
+    Files.write(dir.resolve("f.raw"), raw)
+    Files.writeString(dir.resolve("f.mhd"),
+      s"""DimSize = $nx $ny $nz
+         |ElementType = MET_UINT
+         |ElementSpacing = 25.0 25.0 25.0
+         |ElementDataFile = f.raw
+         |""".stripMargin)
+    dir
+  }
+
+  test("full lifecycle: transcript lines, written store, label preservation") {
+    val outStore = fixtureDir.resolve("out").toString
+    val lines = UpscaleCli.run(spark, UpscaleCli.Args(
+      input = fixtureDir.resolve("f.mhd").toString, output = outStore, scale = 2, chunkMb = 1))
+    assert(lines.exists(_.startsWith("Source shape (z,y,x): (6, 8, 10), dtype=MET_UINT")))
+    assert(lines.exists(_.startsWith("Upscaled shape (z,y,x): (12, 16, 20)")))
+    assert(lines.exists(_.startsWith("Finished. Chunk store written")))
+    // verify_labels.py semantics on the written artifact
+    val back = ChunkStore.read(spark, outStore)
+    assert(back.meta.dimZ === 12)
+    assert(back.pointLookup(4, 8, 6) === Some(15564L + (2 / 2) * 10 + (4 / 4)))
+  }
+
+  test("dry-run executes nothing; guards reject oversized jobs; force overrides") {
+    val lines = UpscaleCli.run(spark, UpscaleCli.Args(
+      input = fixtureDir.resolve("f.mhd").toString, scale = 2, dryRun = true))
+    assert(lines.last === "Dry run: no compute executed.")
+
+    val big = intercept[IllegalStateException] {
+      UpscaleCli.run(spark, UpscaleCli.Args(
+        input = fixtureDir.resolve("f.mhd").toString, output = "/tmp/never", scale = 21, dryRun = false))
+    }
+    assert(big.getMessage.contains("scale=21"))
+
+    // force + dry-run: admitted, still no compute
+    val forced = UpscaleCli.run(spark, UpscaleCli.Args(
+      input = fixtureDir.resolve("f.mhd").toString, scale = 21, dryRun = true, force = true))
+    assert(forced.last === "Dry run: no compute executed.")
+  }
+
+  test("outline mode and pyramid mode write their artifacts") {
+    val outP = fixtureDir.resolve("pyr").toString
+    UpscaleCli.run(spark, UpscaleCli.Args(
+      input = fixtureDir.resolve("f.mhd").toString, output = outP,
+      scale = 2, mode = "outline", pyramidLevels = 2, chunkMb = 1, force = true))
+    assert(Files.exists(java.nio.file.Paths.get(outP, ".zattrs")))
+    val l0 = PyramidWriter.readLevel(spark, outP, 0)
+    val l1 = PyramidWriter.readLevel(spark, outP, 1)
+    assert(l0.meta.dimZ === 12 && l1.meta.dimZ === 6)
+  }
+
+  test("argument parsing: flags, validation, unknown rejection") {
+    val a = UpscaleCli.parseArgs(Seq(
+      "--input", "a.mhd", "--output", "o", "--scale", "3",
+      "--mode", "outline", "--pyramid-levels", "2", "--max-gb", "10.5", "--force"))
+    assert(a.scale === 3 && a.mode === "outline" && a.maxGb === 10.5 && a.force)
+    intercept[IllegalArgumentException](UpscaleCli.parseArgs(Seq("--nope")))
+    intercept[IllegalArgumentException](UpscaleCli.parseArgs(Seq("--output", "o")))
+  }
+}
