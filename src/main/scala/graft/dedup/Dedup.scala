@@ -27,6 +27,18 @@ object Dedup {
   /** Distinct-token array for shingle/set based dedup. */
   private def tokenSet(textCol: String): Column = array_distinct(split(col(textCol), " "))
 
+  /** Distinct word n-gram shingles — the unit real near-dup pipelines
+    * compare (order-sensitive, unlike bare tokens). Pure codegen'd
+    * higher-order functions: no UDF, no shuffle.
+    */
+  def shingles(textCol: String, n: Int = 3): Column = {
+    val w = split(col(textCol), " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(w, i, lit(n))),
+    ))
+  }
+
   /** MinHash signatures over distinct tokens: numHashes independent hash
     * functions simulated as xxhash64(seed=i, token); signature element i is
     * the min. Plus LSH banding: bands of rows hashed together — docs
@@ -225,11 +237,12 @@ object Dedup {
       textCol: String = "text",
       blockCol: String = "source",
       threshold: Double = 0.5,
+      terms: Column = null, // defaults to the distinct-token set of textCol
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
       col(idCol), col(blockCol),
-      array_sort(tokenSet(textCol)).as("toks"),
+      array_sort(Option(terms).getOrElse(tokenSet(textCol))).as("toks"),
     ).withColumn("n", size(col("toks")).cast("long"))
     val tok = toks.select(col(idCol), col(blockCol), col("n"), explode(col("toks")).as("term"))
     val termDf = tok.groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))

@@ -144,6 +144,39 @@ object DocQueries {
         ORDER BY doc_a, doc_b
       """),
     ),
+    // --------------------------------------- word-3-gram shingle Jaccard
+    // The n-gram (order-sensitive) variant, through the PREFIX-FILTERED
+    // strategy — appropriate here because shingling explodes the
+    // vocabulary (~16k distinct shingles for 500 docs), making prefix
+    // terms genuinely rare. Finds the corpus's one true near-dup pair.
+    Q(
+      "doc_shingle_jaccard",
+      (s, d) =>
+        Dedup.tokenJaccardPairsPrefix(
+          T(s, d, "documents"), threshold = 0.05, terms = Dedup.shingles("text", 3))
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, source,
+                 unnest(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(w[i:i+2], ' '))) AS term
+          FROM t
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.source = b.source AND a.term = b.term
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, ROUND(c / (na.n + nb.n - c), 4) AS jaccard
+        FROM inter
+          JOIN sizes na ON inter.doc_a = na.doc_id
+          JOIN sizes nb ON inter.doc_b = nb.doc_id
+        WHERE c / (na.n + nb.n - c) >= 0.05
+        ORDER BY doc_a, doc_b
+      """),
+    ),
     // ----------------------------------------------------- text statistics
     Q(
       "doc_text_stats",
