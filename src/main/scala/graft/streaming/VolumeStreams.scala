@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.volume.{Chunk, ChunkStore, ChunkVolume, VolumeMeta}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streaming volume ingest (SURVEY §7 north star, layered on §2.9's
+  * observation that every volume operator is chunk-local): newly-landed
+  * chunk parquet files stream through `readStream`, each micro-batch runs
+  * the ×s upscale kernel, and results append to a zarr-style chunk store.
+  * Because upscale emits aligned child chunks with no shuffle, the
+  * incremental pipeline is exactly the batch pipeline per micro-batch —
+  * no rewrites of previously-ingested output, idempotent per chunk file.
+  */
+object VolumeStreams {
+
+  /** Schema of a chunk row on disk (matches the Chunk case class). */
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("cz", IntegerType, nullable = false),
+    StructField("cy", IntegerType, nullable = false),
+    StructField("cx", IntegerType, nullable = false),
+    StructField("z0", LongType, nullable = false),
+    StructField("y0", LongType, nullable = false),
+    StructField("x0", LongType, nullable = false),
+    StructField("nz", IntegerType, nullable = false),
+    StructField("ny", IntegerType, nullable = false),
+    StructField("nx", IntegerType, nullable = false),
+    StructField("data", BinaryType, nullable = false),
+  ))
+
+  /** Watch `inDir` for chunk parquet files; upscale ×s each micro-batch
+    * and append the child chunks to the store at `outDir`. The output
+    * store's sidecar is committed up front from the (scaled) metadata.
+    */
+  def upscaleIngest(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      inputMeta: VolumeMeta,
+      s: Int,
+  ): StreamingQuery = {
+    import spark.implicits._
+    val outMeta = inputMeta.copy(
+      dimZ = inputMeta.dimZ * s, dimY = inputMeta.dimY * s, dimX = inputMeta.dimX * s,
+      ncz = inputMeta.ncz * s, ncy = inputMeta.ncy * s, ncx = inputMeta.ncx * s)
+    ChunkVolume.writeSidecar(outDir + "/", outMeta, Map("scale" -> s.toString, "streaming" -> "true"))
+    spark.readStream
+      .schema(chunkSchema)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vol = ChunkVolume(batch.as[Chunk], inputMeta)
+        ChunkStore.appendChunks(vol.upscale(s).chunks, outDir)
+      }
+      .start()
+  }
+}

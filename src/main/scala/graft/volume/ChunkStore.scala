@@ -28,8 +28,19 @@ object ChunkStore {
         .forEach(p => Files.delete(p))
     }
     Files.createDirectories(dir)
-    val pathStr = dir.toAbsolutePath.toString
-    vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
+    appendChunks(vol.chunks, path, level)
+    ChunkVolume.writeSidecar(path, vol.meta, extraProvenance)
+  }
+
+  /** Append chunk files into an existing store (same file format, no
+    * delete, no sidecar) — the incremental-ingest building block used by
+    * the streaming path; a chunk re-appearing overwrites its own file
+    * (idempotent per chunk coordinate).
+    */
+  def appendChunks(chunks: org.apache.spark.sql.Dataset[Chunk], path: String, level: Int = 1): Unit = {
+    val pathStr = Paths.get(path).toAbsolutePath.toString
+    Files.createDirectories(Paths.get(pathStr))
+    chunks.foreachPartition { (it: Iterator[Chunk]) =>
       // one reused compression buffer per task — multi-MB chunks would
       // otherwise churn 2 humongous allocations each through the GC
       var dst: Array[Byte] = null
@@ -45,7 +56,6 @@ object ChunkStore {
         try { out.write(buf.array()); out.write(dst, 0, n) } finally out.close()
       }
     }
-    ChunkVolume.writeSidecar(path, vol.meta, extraProvenance)
   }
 
   def read(spark: SparkSession, path: String): ChunkVolume = {

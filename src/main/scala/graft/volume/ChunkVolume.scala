@@ -345,6 +345,7 @@ object ChunkVolume {
     } + "\""
 
   def writeSidecar(path: String, meta: VolumeMeta, extra: Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(path))
     val fields = Seq(
       "dimZ" -> meta.dimZ.toString, "dimY" -> meta.dimY.toString, "dimX" -> meta.dimX.toString,
       "chunkZ" -> meta.chunkZ.toString, "chunkY" -> meta.chunkY.toString, "chunkX" -> meta.chunkX.toString,
