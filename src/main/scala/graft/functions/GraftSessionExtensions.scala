@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** SparkSessionExtensions hook so graft's native expressions are available
-  * in any session built with
+/** SparkSessionExtensions hook so graft's native expressions and rules are
+  * available in any session built with
   * `.config("spark.sql.extensions", "graft.functions.GraftSessionExtensions")`.
-  * (Imperative alternative: [[GraftFunctions.register]].)
+  * (Imperative alternatives: [[GraftFunctions.register]] and
+  * `spark.experimental.extraOptimizations += SizeGuardRule(spark)`.)
   */
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -17,5 +18,6 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash64(children.head),
     ))
+    ext.injectOptimizerRule(session => graft.plans.SizeGuardRule(session))
   }
 }

@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.volume.{ChunkStore, ChunkVolume}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class ChunkStoreSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val (storePath, vol) = {
+    val dir = Files.createTempDirectory("dsv2").toString + "/store"
+    val (dz, dy, dx) = (8L, 6L, 6L)
+    val vox = spark.range(dz * dy * dx).select(
+      expr(s"id div ${dy * dx}").as("z"),
+      expr(s"(id div $dx) % $dy").as("y"),
+      expr(s"id % $dx").as("x"),
+      expr(s"id % 31").as("label"),
+    )
+    val v = ChunkVolume.fromVoxels(vox, dz, dy, dx, 4, 3, 3)
+    ChunkStore.write(v, dir)
+    (dir, v)
+  }
+
+  test("format(graftchunks) reads the store as a SQL-visible chunk table") {
+    val df = spark.read.format("graftchunks").load(storePath)
+    assert(df.columns.toSeq === Seq("cz", "cy", "cx", "z0", "y0", "x0", "nz", "ny", "nx", "data"))
+    assert(df.count() === vol.chunks.count())
+    // contents round-trip exactly (compare decoded voxel sums per chunk)
+    val viaDsv2 = df.select(sum(expr("cz*1000000 + cy*1000 + cx")), sum(length(col("data"))))
+      .collect().head
+    val direct = vol.chunks.toDF()
+      .select(sum(expr("cz*1000000 + cy*1000 + cx")), sum(length(col("data"))))
+      .collect().head
+    assert(viaDsv2 === direct)
+  }
+
+  test("coordinate filters prune input partitions with zero I/O (file-name pruning)") {
+    val df = spark.read.format("graftchunks").load(storePath)
+    val all = df.rdd.getNumPartitions
+    assert(all === vol.chunks.count())
+    val one = df.filter(col("cz") === 1 && col("cy") === 0 && col("cx") === 0)
+    assert(one.rdd.getNumPartitions === 1) // exactly the one owning file planned
+    assert(one.count() === 1)
+    val slab = df.filter(col("cz") === 1)
+    assert(slab.rdd.getNumPartitions === (vol.meta.ncy * vol.meta.ncx))
+    // row-level residual filters still apply on non-pruned columns
+    assert(df.filter(col("z0") === 4L).count() === (vol.meta.ncy * vol.meta.ncx))
+  }
+
+  test("SQL over the chunk table") {
+    spark.read.format("graftchunks").load(storePath).createOrReplaceTempView("chunks_v")
+    val n = spark.sql("SELECT COUNT(*) FROM chunks_v WHERE cz = 0 AND nz = 4").collect().head.getLong(0)
+    assert(n === vol.meta.ncy.toLong * vol.meta.ncx)
+  }
+
+  test("filterKeeps semantics: sound (keeps on unknown), exact on coords") {
+    import org.apache.spark.sql.sources._
+    val c = Map("cz" -> 3, "cy" -> 1, "cx" -> 0)
+    assert(ChunkStoreSource.filterKeeps(EqualTo("cz", 3), c))
+    assert(!ChunkStoreSource.filterKeeps(EqualTo("cz", 4), c))
+    assert(ChunkStoreSource.filterKeeps(And(GreaterThanOrEqual("cz", 2), LessThan("cy", 2)), c))
+    assert(!ChunkStoreSource.filterKeeps(Or(EqualTo("cz", 9), EqualTo("cx", 5)), c))
+    assert(ChunkStoreSource.filterKeeps(EqualTo("z0", 99L), c)) // unknown column: keep
+    assert(ChunkStoreSource.filterKeeps(IsNotNull("cz"), c)) // unknown shape: keep
+  }
+}
