@@ -194,6 +194,23 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // S4/K1 via the DataSource V2 connector: grid → zstd chunk store on
+    // disk → `format("graftchunks")` scan → decode → must equal the grid.
+    Q(
+      "vol_dsv2_roundtrip",
+      (s, _) => {
+        import graft.volume.{Chunk, ChunkStore, ChunkVolume => CV}
+        val store = java.nio.file.Files.createTempDirectory("graft_dsv2").toString + "/store"
+        ChunkStore.write(chunked(s), store)
+        val meta = CV.readSidecar(store)
+        import s.implicits._
+        val df = s.read.format("graftchunks").load(store)
+        CV(df.as[Chunk], meta).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
     // T7: virtual rotation — pure coordinate projection.
     Q(
       "vol_rotate90",
