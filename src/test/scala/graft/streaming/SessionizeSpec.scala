@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -10,6 +11,43 @@ import org.scalatest.funsuite.AnyFunSuite
   * watermark passes last-event + gap.
   */
 class SessionizeSpec extends AnyFunSuite with SparkSpec {
+
+  test("stream sessionization agrees with the oracle-checked batch query on real data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ground truth: the DuckDB-verified batch sessionization at sf0.001
+    val batch = graft.SparkEntry.queries("ev_sessions")(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"n_events", col("sess_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, math.round(t._3 * 100))).toSet).toMap
+
+    val events = graft.T.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", expr("ts_ns div 1000").as("ts_us"), $"event_type", $"value")
+      .as[EventStreams.Event].collect()
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("parity_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.toSeq)
+      query.processAllAvailable()
+      // flush every open session: advance the watermark far past the data
+      val far = events.map(_.ts_us).max + 100L * 3600 * 1000 * 1000
+      input.addData(EventStreams.Event(-1L, far, "tick", 0.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(-1L, far + 1_000_000L, "tick", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("parity_out").as[EventStreams.Session].collect()
+        .filter(_.user_id >= 0)
+        .groupBy(_.user_id).view
+        .mapValues(_.map(s => (s.n_events, math.round(s.total_value * 100))).toSet).toMap
+      assert(streamed.keySet === batch.keySet)
+      for ((u, sessions) <- batch) {
+        assert(streamed(u) === sessions, s"user $u")
+      }
+    } finally query.stop()
+  }
 
   test("idle session is emitted via event-time timeout; gap splits sessions") {
     import spark.implicits._
