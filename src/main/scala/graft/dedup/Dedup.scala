@@ -203,8 +203,10 @@ object Dedup {
       textCol: String = "text",
       blockCol: String = "source",
       threshold: Double = 0.5,
+      terms: Column = null, // defaults to the distinct-token set of textCol
   ): DataFrame = {
-    val tok = docs.select(col(idCol), col(blockCol), explode(tokenSet(textCol)).as("term"))
+    val tok = docs.select(col(idCol), col(blockCol),
+      explode(Option(terms).getOrElse(tokenSet(textCol))).as("term"))
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val aTok = tok.select(col(blockCol), col("term"), col(idCol).as("doc_a"))
     val bTok = tok.select(col(blockCol), col("term"), col(idCol).as("doc_b"))

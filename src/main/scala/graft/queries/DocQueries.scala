@@ -145,14 +145,16 @@ object DocQueries {
       """),
     ),
     // --------------------------------------- word-3-gram shingle Jaccard
-    // The n-gram (order-sensitive) variant, through the PREFIX-FILTERED
-    // strategy — appropriate here because shingling explodes the
-    // vocabulary (~16k distinct shingles for 500 docs), making prefix
-    // terms genuinely rare. Finds the corpus's one true near-dup pair.
+    // The n-gram (order-sensitive) variant. Strategy choice is data-driven
+    // (see Dedup scaladoc): shingling explodes the vocabulary (~16k
+    // distinct shingles / 500 docs) so inverted-index buckets are tiny and
+    // the count-based index wins; at this LOW threshold (0.05) prefix
+    // filtering cannot prune (prefix ≈ 95% of each doc). Finds the
+    // corpus's one true near-dup pair.
     Q(
       "doc_shingle_jaccard",
       (s, d) =>
-        Dedup.tokenJaccardPairsPrefix(
+        Dedup.tokenJaccardPairs(
           T(s, d, "documents"), threshold = 0.05, terms = Dedup.shingles("text", 3))
           .orderBy(col("doc_a"), col("doc_b")),
       Some("""
