@@ -211,6 +211,19 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // K5/S5: BigTIFF slice export (one page per z) and scan back.
+    Q(
+      "vol_bigtiff_roundtrip",
+      (s, _) => {
+        val path = java.nio.file.Files.createTempDirectory("graft_btiff")
+          .resolve("vol.tif").toString
+        graft.volume.BigTiff.write(chunked(s), path)
+        graft.volume.BigTiff.read(s, path).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
     // T7: virtual rotation — pure coordinate projection.
     Q(
       "vol_rotate90",
