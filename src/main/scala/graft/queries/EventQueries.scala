@@ -113,6 +113,38 @@ object EventQueries {
         FROM events GROUP BY event_type ORDER BY event_type
       """),
     ),
+    // As-of join: for every event, the user's most recent purchase at or
+    // before it (graft.operators.AsOfJoin — union-tag + one window, a
+    // single shuffle on user_id at any scale). Oracle = DuckDB's native
+    // ASOF LEFT JOIN. Lags summed with integral ns division per row.
+    Q(
+      "ev_asof_last_purchase",
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts_ns".as("p_ts")).distinct()
+        graft.operators.AsOfJoin
+          .lastAtOrBefore(ev, purchases, Seq("user_id"), "ts_ns", "p_ts", Seq.empty)
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            count($"matched_ts").as("n_matched"),
+            coalesce(sum(expr("(ts_ns - matched_ts) div 1000000000")), lit(0L)).as("sum_lag_s"),
+          )
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH p AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT e.event_type, epoch_ns(e.ts) AS ets, epoch_ns(p.ts) AS pts
+          FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        )
+        SELECT event_type, COUNT(*) AS n_events, COUNT(pts) AS n_matched,
+               COALESCE(SUM((ets - pts) // 1000000000), 0) AS sum_lag_s
+        FROM j GROUP BY 1 ORDER BY event_type
+      """),
+    ),
     // User funnel: per user first/last event epoch, event-type breadth.
     Q(
       "ev_user_profile",

@@ -379,6 +379,33 @@ object RelationalQueries {
         ORDER BY s_suppkey
       """),
     ),
+    // ---------------------------------------------------------------- q17
+    // Non-equi RANGE join: orders banded by price against a tiny inline
+    // dimension — broadcast nested-loop on a 3-row side, the correct
+    // physical shape (the fact side streams, never shuffles).
+    Q(
+      "q17_price_band_join",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          ("small", 0.0, 50000.0),
+          ("mid", 50000.0, 150000.0),
+          ("big", 150000.0, 1e18),
+        ).toDF("band", "lo", "hi")
+        T(s, d, "orders")
+          .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_price"))
+          .orderBy($"band")
+      },
+      Some("""
+        WITH bands(band, lo, hi) AS (VALUES
+          ('small', 0.0, 50000.0), ('mid', 50000.0, 150000.0), ('big', 150000.0, 1e18))
+        SELECT band, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band ORDER BY band
+      """),
+    ),
     // ---------------------------------------------------------------- q15
     // Analytic window as a decorrelated scalar subquery: parts priced above
     // their brand average. Computed in integer CENTS so the average
