@@ -278,6 +278,24 @@ object RelationalQueries {
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """),
     ),
+    // ---------------------------------------------------------------- q18
+    // CUBE grouping sets: all 4 subtotal combinations in one pass.
+    Q(
+      "q18_cube_status_priority",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), round(avg($"o_totalprice"), 2).as("avg_price"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """),
+    ),
     // ---------------------------------------------------------------- q11
     // Conditional aggregation over a 3-table broadcast star.
     Q(
