@@ -82,6 +82,32 @@ object VolumeQueries {
         ORDER BY v.z, v.y, v.x
       """),
     ),
+    // T6/S7: per-axis nearest resize to an arbitrary target shape
+    // (upscale z, downscale y, fractional x — all in one gather).
+    Q(
+      "vol_resize_nearest",
+      (s, _) =>
+        VoxelOps.resizeNearest(grid(s), (D, D, D), (24L, 8L, 20L))
+          .orderBy("z", "y", "x"),
+      Some(s"""$voxCte, tgt AS (
+          SELECT t.range // 160 AS tz, (t.range // 20) % 8 AS ty, t.range % 20 AS tx
+          FROM range(${24 * 8 * 20}) t
+        )
+        SELECT tz AS z, ty AS y, tx AS x, v.label
+        FROM tgt JOIN vox v
+          ON v.z = (tz * 16) // 24 AND v.y = (ty * 16) // 8 AND v.x = (tx * 16) // 20
+        ORDER BY z, y, x
+      """),
+    ),
+    // A-row: label histogram, chunk form (counts inside the byte kernel;
+    // same oracle as the long form below).
+    Q(
+      "vol_chunk_histogram",
+      (s, _) => chunked(s).histogram(),
+      Some(s"""$voxCte
+        SELECT label, COUNT(*) AS n FROM vox GROUP BY label ORDER BY label
+      """),
+    ),
     // A-row: label histogram (README before/after frequency figures).
     Q(
       "vol_histogram",

@@ -217,6 +217,32 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     }.toDF("z", "y", "x", "label")
   }
 
+  /** Label histogram, chunk form (A-hist scale path): counts accumulate
+    * inside each chunk's byte kernel (one map per chunk), then a partial+
+    * final aggregate merges (label, n) pairs — the volume body never
+    * explodes into rows. The long-form twin is [[VoxelOps.histogram]].
+    */
+  def histogram(): DataFrame = {
+    require(!meta.isFloating, "histogram decodes integral labels")
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    import chunks.sparkSession.implicits._
+    chunks.flatMap { c =>
+      val counts = new java.util.HashMap[Long, Long]()
+      val n = c.nz * c.ny * c.nx
+      var i = 0
+      while (i < n) {
+        val label = ChunkKernels.decodeLong(c.data, i, bpp, unsigned)
+        counts.merge(label, 1L, (a, b) => a + b)
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      counts.asScala.iterator.map { case (k, v) => (k, v) }
+    }.toDF("label", "n_partial")
+      .groupBy(col("label")).agg(sum(col("n_partial")).as("n"))
+      .orderBy(col("label"))
+  }
+
   /** Long-form view for floating element types: DataFrame(z,y,x,value). */
   def toVoxelsDouble: DataFrame = {
     require(meta.isFloating, s"toVoxelsDouble requires MET_FLOAT/MET_DOUBLE, got ${meta.elementType}")

@@ -115,6 +115,35 @@ object VoxelOps {
     )
   }
 
+  /** Per-axis nearest-neighbor resize to an ARBITRARY target shape
+    * (reference anno_upsampling.py:40–67: target dims probed from another
+    * image, PIL NEAREST per slice — T6/S7). Builds the target grid and
+    * gathers each target voxel's source label through an equi-join on the
+    * floor-mapped source coordinate: `src = floor(tgt · srcDim / tgtDim)`.
+    * Both sides shuffle once on (z,y,x); no driver materialization.
+    */
+  def resizeNearest(
+      vox: DataFrame,
+      srcZyx: (Long, Long, Long),
+      tgtZyx: (Long, Long, Long),
+  ): DataFrame = {
+    val (sz, sy, sx) = srcZyx
+    val (tz, ty, tx) = tgtZyx
+    val spark = vox.sparkSession
+    val tgt = spark.range(tz * ty * tx).select(
+      expr(s"id div ${ty * tx}").as("tz"),
+      expr(s"(id div $tx) % $ty").as("ty"),
+      expr(s"id % $tx").as("tx"),
+    ).select(
+      col("tz"), col("ty"), col("tx"),
+      expr(s"(tz * $sz) div $tz").as("sz"),
+      expr(s"(ty * $sy) div $ty").as("sy"),
+      expr(s"(tx * $sx) div $tx").as("sx"),
+    )
+    tgt.join(vox, col("sz") === col("z") && col("sy") === col("y") && col("sx") === col("x"))
+      .select(col("tz").as("z"), col("ty").as("y"), col("tx").as("x"), col("label"))
+  }
+
   /** Virtual +90° rotation in the (z,y) plane (reference np.rot90 on
     * axes (0,1), anno_upsampling.py:84,100): (z,y,x) → (dimY-1-y, z, x).
     * A pure coordinate projection — free in the relational representation,

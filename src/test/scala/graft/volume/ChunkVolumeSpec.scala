@@ -158,6 +158,21 @@ class ChunkVolumeSpec extends AnyFunSuite with SparkSpec {
     assert(up.pointLookup(7, 5, 3) === Some(label(3, 2, 1)))
   }
 
+  test("chunk histogram equals long-form histogram; resize generalizes upscale") {
+    val chunkHist = vol.histogram().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val longHist = VoxelOps.histogram(vol.toVoxels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chunkHist === longHist)
+    // integer-factor resize == upscale
+    val resized = VoxelOps.resizeNearest(vox, (dz, dy, dx), (dz * 2, dy * 2, dx * 2))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    val upscaled = collectVox(vol.upscale(2).toVoxels)
+    assert(resized === upscaled)
+    // downscale every axis: the (0,0,0) voxel survives, count = product
+    val down = VoxelOps.resizeNearest(vox, (dz, dy, dx), (3L, 5L, 7L)).collect()
+    assert(down.length === 3 * 5 * 7)
+  }
+
   test("rechunk: re-blocks to a new uniform grid without touching voxels") {
     val orig = collectVox(vox)
     for ((cz, cy, cx) <- Seq((3, 3, 3), (12, 10, 14), (7, 2, 5))) {
