@@ -45,6 +45,46 @@ object Multimodal {
     Array.tabulate(n)(i => (payload(i) & 0xff) / 255.0f)
   }
 
+  /** Frame sampling: split each payload into fixed-size frames and emit
+    * per-frame features — the audio/video batch shape (decode → frame →
+    * feature) with the codec stubbed out and all Spark plumbing real:
+    * one row per (payload, frame), computed per-partition, no shuffle.
+    */
+  def frameFeatures(mm: DataFrame, frameBytes: Int = 64): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    val spark = mm.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("mean_byte", DoubleType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+    ))
+    val rdd = mm.select(col("id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).map { f =>
+          val start = f * frameBytes
+          val end = math.min(start + frameBytes, bytes.length)
+          var sum = 0L
+          var sumSq = 0L
+          var i = start
+          while (i < end) {
+            val v = bytes(i) & 0xff
+            sum += v
+            sumSq += v.toLong * v
+            i += 1
+          }
+          val n = (end - start).toDouble
+          Row(id, f.toLong, (end - start).toLong, sum / n, math.sqrt(sumSq / n))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Distributed feature extraction: byte histogram moments per payload —
     * a real (non-stub) per-partition kernel demonstrating the batch shape:
     * binary in, fixed-width numeric features out, embarrassingly parallel

@@ -341,6 +341,35 @@ object DocQueries {
         ORDER BY id
       """),
     ),
+    // ------------------------------------------- multimodal frame sampling
+    // Fixed 64-byte frames per payload (the audio/video frame-sample batch
+    // shape): one row per frame, features from identical integer sums on
+    // both engines.
+    Q(
+      "mm_frame_features",
+      (s, d) =>
+        Multimodal.frameFeatures(Multimodal.fromDocuments(T(s, d, "documents")), frameBytes = 64)
+          .select(
+            col("id"), col("frame_idx"), col("n_bytes"),
+            round(col("mean_byte"), 4).as("mean_byte"),
+            round(col("rms"), 4).as("rms"),
+          )
+          .orderBy(col("id"), col("frame_idx")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id, unnest(generate_series(0, CAST((length(text) - 1) // 64 AS BIGINT))) AS frame_idx, text
+          FROM documents
+        ), b AS (
+          SELECT doc_id, frame_idx,
+                 ascii(unnest(string_split(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64), ''))) AS v
+          FROM f
+        )
+        SELECT doc_id AS id, frame_idx, COUNT(*) AS n_bytes,
+               ROUND(AVG(v), 4) AS mean_byte,
+               ROUND(SQRT(AVG(v * v)), 4) AS rms
+        FROM b GROUP BY 1, 2 ORDER BY id, frame_idx
+      """),
+    ),
     // --------------------------------- streaming surface, batch execution
     // The same windowed-aggregation code that runs under readStream with a
     // watermark, executed here on the batch frame for oracle parity.

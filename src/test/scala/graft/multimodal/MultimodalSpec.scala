@@ -45,6 +45,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(g.getLong(1) === 0L)
   }
 
+  test("frameFeatures: fixed-size frames with a partial tail; exact moments") {
+    val mm = Multimodal.fromDocuments(docs) // "abab" = 4 bytes
+    val f = Multimodal.frameFeatures(mm, frameBytes = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // "abab": frame 0 = "aba" (97,98,97), frame 1 = "b" (98)
+    assert(f((1L, 0L))._1 === 3L)
+    assert(math.abs(f((1L, 0L))._2 - (97 + 98 + 97) / 3.0) < 1e-12)
+    assert(f((1L, 1L)) === ((1L, 98.0)))
+    // empty payload → no frames
+    assert(!f.keys.exists(_._1 == 3L))
+  }
+
   test("decodeStub is deterministic and bounded to [0,1]") {
     val a = Multimodal.decodeStub(Array[Byte](0, 127, -1))
     assert(a.toSeq === Multimodal.decodeStub(Array[Byte](0, 127, -1)).toSeq)
