@@ -268,9 +268,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
+  /** Embedding near-duplicate pairs via the LSH scale path: candidates are
+    * vector pairs sharing any hash table's random-hyperplane bucket
+    * ([[graft.similarity.Ann.lshBuckets]]), then exact cosine verification
+    * at `threshold`. Identical vectors agree on every plane sign, so
+    * recall at cos=1 is exact — near-threshold recall is probabilistic
+    * (tune planes/tables per the Ann scaladoc). Shuffles (bucket, id, vec)
+    * rows only; nothing is all-pairs.
+    */
+  def embeddingLshDupPairs(
+      emb: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.999,
+      nPlanes: Int = 8,
+      nTables: Int = 4,
+  ): DataFrame = {
+    import graft.similarity.Ann
+    val bucketed = Ann.lshBuckets(emb, dim, nPlanes, nTables, idCol, vecCol)
+      .join(emb.select(col(idCol), col(vecCol).cast("array<double>").as("e")), Seq(idCol))
+      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+    val long = bucketed.select(
+      col(idCol), col("e"), col("nrm"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), col(s"bucket_$t").as("bucket"))): _*)).as("tb"),
+    ).select(col(idCol), col("e"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = long.select(col("tbl"), col("bucket"), col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = long.select(col("tbl"), col("bucket"), col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn(
+        "cos_sim",
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          / (col("na") * col("nb")),
+      )
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Embedding cosine near-duplicate pairs. Brute force all-pairs — correct
     * baseline for modest corpora; the LSH-bucketed scale path is
-    * [[graft.similarity.Ann.lshBuckets]] feeding the same scoring.
+    * [[embeddingLshDupPairs]] / [[graft.similarity.Ann.lshBuckets]].
     */
   def embeddingCosinePairs(
       emb: DataFrame,

@@ -302,6 +302,24 @@ object DocQueries {
       },
       None,
     ),
+    // ------------------------------------- embedding near-dup via LSH
+    // Corpus ∪ an exact copy: identical vectors agree on every hyperplane
+    // sign, so LSH recall at cos=1 is exact and the verified output
+    // (threshold 0.999 ≫ the originals' max pairwise cos of 0.51) is
+    // hash-independent. The crossJoin baseline stays out of the gate.
+    Q(
+      "emb_lsh_dedup",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + DupOffset))
+        Dedup.embeddingLshDupPairs(corpus, dim = 64)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        SELECT vec_id AS id_a, vec_id + $DupOffset AS id_b
+        FROM embeddings ORDER BY id_a, id_b
+      """),
+    ),
     // ------------------------------------------------ multimodal features
     // Opaque binary payloads → per-partition byte-feature kernel
     // (mapPartitions, no shuffle). Text bytes stand in for media payloads;
