@@ -388,6 +388,44 @@ object DocQueries {
         FROM b GROUP BY 1, 2 ORDER BY id, frame_idx
       """),
     ),
+    // --------------------------------------- end-to-end corpus curation
+    // The composed pipeline a training-data run actually executes:
+    // quality-score filter → exact dedup (keep the lowest doc_id per text)
+    // → per-language corpus stats. Every stage is one of the operators
+    // verified individually above; this proves they compose.
+    Q(
+      "doc_pipeline_curate",
+      (s, d) => {
+        val docs = dupCorpus(s, d)
+        val scored = TextAnalysis.withQuality(docs).filter(col("quality_score") >= 0.5)
+        val keep = Dedup.exactGroups(scored).select(col("keep_id").as("doc_id"))
+        scored.join(keep, Seq("doc_id"), "left_semi")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(avg(col("quality_score")), 4).as("avg_quality"),
+          )
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 ROUND(0.5 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+                     + 0.3 * (least(len(string_split(text, ' ')), 100) / 100.0)
+                     + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                              / len(string_split(text, ' '))), 4) AS quality_score,
+                 text
+          FROM $dupCorpusSql
+        ), q AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text))
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+               ROUND(AVG(quality_score), 4) AS avg_quality
+        FROM q WHERE doc_id IN (SELECT doc_id FROM keep)
+        GROUP BY lang ORDER BY lang
+      """),
+    ),
     // --------------------------------- streaming surface, batch execution
     // The same windowed-aggregation code that runs under readStream with a
     // watermark, executed here on the batch frame for oracle parity.
