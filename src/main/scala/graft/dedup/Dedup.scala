@@ -39,9 +39,11 @@ object Dedup {
     ))
   }
 
-  /** MinHash signatures over distinct tokens: numHashes independent hash
-    * functions simulated as xxhash64(seed=i, token); signature element i is
-    * the min. Plus LSH banding: bands of rows hashed together — docs
+  /** MinHash signatures over distinct tokens via the native
+    * [[graft.functions.MinHashSig]] expression (each token's bytes hash
+    * once; the per-seed family is a splitmix64 finalizer — vs the
+    * interpreted HOF formulation that re-hashed every token numHashes
+    * times). Plus LSH banding: bands of rows hashed together — docs
     * sharing any band hash are near-dup candidates.
     */
   def minhash(
@@ -53,15 +55,9 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // hoist the token set so split/distinct runs once, not once per hash
-    val sig = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("__toks"), t => xxhash64(i, t))),
-    )
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("__toks", tokenSet(textCol))
-      .withColumn("minhash_sig", sig)
-      .drop("__toks")
+      .withColumn("minhash_sig", graft.functions.GraftFunctions.minhashSig(tokenSet(textCol), numHashes))
       .withColumn(
         "band_hashes",
         transform(
@@ -148,21 +144,17 @@ object Dedup {
         .agg(sort_array(collect_list(col(idCol))).as("members")))
 
   /** 64-bit SimHash over whitespace tokens (term frequency weighted):
-    * bit j is set iff sum over tokens of ±1 (sign = bit j of xxhash64(token))
-    * is positive. Expressed as nested SQL higher-order functions — stays in
-    * codegen, no shuffle.
+    * bit j is set iff the ±1 votes from token hashes sum positive. Native
+    * [[graft.functions.SimHash64]] kernel — one token hash + 64 integer
+    * ops per token, vs the interpreted 64-pass HOF formulation.
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(
       col(idCol),
-      expr(s"""
-        aggregate(sequence(0, 63), cast(0 as bigint), (acc, j) -> acc + if(
-          aggregate(split($textCol, ' '), cast(0 as bigint),
-            (a, t) -> a + if((shiftright(xxhash64(t), j) & 1) = 1,
-                             cast(1 as bigint), cast(-1 as bigint))) > 0,
-          shiftleft(cast(1 as bigint), j), cast(0 as bigint)))
-      """).as("simhash"),
+      graft.functions.GraftFunctions.simhash64(split(col(textCol), " ")).as("simhash"),
     )
+  }
 
   /** Hamming distance between two long columns (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")

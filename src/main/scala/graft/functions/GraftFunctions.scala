@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.IntegerType
 
 /** Column-level entry points for graft's custom Catalyst expressions.
   *
@@ -16,21 +17,37 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val Fp64Name = "graft_fp64"
+  val MinHashName = "graft_minhash_sig"
+  val SimHashName = "graft_simhash64"
 
-  private val fp64Builder: Seq[Expression] => Expression = { children =>
-    require(children.size == 1, s"$Fp64Name takes exactly 1 argument")
-    RollingHash64(children.head)
-  }
-
-  private val fp64Info =
-    new ExpressionInfo(classOf[RollingHash64].getName, Fp64Name)
+  private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (Fp64Name, classOf[RollingHash64].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$Fp64Name takes exactly 1 argument")
+      RollingHash64(children.head)
+    }),
+    (MinHashName, classOf[MinHashSig].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$MinHashName takes (tokens, numHashes)")
+      val n = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$MinHashName numHashes must be an integer literal, got $other")
+      }
+      MinHashSig(children.head, n)
+    }),
+    (SimHashName, classOf[SimHash64].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$SimHashName takes exactly 1 argument")
+      SimHash64(children.head)
+    }),
+  )
 
   /** Idempotently register graft functions in this session's registry. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier(Fp64Name)
-    if (!registry.functionExists(ident)) {
-      registry.registerFunction(ident, fp64Info, fp64Builder)
+    builders.foreach { case (name, className, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, new ExpressionInfo(className, name), builder)
+      }
     }
   }
 
@@ -38,4 +55,13 @@ object GraftFunctions {
     * Requires [[register]] (or the session extension) on the session first.
     */
   def fp64(c: Column): Column = call_function(Fp64Name, c)
+
+  /** MinHash signature (ARRAY<BIGINT> of `numHashes` minima) of a token
+    * array — native codegen'd kernel, one token hash per token.
+    */
+  def minhashSig(tokens: Column, numHashes: Int): Column =
+    call_function(MinHashName, tokens, lit(numHashes))
+
+  /** 64-bit SimHash of a token array (tf-weighted ±1 votes per bit). */
+  def simhash64(tokens: Column): Column = call_function(SimHashName, tokens)
 }

@@ -12,12 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.Fp64Name),
-      new ExpressionInfo(classOf[RollingHash64].getName, GraftFunctions.Fp64Name),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RollingHash64(children.head),
-    ))
+    GraftFunctions.builders.foreach { case (name, className, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
+    }
     ext.injectOptimizerRule(session => graft.plans.SizeGuardRule(session))
   }
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup sketches. The SQL
+  * higher-order-function formulations (aggregate/transform lambdas) are
+  * interpreted per (seed, token) — ~16M string hashes per corpus pass.
+  * These kernels hash each token's bytes ONCE, then derive the per-seed
+  * hash family with a cheap 64-bit finalizer (splitmix64 over
+  * tokenHash ⊕ seed·φ), which is the standard one-permutation-style
+  * construction: deterministic, uniform, and independent enough across
+  * seeds for MinHash/SimHash purposes.
+  */
+object Sketches {
+
+  private final val Golden = -7046029254386353131L // 2^64 / φ
+
+  /** 64-bit polynomial base hash of a token's UTF-8 bytes. */
+  def tokenHash(bytes: Array[Byte]): Long = {
+    var h = 1469598103934665603L // FNV offset
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L // FNV prime
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — the per-seed hash family member. */
+  def mix(z0: Long): Long = {
+    var z = z0 + Golden
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
+  def minhash(tokens: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val th = tokenHash(tokens.getUTF8String(i).getBytes)
+        var s = 0
+        while (s < numHashes) {
+          val v = mix(th ^ (s * Golden))
+          if (v < sig(s)) sig(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = mix(tokenHash(tokens.getUTF8String(i).getBytes))
+        var j = 0
+        while (j < 64) {
+          counts(j) += (((h >>> j) & 1L).toInt << 1) - 1 // +1 or -1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+}
+
+/** MinHash signature of a token array: `numHashes` minima over the
+  * splitmix64-derived hash family. Codegen'd; the kernel hashes each token
+  * once regardless of signature width.
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.minhash($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array (term-frequency weighted ±1 votes per
+  * bit). Codegen'd; one token hash + 64 integer ops per token.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.Sketches.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

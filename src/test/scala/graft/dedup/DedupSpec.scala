@@ -87,6 +87,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("native sketch kernels: deterministic, set-sensitive, jaccard-correlated") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: String*): GenericArrayData =
+      new GenericArrayData(ts.map(t => UTF8String.fromString(t)).toArray[Any])
+    val a = graft.functions.Sketches.minhash(arr("x", "y", "z", "w"), 64)
+    val a2 = graft.functions.Sketches.minhash(arr("w", "z", "y", "x"), 64) // order-free
+    assert(a.toLongArray.toSeq === a2.toLongArray.toSeq)
+    assert(a.numElements() === 64)
+    val b = graft.functions.Sketches.minhash(arr("x", "y", "p", "q"), 64)
+    val agree = a.toLongArray.zip(b.toLongArray).count { case (u, v) => u == v }
+    // true jaccard = 2/6 ≈ 0.33: estimate within a loose band
+    assert(agree > 5 && agree < 40, s"agreement $agree/64 implausible for j=1/3")
+    // simhash: multiset-order free, differs across different multisets
+    val s1 = graft.functions.Sketches.simhash(arr("a", "b", "a"))
+    val s2 = graft.functions.Sketches.simhash(arr("a", "a", "b"))
+    val s3 = graft.functions.Sketches.simhash(arr("a", "b", "b"))
+    assert(s1 === s2)
+    assert(s1 !== s3)
+  }
+
   test("rolling-hash fingerprint: deterministic h=h*31+b over UTF-8, via codegen and literal") {
     val s = "the quick brown fox jumps" // doc 1's exact text
     val expected = {
