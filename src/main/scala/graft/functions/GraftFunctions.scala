@@ -19,6 +19,7 @@ object GraftFunctions {
   val Fp64Name = "graft_fp64"
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash64"
+  val LshBucketName = "graft_lsh_bucket"
 
   private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (Fp64Name, classOf[RollingHash64].getName, { children: Seq[Expression] =>
@@ -37,6 +38,15 @@ object GraftFunctions {
     (SimHashName, classOf[SimHash64].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$SimHashName takes exactly 1 argument")
       SimHash64(children.head)
+    }),
+    (LshBucketName, classOf[LshBucket].getName, { children: Seq[Expression] =>
+      require(children.size == 3, s"$LshBucketName takes (vec, nPlanes, seed)")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$LshBucketName $what must be an integer literal, got $other")
+      }
+      LshBucket(children.head, intLit(children(1), "nPlanes"), intLit(children(2), "seed"))
     }),
   )
 
@@ -64,4 +74,8 @@ object GraftFunctions {
 
   /** 64-bit SimHash of a token array (tf-weighted ±1 votes per bit). */
   def simhash64(tokens: Column): Column = call_function(SimHashName, tokens)
+
+  /** Random-hyperplane LSH bucket id of an ARRAY<DOUBLE> vector. */
+  def lshBucket(vec: Column, nPlanes: Int, seed: Int): Column =
+    call_function(LshBucketName, vec, lit(nPlanes), lit(seed))
 }

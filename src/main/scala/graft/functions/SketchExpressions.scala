@@ -83,6 +83,60 @@ object Sketches {
   }
 }
 
+object SketchesLsh {
+
+  /** Random-hyperplane LSH bucket id over a float/double vector: bit p of
+    * the result is the sign of the vector's dot product with plane p,
+    * whose components are ±1 derived from splitmix64(seed·φ ⊕ index) —
+    * deterministic, shippable in the plan, identical on every executor.
+    */
+  def bucket(vec: ArrayData, nPlanes: Int, seed: Int): Long = {
+    val dim = vec.numElements()
+    val base = Sketches.mix(seed.toLong * 0x9e3779b97f4a7c15L)
+    var out = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        val sign = if ((Sketches.mix(base ^ (p.toLong * dim + j)) & 1L) == 1L) 1.0 else -1.0
+        dot += vec.getDouble(j) * sign
+        j += 1
+      }
+      if (dot > 0) out |= 1L << p
+      p += 1
+    }
+    out
+  }
+}
+
+/** LSH bucket id of an ARRAY<DOUBLE> vector — codegen'd tight loop (vs the
+  * interpreted nested-aggregate HOF that re-evaluated a lambda per
+  * (plane, component)).
+  */
+case class LshBucket(child: Expression, nPlanes: Int, seed: Int) extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1,63], got $nPlanes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchesLsh.bucket(input.asInstanceOf[ArrayData], nPlanes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchesLsh.bucket($c, $nPlanes, $seed);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 /** MinHash signature of a token array: `numHashes` minima over the
   * splitmix64-derived hash family. Codegen'd; the kernel hashes each token
   * once regardless of signature width.

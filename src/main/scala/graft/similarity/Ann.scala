@@ -62,18 +62,15 @@ object Ann {
   }
 
   /** Random-hyperplane LSH bucket id (nPlanes sign bits). Plane p's j-th
-    * component is ±1 from bit 0 of xxhash64(seed, p*dim+j). Pure
-    * higher-order-function expression: codegen'd, shuffle-free.
+    * component is ±1 from a splitmix64 stream keyed by (seed, p·dim+j) —
+    * the native codegen'd [[graft.functions.LshBucket]] kernel (the
+    * interpreted nested-aggregate HOF formulation cost O(planes·dim)
+    * lambda evaluations per row).
     */
-  def bucketExpr(vecCol: String, dim: Int, nPlanes: Int, seed: Int): Column =
-    expr(s"""
-      aggregate(sequence(0, ${nPlanes - 1}), cast(0 as bigint), (acc, p) -> acc + if(
-        aggregate(sequence(0, ${dim - 1}), cast(0 as double),
-          (a, j) -> a + cast(element_at($vecCol, j + 1) as double)
-                        * if((xxhash64($seed, p * $dim + j) & 1) = 1,
-                             cast(1 as double), cast(-1 as double))) > 0,
-        shiftleft(cast(1 as bigint), p), cast(0 as bigint)))
-    """)
+  def bucketExpr(emb: DataFrame, vecCol: String, nPlanes: Int, seed: Int): Column = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.lshBucket(col(vecCol).cast("array<double>"), nPlanes, seed)
+  }
 
   /** Assign each vector its LSH bucket per hash table. */
   def lshBuckets(
@@ -85,7 +82,7 @@ object Ann {
       vecCol: String = "embedding",
   ): DataFrame =
     emb.select(
-      col(idCol) +: (0 until nTables).map(t => bucketExpr(vecCol, dim, nPlanes, t).as(s"bucket_$t")): _*
+      col(idCol) +: (0 until nTables).map(t => bucketExpr(emb, vecCol, nPlanes, t).as(s"bucket_$t")): _*
     )
 
   /** ANN top-k via LSH: candidates = corpus vectors sharing any table's
