@@ -195,6 +195,19 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // J2 chunk form: every voxel of the ×2 output byte-verified against
+    // its source WITHOUT materializing voxel rows — the join is over chunk
+    // rows, the comparison a local byte kernel.
+    Q(
+      "vol_chunk_verify_upscale",
+      (s, _) => {
+        val vol = chunked(s)
+        vol.verifyUpscale(vol.upscale(2), 2)
+      },
+      Some(s"""$voxCte
+        SELECT COUNT(*) * 8 AS n_checked, COUNT(*) * 8 AS n_match FROM vox
+      """),
+    ),
     // P4: point lookups that must each touch exactly one chunk (range
     // predicates on chunk-coordinate columns → partition pruning).
     Q(

@@ -217,6 +217,60 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     }.toDF("z", "y", "x", "label")
   }
 
+  /** Full-volume upscale verification, chunk form (J2 scale path —
+    * verify_labels.py's invariant generalized to EVERY voxel without
+    * materializing rows): each upscaled child chunk joins its parent
+    * chunk (a join over CHUNK rows, |chunks|·s³ of them, not voxels) and
+    * a byte kernel asserts label preservation element-wise. Returns
+    * one row: (n_checked, n_match).
+    */
+  def verifyUpscale(up: ChunkVolume, s: Int): DataFrame = {
+    val bpp = meta.bytesPerVoxel
+    import chunks.sparkSession.implicits._
+    val parents = chunks
+      .map(c => (c.cz, c.cy, c.cx, c.ny, c.nx, c.data))
+      .toDF("pz", "py", "px", "pny", "pnx", "pdata")
+    val children = up.chunks
+      .map(c => (c.cz / s, c.cy / s, c.cx / s, c.cz % s, c.cy % s, c.cx % s, c.nz, c.ny, c.nx, c.data))
+      .toDF("pz", "py", "px", "i", "j", "k", "nz", "ny", "nx", "data")
+    children.join(parents, Seq("pz", "py", "px"))
+      .select(col("i"), col("j"), col("k"), col("nz"), col("ny"), col("nx"),
+        col("data"), col("pny"), col("pnx"), col("pdata"))
+      .as[(Int, Int, Int, Int, Int, Int, Array[Byte], Int, Int, Array[Byte])]
+      .map { case (i, j, k, nz, ny, nx, data, pny, pnx, pdata) =>
+        var checked = 0L
+        var matched = 0L
+        var zc = 0
+        while (zc < nz) {
+          val sz = (i * nz + zc) / s
+          var yc = 0
+          while (yc < ny) {
+            val sy = (j * ny + yc) / s
+            var xc = 0
+            while (xc < nx) {
+              val sx = (k * nx + xc) / s
+              val ci = (zc * ny + yc) * nx + xc
+              val pi = (sz * pny + sy) * pnx + sx
+              checked += 1
+              var b = 0
+              var eq = true
+              while (b < bpp && eq) {
+                if (data(ci * bpp + b) != pdata(pi * bpp + b)) eq = false
+                b += 1
+              }
+              if (eq) matched += 1
+              xc += 1
+            }
+            yc += 1
+          }
+          zc += 1
+        }
+        (checked, matched)
+      }
+      .toDF("c", "m")
+      .agg(sum(col("c")).as("n_checked"), sum(col("m")).as("n_match"))
+  }
+
   /** Label histogram, chunk form (A-hist scale path): counts accumulate
     * inside each chunk's byte kernel (one map per chunk), then a partial+
     * final aggregate merges (label, n) pairs — the volume body never
