@@ -1,7 +1,6 @@
 package graft.sources
 
-import graft.volume.ChunkVolume
-import com.github.luben.zstd.Zstd
+import graft.volume.ChunkStore
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -17,10 +16,16 @@ import scala.jdk.CollectionConverters._
 /** DataSource V2 connector for the zarr-style chunk store (S4's idiomatic
   * end state per SURVEY §2.1): `spark.read.format("graftchunks")
   * .load(path)` exposes the store as a SQL-visible chunk table with
-  * `SupportsPushDownFilters` — predicates on the chunk-grid coordinates
-  * (cz/cy/cx) prune ENTIRE FILES from the scan using only their names
-  * (`cz.cy.cx`), zero I/O. One InputPartition per surviving chunk file, so
-  * a point lookup plans exactly one task reading exactly one file.
+  * `SupportsPushDownFilters` on two independent axes:
+  *
+  *  - chunk-grid COORDINATE predicates (cz/cy/cx) prune whole files from
+  *    their `cz.cy.cx` names — zero I/O at planning;
+  *  - label VALUE predicates (lmin/lmax, the per-chunk min/max stats in
+  *    the v2 header) prune by 64-byte header peeks — no decompression.
+  *
+  * One InputPartition per surviving file, so a point lookup plans exactly
+  * one task reading exactly one file, and a "chunks containing label X"
+  * query touches only value-candidate files.
   */
 class ChunkStoreSource extends TableProvider with DataSourceRegister {
 
@@ -54,21 +59,26 @@ object ChunkStoreSource {
     StructField("nz", IntegerType, nullable = false),
     StructField("ny", IntegerType, nullable = false),
     StructField("nx", IntegerType, nullable = false),
+    StructField("lmin", LongType, nullable = false),
+    StructField("lmax", LongType, nullable = false),
     StructField("data", BinaryType, nullable = false),
   ))
 
-  /** Can `coord` (one of cz/cy/cx, known per file with zero I/O) satisfy
-    * the filter? Unknown/unrelated filters keep the file (sound pruning).
+  val CoordCols: Set[String] = Set("cz", "cy", "cx")
+  val StatCols: Set[String] = Set("lmin", "lmax")
+
+  /** Can a file with these known column values satisfy the filter?
+    * Unknown/unrelated filter shapes keep the file (sound pruning).
     */
-  private[sources] def filterKeeps(f: Filter, coords: Map[String, Int]): Boolean = f match {
-    case EqualTo(a, v: Number) if coords.contains(a) => coords(a) == v.intValue()
-    case In(a, vs) if coords.contains(a) => vs.exists(v => v.asInstanceOf[Number].intValue() == coords(a))
-    case LessThan(a, v: Number) if coords.contains(a) => coords(a) < v.intValue()
-    case LessThanOrEqual(a, v: Number) if coords.contains(a) => coords(a) <= v.intValue()
-    case GreaterThan(a, v: Number) if coords.contains(a) => coords(a) > v.intValue()
-    case GreaterThanOrEqual(a, v: Number) if coords.contains(a) => coords(a) >= v.intValue()
-    case And(l, r) => filterKeeps(l, coords) && filterKeeps(r, coords)
-    case Or(l, r) => filterKeeps(l, coords) || filterKeeps(r, coords)
+  private[sources] def filterKeeps(f: Filter, known: Map[String, Long]): Boolean = f match {
+    case EqualTo(a, v: Number) if known.contains(a) => known(a) == v.longValue()
+    case In(a, vs) if known.contains(a) => vs.exists(v => v.asInstanceOf[Number].longValue() == known(a))
+    case LessThan(a, v: Number) if known.contains(a) => known(a) < v.longValue()
+    case LessThanOrEqual(a, v: Number) if known.contains(a) => known(a) <= v.longValue()
+    case GreaterThan(a, v: Number) if known.contains(a) => known(a) > v.longValue()
+    case GreaterThanOrEqual(a, v: Number) if known.contains(a) => known(a) >= v.longValue()
+    case And(l, r) => filterKeeps(l, known) && filterKeeps(r, known)
+    case Or(l, r) => filterKeeps(l, known) || filterKeeps(r, known)
     case _ => true
   }
 }
@@ -86,12 +96,10 @@ class ChunkStoreScanBuilder(path: String) extends ScanBuilder with SupportsPushD
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // we prune files with coordinate filters but cannot guarantee
-    // row-level exactness for every filter shape → keep all as residuals
-    pushed = filters.filter { f =>
-      def refs(f: Filter): Set[String] = f.references.toSet
-      refs(f).subsetOf(Set("cz", "cy", "cx"))
-    }
+    // prune files with coordinate/stat filters; row-level exactness is not
+    // guaranteed for every shape → all filters stay as residuals
+    val prunable = ChunkStoreSource.CoordCols ++ ChunkStoreSource.StatCols
+    pushed = filters.filter(_.references.toSet.subsetOf(prunable))
     filters
   }
 
@@ -106,13 +114,29 @@ class ChunkStoreScan(path: String, filters: Array[Filter]) extends Scan with Bat
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(path)
+    val needStats = filters.exists(_.references.toSet.intersect(ChunkStoreSource.StatCols).nonEmpty)
     Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
       .filter { name =>
-        val Array(cz, cy, cx) = name.split("\\.").map(_.toInt)
-        val coords = Map("cz" -> cz, "cy" -> cy, "cx" -> cx)
-        filters.forall(f => ChunkStoreSource.filterKeeps(f, coords))
+        val Array(cz, cy, cx) = name.split("\\.").map(_.toLong)
+        var known = Map("cz" -> cz, "cy" -> cy, "cx" -> cx)
+        if (needStats) {
+          // 64-byte header peek — still no payload decompression
+          val hdr = new Array[Byte](ChunkStore.HeaderBytes)
+          val in = Files.newInputStream(dir.resolve(name))
+          try {
+            var off = 0
+            while (off < hdr.length) {
+              val r = in.read(hdr, off, hdr.length - off)
+              require(r > 0, s"truncated header in $name")
+              off += r
+            }
+          } finally in.close()
+          val h = ChunkStore.readHeader(hdr)
+          known ++= Map("lmin" -> h.lmin, "lmax" -> h.lmax)
+        }
+        filters.forall(f => ChunkStoreSource.filterKeeps(f, known))
       }
       .map(name => ChunkFilePartition(dir.resolve(name).toString, name): InputPartition)
       .toArray
@@ -134,14 +158,12 @@ class ChunkFileReaderFactory extends PartitionReaderFactory {
         if (done) return false
         val Array(cz, cy, cx) = p.name.split("\\.").map(_.toInt)
         val bytes = Files.readAllBytes(Paths.get(p.file))
-        val buf = java.nio.ByteBuffer.wrap(bytes, 0, 44)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val z0 = buf.getLong; val y0 = buf.getLong; val x0 = buf.getLong
-        val nz = buf.getInt; val ny = buf.getInt; val nx = buf.getInt
-        val rawLen = buf.getInt
-        val data = new Array[Byte](rawLen)
-        Zstd.decompressByteArray(data, 0, rawLen, bytes, 44, bytes.length - 44)
-        row = new GenericInternalRow(Array[Any](cz, cy, cx, z0, y0, x0, nz, ny, nx, data))
+        val h = ChunkStore.readHeader(bytes)
+        val data = new Array[Byte](h.rawLen)
+        com.github.luben.zstd.Zstd.decompressByteArray(
+          data, 0, h.rawLen, bytes, ChunkStore.HeaderBytes, bytes.length - ChunkStore.HeaderBytes)
+        row = new GenericInternalRow(Array[Any](
+          cz, cy, cx, h.z0, h.y0, h.x0, h.nz, h.ny, h.nx, h.lmin, h.lmax, data))
         done = true
         true
       }

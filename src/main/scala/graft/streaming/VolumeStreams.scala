@@ -51,7 +51,7 @@ object VolumeStreams {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val vol = ChunkVolume(batch.as[Chunk], inputMeta)
-        ChunkStore.appendChunks(vol.upscale(s).chunks, outDir)
+        ChunkStore.appendChunks(vol.upscale(s).chunks, outDir, outMeta)
       }
       .start()
   }

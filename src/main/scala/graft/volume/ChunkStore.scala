@@ -1,8 +1,9 @@
 package graft.volume
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import com.github.luben.zstd.Zstd
 import java.nio.file.{Files, Paths}
+import java.nio.{ByteBuffer, ByteOrder}
 
 /** Zarr-style chunked directory store (K1/K2): one compressed file per
   * chunk at `path/cz.cy.cx`, written directly from executor tasks with
@@ -12,13 +13,29 @@ import java.nio.file.{Files, Paths}
   * (The parquet chunk table, [[ChunkVolume.write]], remains the
   * SQL-queryable interop format.)
   *
-  * Each chunk file: 40-byte little-endian header (z0 y0 x0 as i64,
-  * nz ny nx as i32, raw payload length as i32) + zstd-compressed payload.
+  * Chunk file layout (v2, 64-byte little-endian header + zstd payload):
+  * magic "GCS2"; z0 y0 x0 (i64); nz ny nx (i32); raw payload length (i32);
+  * label min/max (i64, widened) — a per-chunk VALUE index, so "which
+  * chunks contain label X" resolves from header peeks alone, no
+  * decompression (min > max marks stats-absent, e.g. float volumes).
   * Volume metadata travels in the usual JSON sidecar.
   */
 object ChunkStore {
 
-  private val HeaderBytes = 44
+  val Magic = 0x32534347 // "GCS2" little-endian
+  val HeaderBytes = 64
+
+  final case class Header(
+      z0: Long, y0: Long, x0: Long,
+      nz: Int, ny: Int, nx: Int,
+      rawLen: Int, lmin: Long, lmax: Long)
+
+  def readHeader(bytes: Array[Byte]): Header = {
+    val buf = ByteBuffer.wrap(bytes, 0, HeaderBytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt == Magic, "not a GCS2 chunk file")
+    Header(buf.getLong, buf.getLong, buf.getLong,
+      buf.getInt, buf.getInt, buf.getInt, buf.getInt, buf.getLong, buf.getLong)
+  }
 
   def write(vol: ChunkVolume, path: String, level: Int = 1,
       extraProvenance: Map[String, String] = Map.empty): Unit = {
@@ -28,7 +45,7 @@ object ChunkStore {
         .forEach(p => Files.delete(p))
     }
     Files.createDirectories(dir)
-    appendChunks(vol.chunks, path, level)
+    appendChunks(vol.chunks, path, vol.meta, level)
     ChunkVolume.writeSidecar(path, vol.meta, extraProvenance)
   }
 
@@ -37,9 +54,12 @@ object ChunkStore {
     * the streaming path; a chunk re-appearing overwrites its own file
     * (idempotent per chunk coordinate).
     */
-  def appendChunks(chunks: org.apache.spark.sql.Dataset[Chunk], path: String, level: Int = 1): Unit = {
+  def appendChunks(chunks: Dataset[Chunk], path: String, meta: VolumeMeta, level: Int = 1): Unit = {
     val pathStr = Paths.get(path).toAbsolutePath.toString
     Files.createDirectories(Paths.get(pathStr))
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    val integral = !meta.isFloating
     chunks.foreachPartition { (it: Iterator[Chunk]) =>
       // one reused compression buffer per task — multi-MB chunks would
       // otherwise churn 2 humongous allocations each through the GC
@@ -48,39 +68,98 @@ object ChunkStore {
         val bound = Zstd.compressBound(c.data.length.toLong).toInt
         if (dst == null || dst.length < bound) dst = new Array[Byte](bound)
         val n = Zstd.compressByteArray(dst, 0, dst.length, c.data, 0, c.data.length, level).toInt
-        val buf = java.nio.ByteBuffer.allocate(HeaderBytes)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        // per-chunk label stats (the value index); min>max = absent
+        var lmin = Long.MaxValue
+        var lmax = Long.MinValue
+        if (integral) {
+          val nElems = c.nz * c.ny * c.nx
+          var i = 0
+          while (i < nElems) {
+            val v = ChunkKernels.decodeLong(c.data, i, bpp, unsigned)
+            if (v < lmin) lmin = v
+            if (v > lmax) lmax = v
+            i += 1
+          }
+        } else { lmin = 1L; lmax = 0L }
+        val buf = ByteBuffer.allocate(HeaderBytes).order(ByteOrder.LITTLE_ENDIAN)
+        buf.putInt(Magic)
         buf.putLong(c.z0).putLong(c.y0).putLong(c.x0)
           .putInt(c.nz).putInt(c.ny).putInt(c.nx).putInt(c.data.length)
+          .putLong(lmin).putLong(lmax)
         val out = Files.newOutputStream(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"))
         try { out.write(buf.array()); out.write(dst, 0, n) } finally out.close()
       }
     }
   }
 
-  def read(spark: SparkSession, path: String): ChunkVolume = {
-    val meta = ChunkVolume.readSidecar(path)
-    val pathStr = Paths.get(path).toAbsolutePath.toString
-    val names = Files.list(Paths.get(pathStr)).toArray.map(_.toString)
+  private[volume] def chunkFileNames(pathStr: String): Seq[String] =
+    Files.list(Paths.get(pathStr)).toArray.map(_.toString)
       .map(p => Paths.get(p).getFileName.toString)
       .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
       .toSeq
+
+  private[volume] def decodeFile(pathStr: String, name: String): Chunk = {
+    val Array(cz, cy, cx) = name.split("\\.").map(_.toInt)
+    val bytes = Files.readAllBytes(Paths.get(pathStr, name))
+    val h = readHeader(bytes)
+    val data = new Array[Byte](h.rawLen)
+    Zstd.decompressByteArray(data, 0, h.rawLen, bytes, HeaderBytes, bytes.length - HeaderBytes)
+    Chunk(cz, cy, cx, h.z0, h.y0, h.x0, h.nz, h.ny, h.nx, data)
+  }
+
+  def read(spark: SparkSession, path: String): ChunkVolume = {
+    val meta = ChunkVolume.readSidecar(path)
+    val pathStr = Paths.get(path).toAbsolutePath.toString
+    val names = chunkFileNames(pathStr)
     import spark.implicits._
     val chunks = spark.createDataset(names).repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(decodeFile(pathStr, _)))
+    ChunkVolume(chunks, meta)
+  }
+
+  /** "Which chunks contain label X, and how often?" — candidates from
+    * 64-byte header peeks (no decompression), then only the candidate
+    * chunks decode for the exact count (the region-location query,
+    * value-indexed: lookup_test2.py's semantics over a whole store).
+    */
+  def findLabel(spark: SparkSession, path: String, label: Long): DataFrame = {
+    val meta = ChunkVolume.readSidecar(path)
+    require(!meta.isFloating, "findLabel requires an integral element type")
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    val pathStr = Paths.get(path).toAbsolutePath.toString
+    import spark.implicits._
+    val names = spark.createDataset(chunkFileNames(pathStr))
+      .repartition(spark.sparkContext.defaultParallelism)
+    names
       .mapPartitions { it =>
-        it.map { name =>
-          val Array(cz, cy, cx) = name.split("\\.").map(_.toInt)
-          val bytes = Files.readAllBytes(Paths.get(pathStr, name))
-          val buf = java.nio.ByteBuffer.wrap(bytes, 0, HeaderBytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val z0 = buf.getLong; val y0 = buf.getLong; val x0 = buf.getLong
-          val nz = buf.getInt; val ny = buf.getInt; val nx = buf.getInt
-          val rawLen = buf.getInt
-          val data = new Array[Byte](rawLen)
-          Zstd.decompressByteArray(data, 0, rawLen, bytes, HeaderBytes, bytes.length - HeaderBytes)
-          Chunk(cz, cy, cx, z0, y0, x0, nz, ny, nx, data)
+        val hdr = new Array[Byte](HeaderBytes)
+        it.filter { name =>
+          val in = Files.newInputStream(Paths.get(pathStr, name))
+          try {
+            var off = 0
+            while (off < HeaderBytes) {
+              val r = in.read(hdr, off, HeaderBytes - off)
+              require(r > 0, s"truncated header in $name")
+              off += r
+            }
+          } finally in.close()
+          val h = readHeader(hdr)
+          h.lmin <= label && label <= h.lmax
         }
       }
-    ChunkVolume(chunks, meta)
+      .mapPartitions(_.map { name =>
+        val c = decodeFile(pathStr, name)
+        val nElems = c.nz * c.ny * c.nx
+        var count = 0L
+        var i = 0
+        while (i < nElems) {
+          if (ChunkKernels.decodeLong(c.data, i, bpp, unsigned) == label) count += 1
+          i += 1
+        }
+        (c.cz, c.cy, c.cx, count)
+      })
+      .toDF("cz", "cy", "cx", "n_occurrences")
+      .filter(org.apache.spark.sql.functions.col("n_occurrences") > 0)
   }
 }

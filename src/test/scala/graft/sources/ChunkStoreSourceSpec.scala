@@ -24,7 +24,7 @@ class ChunkStoreSourceSpec extends AnyFunSuite with SparkSpec {
 
   test("format(graftchunks) reads the store as a SQL-visible chunk table") {
     val df = spark.read.format("graftchunks").load(storePath)
-    assert(df.columns.toSeq === Seq("cz", "cy", "cx", "z0", "y0", "x0", "nz", "ny", "nx", "data"))
+    assert(df.columns.toSeq === Seq("cz", "cy", "cx", "z0", "y0", "x0", "nz", "ny", "nx", "lmin", "lmax", "data"))
     assert(df.count() === vol.chunks.count())
     // contents round-trip exactly (compare decoded voxel sums per chunk)
     val viaDsv2 = df.select(sum(expr("cz*1000000 + cy*1000 + cx")), sum(length(col("data"))))
@@ -56,12 +56,34 @@ class ChunkStoreSourceSpec extends AnyFunSuite with SparkSpec {
 
   test("filterKeeps semantics: sound (keeps on unknown), exact on coords") {
     import org.apache.spark.sql.sources._
-    val c = Map("cz" -> 3, "cy" -> 1, "cx" -> 0)
+    val c = Map("cz" -> 3L, "cy" -> 1L, "cx" -> 0L)
     assert(ChunkStoreSource.filterKeeps(EqualTo("cz", 3), c))
     assert(!ChunkStoreSource.filterKeeps(EqualTo("cz", 4), c))
     assert(ChunkStoreSource.filterKeeps(And(GreaterThanOrEqual("cz", 2), LessThan("cy", 2)), c))
     assert(!ChunkStoreSource.filterKeeps(Or(EqualTo("cz", 9), EqualTo("cx", 5)), c))
     assert(ChunkStoreSource.filterKeeps(EqualTo("z0", 99L), c)) // unknown column: keep
     assert(ChunkStoreSource.filterKeeps(IsNotNull("cz"), c)) // unknown shape: keep
+  }
+
+  test("label-value pruning: lmin/lmax filters plan only candidate files (header peek)") {
+    val df = spark.read.format("graftchunks").load(storePath)
+    // labels are id % 31 over a dense grid: every chunk spans most labels,
+    // but label 30 at z-slab granularity is absent from some chunks
+    val hot = df.filter(col("lmin") <= 0L && col("lmax") >= 0L)
+    assert(hot.rdd.getNumPartitions <= vol.chunks.count())
+    // a label beyond the max prunes EVERYTHING at plan time
+    val none = df.filter(col("lmin") <= 99L && col("lmax") >= 99L)
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0)
+  }
+
+  test("findLabel: header-peek candidates, exact counts, absent labels empty") {
+    val found = graft.volume.ChunkStore.findLabel(spark, storePath, 7L)
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    // ground truth from the decoded volume
+    val truth = vol.toVoxels.filter(col("label") === 7L).count()
+    assert(found.values.sum === truth)
+    assert(found.nonEmpty)
+    assert(graft.volume.ChunkStore.findLabel(spark, storePath, 99L).count() === 0)
   }
 }
