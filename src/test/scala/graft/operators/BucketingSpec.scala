@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Co-located joins via bucketing: both fact tables bucketed on the join
+  * key at write time ⇒ the join plans WITHOUT a shuffle exchange — the
+  * storage-layout lever for repeated fact-fact joins at 100 TB (vs paying
+  * the orderkey shuffle on every query, as q2 does on plain parquet).
+  */
+class BucketingSpec extends AnyFunSuite with SparkSpec {
+
+  test("bucketed fact-fact join plans with zero shuffle exchanges") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not shuffle either side: the only exchange
+      // in the plan is the one for the groupBy on o_custkey
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+      assert(exchanges.size === 1, s"expected only the aggregation exchange, got:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+
+      // and it computes the same result as the plain-parquet join
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("l_quantity")).as("qty"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val got = joined.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got === expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
