@@ -212,7 +212,7 @@ object Dedup {
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_raw").as("jaccard"))
   }
 
   /** Exact token-set Jaccard ≥ threshold via PREFIX-FILTERED candidate
@@ -257,7 +257,7 @@ object Dedup {
       .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_raw").as("jaccard"))
   }
 
   /** Embedding near-duplicate pairs via the LSH scale path: candidates are

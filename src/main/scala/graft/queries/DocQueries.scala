@@ -136,7 +136,7 @@ object DocQueries {
           WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
-        SELECT doc_a, doc_b, ROUND(c / (na.n + nb.n - c), 4) AS jaccard
+        SELECT doc_a, doc_b, c / (na.n + nb.n - c) AS jaccard
         FROM inter
           JOIN sizes na ON inter.doc_a = na.doc_id
           JOIN sizes nb ON inter.doc_b = nb.doc_id
@@ -171,7 +171,7 @@ object DocQueries {
           FROM sh a JOIN sh b ON a.source = b.source AND a.term = b.term
           WHERE a.doc_id < b.doc_id GROUP BY 1, 2
         )
-        SELECT doc_a, doc_b, ROUND(c / (na.n + nb.n - c), 4) AS jaccard
+        SELECT doc_a, doc_b, c / (na.n + nb.n - c) AS jaccard
         FROM inter
           JOIN sizes na ON inter.doc_a = na.doc_id
           JOIN sizes nb ON inter.doc_b = nb.doc_id
@@ -190,8 +190,8 @@ object DocQueries {
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
                len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-               ROUND((length(text) - (len(string_split(text, ' ')) - 1))
-                     / len(string_split(text, ' ')), 4) AS avg_token_len,
+               (length(text) - (len(string_split(text, ' ')) - 1))
+                     / len(string_split(text, ' ')) AS avg_token_len,
                len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens
         FROM documents ORDER BY doc_id
       """),
@@ -204,14 +204,16 @@ object DocQueries {
           .select(col("doc_id"), col("n_tokens"), col("n_stopwords"), col("quality_score"))
           .orderBy(col("doc_id")),
       Some("""
-        SELECT doc_id,
-               len(string_split(text, ' ')) AS n_tokens,
-               len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stopwords,
-               ROUND(0.5 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
-                   + 0.3 * (least(len(string_split(text, ' ')), 100) / 100.0)
-                   + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
-                            / len(string_split(text, ' '))), 4) AS quality_score
-        FROM documents ORDER BY doc_id
+        WITH c AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n,
+                 len(list_distinct(string_split(text, ' '))) AS d,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS st
+          FROM documents
+        )
+        SELECT doc_id, n AS n_tokens, st AS n_stopwords,
+               (5000 * d + 30 * LEAST(n, 100) * n + 2000 * st) / (n * 10000.0) AS quality_score
+        FROM c ORDER BY doc_id
       """),
     ),
     // ------------------------------------------------------- language ID
@@ -400,28 +402,33 @@ object DocQueries {
         val scored = TextAnalysis.withQuality(docs).filter(col("quality_score") >= 0.5)
         val keep = Dedup.exactGroups(scored).select(col("keep_id").as("doc_id"))
         scored.join(keep, Seq("doc_id"), "left_semi")
+          // per-doc micro-units of the (deterministic) score make the group
+          // average order-independent: exact int64 sum, one final division
+          .withColumn("q_micro", round(col("quality_score") * 1000000L).cast("bigint"))
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("total_tokens"),
-            round(avg(col("quality_score")), 4).as("avg_quality"),
+            (sum(col("q_micro")) / (count(lit(1)) * 1000000.0)).as("avg_quality"),
           )
           .orderBy(col("lang"))
       },
       Some(s"""
         WITH scored AS (
-          SELECT doc_id, lang,
-                 len(string_split(text, ' ')) AS n_tokens,
-                 ROUND(0.5 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
-                     + 0.3 * (least(len(string_split(text, ' ')), 100) / 100.0)
-                     + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
-                              / len(string_split(text, ' '))), 4) AS quality_score,
-                 text
-          FROM $dupCorpusSql
+          SELECT doc_id, lang, n AS n_tokens, text,
+                 (5000 * d + 30 * LEAST(n, 100) * n + 2000 * st) / (n * 10000.0) AS quality_score
+          FROM (
+            SELECT doc_id, lang, text,
+                   len(string_split(text, ' ')) AS n,
+                   len(list_distinct(string_split(text, ' '))) AS d,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS st
+            FROM $dupCorpusSql
+          )
         ), q AS (SELECT * FROM scored WHERE quality_score >= 0.5),
         keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text))
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-               ROUND(AVG(quality_score), 4) AS avg_quality
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               SUM(CAST(ROUND(quality_score * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0) AS avg_quality
         FROM q WHERE doc_id IN (SELECT doc_id FROM keep)
         GROUP BY lang ORDER BY lang
       """),
@@ -437,14 +444,14 @@ object DocQueries {
             col("event_type"),
             unix_timestamp(col("window.start")).as("hour_s"),
             col("n_events"),
-            round(col("total_value"), 2).as("total_value"),
+            (col("value_c") / 100.0).as("total_value"),
           )
           .orderBy(col("event_type"), col("hour_s")),
       Some("""
         SELECT event_type,
                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS total_value
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
         FROM events GROUP BY 1, 2 ORDER BY event_type, hour_s
       """),
     ),

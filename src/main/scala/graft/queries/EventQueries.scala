@@ -33,7 +33,8 @@ object EventQueries {
           )
           .agg(
             count(lit(1)).as("n_events"),
-            round(sum($"value"), 2).as("total_value"),
+            // exact cents sum (order-independent; see graft.queries.Fx)
+            Fx.sum2($"value").as("total_value"),
             countDistinct($"user_id").as("n_users"),
           )
           .orderBy($"event_type", $"hour_s")
@@ -42,7 +43,7 @@ object EventQueries {
         SELECT event_type,
                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS total_value,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY event_type, hour_s
       """),
@@ -66,7 +67,7 @@ object EventQueries {
           .agg(
             count(lit(1)).as("n_events"),
             expr("min(ts_ns) div 1000000000").as("start_s"),
-            round(sum($"value"), 2).as("sess_value"),
+            Fx.sum2($"value").as("sess_value"),
           )
           .orderBy($"user_id", $"session_id")
       },
@@ -86,7 +87,7 @@ object EventQueries {
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
                CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
-               ROUND(SUM(value), 2) AS sess_value
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sess_value
         FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id
       """),
     ),
@@ -101,16 +102,21 @@ object EventQueries {
           .groupBy($"event_type")
           .agg(
             count(lit(1)).as("n_events"),
-            round(avg($"k"), 4).as("avg_k"),
+            // exact int sum / count: deterministic double, no ROUND(x, d)
+            (sum($"k").cast("double") / count($"k")).as("avg_k"),
             max($"k").as("max_k"),
           )
           .orderBy($"event_type")
       },
       Some("""
+        WITH e AS (
+          SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+          FROM events
+        )
         SELECT event_type, COUNT(*) AS n_events,
-               ROUND(AVG(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 4) AS avg_k,
-               MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
-        FROM events GROUP BY event_type ORDER BY event_type
+               CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+               MAX(k) AS max_k
+        FROM e GROUP BY event_type ORDER BY event_type
       """),
     ),
     // As-of join: for every event, the user's most recent purchase at or
@@ -141,7 +147,7 @@ object EventQueries {
           FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         )
         SELECT event_type, COUNT(*) AS n_events, COUNT(pts) AS n_matched,
-               COALESCE(SUM((ets - pts) // 1000000000), 0) AS sum_lag_s
+               CAST(COALESCE(SUM((ets - pts) // 1000000000), 0) AS BIGINT) AS sum_lag_s
         FROM j GROUP BY 1 ORDER BY event_type
       """),
     ),
@@ -157,7 +163,7 @@ object EventQueries {
             countDistinct($"event_type").as("n_types"),
             expr("min(ts_ns) div 1000000000").as("first_s"),
             expr("max(ts_ns) div 1000000000").as("last_s"),
-            round(sum(when($"event_type" === "purchase", $"value").otherwise(0.0)), 2).as("purchase_value"),
+            Fx.sum2(when($"event_type" === "purchase", $"value").otherwise(0.0)).as("purchase_value"),
           )
           .orderBy($"user_id")
       },
@@ -166,7 +172,7 @@ object EventQueries {
                COUNT(DISTINCT event_type) AS n_types,
                CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_s,
                CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_s,
-               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+               SUM(CAST(ROUND(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END * 100) AS BIGINT)) / 100.0 AS purchase_value
         FROM events GROUP BY user_id ORDER BY user_id
       """),
     ),

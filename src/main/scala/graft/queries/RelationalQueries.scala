@@ -31,27 +31,40 @@ object RelationalQueries {
         T(s, d, "lineitem")
           .filter($"l_shipdate" <= lit("2000-01-01").cast("timestamp"))
           .groupBy($"l_returnflag", $"l_linestatus")
+          // Fixed-point (Fx) aggregation: exact int64 cents sums so the
+          // result is independent of partial-agg merge order AND of
+          // cross-engine ROUND(x, d) divergence — see Fx scaladoc.
           .agg(
-            round(sum($"l_quantity"), 2).as("sum_qty"),
-            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-            round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
-            round(avg($"l_quantity"), 4).as("avg_qty"),
-            round(avg($"l_extendedprice"), 4).as("avg_price"),
-            round(avg($"l_discount"), 4).as("avg_disc"),
+            sum(Fx.units($"l_quantity", 2)).as("qty_c"),
+            sum(Fx.units($"l_extendedprice", 2)).as("base_c"),
+            sum(Fx.units($"l_extendedprice" * (lit(1) - $"l_discount"), 2)).as("disc_c"),
+            sum(Fx.units($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 2)).as("charge_c"),
+            sum(Fx.units($"l_discount", 4)).as("disc4_c"),
             count(lit(1)).as("count_order"),
+          )
+          .select(
+            $"l_returnflag",
+            $"l_linestatus",
+            ($"qty_c" / 100.0).as("sum_qty"),
+            ($"base_c" / 100.0).as("sum_base_price"),
+            ($"disc_c" / 100.0).as("sum_disc_price"),
+            ($"charge_c" / 100.0).as("sum_charge"),
+            ($"qty_c" / ($"count_order" * 100.0)).as("avg_qty"),
+            ($"base_c" / ($"count_order" * 100.0)).as("avg_price"),
+            ($"disc4_c" / ($"count_order" * 10000.0)).as("avg_disc"),
+            $"count_order",
           )
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0 AS sum_charge,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_price,
+               SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) / (COUNT(*) * 10000.0) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-01-01'
@@ -70,12 +83,13 @@ object RelationalQueries {
         val o = T(s, d, "orders")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .groupBy($"o_custkey")
-          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+          .agg(Fx.sum2($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
           .orderBy($"revenue".desc, $"o_custkey")
           .limit(10)
       },
       Some("""
-        SELECT o_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT o_custkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_custkey
         ORDER BY revenue DESC, o_custkey
@@ -97,14 +111,14 @@ object RelationalQueries {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy($"n_name", year($"o_orderdate").cast("bigint").as("o_year"))
           .agg(
-            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+            Fx.sum2($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
             countDistinct($"o_orderkey").as("n_orders"),
           )
           .orderBy($"n_name", $"o_year")
       },
       Some("""
         SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
                COUNT(DISTINCT o_orderkey) AS n_orders
         FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
@@ -184,25 +198,25 @@ object RelationalQueries {
         import s.implicits._
         val daily = T(s, d, "orders")
           .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
-          .agg(sum($"o_totalprice").as("daily_raw"))
+          .agg(sum(Fx.units($"o_totalprice", 2)).as("daily_c"))
         val w = Window.orderBy($"order_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
         daily
           .select(
             $"order_date",
-            round($"daily_raw", 2).as("daily_total"),
-            round(sum($"daily_raw").over(w), 2).as("running_total"),
+            ($"daily_c" / 100.0).as("daily_total"),
+            (sum($"daily_c").over(w) / 100.0).as("running_total"),
           )
           .orderBy($"order_date")
       },
       Some("""
         WITH daily AS (
           SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-                 SUM(o_totalprice) AS daily_raw
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS daily_c
           FROM orders GROUP BY 1
         )
-        SELECT order_date, ROUND(daily_raw, 2) AS daily_total,
-               ROUND(SUM(daily_raw) OVER (ORDER BY order_date
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        SELECT order_date, daily_c / 100.0 AS daily_total,
+               SUM(daily_c) OVER (ORDER BY order_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
         FROM daily ORDER BY order_date
       """),
     ),
@@ -244,9 +258,11 @@ object RelationalQueries {
           .agg(
             countDistinct($"c_nationkey").as("n_nations"),
             count(lit(1)).as("n_customers"),
-            round(avg($"c_acctbal"), 4).as("avg_acctbal"),
-            round(min($"c_acctbal"), 2).as("min_acctbal"),
-            round(max($"c_acctbal"), 2).as("max_acctbal"),
+            Fx.avg($"c_acctbal", 2).as("avg_acctbal"),
+            // min/max of the raw doubles are already order-independent and
+            // cross-engine identical — no rounding needed or wanted.
+            min($"c_acctbal").as("min_acctbal"),
+            max($"c_acctbal").as("max_acctbal"),
           )
           .orderBy($"c_mktsegment")
       },
@@ -254,9 +270,9 @@ object RelationalQueries {
         SELECT c_mktsegment,
                COUNT(DISTINCT c_nationkey) AS n_nations,
                COUNT(*) AS n_customers,
-               ROUND(AVG(c_acctbal), 4) AS avg_acctbal,
-               ROUND(MIN(c_acctbal), 2) AS min_acctbal,
-               ROUND(MAX(c_acctbal), 2) AS max_acctbal
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / (COUNT(c_acctbal) * 100.0) AS avg_acctbal,
+               MIN(c_acctbal) AS min_acctbal,
+               MAX(c_acctbal) AS max_acctbal
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
       """),
     ),
@@ -268,12 +284,12 @@ object RelationalQueries {
         import s.implicits._
         T(s, d, "orders")
           .rollup($"o_orderstatus", $"o_orderpriority")
-          .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_price"))
+          .agg(count(lit(1)).as("n_orders"), Fx.sum2($"o_totalprice").as("total_price"))
           .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
       },
       Some("""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """),
@@ -286,12 +302,12 @@ object RelationalQueries {
         import s.implicits._
         T(s, d, "orders")
           .cube($"o_orderstatus", $"o_orderpriority")
-          .agg(count(lit(1)).as("n_orders"), round(avg($"o_totalprice"), 2).as("avg_price"))
+          .agg(count(lit(1)).as("n_orders"), Fx.avg($"o_totalprice", 2).as("avg_price"))
           .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
       },
       Some("""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               ROUND(AVG(o_totalprice), 2) AS avg_price
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / (COUNT(o_totalprice) * 100.0) AS avg_price
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """),
@@ -310,17 +326,18 @@ object RelationalQueries {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy($"n_name")
           .agg(
-            round(sum(urgent), 2).as("urgent_total"),
-            round(sum(urgent) / sum($"o_totalprice"), 6).as("urgent_share"),
+            Fx.sum2(urgent).as("urgent_total"),
+            // ratio of two exact cents sums: deterministic double division
+            (sum(Fx.units(urgent, 2)) / sum(Fx.units($"o_totalprice", 2))).as("urgent_share"),
             count(lit(1)).as("n_orders"),
           )
           .orderBy($"n_name")
       },
       Some("""
         SELECT n_name,
-               ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total,
-               ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END)
-                     / SUM(o_totalprice), 6) AS urgent_share,
+               SUM(CAST(ROUND(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END * 100) AS BIGINT)) / 100.0 AS urgent_total,
+               SUM(CAST(ROUND(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END * 100) AS BIGINT))
+                     / SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS urgent_share,
                COUNT(*) AS n_orders
         FROM orders
           JOIN customer ON o_custkey = c_custkey
@@ -339,16 +356,16 @@ object RelationalQueries {
           .groupBy(upper(element_at(split($"p_type", " "), 1)).as("type_head"))
           .agg(
             count(lit(1)).as("n_parts"),
-            round(min($"p_retailprice"), 2).as("min_price"),
-            round(max($"p_retailprice"), 2).as("max_price"),
+            min($"p_retailprice").as("min_price"),
+            max($"p_retailprice").as("max_price"),
           )
           .orderBy($"type_head")
       },
       Some("""
         SELECT UPPER(string_split(p_type, ' ')[1]) AS type_head,
                COUNT(*) AS n_parts,
-               ROUND(MIN(p_retailprice), 2) AS min_price,
-               ROUND(MAX(p_retailprice), 2) AS max_price
+               MIN(p_retailprice) AS min_price,
+               MAX(p_retailprice) AS max_price
         FROM part WHERE p_name LIKE '%a%'
         GROUP BY 1 ORDER BY type_head
       """),
@@ -364,13 +381,14 @@ object RelationalQueries {
             year($"o_orderdate").cast("bigint").as("o_year"),
             month($"o_orderdate").cast("bigint").as("o_month"),
           )
-          .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_price"))
+          .agg(count(lit(1)).as("n_orders"), Fx.sum2($"o_totalprice").as("total_price"))
           .orderBy($"o_year", $"o_month")
       },
       Some("""
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                CAST(month(o_orderdate) AS BIGINT) AS o_month,
-               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
         FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month
       """),
     ),
@@ -383,7 +401,7 @@ object RelationalQueries {
         val li = T(s, d, "lineitem")
         val sup = T(s, d, "supplier")
         li.groupBy($"l_suppkey")
-          .agg(round(sum($"l_quantity"), 2).as("total_qty"), count(lit(1)).as("n_lines"))
+          .agg(Fx.sum2($"l_quantity").as("total_qty"), count(lit(1)).as("n_lines"))
           .filter($"total_qty" > 1000)
           .join(broadcast(sup), $"l_suppkey" === sup("s_suppkey"))
           .select($"s_suppkey", $"s_name", $"total_qty", $"n_lines")
@@ -391,8 +409,11 @@ object RelationalQueries {
       },
       Some("""
         SELECT s_suppkey, s_name, total_qty, n_lines FROM (
-          SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS total_qty, COUNT(*) AS n_lines
-          FROM lineitem GROUP BY l_suppkey HAVING ROUND(SUM(l_quantity), 2) > 1000
+          SELECT l_suppkey,
+                 SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty,
+                 COUNT(*) AS n_lines
+          FROM lineitem GROUP BY l_suppkey
+          HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 > 1000
         ) JOIN supplier ON l_suppkey = s_suppkey
         ORDER BY s_suppkey
       """),
@@ -413,13 +434,14 @@ object RelationalQueries {
         T(s, d, "orders")
           .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
           .groupBy($"band")
-          .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_price"))
+          .agg(count(lit(1)).as("n_orders"), Fx.sum2($"o_totalprice").as("total_price"))
           .orderBy($"band")
       },
       Some("""
         WITH bands(band, lo, hi) AS (VALUES
           ('small', 0.0, 50000.0), ('mid', 50000.0, 150000.0), ('big', 150000.0, 1e18))
-        SELECT band, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+        SELECT band, COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
         FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band ORDER BY band
       """),
@@ -444,7 +466,7 @@ object RelationalQueries {
             $"p_partkey",
             $"p_brand",
             $"p_retailprice",
-            round($"sum_c" / ($"cnt" * lit(100.0)), 4).as("brand_avg"),
+            ($"sum_c" / ($"cnt" * lit(100.0))).as("brand_avg"),
           )
           .orderBy($"p_partkey")
       },
@@ -459,7 +481,7 @@ object RelationalQueries {
           FROM c
         )
         SELECT p_partkey, p_brand, p_retailprice,
-               ROUND(sum_c / (cnt * 100.0), 4) AS brand_avg
+               sum_c / (cnt * 100.0) AS brand_avg
         FROM a WHERE cents * cnt > sum_c
         ORDER BY p_partkey
       """),
@@ -481,14 +503,14 @@ object RelationalQueries {
           .groupBy($"r_name")
           .agg(
             count(lit(1)).as("n_orders"),
-            round(sum($"o_totalprice"), 2).as("total_price"),
+            Fx.sum2($"o_totalprice").as("total_price"),
             countDistinct($"o_custkey").as("n_customers"),
           )
           .orderBy($"r_name")
       },
       Some("""
         SELECT r_name, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
                COUNT(DISTINCT o_custkey) AS n_customers
         FROM orders
           JOIN customer ON o_custkey = c_custkey

@@ -136,7 +136,7 @@ object VolumeQueries {
           FROM vox v, range(2) dz, range(2) dy, range(2) dx
         )
         SELECT COUNT(*) AS n_checked,
-               SUM(CASE WHEN o.label = u.label THEN 1 ELSE 0 END) AS n_match
+               CAST(SUM(CASE WHEN o.label = u.label THEN 1 ELSE 0 END) AS BIGINT) AS n_match
         FROM vox o JOIN up u ON u.z = 2 * o.z AND u.y = 2 * o.y AND u.x = 2 * o.x
       """),
     ),

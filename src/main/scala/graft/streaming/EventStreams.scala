@@ -23,6 +23,10 @@ object EventStreams {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"),
+        // exact cents twin of total_value: order-independent int64 sum so
+        // batch replays hash-match the oracle (graft.queries.Fx rationale);
+        // streaming-legal (plain sum over a per-row projection).
+        sum(round(col("value") * 100).cast("bigint")).as("value_c"),
         approx_count_distinct(col("user_id")).as("approx_users"),
       )
 

@@ -31,15 +31,24 @@ object TextAnalysis {
       .withColumn("n_tokens", size(t).cast("bigint"))
       .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("bigint"))
       .withColumn(
+        // exact int/int double division — deterministic and cross-engine
+        // identical; ROUND(x, 4) is NOT (see graft.queries.Fx scaladoc)
         "avg_token_len",
-        round((length(col(textCol)) - (col("n_tokens") - 1)) / col("n_tokens"), 4),
+        (length(col(textCol)) - (col("n_tokens") - 1)) / col("n_tokens"),
       )
       .withColumn("bpe_tokens", bpeTokenCount(col(textCol)))
   }
 
   /** Heuristic quality score in [0,1]: lexical diversity + length band +
     * stopword presence, the standard cheap pre-filters for LLM corpora.
-    * Deterministic arithmetic only (oracle-matchable).
+    *
+    * score = 0.5·distinct/n + 0.3·min(n,100)/100 + 0.2·stop/n, evaluated
+    * as ONE exact integer numerator over one double division:
+    *   (5000·distinct + 30·min(n,100)·n + 2000·stop) / (n · 10000)
+    * — algebraically identical, but deterministic and bit-identical
+    * cross-engine (the sum-of-three-fractions form rounded to 4 decimals
+    * sat exactly on half boundaries and flipped between engines; see
+    * graft.queries.Fx scaladoc).
     */
   def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))
@@ -50,12 +59,10 @@ object TextAnalysis {
       .withColumn("n_stopwords", size(filter(t, w => array_contains(stopArr, w))).cast("bigint"))
       .withColumn(
         "quality_score",
-        round(
-          lit(0.5) * (col("n_distinct_tokens") / col("n_tokens"))
-            + lit(0.3) * (least(col("n_tokens"), lit(100L)) / lit(100.0))
-            + lit(0.2) * (col("n_stopwords") / col("n_tokens")),
-          4,
-        ),
+        (lit(5000L) * col("n_distinct_tokens")
+          + lit(30L) * least(col("n_tokens"), lit(100L)) * col("n_tokens")
+          + lit(2000L) * col("n_stopwords"))
+          / (col("n_tokens") * lit(10000.0)),
       )
   }
 
