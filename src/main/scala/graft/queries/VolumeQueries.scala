@@ -250,6 +250,25 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // S4/K2 true-interop form: grid → spec-compliant zarr v2 directory
+    // (zlib codec, `.zarray`/`.zattrs`, padded edge chunks — the
+    // reference's actual on-disk format, upscale_streaming.py:124) →
+    // `format("zarr")` DSv2 scan → decode → must equal the grid.
+    Q(
+      "vol_zarr_roundtrip",
+      (s, _) => {
+        import graft.volume.{Chunk, ChunkVolume => CV, ZarrStore}
+        val store = java.nio.file.Files.createTempDirectory("graft_zarr").toString + "/vol.zarr"
+        ZarrStore.write(chunked(s), store, ZarrStore.Zlib(5))
+        val (_, meta) = ZarrStore.readMeta(store)
+        import s.implicits._
+        val df = s.read.format("zarr").load(store)
+        CV(df.as[Chunk], meta).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
     // K5/S5: BigTIFF slice export (one page per z) and scan back.
     Q(
       "vol_bigtiff_roundtrip",

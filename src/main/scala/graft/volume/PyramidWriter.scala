@@ -45,18 +45,37 @@ object PyramidWriter {
        |""".stripMargin
   }
 
-  /** Write `levels` pyramid levels of `vol` under `path/0`, `path/1`, …
-    * (the OME-Zarr group layout), then the multiscales attrs (`.zattrs`)
-    * and provenance sidecar. Levels execute sequentially, each a
-    * chunk-local decimation of the previous — same lifecycle as the
-    * reference's per-level `da.store` loop. Each level is a zstd
-    * ChunkStore (the DirectoryStore analog).
+  /** Write `levels` pyramid levels of `vol` as a REAL OME-Zarr v2 group:
+    * `.zgroup` + `multiscales` group attrs (`.zattrs`), levels as
+    * spec-compliant zarr arrays under `path/0`, `path/1`, … — the layout
+    * `zarr.open_group` / napari / dask read directly
+    * (upscale_streaming_enhance.py:190–255). Levels execute sequentially,
+    * each a chunk-local decimation of the previous — same lifecycle as the
+    * reference's per-level `da.store` loop.
     */
-  def write(vol: ChunkVolume, levels: Int, path: String, upscaleFactor: Int = 1): Unit = {
+  def write(vol: ChunkVolume, levels: Int, path: String, upscaleFactor: Int = 1,
+      codec: ZarrStore.Codec = ZarrStore.ZstdCodec()): Unit = {
     val pyr = vol.pyramid(levels)
-    Files.createDirectories(Paths.get(path))
+    val dir = Paths.get(path)
+    if (Files.exists(dir)) { // overwrite semantics like the reference's rmtree
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(".zgroup"), "{\n    \"zarr_format\": 2\n}")
+    // one chunk tuple for every level (reference: create_dataset(...,
+    // chunks=chunks) per level): decimation halves per-chunk extents on
+    // the global lattice (non-uniform grid), so re-block each level to the
+    // base chunk shape clamped to its dims — zarr requires uniform chunks.
+    val (bz, by, bx) = (vol.meta.chunkZ, vol.meta.chunkY, vol.meta.chunkX)
     pyr.zipWithIndex.foreach { case (level, i) =>
-      ChunkStore.write(level, s"$path/$i")
+      val uniform =
+        if (i == 0) level
+        else level.rechunk(
+          math.min(bz.toLong, level.meta.dimZ).toInt,
+          math.min(by.toLong, level.meta.dimY).toInt,
+          math.min(bx.toLong, level.meta.dimX).toInt)
+      ZarrStore.write(uniform, s"$path/$i", codec)
     }
     Files.writeString(Paths.get(path, ".zattrs"), multiscalesJson(vol.meta, upscaleFactor, levels))
     ChunkVolume.writeSidecar(path, vol.meta, Map(
@@ -66,5 +85,5 @@ object PyramidWriter {
 
   /** Read back one pyramid level written by [[write]]. */
   def readLevel(spark: org.apache.spark.sql.SparkSession, path: String, level: Int): ChunkVolume =
-    ChunkStore.read(spark, s"$path/$level")
+    ZarrStore.read(spark, s"$path/$level")
 }

@@ -1,0 +1,150 @@
+package graft.volume
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Spec-compliance and round-trip tests for the zarr v2 DirectoryStore
+  * (the reference's on-disk format: upscale_streaming.py:103–127).
+  */
+class ZarrStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private val (dz, dy, dx) = (7L, 6L, 5L)
+
+  // deterministic voxels, deliberately non-aligned (3,4,2) chunk grid so
+  // every axis has a padded edge chunk
+  private lazy val vox = {
+    val s = spark
+    s.range(dz * dy * dx).selectExpr(
+      s"id div ${dy * dx} as z",
+      s"(id div $dx) % $dy as y",
+      s"id % $dx as x",
+      s"(id * 7) % 250 as label")
+  }
+  private lazy val vol = ChunkVolume.fromVoxels(vox, dz, dy, dx, 3, 4, 2)
+
+  private def collectVox(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.select("z", "y", "x", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+
+  test(".zarray metadata is byte-level zarr v2 for uint32") {
+    val dir = Files.createTempDirectory("zarr").toString + "/a.zarr"
+    ZarrStore.write(vol, dir, ZarrStore.Zlib(5))
+    val zarray = Files.readString(Paths.get(dir, ".zarray"))
+    // golden: every REQUIRED zarr v2 array-metadata key, exact values
+    assert(zarray ===
+      """{
+        |    "zarr_format": 2,
+        |    "shape": [7, 6, 5],
+        |    "chunks": [3, 4, 2],
+        |    "dtype": "<u4",
+        |    "compressor": {"id": "zlib", "level": 5},
+        |    "fill_value": 0,
+        |    "order": "C",
+        |    "filters": null,
+        |    "dimension_separator": "."
+        |}""".stripMargin)
+    // chunk files named z.y.x over the full ceil-div grid
+    val names = Files.list(Paths.get(dir)).toArray.map(_.toString.split("/").last).toSet
+    assert(names.contains("0.0.0") && names.contains("2.1.2"))
+    assert(names.count(_.matches("\\d+\\.\\d+\\.\\d+")) === 3 * 2 * 3)
+    // every chunk file decompresses to the FULL chunk shape (edge padded)
+    val full = 3 * 4 * 2 * 4
+    for (n <- names if n.matches("\\d+\\.\\d+\\.\\d+")) {
+      val raw = ZarrStore.Zlib(5).decompress(Files.readAllBytes(Paths.get(dir, n)), full)
+      assert(raw.length === full, s"chunk $n not padded to full shape")
+    }
+  }
+
+  test("parseZarray: spec fields, defaults, and unsupported-codec guard") {
+    val m = ZarrStore.parseZarray(
+      """{"zarr_format": 2, "shape": [10, 20, 30], "chunks": [5, 5, 5],
+         "dtype": ">u2", "compressor": null, "fill_value": 7, "order": "C",
+         "filters": null}""")
+    assert(m.shape === Seq(10L, 20L, 30L))
+    assert(m.chunks === Seq(5, 5, 5))
+    assert(m.bigEndian && m.bpp === 2 && m.elementType === "MET_USHORT")
+    assert(m.codec === ZarrStore.Raw && m.fillValue === 7L)
+    assert(m.dimSeparator === ".") // spec default when absent
+    val e = intercept[IllegalArgumentException] {
+      ZarrStore.parseZarray(
+        """{"zarr_format": 2, "shape": [1,1,1], "chunks": [1,1,1], "dtype": "<u4",
+           "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 2},
+           "fill_value": 0, "order": "C", "filters": null}""")
+    }
+    assert(e.getMessage.contains("blosc"))
+  }
+
+  test("round-trip through raw, zlib, and zstd codecs preserves every voxel") {
+    val expect = collectVox(vox)
+    for (codec <- Seq(ZarrStore.Raw, ZarrStore.Zlib(5), ZarrStore.ZstdCodec(3))) {
+      val dir = Files.createTempDirectory("zarr").toString + "/c.zarr"
+      ZarrStore.write(vol, dir, codec)
+      val back = ZarrStore.read(spark, dir)
+      assert(back.meta.dimZ === dz && back.meta.chunkZ === 3)
+      assert(back.meta.elementType === "MET_UINT")
+      assert(collectVox(back.toVoxels) === expect, s"codec $codec")
+    }
+  }
+
+  test("absent chunk file decodes as fill_value per the spec") {
+    val dir = Files.createTempDirectory("zarr").toString + "/m.zarr"
+    ZarrStore.write(vol, dir, ZarrStore.Zlib(5))
+    Files.delete(Paths.get(dir, "0.0.0"))
+    val backMap = collectVox(ZarrStore.read(spark, dir).toVoxels)
+      .map { case (z, y, x, l) => (z, y, x) -> l }.toMap
+    for (((z, y, x, l)) <- collectVox(vox)) {
+      val inDeleted = z < 3 && y < 4 && x < 2
+      assert(backMap((z, y, x)) === (if (inDeleted) 0L else l))
+    }
+  }
+
+  test("big-endian dtype tag: reader byte-swaps >u4 chunks") {
+    val dir = Files.createTempDirectory("zarr").toString + "/be.zarr"
+    ZarrStore.write(vol, dir, ZarrStore.Raw)
+    // flip the store to big-endian out-of-band: swap payload bytes + dtype tag
+    for (p <- Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+         if p.getFileName.toString.matches("\\d+\\.\\d+\\.\\d+")) {
+      val b = Files.readAllBytes(p)
+      ZarrStore.byteSwap(b, 4)
+      Files.write(p, b)
+    }
+    val za = Files.readString(Paths.get(dir, ".zarray")).replace("\"<u4\"", "\">u4\"")
+    Files.writeString(Paths.get(dir, ".zarray"), za)
+    val back = ZarrStore.read(spark, dir)
+    assert(back.meta.elementType === "MET_UINT")
+    assert(collectVox(back.toVoxels) === collectVox(vox))
+  }
+
+  test("format(\"zarr\") DSv2: reads the grid; coordinate filters prune partitions") {
+    val dir = Files.createTempDirectory("zarr").toString + "/d.zarr"
+    ZarrStore.write(vol, dir, ZarrStore.ZstdCodec(3))
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.rdd.getNumPartitions === 3 * 2 * 3) // full grid, one per chunk
+    val one = df.filter(col("cz") === 1 && col("cy") === 0 && col("cx") === 0)
+    assert(one.rdd.getNumPartitions === 1) // point query plans ONE chunk
+    assert(one.count() === 1)
+    val slab = df.filter(col("cz") === 2)
+    assert(slab.rdd.getNumPartitions === 2 * 3)
+    // decode parity with the library reader
+    import spark.implicits._
+    val (_, meta) = ZarrStore.readMeta(dir)
+    val viaDsv2 = ChunkVolume(df.as[Chunk], meta).toVoxels
+    assert(collectVox(viaDsv2) === collectVox(vox))
+  }
+
+  test("PyramidWriter emits a real OME-Zarr group: .zgroup + zarr array levels") {
+    val dir = Files.createTempDirectory("zarr").toString + "/ome.zarr"
+    PyramidWriter.write(vol, levels = 2, dir, upscaleFactor = 1)
+    assert(Files.readString(Paths.get(dir, ".zgroup")).contains("\"zarr_format\": 2"))
+    val l0 = ZarrStore.parseZarray(Files.readString(Paths.get(dir, "0", ".zarray")))
+    assert(l0.shape === Seq(dz, dy, dx) && l0.dtype === "<u4")
+    val l1 = ZarrStore.parseZarray(Files.readString(Paths.get(dir, "1", ".zarray")))
+    assert(l1.shape === Seq((dz + 1) / 2, (dy + 1) / 2, (dx + 1) / 2))
+    assert(Files.readString(Paths.get(dir, ".zattrs")).contains("\"multiscales\""))
+    val back = PyramidWriter.readLevel(spark, dir, 1)
+    assert(collectVox(back.toVoxels) === collectVox(vol.decimate().toVoxels))
+  }
+}
