@@ -188,6 +188,18 @@ object Dedup {
     * anyway, so pruning can't help but array-shipping would hurt).
     * For realistic large-vocab text, where a handful of stop-terms would
     * fan a block into |block|² pairs, use [[tokenJaccardPairsPrefix]].
+    *
+    * Skew guard (`maxTermDf`, mirroring `minhashCandidatePairs`'
+    * `maxBucketSize`): a (block, term) posting list longer than the cap is
+    * excluded from CANDIDATE generation, so one stop-term shared by a
+    * whole block can no longer fan out |block|² co-occurrence rows — the
+    * guard a 100 TB corpus needs. Emitted jaccard values stay EXACT:
+    * dense terms still count toward the intersection through a per-doc
+    * dense-term list (short by construction — only terms with df > cap)
+    * intersected at verify time. The only loss is recall for pairs whose
+    * ENTIRE overlap is dense terms (the analogue of minhash's documented
+    * bucket-cap recall cost); the prefix-filtered twin remains the
+    * lossless path.
     */
   def tokenJaccardPairs(
       docs: DataFrame,
@@ -196,20 +208,34 @@ object Dedup {
       blockCol: String = "source",
       threshold: Double = 0.5,
       terms: Column = null, // defaults to the distinct-token set of textCol
+      maxTermDf: Int = 1000,
   ): DataFrame = {
     val tok = docs.select(col(idCol), col(blockCol),
       explode(Option(terms).getOrElse(tokenSet(textCol))).as("term"))
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val aTok = tok.select(col(blockCol), col("term"), col(idCol).as("doc_a"))
-    val bTok = tok.select(col(blockCol), col("term"), col(idCol).as("doc_b"))
+    val termDf = tok.groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
+    val tagged = tok.join(termDf, Seq(blockCol, "term"))
+    val rare = tagged.filter(col("df") <= maxTermDf)
+    // per-doc list of its over-cap terms: ≤ vocab-above-cap entries, so
+    // shipping it is O(#stop-terms), not O(doc)
+    val dense = tagged.filter(col("df") > maxTermDf)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("term"))).as("dense_toks"))
+    val aTok = rare.select(col(blockCol), col("term"), col(idCol).as("doc_a"))
+    val bTok = rare.select(col(blockCol), col("term"), col(idCol).as("doc_b"))
     val inter = aTok
       .join(bTok, Seq(blockCol, "term"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c_rare"))
+    val emptyArr = array().cast("array<string>")
     inter
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(dense.select(col(idCol).as("doc_a"), col("dense_toks").as("dense_a")), Seq("doc_a"), "left")
+      .join(dense.select(col(idCol).as("doc_b"), col("dense_toks").as("dense_b")), Seq("doc_b"), "left")
+      .withColumn("c", col("c_rare") + size(array_intersect(
+        coalesce(col("dense_a"), emptyArr), coalesce(col("dense_b"), emptyArr))))
       .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard_raw").as("jaccard"))

@@ -304,6 +304,26 @@ object DocQueries {
       },
       None,
     ),
+    // --------------------------------------------- similarity: LSH recall
+    // The LSH-quality gate the rows-only emb_lsh_topk can't give: recall@5
+    // of the LSH path vs the exact path, per sampled query. Both paths are
+    // deterministic (xxhash planes, id tie-breaks), so "every query meets
+    // the floor" is a pure function of the data and the oracle asserts it
+    // directly. Measured operating point (planes=4, tables=8, sf0.01):
+    // per-query recall 0.4–1.0, mean 0.62 — floor 0.2 = "LSH finds at
+    // least one true top-5 neighbor for every audited query".
+    Q(
+      "emb_lsh_recall",
+      (s, d) =>
+        Ann.lshRecallVsExact(
+          T(s, d, "embeddings"), dim = 64, k = 5,
+          queryFilter = col("vec_id") < 10, nPlanes = 4, nTables = 8,
+          recallFloor = 0.2),
+      Some("""
+        SELECT vec_id AS query_id, true AS recall_floor_met
+        FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+      """),
+    ),
     // ------------------------------------- embedding near-dup via LSH
     // Corpus ∪ an exact copy: identical vectors agree on every hyperplane
     // sign, so LSH recall at cos=1 is exact and the verified output

@@ -85,6 +85,40 @@ object Ann {
       col(idCol) +: (0 until nTables).map(t => bucketExpr(emb, vecCol, nPlanes, t).as(s"bucket_$t")): _*
     )
 
+  /** Recall audit of the LSH path against the exact path: for each query,
+    * recall@k = |lshTopK ∩ bruteForceTopK| / k, reported as a boolean
+    * against `recallFloor`. Both sides are deterministic (planes derive
+    * from xxhash64, ranking tie-breaks on ids), so the result is a pure
+    * function of the data — which makes LSH *quality* oracle-checkable:
+    * the oracle simply asserts every sampled query meets the floor.
+    *
+    * Scale shape: this is the sampled quality audit a production corpus
+    * runs continuously — exact top-k over a small query sample (broadcast
+    * side) vs the bucketed path; never an all-pairs computation.
+    */
+  def lshRecallVsExact(
+      emb: DataFrame,
+      dim: Int,
+      k: Int,
+      queryFilter: Column,
+      nPlanes: Int,
+      nTables: Int,
+      recallFloor: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val exact = bruteForceTopK(emb.filter(queryFilter), emb, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopK(emb, dim, k, queryFilter, nPlanes, nTables, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / k.toDouble).as("recall"))
+      .select(col("query_id"), (col("recall") >= recallFloor).as("recall_floor_met"))
+      .orderBy(col("query_id"))
+  }
+
   /** ANN top-k via LSH: candidates = corpus vectors sharing any table's
     * bucket with the query; exact cosine rank within candidates.
     */

@@ -77,6 +77,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!byPair.contains((1L, 5L)))
   }
 
+  test("tokenJaccardPairs: df cap tames an adversarial stop-term, values stay exact") {
+    import spark.implicits._
+    // one block; every doc shares stop-term "the" (df = 8 > cap = 3);
+    // docs 1,2 also share rare tokens a b c
+    val skewed = (Seq(
+      (1L, "the a b c d", "s"),
+      (2L, "the a b c e", "s"),
+    ) ++ (3L to 8L).map(i => (i, s"the u$i v$i", "s"))).toDF("doc_id", "text", "source")
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val uncapped = pairs(Dedup.tokenJaccardPairs(skewed, threshold = 0.2))
+    val capped = pairs(Dedup.tokenJaccardPairs(skewed, threshold = 0.2, maxTermDf = 3))
+    // stop-only pairs ((3,4)… share just "the", jaccard 1/5): found without
+    // the cap, dropped with it — the documented recall cost
+    assert(uncapped.contains((3L, 4L)))
+    assert(!capped.contains((3L, 4L)))
+    // the rare-term pair survives the cap and its jaccard still counts the
+    // dense term exactly: |{the,a,b,c}| / |{the,a,b,c,d,e}| = 4/6
+    assert(capped((1L, 2L)) === 4.0 / 6.0)
+    assert(uncapped((1L, 2L)) === 4.0 / 6.0)
+    // every capped pair carries the identical exact value
+    capped.foreach { case (k, v) => assert(uncapped(k) === v) }
+  }
+
   test("tokenJaccardPairsPrefix: prefix filtering is lossless (same output)") {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b", "jaccard").collect()

@@ -41,4 +41,15 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(recallWith(4, 16) >= recallWith(4, 4) - 1e-9)
     assert(recallWith(2, 8) >= recallWith(8, 8) - 1e-9)
   }
+
+  test("lshRecallVsExact: every audited query clears the registered floor") {
+    val rows = Ann.lshRecallVsExact(emb, 64, k, qf, nPlanes = 4, nTables = 8, recallFloor = 0.2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(rows.map(_._1).toSeq === (0L until 10L)) // one row per query, ordered
+    assert(rows.forall(_._2), s"queries below floor: ${rows.filterNot(_._2).mkString(",")}")
+    // an unattainable floor must flip rows false, not drop them
+    val strict = Ann.lshRecallVsExact(emb, 64, k, qf, 4, 8, recallFloor = 1.01)
+      .collect().map(_.getBoolean(1))
+    assert(strict.length === 10 && strict.forall(!_))
+  }
 }
