@@ -115,6 +115,12 @@ class ChunkStoreScan(path: String, filters: Array[Filter]) extends Scan with Bat
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(path)
     val needStats = filters.exists(_.references.toSet.intersect(ChunkStoreSource.StatCols).nonEmpty)
+    // value-stat pruning: ONE read of the consolidated index when present
+    // (ChunkStore.write maintains it); per-file 64-byte header peeks only
+    // as the fallback for stores written by older tools.
+    val statsIndex: Map[String, (Long, Long)] =
+      if (needStats) ChunkStore.readStatsIndex(dir.toAbsolutePath.toString).getOrElse(Map.empty)
+      else Map.empty
     Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
@@ -122,19 +128,22 @@ class ChunkStoreScan(path: String, filters: Array[Filter]) extends Scan with Bat
         val Array(cz, cy, cx) = name.split("\\.").map(_.toLong)
         var known = Map("cz" -> cz, "cy" -> cy, "cx" -> cx)
         if (needStats) {
-          // 64-byte header peek — still no payload decompression
-          val hdr = new Array[Byte](ChunkStore.HeaderBytes)
-          val in = Files.newInputStream(dir.resolve(name))
-          try {
-            var off = 0
-            while (off < hdr.length) {
-              val r = in.read(hdr, off, hdr.length - off)
-              require(r > 0, s"truncated header in $name")
-              off += r
-            }
-          } finally in.close()
-          val h = ChunkStore.readHeader(hdr)
-          known ++= Map("lmin" -> h.lmin, "lmax" -> h.lmax)
+          val (lmin, lmax) = statsIndex.getOrElse(name, {
+            // header-peek fallback — still no payload decompression
+            val hdr = new Array[Byte](ChunkStore.HeaderBytes)
+            val in = Files.newInputStream(dir.resolve(name))
+            try {
+              var off = 0
+              while (off < hdr.length) {
+                val r = in.read(hdr, off, hdr.length - off)
+                require(r > 0, s"truncated header in $name")
+                off += r
+              }
+            } finally in.close()
+            val h = ChunkStore.readHeader(hdr)
+            (h.lmin, h.lmax)
+          })
+          known ++= Map("lmin" -> lmin, "lmax" -> lmax)
         }
         filters.forall(f => ChunkStoreSource.filterKeeps(f, known))
       }

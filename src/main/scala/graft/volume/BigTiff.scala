@@ -1,7 +1,6 @@
 package graft.volume
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
@@ -11,12 +10,16 @@ import java.nio.file.{Files, Paths}
   * photometric-minisblack page per z slice).
   *
   * Self-contained little-endian BigTIFF (magic 43, 8-byte offsets), one
-  * uncompressed single-strip page per z. The writer streams slab-by-slab
-  * from the executors and appends slices in z order on the driver — the
-  * same bounded-memory export loop as the reference's per-slice
-  * `tif.save`; the reader parses the (tiny) IFD chain on the driver and
-  * executors read their slices with positioned reads, mirroring the
-  * chunked RAW scan pattern.
+  * uncompressed single-strip page per z. Every byte's file position is a
+  * pure function of (dims, bpp): slice z lives at 16 + z·sliceBytes and
+  * the IFD chain follows the last slice. The driver therefore writes only
+  * the header + IFD table (a few hundred KB for thousands of pages) and
+  * EXECUTOR tasks fill their chunks' bytes with positioned writes over
+  * disjoint ranges — no slab collect, no driver serialization point, I/O
+  * parallelism = task parallelism. (Requires the output path on a shared
+  * POSIX mount in multi-node deployments, like any side-file sink.)
+  * The reader mirrors the pattern: driver parses the tiny IFD chain,
+  * executors read their slices positionally.
   */
 object BigTiff {
 
@@ -37,7 +40,8 @@ object BigTiff {
   private val TypeShort = 3; private val TypeLong = 4; private val TypeLong8 = 16
 
   /** Export a volume as a multi-page BigTIFF, one page per z slice.
-    * Driver memory is bounded by one z-slab of chunks at a time.
+    * The driver writes header + IFD chain (offsets precomputed); executor
+    * tasks write their chunks' voxels directly at their final positions.
     */
   def write(vol: ChunkVolume, path: String): Unit = {
     val m = vol.meta
@@ -45,44 +49,26 @@ object BigTiff {
     val (bits, sampleFormat) = Formats(m.elementType)
     val (dimY, dimX) = (m.dimY.toInt, m.dimX.toInt)
     val sliceBytes = dimY.toLong * dimX * bpp
+    val dataStart = 16L
+    val firstIfd = dataStart + m.dimZ * sliceBytes
+    val nTags = 10
+    val ifdSize = 8 + nTags * 20 + 8
+
     Files.deleteIfExists(Paths.get(path))
     val f = new RandomAccessFile(path, "rw")
     try {
-      // header: II, 43, offsetsize 8, pad, first-IFD offset (patched later)
+      // full size up front: unwritten gaps read as zeros (background)
+      f.setLength(firstIfd + m.dimZ * ifdSize)
       val header = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
-      header.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0).putLong(0L)
+      header.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0).putLong(firstIfd)
       f.write(header.array())
 
-      // stream slice data slab by slab, recording each slice's offset
-      val sliceOffsets = new Array[Long](m.dimZ.toInt)
-      var pos = 16L
-      for (cz <- 0 until m.ncz) {
-        val slab = vol.chunks.filter(col("cz") === cz).collect().sortBy(c => (c.y0, c.x0))
-        require(slab.nonEmpty, s"missing z-slab cz=$cz")
-        val z0 = slab.head.z0
-        val nz = slab.head.nz
-        val plane = new Array[Byte](sliceBytes.toInt)
-        for (zl <- 0 until nz) {
-          java.util.Arrays.fill(plane, 0.toByte)
-          slab.foreach { c =>
-            ChunkKernels.placeBox(plane, dimY, dimX, bpp,
-              0, c.y0.toInt, c.x0.toInt, 1, c.ny, c.nx,
-              ChunkKernels.planeZ(c.data, zl, c.ny, c.nx, bpp))
-          }
-          sliceOffsets((z0 + zl).toInt) = pos
-          f.write(plane)
-          pos += sliceBytes
-        }
-      }
-
-      // IFD chain, one per page
-      val nTags = 10
-      val ifdSize = 8 + nTags * 20 + 8
-      val firstIfd = pos
+      // IFD chain, one per page — every strip offset is computable
       val buf = ByteBuffer.allocate(ifdSize).order(ByteOrder.LITTLE_ENDIAN)
       def entry(b: ByteBuffer, tag: Int, tpe: Int, value: Long): Unit = {
         b.putShort(tag.toShort).putShort(tpe.toShort).putLong(1L).putLong(value)
       }
+      f.seek(firstIfd)
       for (z <- 0 until m.dimZ.toInt) {
         buf.clear()
         buf.putLong(nTags.toLong)
@@ -91,7 +77,7 @@ object BigTiff {
         entry(buf, TagBits, TypeShort, bits.toLong)
         entry(buf, TagCompression, TypeShort, 1L)
         entry(buf, TagPhotometric, TypeShort, 1L)
-        entry(buf, TagStripOffsets, TypeLong8, sliceOffsets(z))
+        entry(buf, TagStripOffsets, TypeLong8, dataStart + z * sliceBytes)
         entry(buf, TagSamplesPerPixel, TypeShort, 1L)
         entry(buf, TagRowsPerStrip, TypeLong, dimY.toLong)
         entry(buf, TagStripByteCounts, TypeLong8, sliceBytes)
@@ -100,10 +86,39 @@ object BigTiff {
         buf.putLong(next)
         f.write(buf.array())
       }
-      f.seek(8)
-      val off = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(firstIfd)
-      f.write(off.array())
     } finally f.close()
+
+    // executor fill: each chunk's bytes land at positions disjoint from
+    // every other chunk's, so tasks write concurrently with no
+    // coordination. Full-width chunks (x0=0, nx=dimX) write one
+    // contiguous run per chunk-slice; others write per row.
+    val pathStr = Paths.get(path).toAbsolutePath.toString
+    vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(pathStr), java.nio.file.StandardOpenOption.WRITE)
+      try {
+        it.foreach { c =>
+          var zl = 0
+          while (zl < c.nz) {
+            val slicePos = dataStart + (c.z0 + zl) * sliceBytes
+            if (c.x0 == 0 && c.nx == dimX) {
+              val run = ByteBuffer.wrap(c.data, zl * c.ny * c.nx * bpp, c.ny * c.nx * bpp)
+              var p = slicePos + c.y0 * dimX * bpp
+              while (run.hasRemaining) p += ch.write(run, p)
+            } else {
+              var y = 0
+              while (y < c.ny) {
+                val row = ByteBuffer.wrap(c.data, ((zl * c.ny + y) * c.nx) * bpp, c.nx * bpp)
+                var p = slicePos + ((c.y0 + y) * dimX + c.x0) * bpp
+                while (row.hasRemaining) p += ch.write(row, p)
+                y += 1
+              }
+            }
+            zl += 1
+          }
+        }
+      } finally ch.close()
+    }
   }
 
   private final case class Page(width: Int, height: Int, bits: Int, sampleFormat: Int, stripOffset: Long, stripBytes: Long)

@@ -25,6 +25,13 @@ object ChunkStore {
   val Magic = 0x32534347 // "GCS2" little-endian
   val HeaderBytes = 64
 
+  /** Consolidated per-chunk stats index: ONE driver read replaces N
+    * 64-byte header peeks at planning time (at ~1M chunks, one file vs 1M
+    * sequential opens). Text lines `cz.cy.cx lmin lmax`; chunk files stay
+    * self-describing (the header remains the fallback + per-task truth).
+    */
+  val StatsIndexName = ".graft_stats"
+
   final case class Header(
       z0: Long, y0: Long, x0: Long,
       nz: Int, ny: Int, nx: Int,
@@ -52,7 +59,10 @@ object ChunkStore {
   /** Append chunk files into an existing store (same file format, no
     * delete, no sidecar) — the incremental-ingest building block used by
     * the streaming path; a chunk re-appearing overwrites its own file
-    * (idempotent per chunk coordinate).
+    * (idempotent per chunk coordinate). Each task returns its chunks'
+    * (coord, lmin, lmax) stats, which merge into the consolidated
+    * [[StatsIndexName]] index — stats ride back as the job result, so the
+    * driver never re-reads what executors just wrote.
     */
   def appendChunks(chunks: Dataset[Chunk], path: String, meta: VolumeMeta, level: Int = 1): Unit = {
     val pathStr = Paths.get(path).toAbsolutePath.toString
@@ -60,11 +70,12 @@ object ChunkStore {
     val bpp = meta.bytesPerVoxel
     val unsigned = meta.isUnsigned
     val integral = !meta.isFloating
-    chunks.foreachPartition { (it: Iterator[Chunk]) =>
+    import chunks.sparkSession.implicits._
+    val stats = chunks.mapPartitions { (it: Iterator[Chunk]) =>
       // one reused compression buffer per task — multi-MB chunks would
       // otherwise churn 2 humongous allocations each through the GC
       var dst: Array[Byte] = null
-      it.foreach { c =>
+      it.map { c =>
         val bound = Zstd.compressBound(c.data.length.toLong).toInt
         if (dst == null || dst.length < bound) dst = new Array[Byte](bound)
         val n = Zstd.compressByteArray(dst, 0, dst.length, c.data, 0, c.data.length, level).toInt
@@ -88,8 +99,39 @@ object ChunkStore {
           .putLong(lmin).putLong(lmax)
         val out = Files.newOutputStream(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"))
         try { out.write(buf.array()); out.write(dst, 0, n) } finally out.close()
+        (s"${c.cz}.${c.cy}.${c.cx}", lmin, lmax)
       }
-    }
+    }.collect() // ~40 B per chunk: 1M chunks ≈ 40 MB on the driver, once per write
+    mergeStatsIndex(pathStr, stats)
+  }
+
+  /** Merge (name, lmin, lmax) entries into the stats index atomically
+    * (re-appended coords take the newest entry).
+    */
+  private def mergeStatsIndex(pathStr: String, entries: Seq[(String, Long, Long)]): Unit = {
+    val merged = readStatsIndex(pathStr).getOrElse(Map.empty) ++
+      entries.map { case (n, lo, hi) => n -> (lo, hi) }
+    val tmp = Paths.get(pathStr, StatsIndexName + ".tmp")
+    val body = merged.toSeq.sorted
+      .map { case (n, (lo, hi)) => s"$n $lo $hi" }
+      .mkString("GRAFT_STATS 1\n", "\n", "\n")
+    Files.writeString(tmp, body)
+    Files.move(tmp, Paths.get(pathStr, StatsIndexName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The consolidated stats index, if present: name -> (lmin, lmax). */
+  def readStatsIndex(pathStr: String): Option[Map[String, (Long, Long)]] = {
+    val p = Paths.get(pathStr, StatsIndexName)
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p)
+    if (lines.isEmpty || lines.get(0) != "GRAFT_STATS 1") return None
+    import scala.jdk.CollectionConverters._
+    Some(lines.asScala.drop(1).filter(_.nonEmpty).map { line =>
+      val Array(n, lo, hi) = line.split(" ")
+      n -> (lo.toLong, hi.toLong)
+    }.toMap)
   }
 
   private[volume] def chunkFileNames(pathStr: String): Seq[String] =

@@ -52,9 +52,11 @@ object UpscaleCli {
   }
 
   /** Run the lifecycle; returns the transcript lines (testable — the main
-    * just prints them). Throws on rejected admission without --force.
+    * just prints them). Progress lines additionally stream through `live`
+    * in real time during the execute phase. Throws on rejected admission
+    * without --force.
     */
-  def run(spark: SparkSession, a: Args): Seq[String] = {
+  def run(spark: SparkSession, a: Args, live: String => Unit = null): Seq[String] = {
     val out = Seq.newBuilder[String]
     val meta = MhdMeta.parse(a.input) // parse + validate (required fields)
     val (z, y, x) = meta.shapeZyx
@@ -80,13 +82,16 @@ object UpscaleCli {
     out += s"Upscaled shape (z,y,x): (${z * a.scale}, ${y * a.scale}, ${x * a.scale})"
     val provenance = Map(
       "source" -> a.input, "scale" -> a.scale.toString, "mode" -> a.mode)
-    if (a.pyramidLevels > 1) {
-      PyramidWriter.write(processed, a.pyramidLevels, a.output, a.scale)
-      out += s"Finished. OME-style pyramid (${a.pyramidLevels} levels) written to: ${a.output}"
-    } else {
-      ChunkStore.write(processed, a.output, extraProvenance = provenance)
-      out += s"Finished. Chunk store written to: ${a.output}"
+    // ProgressBar parity (upscale.py:23): stage-level progress lines
+    // stream to `live` DURING execute and join the transcript after.
+    val (_, progress) = graft.plans.ProgressReporter.withProgress(spark.sparkContext, live) {
+      if (a.pyramidLevels > 1) PyramidWriter.write(processed, a.pyramidLevels, a.output, a.scale)
+      else ChunkStore.write(processed, a.output, extraProvenance = provenance)
     }
+    out ++= progress
+    out += (if (a.pyramidLevels > 1)
+      s"Finished. OME-Zarr pyramid (${a.pyramidLevels} levels) written to: ${a.output}"
+    else s"Finished. Chunk store written to: ${a.output}")
     out.result()
   }
 
@@ -98,7 +103,7 @@ object UpscaleCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, a).foreach(println)
+    try run(spark, a, live = line => Console.err.println(line)).foreach(println)
     finally spark.stop()
   }
 }

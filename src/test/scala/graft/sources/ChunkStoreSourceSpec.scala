@@ -77,6 +77,32 @@ class ChunkStoreSourceSpec extends AnyFunSuite with SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("stats index: written by write, trusted by the planner, peeks as fallback") {
+    import graft.volume.ChunkStore
+    // a fresh store so index tampering can't disturb the shared fixture
+    val dir = Files.createTempDirectory("dsv2_idx").toString + "/store"
+    val vox = spark.range(4L * 3 * 3).select(
+      expr("id div 9").as("z"), expr("(id div 3) % 3").as("y"),
+      expr("id % 3").as("x"), expr("id % 5").as("label"))
+    ChunkStore.write(ChunkVolume.fromVoxels(vox, 4, 3, 3, 2, 3, 3), dir)
+    val idxPath = java.nio.file.Paths.get(dir, ChunkStore.StatsIndexName)
+    assert(Files.exists(idxPath))
+    val idx = ChunkStore.readStatsIndex(dir).get
+    assert(idx.size === 2) // one entry per chunk file
+    def hits(d: String) = spark.read.format("graftchunks").load(d)
+      .filter(col("lmin") <= 3L && col("lmax") >= 3L).rdd.getNumPartitions
+    assert(hits(dir) === 2)
+    // tamper the index to claim every chunk excludes label 3: the planner
+    // must plan ZERO partitions — proof it read the ONE index file, not
+    // the (contradicting) per-file headers
+    Files.writeString(idxPath,
+      "GRAFT_STATS 1\n" + idx.keys.toSeq.sorted.map(n => s"$n 100 200").mkString("", "\n", "\n"))
+    assert(hits(dir) === 0)
+    // no index → header-peek fallback gives the true answer again
+    Files.delete(idxPath)
+    assert(hits(dir) === 2)
+  }
+
   test("findLabel: header-peek candidates, exact counts, absent labels empty") {
     val found = graft.volume.ChunkStore.findLabel(spark, storePath, 7L)
       .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap

@@ -35,6 +35,36 @@ class RegionTableSpec extends AnyFunSuite with SparkSpec {
     assert(RegionTable.lookupById(df, "999") === "Unknown region ID: 999")
   }
 
+  test("LookupRepl: golden transcript — load, prompt, hit, invalid, miss, quit") {
+    val df = RegionTable.readCsv(spark, csvPath)
+    val out = Seq.newBuilder[String]
+    LookupRepl.loop(df, Iterator("15857", "not-a-number", "999", "", "q", "15564"), out += _)
+    assert(out.result() === Seq(
+      "Loaded 5 regions.",
+      LookupRepl.Prompt,
+      "Region 15857: secondary prosencephalon (SP), level 2",
+      LookupRepl.Prompt,
+      "Invalid input: not-a-number",
+      LookupRepl.Prompt,
+      "Unknown region ID: 999",
+      LookupRepl.Prompt, // blank line re-prompts silently
+      LookupRepl.Prompt,
+      "Bye.", // 'q' stops before consuming the trailing input
+    ))
+  }
+
+  test("LookupRepl: end of input closes the loop without a quit command") {
+    val df = RegionTable.readCsv(spark, csvPath)
+    val out = Seq.newBuilder[String]
+    LookupRepl.loop(df, Iterator("15566"), out += _)
+    assert(out.result() === Seq(
+      "Loaded 5 regions.",
+      LookupRepl.Prompt,
+      "Region 15566: forebrain (F), level 1",
+      "Bye.",
+    ))
+  }
+
   test("ancestors walk the Parent tree to the root") {
     val df = RegionTable.readCsv(spark, csvPath)
     assert(RegionTable.ancestors(df, 15857L) === Seq(15566L, 15565L, 15564L))

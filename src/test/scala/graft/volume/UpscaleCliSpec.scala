@@ -33,6 +33,10 @@ class UpscaleCliSpec extends AnyFunSuite with SparkSpec {
     assert(lines.exists(_.startsWith("Source shape (z,y,x): (6, 8, 10), dtype=MET_UINT")))
     assert(lines.exists(_.startsWith("Upscaled shape (z,y,x): (12, 16, 20)")))
     assert(lines.exists(_.startsWith("Finished. Chunk store written")))
+    // ProgressBar parity: the execute phase reports stage-level progress
+    assert(lines.exists(_.matches("\\[progress\\] stage \\d+: \\d+/\\d+ tasks \\(\\d+%\\)")),
+      s"no progress lines in transcript:\n${lines.mkString("\n")}")
+    assert(lines.exists(_.matches("\\[progress\\] stage \\d+ completed .*")))
     // verify_labels.py semantics on the written artifact
     val back = ChunkStore.read(spark, outStore)
     assert(back.meta.dimZ === 12)
