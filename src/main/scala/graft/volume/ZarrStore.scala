@@ -17,11 +17,11 @@ import java.util.zip.{Deflater, Inflater}
   *    are padded with `fill_value` on write and trimmed on read;
   *  - a chunk file may be absent, meaning "entirely fill_value";
   *  - codecs: raw (`compressor: null`), numcodecs `zlib` (RFC-1950 via
-  *    java.util.zip) and numcodecs `zstd` (plain zstd frames) — both
-  *    readable by python-zarr without C-blosc. The reference's default
-  *    Blosc *container* (16-byte block header + bitshuffle) is not
-  *    emitted; `--compressor zstd` in the reference maps to the same zstd
-  *    frames we write.
+  *    java.util.zip), numcodecs `zstd` (plain zstd frames), and the
+  *    numcodecs `blosc` C-Blosc v1 container with zlib/zstd inner codecs
+  *    and shuffle none/byte — the format `zarr.DirectoryStore` chunks use
+  *    by default (see [[BloscCodec]]; BITSHUFFLE intentionally rejected,
+  *    not mis-decoded).
   *  - dtype tags with explicit endianness (`<u4`, `>u4`, `|u1`, …): the
   *    writer emits little-endian (chunk payloads are LE in memory), the
   *    reader byte-swaps big-endian arrays on decode.
@@ -92,6 +92,164 @@ object ZarrStore {
     }
   }
 
+  /** numcodecs `blosc`: the C-Blosc v1 container — 16-byte header
+    * (version, versionlz, flags, typesize, nbytes, blocksize, cbytes, all
+    * LE), per-block offset table, each block `[int32 csize][payload]`
+    * (csize == block size marks a stored block), inner codec zlib or zstd
+    * (never split for either), optional byte-wise shuffle per block with
+    * the sub-typesize remainder copied verbatim. This is what
+    * `zarr.DirectoryStore` chunks look like by default, and the
+    * reference's `--compressor zstd` writes exactly this container
+    * (upscale_streaming.py:103–108).
+    *
+    * BITSHUFFLE (`shuffle: 2`) is deliberately NOT implemented: its tail
+    * layout can't be validated here without c-blosc ground truth, and a
+    * silently-wrong decode is worse than a clear error. `shuffle` 0/1 are
+    * cross-validated against an independent python implementation
+    * (ZarrInteropSpec).
+    */
+  final case class BloscCodec(
+      cname: String = "zstd", clevel: Int = 5, shuffle: Int = 0, typesize: Int = 1)
+      extends Codec {
+    require(shuffle == 0 || shuffle == 1,
+      s"blosc shuffle mode $shuffle unsupported (0=none, 1=byte; bitshuffle needs c-blosc ground truth)")
+    require(cname == "zstd" || cname == "zlib", s"blosc inner codec $cname unsupported")
+    require(typesize >= 1 && typesize <= 255, s"blosc typesize out of range: $typesize")
+    val id: Option[String] = Some("blosc")
+
+    private def inner: Codec = if (cname == "zstd") ZstdCodec(clevel) else Zlib(clevel)
+    private def codecFlag: Int = if (cname == "zstd") 4 else 3 // header bits 5-7
+
+    /** typesize drives the byte shuffle; the store sets it from the dtype. */
+    private[volume] def withTypesize(t: Int): BloscCodec =
+      copy(typesize = math.max(1, math.min(t, 255)))
+
+    private def shuffleBytes(src: Array[Byte], off: Int, len: Int, t: Int): Array[Byte] = {
+      val out = new Array[Byte](len)
+      val n = len / t
+      var k = 0
+      while (k < t) {
+        var i = 0
+        while (i < n) { out(k * n + i) = src(off + i * t + k); i += 1 }
+        k += 1
+      }
+      var r = n * t
+      while (r < len) { out(r) = src(off + r); r += 1 } // sub-typesize tail verbatim
+      out
+    }
+
+    private def unshuffleBytes(src: Array[Byte], t: Int): Array[Byte] = {
+      val len = src.length
+      val out = new Array[Byte](len)
+      val n = len / t
+      var k = 0
+      while (k < t) {
+        var i = 0
+        while (i < n) { out(i * t + k) = src(k * n + i); i += 1 }
+        k += 1
+      }
+      var r = n * t
+      while (r < len) { out(r) = src(r); r += 1 }
+      out
+    }
+
+    def compress(src: Array[Byte]): Array[Byte] = {
+      val t = typesize
+      // one block per typesize·8-aligned MB-scale unit; whole chunk if small
+      val blockSize = {
+        val target = math.min(src.length, 1 << 22)
+        val aligned = target - target % (t * 8)
+        if (aligned <= 0) src.length else aligned
+      }
+      val nBlocks = math.max(1, (src.length + blockSize - 1) / blockSize)
+      val blocks = (0 until nBlocks).map { b =>
+        val off = b * blockSize
+        val len = math.min(blockSize, src.length - off)
+        val plain = if (shuffle == 1) shuffleBytes(src, off, len, t)
+                    else java.util.Arrays.copyOfRange(src, off, off + len)
+        val comp = inner.compress(plain)
+        if (comp.length < len) (comp, len) else (plain, len) // stored if incompressible
+      }
+      val headerLen = 16 + 4 * nBlocks
+      val total = headerLen + blocks.map(_._1.length + 4).sum
+      val buf = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val flags = (if (shuffle == 1) 0x1 else 0x0) | (codecFlag << 5)
+      buf.put(2.toByte).put(1.toByte).put(flags.toByte).put(t.toByte)
+      buf.putInt(src.length).putInt(blockSize).putInt(total)
+      var pos = headerLen
+      blocks.foreach { case (payload, _) => buf.putInt(pos); pos += 4 + payload.length }
+      blocks.foreach { case (payload, rawLen) =>
+        buf.putInt(if (payload.length < rawLen) payload.length else rawLen)
+        buf.put(payload)
+      }
+      buf.array()
+    }
+
+    def decompress(src: Array[Byte], rawLen: Int): Array[Byte] =
+      BloscCodec.decode(src, rawLen)
+  }
+
+  object BloscCodec {
+    /** Decode any C-Blosc v1 buffer with inner codec zlib/zstd and shuffle
+      * none/byte (the formats this store can verify), independent of the
+      * writer's block/split choices.
+      */
+    def decode(src: Array[Byte], rawLen: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.wrap(src).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val version = buf.get() & 0xff
+      buf.get() // versionlz
+      val flags = buf.get() & 0xff
+      val t = buf.get() & 0xff
+      val nbytes = buf.getInt()
+      val blockSize = buf.getInt()
+      buf.getInt() // cbytes
+      require(version >= 1, s"bad blosc version $version")
+      require(nbytes == rawLen, s"blosc nbytes $nbytes != expected $rawLen")
+      require((flags & 0x4) == 0,
+        "blosc BITSHUFFLE chunks unsupported (no c-blosc ground truth to validate against)")
+      val out = new Array[Byte](nbytes)
+      if ((flags & 0x2) != 0) { // memcpyed
+        System.arraycopy(src, 16, out, 0, nbytes)
+        return out
+      }
+      val codec: (Array[Byte], Int) => Array[Byte] = (flags >> 5) match {
+        case 3 => (b, n) => Zlib().decompress(b, n)
+        case 4 => (b, n) => ZstdCodec().decompress(b, n)
+        case other => throw new IllegalArgumentException(
+          s"blosc inner codec id $other unsupported (3=zlib, 4=zstd)")
+      }
+      val byteShuffle = (flags & 0x1) != 0
+      val nBlocks = math.max(1, (nbytes + blockSize - 1) / blockSize)
+      val bstarts = (0 until nBlocks).map(i => buf.getInt(16 + 4 * i))
+      var b = 0
+      while (b < nBlocks) {
+        val off = b * blockSize
+        val neblock = math.min(blockSize, nbytes - off)
+        val p = bstarts(b)
+        val csize = buf.getInt(p)
+        val payload = java.util.Arrays.copyOfRange(src, p + 4, p + 4 + csize)
+        val plain = if (csize == neblock) payload else codec(payload, neblock)
+        val restored =
+          if (byteShuffle) {
+            val tmp = new Array[Byte](neblock)
+            val n = neblock / t
+            var k = 0
+            while (k < t) {
+              var i = 0
+              while (i < n) { tmp(i * t + k) = plain(k * n + i); i += 1 }
+              k += 1
+            }
+            var r = n * t
+            while (r < neblock) { tmp(r) = plain(r); r += 1 }
+            tmp
+          } else plain
+        System.arraycopy(restored, 0, out, off, neblock)
+        b += 1
+      }
+      out
+    }
+  }
+
   /** Parsed `.zarray` metadata (shape/chunks in zarr's (z,y,x) row-major
     * order, matching the reference's array axis convention).
     */
@@ -123,6 +281,8 @@ object ZarrStore {
       case Raw => "null"
       case Zlib(l) => s"""{"id": "zlib", "level": $l}"""
       case ZstdCodec(l) => s"""{"id": "zstd", "level": $l}"""
+      case BloscCodec(cname, clevel, shuffle, _) =>
+        s"""{"id": "blosc", "cname": "$cname", "clevel": $clevel, "shuffle": $shuffle, "blocksize": 0}"""
     }
     s"""{
        |    "zarr_format": 2,
@@ -166,8 +326,11 @@ object ZarrStore {
         id match {
           case "zlib" => Zlib(level)
           case "zstd" => ZstdCodec(level)
-          case "blosc" => throw new IllegalArgumentException(
-            "blosc-container chunks unsupported (write with zlib/zstd/raw codecs)")
+          case "blosc" =>
+            val JString(cname) = comp \ "cname"
+            val clevel = comp \ "clevel" match { case JNothing => 5 case l => num(l).toInt }
+            val shuffle = comp \ "shuffle" match { case JNothing => 1 case s => num(s).toInt }
+            BloscCodec(cname, clevel, shuffle) // typesize comes from each chunk's header on read
           case other => throw new IllegalArgumentException(s"unsupported zarr codec: $other")
         }
     }
@@ -193,7 +356,10 @@ object ZarrStore {
     shape = Seq(vol.dimZ, vol.dimY, vol.dimX),
     chunks = Seq(vol.chunkZ, vol.chunkY, vol.chunkX),
     dtype = DtypeOf(vol.elementType),
-    codec = codec,
+    codec = codec match {
+      case b: BloscCodec => b.withTypesize(vol.bytesPerVoxel)
+      case c => c
+    },
     fillValue = 0L)
 
   /** Write a ChunkVolume as a zarr v2 array directory. Chunk files are
@@ -226,6 +392,7 @@ object ZarrStore {
     val (ckZ, ckY, ckX) = (vol.meta.chunkZ, vol.meta.chunkY, vol.meta.chunkX)
     val (dimZ, dimY, dimX) = (vol.meta.dimZ, vol.meta.dimY, vol.meta.dimX)
     val bpp = vol.meta.bytesPerVoxel
+    val effCodec = zm.codec // blosc picks up the dtype's typesize via metaOf
     vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
       it.foreach { c =>
         // zarr requires a UNIFORM grid (edge chunks trail); reject inputs
@@ -247,7 +414,7 @@ object ZarrStore {
             ChunkKernels.placeBox(padded, ckY, ckX, bpp, 0, 0, 0, c.nz, c.ny, c.nx, c.data)
             padded
           }
-        val bytes = codec.compress(payload)
+        val bytes = effCodec.compress(payload)
         Files.write(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"), bytes)
       }
     }

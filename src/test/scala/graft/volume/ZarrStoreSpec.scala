@@ -77,9 +77,13 @@ class ZarrStoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("blosc"))
   }
 
-  test("round-trip through raw, zlib, and zstd codecs preserves every voxel") {
+  test("round-trip through raw, zlib, zstd, and blosc codecs preserves every voxel") {
     val expect = collectVox(vox)
-    for (codec <- Seq(ZarrStore.Raw, ZarrStore.Zlib(5), ZarrStore.ZstdCodec(3))) {
+    for (codec <- Seq(
+        ZarrStore.Raw, ZarrStore.Zlib(5), ZarrStore.ZstdCodec(3),
+        ZarrStore.BloscCodec("zstd", 5, shuffle = 0),
+        ZarrStore.BloscCodec("zstd", 5, shuffle = 1),
+        ZarrStore.BloscCodec("zlib", 5, shuffle = 1))) {
       val dir = Files.createTempDirectory("zarr").toString + "/c.zarr"
       ZarrStore.write(vol, dir, codec)
       val back = ZarrStore.read(spark, dir)
@@ -87,6 +91,27 @@ class ZarrStoreSpec extends AnyFunSuite with SparkSpec {
       assert(back.meta.elementType === "MET_UINT")
       assert(collectVox(back.toVoxels) === expect, s"codec $codec")
     }
+  }
+
+  test("blosc: container metadata round-trips; multi-block + stored blocks; bitshuffle rejected") {
+    val m = ZarrStore.parseZarray(
+      """{"zarr_format": 2, "shape": [4, 4, 4], "chunks": [2, 2, 2], "dtype": "<u4",
+         "compressor": {"id": "blosc", "cname": "zstd", "clevel": 7, "shuffle": 1, "blocksize": 0},
+         "fill_value": 0, "order": "C", "filters": null}""")
+    assert(m.codec === ZarrStore.BloscCodec("zstd", 7, 1))
+    // incompressible data exercises the stored-block (csize == neblock) path
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill[Byte](64 * 1024)(rnd.nextInt().toByte)
+    for (sh <- Seq(0, 1); cn <- Seq("zstd", "zlib")) {
+      val c = ZarrStore.BloscCodec(cn, 5, sh, typesize = 4)
+      assert(c.decompress(c.compress(noise), noise.length).toSeq === noise.toSeq, s"$cn/$sh")
+    }
+    // compressible data larger than one block (forces the multi-block path)
+    val big = Array.tabulate[Byte](9 << 20)(i => (i % 251).toByte)
+    val c = ZarrStore.BloscCodec("zstd", 3, 1, typesize = 4)
+    assert(java.util.Arrays.equals(c.decompress(c.compress(big), big.length), big))
+    val e = intercept[IllegalArgumentException](ZarrStore.BloscCodec("zstd", 5, shuffle = 2))
+    assert(e.getMessage.contains("bitshuffle"))
   }
 
   test("absent chunk file decodes as fill_value per the spec") {
