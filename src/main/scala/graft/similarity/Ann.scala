@@ -85,17 +85,27 @@ object Ann {
       col(idCol) +: (0 until nTables).map(t => bucketExpr(emb, vecCol, nPlanes, t).as(s"bucket_$t")): _*
     )
 
-  /** Recall audit of the LSH path against the exact path: for each query,
-    * recall@k = |lshTopK ∩ bruteForceTopK| / k, reported as a boolean
-    * against `recallFloor`. Both sides are deterministic (planes derive
-    * from xxhash64, ranking tie-breaks on ids), so the result is a pure
-    * function of the data — which makes LSH *quality* oracle-checkable:
-    * the oracle simply asserts every sampled query meets the floor.
+  /** Per-query recall@k of an approximate top-k against the exact top-k,
+    * reported as a boolean vs `recallFloor`. When both sides are
+    * deterministic, the result is a pure function of the data — which
+    * makes ANN *quality* oracle-checkable: the oracle simply asserts
+    * every sampled query meets the floor.
     *
     * Scale shape: this is the sampled quality audit a production corpus
     * runs continuously — exact top-k over a small query sample (broadcast
-    * side) vs the bucketed path; never an all-pairs computation.
+    * side) vs the indexed path; never an all-pairs computation.
     */
+  def recallVsExact(exact: DataFrame, approx: DataFrame, k: Int, recallFloor: Double): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / k.toDouble).as("recall"))
+      .select(col("query_id"), (col("recall") >= recallFloor).as("recall_floor_met"))
+      .orderBy(col("query_id"))
+
+  /** Recall audit of the LSH path (see [[recallVsExact]]). */
   def lshRecallVsExact(
       emb: DataFrame,
       dim: Int,
@@ -106,18 +116,134 @@ object Ann {
       recallFloor: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-  ): DataFrame = {
-    val exact = bruteForceTopK(emb.filter(queryFilter), emb, k, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = lshTopK(emb, dim, k, queryFilter, nPlanes, nTables, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact
-      .join(approx, Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg((sum(coalesce(col("hit"), lit(0L))) / k.toDouble).as("recall"))
-      .select(col("query_id"), (col("recall") >= recallFloor).as("recall_floor_met"))
-      .orderBy(col("query_id"))
+  ): DataFrame = recallVsExact(
+    bruteForceTopK(emb.filter(queryFilter), emb, k, idCol, vecCol),
+    lshTopK(emb, dim, k, queryFilter, nPlanes, nTables, idCol, vecCol),
+    k, recallFloor)
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic coarse quantizer for the IVF path: Lloyd k-means over a
+    * fixed sample (the `nSample` lowest-id vectors), fixed iteration
+    * count, first-`nLists` init, lowest-index tie-breaks — every run and
+    * every executor sees identical centroids, no RNG anywhere. The sample
+    * collects to the driver (bounded by nSample·dim doubles); at 100 TB
+    * the sample is still tiny — training the quantizer on a sample is the
+    * standard IVF construction.
+    */
+  def trainCentroids(
+      emb: DataFrame,
+      dim: Int,
+      nLists: Int,
+      nSample: Int = 256,
+      iters: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Array[Array[Double]] = {
+    val sample = emb.orderBy(col(idCol)).limit(nSample)
+      .select(asDouble(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nLists, s"sample ${sample.length} < nLists $nLists")
+    var centroids = sample.take(nLists).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Long](nLists)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(nLists) { c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else { val s = sums(c); val n = counts(c).toDouble; s.map(_ / n) }
+      }
+    }
+    centroids
   }
+
+  private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val t = v(j) - cent(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c } // strict <: lowest index wins ties
+      c += 1
+    }
+    best
+  }
+
+  private def probeOrder(v: Array[Double], centroids: Array[Array[Double]], nProbe: Int): Seq[Int] =
+    centroids.indices.map { c =>
+      val cent = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val t = v(j) - cent(j); d += t * t; j += 1 }
+      (d, c)
+    }.sortBy(identity).take(nProbe).map(_._2)
+
+  /** ANN top-k via IVF (inverted-file): corpus vectors partition into
+    * `nLists` centroid lists; each query probes its `nProbe` nearest
+    * lists and ranks candidates by exact cosine. Shuffles only
+    * (list_id, id, vec) — candidates per query ≈ nProbe/nLists of the
+    * corpus, the recall/cost dial. Fully deterministic given the data
+    * (see [[trainCentroids]]).
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      dim: Int,
+      k: Int,
+      queryFilter: Column,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(emb, dim, nLists, idCol = idCol, vecCol = vecCol)
+    val base = emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val assigned = base.as[(Long, Seq[Double], Double)].map { case (id, e, nrm) =>
+      (id, e, nrm, nearestCentroid(e.toArray, centroids))
+    }.toDF("id", "e", "nrm", "list_id")
+    val probes = emb.filter(queryFilter)
+      .select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .as[(Long, Seq[Double], Double)]
+      .flatMap { case (id, e, nrm) =>
+        probeOrder(e.toArray, centroids, nProbe).map(list => (id, e, nrm, list))
+      }.toDF("query_id", "qe", "qn", "list_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes
+      .join(assigned.select(col("list_id"), col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn")), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+
+  /** Recall audit of the IVF path (see [[recallVsExact]]). */
+  def ivfRecallVsExact(
+      emb: DataFrame,
+      dim: Int,
+      k: Int,
+      queryFilter: Column,
+      nLists: Int,
+      nProbe: Int,
+      recallFloor: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = recallVsExact(
+    bruteForceTopK(emb.filter(queryFilter), emb, k, idCol, vecCol),
+    ivfTopK(emb, dim, k, queryFilter, nLists, nProbe, idCol, vecCol),
+    k, recallFloor)
 
   /** ANN top-k via LSH: candidates = corpus vectors sharing any table's
     * bucket with the query; exact cosine rank within candidates.

@@ -26,7 +26,18 @@ object UpscaleCli {
       maxGb: Double = 500.0,
       dryRun: Boolean = false,
       force: Boolean = false,
+      format: String = "zarr", // zarr (reference parity) | graftchunks (value-indexed)
+      compressor: String = "zstd", // zstd | zlib | blosc-zstd | blosc-zlib | none
   )
+
+  private[volume] def zarrCodec(compressor: String): ZarrStore.Codec = compressor match {
+    case "zstd" => ZarrStore.ZstdCodec()
+    case "zlib" => ZarrStore.Zlib()
+    case "blosc-zstd" => ZarrStore.BloscCodec("zstd")
+    case "blosc-zlib" => ZarrStore.BloscCodec("zlib")
+    case "none" => ZarrStore.Raw
+    case other => throw new IllegalArgumentException(s"unknown --compressor: $other")
+  }
 
   def parseArgs(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -40,6 +51,8 @@ object UpscaleCli {
       case "--max-gb" :: v :: t => loop(t, acc.copy(maxGb = v.toDouble))
       case "--dry-run" :: t => loop(t, acc.copy(dryRun = true))
       case "--force" :: t => loop(t, acc.copy(force = true))
+      case "--format" :: v :: t => loop(t, acc.copy(format = v))
+      case "--compressor" :: v :: t => loop(t, acc.copy(compressor = v))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val a = loop(argv.toList, Args())
@@ -48,6 +61,8 @@ object UpscaleCli {
     require(a.scale >= 1, "--scale must be >= 1")
     require(a.mode == "labels" || a.mode == "outline", "--mode must be labels|outline")
     require(a.pyramidLevels >= 1, "--pyramid-levels must be >= 1")
+    require(a.format == "zarr" || a.format == "graftchunks", "--format must be zarr|graftchunks")
+    zarrCodec(a.compressor) // validate eagerly
     a
   }
 
@@ -85,12 +100,18 @@ object UpscaleCli {
     // ProgressBar parity (upscale.py:23): stage-level progress lines
     // stream to `live` DURING execute and join the transcript after.
     val (_, progress) = graft.plans.ProgressReporter.withProgress(spark.sparkContext, live) {
-      if (a.pyramidLevels > 1) PyramidWriter.write(processed, a.pyramidLevels, a.output, a.scale)
-      else ChunkStore.write(processed, a.output, extraProvenance = provenance)
+      if (a.pyramidLevels > 1)
+        PyramidWriter.write(processed, a.pyramidLevels, a.output, a.scale, zarrCodec(a.compressor))
+      else if (a.format == "zarr")
+        ZarrStore.write(processed, a.output, zarrCodec(a.compressor), extraAttrs = provenance)
+      else
+        ChunkStore.write(processed, a.output, extraProvenance = provenance)
     }
     out ++= progress
     out += (if (a.pyramidLevels > 1)
       s"Finished. OME-Zarr pyramid (${a.pyramidLevels} levels) written to: ${a.output}"
+    else if (a.format == "zarr")
+      s"Finished. Zarr array (${a.compressor}) written to: ${a.output}"
     else s"Finished. Chunk store written to: ${a.output}")
     out.result()
   }

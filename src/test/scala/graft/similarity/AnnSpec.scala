@@ -42,6 +42,22 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(recallWith(2, 8) >= recallWith(8, 8) - 1e-9)
   }
 
+  test("ivfTopK: deterministic quantizer, recall clears the registered floor") {
+    // centroids are a pure function of the data: two trainings identical
+    val c1 = Ann.trainCentroids(emb, 64, 16)
+    val c2 = Ann.trainCentroids(emb, 64, 16)
+    assert(c1.length === 16)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    val rows = Ann.ivfRecallVsExact(emb, 64, k, qf, nLists = 16, nProbe = 4, recallFloor = 0.4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(rows.map(_._1).toSeq === (0L until 10L))
+    assert(rows.forall(_._2), s"queries below floor: ${rows.filterNot(_._2).mkString(",")}")
+    // probing every list is exhaustive: recall must be exactly 1.0
+    val full = Ann.ivfRecallVsExact(emb, 64, k, qf, nLists = 16, nProbe = 16, recallFloor = 0.999)
+      .collect().map(_.getBoolean(1))
+    assert(full.forall(identity), "nProbe=nLists must recover the exact top-k")
+  }
+
   test("lshRecallVsExact: every audited query clears the registered floor") {
     val rows = Ann.lshRecallVsExact(emb, 64, k, qf, nPlanes = 4, nTables = 8, recallFloor = 0.2)
       .collect().map(r => (r.getLong(0), r.getBoolean(1)))

@@ -1,6 +1,7 @@
 package graft.volume
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -29,7 +30,8 @@ class UpscaleCliSpec extends AnyFunSuite with SparkSpec {
   test("full lifecycle: transcript lines, written store, label preservation") {
     val outStore = fixtureDir.resolve("out").toString
     val lines = UpscaleCli.run(spark, UpscaleCli.Args(
-      input = fixtureDir.resolve("f.mhd").toString, output = outStore, scale = 2, chunkMb = 1))
+      input = fixtureDir.resolve("f.mhd").toString, output = outStore, scale = 2, chunkMb = 1,
+      format = "graftchunks"))
     assert(lines.exists(_.startsWith("Source shape (z,y,x): (6, 8, 10), dtype=MET_UINT")))
     assert(lines.exists(_.startsWith("Upscaled shape (z,y,x): (12, 16, 20)")))
     assert(lines.exists(_.startsWith("Finished. Chunk store written")))
@@ -41,6 +43,23 @@ class UpscaleCliSpec extends AnyFunSuite with SparkSpec {
     val back = ChunkStore.read(spark, outStore)
     assert(back.meta.dimZ === 12)
     assert(back.pointLookup(4, 8, 6) === Some(15564L + (2 / 2) * 10 + (4 / 4)))
+  }
+
+  test("default output is a real zarr v2 array (reference parity), --compressor honored") {
+    val outZarr = fixtureDir.resolve("out_zarr").toString
+    val lines = UpscaleCli.run(spark, UpscaleCli.Args(
+      input = fixtureDir.resolve("f.mhd").toString, output = outZarr, scale = 2, chunkMb = 1,
+      compressor = "blosc-zstd"))
+    assert(lines.exists(_.startsWith("Finished. Zarr array (blosc-zstd) written to:")))
+    val za = ZarrStore.parseZarray(
+      Files.readString(java.nio.file.Paths.get(outZarr, ".zarray")))
+    assert(za.dtype === "<u4")
+    assert(za.codec === ZarrStore.BloscCodec("zstd")) // typesize lives per chunk header
+    val back = ZarrStore.read(spark, outZarr)
+    assert(back.meta.dimZ === 12)
+    // same invariant as the graftchunks path: label preserved at mapped coords
+    assert(back.toVoxels.filter(col("z") === 4 && col("y") === 8 && col("x") === 6)
+      .select("label").collect().head.getLong(0) === 15564L + (2 / 2) * 10 + (4 / 4))
   }
 
   test("dry-run executes nothing; guards reject oversized jobs; force overrides") {
