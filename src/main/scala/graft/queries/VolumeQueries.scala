@@ -269,6 +269,24 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // Same interop surface through the C-Blosc v1 container chunks
+    // (byte-shuffled zstd — the zarr.DirectoryStore default family and the
+    // reference's `--compressor zstd` container, upscale_streaming.py:103).
+    Q(
+      "vol_zarr_blosc_roundtrip",
+      (s, _) => {
+        import graft.volume.{Chunk, ChunkVolume => CV, ZarrStore}
+        val store = java.nio.file.Files.createTempDirectory("graft_zarrb").toString + "/vol.zarr"
+        ZarrStore.write(chunked(s), store, ZarrStore.BloscCodec("zstd", 5, shuffle = 1))
+        val (_, meta) = ZarrStore.readMeta(store)
+        import s.implicits._
+        val df = s.read.format("zarr").load(store)
+        CV(df.as[Chunk], meta).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
     // K5/S5: BigTIFF slice export (one page per z) and scan back.
     Q(
       "vol_bigtiff_roundtrip",

@@ -32,6 +32,9 @@ object VolumeStreams {
   /** Watch `inDir` for chunk parquet files; upscale ×s each micro-batch
     * and append the child chunks to the store at `outDir`. The output
     * store's sidecar is committed up front from the (scaled) metadata.
+    * `format`: "graftchunks" (value-indexed internal store) or "zarr"
+    * (spec-compliant zarr v2 — streams straight into the format the
+    * reference's toolchain reads).
     */
   def upscaleIngest(
       spark: SparkSession,
@@ -39,8 +42,10 @@ object VolumeStreams {
       outDir: String,
       inputMeta: VolumeMeta,
       s: Int,
+      format: String = "graftchunks",
   ): StreamingQuery = {
     import spark.implicits._
+    require(format == "graftchunks" || format == "zarr", s"unknown ingest format: $format")
     val outMeta = inputMeta.copy(
       dimZ = inputMeta.dimZ * s, dimY = inputMeta.dimY * s, dimX = inputMeta.dimX * s,
       ncz = inputMeta.ncz * s, ncy = inputMeta.ncy * s, ncx = inputMeta.ncx * s)
@@ -50,8 +55,9 @@ object VolumeStreams {
       .parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val vol = ChunkVolume(batch.as[Chunk], inputMeta)
-        ChunkStore.appendChunks(vol.upscale(s).chunks, outDir, outMeta)
+        val up = ChunkVolume(batch.as[Chunk], inputMeta).upscale(s).chunks
+        if (format == "zarr") graft.volume.ZarrStore.appendChunks(up, outDir, outMeta)
+        else ChunkStore.appendChunks(up, outDir, outMeta)
       }
       .start()
   }

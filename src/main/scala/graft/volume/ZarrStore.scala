@@ -388,12 +388,37 @@ object ZarrStore {
       attrs.toSeq.sortBy(_._1)
         .map { case (k, v) => s"    ${ChunkVolume.jsonStr(k)}: $v" }
         .mkString("{\n", ",\n", "\n}"))
-    val pathStr = dir.toString
-    val (ckZ, ckY, ckX) = (vol.meta.chunkZ, vol.meta.chunkY, vol.meta.chunkX)
-    val (dimZ, dimY, dimX) = (vol.meta.dimZ, vol.meta.dimY, vol.meta.dimX)
-    val bpp = vol.meta.bytesPerVoxel
-    val effCodec = zm.codec // blosc picks up the dtype's typesize via metaOf
-    vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
+    writeChunkFiles(vol.chunks, dir.toString, vol.meta, zm.codec)
+  }
+
+  /** Append chunk files into an existing zarr array directory — the
+    * incremental-ingest building block: zarr chunks are independent
+    * files, so streaming micro-batches append idempotently (a re-landed
+    * chunk coordinate overwrites its own file). Writes the metadata
+    * documents on first call.
+    */
+  def appendChunks(
+      chunks: org.apache.spark.sql.Dataset[Chunk],
+      path: String,
+      meta: VolumeMeta,
+      codec: Codec = ZstdCodec()): Unit = {
+    val dir = Paths.get(path).toAbsolutePath
+    Files.createDirectories(dir)
+    val zm = metaOf(meta, codec)
+    val zarrayPath = dir.resolve(".zarray")
+    if (!Files.exists(zarrayPath)) Files.writeString(zarrayPath, zarrayJson(zm))
+    writeChunkFiles(chunks, dir.toString, meta, zm.codec)
+  }
+
+  private def writeChunkFiles(
+      chunks: org.apache.spark.sql.Dataset[Chunk],
+      pathStr: String,
+      meta: VolumeMeta,
+      codec: Codec): Unit = {
+    val (ckZ, ckY, ckX) = (meta.chunkZ, meta.chunkY, meta.chunkX)
+    val (dimZ, dimY, dimX) = (meta.dimZ, meta.dimY, meta.dimX)
+    val bpp = meta.bytesPerVoxel
+    chunks.foreachPartition { (it: Iterator[Chunk]) =>
       it.foreach { c =>
         // zarr requires a UNIFORM grid (edge chunks trail); reject inputs
         // whose grid drifted (e.g. raw decimate output) instead of
@@ -414,7 +439,7 @@ object ZarrStore {
             ChunkKernels.placeBox(padded, ckY, ckX, bpp, 0, 0, 0, c.nz, c.ny, c.nx, c.data)
             padded
           }
-        val bytes = effCodec.compress(payload)
+        val bytes = codec.compress(payload)
         Files.write(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"), bytes)
       }
     }
