@@ -319,8 +319,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .withColumn(
         "cos_sim",
-        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-          / (col("na") * col("nb")),
+        graft.functions.GraftFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")),
       )
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"))
@@ -336,6 +335,7 @@ object Dedup {
       vecCol: String = "embedding",
       threshold: Double = 0.35,
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(
       col(idCol),
       col(vecCol).cast("array<double>").as("e"),
@@ -345,10 +345,7 @@ object Dedup {
     val b = withNorm.select(col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn(
-        "dot",
-        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x),
-      )
+      .withColumn("dot", graft.functions.GraftFunctions.dot(col("ea"), col("eb")))
       .withColumn("cos_sim", round(col("dot") / (col("na") * col("nb")), 4))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))

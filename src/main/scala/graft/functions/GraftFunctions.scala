@@ -20,6 +20,7 @@ object GraftFunctions {
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash64"
   val LshBucketName = "graft_lsh_bucket"
+  val DotName = "graft_dot"
 
   private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (Fp64Name, classOf[RollingHash64].getName, { children: Seq[Expression] =>
@@ -47,6 +48,10 @@ object GraftFunctions {
           s"$LshBucketName $what must be an integer literal, got $other")
       }
       LshBucket(children.head, intLit(children(1), "nPlanes"), intLit(children(2), "seed"))
+    }),
+    (DotName, classOf[DotProd].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$DotName takes exactly 2 arguments")
+      DotProd(children(0), children(1))
     }),
   )
 
@@ -78,4 +83,9 @@ object GraftFunctions {
   /** Random-hyperplane LSH bucket id of an ARRAY<DOUBLE> vector. */
   def lshBucket(vec: Column, nPlanes: Int, seed: Int): Column =
     call_function(LshBucketName, vec, lit(nPlanes), lit(seed))
+
+  /** Dot product of two ARRAY<DOUBLE> vectors (codegen'd tight loop,
+    * bit-identical accumulation order to the HOF form).
+    */
+  def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
 }

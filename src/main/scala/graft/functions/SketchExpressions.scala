@@ -83,6 +83,22 @@ object Sketches {
   }
 }
 
+object VectorKernels {
+
+  /** Sequential left-to-right dot product — bit-identical to the
+    * interpreted `aggregate(zip_with(a,b,_*_), 0.0, _+_)` HOF it replaces
+    * (same accumulation order), so oracle hash parity is preserved.
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"dot: length mismatch ${n} vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
 object SketchesLsh {
 
   /** Random-hyperplane LSH bucket id over a float/double vector: bit p of
@@ -135,6 +151,33 @@ case class LshBucket(child: Expression, nPlanes: Int, seed: Int) extends UnaryEx
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)
+}
+
+/** Dot product of two ARRAY<DOUBLE> vectors — the O(dim) inner loop of
+  * every similarity join, codegen'd (the HOF form re-enters the
+  * interpreter per element).
+  */
+case class DotProd(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got (${l.catalogString}, ${r.catalogString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
 }
 
 /** MinHash signature of a token array: `numHashes` minima over the

@@ -31,8 +31,10 @@ object Ann {
 
   private def norm(e: Column): Column = sqrt(aggregate(e, lit(0.0), (acc, x) => acc + x * x))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // native codegen'd O(dim) inner loop; same accumulation order as the
+  // interpreted HOF it replaced, so oracle parity is unchanged. Callers
+  // must GraftFunctions.register the session first (each entry point does).
+  private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ranked by (rounded) cosine desc with id
@@ -47,6 +49,7 @@ object Ann {
       vecCol: String = "embedding",
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qe"))
       .withColumn("qn", norm(col("qe")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("ce"))
@@ -206,6 +209,7 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val centroids = trainCentroids(emb, dim, nLists, idCol = idCol, vecCol = vecCol)
     val base = emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
       .withColumn("nrm", norm(col("e")))

@@ -31,6 +31,20 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     (exact intersect a).size.toDouble / exact.size
   }
 
+  test("native graft_dot is bit-identical to the interpreted HOF dot") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = emb.limit(50).select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+      .crossJoin(emb.limit(7).select(col("embedding").cast("array<double>").as("b")))
+    val both = pairs.select(
+      graft.functions.GraftFunctions.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof"),
+    ).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) === java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
   test("lshTopK recall@5 vs bruteForceTopK clears the floor at the default operating point") {
     assert(exact.size === 10 * k)
     val recall = recallWith(4, 8) // the registered query's operating point
