@@ -495,5 +495,32 @@ object DocQueries {
         FROM events GROUP BY 1, 2 ORDER BY event_type, hour_s
       """),
     ),
+    // Sliding-window streaming surface, batch execution: 1-hour windows
+    // every 15 minutes — each event lands in 4 overlapping windows
+    // (epoch-aligned, like Spark's window()). Oracle enumerates the 4
+    // starts per event directly.
+    Q(
+      "ev_stream_sliding",
+      (s, d) =>
+        EventStreams.slidingValue(T.events(s, d))
+          .select(
+            unix_timestamp(col("window.start")).as("window_s"),
+            col("n_events"),
+            (col("value_c") / 100.0).as("total_value"),
+          )
+          .orderBy(col("window_s")),
+      Some("""
+        WITH w AS (
+          SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                    - CAST(FLOOR(epoch(ts)) AS BIGINT) % 900
+                    - k.range * 900) AS window_s,
+                 value
+          FROM events, range(4) k
+        )
+        SELECT window_s, COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM w GROUP BY window_s ORDER BY window_s
+      """),
+    ),
   )
 }

@@ -30,12 +30,18 @@ object EventStreams {
         approx_count_distinct(col("user_id")).as("approx_users"),
       )
 
-  /** Sliding windows: 1-hour window every 15 minutes. */
+  /** Sliding windows: 1-hour window every 15 minutes. `value_c` is the
+    * exact cents twin of total_value (see hourlyByType).
+    */
   def slidingValue(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_c"),
+      )
 
   case class Event(user_id: Long, ts_us: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
