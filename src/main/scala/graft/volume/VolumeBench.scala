@@ -79,6 +79,20 @@ object VolumeBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Same flow into a SPEC-COMPLIANT zarr v2 array with the blosc-zstd
+    * container — byte-for-byte the reference's output world
+    * (upscale_streaming.py --compressor zstd), for an apples-to-apples
+    * sink comparison.
+    */
+  def upscaleZarr(spark: SparkSession, mhdPath: String, s: Int, outDir: String): Double = {
+    val meta = MhdMeta.parse(mhdPath)
+    val t0 = System.nanoTime()
+    val vol = MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt)
+    ZarrStore.write(vol.upscale(s), outDir, ZarrStore.BloscCodec("zstd", 5, shuffle = 1),
+      extraAttrs = Map("source" -> mhdPath, "scale" -> s.toString))
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Returns (name -> seconds) entries for the bench JSON: the first run
     * pays cold page cache + JIT; the second is the steady-state number.
     */
@@ -89,6 +103,8 @@ object VolumeBench {
     val entries = Seq.newBuilder[(String, Double)]
     entries += ("vol_atlas_upscale_x2_cold" -> cold)
     entries += ("vol_atlas_upscale_x2" -> warm)
+    entries += ("vol_atlas_upscale_x2_zarr" ->
+      upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr"))
     // the ×15 streaming run: 1.04 TB logical (260 G voxels), reference
     // baseline 684.5 s. ~60 s here; set SPARK_GRAFT_VOLBENCH=x2only to skip.
     if (!sys.env.get("SPARK_GRAFT_VOLBENCH").contains("x2only")) {
