@@ -159,10 +159,12 @@ object ChunkStore {
     ChunkVolume(chunks, meta)
   }
 
-  /** "Which chunks contain label X, and how often?" — candidates from
-    * 64-byte header peeks (no decompression), then only the candidate
-    * chunks decode for the exact count (the region-location query,
-    * value-indexed: lookup_test2.py's semantics over a whole store).
+  /** "Which chunks contain label X, and how often?" — candidates from ONE
+    * read of the consolidated stats index when present (else distributed
+    * 64-byte header peeks — still no decompression), then only the
+    * candidate chunks decode for the exact count (the region-location
+    * query, value-indexed: lookup_test2.py's semantics over a whole
+    * store).
     */
   def findLabel(spark: SparkSession, path: String, label: Long): DataFrame = {
     val meta = ChunkVolume.readSidecar(path)
@@ -171,7 +173,14 @@ object ChunkStore {
     val unsigned = meta.isUnsigned
     val pathStr = Paths.get(path).toAbsolutePath.toString
     import spark.implicits._
-    val names = spark.createDataset(chunkFileNames(pathStr))
+    val candidateNames = readStatsIndex(pathStr) match {
+      case Some(idx) =>
+        chunkFileNames(pathStr).filter { name =>
+          idx.get(name).forall { case (lo, hi) => lo <= label && label <= hi }
+        }
+      case None => chunkFileNames(pathStr)
+    }
+    val names = spark.createDataset(candidateNames)
       .repartition(spark.sparkContext.defaultParallelism)
     names
       .mapPartitions { it =>

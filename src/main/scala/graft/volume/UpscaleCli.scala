@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   *   graft.volume.UpscaleCli --input vol.mhd --output out_store
   *     [--scale 2] [--chunk-mb 128] [--mode labels|outline]
   *     [--pyramid-levels 1] [--max-gb 500] [--dry-run] [--force]
+  *     [--format zarr|graftchunks]
+  *     [--compressor zstd|zlib|blosc-zstd|blosc-zlib|none]
   */
 object UpscaleCli {
 
