@@ -91,6 +91,38 @@ object EventQueries {
         FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id
       """),
     ),
+    // Same sessions through the skew-resistant TWO-PHASE plan
+    // (operators/Sessionize): phase 1 bounds per-task load by
+    // (user, 6h bucket), phase 2 merges boundary sessions over the far
+    // smaller session table. Shares ev_sessions' oracle verbatim —
+    // identical semantics, different (100 TB heavy-hitter-safe) shape.
+    Q(
+      "ev_sessions_twophase",
+      (s, d) =>
+        graft.operators.Sessionize.twoPhase(
+          T.events(s, d),
+          gapNs = NS_PER_30MIN,
+          bucketNs = 6L * 3600 * 1000 * 1000 * 1000),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sess_value
+        FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id
+      """),
+    ),
     // Semi-structured extraction from the props JSON payload via regex
     // (portable across engines), aggregated per event type.
     Q(
@@ -149,6 +181,33 @@ object EventQueries {
         SELECT event_type, COUNT(*) AS n_events, COUNT(pts) AS n_matched,
                CAST(COALESCE(SUM((ets - pts) // 1000000000), 0) AS BIGINT) AS sum_lag_s
         FROM j GROUP BY 1 ORDER BY event_type
+      """),
+    ),
+    // Sketch surface: HyperLogLog++ distinct-user counts gated against the
+    // exact count with a relative-error tolerance. approx_count_distinct's
+    // 100 TB value is dropping q3-style Expand+double-agg exchanges; this
+    // query makes the sketch's accuracy contract oracle-checkable (the
+    // boolean is deterministic: HLL++ is deterministic given the data).
+    Q(
+      "ev_hll_users",
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d)
+          .groupBy($"event_type")
+          .agg(
+            countDistinct($"user_id").as("n_users"),
+            approx_count_distinct($"user_id", 0.02).as("n_approx"),
+          )
+          .select(
+            $"event_type",
+            $"n_users",
+            (abs($"n_approx" - $"n_users") <= $"n_users" * 0.05).as("hll_within_5pct"),
+          )
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, true AS hll_within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
       """),
     ),
     // User funnel: per user first/last event epoch, event-type breadth.
