@@ -24,6 +24,58 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Connected components over a near-duplicate pair list — the clustering
+    * step every real dedup pipeline runs on its candidate pairs (keep one
+    * representative per component). Deterministic min-id labels via
+    * distributed label propagation: each round takes the minimum over
+    * neighbors' labels AND pointer-jumps (label := label's label), giving
+    * logarithmic-in-diameter convergence — the alternating-star family of
+    * MapReduce CC algorithms. Each round is two shuffles over (id, label)
+    * pairs; nothing is quadratic, nothing collects.
+    *
+    * Returns (id, cluster_rep) for every id appearing in `pairs`,
+    * cluster_rep = smallest id in the component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIters: Int = 25,
+  ): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nbr_rep")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_rep")).as("nbr_rep"))
+      val propagated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // pointer jump: rep := rep's rep (collapses chains logarithmically)
+      val jumped = propagated.as("l")
+        .join(propagated.select(col("id").as("rep"), col("rep").as("rep2")).as("r"), Seq("rep"), "left")
+        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+        .cache()
+      val changed = jumped.as("n")
+        .join(labels.select(col("id"), col("rep").as("old")).as("o"), Seq("id"))
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("rep").as("cluster_rep")).orderBy(col("id"))
+  }
+
   /** Distinct-token array for shingle/set based dedup. */
   private def tokenSet(textCol: String): Column = array_distinct(split(col(textCol), " "))
 

@@ -196,6 +196,47 @@ object DocQueries {
         FROM documents ORDER BY doc_id
       """),
     ),
+    // ----------------------------------------- near-dup cluster formation
+    // Connected components over the jaccard near-dup pairs (min-id label
+    // propagation + pointer jumping — log-diameter rounds of (id, label)
+    // shuffles). The oracle computes the same closure with a recursive
+    // CTE over the identical SQL-derived pair list.
+    Q(
+      "doc_dup_clusters",
+      (s, d) =>
+        Dedup.connectedComponents(
+          Dedup.tokenJaccardPairs(T(s, d, "documents"), threshold = 0.5))
+          .select(col("id").as("doc_id"), col("cluster_rep")),
+      Some("""
+        WITH RECURSIVE tok AS (
+          SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.source = b.source AND a.term = b.term
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT doc_a, doc_b
+          FROM inter
+            JOIN sizes na ON inter.doc_a = na.doc_id
+            JOIN sizes nb ON inter.doc_b = nb.doc_id
+          WHERE c / (na.n + nb.n - c) >= 0.5
+        ),
+        e AS (SELECT doc_a AS s, doc_b AS d FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        reach(id, r) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+        )
+        SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY id ORDER BY doc_id
+      """),
+    ),
     // ------------------------------------------------------ quality score
     Q(
       "doc_quality",

@@ -114,6 +114,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connectedComponents: min-id clusters over pair edges, chains collapse") {
+    import spark.implicits._
+    // a 12-node chain (worst case for naive propagation), one triangle
+    // with a bridge, and an isolated pair
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L), (30L, 31L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (i <- 1L to 12L) assert(got(i) === 1L, s"node $i")
+    for (i <- 20L to 23L) assert(got(i) === 20L, s"node $i")
+    assert(got(30L) === 30L && got(31L) === 30L)
+    assert(got.size === 12 + 4 + 2)
+  }
+
   test("native sketch kernels: deterministic, set-sensitive, jaccard-correlated") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
