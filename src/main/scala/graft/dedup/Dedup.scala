@@ -24,6 +24,44 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Benchmark-contamination detection: flag corpus documents sharing any
+    * word n-gram with an evaluation set — the standard n-gram-collision
+    * decontamination check a training corpus runs before release.
+    *
+    * Scale shape: the benchmark's distinct shingle set is BROADCAST (eval
+    * suites are tiny next to a 100 TB corpus); the corpus side is one
+    * narrow shingle scan + map-side join + per-doc count. Nothing
+    * all-pairs, corpus text never shuffles.
+    *
+    * Returns every non-benchmark doc with its shared-distinct-n-gram
+    * count and a flag at `minHits`.
+    */
+  def contamination(
+      docs: DataFrame,
+      benchFilter: Column,
+      n: Int = 3,
+      minHits: Long = 1L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val benchGrams = docs.filter(benchFilter)
+      .select(explode(shingles(textCol, n)).as("g")).distinct()
+    val corpusGrams = docs.filter(!benchFilter)
+      .select(col(idCol), explode(shingles(textCol, n)).as("g"))
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"))
+    docs.filter(!benchFilter).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) >= minHits).as("contaminated"),
+      )
+      .orderBy(col(idCol))
+  }
+
   /** Connected components over a near-duplicate pair list — the clustering
     * step every real dedup pipeline runs on its candidate pairs (keep one
     * representative per component). Deterministic min-id labels via

@@ -196,6 +196,36 @@ object DocQueries {
         FROM documents ORDER BY doc_id
       """),
     ),
+    // ------------------------------------- benchmark decontamination check
+    // n-gram-collision contamination: corpus docs sharing any word 3-gram
+    // with the "benchmark" docs (doc_id < 5 stands in for an eval suite).
+    // Benchmark shingles broadcast; corpus text never shuffles.
+    Q(
+      "doc_contamination",
+      (s, d) =>
+        Dedup.contamination(T(s, d, "documents"), benchFilter = col("doc_id") < 5, n = 3),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(w[i:i+2], ' ')))) AS g
+          FROM t
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 5),
+        hits AS (
+          SELECT sh.doc_id, COUNT(DISTINCT sh.g) AS n_shared_ngrams
+          FROM sh JOIN bench USING (g) WHERE sh.doc_id >= 5
+          GROUP BY sh.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+               COALESCE(h.n_shared_ngrams, 0) >= 1 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+          LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id
+      """),
+    ),
     // ----------------------------------------- near-dup cluster formation
     // Connected components over the jaccard near-dup pairs (min-id label
     // propagation + pointer jumping — log-diameter rounds of (id, label)
