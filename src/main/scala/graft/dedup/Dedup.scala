@@ -24,6 +24,17 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Deterministic, engine-portable train/validation split: a document's
+    * split derives from the lexicographic order of md5(id) against a hex
+    * threshold — reproducible everywhere (no RNG, no engine-specific
+    * hash), stable under corpus growth (a doc's split never changes), and
+    * stratification-friendly (uniform within any subpopulation). The
+    * standard trick for split assignment in large-corpus pipelines.
+    * `valPrefix` "2" ≈ 1/8 validation (hex first char < '2').
+    */
+  def splitColumn(idCol: Column, valPrefix: String = "2"): Column =
+    when(md5(idCol.cast("string").cast("binary")) < valPrefix, "val").otherwise("train")
+
   /** Benchmark-contamination detection: flag corpus documents sharing any
     * word n-gram with an evaluation set — the standard n-gram-collision
     * decontamination check a training corpus runs before release.

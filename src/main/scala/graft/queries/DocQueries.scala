@@ -196,6 +196,25 @@ object DocQueries {
         FROM documents ORDER BY doc_id
       """),
     ),
+    // ------------------------------------ deterministic train/val split
+    // md5-order split: engine-portable (no RNG, no engine-specific hash),
+    // stable under corpus growth, uniform within every stratum. Counts
+    // per (lang, split) verify both determinism and the ~1/8 val rate.
+    Q(
+      "doc_split_stratified",
+      (s, d) =>
+        T(s, d, "documents")
+          .withColumn("split", Dedup.splitColumn(col("doc_id")))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("split")),
+      Some("""
+        SELECT lang,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '2' THEN 'val' ELSE 'train' END AS split,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2 ORDER BY lang, split
+      """),
+    ),
     // ------------------------------------- benchmark decontamination check
     // n-gram-collision contamination: corpus docs sharing any word 3-gram
     // with the "benchmark" docs (doc_id < 5 stands in for an eval suite).
