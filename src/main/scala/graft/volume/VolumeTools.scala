@@ -45,8 +45,8 @@ object VolumeTools {
     val orig = MhdReader.read(spark, mhdPath).pointLookup(z, y, x)
     val up = readStore(spark, storePath).pointLookup(z * s, y * s, x * s)
     val verdict = (orig, up) match {
-      case (Some(a), Some(b)) if a == b => "MATCH — label preserved"
-      case (Some(a), Some(b)) => s"MISMATCH — $a != $b"
+      case (Some(a), Some(b)) if a == b => "MATCH: label preserved"
+      case (Some(a), Some(b)) => s"MISMATCH: $a != $b"
       case _ => "OUT OF BOUNDS"
     }
     Seq(

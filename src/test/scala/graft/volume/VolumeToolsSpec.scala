@@ -57,12 +57,12 @@ class VolumeToolsSpec extends AnyFunSuite with SparkSpec {
     assert(v1 === Seq(
       "Original @ (1, 5, 3) = 15565",
       "Upscaled @ (2, 10, 6) = 15565",
-      "MATCH — label preserved",
+      "MATCH: label preserved",
     ))
     val storeOut = dir.resolve("up.store").toString
     ChunkStore.write(up, storeOut)
     assert(VolumeTools.run(spark, Seq("verify", mhd, storeOut, "2", "1", "5", "3")).last ===
-      "MATCH — label preserved")
+      "MATCH: label preserved")
   }
 
   test("lookup: voxel read + region join, hit and miss (lookup_test2.py)") {
