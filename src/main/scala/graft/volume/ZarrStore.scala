@@ -489,7 +489,13 @@ object ZarrStore {
         }
         fill
       case Some(raw) =>
-        val full = zm.codec.decompress(raw, zm.chunkElems * bpp)
+        val full =
+          try zm.codec.decompress(raw, zm.chunkElems * bpp)
+          catch {
+            case e: Exception => throw new IllegalStateException(
+              s"zarr chunk ($cz,$cy,$cx) failed to decode " +
+                s"(${raw.length} bytes, codec ${zm.codec.id.getOrElse("raw")}): ${e.getMessage}", e)
+          }
         if (zm.bigEndian) byteSwap(full, bpp)
         if (nz == vm.chunkZ && ny == vm.chunkY && nx == vm.chunkX) full
         else ChunkKernels.extractBox(full, vm.chunkY, vm.chunkX, bpp, 0, 0, 0, nz, ny, nx)
