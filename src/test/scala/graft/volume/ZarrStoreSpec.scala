@@ -114,6 +114,31 @@ class ZarrStoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("bitshuffle"))
   }
 
+  test("float dtype (<f4) round-trips through zarr bit-exactly") {
+    import spark.implicits._
+    // a MET_FLOAT volume built directly from packed float chunks
+    val (fz, fy, fx) = (4, 3, 5)
+    val meta = VolumeMeta(fz, fy, fx, 2, 3, 5, 2, 1, 1, "MET_FLOAT", 1.0, 1.0, 1.0)
+    def mkChunk(cz: Int, z0: Long, nz: Int): Chunk = {
+      val data = new Array[Byte](nz * fy * fx * 4)
+      val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (z <- 0 until nz; y <- 0 until fy; x <- 0 until fx)
+        bb.putFloat((((z0 + z) * fy + y) * fx + x) * 0.25f)
+      Chunk(cz, 0, 0, z0, 0, 0, nz, fy, fx, data)
+    }
+    val fvol = ChunkVolume(spark.createDataset(Seq(mkChunk(0, 0, 2), mkChunk(1, 2, 2))), meta)
+    val dir = Files.createTempDirectory("zarr").toString + "/f.zarr"
+    ZarrStore.write(fvol, dir, ZarrStore.BloscCodec("zstd", 3, shuffle = 1))
+    val za = ZarrStore.parseZarray(Files.readString(Paths.get(dir, ".zarray")))
+    assert(za.dtype === "<f4" && za.elementType === "MET_FLOAT")
+    val back = ZarrStore.read(spark, dir)
+    assert(back.meta.elementType === "MET_FLOAT")
+    val got = back.toVoxelsDouble.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    for (z <- 0 until fz; y <- 0 until fy; x <- 0 until fx)
+      assert(got((z.toLong, y.toLong, x.toLong)) === ((z * fy + y) * fx + x) * 0.25)
+  }
+
   test("absent chunk file decodes as fill_value per the spec") {
     val dir = Files.createTempDirectory("zarr").toString + "/m.zarr"
     ZarrStore.write(vol, dir, ZarrStore.Zlib(5))
