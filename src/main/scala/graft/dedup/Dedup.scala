@@ -125,6 +125,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // min+jump converges in O(log diameter); 25 rounds covers any graph a
+    // dedup pipeline produces (2^25-step diameters are adversarial-only).
+    // A silent partial clustering would be data corruption — fail loudly.
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
     labels.select(col("id"), col("rep").as("cluster_rep")).orderBy(col("id"))
   }
 
