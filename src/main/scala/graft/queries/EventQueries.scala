@@ -210,6 +210,30 @@ object EventQueries {
         FROM events GROUP BY event_type ORDER BY event_type
       """),
     ),
+    // JSON-function extraction (the typed twin of the regex form above):
+    // get_json_object / DuckDB json_extract over the props payload.
+    Q(
+      "ev_props_json",
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d)
+          .withColumn("k", get_json_object($"props", "$.k").cast("bigint"))
+          .groupBy($"event_type")
+          .agg(
+            count($"k").as("n_with_k"),
+            sum($"k").as("sum_k"),
+            max($"k").as("max_k"),
+          )
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+      """),
+    ),
     // User funnel: per user first/last event epoch, event-type breadth.
     Q(
       "ev_user_profile",

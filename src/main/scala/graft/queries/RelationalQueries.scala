@@ -519,5 +519,67 @@ object RelationalQueries {
         GROUP BY r_name ORDER BY r_name
       """),
     ),
+    // ---------------------------------------------------------------- q19
+    // PIVOT: order counts by status × priority as wide columns (Spark's
+    // RelationalGroupedDataset.pivot with an explicit value list — one
+    // pass, no per-column scans). Oracle = portable conditional
+    // aggregation of the identical matrix.
+    Q(
+      "q19_pivot_status_priority",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "orders")
+          .groupBy($"o_orderstatus")
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(
+            $"o_orderstatus",
+            coalesce($"1-URGENT", lit(0L)).as("n_urgent"),
+            coalesce($"2-HIGH", lit(0L)).as("n_high"),
+            coalesce($"3-MEDIUM", lit(0L)).as("n_medium"),
+            coalesce($"4-NOT SPECIFIED", lit(0L)).as("n_notspec"),
+            coalesce($"5-LOW", lit(0L)).as("n_low"),
+          )
+          .orderBy($"o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+               COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+               COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+               COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """),
+    ),
+    // ---------------------------------------------------------------- q20
+    // Quantile sketch accuracy gate: approx_percentile (deterministic
+    // given the data) must land within ±2% relative error of the exact
+    // in-engine percentile — same pattern as the HLL gate: the sketch a
+    // 100 TB percentile query actually uses, accuracy-checked.
+    Q(
+      "q20_price_quantile_sketch",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)").as("ap"),
+            expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+            expr("percentile(o_totalprice, 0.95)").as("p95_exact"),
+          )
+          .select(
+            $"o_orderstatus",
+            (abs(element_at($"ap", 1) - $"p50_exact") <= $"p50_exact" * 0.02).as("p50_within_2pct"),
+            (abs(element_at($"ap", 2) - $"p95_exact") <= $"p95_exact" * 0.02).as("p95_within_2pct"),
+          )
+          .orderBy($"o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, true AS p50_within_2pct, true AS p95_within_2pct
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """),
+    ),
   )
 }
