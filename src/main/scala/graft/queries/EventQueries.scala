@@ -123,6 +123,54 @@ object EventQueries {
         FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id
       """),
     ),
+    // The BUILT-IN session-window form (Catalyst's SessionWindow node —
+    // also the streaming-native formulation): same 30-min-gap sessions,
+    // keyed by (user, window start) instead of ordinal ids. Third batch
+    // face of the same semantics (window-function, two-phase, built-in),
+    // one oracle family.
+    // NOTE: session_window gaps are MICROSECOND-resolution (timestamp
+    // arithmetic), so the oracle compares on the micro-truncated ts too —
+    // a >gap ns-gap that rounds to exactly gap µs is one session here and
+    // the window-function forms above stay on raw ns deliberately.
+    Q(
+      "ev_session_window",
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d)
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            Fx.sum2($"value").as("sess_value"),
+          )
+          .select(
+            $"user_id",
+            unix_timestamp($"w.start").as("start_s"),
+            $"n_events",
+            $"sess_value",
+          )
+          .orderBy($"user_id", $"start_s")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, value, epoch_us(ts) AS tus, event_id FROM events
+        ), flagged AS (
+          SELECT user_id, tus, value, event_id,
+                 CASE WHEN LAG(tus) OVER w IS NULL
+                        OR tus - LAG(tus) OVER w >= 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ), sessions AS (
+          SELECT user_id, tus, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id, MIN(tus) // 1000000 AS start_s, COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sess_value
+        FROM sessions GROUP BY user_id, sid ORDER BY user_id, start_s
+      """),
+    ),
     // Semi-structured extraction from the props JSON payload via regex
     // (portable across engines), aggregated per event type.
     Q(
