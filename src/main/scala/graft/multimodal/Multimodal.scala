@@ -85,6 +85,46 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Nearest-neighbor raster resize over raw payload bytes — the resize
+    * stage of an image pipeline, REAL (resampling needs no codec: it
+    * operates on the byte raster a decoder would hand over; here the
+    * payload itself stands in as a (h, srcW) gray raster). Per-partition
+    * kernel, one output row per payload, no shuffle. Ragged tails (len %
+    * srcW != 0) read as 0, like a zero-padded decode buffer.
+    */
+  def resizeNearest(mm: DataFrame, srcW: Int, tgtH: Int, tgtW: Int): DataFrame = {
+    require(srcW > 0 && tgtH > 0 && tgtW > 0, "dimensions must be positive")
+    val spark = mm.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("h", IntegerType, nullable = false),
+      StructField("w", IntegerType, nullable = false),
+      StructField("resized", BinaryType, nullable = false),
+    ))
+    val rdd = mm.select(col("id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val srcH = math.max(1, (bytes.length + srcW - 1) / srcW)
+        val out = new Array[Byte](tgtH * tgtW)
+        var ty = 0
+        while (ty < tgtH) {
+          val sy = ty * srcH / tgtH
+          var tx = 0
+          while (tx < tgtW) {
+            val sx = tx * srcW / tgtW
+            val idx = sy * srcW + sx
+            out(ty * tgtW + tx) = if (idx < bytes.length) bytes(idx) else 0
+            tx += 1
+          }
+          ty += 1
+        }
+        Row(id, tgtH, tgtW, out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Distributed feature extraction: byte histogram moments per payload —
     * a real (non-stub) per-partition kernel demonstrating the batch shape:
     * binary in, fixed-width numeric features out, embarrassingly parallel

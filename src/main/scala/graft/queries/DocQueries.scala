@@ -520,6 +520,42 @@ object DocQueries {
         FROM b GROUP BY 1, 2 ORDER BY id, frame_idx
       """),
     ),
+    // ------------------------------------------- multimodal raster resize
+    // The resize stage of an image pipeline over the payload byte raster
+    // (REAL resampling — no codec needed; (ceil(len/32), 32) gray raster
+    // → 8×8 nearest). Verified via per-payload checksums of the resized
+    // raster against the same index arithmetic in SQL.
+    Q(
+      "mm_resize_nearest",
+      (s, d) => {
+        import s.implicits._
+        Multimodal.resizeNearest(
+          Multimodal.fromDocuments(T(s, d, "documents")), srcW = 32, tgtH = 8, tgtW = 8)
+          .select("id", "h", "w", "resized")
+          .as[(Long, Int, Int, Array[Byte])]
+          .map { case (id, h, w, b) =>
+            (id, h.toLong * w, b.foldLeft(0L)((acc, x) => acc + (x & 0xff)))
+          }
+          .toDF("id", "n_px", "sum_px")
+          .orderBy("id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS len,
+                 GREATEST(1, (length(text) + 31) // 32) AS srcH
+          FROM documents
+        ), px AS (
+          SELECT doc_id, len, text,
+                 ((ty.range * srcH) // 8) * 32 + ((tx.range * 32) // 8) AS idx
+          FROM d, range(8) ty, range(8) tx
+        )
+        SELECT doc_id AS id, CAST(64 AS BIGINT) AS n_px,
+               CAST(SUM(CASE WHEN idx < len
+                             THEN ascii(substr(text, CAST(idx + 1 AS INT), 1))
+                             ELSE 0 END) AS BIGINT) AS sum_px
+        FROM px GROUP BY doc_id ORDER BY id
+      """),
+    ),
     // --------------------------------------- end-to-end corpus curation
     // The composed pipeline a training-data run actually executes:
     // quality-score filter → exact dedup (keep the lowest doc_id per text)

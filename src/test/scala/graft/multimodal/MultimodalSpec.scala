@@ -57,6 +57,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!f.keys.exists(_._1 == 3L))
   }
 
+  test("resizeNearest: identity at equal dims, exact nearest indexing, ragged-tail zeros") {
+    import spark.implicits._
+    // an 2x4 raster (8 bytes), srcW=4
+    val payload = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val mm = Seq((1L, "img", payload)).toDF("id", "modality", "payload")
+    // identity: 2x4 -> 2x4 returns the same bytes
+    val same = Multimodal.resizeNearest(mm, srcW = 4, tgtH = 2, tgtW = 4)
+      .select("resized").collect().head.getAs[Array[Byte]](0)
+    assert(same.toSeq === payload.toSeq)
+    // downscale 2x4 -> 1x2: rows 0, cols {0, 2} -> bytes 10, 30
+    val down = Multimodal.resizeNearest(mm, srcW = 4, tgtH = 1, tgtW = 2)
+      .select("resized").collect().head.getAs[Array[Byte]](0)
+    assert(down.toSeq === Seq[Byte](10, 30))
+    // upscale 2x4 -> 4x8: each source pixel appears 2x2
+    val up = Multimodal.resizeNearest(mm, srcW = 4, tgtH = 4, tgtW = 8)
+      .select("resized").collect().head.getAs[Array[Byte]](0)
+    assert(up.length === 32)
+    assert(up.take(8).toSeq === Seq[Byte](10, 10, 20, 20, 30, 30, 40, 40))
+    assert(up.slice(16, 24).toSeq === Seq[Byte](50, 50, 60, 60, 70, 70, 80, 80))
+    // ragged tail: 6 bytes as srcW=4 -> srcH=2, missing (1,2),(1,3) read 0
+    val ragged = Seq((2L, "img", Array[Byte](1, 2, 3, 4, 5, 6))).toDF("id", "modality", "payload")
+    val r = Multimodal.resizeNearest(ragged, srcW = 4, tgtH = 2, tgtW = 4)
+      .select("resized").collect().head.getAs[Array[Byte]](0)
+    assert(r.toSeq === Seq[Byte](1, 2, 3, 4, 5, 6, 0, 0))
+  }
+
   test("decodeStub is deterministic and bounded to [0,1]") {
     val a = Multimodal.decodeStub(Array[Byte](0, 127, -1))
     assert(a.toSeq === Multimodal.decodeStub(Array[Byte](0, 127, -1)).toSeq)
