@@ -369,8 +369,13 @@ object DocQueries {
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
         s AS (
+          -- mirrors the Spark expression tree exactly: sequential
+          -- double dot products and IEEE sqrt/divide, so the raw
+          -- doubles are bit-identical cross-engine (probed: 0/4990
+          -- pairwise mismatches at sf0.01) — no ROUND needed.
           SELECT query_id, neighbor_id,
-                 ROUND(list_cosine_similarity(qe, ce), 6) AS cos_sim
+                 list_inner_product(qe, ce)
+                   / (SQRT(list_inner_product(qe, qe)) * SQRT(list_inner_product(ce, ce))) AS cos_sim
           FROM q, c WHERE query_id <> neighbor_id
         ), r AS (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -462,11 +467,17 @@ object DocQueries {
         val mm = Multimodal.fromDocuments(T(s, d, "documents"))
         Multimodal.byteFeatures(mm)
           .select(
+            // mean/stddev derive from exact integer sums through the
+            // identical expression tree on both engines — raw doubles
+            // are bit-equal (probed 0/500 mismatches). entropy sums
+            // log terms (engine libm + agg order differ at ulps), so
+            // it ships as Fx e4 fixed-point: max cross-engine diff
+            // 2.7e-15 vs a 1.3e-4 min half-boundary margin at sf0.01.
             col("id"),
             col("n_bytes"),
-            round(col("mean_byte"), 4).as("mean_byte"),
-            round(col("stddev_byte"), 4).as("stddev_byte"),
-            round(col("entropy"), 4).as("entropy"),
+            col("mean_byte"),
+            col("stddev_byte"),
+            round(col("entropy") * 10000).cast("bigint").as("entropy_e4"),
           )
           .orderBy(col("id"))
       },
@@ -484,9 +495,9 @@ object DocQueries {
           FROM freq f JOIN stats s ON f.doc_id = s.doc_id GROUP BY 1
         )
         SELECT s.doc_id AS id, s.n AS n_bytes,
-               ROUND(s.mean_b, 4) AS mean_byte,
-               ROUND(s.sd_b, 4) AS stddev_byte,
-               ROUND(ent.e, 4) AS entropy
+               s.mean_b AS mean_byte,
+               s.sd_b AS stddev_byte,
+               CAST(ROUND(ent.e * 10000) AS BIGINT) AS entropy_e4
         FROM stats s JOIN ent ON s.doc_id = ent.doc_id
         ORDER BY id
       """),
@@ -499,10 +510,14 @@ object DocQueries {
       "mm_frame_features",
       (s, d) =>
         Multimodal.frameFeatures(Multimodal.fromDocuments(T(s, d, "documents")), frameBytes = 64)
+          // raw doubles: mean = exact-int-sum / n and rms =
+          // sqrt(exact-int-sum / n) follow the identical expression
+          // tree on both engines (IEEE divide + correctly-rounded
+          // sqrt), so no rounding is needed for hash stability.
           .select(
             col("id"), col("frame_idx"), col("n_bytes"),
-            round(col("mean_byte"), 4).as("mean_byte"),
-            round(col("rms"), 4).as("rms"),
+            col("mean_byte"),
+            col("rms"),
           )
           .orderBy(col("id"), col("frame_idx")),
       Some("""
@@ -515,8 +530,8 @@ object DocQueries {
           FROM f
         )
         SELECT doc_id AS id, frame_idx, COUNT(*) AS n_bytes,
-               ROUND(AVG(v), 4) AS mean_byte,
-               ROUND(SQRT(AVG(v * v)), 4) AS rms
+               AVG(v) AS mean_byte,
+               SQRT(AVG(v * v)) AS rms
         FROM b GROUP BY 1, 2 ORDER BY id, frame_idx
       """),
     ),

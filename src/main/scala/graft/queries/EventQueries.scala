@@ -85,7 +85,8 @@ object EventQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
           FROM flagged
         )
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
                CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
                SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sess_value
         FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id
@@ -117,7 +118,8 @@ object EventQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
           FROM flagged
         )
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
                CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
                SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sess_value
         FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id

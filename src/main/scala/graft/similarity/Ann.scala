@@ -37,7 +37,7 @@ object Ann {
   private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
-    * vectors (self excluded), ranked by (rounded) cosine desc with id
+    * vectors (self excluded), ranked by raw cosine desc with id
     * tie-break. The ranking window partitions by query id, so the sort is
     * per-query, never global.
     */
@@ -58,7 +58,7 @@ object Ann {
     broadcast(q)
       .crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos_sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
@@ -227,7 +227,7 @@ object Ann {
     probes
       .join(assigned.select(col("list_id"), col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn")), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos_sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
@@ -280,7 +280,7 @@ object Ann {
     q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos_sim", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos_sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
