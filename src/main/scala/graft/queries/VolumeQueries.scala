@@ -287,6 +287,45 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // The reference CLI's DEFAULT output world: Blosc(zstd, clevel=5,
+    // BITSHUFFLE) chunks (upscale_streaming.py:104). Bitshuffle is
+    // cross-validated against an independent numpy implementation in
+    // ZarrInteropSpec; this gate keeps the full write→DSv2-scan→decode
+    // chain green on it.
+    Q(
+      "vol_zarr_bitshuffle_roundtrip",
+      (s, _) => {
+        import graft.volume.{Chunk, ChunkVolume => CV, ZarrStore}
+        val store = java.nio.file.Files.createTempDirectory("graft_zarrbit").toString + "/vol.zarr"
+        ZarrStore.write(chunked(s), store, ZarrStore.BloscCodec("zstd", 5, shuffle = 2))
+        val (_, meta) = ZarrStore.readMeta(store)
+        import s.implicits._
+        val df = s.read.format("zarr").load(store)
+        CV(df.as[Chunk], meta).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // The reference CLI's second compressor choice: Blosc(lz4, clevel=5,
+    // BITSHUFFLE) (upscale_streaming.py:105-106), raw-LZ4 blocks with
+    // c-blosc block splitting — via lz4-java, already on Spark's
+    // classpath for shuffle compression.
+    Q(
+      "vol_zarr_lz4_roundtrip",
+      (s, _) => {
+        import graft.volume.{Chunk, ChunkVolume => CV, ZarrStore}
+        val store = java.nio.file.Files.createTempDirectory("graft_zarrlz4").toString + "/vol.zarr"
+        ZarrStore.write(chunked(s), store, ZarrStore.BloscCodec("lz4", 5, shuffle = 2))
+        val (_, meta) = ZarrStore.readMeta(store)
+        import s.implicits._
+        val df = s.read.format("zarr").load(store)
+        CV(df.as[Chunk], meta).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
     // K5/S5: BigTIFF slice export (one page per z) and scan back.
     Q(
       "vol_bigtiff_roundtrip",

@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   *     [--scale 2] [--chunk-mb 128] [--mode labels|outline]
   *     [--pyramid-levels 1] [--max-gb 500] [--dry-run] [--force]
   *     [--format zarr|graftchunks]
-  *     [--compressor zstd|zlib|blosc-zstd|blosc-zlib|none]
+  *     [--compressor zstd|zlib|blosc-zstd|blosc-zlib|lz4|zstd-bit|none]
+  *
+  * `--compressor lz4` / `zstd-bit` reproduce the reference CLI's exact
+  * Blosc BITSHUFFLE output formats (upscale_streaming.py:103–108).
   */
 object UpscaleCli {
 
@@ -29,7 +32,7 @@ object UpscaleCli {
       dryRun: Boolean = false,
       force: Boolean = false,
       format: String = "zarr", // zarr (reference parity) | graftchunks (value-indexed)
-      compressor: String = "zstd", // zstd | zlib | blosc-zstd | blosc-zlib | none
+      compressor: String = "zstd", // zstd|zlib|blosc-zstd|blosc-zlib|lz4|zstd-bit|none
   )
 
   private[volume] def zarrCodec(compressor: String): ZarrStore.Codec = compressor match {
@@ -37,6 +40,10 @@ object UpscaleCli {
     case "zlib" => ZarrStore.Zlib()
     case "blosc-zstd" => ZarrStore.BloscCodec("zstd")
     case "blosc-zlib" => ZarrStore.BloscCodec("zlib")
+    // the reference CLI's exact output worlds (upscale_streaming.py:
+    // 103-108): Blosc(cname, clevel=5, shuffle=BITSHUFFLE)
+    case "lz4" => ZarrStore.BloscCodec("lz4", 5, shuffle = 2)
+    case "zstd-bit" => ZarrStore.BloscCodec("zstd", 5, shuffle = 2)
     case "none" => ZarrStore.Raw
     case other => throw new IllegalArgumentException(s"unknown --compressor: $other")
   }

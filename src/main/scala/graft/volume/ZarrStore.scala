@@ -17,11 +17,12 @@ import java.util.zip.{Deflater, Inflater}
   *    are padded with `fill_value` on write and trimmed on read;
   *  - a chunk file may be absent, meaning "entirely fill_value";
   *  - codecs: raw (`compressor: null`), numcodecs `zlib` (RFC-1950 via
-  *    java.util.zip), numcodecs `zstd` (plain zstd frames), and the
-  *    numcodecs `blosc` C-Blosc v1 container with zlib/zstd inner codecs
-  *    and shuffle none/byte — the format `zarr.DirectoryStore` chunks use
-  *    by default (see [[BloscCodec]]; BITSHUFFLE intentionally rejected,
-  *    not mis-decoded).
+  *    java.util.zip), numcodecs `zstd` (plain zstd frames), numcodecs
+  *    `lz4` (4-byte length header + raw LZ4 block), and the numcodecs
+  *    `blosc` C-Blosc v1 container with zlib/zstd/lz4 inner codecs and
+  *    shuffle none/byte/bit — including the reference CLI's default
+  *    output format, Blosc(zstd|lz4, BITSHUFFLE)
+  *    (upscale_streaming.py:103–108; see [[BloscCodec]], [[BitShuffle]]).
   *  - dtype tags with explicit endianness (`<u4`, `>u4`, `|u1`, …): the
   *    writer emits little-endian (chunk payloads are LE in memory), the
   *    reader byte-swaps big-endian arrays on decode.
@@ -92,33 +93,164 @@ object ZarrStore {
     }
   }
 
+  /** numcodecs `lz4`: the standalone (non-blosc) LZ4 codec — a 4-byte LE
+    * header holding the uncompressed length, then one raw LZ4 block
+    * (numcodecs lz4.pyx `encode`/`decode`). Distinct from the raw
+    * headerless blocks used INSIDE the blosc container.
+    */
+  final case class Lz4Codec(acceleration: Int = 1) extends Codec {
+    val id: Option[String] = Some("lz4")
+    def compress(src: Array[Byte]): Array[Byte] = {
+      val comp = Lz4Block.compress(src)
+      val out = java.nio.ByteBuffer.allocate(4 + comp.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.putInt(src.length).put(comp)
+      out.array()
+    }
+    def decompress(src: Array[Byte], rawLen: Int): Array[Byte] = {
+      val n = java.nio.ByteBuffer.wrap(src).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+      require(n == rawLen, s"lz4 header length $n != expected $rawLen")
+      Lz4Block.decompress(src, 4, rawLen)
+    }
+  }
+
+  /** Raw LZ4 blocks (no frame, no length header) via lz4-java, which Spark
+    * already ships for shuffle compression.
+    */
+  private[volume] case object Lz4Block extends Codec {
+    private def factory = net.jpountz.lz4.LZ4Factory.fastestInstance()
+    val id: Option[String] = Some("lz4")
+    def compress(src: Array[Byte]): Array[Byte] = factory.fastCompressor().compress(src)
+    def decompress(src: Array[Byte], rawLen: Int): Array[Byte] =
+      decompress(src, 0, rawLen)
+    def decompress(src: Array[Byte], off: Int, rawLen: Int): Array[Byte] = {
+      val out = new Array[Byte](rawLen)
+      factory.fastDecompressor().decompress(src, off, out, 0, rawLen)
+      out
+    }
+  }
+
+  /** The bitshuffle transform (kiyo-masui/bitshuffle, as embedded in
+    * c-blosc's `shuffle: 2` mode): view `m` elements of `t` bytes as an
+    * (m × t·8) bit matrix and emit its transpose — for each byte position
+    * k and bit j, a row of m/8 bytes where byte q packs bit j of elements
+    * 8q..8q+7 (element index = bit position, LSB first). c-blosc shuffles
+    * only the largest multiple-of-8 element prefix of each block and
+    * copies the remainder verbatim (shuffle.c `bitshuffle()` leftover
+    * memcpy). Implemented as the reference's three stages (byte transpose,
+    * 8×8 bit transpose, row regroup) with stages fused around the
+    * Hacker's-Delight 64-bit transpose kernel.
+    */
+  private[volume] object BitShuffle {
+    private def trans8x8(v: Long): Long = {
+      var x = v
+      var t = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL; x = x ^ t ^ (t << 7)
+      t = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL; x = x ^ t ^ (t << 14)
+      t = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L; x = x ^ t ^ (t << 28)
+      x
+    }
+
+    def shuffle(src: Array[Byte], off: Int, len: Int, t: Int): Array[Byte] = {
+      val n = len / t
+      val m = n - n % 8 // bitshuffle needs a multiple of 8 elements
+      val out = new Array[Byte](len)
+      if (m > 0) {
+        val rowB = m >>> 3
+        // byte-transpose plane for one byte position at a time, then
+        // bit-transpose each 8-element group of the plane straight into
+        // the output's (k,j) rows.
+        val plane = new Array[Byte](m)
+        var k = 0
+        while (k < t) {
+          var e = 0
+          while (e < m) { plane(e) = src(off + e * t + k); e += 1 }
+          var q = 0
+          while (q < rowB) {
+            var x = 0L
+            var r = 0
+            while (r < 8) { x |= (plane(q * 8 + r) & 0xffL) << (8 * r); r += 1 }
+            x = trans8x8(x)
+            var j = 0
+            while (j < 8) { out((k * 8 + j) * rowB + q) = (x >>> (8 * j)).toByte; j += 1 }
+            q += 1
+          }
+          k += 1
+        }
+      }
+      var i = m * t
+      while (i < len) { out(i) = src(off + i); i += 1 }
+      out
+    }
+
+    def unshuffle(src: Array[Byte], len: Int, t: Int): Array[Byte] = {
+      val n = len / t
+      val m = n - n % 8
+      val out = new Array[Byte](len)
+      if (m > 0) {
+        val rowB = m >>> 3
+        var k = 0
+        while (k < t) {
+          var q = 0
+          while (q < rowB) {
+            var x = 0L
+            var j = 0
+            while (j < 8) { x |= (src((k * 8 + j) * rowB + q) & 0xffL) << (8 * j); j += 1 }
+            x = trans8x8(x) // the 8×8 bit transpose is an involution
+            var r = 0
+            while (r < 8) { out((q * 8 + r) * t + k) = (x >>> (8 * r)).toByte; r += 1 }
+            q += 1
+          }
+          k += 1
+        }
+      }
+      var i = m * t
+      while (i < len) { out(i) = src(i); i += 1 }
+      out
+    }
+  }
+
   /** numcodecs `blosc`: the C-Blosc v1 container — 16-byte header
     * (version, versionlz, flags, typesize, nbytes, blocksize, cbytes, all
-    * LE), per-block offset table, each block `[int32 csize][payload]`
-    * (csize == block size marks a stored block), inner codec zlib or zstd
-    * (never split for either), optional byte-wise shuffle per block with
-    * the sub-typesize remainder copied verbatim. This is what
-    * `zarr.DirectoryStore` chunks look like by default, and the
-    * reference's `--compressor zstd` writes exactly this container
-    * (upscale_streaming.py:103–108).
+    * LE), per-block offset table, each block a sequence of
+    * `[int32 csize][payload]` streams (csize == stream size marks a
+    * stored stream), inner codec zlib/zstd (never split) or lz4 (split
+    * into `typesize` streams per c-blosc's `split_block`: format
+    * blosclz/lz4 only, typesize ≤ 16, blocksize/typesize ≥ 128, never the
+    * leftover block), optional byte shuffle (`1`) or bitshuffle (`2`) per
+    * block with the sub-unit remainder copied verbatim. This is what
+    * `zarr.DirectoryStore` chunks look like, and the reference's
+    * `--compressor zstd` / `lz4` write exactly this container with
+    * BITSHUFFLE (upscale_streaming.py:103–108).
     *
-    * BITSHUFFLE (`shuffle: 2`) is deliberately NOT implemented: its tail
-    * layout can't be validated here without c-blosc ground truth, and a
-    * silently-wrong decode is worse than a clear error. `shuffle` 0/1 are
-    * cross-validated against an independent python implementation
-    * (ZarrInteropSpec).
+    * `shuffle: -1` is numcodecs AUTOSHUFFLE: bitshuffle for 1-byte types,
+    * byte shuffle otherwise (resolved against typesize at write time).
+    * All shuffle modes are cross-validated against an independent
+    * numpy/python implementation (ZarrInteropSpec, ZarrStoreSpec).
     */
   final case class BloscCodec(
       cname: String = "zstd", clevel: Int = 5, shuffle: Int = 0, typesize: Int = 1)
       extends Codec {
-    require(shuffle == 0 || shuffle == 1,
-      s"blosc shuffle mode $shuffle unsupported (0=none, 1=byte; bitshuffle needs c-blosc ground truth)")
-    require(cname == "zstd" || cname == "zlib", s"blosc inner codec $cname unsupported")
+    require(shuffle >= -1 && shuffle <= 2,
+      s"blosc shuffle mode $shuffle unsupported (-1=auto, 0=none, 1=byte, 2=bit)")
+    require(Set("zstd", "zlib", "lz4", "lz4hc").contains(cname),
+      s"blosc inner codec $cname unsupported")
     require(typesize >= 1 && typesize <= 255, s"blosc typesize out of range: $typesize")
     val id: Option[String] = Some("blosc")
 
-    private def inner: Codec = if (cname == "zstd") ZstdCodec(clevel) else Zlib(clevel)
-    private def codecFlag: Int = if (cname == "zstd") 4 else 3 // header bits 5-7
+    private def inner: Codec = cname match {
+      case "zstd" => ZstdCodec(clevel)
+      case "zlib" => Zlib(clevel)
+      case _ => Lz4Block // raw headerless lz4 blocks inside the container
+    }
+    // header bits 5-7 (blosc.h *_FORMAT codes; lz4 and lz4hc share 1)
+    private def codecFlag: Int = cname match {
+      case "zstd" => 4
+      case "zlib" => 3
+      case _ => 1
+    }
+    // numcodecs AUTOSHUFFLE resolves against the typesize at write time
+    private def effShuffle: Int =
+      if (shuffle == -1) { if (typesize == 1) 2 else 1 } else shuffle
 
     /** typesize drives the byte shuffle; the store sets it from the dtype. */
     private[volume] def withTypesize(t: Int): BloscCodec =
@@ -155,32 +287,50 @@ object ZarrStore {
 
     def compress(src: Array[Byte]): Array[Byte] = {
       val t = typesize
-      // one block per typesize·8-aligned MB-scale unit; whole chunk if small
+      val sh = effShuffle
+      // one block per typesize·8-aligned MB-scale unit; whole chunk if
+      // small (t·8 alignment keeps full blocks bitshuffle-exact: the
+      // element count per block is a multiple of 8)
       val blockSize = {
         val target = math.min(src.length, 1 << 22)
         val aligned = target - target % (t * 8)
         if (aligned <= 0) src.length else aligned
       }
       val nBlocks = math.max(1, (src.length + blockSize - 1) / blockSize)
+      // each block: a list of [csize, payload] streams (nsplits > 1 only
+      // for the lz4 family, per c-blosc's split_block — see splitsBlock)
       val blocks = (0 until nBlocks).map { b =>
         val off = b * blockSize
         val len = math.min(blockSize, src.length - off)
-        val plain = if (shuffle == 1) shuffleBytes(src, off, len, t)
-                    else java.util.Arrays.copyOfRange(src, off, off + len)
-        val comp = inner.compress(plain)
-        if (comp.length < len) (comp, len) else (plain, len) // stored if incompressible
+        val plain = sh match {
+          case 1 => shuffleBytes(src, off, len, t)
+          case 2 => BitShuffle.shuffle(src, off, len, t)
+          case _ => java.util.Arrays.copyOfRange(src, off, off + len)
+        }
+        val leftover = len != blockSize
+        val nsplits =
+          if (!leftover && BloscCodec.splitsBlock(codecFlag, t, blockSize)) t else 1
+        val ne = len / nsplits
+        (0 until nsplits).map { s =>
+          val part = if (nsplits == 1) plain
+                     else java.util.Arrays.copyOfRange(plain, s * ne, (s + 1) * ne)
+          val comp = inner.compress(part)
+          if (comp.length < ne) (comp, ne) else (part, ne) // stored if incompressible
+        }
       }
       val headerLen = 16 + 4 * nBlocks
-      val total = headerLen + blocks.map(_._1.length + 4).sum
+      val total = headerLen + blocks.map(_.map(_._1.length + 4).sum).sum
       val buf = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val flags = (if (shuffle == 1) 0x1 else 0x0) | (codecFlag << 5)
+      val flags = (sh match { case 1 => 0x1 case 2 => 0x4 case _ => 0x0 }) | (codecFlag << 5)
       buf.put(2.toByte).put(1.toByte).put(flags.toByte).put(t.toByte)
       buf.putInt(src.length).putInt(blockSize).putInt(total)
       var pos = headerLen
-      blocks.foreach { case (payload, _) => buf.putInt(pos); pos += 4 + payload.length }
-      blocks.foreach { case (payload, rawLen) =>
-        buf.putInt(if (payload.length < rawLen) payload.length else rawLen)
-        buf.put(payload)
+      blocks.foreach { streams => buf.putInt(pos); pos += streams.map(_._1.length + 4).sum }
+      blocks.foreach { streams =>
+        streams.foreach { case (payload, rawLen) =>
+          buf.putInt(if (payload.length < rawLen) payload.length else rawLen)
+          buf.put(payload)
+        }
       }
       buf.array()
     }
@@ -190,9 +340,21 @@ object ZarrStore {
   }
 
   object BloscCodec {
-    /** Decode any C-Blosc v1 buffer with inner codec zlib/zstd and shuffle
-      * none/byte (the formats this store can verify), independent of the
-      * writer's block/split choices.
+    /** c-blosc 1.21.x `split_block` (blosc.c): a non-leftover block is
+      * split into `typesize` independently-compressed streams iff the
+      * codec FORMAT is blosclz (0) or lz4/lz4hc (1) — never the
+      * high-compression-ratio codecs zlib/zstd — and typesize ≤
+      * MAX_SPLITS (16) and blocksize/typesize ≥ MIN_BUFFERSIZE (128).
+      * Both sides recompute this from the chunk header, so writer and
+      * reader must agree exactly.
+      */
+    private[volume] def splitsBlock(codecFormat: Int, t: Int, blockSize: Int): Boolean =
+      (codecFormat == 0 || codecFormat == 1) &&
+        t <= 16 && t >= 1 && blockSize % t == 0 && blockSize / t >= 128
+
+    /** Decode any C-Blosc v1 buffer with inner codec zlib/zstd/lz4 and
+      * shuffle none/byte/bit, independent of the writer's block/split
+      * choices.
       */
     def decode(src: Array[Byte], rawLen: Int): Array[Byte] = {
       val buf = java.nio.ByteBuffer.wrap(src).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -205,30 +367,43 @@ object ZarrStore {
       buf.getInt() // cbytes
       require(version >= 1, s"bad blosc version $version")
       require(nbytes == rawLen, s"blosc nbytes $nbytes != expected $rawLen")
-      require((flags & 0x4) == 0,
-        "blosc BITSHUFFLE chunks unsupported (no c-blosc ground truth to validate against)")
       val out = new Array[Byte](nbytes)
       if ((flags & 0x2) != 0) { // memcpyed
         System.arraycopy(src, 16, out, 0, nbytes)
         return out
       }
-      val codec: (Array[Byte], Int) => Array[Byte] = (flags >> 5) match {
-        case 3 => (b, n) => Zlib().decompress(b, n)
-        case 4 => (b, n) => ZstdCodec().decompress(b, n)
+      val format = flags >> 5
+      val codec: (Array[Byte], Int, Int, Int) => Array[Byte] = format match {
+        case 1 => (b, off, len, n) => Lz4Block.decompress(b, off, n)
+        case 3 => (b, off, len, n) => Zlib().decompress(java.util.Arrays.copyOfRange(b, off, off + len), n)
+        case 4 => (b, off, len, n) => ZstdCodec().decompress(java.util.Arrays.copyOfRange(b, off, off + len), n)
         case other => throw new IllegalArgumentException(
-          s"blosc inner codec id $other unsupported (3=zlib, 4=zstd)")
+          s"blosc inner codec id $other unsupported (1=lz4, 3=zlib, 4=zstd)")
       }
       val byteShuffle = (flags & 0x1) != 0
+      val bitShuffle = (flags & 0x4) != 0
+      require(!(byteShuffle && bitShuffle), "blosc flags set both byte and bit shuffle")
       val nBlocks = math.max(1, (nbytes + blockSize - 1) / blockSize)
       val bstarts = (0 until nBlocks).map(i => buf.getInt(16 + 4 * i))
       var b = 0
       while (b < nBlocks) {
         val off = b * blockSize
         val neblock = math.min(blockSize, nbytes - off)
-        val p = bstarts(b)
-        val csize = buf.getInt(p)
-        val payload = java.util.Arrays.copyOfRange(src, p + 4, p + 4 + csize)
-        val plain = if (csize == neblock) payload else codec(payload, neblock)
+        val leftover = neblock != blockSize
+        val nsplits = if (!leftover && splitsBlock(format, t, blockSize)) t else 1
+        val ne = neblock / nsplits
+        val plain = new Array[Byte](neblock)
+        var p = bstarts(b)
+        var s = 0
+        while (s < nsplits) {
+          val csize = buf.getInt(p)
+          val part =
+            if (csize == ne) java.util.Arrays.copyOfRange(src, p + 4, p + 4 + ne)
+            else codec(src, p + 4, csize, ne)
+          System.arraycopy(part, 0, plain, s * ne, ne)
+          p += 4 + csize
+          s += 1
+        }
         val restored =
           if (byteShuffle) {
             val tmp = new Array[Byte](neblock)
@@ -242,6 +417,8 @@ object ZarrStore {
             var r = n * t
             while (r < neblock) { tmp(r) = plain(r); r += 1 }
             tmp
+          } else if (bitShuffle) {
+            BitShuffle.unshuffle(plain, neblock, t)
           } else plain
         System.arraycopy(restored, 0, out, off, neblock)
         b += 1
@@ -281,8 +458,11 @@ object ZarrStore {
       case Raw => "null"
       case Zlib(l) => s"""{"id": "zlib", "level": $l}"""
       case ZstdCodec(l) => s"""{"id": "zstd", "level": $l}"""
+      case Lz4Codec(a) => s"""{"id": "lz4", "acceleration": $a}"""
       case BloscCodec(cname, clevel, shuffle, _) =>
         s"""{"id": "blosc", "cname": "$cname", "clevel": $clevel, "shuffle": $shuffle, "blocksize": 0}"""
+      case Lz4Block => throw new IllegalArgumentException(
+        "raw lz4 blocks are a blosc-internal codec, not a zarr compressor")
     }
     s"""{
        |    "zarr_format": 2,
@@ -326,6 +506,9 @@ object ZarrStore {
         id match {
           case "zlib" => Zlib(level)
           case "zstd" => ZstdCodec(level)
+          case "lz4" =>
+            val acc = comp \ "acceleration" match { case JNothing => 1 case a => num(a).toInt }
+            Lz4Codec(acc)
           case "blosc" =>
             val JString(cname) = comp \ "cname"
             val clevel = comp \ "clevel" match { case JNothing => 5 case l => num(l).toInt }

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Golden end-to-end lifecycle test (FIXTURES.md: replicate the screenshot
   * transcript on a fixture): parse → plan → estimate → guard → execute →
@@ -58,6 +59,29 @@ class UpscaleCliSpec extends AnyFunSuite with SparkSpec {
     val back = ZarrStore.read(spark, outZarr)
     assert(back.meta.dimZ === 12)
     // same invariant as the graftchunks path: label preserved at mapped coords
+    assert(back.toVoxels.filter(col("z") === 4 && col("y") === 8 && col("x") === 6)
+      .select("label").collect().head.getLong(0) === 15564L + (2 / 2) * 10 + (4 / 4))
+  }
+
+  test("--compressor lz4: the reference CLI's Blosc(lz4, BITSHUFFLE) output end-to-end") {
+    val outZarr = fixtureDir.resolve("out_lz4").toString
+    val lines = UpscaleCli.run(spark, UpscaleCli.Args(
+      input = fixtureDir.resolve("f.mhd").toString, output = outZarr, scale = 2, chunkMb = 1,
+      compressor = "lz4"))
+    assert(lines.exists(_.startsWith("Finished. Zarr array (lz4) written to:")))
+    val za = ZarrStore.parseZarray(
+      Files.readString(java.nio.file.Paths.get(outZarr, ".zarray")))
+    // the exact compressor document the reference writes
+    // (upscale_streaming.py:105-106): blosc/lz4/clevel 5/bitshuffle
+    assert(za.codec === ZarrStore.BloscCodec("lz4", 5, 2))
+    // chunk files really are lz4-format bitshuffled blosc containers
+    val chunkFile = Files.list(java.nio.file.Paths.get(outZarr)).iterator().asScala
+      .find(p => p.getFileName.toString.matches("""\d+\.\d+\.\d+""")).get
+    val hdr = Files.readAllBytes(chunkFile)
+    assert((hdr(2) & 0x4) === 0x4, "bitshuffle flag") // unless memcpyed, which this data never is
+    assert((hdr(2) & 0xff) >> 5 === 1, "lz4 format code")
+    val back = ZarrStore.read(spark, outZarr)
+    assert(back.meta.dimZ === 12)
     assert(back.toVoxels.filter(col("z") === 4 && col("y") === 8 && col("x") === 6)
       .select("label").collect().head.getLong(0) === 15564L + (2 / 2) * 10 + (4 / 4))
   }

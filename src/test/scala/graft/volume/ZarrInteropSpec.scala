@@ -177,6 +177,379 @@ class ZarrInteropSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // Independent numpy formulation of the bitshuffle transform (vs the
+  // engine's staged 64-bit transpose): unpackbits to the (elements ×
+  // typesize × 8) bit tensor, transpose, packbits. Shared by the two
+  // bitshuffle interop tests below.
+  private val pyBitshuffle =
+    """
+      |def bitshuffle(raw, T):
+      |    n = len(raw) // T
+      |    m = n - n % 8
+      |    out = bytearray(len(raw))
+      |    if m:
+      |        a = np.frombuffer(raw[:m*T], np.uint8).reshape(m, T)
+      |        bits = np.unpackbits(a[:, :, None], axis=2, bitorder='little')  # (e,k,j)
+      |        rows = bits.transpose(1, 2, 0).reshape(T * 8, m)                # (k*8+j, e)
+      |        out[:m*T] = np.packbits(rows, axis=1, bitorder='little').tobytes()
+      |    out[m*T:] = raw[m*T:]
+      |    return bytes(out)
+      |def bitunshuffle(buf, T):
+      |    n = len(buf) // T
+      |    m = n - n % 8
+      |    out = bytearray(len(buf))
+      |    if m:
+      |        rows = np.frombuffer(buf[:m*T], np.uint8).reshape(T * 8, m // 8)
+      |        bits = np.unpackbits(rows, axis=1, bitorder='little')           # (k*8+j, e)
+      |        b = bits.reshape(T, 8, m).transpose(2, 0, 1)                    # (e,k,j)
+      |        out[:m*T] = np.packbits(b, axis=2, bitorder='little').reshape(m, T).tobytes()
+      |    out[m*T:] = buf[m*T:]
+      |    return bytes(out)
+      |""".stripMargin
+
+  // Pure-python LZ4 block codec written from the published block format
+  // (token nibbles, 15-run length extensions, 16-bit LE match offsets,
+  // minmatch 4, last-5-literals / no-match-in-last-12 end rules) — fully
+  // independent of lz4-java.
+  private val pyLz4 =
+    """
+      |def lz4_decompress(buf, pos, outlen):
+      |    out = bytearray()
+      |    while True:
+      |        token = buf[pos]; pos += 1
+      |        lit = token >> 4
+      |        if lit == 15:
+      |            while True:
+      |                b = buf[pos]; pos += 1; lit += b
+      |                if b != 255: break
+      |        out += buf[pos:pos+lit]; pos += lit
+      |        if len(out) >= outlen: break
+      |        off = buf[pos] | (buf[pos+1] << 8); pos += 2
+      |        ml = token & 15
+      |        if ml == 15:
+      |            while True:
+      |                b = buf[pos]; pos += 1; ml += b
+      |                if b != 255: break
+      |        ml += 4
+      |        start = len(out) - off
+      |        for i in range(ml):
+      |            out.append(out[start + i])
+      |    assert len(out) == outlen, (len(out), outlen)
+      |    return bytes(out)
+      |def lz4_compress(src):
+      |    n = len(src); out = bytearray(); table = {}; anchor = 0; i = 0
+      |    def runlen(v):
+      |        r = bytearray()
+      |        while v >= 255: r.append(255); v -= 255
+      |        r.append(v); return r
+      |    while i <= n - 12:
+      |        key = bytes(src[i:i+4]); j = table.get(key, -1)
+      |        if j >= 0 and i - j <= 0xffff:
+      |            ml = 4
+      |            while i + ml < n - 5 and src[j + ml] == src[i + ml]: ml += 1
+      |            lit = i - anchor
+      |            out.append((min(lit, 15) << 4) | min(ml - 4, 15))
+      |            if lit >= 15: out += runlen(lit - 15)
+      |            out += src[anchor:i]
+      |            off = i - j
+      |            out.append(off & 0xff); out.append(off >> 8)
+      |            if ml - 4 >= 15: out += runlen(ml - 4 - 15)
+      |            table[key] = i; i += ml; anchor = i
+      |        else:
+      |            table[key] = i; i += 1
+      |    lit = n - anchor
+      |    out.append(min(lit, 15) << 4)
+      |    if lit >= 15: out += runlen(lit - 15)
+      |    out += src[anchor:]
+      |    return bytes(out)
+      |""".stripMargin
+
+  // c-blosc's split_block rule, needed by any independent reader/writer
+  // of lz4-family containers (both sides recompute it from the header)
+  private val pySplit =
+    """
+      |def nsplits(fmt, T, blocksize, leftover):
+      |    if leftover or fmt not in (0, 1): return 1
+      |    if T < 1 or T > 16 or blocksize % T or blocksize // T < 128: return 1
+      |    return T
+      |""".stripMargin
+
+  test("python (numpy+zlib) independently decodes a blosc BITSHUFFLE store") {
+    assume(havePython, "python3+numpy not available")
+    val dir = Files.createTempDirectory("zarr_bit").toString + "/b.zarr"
+    ZarrStore.write(vol, dir, ZarrStore.BloscCodec("zlib", 5, shuffle = 2))
+    val script =
+      s"""
+         |import json, zlib, struct
+         |import numpy as np
+         |$pyBitshuffle
+         |d = "$dir"
+         |za = json.load(open(d + "/.zarray"))
+         |assert za["compressor"]["id"] == "blosc" and za["compressor"]["shuffle"] == 2
+         |Z, Y, X = za["shape"]; cz, cy, cx = za["chunks"]
+         |dt = np.dtype(za["dtype"]); T = dt.itemsize
+         |def blosc_decode(buf):
+         |    ver, verlz, flags, tsize = buf[0], buf[1], buf[2], buf[3]
+         |    nbytes, blocksize, cbytes = struct.unpack_from("<iii", buf, 4)
+         |    assert tsize == T and flags & 0x4 and not flags & 0x1
+         |    if flags & 0x2:
+         |        return buf[16:16+nbytes]
+         |    assert flags >> 5 == 3, "zlib inner codec expected"
+         |    nblocks = max(1, -(-nbytes // blocksize))
+         |    bstarts = struct.unpack_from("<%di" % nblocks, buf, 16)
+         |    out = bytearray(nbytes)
+         |    for b in range(nblocks):
+         |        off = b * blocksize
+         |        ne = min(blocksize, nbytes - off)
+         |        p = bstarts[b]
+         |        csize = struct.unpack_from("<i", buf, p)[0]
+         |        payload = buf[p+4:p+4+csize]
+         |        plain = bytes(payload) if csize == ne else zlib.decompress(payload)
+         |        out[off:off+ne] = bitunshuffle(plain, T)
+         |    return bytes(out)
+         |arr = np.zeros((Z, Y, X), dtype=dt)
+         |for iz in range(-(-Z//cz)):
+         |    for iy in range(-(-Y//cy)):
+         |        for ix in range(-(-X//cx)):
+         |            raw = blosc_decode(open(f"{d}/{iz}.{iy}.{ix}", "rb").read())
+         |            blk = np.frombuffer(raw, dtype=dt).reshape(cz, cy, cx)
+         |            z0, y0, x0 = iz*cz, iy*cy, ix*cx
+         |            nz, ny, nx = min(cz, Z-z0), min(cy, Y-y0), min(cx, X-x0)
+         |            arr[z0:z0+nz, y0:y0+ny, x0:x0+nx] = blk[:nz, :ny, :nx]
+         |ids = np.arange(Z * Y * X).reshape(Z, Y, X)
+         |assert (arr == (ids * 13) % 251).all(), "voxel mismatch"
+         |print("PY_BITSHUF_OK")
+         |""".stripMargin
+    assert(Process(Seq("python3", "-c", script)).!!.contains("PY_BITSHUF_OK"))
+  }
+
+  test("ZarrStore reads a python-written blosc BITSHUFFLE container") {
+    assume(havePython, "python3+numpy not available")
+    val dir = Files.createTempDirectory("zarr_bit2").toString + "/in.zarr"
+    Files.createDirectories(Paths.get(dir))
+    val script =
+      s"""
+         |import json, zlib, struct
+         |import numpy as np
+         |$pyBitshuffle
+         |d = "$dir"
+         |Z, Y, X = $dz, $dy, $dx
+         |cz, cy, cx = 2, 3, 4
+         |T = 4
+         |ids = np.arange(Z * Y * X).reshape(Z, Y, X)
+         |arr = ((ids * 13) % 251).astype("<u4")
+         |json.dump({"zarr_format": 2, "shape": [Z, Y, X], "chunks": [cz, cy, cx],
+         |           "dtype": "<u4",
+         |           "compressor": {"id": "blosc", "cname": "zlib", "clevel": 5,
+         |                          "shuffle": 2, "blocksize": 0},
+         |           "fill_value": 0, "order": "C", "filters": None},
+         |          open(d + "/.zarray", "w"))
+         |def blosc_encode(raw):
+         |    shuf = bitshuffle(raw, T)
+         |    comp = zlib.compress(shuf, 5)
+         |    payload = comp if len(comp) < len(raw) else shuf
+         |    csize = len(payload) if len(comp) < len(raw) else len(raw)
+         |    head = bytes([2, 1, 0x4 | (3 << 5), T])
+         |    head += struct.pack("<iii", len(raw), len(raw), 16 + 4 + 4 + len(payload))
+         |    head += struct.pack("<i", 20)
+         |    return head + struct.pack("<i", csize) + payload
+         |pad = np.zeros((cz, cy, cx), dtype="<u4")
+         |for iz in range(-(-Z//cz)):
+         |    for iy in range(-(-Y//cy)):
+         |        for ix in range(-(-X//cx)):
+         |            blk = pad.copy()
+         |            z0, y0, x0 = iz*cz, iy*cy, ix*cx
+         |            nz, ny, nx = min(cz, Z-z0), min(cy, Y-y0), min(cx, X-x0)
+         |            blk[:nz, :ny, :nx] = arr[z0:z0+nz, y0:y0+ny, x0:x0+nx]
+         |            open(f"{d}/{iz}.{iy}.{ix}", "wb").write(blosc_encode(blk.tobytes()))
+         |print("PY_BITSHUF_WRITE_OK")
+         |""".stripMargin
+    assert(Process(Seq("python3", "-c", script)).!!.contains("PY_BITSHUF_WRITE_OK"))
+    val back = ZarrStore.read(spark, dir)
+    val got = back.toVoxels.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    for (z <- 0L until dz; y <- 0L until dy; x <- 0L until dx) {
+      val id = (z * dy + y) * dx + x
+      assert(got((z, y, x)) === (id * 13) % 251, s"voxel ($z,$y,$x)")
+    }
+  }
+
+  // A larger volume whose full chunks (4·8·8 u4 = 1024 B, 256 elems) put
+  // the lz4 family into c-blosc's SPLIT regime (typesize 4 ≤ 16,
+  // blocksize/typesize = 256 ≥ 128).
+  private val (lz, ly, lx) = (8L, 8L, 16L)
+  private lazy val lvol = {
+    val vox = spark.range(lz * ly * lx).selectExpr(
+      s"id div ${ly * lx} as z",
+      s"(id div $lx) % $ly as y",
+      s"id % $lx as x",
+      s"(id * 13) % 251 as label")
+    ChunkVolume.fromVoxels(vox, lz, ly, lx, 4, 8, 8)
+  }
+
+  test("python (pure-python LZ4) independently decodes a blosc lz4 store with splits") {
+    assume(havePython, "python3+numpy not available")
+    val dir = Files.createTempDirectory("zarr_lz4").toString + "/l.zarr"
+    ZarrStore.write(lvol, dir, ZarrStore.BloscCodec("lz4", 5, shuffle = 1))
+    val script =
+      s"""
+         |import json, struct
+         |import numpy as np
+         |$pyLz4
+         |$pySplit
+         |d = "$dir"
+         |za = json.load(open(d + "/.zarray"))
+         |assert za["compressor"] == {"id": "blosc", "cname": "lz4", "clevel": 5,
+         |                            "shuffle": 1, "blocksize": 0}, za["compressor"]
+         |Z, Y, X = za["shape"]; cz, cy, cx = za["chunks"]
+         |dt = np.dtype(za["dtype"]); T = dt.itemsize
+         |saw_split = [False]
+         |def blosc_decode(buf):
+         |    ver, verlz, flags, tsize = buf[0], buf[1], buf[2], buf[3]
+         |    nbytes, blocksize, cbytes = struct.unpack_from("<iii", buf, 4)
+         |    assert tsize == T and flags & 0x1
+         |    if flags & 0x2:
+         |        return buf[16:16+nbytes]
+         |    assert flags >> 5 == 1, "lz4 format expected"
+         |    nblocks = max(1, -(-nbytes // blocksize))
+         |    bstarts = struct.unpack_from("<%di" % nblocks, buf, 16)
+         |    out = bytearray(nbytes)
+         |    for b in range(nblocks):
+         |        off = b * blocksize
+         |        neb = min(blocksize, nbytes - off)
+         |        ns = nsplits(1, T, blocksize, neb != blocksize)
+         |        if ns > 1: saw_split[0] = True
+         |        ne = neb // ns
+         |        p = bstarts[b]
+         |        plain = bytearray()
+         |        for s in range(ns):
+         |            csize = struct.unpack_from("<i", buf, p)[0]
+         |            plain += buf[p+4:p+4+csize] if csize == ne else lz4_decompress(buf, p+4, ne)
+         |            p += 4 + csize
+         |        n = neb // T
+         |        arr8 = np.frombuffer(bytes(plain[:n*T]), np.uint8).reshape(T, n)
+         |        out[off:off+n*T] = arr8.T.tobytes()
+         |        out[off+n*T:off+neb] = plain[n*T:]
+         |    return bytes(out)
+         |arr = np.zeros((Z, Y, X), dtype=dt)
+         |for iz in range(-(-Z//cz)):
+         |    for iy in range(-(-Y//cy)):
+         |        for ix in range(-(-X//cx)):
+         |            raw = blosc_decode(open(f"{d}/{iz}.{iy}.{ix}", "rb").read())
+         |            blk = np.frombuffer(raw, dtype=dt).reshape(cz, cy, cx)
+         |            z0, y0, x0 = iz*cz, iy*cy, ix*cx
+         |            nz, ny, nx = min(cz, Z-z0), min(cy, Y-y0), min(cx, X-x0)
+         |            arr[z0:z0+nz, y0:y0+ny, x0:x0+nx] = blk[:nz, :ny, :nx]
+         |ids = np.arange(Z * Y * X).reshape(Z, Y, X)
+         |assert (arr == (ids * 13) % 251).all(), "voxel mismatch"
+         |assert saw_split[0], "expected split blocks in this regime"
+         |print("PY_LZ4_OK")
+         |""".stripMargin
+    assert(Process(Seq("python3", "-c", script)).!!.contains("PY_LZ4_OK"))
+  }
+
+  test("ZarrStore reads a python-written blosc lz4 BITSHUFFLE container with splits") {
+    assume(havePython, "python3+numpy not available")
+    val dir = Files.createTempDirectory("zarr_lz42").toString + "/in.zarr"
+    Files.createDirectories(Paths.get(dir))
+    val script =
+      s"""
+         |import json, struct
+         |import numpy as np
+         |$pyBitshuffle
+         |$pyLz4
+         |$pySplit
+         |d = "$dir"
+         |Z, Y, X = $lz, $ly, $lx
+         |cz, cy, cx = 4, 8, 8
+         |T = 4
+         |ids = np.arange(Z * Y * X).reshape(Z, Y, X)
+         |arr = ((ids * 13) % 251).astype("<u4")
+         |json.dump({"zarr_format": 2, "shape": [Z, Y, X], "chunks": [cz, cy, cx],
+         |           "dtype": "<u4",
+         |           "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+         |                          "shuffle": 2, "blocksize": 0},
+         |           "fill_value": 0, "order": "C", "filters": None},
+         |          open(d + "/.zarray", "w"))
+         |def blosc_encode(raw):
+         |    shuf = bitshuffle(raw, T)
+         |    ns = nsplits(1, T, len(raw), False)
+         |    assert ns == T, "test volume must be in the split regime"
+         |    ne = len(raw) // ns
+         |    streams = []
+         |    for s in range(ns):
+         |        part = shuf[s*ne:(s+1)*ne]
+         |        comp = lz4_compress(bytearray(part))
+         |        if len(comp) < ne: streams.append((len(comp), comp))
+         |        else: streams.append((ne, part))
+         |    total = 16 + 4 + sum(4 + len(p) for _, p in streams)
+         |    head = bytes([2, 1, 0x4 | (1 << 5), T])
+         |    head += struct.pack("<iii", len(raw), len(raw), total)
+         |    head += struct.pack("<i", 20)
+         |    body = b"".join(struct.pack("<i", c) + bytes(p) for c, p in streams)
+         |    return head + body
+         |pad = np.zeros((cz, cy, cx), dtype="<u4")
+         |for iz in range(-(-Z//cz)):
+         |    for iy in range(-(-Y//cy)):
+         |        for ix in range(-(-X//cx)):
+         |            blk = pad.copy()
+         |            z0, y0, x0 = iz*cz, iy*cy, ix*cx
+         |            nz, ny, nx = min(cz, Z-z0), min(cy, Y-y0), min(cx, X-x0)
+         |            blk[:nz, :ny, :nx] = arr[z0:z0+nz, y0:y0+ny, x0:x0+nx]
+         |            open(f"{d}/{iz}.{iy}.{ix}", "wb").write(blosc_encode(blk.tobytes()))
+         |print("PY_LZ4_WRITE_OK")
+         |""".stripMargin
+    assert(Process(Seq("python3", "-c", script)).!!.contains("PY_LZ4_WRITE_OK"))
+    val back = ZarrStore.read(spark, dir)
+    val got = back.toVoxels.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    for (z <- 0L until lz; y <- 0L until ly; x <- 0L until lx) {
+      val id = (z * ly + y) * lx + x
+      assert(got((z, y, x)) === (id * 13) % 251, s"voxel ($z,$y,$x)")
+    }
+  }
+
+  test("ZarrStore reads a python-written standalone-lz4 (length-header) array") {
+    assume(havePython, "python3+numpy not available")
+    val dir = Files.createTempDirectory("zarr_lz43").toString + "/in.zarr"
+    Files.createDirectories(Paths.get(dir))
+    val script =
+      s"""
+         |import json, struct
+         |import numpy as np
+         |$pyLz4
+         |d = "$dir"
+         |Z, Y, X = $dz, $dy, $dx
+         |cz, cy, cx = 2, 3, 4
+         |ids = np.arange(Z * Y * X).reshape(Z, Y, X)
+         |arr = ((ids * 13) % 251).astype("<u4")
+         |json.dump({"zarr_format": 2, "shape": [Z, Y, X], "chunks": [cz, cy, cx],
+         |           "dtype": "<u4", "compressor": {"id": "lz4", "acceleration": 1},
+         |           "fill_value": 0, "order": "C", "filters": None},
+         |          open(d + "/.zarray", "w"))
+         |pad = np.zeros((cz, cy, cx), dtype="<u4")
+         |for iz in range(-(-Z//cz)):
+         |    for iy in range(-(-Y//cy)):
+         |        for ix in range(-(-X//cx)):
+         |            blk = pad.copy()
+         |            z0, y0, x0 = iz*cz, iy*cy, ix*cx
+         |            nz, ny, nx = min(cz, Z-z0), min(cy, Y-y0), min(cx, X-x0)
+         |            blk[:nz, :ny, :nx] = arr[z0:z0+nz, y0:y0+ny, x0:x0+nx]
+         |            raw = blk.tobytes()
+         |            open(f"{d}/{iz}.{iy}.{ix}", "wb").write(
+         |                struct.pack("<i", len(raw)) + lz4_compress(bytearray(raw)))
+         |print("PY_LZ4STD_WRITE_OK")
+         |""".stripMargin
+    assert(Process(Seq("python3", "-c", script)).!!.contains("PY_LZ4STD_WRITE_OK"))
+    val back = ZarrStore.read(spark, dir)
+    val got = back.toVoxels.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    for (z <- 0L until dz; y <- 0L until dy; x <- 0L until dx) {
+      val id = (z * dy + y) * dx + x
+      assert(got((z, y, x)) === (id * 13) % 251, s"voxel ($z,$y,$x)")
+    }
+  }
+
   test("ZarrStore reads a python (numpy+zlib) written array bit-exactly") {
     assume(havePython, "python3+numpy not available")
     val dir = Files.createTempDirectory("zarr_py2").toString + "/in.zarr"

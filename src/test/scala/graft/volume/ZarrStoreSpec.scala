@@ -71,19 +71,28 @@ class ZarrStoreSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalArgumentException] {
       ZarrStore.parseZarray(
         """{"zarr_format": 2, "shape": [1,1,1], "chunks": [1,1,1], "dtype": "<u4",
-           "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 2},
+           "compressor": {"id": "blosc", "cname": "snappy", "clevel": 5, "shuffle": 1},
            "fill_value": 0, "order": "C", "filters": null}""")
     }
-    assert(e.getMessage.contains("blosc"))
+    assert(e.getMessage.contains("snappy"))
+    // bitshuffle (the reference CLI's default) now parses
+    val mb = ZarrStore.parseZarray(
+      """{"zarr_format": 2, "shape": [1,1,1], "chunks": [1,1,1], "dtype": "<u4",
+         "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 2},
+         "fill_value": 0, "order": "C", "filters": null}""")
+    assert(mb.codec === ZarrStore.BloscCodec("zstd", 5, 2))
   }
 
   test("round-trip through raw, zlib, zstd, and blosc codecs preserves every voxel") {
     val expect = collectVox(vox)
     for (codec <- Seq(
         ZarrStore.Raw, ZarrStore.Zlib(5), ZarrStore.ZstdCodec(3),
+        ZarrStore.Lz4Codec(),
         ZarrStore.BloscCodec("zstd", 5, shuffle = 0),
         ZarrStore.BloscCodec("zstd", 5, shuffle = 1),
-        ZarrStore.BloscCodec("zlib", 5, shuffle = 1))) {
+        ZarrStore.BloscCodec("zlib", 5, shuffle = 1),
+        ZarrStore.BloscCodec("zstd", 5, shuffle = 2), // reference --compressor zstd
+        ZarrStore.BloscCodec("lz4", 5, shuffle = 2))) { // reference --compressor lz4
       val dir = Files.createTempDirectory("zarr").toString + "/c.zarr"
       ZarrStore.write(vol, dir, codec)
       val back = ZarrStore.read(spark, dir)
@@ -93,25 +102,62 @@ class ZarrStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("blosc: container metadata round-trips; multi-block + stored blocks; bitshuffle rejected") {
+  test("blosc: container metadata round-trips; multi-block + stored blocks; every (codec, shuffle)") {
     val m = ZarrStore.parseZarray(
       """{"zarr_format": 2, "shape": [4, 4, 4], "chunks": [2, 2, 2], "dtype": "<u4",
          "compressor": {"id": "blosc", "cname": "zstd", "clevel": 7, "shuffle": 1, "blocksize": 0},
          "fill_value": 0, "order": "C", "filters": null}""")
     assert(m.codec === ZarrStore.BloscCodec("zstd", 7, 1))
-    // incompressible data exercises the stored-block (csize == neblock) path
+    // incompressible data exercises the stored-block (csize == neblock)
+    // path; lz4 at 64 KiB/t=4 also exercises c-blosc block SPLITTING
     val rnd = new scala.util.Random(7)
     val noise = Array.fill[Byte](64 * 1024)(rnd.nextInt().toByte)
-    for (sh <- Seq(0, 1); cn <- Seq("zstd", "zlib")) {
-      val c = ZarrStore.BloscCodec(cn, 5, sh, typesize = 4)
-      assert(c.decompress(c.compress(noise), noise.length).toSeq === noise.toSeq, s"$cn/$sh")
+    for (sh <- Seq(-1, 0, 1, 2); cn <- Seq("zstd", "zlib", "lz4"); t <- Seq(1, 2, 4, 8)) {
+      val c = ZarrStore.BloscCodec(cn, 5, sh, typesize = t)
+      assert(c.decompress(c.compress(noise), noise.length).toSeq === noise.toSeq, s"$cn/$sh/$t")
     }
     // compressible data larger than one block (forces the multi-block path)
-    val big = Array.tabulate[Byte](9 << 20)(i => (i % 251).toByte)
-    val c = ZarrStore.BloscCodec("zstd", 3, 1, typesize = 4)
-    assert(java.util.Arrays.equals(c.decompress(c.compress(big), big.length), big))
-    val e = intercept[IllegalArgumentException](ZarrStore.BloscCodec("zstd", 5, shuffle = 2))
-    assert(e.getMessage.contains("bitshuffle"))
+    for (cn <- Seq("zstd", "lz4"); sh <- Seq(1, 2)) {
+      val big = Array.tabulate[Byte](9 << 20)(i => (i % 251).toByte)
+      val c = ZarrStore.BloscCodec(cn, 3, sh, typesize = 4)
+      assert(java.util.Arrays.equals(c.decompress(c.compress(big), big.length), big), s"$cn/$sh")
+    }
+    // ragged tails: lengths not divisible by typesize·8 exercise the
+    // verbatim-copy remainders of both shuffles and the leftover block
+    for (len <- Seq(1, 7, 31, 4093); sh <- Seq(1, 2); t <- Seq(3, 4)) {
+      val odd = Array.tabulate[Byte](len)(i => ((i * 17) % 251).toByte)
+      val c = ZarrStore.BloscCodec("lz4", 5, sh, typesize = t)
+      assert(c.decompress(c.compress(odd), odd.length).toSeq === odd.toSeq, s"len=$len/$sh/$t")
+    }
+  }
+
+  test("bitshuffle kernel: matches the naive bit-matrix transpose; involution; tail verbatim") {
+    val rnd = new scala.util.Random(11)
+    // independent naive reference: out[(k*8+j)*(m/8)+q] bit r = bit j of
+    // element (8q+r)'s byte k — the published bitshuffle layout
+    def naive(src: Array[Byte], t: Int): Array[Byte] = {
+      val len = src.length
+      val n = len / t
+      val m = n - n % 8
+      val out = new Array[Byte](len)
+      val rowB = m / 8
+      for (k <- 0 until t; j <- 0 until 8; q <- 0 until rowB) {
+        var b = 0
+        for (r <- 0 until 8) {
+          val bit = (src((8 * q + r) * t + k) >> j) & 1
+          b |= bit << r
+        }
+        out((k * 8 + j) * rowB + q) = b.toByte
+      }
+      for (i <- m * t until len) out(i) = src(i)
+      out
+    }
+    for (t <- Seq(1, 2, 3, 4, 8); len <- Seq(0, 5, t * 8, t * 8 * 5, t * 8 * 5 + t * 3 + 1)) {
+      val src = Array.fill[Byte](len)(rnd.nextInt().toByte)
+      val fwd = ZarrStore.BitShuffle.shuffle(src, 0, len, t)
+      assert(fwd.toSeq === naive(src, t).toSeq, s"t=$t len=$len forward")
+      assert(ZarrStore.BitShuffle.unshuffle(fwd, len, t).toSeq === src.toSeq, s"t=$t len=$len inverse")
+    }
   }
 
   test("float dtype (<f4) round-trips through zarr bit-exactly") {
