@@ -30,11 +30,18 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // local-iteration subset filter: comma-separated query names (use
+    // "volume" for the headline volume bench). Unset = everything — the
+    // driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     // headline volume benchmark FIRST, on the clean JVM — the reference's
     // recorded runs (BASELINE.md ×2 = 2.98 s) were fresh single processes,
     // so measuring after 38 queries of broadcast/GC residue would skew it.
     val volume =
-      try graft.volume.VolumeBench.run(spark)
+      if (!wanted("volume")) Seq.empty
+      else try graft.volume.VolumeBench.run(spark)
       catch {
         case e: Throwable =>
           errors("vol_atlas_upscale_x2") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -51,7 +58,7 @@ object Bench {
     // one-time JVM cost and skews its number.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val registered = SparkEntry.allQs.map { q =>
+    val registered = SparkEntry.allQs.filter(q => wanted(q.name)).map { q =>
       val t0 = System.nanoTime()
       val ok =
         try {

@@ -110,18 +110,29 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("rep").as("nbr_rep")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_rep")).as("nbr_rep"))
+      // carry the previous label through the round so convergence is
+      // observable in the SAME job that materializes the checkpoint —
+      // one job per round, not a round job plus a count() job
       val propagated = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .select(
+          col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"),
+          col("rep").as("old"))
       // pointer jump: rep := rep's rep (collapses chains logarithmically)
       val jumped = propagated.as("l")
         .join(propagated.select(col("id").as("rep"), col("rep").as("rep2")).as("r"), Seq("rep"), "left")
-        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
-        .localCheckpoint(true)
-      val changed = jumped.as("n")
-        .join(labels.select(col("id"), col("rep").as("old")).as("o"), Seq("id"))
-        .filter(col("rep") =!= col("old")).count()
-      labels = jumped
+        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"), col("old"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      val checkpointed = jumped
+        .observe(obs, sum(when(col("rep") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint(true) // eager: runs the round's one job, fills obs
+      val changed = obs.get("changed") match {
+        case null => 0L
+        case n: Long => n
+        case n: Number => n.longValue()
+      }
+      labels = checkpointed.select(col("id"), col("rep"))
       converged = changed == 0
       iter += 1
     }
@@ -319,9 +330,17 @@ object Dedup {
       terms: Column = null, // defaults to the distinct-token set of textCol
       maxTermDf: Int = 1000,
   ): DataFrame = {
-    val tok = docs.select(col(idCol), col(blockCol),
-      explode(Option(terms).getOrElse(tokenSet(textCol))).as("term"))
-    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // Tokenize/shingle ONCE into a materialized per-doc array frame: the
+    // term arrays feed three consumers (per-doc sizes, term-df, tagging)
+    // and shingling is the dominant per-row cost — without the eager
+    // checkpoint each consumer re-runs it (measured +30% on the shingle
+    // form). Materialized size ≈ the corpus text itself, far below the
+    // exploded term stream the downstream shuffles already carry.
+    val base = docs.select(col(idCol), col(blockCol),
+        Option(terms).getOrElse(tokenSet(textCol)).as("toks"))
+      .localCheckpoint(true)
+    val tok = base.select(col(idCol), col(blockCol), explode(col("toks")).as("term"))
+    val sizes = base.select(col(idCol), size(col("toks")).cast("long").as("n"))
     val termDf = tok.groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
     val tagged = tok.join(termDf, Seq(blockCol, "term"))
     val rare = tagged.filter(col("df") <= maxTermDf)

@@ -93,6 +93,30 @@ object VolumeBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Consume a volume's chunks on the executors without any sink — the
+    * probe that isolates scan / kernel cost from write cost.
+    */
+  private def consume(vol: ChunkVolume): Unit =
+    vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
+      var s = 0L
+      it.foreach(c => s += c.data.length)
+    }
+
+  /** (scan-only seconds, scan+kernel seconds) for a ×s upscale — no sink.
+    * write cost ≈ headline − kernel stage.
+    */
+  def stageTimes(spark: SparkSession, mhdPath: String, s: Int): (Double, Double) = {
+    val meta = MhdMeta.parse(mhdPath)
+    val t0 = System.nanoTime()
+    consume(MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt))
+    val read = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    consume(MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt)
+      .upscale(s))
+    val kernel = (System.nanoTime() - t1) / 1e9
+    (read, kernel)
+  }
+
   /** Returns (name -> seconds) entries for the bench JSON: the first run
     * pays cold page cache + JIT; the second is the steady-state number.
     */
@@ -106,13 +130,22 @@ object VolumeBench {
     entries += ("vol_atlas_upscale_x2_zarr" ->
       upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr"))
     // the ×15 streaming run: 1.04 TB logical (260 G voxels), reference
-    // baseline 684.5 s. Two sinks: the internal zstd chunk store (~130 s
-    // at 32 cores) and the APPLES-TO-APPLES spec-compliant blosc-zstd
-    // zarr the reference itself wrote (~160 s — same format family,
-    // 4× the reference's throughput). SPARK_GRAFT_VOLBENCH=x2only skips.
+    // baseline 684.5 s. Two sinks — the internal zstd chunk store and the
+    // APPLES-TO-APPLES spec-compliant blosc-zstd zarr the reference
+    // itself wrote — each run TWICE (run-to-run variance on a 2–3 min
+    // disk-heavy job is real; one sample per sink made the r3
+    // internal-vs-zarr comparison unreadable), plus sink-free stage
+    // probes (scan only / scan+kernel) so write cost is read directly as
+    // headline − kernel. SPARK_GRAFT_VOLBENCH=x2only skips.
     if (!sys.env.get("SPARK_GRAFT_VOLBENCH").contains("x2only")) {
+      val (read15, kernel15) = stageTimes(spark, mhd, 15)
+      entries += ("vol_atlas_x15_stage_scan" -> read15)
+      entries += ("vol_atlas_x15_stage_kernel" -> kernel15)
       entries += ("vol_atlas_upscale_x15" -> upscale(spark, mhd, 15, s"$workDir/out_x15"))
+      entries += ("vol_atlas_upscale_x15_run2" -> upscale(spark, mhd, 15, s"$workDir/out_x15"))
       entries += ("vol_atlas_upscale_x15_zarr" ->
+        upscaleZarr(spark, mhd, 15, s"$workDir/out_x15_zarr"))
+      entries += ("vol_atlas_upscale_x15_zarr_run2" ->
         upscaleZarr(spark, mhd, 15, s"$workDir/out_x15_zarr"))
     }
     entries.result()
