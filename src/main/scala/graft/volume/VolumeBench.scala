@@ -80,15 +80,21 @@ object VolumeBench {
   }
 
   /** Same flow into a SPEC-COMPLIANT zarr v2 array with the blosc-zstd
-    * container — byte-for-byte the reference's output world
-    * (upscale_streaming.py --compressor zstd), for an apples-to-apples
-    * sink comparison.
+    * container — the reference's output world (upscale_streaming.py
+    * --compressor zstd), for an apples-to-apples sink comparison.
+    * `shuffle` 1 (byte) is the benched default at ×15; `shuffle` 2
+    * reproduces the reference CLI's BITSHUFFLE flag exactly and is
+    * benched at ×2 scale (the scalar JVM bitshuffle kernel runs
+    * ~0.5 GB/s/core — interop-grade, and immaterial at 2.46 GB, but a
+    * deliberate non-default for the 1.04 TB ×15 sink where SIMD-less
+    * shuffling would dominate).
     */
-  def upscaleZarr(spark: SparkSession, mhdPath: String, s: Int, outDir: String): Double = {
+  def upscaleZarr(spark: SparkSession, mhdPath: String, s: Int, outDir: String,
+      shuffle: Int = 1): Double = {
     val meta = MhdMeta.parse(mhdPath)
     val t0 = System.nanoTime()
     val vol = MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt)
-    ZarrStore.write(vol.upscale(s), outDir, ZarrStore.BloscCodec("zstd", 5, shuffle = 1),
+    ZarrStore.write(vol.upscale(s), outDir, ZarrStore.BloscCodec("zstd", 5, shuffle = shuffle),
       extraAttrs = Map("source" -> mhdPath, "scale" -> s.toString))
     (System.nanoTime() - t0) / 1e9
   }
@@ -129,6 +135,10 @@ object VolumeBench {
     entries += ("vol_atlas_upscale_x2" -> warm)
     entries += ("vol_atlas_upscale_x2_zarr" ->
       upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr"))
+    // the reference CLI's EXACT default output (Blosc zstd BITSHUFFLE,
+    // upscale_streaming.py:104) at the reference's headline scale
+    entries += ("vol_atlas_upscale_x2_zarr_bit" ->
+      upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr_bit", shuffle = 2))
     // the ×15 streaming run: 1.04 TB logical (260 G voxels), reference
     // baseline 684.5 s. Two sinks — the internal zstd chunk store and the
     // APPLES-TO-APPLES spec-compliant blosc-zstd zarr the reference

@@ -156,22 +156,37 @@ object ZarrStore {
       val out = new Array[Byte](len)
       if (m > 0) {
         val rowB = m >>> 3
-        // byte-transpose plane for one byte position at a time, then
-        // bit-transpose each 8-element group of the plane straight into
-        // the output's (k,j) rows.
-        val plane = new Array[Byte](m)
         var k = 0
         while (k < t) {
-          var e = 0
-          while (e < m) { plane(e) = src(off + e * t + k); e += 1 }
+          // gather byte k of 8 consecutive elements into one little-endian
+          // word, 8×8 bit-transpose it, scatter its bytes to the 8 (k,j)
+          // bit rows — fully unrolled so the JIT keeps x in a register
+          val srcK = off + k
+          val o0 = k * 8 * rowB
+          val o1 = o0 + rowB; val o2 = o1 + rowB; val o3 = o2 + rowB
+          val o4 = o3 + rowB; val o5 = o4 + rowB; val o6 = o5 + rowB; val o7 = o6 + rowB
+          val stride8 = t << 3
           var q = 0
+          var p = srcK
           while (q < rowB) {
-            var x = 0L
-            var r = 0
-            while (r < 8) { x |= (plane(q * 8 + r) & 0xffL) << (8 * r); r += 1 }
+            var x = (src(p) & 0xffL) |
+              ((src(p + t) & 0xffL) << 8) |
+              ((src(p + 2 * t) & 0xffL) << 16) |
+              ((src(p + 3 * t) & 0xffL) << 24) |
+              ((src(p + 4 * t) & 0xffL) << 32) |
+              ((src(p + 5 * t) & 0xffL) << 40) |
+              ((src(p + 6 * t) & 0xffL) << 48) |
+              ((src(p + 7 * t) & 0xffL) << 56)
             x = trans8x8(x)
-            var j = 0
-            while (j < 8) { out((k * 8 + j) * rowB + q) = (x >>> (8 * j)).toByte; j += 1 }
+            out(o0 + q) = x.toByte
+            out(o1 + q) = (x >>> 8).toByte
+            out(o2 + q) = (x >>> 16).toByte
+            out(o3 + q) = (x >>> 24).toByte
+            out(o4 + q) = (x >>> 32).toByte
+            out(o5 + q) = (x >>> 40).toByte
+            out(o6 + q) = (x >>> 48).toByte
+            out(o7 + q) = (x >>> 56).toByte
+            p += stride8
             q += 1
           }
           k += 1
@@ -190,14 +205,32 @@ object ZarrStore {
         val rowB = m >>> 3
         var k = 0
         while (k < t) {
+          val outK = k
+          val o0 = k * 8 * rowB
+          val o1 = o0 + rowB; val o2 = o1 + rowB; val o3 = o2 + rowB
+          val o4 = o3 + rowB; val o5 = o4 + rowB; val o6 = o5 + rowB; val o7 = o6 + rowB
+          val stride8 = t << 3
           var q = 0
+          var p = outK
           while (q < rowB) {
-            var x = 0L
-            var j = 0
-            while (j < 8) { x |= (src((k * 8 + j) * rowB + q) & 0xffL) << (8 * j); j += 1 }
+            var x = (src(o0 + q) & 0xffL) |
+              ((src(o1 + q) & 0xffL) << 8) |
+              ((src(o2 + q) & 0xffL) << 16) |
+              ((src(o3 + q) & 0xffL) << 24) |
+              ((src(o4 + q) & 0xffL) << 32) |
+              ((src(o5 + q) & 0xffL) << 40) |
+              ((src(o6 + q) & 0xffL) << 48) |
+              ((src(o7 + q) & 0xffL) << 56)
             x = trans8x8(x) // the 8×8 bit transpose is an involution
-            var r = 0
-            while (r < 8) { out((q * 8 + r) * t + k) = (x >>> (8 * r)).toByte; r += 1 }
+            out(p) = x.toByte
+            out(p + t) = (x >>> 8).toByte
+            out(p + 2 * t) = (x >>> 16).toByte
+            out(p + 3 * t) = (x >>> 24).toByte
+            out(p + 4 * t) = (x >>> 32).toByte
+            out(p + 5 * t) = (x >>> 40).toByte
+            out(p + 6 * t) = (x >>> 48).toByte
+            out(p + 7 * t) = (x >>> 56).toByte
+            p += stride8
             q += 1
           }
           k += 1
