@@ -309,5 +309,35 @@ object EventQueries {
         FROM events GROUP BY user_id ORDER BY user_id
       """),
     ),
+    // Salted skew-join (operators/SkewJoin): events fact joined to the
+    // customer dim on a deliberately salted key, then rolled up by market
+    // segment. The salt spreads each hot user's rows across saltFactor
+    // reducers; the oracle is a PLAIN SQL join — proving the salted plan
+    // is semantically invisible (identical output), which is the whole
+    // point of the technique at 100 TB.
+    Q(
+      "ev_salted_segment_rollup",
+      (s, d) => {
+        import s.implicits._
+        val events = T.events(s, d).select($"user_id", $"event_type", $"value")
+        val dim = T(s, d, "customer")
+          .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+        graft.operators.SkewJoin.saltedInnerJoin(events, dim, "user_id", saltFactor = 8)
+          .groupBy($"segment")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"),
+            Fx.sum2($"value").as("total_value"),
+          )
+          .orderBy($"segment")
+      },
+      Some("""
+        SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users,
+               SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY segment
+      """),
+    ),
   )
 }

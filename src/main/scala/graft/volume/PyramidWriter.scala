@@ -78,9 +78,37 @@ object PyramidWriter {
       ZarrStore.write(uniform, s"$path/$i", codec)
     }
     Files.writeString(Paths.get(path, ".zattrs"), multiscalesJson(vol.meta, upscaleFactor, levels))
+    writeConsolidatedMetadata(path, levels)
     ChunkVolume.writeSidecar(path, vol.meta, Map(
       "pyramid_levels" -> levels.toString,
       "upscale_factor" -> upscaleFactor.toString))
+  }
+
+  /** Zarr v2 CONSOLIDATED metadata (`.zmetadata`,
+    * zarr_consolidated_format 1): every metadata document of the group
+    * gathered into one file, exactly what `zarr.consolidate_metadata`
+    * emits and `zarr.open_consolidated` reads. On object storage this is
+    * the difference between 2 + 2·levels metadata GETs (with listing) and
+    * ONE — the standard convention for cloud-hosted OME-Zarr.
+    */
+  private def writeConsolidatedMetadata(path: String, levels: Int): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = Paths.get(path)
+    val docs = scala.collection.mutable.LinkedHashMap[String, JValue]()
+    def add(key: String, file: java.nio.file.Path): Unit =
+      if (Files.exists(file)) docs(key) = JsonMethods.parse(Files.readString(file))
+    add(".zgroup", dir.resolve(".zgroup"))
+    add(".zattrs", dir.resolve(".zattrs"))
+    for (i <- 0 until levels) {
+      add(s"$i/.zarray", Paths.get(path, i.toString, ".zarray"))
+      add(s"$i/.zattrs", Paths.get(path, i.toString, ".zattrs"))
+    }
+    val consolidated = JObject(
+      "metadata" -> JObject(docs.toList: _*),
+      "zarr_consolidated_format" -> JInt(1))
+    Files.writeString(dir.resolve(".zmetadata"),
+      JsonMethods.pretty(JsonMethods.render(consolidated)))
   }
 
   /** Read back one pyramid level written by [[write]]. */

@@ -242,5 +242,19 @@ class ZarrStoreSpec extends AnyFunSuite with SparkSpec {
     assert(Files.readString(Paths.get(dir, ".zattrs")).contains("\"multiscales\""))
     val back = PyramidWriter.readLevel(spark, dir, 1)
     assert(collectVox(back.toVoxels) === collectVox(vol.decimate().toVoxels))
+    // consolidated metadata (.zmetadata): format tag + every group doc
+    // present and identical to its on-disk source (what
+    // zarr.open_consolidated would read)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val zmeta = JsonMethods.parse(Files.readString(Paths.get(dir, ".zmetadata")))
+    assert((zmeta \ "zarr_consolidated_format") === JInt(1))
+    val md = (zmeta \ "metadata").asInstanceOf[JObject].obj.toMap
+    for (key <- Seq(".zgroup", ".zattrs", "0/.zarray", "0/.zattrs", "1/.zarray")) {
+      assert(md.contains(key), s"consolidated metadata missing $key")
+      assert(md(key) === JsonMethods.parse(
+        Files.readString(Paths.get(dir, key.split('/').toSeq: _*))),
+        s"consolidated $key differs from the on-disk document")
+    }
   }
 }
