@@ -309,6 +309,50 @@ object EventQueries {
         FROM events GROUP BY user_id ORDER BY user_id
       """),
     ),
+    // Interval-join attribution (batch face of the stream-stream join in
+    // streaming/EventStreams.attributedPurchases): each purchase left-
+    // joined to the same user's views in the preceding hour. One shuffle
+    // on user_id; per-purchase candidate views bounded by the interval —
+    // the state-bounded shape Structured Streaming requires, verified
+    // here against a plain SQL interval join.
+    Q(
+      "ev_view_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d)
+        val v = ev.filter($"event_type" === "view")
+          .select($"user_id".as("v_user"), $"ts_ns".as("v_ns"), $"event_id".as("view_id"))
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts_ns".as("p_ns"), $"event_id".as("p_id"))
+        p.join(
+            v,
+            $"user_id" === $"v_user" && $"v_ns" <= $"p_ns" && $"v_ns" > $"p_ns" - NS_PER_HOUR,
+            "left")
+          .groupBy($"user_id", $"p_id", $"p_ns")
+          .agg(count($"view_id").as("n_views"), max($"v_ns").as("max_v_ns"))
+          .select(
+            $"user_id", $"p_id",
+            expr("p_ns div 1000000000").as("p_s"),
+            $"n_views",
+            coalesce(expr("max_v_ns div 1000000000"), lit(-1L)).as("last_view_s"),
+          )
+          .orderBy($"user_id", $"p_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, ts AS v_ts, event_id AS view_id FROM events WHERE event_type = 'view'
+        ), p AS (
+          SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id AS user_id, p.p_id,
+               CAST(FLOOR(epoch(p.p_ts)) AS BIGINT) AS p_s,
+               COUNT(v.view_id) AS n_views,
+               COALESCE(CAST(FLOOR(epoch(MAX(v.v_ts))) AS BIGINT), -1) AS last_view_s
+        FROM p LEFT JOIN v
+          ON p.user_id = v.user_id AND v.v_ts <= p.p_ts AND v.v_ts > p.p_ts - INTERVAL 1 HOUR
+        GROUP BY 1, 2, p.p_ts ORDER BY p.user_id, p_id
+      """),
+    ),
     // Salted skew-join (operators/SkewJoin): events fact joined to the
     // customer dim on a deliberately salted key, then rolled up by market
     // segment. The salt spreads each hot user's rows across saltFactor

@@ -43,6 +43,32 @@ object EventStreams {
         sum(round(col("value") * 100).cast("bigint")).as("value_c"),
       )
 
+  /** Stream-stream INTERVAL join — the attribution shape: each purchase
+    * matched to the same user's views within the preceding
+    * `attribution` interval. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire join
+    * state (views older than watermark + interval are dropped) — the
+    * state-bounded formulation required for an unbounded 100 TB/day
+    * stream. Inner matches emit as soon as both sides arrive; no
+    * watermark wait. Works identically on batch frames (where it is a
+    * plain interval join — see the `ev_view_attribution` gate query).
+    */
+  def attributedPurchases(events: DataFrame, attribution: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(
+      views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr(s"INTERVAL $attribution"),
+      "inner")
+      .select(col("user_id"), col("p_id"), col("p_ts"), col("view_id"), col("v_ts"))
+  }
+
   case class Event(user_id: Long, ts_us: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)

@@ -7,6 +7,11 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 
+/** Top-level so Spark's encoder can instantiate it without an outer
+  * scope (MemoryStream deserialization).
+  */
+case class EvId(event_id: Long, ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
 /** Windowed streaming aggregations under a real streaming query with a
   * watermark: finalized hourly windows emit once the watermark passes; a
   * late event beyond the watermark is dropped.
@@ -52,6 +57,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       query.processAllAvailable()
       val after = spark.table("hourly_out").count()
       assert(after === 2)
+    } finally query.stop()
+  }
+
+  test("attributedPurchases: stream-stream interval join matches the batch join; window excludes old views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      EvId(1, us(0, 10), "view", 1, 0.0),
+      EvId(2, us(0, 50), "view", 1, 0.0),
+      EvId(3, us(1, 20), "purchase", 1, 9.99), // views 1 (70m ago: OUT) and 2 (30m ago: IN)
+      EvId(4, us(0, 55), "view", 2, 0.0),
+      EvId(5, us(3, 0), "purchase", 2, 5.0), // view 4 is 125m old: OUT
+      EvId(6, us(1, 20), "view", 3, 0.0), // view with no purchase
+      EvId(7, us(1, 0), "purchase", 4, 1.0)) // purchase with no view
+    val input = MemoryStream[EvId]
+    val query = EventStreams.attributedPurchases(input.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(data: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select("p_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === Set((3L, 2L)), "only the in-window (purchase, view) pair matches")
+      // convergence: the identical function on a BATCH frame of the same rows
+      val batch = EventStreams.attributedPurchases(data.toDF())
+        .select("p_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === streamed, "stream and batch joins agree")
     } finally query.stop()
   }
 
