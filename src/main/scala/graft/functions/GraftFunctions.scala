@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.functions.{call_function, lit, typedLit}
 import org.apache.spark.sql.types.IntegerType
 
 /** Column-level entry points for graft's custom Catalyst expressions.
@@ -21,6 +21,16 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
   val LshBucketName = "graft_lsh_bucket"
   val DotName = "graft_dot"
+  val NearestCentroidName = "graft_nearest_centroid"
+  val ProbeListsName = "graft_probe_lists"
+
+  // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
+  // and is frozen into the expression at build time (a plan constant)
+  private def matrixLit(e: Expression, fn: String): Array[Array[Double]] = {
+    require(e.foldable, s"$fn centroids must be a foldable array-of-arrays literal, got $e")
+    val ad = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
 
   private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (Fp64Name, classOf[RollingHash64].getName, { children: Seq[Expression] =>
@@ -52,6 +62,19 @@ object GraftFunctions {
     (DotName, classOf[DotProd].getName, { children: Seq[Expression] =>
       require(children.size == 2, s"$DotName takes exactly 2 arguments")
       DotProd(children(0), children(1))
+    }),
+    (NearestCentroidName, classOf[NearestCentroid].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$NearestCentroidName takes (vec, centroids)")
+      NearestCentroid(children.head, matrixLit(children(1), NearestCentroidName))
+    }),
+    (ProbeListsName, classOf[ProbeLists].getName, { children: Seq[Expression] =>
+      require(children.size == 3, s"$ProbeListsName takes (vec, centroids, nProbe)")
+      val n = children(2) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$ProbeListsName nProbe must be an integer literal, got $other")
+      }
+      ProbeLists(children.head, matrixLit(children(1), ProbeListsName), n)
     }),
   )
 
@@ -88,4 +111,14 @@ object GraftFunctions {
     * bit-identical accumulation order to the HOF form).
     */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Index of the L2-nearest centroid (IVF assignment) — codegen'd, with
+    * the centroid matrix as a plan constant.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    call_function(NearestCentroidName, vec, typedLit(centroids.map(_.toSeq).toSeq))
+
+  /** The nProbe nearest centroid indices, (distance, index)-ordered. */
+  def probeLists(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    call_function(ProbeListsName, vec, typedLit(centroids.map(_.toSeq).toSeq), lit(nProbe))
 }

@@ -97,6 +97,60 @@ object VectorKernels {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Index of the L2-nearest centroid; strict `<` so the lowest index wins
+    * ties — same tie-break as the IVF quantizer trainer.
+    */
+  def nearestCentroid(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val dim = vec.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { val t = vec.getDouble(j) - cent(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest centroid indices, ordered by (distance, index)
+    * ascending — repeated strict-< argmin, equivalent to sortBy((d, c)).
+    */
+  def probeLists(vec: ArrayData, centroids: Array[Array[Double]], nProbe: Int): ArrayData = {
+    val n = centroids.length
+    val dim = vec.numElements()
+    val dists = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cent = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { val t = vec.getDouble(j) - cent(j); d += t * t; j += 1 }
+      dists(c) = d
+      c += 1
+    }
+    val k = math.min(nProbe, n)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](n)
+    var s = 0
+    while (s < k) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!used(i) && dists(i) < bestD) { bestD = dists(i); best = i }
+        i += 1
+      }
+      used(best) = true
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 object SketchesLsh {
@@ -178,6 +232,72 @@ case class DotProd(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProd =
     copy(left = newLeft, right = newRight)
+}
+
+/** IVF coarse-quantizer assignment: index of the L2-nearest centroid of
+  * an ARRAY<DOUBLE> vector. The centroid matrix is a plan constant
+  * (extracted from a foldable literal at build time, shipped with the
+  * expression, referenced once per codegen compilation — not evaluated
+  * per row), so assignment is a pure codegen'd loop with no
+  * Dataset-encoder serialization boundary.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "centroid matrix must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid requires ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroid(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCentroid($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** IVF probe list: the `nProbe` nearest centroid indices of a query
+  * vector, ordered by (distance, index) — `explode` it to fan a query
+  * out to its probed inverted lists. Same plan-constant centroid
+  * treatment as [[NearestCentroid]].
+  */
+case class ProbeLists(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "centroid matrix must be non-empty")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_probe_lists requires ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_probe_lists"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.probeLists(input.asInstanceOf[ArrayData], centroids, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.VectorKernels.probeLists($c, $ref, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeLists =
+    copy(child = newChild)
 }
 
 /** MinHash signature of a token array: `numHashes` minima over the

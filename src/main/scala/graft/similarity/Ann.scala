@@ -180,21 +180,15 @@ object Ann {
     best
   }
 
-  private def probeOrder(v: Array[Double], centroids: Array[Array[Double]], nProbe: Int): Seq[Int] =
-    centroids.indices.map { c =>
-      val cent = centroids(c)
-      var d = 0.0
-      var j = 0
-      while (j < v.length) { val t = v(j) - cent(j); d += t * t; j += 1 }
-      (d, c)
-    }.sortBy(identity).take(nProbe).map(_._2)
-
   /** ANN top-k via IVF (inverted-file): corpus vectors partition into
     * `nLists` centroid lists; each query probes its `nProbe` nearest
     * lists and ranks candidates by exact cosine. Shuffles only
     * (list_id, id, vec) — candidates per query ≈ nProbe/nLists of the
     * corpus, the recall/cost dial. Fully deterministic given the data
-    * (see [[trainCentroids]]).
+    * (see [[trainCentroids]]). Assignment and probe fan-out are native
+    * codegen'd expressions with the centroid matrix as a plan constant
+    * ([[graft.functions.NearestCentroid]] / [[graft.functions.ProbeLists]])
+    * — no Dataset-encoder serialization boundary in the per-row path.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -207,22 +201,16 @@ object Ann {
       vecCol: String = "embedding",
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
-    import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(emb.sparkSession)
     val centroids = trainCentroids(emb, dim, nLists, idCol = idCol, vecCol = vecCol)
-    val base = emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+    val assigned = emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
       .withColumn("nrm", norm(col("e")))
-    val assigned = base.as[(Long, Seq[Double], Double)].map { case (id, e, nrm) =>
-      (id, e, nrm, nearestCentroid(e.toArray, centroids))
-    }.toDF("id", "e", "nrm", "list_id")
+      .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
     val probes = emb.filter(queryFilter)
-      .select(col(idCol).as("id"), asDouble(vecCol).as("e"))
-      .withColumn("nrm", norm(col("e")))
-      .as[(Long, Seq[Double], Double)]
-      .flatMap { case (id, e, nrm) =>
-        probeOrder(e.toArray, centroids, nProbe).map(list => (id, e, nrm, list))
-      }.toDF("query_id", "qe", "qn", "list_id")
+      .select(col(idCol).as("query_id"), asDouble(vecCol).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+      .withColumn("list_id", explode(GraftFunctions.probeLists(col("qe"), centroids, nProbe)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     probes
       .join(assigned.select(col("list_id"), col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn")), Seq("list_id"))
