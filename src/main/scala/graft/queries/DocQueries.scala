@@ -179,6 +179,37 @@ object DocQueries {
         ORDER BY doc_a, doc_b
       """),
     ),
+    // -------------------------------------------- per-source top-k terms
+    // Vocabulary heavy-hitters: distinct-token doc frequency per source,
+    // top 5 per source. Map-side partial agg consumes the exploded term
+    // stream; the ranking window runs over the AGGREGATED (source, term)
+    // vocabulary — ≪ the corpus — with deterministic (count desc, term)
+    // tie-breaks.
+    Q(
+      "doc_topk_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = T(s, d, "documents")
+          .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("term"))
+        val counts = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("source")).orderBy(col("n_docs").desc, col("term"))
+        counts.withColumn("rk", row_number().over(w).cast("bigint"))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("term"), col("n_docs"), col("rk"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(list_distinct(string_split(text, ' '))) AS term FROM documents
+        ), c AS (
+          SELECT source, term, COUNT(*) AS n_docs FROM tok GROUP BY 1, 2
+        ), r AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_docs DESC, term) AS BIGINT) AS rk
+          FROM c
+        )
+        SELECT source, term, n_docs, rk FROM r WHERE rk <= 5 ORDER BY source, rk
+      """),
+    ),
     // ----------------------------------------------------- text statistics
     Q(
       "doc_text_stats",

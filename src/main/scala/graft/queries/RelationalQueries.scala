@@ -312,6 +312,29 @@ object RelationalQueries {
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """),
     ),
+    // ---------------------------------------------------------------- q21
+    // Explicit GROUPING SETS (the general form behind cube/rollup —
+    // q10/q18 cover those): independent per-dimension subtotals in one
+    // Expand+aggregate pass, via the SQL surface.
+    Q(
+      "q21_grouping_sets",
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS price_c
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """),
+    ),
     // ---------------------------------------------------------------- q11
     // Conditional aggregation over a 3-table broadcast star.
     Q(
