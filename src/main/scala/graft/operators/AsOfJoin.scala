@@ -31,14 +31,43 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightCols: Seq[String],
+  ): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightCols, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * rightTs >= leftTs (`<=` semantics — DuckDB `ASOF JOIN ON l.ts <=
+    * r.ts`). Identical single-shuffle shape, traversed in descending
+    * timestamp order.
+    */
+  def firstAtOrAfter(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+  ): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightCols, forward = true)
+
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      forward: Boolean,
   ): DataFrame = {
     val payload = struct((col(rightTs).as("__ts") +: rightCols.map(col)): _*)
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ats"), lit(0).as("__tag"), payload.as("__asof")): _*)
     val l = left.withColumn("__ats", col(leftTs)).withColumn("__tag", lit(1))
       .withColumn("__asof", lit(null).cast(r.schema("__asof").dataType))
+    // right rows sort before left rows at equal timestamps in BOTH
+    // directions, preserving the at-or-{before,after} equality match
+    val ord = if (forward) col("__ats").desc else col("__ats").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ats"), col("__tag"))
+      .orderBy(ord, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // r lacks left's other columns — align it to l's schema with nulls
     val rAligned = {

@@ -233,6 +233,37 @@ object EventQueries {
         FROM j GROUP BY 1 ORDER BY event_type
       """),
     ),
+    // Forward as-of: time TO the NEXT purchase per event type — the
+    // mirror of ev_asof_last_purchase through the same single-shuffle
+    // union-tag plan traversed in descending timestamp order.
+    Q(
+      "ev_asof_next_purchase",
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts_ns".as("p_ts")).distinct()
+        graft.operators.AsOfJoin
+          .firstAtOrAfter(ev, purchases, Seq("user_id"), "ts_ns", "p_ts", Seq.empty)
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            count($"matched_ts").as("n_matched"),
+            coalesce(sum(expr("(matched_ts - ts_ns) div 1000000000")), lit(0L)).as("sum_lead_s"),
+          )
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH p AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT e.event_type, epoch_ns(e.ts) AS ets, epoch_ns(p.ts) AS pts
+          FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+        )
+        SELECT event_type, COUNT(*) AS n_events, COUNT(pts) AS n_matched,
+               CAST(COALESCE(SUM((pts - ets) // 1000000000), 0) AS BIGINT) AS sum_lead_s
+        FROM j GROUP BY 1 ORDER BY event_type
+      """),
+    ),
     // Sketch surface: HyperLogLog++ distinct-user counts gated against the
     // exact count with a relative-error tolerance. approx_count_distinct's
     // 100 TB value is dropping q3-style Expand+double-agg exchanges; this
