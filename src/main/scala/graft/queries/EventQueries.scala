@@ -233,6 +233,63 @@ object EventQueries {
         FROM j GROUP BY 1 ORDER BY event_type
       """),
     ),
+    // Time-series resampling with forward fill: each user's events onto a
+    // dense hourly grid between their first and last activity — gap slots
+    // carry the last observed value forward. The grid explodes from
+    // per-user (lo, hi) bounds (never a cross join with a calendar
+    // table); the fill is one user-partitioned window over grid rows
+    // (users × span/granularity ≪ events at production granularities).
+    // In-slot "last" is deterministic via (ts, event_id) struct max.
+    Q(
+      "ev_resample_hourly_ffill",
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d).filter($"user_id" < 10)
+          .withColumn("slot", expr(s"ts_ns div $NS_PER_HOUR"))
+        val slots = ev.groupBy($"user_id", $"slot")
+          .agg(
+            count(lit(1)).as("n_events"),
+            max(struct($"ts_ns", $"event_id", $"value")).as("last_ev"))
+          .select($"user_id", $"slot", $"n_events", $"last_ev.value".as("v"))
+        val grid = ev.groupBy($"user_id").agg(min($"slot").as("lo"), max($"slot").as("hi"))
+          .select($"user_id", explode(sequence($"lo", $"hi")).as("slot"))
+        val w = Window.partitionBy($"user_id").orderBy($"slot")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(slots, Seq("user_id", "slot"), "left")
+          .select(
+            $"user_id",
+            ($"slot" * 3600).as("slot_s"),
+            coalesce($"n_events", lit(0L)).as("n_events"),
+            last($"v", ignoreNulls = true).over(w).as("last_value"),
+          )
+          .orderBy($"user_id", $"slot_s")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 3600000000000 AS slot, epoch_ns(ts) AS tns, event_id, value
+          FROM events WHERE user_id < 10
+        ), r AS (
+          SELECT user_id, slot, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, slot
+                                    ORDER BY tns DESC, event_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id, slot) AS n_events
+          FROM e
+        ), sl AS (
+          SELECT user_id, slot, n_events, value AS v FROM r WHERE rn = 1
+        ), b AS (
+          SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi FROM e GROUP BY 1
+        ), g AS (
+          SELECT user_id, unnest(generate_series(lo, hi)) AS slot FROM b
+        )
+        SELECT g.user_id, g.slot * 3600 AS slot_s,
+               COALESCE(sl.n_events, 0) AS n_events,
+               LAST_VALUE(sl.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
+        FROM g LEFT JOIN sl ON g.user_id = sl.user_id AND g.slot = sl.slot
+        ORDER BY g.user_id, slot_s
+      """),
+    ),
     // Forward as-of: time TO the NEXT purchase per event type — the
     // mirror of ev_asof_last_purchase through the same single-shuffle
     // union-tag plan traversed in descending timestamp order.
