@@ -23,22 +23,32 @@ class ZarrCodecPropertySpec extends AnyFunSuite {
       )
     }
 
-  test("raw/zlib/zstd codecs round-trip arbitrary payloads") {
-    check(Prop.forAll(payloads, Gen.oneOf(0, 1, 2)) { (data: Array[Byte], c: Int) =>
+  test("raw/zlib/zstd/lz4 codecs round-trip arbitrary payloads") {
+    check(Prop.forAll(payloads, Gen.oneOf(0, 1, 2, 3)) { (data: Array[Byte], c: Int) =>
       val codec: ZarrStore.Codec = c match {
         case 0 => ZarrStore.Raw
         case 1 => ZarrStore.Zlib(1)
-        case _ => ZarrStore.ZstdCodec(1)
+        case 2 => ZarrStore.ZstdCodec(1)
+        case _ => ZarrStore.Lz4Codec()
       }
       java.util.Arrays.equals(codec.decompress(codec.compress(data), data.length), data)
     })
   }
 
-  test("blosc container round-trips for every typesize and shuffle mode") {
-    check(Prop.forAll(payloads, Gen.oneOf(1, 2, 4, 8), Gen.oneOf(0, 1), Gen.oneOf("zstd", "zlib")) {
+  test("blosc container round-trips for every (typesize, shuffle, inner codec)") {
+    check(Prop.forAll(
+      payloads, Gen.oneOf(1, 2, 3, 4, 8), Gen.oneOf(-1, 0, 1, 2),
+      Gen.oneOf("zstd", "zlib", "lz4")) {
       (data: Array[Byte], t: Int, sh: Int, cname: String) =>
         val codec = ZarrStore.BloscCodec(cname, 1, sh, typesize = t)
         java.util.Arrays.equals(codec.decompress(codec.compress(data), data.length), data)
+    })
+  }
+
+  test("bitshuffle is inverted by bitunshuffle for every typesize, ragged tails included") {
+    check(Prop.forAll(payloads, Gen.oneOf(1, 2, 3, 4, 5, 8)) { (data: Array[Byte], t: Int) =>
+      val fwd = ZarrStore.BitShuffle.shuffle(data, 0, data.length, t)
+      java.util.Arrays.equals(ZarrStore.BitShuffle.unshuffle(fwd, data.length, t), data)
     })
   }
 
