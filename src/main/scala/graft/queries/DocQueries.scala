@@ -645,6 +645,64 @@ object DocQueries {
         GROUP BY lang ORDER BY lang
       """),
     ),
+    // ----------------------------- cross-modal curation (text + vectors)
+    // The multimodal composition a real curation run executes: quality
+    // filter → exact dedup → deterministic train/val split → join each
+    // surviving doc to its embedding → per-(lang, split) corpus stats
+    // with an exact fixed-point vector-norm sum. Text ops consume the
+    // documents table map-side; only (id, lang, split) meets the
+    // embedding join — at 100 TB neither text nor vectors shuffle
+    // through each other's stages.
+    Q(
+      "doc_curate_multimodal",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val emb = T(s, d, "embeddings")
+        val scored = TextAnalysis.withQuality(docs).filter(col("quality_score") >= 0.5)
+        val keep = Dedup.exactGroups(scored).select(col("keep_id").as("doc_id"))
+        val kept = scored.join(keep, Seq("doc_id"), "left_semi")
+          .withColumn("split", Dedup.splitColumn(col("doc_id")))
+        kept
+          .join(
+            emb.select(
+              col("vec_id").as("doc_id"),
+              col("embedding").cast("array<double>").as("e")),
+            Seq("doc_id"))
+          .withColumn(
+            "norm_e6",
+            round(sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)) * 1000000L)
+              .cast("bigint"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("norm_e6")).as("sum_norm_e6"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, lang, text,
+                 len(string_split(text, ' ')) AS n,
+                 len(list_distinct(string_split(text, ' '))) AS d,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS st
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, lang, text,
+                 (5000 * d + 30 * LEAST(n, 100) * n + 2000 * st) / (n * 10000.0) AS quality_score
+          FROM c
+        ), q AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        j AS (
+          SELECT k.lang,
+                 CASE WHEN md5(CAST(k.doc_id AS VARCHAR)) < '2' THEN 'val' ELSE 'train' END AS split,
+                 CAST(ROUND(SQRT(list_inner_product(
+                   CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * 1000000)
+                   AS BIGINT) AS norm_e6
+          FROM q k JOIN embeddings e ON k.doc_id = e.vec_id
+          WHERE k.doc_id IN (SELECT doc_id FROM keep)
+        )
+        SELECT lang, split, COUNT(*) AS n_docs,
+               CAST(SUM(norm_e6) AS BIGINT) AS sum_norm_e6
+        FROM j GROUP BY 1, 2 ORDER BY lang, split
+      """),
+    ),
     // --------------------------------- streaming surface, batch execution
     // The same windowed-aggregation code that runs under readStream with a
     // watermark, executed here on the batch frame for oracle parity.
