@@ -1,9 +1,10 @@
 package graft.sources
 
-import graft.volume.{ZarrStore, VolumeMeta}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import graft.volume.{Chunk, UpscaleCli, VolumeMeta, ZarrStore}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
@@ -59,13 +60,102 @@ object ZarrSource {
   val CoordCols: Set[String] = Set("cz", "cy", "cx")
 }
 
-class ZarrTable(path: String) extends Table with SupportsRead {
+class ZarrTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"zarr(`$path`)"
   override def schema(): StructType = ZarrSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ZarrWriteBuilder(path, info)
+}
+
+/** DSv2 WRITE path: `chunkDf.write.format("zarr").save(path)` lands chunk
+  * files from executor tasks; the driver writes `.zarray` once up front
+  * (array geometry from write options on first write, or the existing
+  * store's metadata on append). `mode("overwrite")` truncates the
+  * directory; `mode("append")` upserts chunk files idempotently (a
+  * re-landed coordinate overwrites its own file — the streaming-ingest
+  * contract). Rows must match [[ZarrSource.schema]] (what
+  * `format("zarr")` reads and `ChunkVolume.chunks.toDF` produces).
+  *
+  * First-write options: `dimZ dimY dimX chunkZ chunkY chunkX`
+  * (required), `elementType` (MET_* tag, default MET_UINT), and
+  * `compressor` (same vocabulary as `UpscaleCli --compressor`,
+  * default zstd).
+  */
+class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write with BatchWrite {
+    override def toBatch: BatchWrite = this
+
+    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+      // driver-side init: truncate if requested, then resolve-or-create
+      // the array metadata so every task sees a consistent geometry
+      val dir = Paths.get(path).toAbsolutePath
+      if (doTruncate && Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
+      }
+      val opts = info.options
+      val (zm, vm) =
+        if (Files.exists(dir.resolve(".zarray"))) ZarrStore.readMeta(path)
+        else {
+          def req(k: String): Long = {
+            val v = opts.get(k)
+            require(v != null,
+              s"zarr write to a new store requires option '$k' " +
+                "(dimZ/dimY/dimX/chunkZ/chunkY/chunkX)")
+            v.toLong
+          }
+          val (dz, dy, dx) = (req("dimZ"), req("dimY"), req("dimX"))
+          val (cz, cy, cx) = (req("chunkZ").toInt, req("chunkY").toInt, req("chunkX").toInt)
+          val elem = Option(opts.get("elementType")).getOrElse("MET_UINT")
+          val codec = UpscaleCli.zarrCodec(Option(opts.get("compressor")).getOrElse("zstd"))
+          val vm0 = VolumeMeta(
+            dz, dy, dx, cz, cy, cx,
+            ((dz + cz - 1) / cz).toInt, ((dy + cy - 1) / cy).toInt, ((dx + cx - 1) / cx).toInt,
+            elem, 1.0, 1.0, 1.0)
+          ZarrStore.initArray(path, vm0, codec)
+        }
+      // a parsed blosc codec carries no typesize (that lives per chunk
+      // header on read) — the writer needs it for the shuffle transforms
+      val writeCodec = zm.codec match {
+        case b: ZarrStore.BloscCodec => b.withTypesize(vm.bytesPerVoxel)
+        case c => c
+      }
+      new ZarrWriterFactory(dir.toString, writeCodec, vm)
+    }
+
+    // chunk files are self-contained and idempotent per coordinate; the
+    // metadata document was committed before any task ran, so there is
+    // nothing left to publish or roll back at job level
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+class ZarrWriterFactory(dir: String, codec: ZarrStore.Codec, vm: VolumeMeta)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        val c = Chunk(
+          row.getInt(0), row.getInt(1), row.getInt(2),
+          row.getLong(3), row.getLong(4), row.getLong(5),
+          row.getInt(6), row.getInt(7), row.getInt(8),
+          row.getBinary(9))
+        ZarrStore.encodeChunkFile(c, dir, vm, codec)
+      }
+      override def commit(): WriterCommitMessage = new WriterCommitMessage {}
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 class ZarrScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {

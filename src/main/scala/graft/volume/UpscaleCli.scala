@@ -35,7 +35,7 @@ object UpscaleCli {
       compressor: String = "zstd", // zstd|zlib|blosc-zstd|blosc-zlib|lz4|zstd-bit|none
   )
 
-  private[volume] def zarrCodec(compressor: String): ZarrStore.Codec = compressor match {
+  private[graft] def zarrCodec(compressor: String): ZarrStore.Codec = compressor match {
     case "zstd" => ZarrStore.ZstdCodec()
     case "zlib" => ZarrStore.Zlib()
     case "blosc-zstd" => ZarrStore.BloscCodec("zstd")

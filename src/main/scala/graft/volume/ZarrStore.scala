@@ -286,7 +286,7 @@ object ZarrStore {
       if (shuffle == -1) { if (typesize == 1) 2 else 1 } else shuffle
 
     /** typesize drives the byte shuffle; the store sets it from the dtype. */
-    private[volume] def withTypesize(t: Int): BloscCodec =
+    private[graft] def withTypesize(t: Int): BloscCodec =
       copy(typesize = math.max(1, math.min(t, 255)))
 
     private def shuffleBytes(src: Array[Byte], off: Int, len: Int, t: Int): Array[Byte] = {
@@ -626,40 +626,58 @@ object ZarrStore {
     writeChunkFiles(chunks, dir.toString, meta, zm.codec)
   }
 
+  /** Validate, pad, compress, and write ONE chunk's file — the per-row
+    * kernel shared by the Dataset writer and the DSv2 write path.
+    */
+  private[graft] def encodeChunkFile(
+      c: Chunk, pathStr: String, meta: VolumeMeta, codec: Codec): Unit = {
+    val (ckZ, ckY, ckX) = (meta.chunkZ, meta.chunkY, meta.chunkX)
+    val bpp = meta.bytesPerVoxel
+    // zarr requires a UNIFORM grid (edge chunks trail); reject inputs
+    // whose grid drifted (e.g. raw decimate output) instead of
+    // silently misplacing voxels — callers rechunk first.
+    require(
+      c.z0 == c.cz.toLong * ckZ && c.y0 == c.cy.toLong * ckY && c.x0 == c.cx.toLong * ckX
+        && c.nz == math.min(ckZ.toLong, meta.dimZ - c.z0).toInt
+        && c.ny == math.min(ckY.toLong, meta.dimY - c.y0).toInt
+        && c.nx == math.min(ckX.toLong, meta.dimX - c.x0).toInt,
+      s"chunk (${c.cz},${c.cy},${c.cx}) at (${c.z0},${c.y0},${c.x0}) size " +
+        s"(${c.nz},${c.ny},${c.nx}) is not on the uniform ($ckZ,$ckY,$ckX) grid — " +
+        "rechunk before ZarrStore.write")
+    val full = c.nz == ckZ && c.ny == ckY && c.nx == ckX
+    val payload =
+      if (full) c.data
+      else { // pad edge chunks to the full chunk shape with fill 0
+        val padded = new Array[Byte](ckZ * ckY * ckX * bpp)
+        ChunkKernels.placeBox(padded, ckY, ckX, bpp, 0, 0, 0, c.nz, c.ny, c.nx, c.data)
+        padded
+      }
+    Files.write(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"), codec.compress(payload))
+  }
+
+  /** Create an array directory with its `.zarray` only (no chunks yet) —
+    * the driver-side step of the DSv2 write path; executors then land
+    * chunk files independently. Returns the effective (zarr, volume)
+    * metadata. No-op (returning the EXISTING metadata) if the array is
+    * already initialized.
+    */
+  private[graft] def initArray(path: String, meta: VolumeMeta, codec: Codec): (ZarrMeta, VolumeMeta) = {
+    val dir = Paths.get(path).toAbsolutePath
+    Files.createDirectories(dir)
+    val zarrayPath = dir.resolve(".zarray")
+    if (!Files.exists(zarrayPath))
+      Files.writeString(zarrayPath, zarrayJson(metaOf(meta, codec)))
+    readMeta(path)
+  }
+
   private def writeChunkFiles(
       chunks: org.apache.spark.sql.Dataset[Chunk],
       pathStr: String,
       meta: VolumeMeta,
-      codec: Codec): Unit = {
-    val (ckZ, ckY, ckX) = (meta.chunkZ, meta.chunkY, meta.chunkX)
-    val (dimZ, dimY, dimX) = (meta.dimZ, meta.dimY, meta.dimX)
-    val bpp = meta.bytesPerVoxel
+      codec: Codec): Unit =
     chunks.foreachPartition { (it: Iterator[Chunk]) =>
-      it.foreach { c =>
-        // zarr requires a UNIFORM grid (edge chunks trail); reject inputs
-        // whose grid drifted (e.g. raw decimate output) instead of
-        // silently misplacing voxels — callers rechunk first.
-        require(
-          c.z0 == c.cz.toLong * ckZ && c.y0 == c.cy.toLong * ckY && c.x0 == c.cx.toLong * ckX
-            && c.nz == math.min(ckZ.toLong, dimZ - c.z0).toInt
-            && c.ny == math.min(ckY.toLong, dimY - c.y0).toInt
-            && c.nx == math.min(ckX.toLong, dimX - c.x0).toInt,
-          s"chunk (${c.cz},${c.cy},${c.cx}) at (${c.z0},${c.y0},${c.x0}) size " +
-            s"(${c.nz},${c.ny},${c.nx}) is not on the uniform ($ckZ,$ckY,$ckX) grid — " +
-            "rechunk before ZarrStore.write")
-        val full = c.nz == ckZ && c.ny == ckY && c.nx == ckX
-        val payload =
-          if (full) c.data
-          else { // pad edge chunks to the full chunk shape with fill 0
-            val padded = new Array[Byte](ckZ * ckY * ckX * bpp)
-            ChunkKernels.placeBox(padded, ckY, ckX, bpp, 0, 0, 0, c.nz, c.ny, c.nx, c.data)
-            padded
-          }
-        val bytes = codec.compress(payload)
-        Files.write(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"), bytes)
-      }
+      it.foreach(c => encodeChunkFile(c, pathStr, meta, codec))
     }
-  }
 
   /** Read `.zarray` (+ spacing attr if present) into engine metadata. */
   def readMeta(path: String): (ZarrMeta, VolumeMeta) = {

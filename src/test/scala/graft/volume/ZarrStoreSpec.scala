@@ -214,6 +214,30 @@ class ZarrStoreSpec extends AnyFunSuite with SparkSpec {
     assert(collectVox(back.toVoxels) === collectVox(vox))
   }
 
+  test("format(\"zarr\") DSv2 WRITE: chunk frame → save → bit-exact read-back; append reuses metadata") {
+    val dir = Files.createTempDirectory("zarr_w").toString + "/w.zarr"
+    val expect = collectVox(vol.toVoxels)
+    vol.chunks.toDF().write.format("zarr")
+      .option("dimZ", dz).option("dimY", dy).option("dimX", dx)
+      .option("chunkZ", 3).option("chunkY", 4).option("chunkX", 2)
+      .option("elementType", vol.meta.elementType)
+      .option("compressor", "blosc-zstd")
+      .mode("overwrite").save(dir)
+    val za = ZarrStore.parseZarray(Files.readString(Paths.get(dir, ".zarray")))
+    assert(za.codec === ZarrStore.BloscCodec("zstd"))
+    assert(collectVox(ZarrStore.read(spark, dir).toVoxels) === expect)
+    // append: existing .zarray wins, no geometry options needed; chunk
+    // re-lands are idempotent per coordinate
+    vol.chunks.toDF().write.format("zarr").mode("append").save(dir)
+    assert(collectVox(ZarrStore.read(spark, dir).toVoxels) === expect)
+    // a NEW store without geometry options fails loudly
+    val e = intercept[Exception] {
+      vol.chunks.toDF().write.format("zarr").mode("overwrite")
+        .save(Files.createTempDirectory("zarr_w2").toString + "/nope.zarr")
+    }
+    assert(e.getMessage != null)
+  }
+
   test("format(\"zarr\") DSv2: reads the grid; coordinate filters prune partitions") {
     val dir = Files.createTempDirectory("zarr").toString + "/d.zarr"
     ZarrStore.write(vol, dir, ZarrStore.ZstdCodec(3))
