@@ -326,6 +326,31 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // The DSv2 WRITE path end-to-end: chunk DataFrame →
+    // `df.write.format("zarr")` (driver commits `.zarray`, executors
+    // land chunk files) → `format("zarr")` scan → decode → must equal
+    // the grid.
+    Q(
+      "vol_zarr_dsv2_write_roundtrip",
+      (s, _) => {
+        import graft.volume.{Chunk, ChunkVolume => CV, ZarrStore}
+        val store = java.nio.file.Files.createTempDirectory("graft_zarrw").toString + "/vol.zarr"
+        val vol = chunked(s)
+        vol.chunks.toDF().write.format("zarr")
+          .option("dimZ", vol.meta.dimZ).option("dimY", vol.meta.dimY).option("dimX", vol.meta.dimX)
+          .option("chunkZ", vol.meta.chunkZ).option("chunkY", vol.meta.chunkY).option("chunkX", vol.meta.chunkX)
+          .option("elementType", vol.meta.elementType)
+          .option("compressor", "blosc-zstd")
+          .mode("overwrite").save(store)
+        val (_, meta) = ZarrStore.readMeta(store)
+        import s.implicits._
+        val df = s.read.format("zarr").load(store)
+        CV(df.as[Chunk], meta).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
     // K5/S5: BigTIFF slice export (one page per z) and scan back.
     Q(
       "vol_bigtiff_roundtrip",
