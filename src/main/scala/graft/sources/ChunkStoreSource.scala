@@ -1,9 +1,10 @@
 package graft.sources
 
-import graft.volume.ChunkStore
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import graft.volume.{Chunk, ChunkStore, ChunkVolume, VolumeMeta}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
@@ -83,13 +84,104 @@ object ChunkStoreSource {
   }
 }
 
-class ChunkStoreTable(path: String) extends Table with SupportsRead {
+class ChunkStoreTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftchunks(`$path`)"
   override def schema(): StructType = ChunkStoreSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChunkStoreScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ChunkStoreWriteBuilder(path, info)
+}
+
+/** DSv2 WRITE path for the internal store. Tasks compress and land GCS2
+  * chunk files; each task's per-chunk (coord, lmin, lmax) stats ride
+  * back in its `WriterCommitMessage`, and the DRIVER merges them into
+  * the consolidated `.graft_stats` index at job commit — the DSv2-native
+  * form of "stats ride back as the job result" (no collect(), and the
+  * index only commits for writes that completed). lmin/lmax input
+  * columns are ignored and recomputed from the payload, so the value
+  * index can never be poisoned by a caller. First write to a new store
+  * takes geometry options like the zarr writer (`dimZ..chunkX`,
+  * `elementType`); appends reuse the existing sidecar metadata.
+  */
+class ChunkStoreWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write with BatchWrite {
+    override def toBatch: BatchWrite = this
+
+    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+      val dir = Paths.get(path).toAbsolutePath
+      if (doTruncate && Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createDirectories(dir)
+      val opts = info.options
+      val vm =
+        try ChunkVolume.readSidecar(path)
+        catch {
+          case _: Exception =>
+            def req(k: String): Long = {
+              val v = opts.get(k)
+              require(v != null,
+                s"graftchunks write to a new store requires option '$k' " +
+                  "(dimZ/dimY/dimX/chunkZ/chunkY/chunkX)")
+              v.toLong
+            }
+            val (dz, dy, dx) = (req("dimZ"), req("dimY"), req("dimX"))
+            val (cz, cy, cx) = (req("chunkZ").toInt, req("chunkY").toInt, req("chunkX").toInt)
+            val elem = Option(opts.get("elementType")).getOrElse("MET_UINT")
+            val vm0 = VolumeMeta(
+              dz, dy, dx, cz, cy, cx,
+              ((dz + cz - 1) / cz).toInt, ((dy + cy - 1) / cy).toInt, ((dx + cx - 1) / cx).toInt,
+              elem, 1.0, 1.0, 1.0)
+            ChunkVolume.writeSidecar(path, vm0, Map("writer" -> "dsv2"))
+            vm0
+        }
+      val level = Option(opts.get("level")).map(_.toInt).getOrElse(1)
+      new ChunkStoreWriterFactory(dir.toString, vm, level)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val entries = messages.toSeq.flatMap {
+        case m: ChunkStatsMessage => m.entries
+        case _ => Seq.empty
+      }
+      ChunkStore.mergeStatsIndex(Paths.get(path).toAbsolutePath.toString, entries)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+final case class ChunkStatsMessage(entries: Seq[(String, Long, Long)])
+    extends WriterCommitMessage
+
+class ChunkStoreWriterFactory(dir: String, vm: VolumeMeta, level: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val enc = new ChunkStore.ChunkFileEncoder(dir, vm, level)
+      private val stats = Seq.newBuilder[(String, Long, Long)]
+
+      override def write(row: InternalRow): Unit = {
+        val c = Chunk(
+          row.getInt(0), row.getInt(1), row.getInt(2),
+          row.getLong(3), row.getLong(4), row.getLong(5),
+          row.getInt(6), row.getInt(7), row.getInt(8),
+          row.getBinary(11)) // lmin/lmax (9,10) ignored: recomputed from payload
+        stats += enc.encode(c)
+      }
+      override def commit(): WriterCommitMessage = ChunkStatsMessage(stats.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 class ChunkStoreScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {

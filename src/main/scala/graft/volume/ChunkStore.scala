@@ -64,43 +64,53 @@ object ChunkStore {
     * [[StatsIndexName]] index — stats ride back as the job result, so the
     * driver never re-reads what executors just wrote.
     */
+  /** Stateful per-task chunk encoder: compresses and writes one GCS2
+    * chunk file per call (reusing one compression buffer — multi-MB
+    * chunks would otherwise churn 2 humongous allocations each through
+    * the GC) and returns the chunk's (name, lmin, lmax) stats entry.
+    * Shared by [[appendChunks]] and the DSv2 write path.
+    */
+  private[graft] final class ChunkFileEncoder(pathStr: String, meta: VolumeMeta, level: Int) {
+    private val bpp = meta.bytesPerVoxel
+    private val unsigned = meta.isUnsigned
+    private val integral = !meta.isFloating
+    private var dst: Array[Byte] = null
+
+    def encode(c: Chunk): (String, Long, Long) = {
+      val bound = Zstd.compressBound(c.data.length.toLong).toInt
+      if (dst == null || dst.length < bound) dst = new Array[Byte](bound)
+      val n = Zstd.compressByteArray(dst, 0, dst.length, c.data, 0, c.data.length, level).toInt
+      // per-chunk label stats (the value index); min>max = absent
+      var lmin = Long.MaxValue
+      var lmax = Long.MinValue
+      if (integral) {
+        val nElems = c.nz * c.ny * c.nx
+        var i = 0
+        while (i < nElems) {
+          val v = ChunkKernels.decodeLong(c.data, i, bpp, unsigned)
+          if (v < lmin) lmin = v
+          if (v > lmax) lmax = v
+          i += 1
+        }
+      } else { lmin = 1L; lmax = 0L }
+      val buf = ByteBuffer.allocate(HeaderBytes).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(Magic)
+      buf.putLong(c.z0).putLong(c.y0).putLong(c.x0)
+        .putInt(c.nz).putInt(c.ny).putInt(c.nx).putInt(c.data.length)
+        .putLong(lmin).putLong(lmax)
+      val out = Files.newOutputStream(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"))
+      try { out.write(buf.array()); out.write(dst, 0, n) } finally out.close()
+      (s"${c.cz}.${c.cy}.${c.cx}", lmin, lmax)
+    }
+  }
+
   def appendChunks(chunks: Dataset[Chunk], path: String, meta: VolumeMeta, level: Int = 1): Unit = {
     val pathStr = Paths.get(path).toAbsolutePath.toString
     Files.createDirectories(Paths.get(pathStr))
-    val bpp = meta.bytesPerVoxel
-    val unsigned = meta.isUnsigned
-    val integral = !meta.isFloating
     import chunks.sparkSession.implicits._
     val stats = chunks.mapPartitions { (it: Iterator[Chunk]) =>
-      // one reused compression buffer per task — multi-MB chunks would
-      // otherwise churn 2 humongous allocations each through the GC
-      var dst: Array[Byte] = null
-      it.map { c =>
-        val bound = Zstd.compressBound(c.data.length.toLong).toInt
-        if (dst == null || dst.length < bound) dst = new Array[Byte](bound)
-        val n = Zstd.compressByteArray(dst, 0, dst.length, c.data, 0, c.data.length, level).toInt
-        // per-chunk label stats (the value index); min>max = absent
-        var lmin = Long.MaxValue
-        var lmax = Long.MinValue
-        if (integral) {
-          val nElems = c.nz * c.ny * c.nx
-          var i = 0
-          while (i < nElems) {
-            val v = ChunkKernels.decodeLong(c.data, i, bpp, unsigned)
-            if (v < lmin) lmin = v
-            if (v > lmax) lmax = v
-            i += 1
-          }
-        } else { lmin = 1L; lmax = 0L }
-        val buf = ByteBuffer.allocate(HeaderBytes).order(ByteOrder.LITTLE_ENDIAN)
-        buf.putInt(Magic)
-        buf.putLong(c.z0).putLong(c.y0).putLong(c.x0)
-          .putInt(c.nz).putInt(c.ny).putInt(c.nx).putInt(c.data.length)
-          .putLong(lmin).putLong(lmax)
-        val out = Files.newOutputStream(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"))
-        try { out.write(buf.array()); out.write(dst, 0, n) } finally out.close()
-        (s"${c.cz}.${c.cy}.${c.cx}", lmin, lmax)
-      }
+      val enc = new ChunkFileEncoder(pathStr, meta, level)
+      it.map(enc.encode)
     }.collect() // ~40 B per chunk: 1M chunks ≈ 40 MB on the driver, once per write
     mergeStatsIndex(pathStr, stats)
   }
@@ -108,7 +118,7 @@ object ChunkStore {
   /** Merge (name, lmin, lmax) entries into the stats index atomically
     * (re-appended coords take the newest entry).
     */
-  private def mergeStatsIndex(pathStr: String, entries: Seq[(String, Long, Long)]): Unit = {
+  private[graft] def mergeStatsIndex(pathStr: String, entries: Seq[(String, Long, Long)]): Unit = {
     val merged = readStatsIndex(pathStr).getOrElse(Map.empty) ++
       entries.map { case (n, lo, hi) => n -> (lo, hi) }
     val tmp = Paths.get(pathStr, StatsIndexName + ".tmp")

@@ -35,6 +35,35 @@ class ChunkStoreSourceSpec extends AnyFunSuite with SparkSpec {
     assert(viaDsv2 === direct)
   }
 
+  test("DSv2 WRITE: read → write to a new store → identical table; stats ride commit messages") {
+    val dst = Files.createTempDirectory("dsv2w").toString + "/copy"
+    val src = spark.read.format("graftchunks").load(storePath)
+    // first write: geometry options initialize the sidecar; lmin/lmax
+    // input columns are recomputed, not trusted
+    src.withColumn("lmin", expr("-999")).withColumn("lmax", expr("-999"))
+      .write.format("graftchunks")
+      .option("dimZ", vol.meta.dimZ).option("dimY", vol.meta.dimY).option("dimX", vol.meta.dimX)
+      .option("chunkZ", vol.meta.chunkZ).option("chunkY", vol.meta.chunkY).option("chunkX", vol.meta.chunkX)
+      .option("elementType", vol.meta.elementType)
+      .mode("overwrite").save(dst)
+    val back = spark.read.format("graftchunks").load(dst)
+    assert(back.count() === src.count())
+    // voxel-exact: decode both stores and compare
+    val a = ChunkStore.read(spark, storePath).toVoxels.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val b = ChunkStore.read(spark, dst).toVoxels.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(a === b)
+    // the consolidated stats index was committed by the DRIVER from the
+    // tasks' commit messages, and the poisoned lmin/lmax were ignored
+    val idx = ChunkStore.readStatsIndex(java.nio.file.Paths.get(dst).toAbsolutePath.toString)
+    assert(idx.isDefined && idx.get.nonEmpty)
+    assert(idx.get.values.forall { case (lo, hi) => lo >= 0 && hi >= lo })
+    // append without options: sidecar metadata reused; idempotent per coord
+    src.write.format("graftchunks").mode("append").save(dst)
+    assert(spark.read.format("graftchunks").load(dst).count() === src.count())
+  }
+
   test("coordinate filters prune input partitions with zero I/O (file-name pruning)") {
     val df = spark.read.format("graftchunks").load(storePath)
     val all = df.rdd.getNumPartitions
