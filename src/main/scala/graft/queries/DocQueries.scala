@@ -656,6 +656,7 @@ object DocQueries {
     Q(
       "doc_curate_multimodal",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = T(s, d, "documents")
         val emb = T(s, d, "embeddings")
         val scored = TextAnalysis.withQuality(docs).filter(col("quality_score") >= 0.5)
@@ -670,7 +671,10 @@ object DocQueries {
             Seq("doc_id"))
           .withColumn(
             "norm_e6",
-            round(sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)) * 1000000L)
+            // codegen'd graft_dot(e, e), not the interpreted HOF `aggregate`:
+            // same sequential accumulation order, so the sqrt/round pipeline
+            // stays bit-identical to DuckDB's list_inner_product oracle
+            round(sqrt(graft.functions.GraftFunctions.dot(col("e"), col("e"))) * 1000000L)
               .cast("bigint"))
           .groupBy(col("lang"), col("split"))
           .agg(count(lit(1)).as("n_docs"), sum(col("norm_e6")).as("sum_norm_e6"))

@@ -90,7 +90,7 @@ class ChunkStoreTable(path: String) extends Table with SupportsRead with Support
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChunkStoreScanBuilder(path)
+    new ChunkStoreScanBuilder(path, ChunkPacking.targetBytes(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ChunkStoreWriteBuilder(path, info)
 }
@@ -184,7 +184,8 @@ class ChunkStoreWriterFactory(dir: String, vm: VolumeMeta, level: Int)
     }
 }
 
-class ChunkStoreScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+class ChunkStoreScanBuilder(path: String, targetBytes: Long)
+    extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -197,10 +198,11 @@ class ChunkStoreScanBuilder(path: String) extends ScanBuilder with SupportsPushD
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ChunkStoreScan(path, pushed)
+  override def build(): Scan = new ChunkStoreScan(path, pushed, targetBytes)
 }
 
-class ChunkStoreScan(path: String, filters: Array[Filter]) extends Scan with Batch {
+class ChunkStoreScan(path: String, filters: Array[Filter], targetBytes: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = ChunkStoreSource.schema
   override def toBatch: Batch = this
 
@@ -213,7 +215,21 @@ class ChunkStoreScan(path: String, filters: Array[Filter]) extends Scan with Bat
     val statsIndex: Map[String, (Long, Long)] =
       if (needStats) ChunkStore.readStatsIndex(dir.toAbsolutePath.toString).getOrElse(Map.empty)
       else Map.empty
-    Files.list(dir).iterator().asScala
+    // uncompressed payload size per coordinate from the sidecar geometry
+    // (zero extra I/O); compressed file size as the fallback proxy for
+    // stores written by older tools without a sidecar
+    val geom: Option[VolumeMeta] =
+      try Some(ChunkVolume.readSidecar(path)) catch { case _: Exception => None }
+    def payloadBytes(name: String): Long = geom match {
+      case Some(vm) =>
+        val Array(cz, cy, cx) = name.split("\\.").map(_.toLong)
+        val nz = math.min(vm.chunkZ.toLong, vm.dimZ - cz * vm.chunkZ)
+        val ny = math.min(vm.chunkY.toLong, vm.dimY - cy * vm.chunkY)
+        val nx = math.min(vm.chunkX.toLong, vm.dimX - cx * vm.chunkX)
+        math.max(1L, nz * ny * nx * vm.bytesPerVoxel)
+      case None => Files.size(dir.resolve(name))
+    }
+    val survivors = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
       .filter { name =>
@@ -239,33 +255,39 @@ class ChunkStoreScan(path: String, filters: Array[Filter]) extends Scan with Bat
         }
         filters.forall(f => ChunkStoreSource.filterKeeps(f, known))
       }
-      .map(name => ChunkFilePartition(dir.resolve(name).toString, name): InputPartition)
+      .toSeq
+      // deterministic row-major order → neighboring chunks pack together
+      .sortBy { name =>
+        val Array(cz, cy, cx) = name.split("\\.").map(_.toLong); (cz, cy, cx)
+      }
+    ChunkPacking.pack(survivors.iterator, payloadBytes, targetBytes)
+      .map(g => ChunkFilesPartition(g.map(n => (dir.resolve(n).toString, n))): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new ChunkFileReaderFactory
 }
 
-final case class ChunkFilePartition(file: String, name: String) extends InputPartition
+final case class ChunkFilesPartition(files: Seq[(String, String)]) extends InputPartition
 
 class ChunkFileReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ChunkFilePartition]
+    val p = partition.asInstanceOf[ChunkFilesPartition]
     new PartitionReader[InternalRow] {
-      private var done = false
+      private val it = p.files.iterator
       private var row: InternalRow = _
 
       override def next(): Boolean = {
-        if (done) return false
-        val Array(cz, cy, cx) = p.name.split("\\.").map(_.toInt)
-        val bytes = Files.readAllBytes(Paths.get(p.file))
+        if (!it.hasNext) return false
+        val (file, name) = it.next()
+        val Array(cz, cy, cx) = name.split("\\.").map(_.toInt)
+        val bytes = Files.readAllBytes(Paths.get(file))
         val h = ChunkStore.readHeader(bytes)
         val data = new Array[Byte](h.rawLen)
         com.github.luben.zstd.Zstd.decompressByteArray(
           data, 0, h.rawLen, bytes, ChunkStore.HeaderBytes, bytes.length - ChunkStore.HeaderBytes)
         row = new GenericInternalRow(Array[Any](
           cz, cy, cx, h.z0, h.y0, h.x0, h.nz, h.ny, h.nx, h.lmin, h.lmax, data))
-        done = true
         true
       }
 

@@ -66,9 +66,51 @@ class ZarrTable(path: String) extends Table with SupportsRead with SupportsWrite
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path)
+    new ZarrScanBuilder(path, ChunkPacking.targetBytes(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ZarrWriteBuilder(path, info)
+}
+
+/** Groups pruned chunk coordinates into multi-chunk InputPartitions up to a
+  * byte target — the moral equivalent of `spark.sql.files.maxPartitionBytes`
+  * file packing. At the reference's 128 MB chunks and 100 TB, one task per
+  * chunk file is ~800k tasks: schedulable, but task-launch overhead dominates
+  * small-chunk stores and the driver holds ~800k partition objects. Packing
+  * bounds the partition count by ceil(totalBytes / target) while coordinate
+  * pruning stays per-chunk (a point lookup still plans exactly one partition
+  * with exactly one chunk).
+  */
+object ChunkPacking {
+  val OptionName = "maxPartitionBytes"
+  val DefaultTargetBytes: Long = 128L * 1024 * 1024
+
+  def targetBytes(options: CaseInsensitiveStringMap): Long = {
+    val t = options.getLong(OptionName, DefaultTargetBytes)
+    require(t > 0, s"$OptionName must be positive, got $t")
+    t
+  }
+
+  /** Greedy pack in input order (row-major grid order → neighboring chunks
+    * share a partition). A single item never splits; a partition takes at
+    * least one item regardless of size, so count ≤ max(1, items).
+    */
+  def pack[A](items: Iterator[A], sizeOf: A => Long, target: Long): Iterator[Seq[A]] =
+    new Iterator[Seq[A]] {
+      private val it = items.buffered
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Seq[A] = {
+        val group = Seq.newBuilder[A]
+        var bytes = 0L
+        var first = true
+        while (it.hasNext && (first || bytes + sizeOf(it.head) <= target)) {
+          val a = it.next()
+          group += a
+          bytes += sizeOf(a)
+          first = false
+        }
+        group.result()
+      }
+    }
 }
 
 /** DSv2 WRITE path: `chunkDf.write.format("zarr").save(path)` lands chunk
@@ -158,7 +200,8 @@ class ZarrWriterFactory(dir: String, codec: ZarrStore.Codec, vm: VolumeMeta)
     }
 }
 
-class ZarrScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+class ZarrScanBuilder(path: String, targetBytes: Long)
+    extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -168,49 +211,62 @@ class ZarrScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFil
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ZarrScan(path, pushed)
+  override def build(): Scan = new ZarrScan(path, pushed, targetBytes)
 }
 
-class ZarrScan(path: String, filters: Array[Filter]) extends Scan with Batch {
+class ZarrScan(path: String, filters: Array[Filter], targetBytes: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = ZarrSource.schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (zm, vm) = ZarrStore.readMeta(path) // the ONLY planning I/O
     val pathStr = Paths.get(path).toAbsolutePath.toString
-    val parts = for {
-      cz <- 0 until vm.ncz
-      cy <- 0 until vm.ncy
-      cx <- 0 until vm.ncx
+    // prune per chunk (zero I/O — the grid is a pure function of the
+    // metadata), then pack surviving coordinates to the byte target using
+    // the uncompressed payload size (what the task must hold in memory)
+    val coords = for {
+      cz <- (0 until vm.ncz).iterator
+      cy <- (0 until vm.ncy).iterator
+      cx <- (0 until vm.ncx).iterator
       known = Map("cz" -> cz.toLong, "cy" -> cy.toLong, "cx" -> cx.toLong)
       if filters.forall(f => ChunkStoreSource.filterKeeps(f, known))
-    } yield ZarrChunkPartition(pathStr, zm, vm, cz, cy, cx): InputPartition
-    parts.toArray
+    } yield (cz, cy, cx)
+    val bpv = vm.bytesPerVoxel.toLong
+    def payloadBytes(c: (Int, Int, Int)): Long = {
+      val nz = math.min(vm.chunkZ.toLong, vm.dimZ - c._1.toLong * vm.chunkZ)
+      val ny = math.min(vm.chunkY.toLong, vm.dimY - c._2.toLong * vm.chunkY)
+      val nx = math.min(vm.chunkX.toLong, vm.dimX - c._3.toLong * vm.chunkX)
+      nz * ny * nx * bpv
+    }
+    ChunkPacking.pack(coords, payloadBytes, targetBytes)
+      .map(g => ZarrChunksPartition(pathStr, zm, vm, g): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory
 }
 
-final case class ZarrChunkPartition(
+final case class ZarrChunksPartition(
     dir: String, zm: ZarrStore.ZarrMeta, vm: VolumeMeta,
-    cz: Int, cy: Int, cx: Int) extends InputPartition
+    coords: Seq[(Int, Int, Int)]) extends InputPartition
 
 class ZarrReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ZarrChunkPartition]
+    val p = partition.asInstanceOf[ZarrChunksPartition]
     new PartitionReader[InternalRow] {
-      private var done = false
+      private val it = p.coords.iterator
       private var row: InternalRow = _
 
       override def next(): Boolean = {
-        if (done) return false
+        if (!it.hasNext) return false
+        val (cz, cy, cx) = it.next()
         val sep = p.zm.dimSeparator
-        val f = Paths.get(p.dir, s"${p.cz}$sep${p.cy}$sep${p.cx}")
+        val f = Paths.get(p.dir, s"$cz$sep$cy$sep$cx")
         val bytes = if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
-        val c = ZarrStore.decodeChunk(bytes, p.zm, p.vm, p.cz, p.cy, p.cx)
+        val c = ZarrStore.decodeChunk(bytes, p.zm, p.vm, cz, cy, cx)
         row = new GenericInternalRow(Array[Any](
           c.cz, c.cy, c.cx, c.z0, c.y0, c.x0, c.nz, c.ny, c.nx, c.data))
-        done = true
         true
       }
 

@@ -65,7 +65,9 @@ class ChunkStoreSourceSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("coordinate filters prune input partitions with zero I/O (file-name pruning)") {
-    val df = spark.read.format("graftchunks").load(storePath)
+    // maxPartitionBytes=1 → one partition per file: per-file PRUNING is
+    // what this test pins down (packing is exercised separately below)
+    val df = spark.read.format("graftchunks").option("maxPartitionBytes", 1).load(storePath)
     val all = df.rdd.getNumPartitions
     assert(all === vol.chunks.count())
     val one = df.filter(col("cz") === 1 && col("cy") === 0 && col("cx") === 0)
@@ -75,6 +77,28 @@ class ChunkStoreSourceSpec extends AnyFunSuite with SparkSpec {
     assert(slab.rdd.getNumPartitions === (vol.meta.ncy * vol.meta.ncx))
     // row-level residual filters still apply on non-pruned columns
     assert(df.filter(col("z0") === 4L).count() === (vol.meta.ncy * vol.meta.ncx))
+  }
+
+  test("scan packs files per InputPartition to the byte target") {
+    // fixture grid is aligned: 2*2*2 = 8 uniform chunks of 4*3*3 voxels
+    val chunkB = 4L * 3 * 3 * vol.meta.bytesPerVoxel
+    def parts(target: Long): Int = spark.read.format("graftchunks")
+      .option("maxPartitionBytes", target).load(storePath).rdd.getNumPartitions
+    assert(parts(chunkB) === 8)
+    assert(parts(chunkB * 3) === 3) // ceil(8/3)
+    assert(parts(chunkB * 4) === 2)
+    // default ~128 MB target swallows the whole tiny store in ONE task
+    val packed = spark.read.format("graftchunks").load(storePath)
+    assert(packed.rdd.getNumPartitions === 1)
+    // point lookup still plans one single-file partition at the default
+    // target (pruning runs before packing)
+    val one = packed.filter(col("cz") === 1 && col("cy") === 1 && col("cx") === 0)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.count() === 1)
+    // packed read is content-identical to the per-file read
+    assert(packed.select(sum(length(col("data"))), sum(expr("cz*100 + lmax"))).collect().head ===
+      spark.read.format("graftchunks").option("maxPartitionBytes", 1).load(storePath)
+        .select(sum(length(col("data"))), sum(expr("cz*100 + lmax"))).collect().head)
   }
 
   test("SQL over the chunk table") {
