@@ -142,7 +142,11 @@ class ChunkStoreSourceSpec extends AnyFunSuite with SparkSpec {
     assert(Files.exists(idxPath))
     val idx = ChunkStore.readStatsIndex(dir).get
     assert(idx.size === 2) // one entry per chunk file
-    def hits(d: String) = spark.read.format("graftchunks").load(d)
+    // maxPartitionBytes=1 pins one file per partition: this test asserts
+    // PRUNING (which files survive), not packing, so partition count must
+    // equal surviving-file count regardless of the 128 MB packing default
+    def hits(d: String) = spark.read.format("graftchunks")
+      .option("maxPartitionBytes", 1).load(d)
       .filter(col("lmin") <= 3L && col("lmax") >= 3L).rdd.getNumPartitions
     assert(hits(dir) === 2)
     // tamper the index to claim every chunk excludes label 3: the planner
