@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.volume.{Chunk, UpscaleCli, VolumeMeta, ZarrStore}
+import graft.volume.{AtomicDir, Chunk, UpscaleCli, VolumeMeta, ZarrStore}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -116,11 +116,26 @@ object ChunkPacking {
 /** DSv2 WRITE path: `chunkDf.write.format("zarr").save(path)` lands chunk
   * files from executor tasks; the driver writes `.zarray` once up front
   * (array geometry from write options on first write, or the existing
-  * store's metadata on append). `mode("overwrite")` truncates the
-  * directory; `mode("append")` upserts chunk files idempotently (a
-  * re-landed coordinate overwrites its own file — the streaming-ingest
-  * contract). Rows must match [[ZarrSource.schema]] (what
-  * `format("zarr")` reads and `ChunkVolume.chunks.toDF` produces).
+  * store's metadata on append). Rows must match [[ZarrSource.schema]]
+  * (what `format("zarr")` reads and `ChunkVolume.chunks.toDF` produces).
+  *
+  * Both modes publish ATOMICALLY at job commit; a job that fails (or a
+  * driver that crashes) before commit leaves the destination exactly as
+  * it was — never a partial store where missing chunks read as
+  * fill_value sparsity (reference overwrite semantics,
+  * upscale_streaming.py:118–127):
+  *
+  *  - `mode("overwrite")` (and first write to a fresh path) stages the
+  *    whole array in a temp sibling; commit swaps it in with O(1)
+  *    renames and retires the old tree in the background ([[AtomicDir]])
+  *    — no O(files) driver truncate walk, ever.
+  *  - `mode("append")` upserts chunk files idempotently (a re-landed
+  *    coordinate overwrites its own file — the streaming-ingest
+  *    contract). Tasks stage into a hidden `.__staging-<id>/` inside the
+  *    store (invisible to readers, which address chunks by coordinate
+  *    and never list); commit publishes each staged file with an atomic
+  *    per-file rename, so readers see each chunk old-or-new, never torn,
+  *    and an uncommitted job publishes nothing.
   *
   * First-write options: `dimZ dimY dimX chunkZ chunkY chunkX`
   * (required), `elementType` (MET_* tag, default MET_UINT), and
@@ -136,17 +151,24 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = new Write with BatchWrite {
     override def toBatch: BatchWrite = this
 
+    // resolved on the driver in createBatchWriterFactory, consumed by
+    // commit/abort (DSv2 calls them on the same BatchWrite instance)
+    @volatile private var staging: ZarrStaging = _
+
     override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
-      // driver-side init: truncate if requested, then resolve-or-create
+      // driver-side init: pick the staging layout, then resolve-or-create
       // the array metadata so every task sees a consistent geometry
-      val dir = Paths.get(path).toAbsolutePath
-      if (doTruncate && Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.delete(p))
-      }
+      val dest = Paths.get(path).toAbsolutePath.normalize
+      AtomicDir.sweepLeftovers(dest)
+      val appendToExisting = !doTruncate && Files.exists(dest.resolve(".zarray"))
+      staging =
+        if (appendToExisting) ZarrStaging.Append(dest)
+        else ZarrStaging.Swap(dest)
+      val writeDir = staging.writeDir
+      Files.createDirectories(writeDir)
       val opts = info.options
       val (zm, vm) =
-        if (Files.exists(dir.resolve(".zarray"))) ZarrStore.readMeta(path)
+        if (appendToExisting) ZarrStore.readMeta(dest.toString)
         else {
           def req(k: String): Long = {
             val v = opts.get(k)
@@ -163,7 +185,7 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
             dz, dy, dx, cz, cy, cx,
             ((dz + cz - 1) / cz).toInt, ((dy + cy - 1) / cy).toInt, ((dx + cx - 1) / cx).toInt,
             elem, 1.0, 1.0, 1.0)
-          ZarrStore.initArray(path, vm0, codec)
+          ZarrStore.initArray(writeDir.toString, vm0, codec)
         }
       // a parsed blosc codec carries no typesize (that lives per chunk
       // header on read) — the writer needs it for the shuffle transforms
@@ -171,14 +193,50 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
         case b: ZarrStore.BloscCodec => b.withTypesize(vm.bytesPerVoxel)
         case c => c
       }
-      new ZarrWriterFactory(dir.toString, writeCodec, vm)
+      new ZarrWriterFactory(writeDir.toString, writeCodec, vm)
     }
 
-    // chunk files are self-contained and idempotent per coordinate; the
-    // metadata document was committed before any task ran, so there is
-    // nothing left to publish or roll back at job level
-    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    override def commit(messages: Array[WriterCommitMessage]): Unit = staging.commit()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = staging.abort()
+  }
+}
+
+/** Where a zarr batch write stages chunk files and how job commit
+  * publishes them (see [[ZarrWriteBuilder]] for the semantics).
+  */
+private[sources] sealed trait ZarrStaging {
+  /** Directory tasks (and the driver's `.zarray` init) write into. */
+  def writeDir: java.nio.file.Path
+  def commit(): Unit
+  def abort(): Unit
+}
+
+private[sources] object ZarrStaging {
+  import java.nio.file.{Path, StandardCopyOption}
+
+  /** Overwrite / fresh store: build in a temp sibling, swap at commit. */
+  final case class Swap(dest: Path) extends ZarrStaging {
+    val writeDir: Path = AtomicDir.tempSibling(dest)
+    override def commit(): Unit = AtomicDir.publish(writeDir, dest)
+    override def abort(): Unit = AtomicDir.deleteInBackground(writeDir)
+  }
+
+  /** Append to an existing store: stage inside it, publish per-file
+    * atomic renames at commit. Commit work is O(chunks written by THIS
+    * job) metadata renames — bounded by the append, not the store.
+    */
+  final case class Append(dest: Path) extends ZarrStaging {
+    val writeDir: Path =
+      dest.resolve(s".__staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    override def commit(): Unit = {
+      val it = Files.list(writeDir)
+      try it.forEach { staged =>
+        Files.move(staged, dest.resolve(staged.getFileName),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      } finally it.close()
+      Files.delete(writeDir)
+    }
+    override def abort(): Unit = AtomicDir.deleteInBackground(writeDir)
   }
 }
 

@@ -56,11 +56,13 @@ object PyramidWriter {
   def write(vol: ChunkVolume, levels: Int, path: String, upscaleFactor: Int = 1,
       codec: ZarrStore.Codec = ZarrStore.ZstdCodec()): Unit = {
     val pyr = vol.pyramid(levels)
-    val dir = Paths.get(path)
-    if (Files.exists(dir)) { // overwrite semantics like the reference's rmtree
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-    }
+    // overwrite semantics like the reference's rmtree, but atomic and
+    // without an O(files) driver delete: stage the whole group in a temp
+    // sibling, publish with O(1) renames at the end (see AtomicDir)
+    val dest = Paths.get(path).toAbsolutePath.normalize
+    AtomicDir.sweepLeftovers(dest)
+    val dir = AtomicDir.tempSibling(dest)
+    val stage = dir.toString
     Files.createDirectories(dir)
     Files.writeString(dir.resolve(".zgroup"), "{\n    \"zarr_format\": 2\n}")
     // one chunk tuple for every level (reference: create_dataset(...,
@@ -68,20 +70,23 @@ object PyramidWriter {
     // the global lattice (non-uniform grid), so re-block each level to the
     // base chunk shape clamped to its dims — zarr requires uniform chunks.
     val (bz, by, bx) = (vol.meta.chunkZ, vol.meta.chunkY, vol.meta.chunkX)
-    pyr.zipWithIndex.foreach { case (level, i) =>
-      val uniform =
-        if (i == 0) level
-        else level.rechunk(
-          math.min(bz.toLong, level.meta.dimZ).toInt,
-          math.min(by.toLong, level.meta.dimY).toInt,
-          math.min(bx.toLong, level.meta.dimX).toInt)
-      ZarrStore.write(uniform, s"$path/$i", codec)
-    }
-    Files.writeString(Paths.get(path, ".zattrs"), multiscalesJson(vol.meta, upscaleFactor, levels))
-    writeConsolidatedMetadata(path, levels)
-    ChunkVolume.writeSidecar(path, vol.meta, Map(
-      "pyramid_levels" -> levels.toString,
-      "upscale_factor" -> upscaleFactor.toString))
+    try {
+      pyr.zipWithIndex.foreach { case (level, i) =>
+        val uniform =
+          if (i == 0) level
+          else level.rechunk(
+            math.min(bz.toLong, level.meta.dimZ).toInt,
+            math.min(by.toLong, level.meta.dimY).toInt,
+            math.min(bx.toLong, level.meta.dimX).toInt)
+        ZarrStore.write(uniform, s"$stage/$i", codec)
+      }
+      Files.writeString(Paths.get(stage, ".zattrs"), multiscalesJson(vol.meta, upscaleFactor, levels))
+      writeConsolidatedMetadata(stage, levels)
+      ChunkVolume.writeSidecar(stage, vol.meta, Map(
+        "pyramid_levels" -> levels.toString,
+        "upscale_factor" -> upscaleFactor.toString))
+    } catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
+    AtomicDir.publish(dir, dest)
   }
 
   /** Zarr v2 CONSOLIDATED metadata (`.zmetadata`,

@@ -582,14 +582,18 @@ object ZarrStore {
     * written straight from executor tasks (the driver only writes the two
     * metadata documents), so the write parallelizes like the reference's
     * dask `to_zarr` and scales with the cluster, not the driver.
+    *
+    * Overwrite is ALL-OR-NOTHING like the reference's pre-delete+rewrite
+    * (upscale_streaming.py:118–127), but via [[AtomicDir]]: the new store
+    * is staged in a temp sibling and published with O(1) renames, so a
+    * failure leaves the old store untouched and no driver walk ever
+    * deletes O(files) synchronously.
     */
   def write(vol: ChunkVolume, path: String, codec: Codec = ZstdCodec(),
       extraAttrs: Map[String, String] = Map.empty): Unit = {
-    val dir = Paths.get(path).toAbsolutePath
-    if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-    }
+    val dest = Paths.get(path).toAbsolutePath.normalize
+    AtomicDir.sweepLeftovers(dest)
+    val dir = AtomicDir.tempSibling(dest)
     Files.createDirectories(dir)
     val zm = metaOf(vol.meta, codec)
     Files.writeString(dir.resolve(".zarray"), zarrayJson(zm))
@@ -604,7 +608,9 @@ object ZarrStore {
       attrs.toSeq.sortBy(_._1)
         .map { case (k, v) => s"    ${ChunkVolume.jsonStr(k)}: $v" }
         .mkString("{\n", ",\n", "\n}"))
-    writeChunkFiles(vol.chunks, dir.toString, vol.meta, zm.codec)
+    try writeChunkFiles(vol.chunks, dir.toString, vol.meta, zm.codec)
+    catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
+    AtomicDir.publish(dir, dest)
   }
 
   /** Append chunk files into an existing zarr array directory — the
