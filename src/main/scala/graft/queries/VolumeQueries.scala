@@ -351,6 +351,38 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // The DSv2 APPEND/UPSERT contract end-to-end (what streaming ingest
+    // relies on): full store via overwrite, then re-land ONLY the cz=0
+    // chunk slab with updated labels via `mode("append")` — a re-landed
+    // coordinate replaces its whole chunk file (published atomically at
+    // job commit), every other chunk is untouched. Read-back must show
+    // the update exactly where the slab was and the original elsewhere.
+    Q(
+      "vol_zarr_dsv2_append_upsert",
+      (s, _) => {
+        import graft.volume.{Chunk, ChunkVolume => CV, ZarrStore}
+        val store = java.nio.file.Files.createTempDirectory("graft_zarrau").toString + "/vol.zarr"
+        val vol = chunked(s) // (5,6,7) chunk grid → cz=0 covers z < 5
+        vol.chunks.toDF().write.format("zarr")
+          .option("dimZ", vol.meta.dimZ).option("dimY", vol.meta.dimY).option("dimX", vol.meta.dimX)
+          .option("chunkZ", vol.meta.chunkZ).option("chunkY", vol.meta.chunkY).option("chunkX", vol.meta.chunkX)
+          .option("elementType", vol.meta.elementType)
+          .mode("overwrite").save(store)
+        val updatedVox = grid(s).withColumn(
+          "label", when(col("z") < 5, col("label") + 1000).otherwise(col("label")))
+        CV.fromVoxels(updatedVox, D, D, D, 5, 6, 7)
+          .chunks.toDF().filter(col("cz") === 0)
+          .write.format("zarr").mode("append").save(store)
+        val (_, meta) = ZarrStore.readMeta(store)
+        import s.implicits._
+        CV(s.read.format("zarr").load(store).as[Chunk], meta).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x,
+               CASE WHEN z < 5 THEN label + 1000 ELSE label END AS label
+        FROM vox ORDER BY z, y, x
+      """),
+    ),
     // K5/S5: BigTIFF slice export (one page per z) and scan back.
     Q(
       "vol_bigtiff_roundtrip",
