@@ -37,6 +37,61 @@ object DocQueries {
   private val dupCorpusSql =
     s"(SELECT doc_id, text, lang, source, n_chars FROM documents UNION ALL SELECT doc_id + $DupOffset, text, lang, source, n_chars FROM documents)"
 
+  /** DuckDB replay of [[Ann.lshTopK]] with the deterministic ±1
+    * hyperplane sign matrices (graft.functions.SketchesLsh.bucket's
+    * splitmix64 derivation) inlined as literal DOUBLE arrays — the
+    * planes are plan constants, so the "random" projection is plain
+    * SQL. Bucket bit p of table t is `dot(e, plane) > 0`; both engines
+    * compute the dot as a sequential double sum over identical values,
+    * so the sign (and hence the bucket, candidate set, cosine, and
+    * rank) is bit-exact cross-engine.
+    */
+  private def lshTopkOracle(dim: Int, nPlanes: Int, nTables: Int, k: Int): String = {
+    def planeSigns(seed: Int): Seq[String] = {
+      val base = graft.functions.Sketches.mix(seed.toLong * 0x9e3779b97f4a7c15L)
+      (0 until nPlanes).map { p =>
+        (0 until dim).map { j =>
+          if ((graft.functions.Sketches.mix(base ^ (p.toLong * dim + j)) & 1L) == 1L) "1.0"
+          else "-1.0"
+        }.mkString("[", ", ", "]")
+      }
+    }
+    val branches = (0 until nTables).map { t =>
+      val bucket = planeSigns(t).zipWithIndex.map { case (arr, p) =>
+        s"CASE WHEN list_inner_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("\n             + ")
+      s"SELECT vec_id, $t AS tbl,\n               $bucket AS bucket\n        FROM emb"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      buck AS (
+        $branches
+      ),
+      q AS (SELECT tbl, bucket, vec_id AS query_id FROM buck WHERE vec_id < 10),
+      c AS (SELECT tbl, bucket, vec_id AS neighbor_id FROM buck),
+      cand AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM q JOIN c USING (tbl, bucket)
+        WHERE query_id <> neighbor_id
+      ),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               list_inner_product(qv.e, cv.e)
+                 / (SQRT(list_inner_product(qv.e, qv.e)) * SQRT(list_inner_product(cv.e, cv.e))) AS cos_sim
+        FROM cand
+          JOIN emb qv ON qv.vec_id = cand.query_id
+          JOIN emb cv ON cv.vec_id = cand.neighbor_id
+      ),
+      r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, cos_sim, rk FROM r WHERE rk <= $k
+      ORDER BY query_id, rk
+    """
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     // One hash-partitioned aggregate; only (hash, id) shuffles at scale.
@@ -418,9 +473,14 @@ object DocQueries {
       """),
     ),
     // ------------------------------------------------ similarity: LSH ANN
-    // The scale path: bucketed random-hyperplane LSH (deterministic planes
-    // from xxhash64 — not oracle-expressible, so rows-only check; recall vs
-    // the exact path is asserted in the ScalaTest suite).
+    // The scale path: bucketed random-hyperplane LSH. The planes are
+    // deterministic ±1 sign matrices from splitmix64, i.e. plan CONSTANTS
+    // — so the oracle replays the whole pipeline in DuckDB with the sign
+    // matrices inlined as literal arrays (bucket bit p = dot(e, plane_p)
+    // > 0, sequential double sums are bit-exact cross-engine per the
+    // emb_cosine_topk probe), then the same bucket join, candidate dedup,
+    // exact cosine, and rank. A full-strength value gate, not a recall
+    // floor.
     Q(
       "emb_lsh_topk",
       (s, d) => {
@@ -428,7 +488,7 @@ object DocQueries {
         Ann.lshTopK(emb, dim = 64, k = 5, queryFilter = col("vec_id") < 10, nPlanes = 4, nTables = 8)
           .orderBy(col("query_id"), col("rk"))
       },
-      None,
+      Some(lshTopkOracle(dim = 64, nPlanes = 4, nTables = 8, k = 5)),
     ),
     // --------------------------------------------- similarity: LSH recall
     // The LSH-quality gate the rows-only emb_lsh_topk can't give: recall@5
