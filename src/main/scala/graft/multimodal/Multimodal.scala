@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, plus distributed feature extraction.
   *
   * The Spark-side plumbing — schema, partition-parallel batch kernels,
-  * output shape — is real and tested. The codec step (actual JPEG/WAV
-  * decode) is STUBBED behind [[decodeStub]] because media libraries are not
-  * available in this environment; swap in a real decoder without touching
-  * anything else.
+  * output shape — is real and tested. IMAGE decode is REAL: the JDK's
+  * `javax.imageio` readers (PNG/BMP/GIF/JPEG — no external dependency)
+  * run inside the per-partition kernels ([[decodeGray]] /
+  * [[imageFeatures]]). [[decodeStub]] remains only as the no-codec
+  * fallback for payloads no installed reader recognizes (text standing
+  * in for media, or codecs the JRE lacks, e.g. audio/video containers).
   */
 object Multimodal {
 
@@ -35,14 +37,130 @@ object Multimodal {
       map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"),
     )
 
-  /** STUB decoder: where a real image/audio decode would run. Returns a
-    * deterministic fake "decoded frame" derived from payload length so the
-    * pipeline shape (bytes in → float tensor out) is exercised end-to-end.
+  /** No-codec FALLBACK decoder, used only when [[decodeGray]] finds no
+    * JDK image reader for the payload (text stand-ins, or containers the
+    * JRE lacks, e.g. audio/video): a deterministic byte-derived "frame"
+    * keeps the pipeline shape (bytes in → float tensor out) intact.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
-    // ??? <- real codec goes here (e.g. javax.imageio / ffmpeg bindings)
     val n = math.min(payload.length, 8)
     Array.tabulate(n)(i => (payload(i) & 0xff) / 255.0f)
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * whatever readers the JRE registers; no external dependency):
+    * payload bytes → (width, height, row-major gray samples from raster
+    * band 0). None when no installed reader recognizes the payload —
+    * callers fall back to [[decodeStub]] or drop the row.
+    */
+  def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payload.isEmpty) return None
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+  }
+
+  /** Decode head for feature rows: real [[decodeGray]] when a JDK reader
+    * matches (first 8 gray samples, normalized), [[decodeStub]] otherwise.
+    */
+  def decode(payload: Array[Byte]): Array[Float] =
+    decodeGray(payload) match {
+      case Some((w, h, px)) =>
+        Array.tabulate(math.min(w * h, 8))(i => px(i) / 255.0f)
+      case None => decodeStub(payload)
+    }
+
+  /** Deterministic gray fixture image: pixel(y·w+x) = (id·31 + y·w + x)
+    * mod 256, encoded with the JDK's REAL PNG/BMP writers — what
+    * `mm_decode_roundtrip` decodes back and checks analytically.
+    */
+  def encodeImage(id: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + y.toLong * w + x) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos), s"no JDK image writer for '$format'")
+    bos.toByteArray
+  }
+
+  /** Doc-id-keyed fixture corpus of REAL encoded images (PNG for even
+    * ids, BMP for odd — both JDK writers), in the canonical multimodal
+    * schema. Encoding runs per-partition on executors, like a production
+    * ingest that transcodes as it loads.
+    */
+  def syntheticImages(docs: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        Row(id, "image", encodeImage(id, w, h, fmt),
+          Map("format" -> fmt, "width" -> w.toString, "height" -> h.toString))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL image feature extraction: decode each payload with the JDK
+    * readers and emit per-image raster stats. Per-partition kernel, no
+    * shuffle; rows no installed reader matches are dropped (the curation
+    * contract: undecodable media is filtered, not faked).
+    */
+  def imageFeatures(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_px", LongType, nullable = false),
+      StructField("min_px", LongType, nullable = false),
+      StructField("max_px", LongType, nullable = false),
+    ))
+    val rdd = mm.select(col("id"), col("payload"), expr("meta['format']")).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          decodeGray(bytes).map { case (w, h, px) =>
+            var sum = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var i = 0
+            while (i < px.length) {
+              val v = px(i).toLong
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            Row(id, if (r.isNullAt(2)) null else r.getString(2),
+              w, h, w.toLong * h, sum, mn, mx)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Frame sampling: split each payload into fixed-size frames and emit
@@ -169,7 +287,7 @@ object Multimodal {
           j += 1
         }
         Row(id, bytes.length.toLong, mean, math.sqrt(math.max(variance, 0.0)), entropy,
-          decodeStub(bytes))
+          decode(bytes))
       }
     }
     spark.createDataFrame(rdd, outSchema)

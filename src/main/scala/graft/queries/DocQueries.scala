@@ -593,6 +593,35 @@ object DocQueries {
         ORDER BY id
       """),
     ),
+    // --------------------------------------------- multimodal REAL decode
+    // End-to-end image codec round-trip with NO stub anywhere: fixture
+    // payloads are real PNG (even ids) / BMP (odd ids) bytes from the
+    // JDK's javax.imageio writers with pixel(i) = (id·31 + i) % 256;
+    // imageFeatures decodes them back with the JDK readers on executors
+    // and emits raster stats the oracle derives analytically from the
+    // same pixel formula.
+    Q(
+      "mm_decode_roundtrip",
+      (s, d) =>
+        Multimodal.imageFeatures(
+          Multimodal.syntheticImages(
+            T(s, d, "documents").filter(col("doc_id") < 40), w = 13, h = 9))
+          .orderBy(col("id")),
+      Some("""
+        WITH px AS (
+          SELECT doc_id, (doc_id * 31 + t.range) % 256 AS v
+          FROM documents, range(117) t WHERE doc_id < 40
+        )
+        SELECT doc_id AS id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+               13 AS width, 9 AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px
+        FROM px GROUP BY doc_id ORDER BY id
+      """),
+    ),
     // ------------------------------------------- multimodal frame sampling
     // Fixed 64-byte frames per payload (the audio/video frame-sample batch
     // shape): one row per frame, features from identical integer sums on

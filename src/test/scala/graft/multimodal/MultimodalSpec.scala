@@ -88,4 +88,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq === Multimodal.decodeStub(Array[Byte](0, 127, -1)).toSeq)
     assert(a.length === 3 && a.forall(v => v >= 0f && v <= 1f))
   }
+
+  test("decodeGray round-trips the JDK PNG and BMP writers bit-exactly") {
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = Multimodal.encodeImage(id = 7L, w = 13, h = 9, fmt)
+      val Some((w, h, px)) = Multimodal.decodeGray(bytes)
+      assert((w, h) === (13, 9))
+      for (i <- px.indices) assert(px(i) === ((7L * 31 + i) % 256).toInt, s"$fmt pixel $i")
+    }
+    // no reader matches text / empty → fallback path
+    assert(Multimodal.decodeGray("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeGray(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decode uses the real reader for images, the stub for text") {
+    val img = Multimodal.encodeImage(id = 2L, w = 4, h = 4, "png")
+    // first 8 gray samples of pixel(i) = (62 + i) % 256, normalized
+    assert(Multimodal.decode(img).toSeq ===
+      (0 until 8).map(i => ((2L * 31 + i) % 256) / 255.0f))
+    val text = "plain text".getBytes
+    assert(Multimodal.decode(text).toSeq === Multimodal.decodeStub(text).toSeq)
+  }
+
+  test("imageFeatures decodes a mixed png/bmp corpus distributedly") {
+    import spark.implicits._
+    val docs = spark.range(6).select(col("id").as("doc_id"))
+    val feats = Multimodal.imageFeatures(Multimodal.syntheticImages(docs, w = 13, h = 9))
+      .orderBy("id").collect()
+    assert(feats.length === 6)
+    for (r <- feats) {
+      val id = r.getLong(0)
+      assert(r.getString(1) === (if (id % 2 == 0) "png" else "bmp"))
+      assert((r.getInt(2), r.getInt(3)) === (13, 9))
+      val expected = (0 until 117).map(i => (id * 31 + i) % 256)
+      assert(r.getLong(5) === expected.sum)
+      assert(r.getLong(6) === expected.min && r.getLong(7) === expected.max)
+    }
+    // undecodable rows are dropped, not faked
+    val mixed = Seq((99L, "text", "not an image".getBytes, Map.empty[String, String]))
+      .toDF("id", "modality", "payload", "meta")
+    assert(Multimodal.imageFeatures(mixed).count() === 0)
+  }
 }
