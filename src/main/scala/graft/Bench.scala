@@ -7,6 +7,12 @@ import org.apache.spark.sql.SparkSession
   * sink (so Catalyst cannot prune away the measured work the way a bare
   * `count()` would). Prints ONE JSON line for the driver.
   *
+  * AGGREGATION RULE: every number is the MEDIAN of `SPARK_GRAFT_BENCH_REPS`
+  * (default 3) runs — a single sample cannot distinguish a regression
+  * from machine contention (r6: +81% swing on identical code). The JSON
+  * carries `"agg":"median_of_N"`; volume headlines also report their
+  * individual runs as `<name>_runN`.
+  *
   * Failures are propagated per query as value -1 plus an `errors` map —
   * never silently recorded as a plausible time (round-1 lesson).
   */
@@ -14,6 +20,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,7 +48,7 @@ object Bench {
     // so measuring after 38 queries of broadcast/GC residue would skew it.
     val volume =
       if (!wanted("volume")) Seq.empty
-      else try graft.volume.VolumeBench.run(spark)
+      else try graft.volume.VolumeBench.run(spark, reps = reps)
       catch {
         case e: Throwable =>
           errors("vol_atlas_upscale_x2") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -59,24 +66,32 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val registered = SparkEntry.allQs.filter(q => wanted(q.name)).map { q =>
-      val t0 = System.nanoTime()
-      val ok =
+      // median of `reps` runs (see the aggregation rule above); any
+      // failed run poisons the query to -1 + an errors entry
+      val times = Seq.newBuilder[Double]
+      var ok = true
+      var i = 0
+      while (ok && i < reps) {
+        val t0 = System.nanoTime()
         try {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
+          times += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            false
+            ok = false
         }
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        i += 1
+      }
+      q.name -> (if (ok) graft.volume.VolumeBench.median(times.result()) else -1.0)
     }
     val results = volume ++ registered
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // total sums the canonical (median) entries only, not the per-run samples
+    val total = results.collect { case (k, v) if v >= 0 && !k.matches(".*_run\\d+$") => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}""")
     // ...and once more as the LAST (short) line: whether the driver's
     // capture window is line- or byte-bounded from either end, the volume
     // headlines survive.

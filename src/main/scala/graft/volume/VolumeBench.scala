@@ -123,39 +123,56 @@ object VolumeBench {
     (read, kernel)
   }
 
-  /** Returns (name -> seconds) entries for the bench JSON: the first run
-    * pays cold page cache + JIT; the second is the steady-state number.
+  /** Median of an odd-length sample — the bench aggregation rule. A
+    * single sample of a 2–3 min disk-heavy job cannot distinguish a
+    * plan regression from machine contention (the r6 kernel probe swung
+    * +81% on identical code), so every headline reports the median of
+    * `reps` runs, with the individual runs alongside as `<name>_runN`.
     */
-  def run(spark: SparkSession, workDir: String = "/tmp/graft_volbench"): Seq[(String, Double)] = {
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
+  /** Returns (name -> seconds) entries for the bench JSON. Canonical
+    * names carry the MEDIAN of `reps` runs (see [[median]]); per-run
+    * samples are reported as `<name>_runN`. The very first ×2 run pays
+    * cold page cache + JIT and is reported separately as `_cold`.
+    */
+  def run(spark: SparkSession, workDir: String = "/tmp/graft_volbench",
+      reps: Int = 3): Seq[(String, Double)] = {
     val mhd = ensureFixture(workDir)
-    val cold = upscale(spark, mhd, 2, s"$workDir/out_x2")
-    val warm = upscale(spark, mhd, 2, s"$workDir/out_x2")
     val entries = Seq.newBuilder[(String, Double)]
+    def sample(name: String, body: => Double): Unit = {
+      val runs = (1 to reps).map(_ => body)
+      runs.zipWithIndex.foreach { case (t, i) => entries += (s"${name}_run${i + 1}" -> t) }
+      entries += (name -> median(runs))
+    }
+    val cold = upscale(spark, mhd, 2, s"$workDir/out_x2")
     entries += ("vol_atlas_upscale_x2_cold" -> cold)
-    entries += ("vol_atlas_upscale_x2" -> warm)
-    entries += ("vol_atlas_upscale_x2_zarr" ->
-      upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr"))
+    sample("vol_atlas_upscale_x2", upscale(spark, mhd, 2, s"$workDir/out_x2"))
+    sample("vol_atlas_upscale_x2_zarr", upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr"))
     // the reference CLI's EXACT default output (Blosc zstd BITSHUFFLE,
     // upscale_streaming.py:104) at the reference's headline scale
-    entries += ("vol_atlas_upscale_x2_zarr_bit" ->
+    sample("vol_atlas_upscale_x2_zarr_bit",
       upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr_bit", shuffle = 2))
     // the ×15 streaming run: 1.04 TB logical (260 G voxels), reference
     // baseline 684.5 s. Two sinks — the internal zstd chunk store and the
     // APPLES-TO-APPLES spec-compliant blosc-zstd zarr the reference
-    // itself wrote — each run TWICE (run-to-run variance on a 2–3 min
-    // disk-heavy job is real; one sample per sink made the r3
-    // internal-vs-zarr comparison unreadable), plus sink-free stage
-    // probes (scan only / scan+kernel) so write cost is read directly as
-    // headline − kernel. SPARK_GRAFT_VOLBENCH=x2only skips.
+    // itself wrote — each sampled `reps` times (median under the
+    // canonical name), plus sink-free stage probes (scan only /
+    // scan+kernel) so write cost is read directly as headline − kernel.
+    // SPARK_GRAFT_VOLBENCH=x2only skips.
     if (!sys.env.get("SPARK_GRAFT_VOLBENCH").contains("x2only")) {
-      val (read15, kernel15) = stageTimes(spark, mhd, 15)
-      entries += ("vol_atlas_x15_stage_scan" -> read15)
-      entries += ("vol_atlas_x15_stage_kernel" -> kernel15)
-      entries += ("vol_atlas_upscale_x15" -> upscale(spark, mhd, 15, s"$workDir/out_x15"))
-      entries += ("vol_atlas_upscale_x15_run2" -> upscale(spark, mhd, 15, s"$workDir/out_x15"))
-      entries += ("vol_atlas_upscale_x15_zarr" ->
-        upscaleZarr(spark, mhd, 15, s"$workDir/out_x15_zarr"))
-      entries += ("vol_atlas_upscale_x15_zarr_run2" ->
+      val stages = (1 to reps).map(_ => stageTimes(spark, mhd, 15))
+      stages.zipWithIndex.foreach { case ((r, k), i) =>
+        entries += (s"vol_atlas_x15_stage_scan_run${i + 1}" -> r)
+        entries += (s"vol_atlas_x15_stage_kernel_run${i + 1}" -> k)
+      }
+      entries += ("vol_atlas_x15_stage_scan" -> median(stages.map(_._1)))
+      entries += ("vol_atlas_x15_stage_kernel" -> median(stages.map(_._2)))
+      sample("vol_atlas_upscale_x15", upscale(spark, mhd, 15, s"$workDir/out_x15"))
+      sample("vol_atlas_upscale_x15_zarr",
         upscaleZarr(spark, mhd, 15, s"$workDir/out_x15_zarr"))
     }
     entries.result()
