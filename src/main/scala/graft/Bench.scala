@@ -96,6 +96,12 @@ object Bench {
     // capture window is line- or byte-bounded from either end, the volume
     // headlines survive.
     println(s"""{"metric":"volume_headline","unit":"sec","queries":$volQs,"sf":"${esc(sfDir)}"}""")
+    // short summary as the FINAL line: the driver's capture window is
+    // byte-bounded from the left, so the (long) total line can lose its
+    // head — this one always survives whole
+    val nCanonical = results.count { case (k, v) => v >= 0 && !k.matches(".*_run\\d+$") }
+    println(
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","agg":"median_of_$reps","n_queries":$nCanonical,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }
