@@ -349,15 +349,16 @@ object Dedup {
     val dense = tagged.filter(col("df") > maxTermDf)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("term"))).as("dense_toks"))
-    // Pair generation via per-term sorted POSTINGS, not a self-join: the
-    // rare stream is already partitioned on (block, term) after the df
-    // join, so the groupBy is exchange-free, and emitting only the i<j
-    // combinations (posexplode + slice, all codegen'd) halves the pair
-    // stream the old a<b filter threw away post-join. Postings arrays are
-    // bounded by maxTermDf, so no stop-term list can blow task memory.
-    // Measured at sf0.1/32 cores: inter stage 4.5 s -> 3.0 s vs the join
-    // (a custom pair Generator measured SLOWER — CodegenFallback breaks
-    // the codegen span; see PLANS.md).
+    // Pair generation via per-term sorted POSTINGS, not a self-join:
+    // emitting only the i<j combinations (posexplode + slice) halves the
+    // pair stream the old a<b filter threw away post-join and drops the
+    // join hash-build. Executed-plan audit: AQE broadcasts the df join,
+    // so this costs ONE exchange of the rare term stream (with map-side
+    // partial collect_list) — vs the join's same exchange plus double
+    // pair generation. Postings arrays are bounded by maxTermDf, so no
+    // stop-term list can blow task memory. Measured at sf0.1/32 cores:
+    // full query 4.0 s -> 2.9 s (a custom pair Generator measured
+    // SLOWER — CodegenFallback breaks the codegen span; see PLANS.md).
     val postings = rare.groupBy(col(blockCol), col("term"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
     val inter = postings
