@@ -131,7 +131,7 @@ object ChunkPacking {
   *    — no O(files) driver truncate walk, ever.
   *  - `mode("append")` upserts chunk files idempotently (a re-landed
   *    coordinate overwrites its own file — the streaming-ingest
-  *    contract). Tasks stage into a hidden `.__staging-<id>/` inside the
+  *    contract). Tasks stage into a hidden `.__staging/<id>/` inside the
   *    store (invisible to readers, which address chunks by coordinate
   *    and never list); commit publishes each staged file with an atomic
   *    per-file rename, so readers see each chunk old-or-new, never torn,
@@ -223,11 +223,22 @@ private[sources] object ZarrStaging {
 
   /** Append to an existing store: stage inside it, publish per-file
     * atomic renames at commit. Commit work is O(chunks written by THIS
-    * job) metadata renames — bounded by the append, not the store.
+    * job) metadata renames — bounded by the append, not the store. All
+    * jobs stage under one fixed hidden dir (`.__staging/<id>/`), so
+    * sweeping leftovers a crashed append abandoned lists O(crashed
+    * jobs) entries, never the store's chunk files (readers never see
+    * staging either way — they address chunks by coordinate and never
+    * list).
     */
   final case class Append(dest: Path) extends ZarrStaging {
-    val writeDir: Path =
-      dest.resolve(s".__staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    private val stagingRoot = dest.resolve(".__staging")
+    val writeDir: Path = {
+      if (Files.isDirectory(stagingRoot)) {
+        val it = Files.list(stagingRoot)
+        try it.forEach(p => AtomicDir.deleteInBackground(p)) finally it.close()
+      }
+      stagingRoot.resolve(java.util.UUID.randomUUID().toString.take(8))
+    }
     override def commit(): Unit = {
       val it = Files.list(writeDir)
       try it.forEach { staged =>
@@ -235,6 +246,9 @@ private[sources] object ZarrStaging {
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       } finally it.close()
       Files.delete(writeDir)
+      // drop the (now usually empty) staging root; a concurrent writer's
+      // live dir makes this fail harmlessly
+      try Files.delete(stagingRoot) catch { case _: java.io.IOException => () }
     }
     override def abort(): Unit = AtomicDir.deleteInBackground(writeDir)
   }

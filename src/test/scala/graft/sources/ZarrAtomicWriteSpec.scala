@@ -87,9 +87,13 @@ class ZarrAtomicWriteSpec extends AnyFunSuite with SparkSpec {
     }
     assert(collectVox(ZarrStore.read(spark, dest.toString).toVoxels) === expect)
     AtomicDir.awaitQuiescent()
-    val inside = { val it = Files.list(dest); try it.toArray.map(
-      _.asInstanceOf[Path].getFileName.toString).toSeq finally it.close() }
-    assert(!inside.exists(_.startsWith(".__staging-")), "staging dir survived abort")
+    // no staged CONTENT survives the abort (an empty .__staging root may
+    // linger — invisible to readers and reused by the next append)
+    val root = dest.resolve(".__staging")
+    if (Files.isDirectory(root)) {
+      val kids = { val it = Files.list(root); try it.count() finally it.close() }
+      assert(kids === 0, "staged chunks survived abort")
+    }
   }
 
   test("append success upserts atomically per chunk file") {
@@ -101,6 +105,35 @@ class ZarrAtomicWriteSpec extends AnyFunSuite with SparkSpec {
       collectVox(mkVox(31)))
     AtomicDir.awaitQuiescent()
     assert(siblings(dest).isEmpty)
+  }
+
+  test("library ZarrStore.write failure is also a no-op (shared AtomicDir path)") {
+    val dest = Paths.get(Files.createTempDirectory("zarr_atomic").toString, "lib.zarr")
+    ZarrStore.write(vol(7), dest.toString)
+    val expect = collectVox(ZarrStore.read(spark, dest.toString).toVoxels)
+    import spark.implicits._
+    val poisonedVol = graft.volume.ChunkVolume(
+      vol(13).chunks.map { c =>
+        if (c.cz == 1 && c.cy == 1 && c.cx == 1) c.copy(z0 = 99L) else c
+      }, vol(13).meta)
+    intercept[Exception] { ZarrStore.write(poisonedVol, dest.toString) }
+    assert(collectVox(ZarrStore.read(spark, dest.toString).toVoxels) === expect)
+    AtomicDir.awaitQuiescent()
+    assert(siblings(dest).isEmpty)
+  }
+
+  test("a crashed append's staging leftovers are swept by the next append") {
+    val dest = Paths.get(Files.createTempDirectory("zarr_atomic").toString, "sw.zarr")
+    ZarrStore.write(vol(7), dest.toString)
+    // simulate a crashed job: an abandoned staged chunk under .__staging
+    val abandoned = dest.resolve(".__staging").resolve("deadbeef")
+    Files.createDirectories(abandoned)
+    Files.write(abandoned.resolve("0.0.0"), Array[Byte](1, 2, 3))
+    vol(31).chunks.toDF().write.format("zarr").mode("append").save(dest.toString)
+    AtomicDir.awaitQuiescent()
+    assert(!Files.exists(abandoned), "crashed staging dir not swept")
+    assert(collectVox(ZarrStore.read(spark, dest.toString).toVoxels) ===
+      collectVox(mkVox(31)))
   }
 
   test("overwrite of a big store: old tree readable ALL through the job; no driver walk") {
