@@ -105,6 +105,14 @@ class ChunkStoreTable(path: String) extends Table with SupportsRead with Support
   * index can never be poisoned by a caller. First write to a new store
   * takes geometry options like the zarr writer (`dimZ..chunkX`,
   * `elementType`); appends reuse the existing sidecar metadata.
+  *
+  * Publication is ATOMIC via [[StoreStaging]], same protocol as the
+  * zarr writer: overwrite swaps a temp sibling in with O(1) renames (no
+  * O(files) driver truncate walk, a failed job leaves the old store
+  * untouched); append stages under `.__staging/<id>/` and publishes
+  * per-file renames at commit. The stats index merges into the staged
+  * tree before a swap publishes it (a store is never visible without
+  * its index) and into the destination after an append lands.
   */
 class ChunkStoreWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -115,37 +123,43 @@ class ChunkStoreWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = new Write with BatchWrite {
     override def toBatch: BatchWrite = this
 
+    // resolved on the driver in createBatchWriterFactory, consumed by
+    // commit/abort (DSv2 calls them on the same BatchWrite instance)
+    @volatile private var staging: StoreStaging = _
+
     override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
-      val dir = Paths.get(path).toAbsolutePath
-      if (doTruncate && Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.delete(p))
-      }
-      Files.createDirectories(dir)
+      val dest = Paths.get(path).toAbsolutePath.normalize
+      graft.volume.AtomicDir.sweepLeftovers(dest)
+      val appendToExisting = !doTruncate &&
+        Files.exists(dest.resolve(ChunkVolume.SidecarName))
+      staging =
+        if (appendToExisting) StoreStaging.Append(dest)
+        else StoreStaging.Swap(dest)
+      val writeDir = staging.writeDir
+      Files.createDirectories(writeDir)
       val opts = info.options
       val vm =
-        try ChunkVolume.readSidecar(path)
-        catch {
-          case _: Exception =>
-            def req(k: String): Long = {
-              val v = opts.get(k)
-              require(v != null,
-                s"graftchunks write to a new store requires option '$k' " +
-                  "(dimZ/dimY/dimX/chunkZ/chunkY/chunkX)")
-              v.toLong
-            }
-            val (dz, dy, dx) = (req("dimZ"), req("dimY"), req("dimX"))
-            val (cz, cy, cx) = (req("chunkZ").toInt, req("chunkY").toInt, req("chunkX").toInt)
-            val elem = Option(opts.get("elementType")).getOrElse("MET_UINT")
-            val vm0 = VolumeMeta(
-              dz, dy, dx, cz, cy, cx,
-              ((dz + cz - 1) / cz).toInt, ((dy + cy - 1) / cy).toInt, ((dx + cx - 1) / cx).toInt,
-              elem, 1.0, 1.0, 1.0)
-            ChunkVolume.writeSidecar(path, vm0, Map("writer" -> "dsv2"))
-            vm0
+        if (appendToExisting) ChunkVolume.readSidecar(dest.toString)
+        else {
+          def req(k: String): Long = {
+            val v = opts.get(k)
+            require(v != null,
+              s"graftchunks write to a new store requires option '$k' " +
+                "(dimZ/dimY/dimX/chunkZ/chunkY/chunkX)")
+            v.toLong
+          }
+          val (dz, dy, dx) = (req("dimZ"), req("dimY"), req("dimX"))
+          val (cz, cy, cx) = (req("chunkZ").toInt, req("chunkY").toInt, req("chunkX").toInt)
+          val elem = Option(opts.get("elementType")).getOrElse("MET_UINT")
+          val vm0 = VolumeMeta(
+            dz, dy, dx, cz, cy, cx,
+            ((dz + cz - 1) / cz).toInt, ((dy + cy - 1) / cy).toInt, ((dx + cx - 1) / cx).toInt,
+            elem, 1.0, 1.0, 1.0)
+          ChunkVolume.writeSidecar(writeDir.toString, vm0, Map("writer" -> "dsv2"))
+          vm0
         }
       val level = Option(opts.get("level")).map(_.toInt).getOrElse(1)
-      new ChunkStoreWriterFactory(dir.toString, vm, level)
+      new ChunkStoreWriterFactory(writeDir.toString, vm, level)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -153,10 +167,10 @@ class ChunkStoreWriteBuilder(path: String, info: LogicalWriteInfo)
         case m: ChunkStatsMessage => m.entries
         case _ => Seq.empty
       }
-      ChunkStore.mergeStatsIndex(Paths.get(path).toAbsolutePath.toString, entries)
+      staging.commit(dir => ChunkStore.mergeStatsIndex(dir.toString, entries))
     }
 
-    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = staging.abort()
   }
 }
 

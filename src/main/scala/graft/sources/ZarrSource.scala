@@ -153,7 +153,7 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
 
     // resolved on the driver in createBatchWriterFactory, consumed by
     // commit/abort (DSv2 calls them on the same BatchWrite instance)
-    @volatile private var staging: ZarrStaging = _
+    @volatile private var staging: StoreStaging = _
 
     override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
       // driver-side init: pick the staging layout, then resolve-or-create
@@ -162,8 +162,8 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       AtomicDir.sweepLeftovers(dest)
       val appendToExisting = !doTruncate && Files.exists(dest.resolve(".zarray"))
       staging =
-        if (appendToExisting) ZarrStaging.Append(dest)
-        else ZarrStaging.Swap(dest)
+        if (appendToExisting) StoreStaging.Append(dest)
+        else StoreStaging.Swap(dest)
       val writeDir = staging.writeDir
       Files.createDirectories(writeDir)
       val opts = info.options
@@ -196,61 +196,9 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
       new ZarrWriterFactory(writeDir.toString, writeCodec, vm)
     }
 
-    override def commit(messages: Array[WriterCommitMessage]): Unit = staging.commit()
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      staging.commit(_ => ()) // chunk + metadata files ARE the store; nothing to finalize
     override def abort(messages: Array[WriterCommitMessage]): Unit = staging.abort()
-  }
-}
-
-/** Where a zarr batch write stages chunk files and how job commit
-  * publishes them (see [[ZarrWriteBuilder]] for the semantics).
-  */
-private[sources] sealed trait ZarrStaging {
-  /** Directory tasks (and the driver's `.zarray` init) write into. */
-  def writeDir: java.nio.file.Path
-  def commit(): Unit
-  def abort(): Unit
-}
-
-private[sources] object ZarrStaging {
-  import java.nio.file.{Path, StandardCopyOption}
-
-  /** Overwrite / fresh store: build in a temp sibling, swap at commit. */
-  final case class Swap(dest: Path) extends ZarrStaging {
-    val writeDir: Path = AtomicDir.tempSibling(dest)
-    override def commit(): Unit = AtomicDir.publish(writeDir, dest)
-    override def abort(): Unit = AtomicDir.deleteInBackground(writeDir)
-  }
-
-  /** Append to an existing store: stage inside it, publish per-file
-    * atomic renames at commit. Commit work is O(chunks written by THIS
-    * job) metadata renames — bounded by the append, not the store. All
-    * jobs stage under one fixed hidden dir (`.__staging/<id>/`), so
-    * sweeping leftovers a crashed append abandoned lists O(crashed
-    * jobs) entries, never the store's chunk files (readers never see
-    * staging either way — they address chunks by coordinate and never
-    * list).
-    */
-  final case class Append(dest: Path) extends ZarrStaging {
-    private val stagingRoot = dest.resolve(".__staging")
-    val writeDir: Path = {
-      if (Files.isDirectory(stagingRoot)) {
-        val it = Files.list(stagingRoot)
-        try it.forEach(p => AtomicDir.deleteInBackground(p)) finally it.close()
-      }
-      stagingRoot.resolve(java.util.UUID.randomUUID().toString.take(8))
-    }
-    override def commit(): Unit = {
-      val it = Files.list(writeDir)
-      try it.forEach { staged =>
-        Files.move(staged, dest.resolve(staged.getFileName),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      } finally it.close()
-      Files.delete(writeDir)
-      // drop the (now usually empty) staging root; a concurrent writer's
-      // live dir makes this fail harmlessly
-      try Files.delete(stagingRoot) catch { case _: java.io.IOException => () }
-    }
-    override def abort(): Unit = AtomicDir.deleteInBackground(writeDir)
   }
 }
 

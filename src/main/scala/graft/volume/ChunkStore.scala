@@ -44,16 +44,23 @@ object ChunkStore {
       buf.getInt, buf.getInt, buf.getInt, buf.getInt, buf.getLong, buf.getLong)
   }
 
+  /** Overwrite semantics like the reference's rmtree, but ATOMIC and
+    * without an O(files) driver delete (same [[AtomicDir]] protocol as
+    * ZarrStore.write): the new store stages in a temp sibling and
+    * publishes with O(1) renames, so a crashed overwrite can never leave
+    * a mixed old/new store behind the old sidecar.
+    */
   def write(vol: ChunkVolume, path: String, level: Int = 1,
       extraProvenance: Map[String, String] = Map.empty): Unit = {
-    val dir = Paths.get(path)
-    if (Files.exists(dir)) { // overwrite semantics like the reference's rmtree
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-    }
+    val dest = Paths.get(path).toAbsolutePath.normalize
+    AtomicDir.sweepLeftovers(dest)
+    val dir = AtomicDir.tempSibling(dest)
     Files.createDirectories(dir)
-    appendChunks(vol.chunks, path, vol.meta, level)
-    ChunkVolume.writeSidecar(path, vol.meta, extraProvenance)
+    try {
+      appendChunks(vol.chunks, dir.toString, vol.meta, level)
+      ChunkVolume.writeSidecar(dir.toString, vol.meta, extraProvenance)
+    } catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
+    AtomicDir.publish(dir, dest)
   }
 
   /** Append chunk files into an existing store (same file format, no
