@@ -604,5 +604,39 @@ object RelationalQueries {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
       """),
     ),
+    // ---------------------------------------------------------------- q22
+    // Co-located fact-fact join via bucketed storage (operators/Bucketing):
+    // lineitem and orders are mirrored ONCE into external tables bucketed
+    // on the orderkey, and the join between the mirrors plans with zero
+    // shuffle exchanges (BucketingSpec pins the plan). The oracle is the
+    // PLAIN join over the raw parquet — the bucketed layout, like the
+    // salted join's salt, must be semantically invisible.
+    Q(
+      "q22_bucketed_colocated_join",
+      (s, d) => {
+        import s.implicits._
+        val li = graft.operators.Bucketing.bucketedMirror(
+          s, d, "lineitem", "l_orderkey",
+          Seq("l_orderkey", "l_extendedprice", "l_discount"), buckets = 8)
+        val ord = graft.operators.Bucketing.bucketedMirror(
+          s, d, "orders", "o_orderkey",
+          Seq("o_orderkey", "o_orderpriority"), buckets = 8)
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            countDistinct($"o_orderkey").as("n_orders"),
+            Fx.sum2($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          )
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY o_orderpriority
+      """),
+    ),
   )
 }

@@ -45,4 +45,36 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("bucketedMirror: external mirrors join with zero exchanges and survive re-use") {
+    val d = "/root/testdata/sf0.001"
+    val li = Bucketing.bucketedMirror(
+      spark, d, "lineitem", "l_orderkey",
+      Seq("l_orderkey", "l_extendedprice", "l_discount"), buckets = 8)
+    val ord = Bucketing.bucketedMirror(
+      spark, d, "orders", "o_orderkey",
+      Seq("o_orderkey", "o_orderpriority"), buckets = 8)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed mirror join must not shuffle either side:\n$plan")
+
+      // layout is invisible: same rows as the plain parquet join
+      val plain = spark.read.parquet(s"$d/lineitem.parquet")
+        .join(spark.read.parquet(s"$d/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(joined.count() === plain)
+
+      // second call is a catalog hit, not a rewrite: same table object
+      val again = Bucketing.bucketedMirror(
+        spark, d, "lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_extendedprice", "l_discount"), buckets = 8)
+      assert(again.count() === li.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
