@@ -471,5 +471,40 @@ object EventQueries {
         GROUP BY 1 ORDER BY segment
       """),
     ),
+    // Streaming exactly-once dedup (streaming/EventStreams
+    // .dedupWithinWatermark): the events feed is doubled (simulated
+    // at-least-once redelivery), then deduped by event_id through the SAME
+    // function the streaming path uses (dropDuplicatesWithinWatermark —
+    // state bounded by the watermark horizon, not stream lifetime). The
+    // oracle aggregates the ORIGINAL single-delivery table: dedup must
+    // restore it exactly.
+    Q(
+      "ev_stream_dedup",
+      (s, d) => {
+        import s.implicits._
+        val events = T.events(s, d)
+          .select($"event_id", $"ts", $"ts_ns", $"event_type", $"user_id", $"value")
+        val atLeastOnce = events.unionAll(events)
+        graft.streaming.EventStreams.dedupWithinWatermark(atLeastOnce)
+          .groupBy(
+            $"event_type",
+            expr(s"(ts_ns div $NS_PER_HOUR) * 3600").as("hour_s"),
+          )
+          .agg(
+            count(lit(1)).as("n_events"),
+            Fx.sum2($"value").as("total_value"),
+            countDistinct($"user_id").as("n_users"),
+          )
+          .orderBy($"event_type", $"hour_s")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY event_type, hour_s
+      """),
+    ),
   )
 }

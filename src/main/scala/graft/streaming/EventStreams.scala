@@ -69,6 +69,25 @@ object EventStreams {
       .select(col("user_id"), col("p_id"), col("p_ts"), col("view_id"), col("v_ts"))
   }
 
+  /** Exactly-once view of an at-least-once stream: events re-delivered
+    * with the same `event_id` within the watermark horizon are dropped.
+    * `dropDuplicatesWithinWatermark` is the state-bounded form — each key
+    * is remembered only until the watermark passes its event time, so
+    * state stays proportional to the horizon, not the stream's lifetime
+    * (plain `dropDuplicates` on a stream retains every key forever —
+    * unusable on an unbounded 100 TB/day feed). Spark rejects the
+    * within-watermark form on batch frames, so the bounded face runs the
+    * exact key dedup instead — on bounded input with ids never reused
+    * beyond the horizon the two agree, which is what the
+    * `ev_stream_dedup` gate query and the spec's stream-vs-batch test
+    * pin down.
+    */
+  def dedupWithinWatermark(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
+    else
+      events.dropDuplicates("event_id")
+
   case class Event(user_id: Long, ts_us: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)

@@ -60,6 +60,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupWithinWatermark: redelivered event_ids are dropped across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EvId]
+    val query = EventStreams.dedupWithinWatermark(input.toDF(), horizon = "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two distinct events, one delivered twice in-batch
+      input.addData(
+        EvId(1, us(0, 10), "view", 1, 1.0),
+        EvId(1, us(0, 10), "view", 1, 1.0),
+        EvId(2, us(0, 20), "buy", 1, 5.0))
+      query.processAllAvailable()
+      // batch 2: event 1 redelivered AGAIN (within horizon) + a new event
+      input.addData(
+        EvId(1, us(0, 10), "view", 1, 1.0),
+        EvId(3, us(0, 30), "view", 2, 2.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L), "each event_id must emit exactly once")
+
+      // batch face over the same redelivered rows converges to the stream
+      val batch = EventStreams.dedupWithinWatermark(Seq(
+        EvId(1, us(0, 10), "view", 1, 1.0),
+        EvId(1, us(0, 10), "view", 1, 1.0),
+        EvId(2, us(0, 20), "buy", 1, 5.0),
+        EvId(1, us(0, 10), "view", 1, 1.0),
+        EvId(3, us(0, 30), "view", 2, 2.0)).toDF())
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(batch.toSeq === ids.toSeq)
+    } finally query.stop()
+  }
+
   test("attributedPurchases: stream-stream interval join matches the batch join; window excludes old views") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
