@@ -23,6 +23,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val NearestCentroidName = "graft_nearest_centroid"
   val ProbeListsName = "graft_probe_lists"
+  val NfcName = "graft_nfc"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -76,6 +77,10 @@ object GraftFunctions {
       }
       ProbeLists(children.head, matrixLit(children(1), ProbeListsName), n)
     }),
+    (NfcName, classOf[NfcNormalize].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$NfcName takes exactly 1 argument")
+      NfcNormalize(children.head)
+    }),
   )
 
   /** Idempotently register graft functions in this session's registry. */
@@ -121,4 +126,7 @@ object GraftFunctions {
   /** The nProbe nearest centroid indices, (distance, index)-ordered. */
   def probeLists(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     call_function(ProbeListsName, vec, typedLit(centroids.map(_.toSeq).toSeq), lit(nProbe))
+
+  /** Unicode NFC canonical normalization (DuckDB `nfc_normalize` twin). */
+  def nfc(c: Column): Column = call_function(NfcName, c)
 }

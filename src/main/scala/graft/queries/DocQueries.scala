@@ -441,6 +441,39 @@ object DocQueries {
         FROM documents GROUP BY source ORDER BY source
       """),
     ),
+    // ------------------------------------------------- text normalization
+    // Canonicalization before any fingerprint/dedup: Unicode NFC (custom
+    // codegen'd graft_nfc — Spark has no built-in normalizer; DuckDB's
+    // nfc_normalize is the oracle twin), lowercase, collapse whitespace
+    // runs, trim. Gated on the md5 of the normalized text per doc — the
+    // cross-engine byte-equality proof; non-trivial composition cases
+    // (combining marks, already-NFC fast path) are spec-covered with
+    // Unicode fixtures. Narrow (no shuffle): scan → project → sort.
+    Q(
+      "doc_normalize",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val norm = trim(regexp_replace(
+          lower(graft.functions.GraftFunctions.nfc(col("text"))), "[ \t\n\r\f]+", " "))
+        T(s, d, "documents")
+          .select(col("doc_id"), norm.as("norm"))
+          .select(
+            col("doc_id"),
+            length(col("norm")).as("n_chars"),
+            md5(col("norm").cast("binary")).as("fp"),
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g')) AS norm
+          FROM documents
+        )
+        SELECT doc_id, LENGTH(norm) AS n_chars, md5(norm) AS fp
+        FROM n ORDER BY doc_id
+      """),
+    ),
     // --------------------------------------------- similarity: exact top-k
     // Brute-force cosine top-k for a small broadcast query set — the
     // correctness baseline; the corpus side streams (never collected).
