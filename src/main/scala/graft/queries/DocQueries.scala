@@ -563,6 +563,31 @@ object DocQueries {
         FROM embeddings WHERE vec_id < 10 ORDER BY query_id
       """),
     ),
+    // -------------------------------------------- persisted IVF index
+    // Build-once / query-many: the quantizer and list assignments live on
+    // disk (similarity/Ann.buildIvfIndex); queries partition-prune to
+    // their probed list directories only. Same parameters as
+    // emb_ivf_recall, same oracle-asserted recall floor — proving the
+    // persisted path loses nothing vs the in-memory one (AnnSpec pins
+    // bit-identical top-k output).
+    Q(
+      "emb_ivf_persisted",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val idx = sys.props("java.io.tmpdir") + "/graft_ivf/" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        if (!new java.io.File(s"$idx/lists/_SUCCESS").exists())
+          Ann.buildIvfIndex(emb, dim = 64, nLists = 16, path = idx)
+        Ann.recallVsExact(
+          Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5),
+          Ann.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 10), k = 5, nProbe = 4),
+          k = 5, recallFloor = 0.4)
+      },
+      Some("""
+        SELECT vec_id AS query_id, true AS recall_floor_met
+        FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+      """),
+    ),
     // ------------------------------------- embedding near-dup via LSH
     // Corpus ∪ an exact copy: identical vectors agree on every hyperplane
     // sign, so LSH recall at cos=1 is exact and the verified output

@@ -237,6 +237,86 @@ object Ann {
     ivfTopK(emb, dim, k, queryFilter, nLists, nProbe, idCol, vecCol),
     k, recallFloor)
 
+  // -------------------------------------------------- persisted IVF index
+
+  /** Build the IVF index ON DISK: train the quantizer once, assign every
+    * corpus vector to its list, and store the lists partitioned by
+    * `list_id` — the production shape where index construction is a batch
+    * job and queries run against the stored lists without retraining or
+    * re-assigning anything. Layout under `path`:
+    *
+    *   centroids/  (list_id, centroid) parquet — nLists rows, tiny
+    *   lists/      (id, e, nrm) parquet, partitionBy(list_id)
+    *
+    * Because lists are hive-partitioned directories, a query's probe
+    * filter prunes at PLANNING time: scan I/O ∝ nProbe/nLists of the
+    * corpus no matter how large the index grows.
+    */
+  def buildIvfIndex(
+      emb: DataFrame,
+      dim: Int,
+      nLists: Int,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Unit = {
+    import graft.functions.GraftFunctions
+    val spark = emb.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val centroids = trainCentroids(emb, dim, nLists, idCol = idCol, vecCol = vecCol)
+    emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The stored quantizer, in list order. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy(col("list_id"))
+      .select(col("centroid")).collect().map(_.getSeq[Double](0).toArray)
+
+  /** ANN top-k against a [[buildIvfIndex]]-persisted index. The probed
+    * list ids collect to the driver (bounded by |queries|·nProbe ints) and
+    * become a partition-pruning filter on the lists scan — only probed
+    * list directories are read. Produces exactly [[ivfTopK]]'s output for
+    * the same parameters (same kernels, same tie-breaks).
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val centroids = loadIvfCentroids(spark, path)
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(vecCol).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+      .withColumn("list_id", explode(GraftFunctions.probeLists(col("qe"), centroids, nProbe)))
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+      .select(col("list_id"), col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(lists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+
   /** ANN top-k via LSH: candidates = corpus vectors sharing any table's
     * bucket with the query; exact cosine rank within candidates.
     */

@@ -72,6 +72,27 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(full.forall(identity), "nProbe=nLists must recover the exact top-k")
   }
 
+  test("persisted IVF index: query-from-disk output is identical to the in-memory path") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    Ann.buildIvfIndex(emb, dim = 64, nLists = 16, path = idx)
+
+    val fromIndex = Ann.ivfTopKFromIndex(spark, idx, emb.filter(qf), k, nProbe = 4)
+    val inMemory = Ann.ivfTopK(emb, 64, k, qf, nLists = 16, nProbe = 4)
+    val a = fromIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = inMemory.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a === b, "persisted and in-memory IVF must produce bit-identical top-k")
+
+    // the probe filter prunes list directories at planning time
+    val pruned = spark.read.parquet(s"$idx/lists").filter(col("list_id") === 0)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(pruned.nonEmpty && pruned.forall(_.contains("list_id=0")))
+
+    // stored quantizer round-trips exactly
+    val stored = Ann.loadIvfCentroids(spark, idx)
+    val trained = Ann.trainCentroids(emb, 64, 16)
+    assert(stored.map(_.toSeq).toSeq === trained.map(_.toSeq).toSeq)
+  }
+
   test("lshRecallVsExact: every audited query clears the registered floor") {
     val rows = Ann.lshRecallVsExact(emb, 64, k, qf, nPlanes = 4, nTables = 8, recallFloor = 0.2)
       .collect().map(r => (r.getLong(0), r.getBoolean(1)))
