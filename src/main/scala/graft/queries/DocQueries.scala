@@ -474,6 +474,35 @@ object DocQueries {
         FROM n ORDER BY doc_id
       """),
     ),
+    // --------------------------------------------------- sequence packing
+    // LLM pre-training packing (text/SequencePacking): documents
+    // concatenate in deterministic (source, doc_id) order and chop into
+    // 512-token training sequences; each doc belongs to the pack holding
+    // its first token, so assignment is one prefix-sum window per shard —
+    // no iteration, per-task state bounded by the largest shard.
+    Q(
+      "doc_pack_sequences",
+      (s, d) =>
+        graft.text.SequencePacking.packSummary(
+          T(s, d, "documents"),
+          tokens = size(split(col("text"), " ")),
+          seqLen = 512),
+      Some("""
+        WITH t AS (
+          SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents
+        ), st AS (
+          SELECT source, doc_id, toks,
+                 CAST(COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+          FROM t
+        )
+        SELECT source, start_tok // 512 AS pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM st GROUP BY 1, 2 ORDER BY source, pack_id
+      """),
+    ),
     // --------------------------------------------- similarity: exact top-k
     // Brute-force cosine top-k for a small broadcast query set — the
     // correctness baseline; the corpus side streams (never collected).
