@@ -7,7 +7,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    for (name <- Seq("q1_pricing_summary", "q3_revenue_by_nation_year", "q2_top_revenue_customers", "ev_sessions", "ev_sessions_twophase", "doc_exact_dedup", "doc_contamination", "doc_split_stratified", "ev_salted_segment_rollup", "ev_view_attribution")) {
+    for (name <- Seq("q1_pricing_summary", "q3_revenue_by_nation_year", "q2_top_revenue_customers", "ev_sessions", "ev_sessions_twophase", "doc_exact_dedup", "doc_contamination", "doc_split_stratified", "ev_salted_segment_rollup", "ev_view_attribution", "ev_funnel", "doc_pack_sequences", "q22_bucketed_colocated_join")) {
       println(s"##### PLAN $name")
       SparkEntry.queries(name)(spark, d).explain("formatted")
     }

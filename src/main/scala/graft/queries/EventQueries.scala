@@ -506,5 +506,48 @@ object EventQueries {
         FROM events GROUP BY 1, 2 ORDER BY event_type, hour_s
       """),
     ),
+    // Ordered funnel (operators/Funnel): view → click → purchase, each
+    // step strictly after the previous one's first completion. All steps
+    // are min-over-user windows on ONE user_id partitioning — a single
+    // shuffle regardless of step count; the oracle chains per-step CTE
+    // joins. Null step times coalesce to -1 (house style: no nullable
+    // BIGINT in hash-compared output).
+    Q(
+      "ev_funnel",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Funnel.userStages(
+          T.events(s, d), Seq("view", "click", "purchase"))
+          .select(
+            $"user_id",
+            coalesce(expr("t_1 div 1000000000"), lit(-1L)).as("t1_s"),
+            coalesce(expr("t_2 div 1000000000"), lit(-1L)).as("t2_s"),
+            coalesce(expr("t_3 div 1000000000"), lit(-1L)).as("t3_s"),
+            $"reached_stage",
+          )
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH u1 AS (
+          SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+          FROM events GROUP BY 1
+        ), u2 AS (
+          SELECT e.user_id, MIN(CASE WHEN e.event_type = 'click' AND e.ts > u1.t1 THEN e.ts END) AS t2
+          FROM events e JOIN u1 USING (user_id) GROUP BY 1
+        ), u3 AS (
+          SELECT e.user_id, MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.t2 THEN e.ts END) AS t3
+          FROM events e JOIN u2 USING (user_id) GROUP BY 1
+        )
+        SELECT u1.user_id AS user_id,
+               COALESCE(CAST(FLOOR(epoch(t1)) AS BIGINT), -1) AS t1_s,
+               COALESCE(CAST(FLOOR(epoch(t2)) AS BIGINT), -1) AS t2_s,
+               COALESCE(CAST(FLOOR(epoch(t3)) AS BIGINT), -1) AS t3_s,
+               CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS reached_stage
+        FROM u1 JOIN u2 USING (user_id) JOIN u3 USING (user_id)
+        ORDER BY user_id
+      """),
+    ),
   )
 }
