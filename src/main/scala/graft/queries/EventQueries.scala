@@ -549,5 +549,28 @@ object EventQueries {
         ORDER BY user_id
       """),
     ),
+    // Cohort retention (operators/Retention): users bucketed by the 7-day
+    // epoch period of their first event, counted in each later period
+    // they were active. Periods are epoch buckets (origin-free integer
+    // division on ts_ns — exact in both engines via epoch_ns), NOT
+    // calendar weeks (week-start conventions differ across engines).
+    // Single user_id shuffle for the cohort window, like ev_funnel.
+    Q(
+      "ev_retention",
+      (s, d) =>
+        graft.operators.Retention.cohortRetention(
+          T.events(s, d), periodNs = 7L * 24 * 3600 * 1000 * 1000 * 1000),
+      Some("""
+        WITH p AS (
+          SELECT user_id, epoch_ns(ts) // 604800000000000 AS period FROM events
+        ), c AS (
+          SELECT user_id, period, MIN(period) OVER (PARTITION BY user_id) AS cohort FROM p
+        ), a AS (
+          SELECT DISTINCT user_id, cohort, period - cohort AS "offset" FROM c
+        )
+        SELECT cohort, "offset", COUNT(*) AS n_users
+        FROM a GROUP BY 1, 2 ORDER BY cohort, "offset"
+      """),
+    ),
   )
 }
