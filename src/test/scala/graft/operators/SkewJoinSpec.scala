@@ -22,6 +22,38 @@ class SkewJoinSpec extends AnyFunSuite with SparkSpec {
     assert(plain.size === 10000)
   }
 
+  test("AQE splits a skewed join partition at runtime (the first-line defense salting backs up)") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // tiny thresholds so the test corpus qualifies as skewed
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    )
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~all the rows on the big side
+      val big = spark.range(200000).select(lit(0L).as("k"), $"id".as("v"))
+        .unionAll(spark.range(50).select(($"id" % 10 + 1).as("k"), $"id".as("v")))
+      val dim = spark.range(11).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = big.join(dim, "k")
+      // execute THIS plan instance: AQE finalizes per QueryExecution, and
+      // count() would build (and adapt) a different one
+      assert(joined.collect().length === 200050)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have marked the hot-key join skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("keySkewReport surfaces the hot key with its share") {
     import spark.implicits._
     val fact = spark.range(1000)
