@@ -73,6 +73,18 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
         spark, d, "lineitem", "l_orderkey",
         Seq("l_orderkey", "l_extendedprice", "l_discount"), buckets = 8)
       assert(again.count() === li.count())
+
+      // mismatched bucket counts degrade to a correct (re-shuffled) join,
+      // never a wrong answer
+      Bucketing.writeBucketed(
+        spark.read.parquet(s"$d/orders.parquet").select(col("o_orderkey"), col("o_orderpriority")),
+        "o_bkt_mismatch", Bucketing.mirrorPath("o_bkt_mismatch"), "o_orderkey", buckets = 4)
+      try {
+        val mixed = li.join(spark.table("o_bkt_mismatch"), col("l_orderkey") === col("o_orderkey"))
+        assert(mixed.count() === plain)
+        assert(mixed.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+          "a 8-vs-4-bucket join must re-shuffle at least one side")
+      } finally spark.sql("DROP TABLE IF EXISTS o_bkt_mismatch")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
