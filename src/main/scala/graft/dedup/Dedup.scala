@@ -449,7 +449,9 @@ object Dedup {
     import graft.similarity.Ann
     val bucketed = Ann.lshBuckets(emb, dim, nPlanes, nTables, idCol, vecCol)
       .join(emb.select(col(idCol), col(vecCol).cast("array<double>").as("e")), Seq(idCol))
-      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+      // codegen'd norm via graft_dot(e,e) — registered by lshBuckets above;
+      // identical accumulation order to the HOF it replaced
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("e"), col("e"))))
     val long = bucketed.select(
       col(idCol), col("e"), col("nrm"),
       explode(array((0 until nTables).map(t =>
@@ -483,7 +485,7 @@ object Dedup {
       col(idCol),
       col(vecCol).cast("array<double>").as("e"),
     )
-    val withNorm = e.withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+    val withNorm = e.withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("e"), col("e"))))
     val a = withNorm.select(col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = withNorm.select(col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b)

@@ -29,7 +29,10 @@ object Ann {
 
   private def asDouble(vecCol: String): Column = col(vecCol).cast("array<double>")
 
-  private def norm(e: Column): Column = sqrt(aggregate(e, lit(0.0), (acc, x) => acc + x * x))
+  // codegen'd: norm(e) = sqrt(graft_dot(e, e)); same sequential
+  // accumulation as the interpreted HOF it replaced (AnnSpec pins dot
+  // bit-equality), so every cosine stays bit-identical to the oracles
+  private def norm(e: Column): Column = sqrt(graft.functions.GraftFunctions.dot(e, e))
 
   // native codegen'd O(dim) inner loop; same accumulation order as the
   // interpreted HOF it replaced, so oracle parity is unchanged. Callers
