@@ -206,6 +206,7 @@ object Dedup {
       idCol: String = "doc_id",
       maxBucketSize: Int = 1000,
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(sigs.sparkSession)
     val buckets = sigs.select(
       col(idCol),
       col("minhash_sig"),
@@ -224,11 +225,12 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .withColumn(
         "est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v,
-        ) / size(col("sig_a")),
+        // codegen'd agreement count (graft_sig_agree) — the zip_with +
+        // aggregate HOF form interpreted two lambdas per signature
+        // position per candidate pair; the integer count divided by the
+        // signature width is the identical double
+        graft.functions.GraftFunctions.sigAgree(col("sig_a"), col("sig_b"))
+          / size(col("sig_a")),
       )
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }

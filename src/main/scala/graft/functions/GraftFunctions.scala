@@ -24,6 +24,7 @@ object GraftFunctions {
   val NearestCentroidName = "graft_nearest_centroid"
   val ProbeListsName = "graft_probe_lists"
   val NfcName = "graft_nfc"
+  val SigAgreeName = "graft_sig_agree"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -81,6 +82,10 @@ object GraftFunctions {
       require(children.size == 1, s"$NfcName takes exactly 1 argument")
       NfcNormalize(children.head)
     }),
+    (SigAgreeName, classOf[SigAgree].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$SigAgreeName takes exactly 2 arguments")
+      SigAgree(children(0), children(1))
+    }),
   )
 
   /** Idempotently register graft functions in this session's registry. */
@@ -129,4 +134,7 @@ object GraftFunctions {
 
   /** Unicode NFC canonical normalization (DuckDB `nfc_normalize` twin). */
   def nfc(c: Column): Column = call_function(NfcName, c)
+
+  /** Count of agreeing positions between two ARRAY<BIGINT> signatures. */
+  def sigAgree(a: Column, b: Column): Column = call_function(SigAgreeName, a, b)
 }

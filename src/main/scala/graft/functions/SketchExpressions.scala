@@ -81,6 +81,18 @@ object Sketches {
     }
     out
   }
+
+  /** Count of positions where two long signatures agree (see [[SigAgree]]). */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
 }
 
 object VectorKernels {
@@ -325,6 +337,35 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** Positions where two minhash signatures agree — the per-candidate-pair
+  * Jaccard estimator's inner loop, codegen'd (the `zip_with` + `aggregate`
+  * HOF form it replaces interprets two lambdas per signature position per
+  * pair). Counts over the shorter length if they differ (signatures from
+  * the same family never do).
+  */
+case class SigAgree(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_sig_agree requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got (${l.catalogString}, ${r.catalogString})")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sig_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Sketches.sigAgree($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigAgree =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash of a token array (term-frequency weighted ±1 votes per

@@ -129,6 +129,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === 12 + 4 + 2)
   }
 
+  test("native graft_sig_agree matches the interpreted zip_with count") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)), // agree at 2 positions
+      (Seq(5L, 5L), Seq(5L, 5L)), // full agreement
+    ).toDF("a", "b")
+    val native = df.select(graft.functions.GraftFunctions.sigAgree(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    val hof = df.select(
+      aggregate(
+        zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+      .collect().map(_.getInt(0)).toSeq
+    assert(native === Seq(2, 2))
+    assert(native === hof)
+  }
+
   test("native sketch kernels: deterministic, set-sensitive, jaccard-correlated") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
