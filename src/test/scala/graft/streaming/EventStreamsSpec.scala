@@ -92,6 +92,23 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         EvId(3, us(0, 30), "view", 2, 2.0)).toDF())
         .select("event_id").collect().map(_.getLong(0)).sorted
       assert(batch.toSeq === ids.toSeq)
+
+      // boundary semantics once the watermark moves far ahead (hour 8):
+      // a beyond-horizon REDELIVERY still carries its old event time, so
+      // the watermark discards it as late data — never double-counted...
+      input.addData(EvId(9, us(10, 0), "view", 5, 0.0)) // watermark -> hour 8
+      query.processAllAvailable()
+      input.addData(EvId(1, us(0, 10), "view", 1, 1.0)) // stale redelivery
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").filter(col("event_id") === 1L).count() === 1,
+        "a stale redelivery beyond the horizon is dropped as late data")
+      // ...whereas REUSING an id with a fresh event time (beyond the
+      // horizon of the original) emits again — expired state is the
+      // price of not keeping every key forever
+      input.addData(EvId(1, us(10, 5), "view", 1, 1.0))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").filter(col("event_id") === 1L).count() === 2,
+        "id reuse after state expiry emits a second row")
     } finally query.stop()
   }
 
