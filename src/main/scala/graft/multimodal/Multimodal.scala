@@ -47,15 +47,54 @@ object Multimodal {
     Array.tabulate(n)(i => (payload(i) & 0xff) / 255.0f)
   }
 
+  /** One-time JVM config for the kernel path: ImageIO's default
+    * disk-backed ImageInputStream cache costs a temp-file create/delete
+    * per decode — pure overhead for byte-array inputs. Referenced (and
+    * thus applied) before any ImageIO.read below.
+    */
+  private lazy val imageIoConfigured: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Cheap magic-byte sniff for the container formats the JRE's bundled
+    * readers handle: PNG, JPEG (SOI), GIF, BMP, TIFF (both byte orders).
+    * Used as a fast-path filter ONLY — when it matches, `ImageIO.read`
+    * remains the authority (it may still return null on a corrupt
+    * header). Without this, every non-image payload (the text rows that
+    * dominate mixed corpora) pays a full reader-registry probe through a
+    * fresh ImageInputStream just to get null back — ~7 ms/row of codec
+    * overhead in an otherwise narrow kernel. Formats without a reliable
+    * signature (WBMP) are deliberately not sniffed and thus not decoded.
+    */
+  def looksLikeImage(p: Array[Byte]): Boolean = {
+    if (p.length < 4) return false
+    val b0 = p(0) & 0xff; val b1 = p(1) & 0xff; val b2 = p(2) & 0xff; val b3 = p(3) & 0xff
+    (b0 == 0x89 && b1 == 'P' && b2 == 'N' && b3 == 'G') || // PNG
+    (b0 == 0xff && b1 == 0xd8 && b2 == 0xff) ||            // JPEG SOI
+    (b0 == 'G' && b1 == 'I' && b2 == 'F' && b3 == '8') ||  // GIF87a/89a
+    (b0 == 'B' && b1 == 'M') ||                            // BMP
+    (b0 == 'I' && b1 == 'I' && b2 == 0x2a && b3 == 0x00) || // TIFF LE
+    (b0 == 'M' && b1 == 'M' && b2 == 0x00 && b3 == 0x2a)   // TIFF BE
+  }
+
   /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG —
     * whatever readers the JRE registers; no external dependency):
     * payload bytes → (width, height, row-major gray samples from raster
     * band 0). None when no installed reader recognizes the payload —
-    * callers fall back to [[decodeStub]] or drop the row.
+    * callers fall back to [[decodeStub]] or drop the row. Non-image
+    * payloads short-circuit on [[looksLikeImage]] before touching the
+    * ImageIO registry.
     */
   def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    if (payload.isEmpty) return None
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (!looksLikeImage(payload)) return None
+    imageIoConfigured
+    // a reader that matches the magic can still THROW on a truncated or
+    // corrupt body (the JDK BMP reader raises EOFException instead of
+    // returning null) — in a distributed kernel that's a job-killer, so
+    // undecodable is undecodable: None, and the caller's drop/fallback
+    // contract applies
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)

@@ -101,6 +101,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeGray(Array.emptyByteArray).isEmpty)
   }
 
+  test("looksLikeImage: magic sniff gates the registry; ImageIO stays the authority") {
+    // real encoder output passes the sniff
+    assert(Multimodal.looksLikeImage(Multimodal.encodeImage(1L, 4, 4, "png")))
+    assert(Multimodal.looksLikeImage(Multimodal.encodeImage(1L, 4, 4, "bmp")))
+    // bare signatures of the other sniffed containers
+    assert(Multimodal.looksLikeImage(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)))
+    assert(Multimodal.looksLikeImage("GIF89a".getBytes))
+    assert(Multimodal.looksLikeImage(Array[Byte]('I', 'I', 0x2a, 0x00)))
+    assert(Multimodal.looksLikeImage(Array[Byte]('M', 'M', 0x00, 0x2a)))
+    // text, short, and empty payloads short-circuit
+    assert(!Multimodal.looksLikeImage("plain text".getBytes))
+    assert(!Multimodal.looksLikeImage(Array[Byte]('B', 'M')))
+    assert(!Multimodal.looksLikeImage(Array.emptyByteArray))
+    // sniff-passing but corrupt payload: ImageIO still decides → None
+    assert(Multimodal.decodeGray("BMnot really a bitmap".getBytes).isEmpty)
+    assert(Multimodal.decodeGray(Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)).isEmpty)
+  }
+
   test("decode uses the real reader for images, the stub for text") {
     val img = Multimodal.encodeImage(id = 2L, w = 4, h = 4, "png")
     // first 8 gray samples of pixel(i) = (62 + i) % 256, normalized
