@@ -90,8 +90,19 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     // total sums the canonical (median) entries only, not the per-run samples
     val total = results.collect { case (k, v) if v >= 0 && !k.matches(".*_run\\d+$") => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
+    println(fullLine)
+    // the full per-query map ALSO lands in a file artifact: r7's stdout
+    // capture truncated the long line and lost 80 queries' timings —
+    // a file can't be clipped by a log window
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(out, fullLine + "\n")
+      println(s"""{"metric":"bench_file","path":"${esc(out.toString)}"}""")
+    } catch { case e: Throwable => Console.err.println(s"bench file write failed: $e") }
     // ...and once more as the LAST (short) line: whether the driver's
     // capture window is line- or byte-bounded from either end, the volume
     // headlines survive.

@@ -144,7 +144,14 @@ object VolumeBench {
     val mhd = ensureFixture(workDir)
     val entries = Seq.newBuilder[(String, Double)]
     def sample(name: String, body: => Double): Unit = {
-      val runs = (1 to reps).map(_ => body)
+      val runs = (1 to reps).map { _ =>
+        // the previous rep's publish queued an O(files) background delete
+        // of the store it replaced — let it drain so the timed rep isn't
+        // contending with its predecessor's retirement I/O (the r7 ×2-zarr
+        // medians were measured without this and swung ±2.5×)
+        AtomicDir.awaitQuiescent()
+        body
+      }
       runs.zipWithIndex.foreach { case (t, i) => entries += (s"${name}_run${i + 1}" -> t) }
       entries += (name -> median(runs))
     }
@@ -164,6 +171,10 @@ object VolumeBench {
     // scan+kernel) so write cost is read directly as headline − kernel.
     // SPARK_GRAFT_VOLBENCH=x2only skips.
     if (!sys.env.get("SPARK_GRAFT_VOLBENCH").contains("x2only")) {
+      // one untimed warmup before the timed probes: the ×15 kernel stage
+      // swung 68.5→17.8 s across r7 reps on identical code (JIT + page
+      // cache) — the first probe was absorbing one-time JVM cost
+      stageTimes(spark, mhd, 15)
       val stages = (1 to reps).map(_ => stageTimes(spark, mhd, 15))
       stages.zipWithIndex.foreach { case ((r, k), i) =>
         entries += (s"vol_atlas_x15_stage_scan_run${i + 1}" -> r)
