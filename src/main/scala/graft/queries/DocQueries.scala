@@ -603,8 +603,14 @@ object DocQueries {
       "emb_ivf_persisted",
       (s, d) => {
         val emb = T(s, d, "embeddings")
+        // keyed on the INPUT FILES' (path, size, mtime) fingerprint, not
+        // just the directory name: regenerated test data at the same path
+        // must invalidate the cached index, not silently reuse it. The
+        // reuse gate checks lists/_SUCCESS — the LAST artifact
+        // buildIvfIndex writes (centroids go first), so a crashed build
+        // can never pass the check with stale centroids.
         val idx = sys.props("java.io.tmpdir") + "/graft_ivf/" +
-          d.replaceAll("[^A-Za-z0-9]", "_")
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Ann.inputFingerprint(emb)
         if (!new java.io.File(s"$idx/lists/_SUCCESS").exists())
           Ann.buildIvfIndex(emb, dim = 64, nLists = 16, path = idx)
         Ann.recallVsExact(

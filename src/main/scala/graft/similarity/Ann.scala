@@ -268,14 +268,36 @@ object Ann {
     import spark.implicits._
     GraftFunctions.register(spark)
     val centroids = trainCentroids(emb, dim, nLists, idCol = idCol, vecCol = vecCol)
-    emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
-      .withColumn("nrm", norm(col("e")))
-      .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    // centroids FIRST, lists LAST: callers gate index reuse on
+    // lists/_SUCCESS, so the gate artifact must be the final write — a
+    // crash between the two writes must never leave a check-passing index
+    // with missing or stale centroids
     centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Cheap content key for index caching: the DataFrame's input files as
+    * sorted (path, length, mtime) triples, hashed. O(#files) driver
+    * METADATA work — no data scan, so it stays viable when the corpus is
+    * 100 TB — while regenerated data at the same logical path (fresh file
+    * names or mtimes) yields a fresh key and thus a fresh index.
+    */
+  def inputFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val entries = df.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    val h = entries.foldLeft(1125899906842597L)((acc, e) =>
+      e.foldLeft(acc * 31 + e.length)((a, c) => a * 131 + c))
+    java.lang.Long.toHexString(h)
   }
 
   /** The stored quantizer, in list order. */
