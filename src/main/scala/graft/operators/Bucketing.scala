@@ -55,9 +55,19 @@ object Bucketing {
       .saveAsTable(table)
   }
 
-  /** Deterministic table name / path for a per-dataset bucketed mirror. */
-  def mirrorName(prefix: String, sfDir: String): String =
-    prefix + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Deterministic table name / path for a per-dataset bucketed mirror.
+    * The name encodes EVERY parameter that shapes the mirror (key, bucket
+    * count, projected columns) — a cache hit must mean "same layout and
+    * same projection", not just "same source": a later caller asking for
+    * different cols or a different bucket spec gets its own mirror, never
+    * a silent reuse of the first one's.
+    */
+  def mirrorName(prefix: String, sfDir: String, key: String, buckets: Int,
+      cols: Seq[String]): String = {
+    val colsHash = java.lang.Integer.toHexString(cols.mkString(",").hashCode)
+    (prefix + "_" + sfDir + "_" + key + "_b" + buckets + "_" + colsHash)
+      .replaceAll("[^A-Za-z0-9]", "_")
+  }
 
   def mirrorPath(table: String): String =
     sys.props("java.io.tmpdir") + "/graft_bucketed/" + table
@@ -74,7 +84,7 @@ object Bucketing {
       cols: Seq[String],
       buckets: Int,
   ): DataFrame = {
-    val table = mirrorName(s"graft_bkt_$source", sfDir)
+    val table = mirrorName(s"graft_bkt_$source", sfDir, key, buckets, cols)
     if (!spark.catalog.tableExists(table)) {
       val src = spark.read.parquet(s"$sfDir/$source.parquet")
         .select(cols.map(col): _*)

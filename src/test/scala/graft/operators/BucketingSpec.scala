@@ -89,4 +89,23 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("bucketedMirror cache key covers key, bucket count, and projection") {
+    val d = "/root/testdata/sf0.001"
+    val cols = Seq("o_orderkey", "o_orderpriority")
+    // different buckets / key / cols each resolve to their OWN mirror —
+    // a cache hit must never hand back a differently-shaped table
+    val base = Bucketing.mirrorName("m", d, "o_orderkey", 8, cols)
+    assert(Bucketing.mirrorName("m", d, "o_orderkey", 4, cols) !== base)
+    assert(Bucketing.mirrorName("m", d, "o_custkey", 8, cols) !== base)
+    assert(Bucketing.mirrorName("m", d, "o_orderkey", 8, cols :+ "o_custkey") !== base)
+    // and end-to-end: asking for a different projection returns a mirror
+    // with that projection, not the first call's
+    val narrow = Bucketing.bucketedMirror(spark, d, "orders", "o_orderkey",
+      Seq("o_orderkey"), buckets = 8)
+    val wide = Bucketing.bucketedMirror(spark, d, "orders", "o_orderkey",
+      cols, buckets = 8)
+    assert(narrow.columns.toSeq === Seq("o_orderkey"))
+    assert(wide.columns.toSeq === cols)
+  }
 }
