@@ -82,13 +82,19 @@ object Sketches {
     out
   }
 
-  /** Count of positions where two long signatures agree (see [[SigAgree]]). */
+  /** Count of positions where two long signatures agree (see [[SigAgree]]).
+    * A null slot on either side counts as DISAGREEMENT — matching the
+    * `zip_with` + `aggregate` HOF this kernel replaced, whose null
+    * comparison contributed 0. (Signatures from [[minhash]] are never
+    * null, but the expression accepts any ARRAY<BIGINT>, so the kernel
+    * must not read a null slot as an undefined 0 and call it agreement.)
+    */
   def sigAgree(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var agree = 0
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) agree += 1
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) agree += 1
       i += 1
     }
     agree

@@ -145,6 +145,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(native === Seq(2, 2))
     assert(native === hof)
+    // null slots count as DISAGREEMENT (the zip_with form's null
+    // comparison contributed 0) — two aligned nulls must not read as
+    // undefined-equals-undefined agreement
+    val withNulls = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)),
+      (Seq[java.lang.Long](null, 2L), Seq[java.lang.Long](7L, 2L)),
+    ).toDF("a", "b")
+    val n = withNulls.select(graft.functions.GraftFunctions.sigAgree(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(n === Seq(2, 1))
   }
 
   test("native sketch kernels: deterministic, set-sensitive, jaccard-correlated") {
