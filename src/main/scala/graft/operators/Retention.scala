@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * — the same single-shuffle discipline as Funnel/ev_sessions: events
   * shuffle once on user_id; the (cohort, offset) rollup then aggregates
   * distinct users, which is already bounded by |users|·|periods|.
+  *
+  * State bound (same contract as [[Funnel]], RetentionSpec pins the
+  * plan): the cohort window computes ONE column (min period) per user —
+  * no per-user event history. `WindowExec`'s per-partition buffer is
+  * spillable, so user skew degrades to disk spill in one task; the
+  * downstream `distinct` dedups to ≤ |periods| rows per user before the
+  * rollup, so nothing after the window sees raw event volume.
   */
 object Retention {
 
@@ -31,9 +38,17 @@ object Retention {
     require(periodNs >= 1, s"periodNs must be >= 1, got $periodNs")
     val w = Window.partitionBy(col(userCol))
     events
-      // integral div, not `/`: epoch-nanos exceed double's 53-bit mantissa,
-      // so float division would misbucket events near period boundaries
-      .select(col(userCol), expr(s"$tsCol div $periodNs").as("period"))
+      // integral FLOOR division, not `/` and not bare `div`: epoch-nanos
+      // exceed double's 53-bit mantissa (float division would misbucket
+      // boundary events), and Spark's `div` truncates toward zero while
+      // SQL floor-division (`//` in the DuckDB oracle) floors — the two
+      // diverge exactly on negative inputs (pre-1970 timestamps). The
+      // remainder correction is free for ts >= 0 and makes the bucketing
+      // origin-correct for all inputs. periodNs >= 1, so `%`'s sign
+      // follows the dividend: correction fires iff ts < 0 off-boundary.
+      .select(col(userCol),
+        expr(s"($tsCol div $periodNs) - cast(($tsCol % $periodNs) < 0 as bigint)")
+          .as("period"))
       .withColumn("cohort", min(col("period")).over(w))
       .select(col(userCol), col("cohort"), (col("period") - col("cohort")).as("offset"))
       .distinct()

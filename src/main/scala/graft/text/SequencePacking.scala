@@ -38,6 +38,9 @@ object SequencePacking {
         coalesce(
           sum(col("toks")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
+      // `div` truncates toward zero (DuckDB's `//` floors), but the two
+      // agree here: start_tok is a prefix sum of non-negative token
+      // counts, so it is provably >= 0 — no floor correction needed
       .withColumn("pack_id", expr(s"start_tok div $seqLen"))
   }
 
