@@ -12,9 +12,18 @@ import org.apache.spark.sql.functions._
   * Shape at scale: all steps evaluate as min-over-user window expressions
   * on ONE `partitionBy(user)` — a single shuffle of the events regardless
   * of step count or event volume, with the final per-user rollup reusing
-  * the same partitioning (no second exchange). The per-step state is two
-  * columns, never a per-user event buffer, so the heaviest user costs the
-  * same as any other.
+  * the same partitioning (no second exchange; FunnelSpec pins the plan).
+  *
+  * State bound: the COMPUTED state is O(steps) columns per row — the
+  * windows are unordered full-partition mins, never a per-user event
+  * history the funnel logic itself retains. Physically, Spark's
+  * `WindowExec` streams each user's rows through a spillable buffer
+  * (`ExternalAppendOnlyUnsafeRowArray`), so a pathological mega-user
+  * degrades to disk spill inside one task, not an OOM; if one user owns
+  * a double-digit share of ALL events, the two-phase bucketed rewrite
+  * (the [[Sessionize.twoPhase]] pattern: per-(user, time-bucket) step
+  * mins, then a tiny per-user merge) applies unchanged, because min is
+  * associative.
   */
 object Funnel {
 

@@ -40,6 +40,21 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     ))
   }
 
+  test("funnel plans ONE user_id exchange however many steps it has") {
+    import spark.implicits._
+    val events = Seq((1L, 5L, "view"), (1L, 9L, "click"), (2L, 3L, "view"))
+      .toDF("user_id", "ts_ns", "event_type")
+    val plan = Funnel.userStages(events, Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    // the step windows and the per-user rollup share ONE
+    // hashpartitioning(user_id) exchange — funnel depth adds window
+    // expressions, never shuffles, and there is no per-user event buffer
+    // downstream of the window (the rollup reuses the partitioning)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size === 1, s"expected exactly one exchange:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("single-step funnel degenerates to first-occurrence") {
     import spark.implicits._
     val events = Seq((1L, 7L, "view"), (1L, 3L, "view"), (2L, 9L, "click"))
