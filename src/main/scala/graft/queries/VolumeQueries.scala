@@ -396,6 +396,28 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // S5 complete: a FOREIGN classic TIFF (magic 42, multi-strip,
+    // deflate) written at query time by tools/gen_tiff_fixture.py — an
+    // independent pure-stdlib python encoder, NOT BigTiff.write — read
+    // back through the general Tiff scan. Same pixel formula as the
+    // grid, so the oracle is the shared voxel CTE.
+    Q(
+      "vol_tiff_foreign_roundtrip",
+      (s, _) => {
+        val gen = java.nio.file.Paths.get("tools/gen_tiff_fixture.py")
+        require(java.nio.file.Files.exists(gen),
+          s"fixture generator not found at ${gen.toAbsolutePath}")
+        val path = java.nio.file.Files.createTempDirectory("graft_ftiff")
+          .resolve("foreign.tif").toString
+        val rc = scala.sys.process.Process(
+          Seq("python3", gen.toString, path)).!(scala.sys.process.ProcessLogger(_ => ()))
+        require(rc == 0, s"gen_tiff_fixture.py exited $rc")
+        graft.volume.Tiff.read(s, path).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
     // T7: virtual rotation — pure coordinate projection.
     Q(
       "vol_rotate90",
