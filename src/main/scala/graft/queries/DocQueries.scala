@@ -592,6 +592,23 @@ object DocQueries {
         FROM embeddings WHERE vec_id < 10 ORDER BY query_id
       """),
     ),
+    // The recall CURVE, not just a floor: nProbe 8 must be per-query >=
+    // nProbe 4 (candidate-superset theorem — see Ann.ivfRecallMonotonic)
+    // AND find strictly more true neighbors in total. A quantizer
+    // regression that flattens the curve passes a single floor; it
+    // cannot pass this. (At sf0.01 mean recall is 0.78 @ probe 4; the
+    // strict-gain bit is AnnSpec-verified and gated here.)
+    Q(
+      "emb_ivf_recall_curve",
+      (s, d) =>
+        Ann.ivfRecallMonotonic(
+          T(s, d, "embeddings"), dim = 64, k = 5,
+          queryFilter = col("vec_id") < 10, nLists = 16, nProbeLo = 4, nProbeHi = 8),
+      Some("""
+        SELECT vec_id AS query_id, true AS monotone_ok, true AS strict_gain
+        FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+      """),
+    ),
     // -------------------------------------------- persisted IVF index
     // Build-once / query-many: the quantizer and list assignments live on
     // disk (similarity/Ann.buildIvfIndex); queries partition-prune to

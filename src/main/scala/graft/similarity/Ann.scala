@@ -102,14 +102,57 @@ object Ann {
     * side) vs the indexed path; never an all-pairs computation.
     */
   def recallVsExact(exact: DataFrame, approx: DataFrame, k: Int, recallFloor: Double): DataFrame =
+    recallOf(exact, approx, k)
+      .select(col("query_id"), (col("recall") >= recallFloor).as("recall_floor_met"))
+      .orderBy(col("query_id"))
+
+  /** Per-query recall@k as a fraction (the raw number behind
+    * [[recallVsExact]]'s boolean).
+    */
+  def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(
         approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg((sum(coalesce(col("hit"), lit(0L))) / k.toDouble).as("recall"))
-      .select(col("query_id"), (col("recall") >= recallFloor).as("recall_floor_met"))
+
+  /** Monotonicity audit of the IVF operating curve: per query,
+    * recall@k at `nProbeHi` must be >= recall@k at `nProbeLo` (probing
+    * more lists scans a candidate SUPERSET, and any candidate that could
+    * displace a true neighbor from the approximate top-k ranks above it
+    * under the shared (cos desc, id) order — so it is itself a true
+    * neighbor; a violation therefore means the quantizer or kernel
+    * broke, not the data), and the hi setting must find strictly more
+    * true neighbors IN TOTAL than the lo one. A single recall floor
+    * can't see a regression that flattens the curve — this gate can.
+    */
+  def ivfRecallMonotonic(
+      emb: DataFrame,
+      dim: Int,
+      k: Int,
+      queryFilter: Column,
+      nLists: Int,
+      nProbeLo: Int,
+      nProbeHi: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    require(nProbeLo < nProbeHi, s"need nProbeLo < nProbeHi, got $nProbeLo >= $nProbeHi")
+    val exact = bruteForceTopK(emb.filter(queryFilter), emb, k, idCol, vecCol)
+    val lo = recallOf(exact, ivfTopK(emb, dim, k, queryFilter, nLists, nProbeLo, idCol, vecCol), k)
+      .withColumnRenamed("recall", "r_lo")
+    val hi = recallOf(exact, ivfTopK(emb, dim, k, queryFilter, nLists, nProbeHi, idCol, vecCol), k)
+      .withColumnRenamed("recall", "r_hi")
+    val joined = lo.join(hi, Seq("query_id"))
+    val totals = joined.agg(sum(col("r_lo")).as("s_lo"), sum(col("r_hi")).as("s_hi"))
+    joined.crossJoin(broadcast(totals))
+      .select(
+        col("query_id"),
+        (col("r_hi") >= col("r_lo")).as("monotone_ok"),
+        (col("s_hi") > col("s_lo")).as("strict_gain"))
       .orderBy(col("query_id"))
+  }
 
   /** Recall audit of the LSH path (see [[recallVsExact]]). */
   def lshRecallVsExact(

@@ -72,6 +72,27 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(full.forall(identity), "nProbe=nLists must recover the exact top-k")
   }
 
+  test("IVF recall curve: monotone non-decreasing in nProbe, exact at full probe") {
+    // the whole operating curve, not one point: each step widens the
+    // candidate set, so per-query recall may never drop
+    def meanRecall(nProbe: Int): Double =
+      Ann.recallOf(
+        Ann.bruteForceTopK(emb.filter(qf), emb, k),
+        Ann.ivfTopK(emb, 64, k, qf, nLists = 16, nProbe = nProbe), k)
+        .agg(avg("recall")).collect().head.getDouble(0)
+    val curve = Seq(1, 2, 4, 8, 16).map(meanRecall)
+    curve.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi >= lo - 1e-12, s"recall curve not monotone: $curve")
+    }
+    assert(math.abs(curve.last - 1.0) < 1e-12, s"full probe must be exact, got ${curve.last}")
+    // and the registered gate's shape: strict gain from 4 → 8 probes
+    val rows = Ann.ivfRecallMonotonic(emb, 64, k, qf, nLists = 16, nProbeLo = 4, nProbeHi = 8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq === (0L until 10L))
+    assert(rows.forall(_._2), s"per-query monotonicity violated: ${rows.mkString(",")}")
+    assert(rows.forall(_._3), "expected a strict total-recall gain from probe 4 to 8")
+  }
+
   test("persisted IVF index: query-from-disk output is identical to the in-memory path") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
     Ann.buildIvfIndex(emb, dim = 64, nLists = 16, path = idx)
