@@ -129,6 +129,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === 12 + 4 + 2)
   }
 
+  test("cc edges: localCheckpoint does NOT preserve partitioning (so don't pre-shuffle)") {
+    import spark.implicits._
+    // Measured-and-discarded (r8): repartitioning the edge list on the
+    // round join key before checkpointing looked like it should let every
+    // CC round reshuffle only the label side — but the checkpointed plan
+    // scans a plain ExistingRDD with UNKNOWN partitioning, so the join
+    // re-exchanges BOTH sides regardless. This pin documents the Spark
+    // behavior that makes connectedComponents' shuffle-free union init
+    // the right call; if a Spark upgrade starts preserving partitioning
+    // here, this test fails and the pre-shuffle becomes worth re-testing.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L)).toDF("src", "dst")
+      .repartition(col("dst")).localCheckpoint(true)
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("dst", "rep")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = edges.join(labels, Seq("dst")).queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(n === 2, s"localCheckpoint now preserves partitioning? plan:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("native graft_sig_agree matches the interpreted zip_with count") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
