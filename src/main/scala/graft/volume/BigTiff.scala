@@ -30,8 +30,6 @@ object BigTiff {
     "MET_UINT" -> (32, 1), "MET_INT" -> (32, 2),
     "MET_FLOAT" -> (32, 3), "MET_DOUBLE" -> (64, 3),
   )
-  private val ByType: Map[(Int, Int), String] = Formats.map(_.swap)
-
   private val TagWidth = 256; private val TagLength = 257; private val TagBits = 258
   private val TagCompression = 259; private val TagPhotometric = 262
   private val TagStripOffsets = 273; private val TagSamplesPerPixel = 277
@@ -121,76 +119,15 @@ object BigTiff {
     }
   }
 
-  private final case class Page(width: Int, height: Int, bits: Int, sampleFormat: Int, stripOffset: Long, stripBytes: Long)
-
-  private def parsePages(path: String): Seq[Page] = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(b.get() == 'I' && b.get() == 'I', "not a little-endian TIFF")
-    require(b.getShort() == 43, "not a BigTIFF (magic 43)")
-    require(b.getShort() == 8, "BigTIFF offset size must be 8")
-    b.getShort()
-    var ifd = b.getLong(8)
-    val pages = Seq.newBuilder[Page]
-    while (ifd != 0L) {
-      val n = b.getLong(ifd.toInt).toInt
-      var width = 0; var height = 0; var bits = 0; var sf = 1
-      var stripOff = 0L; var stripBytes = 0L
-      for (i <- 0 until n) {
-        val e = ifd.toInt + 8 + i * 20
-        val tag = b.getShort(e) & 0xffff
-        val value = b.getLong(e + 12)
-        tag match {
-          case TagWidth => width = value.toInt
-          case TagLength => height = value.toInt
-          case TagBits => bits = (value & 0xffff).toInt
-          case TagStripOffsets => stripOff = value
-          case TagStripByteCounts => stripBytes = value
-          case TagSampleFormat => sf = (value & 0xffff).toInt
-          case _ => ()
-        }
-      }
-      pages += Page(width, height, bits, sf, stripOff, stripBytes)
-      ifd = b.getLong(ifd.toInt + 8 + n * 20)
-    }
-    pages.result()
-  }
-
   /** Scan a BigTIFF written by [[write]] back into a ChunkVolume (one
-    * (1, dimY, dimX) chunk per page; rechunk for other layouts). IFDs
-    * parse on the driver; executors read their slices positionally.
+    * (1, dimY, dimX) chunk per page; rechunk for other layouts).
+    * Delegates to the general [[Tiff.read]] scan (TiffForeignSpec pins
+    * bit-identical output on this format). The former own-format parser
+    * `readAllBytes`'d the WHOLE file on the driver just to reach the IFD
+    * chain — a multi-TB export would have OOM'd the driver before the
+    * first task launched; Tiff.parseMeta touches only the IFD structures
+    * with positioned reads.
     */
-  def read(spark: SparkSession, path: String, spacing: (Double, Double, Double) = (1.0, 1.0, 1.0)): ChunkVolume = {
-    val pages = parsePages(path)
-    require(pages.nonEmpty, s"no pages in $path")
-    val p0 = pages.head
-    require(pages.forall(p => p.width == p0.width && p.height == p0.height && p.bits == p0.bits),
-      "pages disagree on shape/dtype")
-    val elementType = ByType((p0.bits, p0.sampleFormat))
-    val meta = VolumeMeta(
-      dimZ = pages.length.toLong, dimY = p0.height.toLong, dimX = p0.width.toLong,
-      chunkZ = 1, chunkY = p0.height, chunkX = p0.width,
-      ncz = pages.length, ncy = 1, ncx = 1,
-      elementType = elementType,
-      spacingX = spacing._1, spacingY = spacing._2, spacingZ = spacing._3)
-    val offsets = pages.map(_.stripOffset).toArray
-    val sliceBytes = p0.stripBytes.toInt
-    val (h, w) = (p0.height, p0.width)
-    import spark.implicits._
-    val chunks = spark.range(pages.length.toLong).mapPartitions { ids =>
-      var raf: RandomAccessFile = null
-      val it = ids.map { z =>
-        if (raf == null) raf = new RandomAccessFile(path, "r")
-        val data = new Array[Byte](sliceBytes)
-        raf.seek(offsets(z.toInt))
-        raf.readFully(data)
-        Chunk(z.toInt, 0, 0, z, 0L, 0L, 1, h, w, data)
-      }
-      new Iterator[Chunk] {
-        def hasNext: Boolean = { val hn = it.hasNext; if (!hn && raf != null) { raf.close(); raf = null }; hn }
-        def next(): Chunk = it.next()
-      }
-    }
-    ChunkVolume(chunks, meta)
-  }
+  def read(spark: SparkSession, path: String, spacing: (Double, Double, Double) = (1.0, 1.0, 1.0)): ChunkVolume =
+    Tiff.read(spark, path, spacing)
 }
