@@ -77,7 +77,10 @@ object Tiff {
       val countSize = if (bigTiff) 8 else 2
       val inlineMax = if (bigTiff) 8 else 4
 
-      // entry value array, inline or via offset — SHORT/LONG/LONG8 widths
+      // entry value array, inline or via offset — SHORT/LONG/LONG8 widths.
+      // Only called for tags the reader HANDLES: ancillary tags
+      // (resolution RATIONALs, ASCII software strings, …) are skipped
+      // before value parsing, so their field types never need decoding.
       def values(b: ByteBuffer, off: Int): (Int, Array[Long]) = {
         val tag = b.getShort(off) & 0xffff
         val tpe = b.getShort(off + 2) & 0xffff
@@ -116,26 +119,32 @@ object Tiff {
         var compression = 1; var rps = -1; var spp = 1; var planar = 1; var predictor = 1
         var photometric = 1; var tiled = false
         var offsets = Array.empty[Long]; var counts = Array.empty[Long]
+        val handled = Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317, 339)
         var i = 0
         while (i < nEntries) {
-          val (tag, vs) = values(block, i * entrySize)
-          tag match {
-            case 256 => width = vs(0).toInt
-            case 257 => height = vs(0).toInt
-            case 258 =>
-              require(vs.distinct.length == 1, s"$path: per-sample BitsPerSample differ")
-              bits = vs(0).toInt
-            case 259 => compression = vs(0).toInt
-            case 262 => photometric = vs(0).toInt
-            case 273 => offsets = vs
-            case 277 => spp = vs(0).toInt
-            case 278 => rps = vs(0).toInt
-            case 279 => counts = vs
-            case 284 => planar = vs(0).toInt
-            case 317 => predictor = vs(0).toInt
-            case 322 | 323 | 324 | 325 => tiled = true
-            case 339 => sf = vs(0).toInt
-            case _ => () // ignore ancillary tags (resolution, software, …)
+          val tagOnly = block.getShort(i * entrySize) & 0xffff
+          if (tagOnly == 322 || tagOnly == 323 || tagOnly == 324 || tagOnly == 325) tiled = true
+          else if (handled(tagOnly)) {
+            // value parsing only for handled tags — ancillary entries
+            // (RATIONAL resolutions, ASCII strings, …) are skipped whole,
+            // whatever their field type
+            val (tag, vs) = values(block, i * entrySize)
+            tag match {
+              case 256 => width = vs(0).toInt
+              case 257 => height = vs(0).toInt
+              case 258 =>
+                require(vs.distinct.length == 1, s"$path: per-sample BitsPerSample differ")
+                bits = vs(0).toInt
+              case 259 => compression = vs(0).toInt
+              case 262 => photometric = vs(0).toInt
+              case 273 => offsets = vs
+              case 277 => spp = vs(0).toInt
+              case 278 => rps = vs(0).toInt
+              case 279 => counts = vs
+              case 284 => planar = vs(0).toInt
+              case 317 => predictor = vs(0).toInt
+              case 339 => sf = vs(0).toInt
+            }
           }
           i += 1
         }
@@ -160,6 +169,35 @@ object Tiff {
       }
       TiffMeta(bigEndian, bigTiff, pages.result())
     } finally f.close()
+  }
+
+  /** MHD element type for a TIFF (BitsPerSample, SampleFormat) pair. */
+  def elementTypeOf(bits: Int, sampleFormat: Int): String =
+    ByType.getOrElse((bits, sampleFormat),
+      throw new IllegalArgumentException(
+        s"unsupported TIFF sample type (bits=$bits, format=$sampleFormat)"))
+
+  /** The volume header of a TIFF stack as a synthetic [[MhdMeta]] — what
+    * lets the CLI lifecycle (chunk planning, size estimate, admission
+    * control, plan report) treat `--input vol.tif` exactly like an MHD,
+    * the way the reference's legacy path feeds `tifffile.imread` output
+    * into the same pipeline (anno_upsampling.py:33).
+    */
+  def mhdMeta(path: String): MhdMeta = {
+    val tm = parseMeta(path)
+    require(tm.pages.nonEmpty, s"no pages in $path")
+    val p0 = tm.pages.head
+    require(tm.pages.forall(p => p.width == p0.width && p.height == p0.height &&
+        p.bits == p0.bits && p.sampleFormat == p0.sampleFormat),
+      s"$path: pages disagree on shape/dtype")
+    val abs = java.nio.file.Paths.get(path).toAbsolutePath
+    MhdMeta(
+      dimX = p0.width.toLong, dimY = p0.height.toLong, dimZ = tm.pages.length.toLong,
+      elementType = elementTypeOf(p0.bits, p0.sampleFormat),
+      spacingXyz = (1.0, 1.0, 1.0),
+      byteOrderMsb = tm.bigEndian,
+      dataFile = abs.getFileName.toString,
+      mhdDir = Option(abs.getParent).map(_.toString).getOrElse("."))
   }
 
   /** Decompress one strip to exactly `expected` bytes. */
@@ -192,9 +230,7 @@ object Tiff {
     require(tm.pages.forall(p => p.width == p0.width && p.height == p0.height &&
         p.bits == p0.bits && p.sampleFormat == p0.sampleFormat),
       s"$path: pages disagree on shape/dtype")
-    val elementType = ByType.getOrElse((p0.bits, p0.sampleFormat),
-      throw new IllegalArgumentException(
-        s"$path: unsupported sample type (bits=${p0.bits}, format=${p0.sampleFormat})"))
+    val elementType = elementTypeOf(p0.bits, p0.sampleFormat)
     val bpp = p0.bits / 8
     val meta = VolumeMeta(
       dimZ = tm.pages.length.toLong, dimY = p0.height.toLong, dimX = p0.width.toLong,

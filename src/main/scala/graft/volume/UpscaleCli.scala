@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * (Screenshots/upscale_streaming.png).
   *
   * Usage:
-  *   graft.volume.UpscaleCli --input vol.mhd --output out_store
+  *   graft.volume.UpscaleCli --input vol.mhd|vol.tif --output out_store
   *     [--scale 2] [--chunk-mb 128] [--mode labels|outline]
   *     [--pyramid-levels 1] [--max-gb 500] [--dry-run] [--force]
   *     [--format zarr|graftchunks]
@@ -82,11 +82,18 @@ object UpscaleCli {
     */
   def run(spark: SparkSession, a: Args, live: String => Unit = null): Seq[String] = {
     val out = Seq.newBuilder[String]
-    val meta = MhdMeta.parse(a.input) // parse + validate (required fields)
+    // --input *.tif/*.tiff takes the reference's legacy TIFF path
+    // (anno_upsampling.py:33): same lifecycle, general Tiff scan
+    val isTiff = a.input.toLowerCase.endsWith(".tif") || a.input.toLowerCase.endsWith(".tiff")
+    val meta = if (isTiff) Tiff.mhdMeta(a.input)
+               else MhdMeta.parse(a.input) // parse + validate (required fields)
     val (z, y, x) = meta.shapeZyx
     out += s"Source shape (z,y,x): ($z, $y, $x), dtype=${meta.elementType}, spacing=${meta.spacingXyz}"
-    val chunks = ChunkPlanner.chooseChunks(meta.shapeZyx, meta.bytesPerVoxel, a.chunkMb)
-    out += s"Using input chunks (z,y,x): $chunks  (~${a.chunkMb} MB target per chunk)"
+    val chunks =
+      if (isTiff) (1, meta.dimY.toInt, meta.dimX.toInt) // TIFF page granularity
+      else ChunkPlanner.chooseChunks(meta.shapeZyx, meta.bytesPerVoxel, a.chunkMb)
+    out += (if (isTiff) s"Using input chunks (z,y,x): $chunks  (TIFF page granularity)"
+            else s"Using input chunks (z,y,x): $chunks  (~${a.chunkMb} MB target per chunk)")
     val est = ChunkPlanner.estimateOutputGb(meta.shapeZyx, meta.bytesPerVoxel, a.scale, a.pyramidLevels)
     out += ChunkPlanner.planReport(meta, a.scale, a.chunkMb, chunks, a.mode, a.pyramidLevels,
       a.output, "zstd")
@@ -100,7 +107,8 @@ object UpscaleCli {
       out += "Dry run: no compute executed."
       return out.result()
     }
-    val vol = MhdReader.read(spark, meta, chunks._1, chunks._2, chunks._3)
+    val vol = if (isTiff) Tiff.read(spark, a.input)
+              else MhdReader.read(spark, meta, chunks._1, chunks._2, chunks._3)
     val upscaled = vol.upscale(a.scale)
     val processed = if (a.mode == "outline") upscaled.outline() else upscaled
     out += s"Upscaled shape (z,y,x): (${z * a.scale}, ${y * a.scale}, ${x * a.scale})"

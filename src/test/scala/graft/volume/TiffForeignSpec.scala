@@ -70,6 +70,15 @@ class TiffForeignSpec extends AnyFunSuite with SparkSpec {
       bits = 32, signed = true, elementType = "MET_INT")
   }
 
+  test("ancillary tags (RATIONAL resolutions, ASCII software) are skipped, not fatal") {
+    assume(havePython, "python3 not available")
+    // real writers (tifffile included) add resolution + software tags;
+    // their field types (RATIONAL, ASCII) must be stepped over without
+    // the reader trying to decode them
+    checkVolume(fixture("anc.tif", "--ancillary"),
+      bits = 16, signed = false, elementType = "MET_USHORT")
+  }
+
   test("Tiff.read also accepts the engine's own BigTIFF export") {
     val grid = graft.queries.VolumeQueries.grid(spark)
     val vol = ChunkVolume.fromVoxels(grid, 16, 16, 16, 5, 6, 7)

@@ -46,6 +46,28 @@ class UpscaleCliSpec extends AnyFunSuite with SparkSpec {
     assert(back.pointLookup(4, 8, 6) === Some(15564L + (2 / 2) * 10 + (4 / 4)))
   }
 
+  test("--input vol.tif takes the legacy TIFF path end-to-end (foreign fixture)") {
+    import scala.sys.process._
+    assume(
+      (try Process(Seq("python3", "-c", "import struct, zlib")).!(ProcessLogger(_ => ())) == 0
+       catch { case _: Throwable => false }),
+      "python3 not available")
+    // a FOREIGN classic multi-strip deflate TIFF from the independent
+    // encoder — the anno_upsampling.py input world
+    val tif = fixtureDir.resolve("legacy.tif").toString
+    assert(Process(Seq("python3", "tools/gen_tiff_fixture.py", tif)).!(ProcessLogger(_ => ())) == 0)
+    val outStore = fixtureDir.resolve("out_tiff").toString
+    val lines = UpscaleCli.run(spark, UpscaleCli.Args(
+      input = tif, output = outStore, scale = 2, format = "graftchunks"))
+    assert(lines.exists(_.startsWith("Source shape (z,y,x): (16, 16, 16), dtype=MET_USHORT")))
+    assert(lines.exists(_.contains("TIFF page granularity")))
+    assert(lines.exists(_.startsWith("Upscaled shape (z,y,x): (32, 32, 32)")))
+    val back = ChunkStore.read(spark, outStore)
+    assert(back.meta.dimZ === 32)
+    // grid formula survives the upscale: voxel (9,9,9) ← source (4,4,4)
+    assert(back.pointLookup(9, 9, 9) === Some(111L))
+  }
+
   test("default output is a real zarr v2 array (reference parity), --compressor honored") {
     val outZarr = fixtureDir.resolve("out_zarr").toString
     val lines = UpscaleCli.run(spark, UpscaleCli.Args(

@@ -36,7 +36,8 @@ def grid_slice(z, dim, bits, endian, signed):
     return struct.pack(endian + fmt * len(vals), *vals)
 
 
-def tiff_bytes(slices, w, h, bpp, sample_format, endian, rows_per_strip, compress):
+def tiff_bytes(slices, w, h, bpp, sample_format, endian, rows_per_strip, compress,
+               ancillary=False):
     e = endian
     out = bytearray()
     out += b"II" if e == "<" else b"MM"
@@ -65,6 +66,15 @@ def tiff_bytes(slices, w, h, bpp, sample_format, endian, rows_per_strip, compres
             sc_off = len(out)
             for _, c in strips:
                 out += struct.pack(e + "I", c)
+        if ancillary:
+            # the tags real writers add that a reader must SKIP, not
+            # choke on: RATIONAL resolutions + a nul-terminated ASCII
+            # Software string, both out-of-line
+            xres_off = len(out)
+            out += struct.pack(e + "II", 72, 1)
+            soft = b"gen_tiff_fixture.py\x00"
+            soft_off = len(out)
+            out += soft
         ifd_off = len(out)
         struct.pack_into(e + "I", out, prev_next_pos, ifd_off)
         entries = []
@@ -94,6 +104,11 @@ def tiff_bytes(slices, w, h, bpp, sample_format, endian, rows_per_strip, compres
         ent(277, 3, 1, short(1))
         ent(278, 4, 1, long_(rows_per_strip))
         ent(339, 3, 1, short(sample_format))
+        if ancillary:
+            ent(282, 5, 1, long_(xres_off))          # XResolution RATIONAL
+            ent(283, 5, 1, long_(xres_off))          # YResolution RATIONAL
+            ent(296, 3, 1, short(2))                 # ResolutionUnit inch
+            ent(305, 2, len(soft), long_(soft_off))  # Software ASCII
         entries.sort(key=lambda b: struct.unpack(e + "H", b[:2])[0])
         out += struct.pack(e + "H", len(entries))
         for x in entries:
@@ -112,11 +127,14 @@ def main():
     ap.add_argument("--rps", type=int, default=5)
     ap.add_argument("--compress", type=int, choices=[0, 1], default=1)
     ap.add_argument("--signed", action="store_true")
+    ap.add_argument("--ancillary", action="store_true",
+                    help="add XResolution/YResolution RATIONALs + Software ASCII")
     a = ap.parse_args()
     e = "<" if a.endian == "le" else ">"
     slices = [grid_slice(z, a.dim, a.bits, e, a.signed) for z in range(a.dim)]
     data = tiff_bytes(slices, a.dim, a.dim, a.bits // 8,
-                      2 if a.signed else 1, e, a.rps, a.compress)
+                      2 if a.signed else 1, e, a.rps, a.compress,
+                      ancillary=a.ancillary)
     with open(a.out, "wb") as f:
         f.write(data)
     print(f"wrote {a.out}: {a.dim}^3 {'' if a.signed else 'u'}int{a.bits} "
