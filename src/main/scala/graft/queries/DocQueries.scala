@@ -441,6 +441,36 @@ object DocQueries {
         FROM documents GROUP BY source ORDER BY source
       """),
     ),
+    // --------------------------------------------------- bigram novelty
+    // The integer-exact cousin of an n-gram-LM perplexity filter: per
+    // doc, how many of its distinct bigrams exist NOWHERE else (corpus
+    // df = 1). Counts only — no float summation order to knife-edge.
+    // One exact bigram groupBy + re-join + per-doc rollup; the per-gram
+    // aggregation state is one counter (no collect_list), so no
+    // stop-bigram can blow task memory at corpus scale.
+    Q(
+      "doc_bigram_novelty",
+      (s, d) => TextAnalysis.bigramNovelty(T(s, d, "documents")),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bg AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> array_to_string(w[i:i+1], ' '))) AS g
+          FROM t
+        ),
+        df AS (SELECT g, COUNT(*) AS df FROM bg GROUP BY 1),
+        per AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel
+          FROM bg JOIN df USING (g) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel
+        FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
+      """),
+    ),
     // ------------------------------------------------- text normalization
     // Canonicalization before any fingerprint/dedup: Unicode NFC (custom
     // codegen'd graft_nfc — Spark has no built-in normalizer; DuckDB's

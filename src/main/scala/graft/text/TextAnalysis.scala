@@ -104,4 +104,51 @@ object TextAnalysis {
     GraftFunctions.register(docs.sparkSession)
     docs.withColumn("fp64", GraftFunctions.fp64(col(textCol)))
   }
+
+  /** Per-document bigram NOVELTY: of a document's distinct word bigrams,
+    * how many appear in no other document (corpus df = 1)? High novelty
+    * marks original prose; near-zero novelty marks boilerplate and
+    * template spam — the integer-exact cousin of an n-gram LM perplexity
+    * filter (counts only, so the oracle comparison has no float
+    * summation-order knife edges).
+    *
+    * Scale shape: one exact groupBy over the exploded bigram stream
+    * (map-side partial count first — the same shape as term-df), a
+    * re-join of that stream to its df, and a per-doc rollup. No
+    * collect_list anywhere: the aggregation state per bigram is one
+    * counter, so no stop-bigram can blow task memory.
+    */
+  def bigramNovelty(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val w = tokens(col(textCol))
+    // the >= 2 guard matters: Spark's sequence(1, 0) counts DOWN to
+    // [1, 0] (step defaults to -1), it is not empty like DuckDB's
+    // generate_series — a single-token doc must emit no bigrams, not two
+    // broken slices
+    val grams = docs.select(
+      col(idCol),
+      explode(array_distinct(
+        when(size(w) >= 2, transform(
+          sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", slice(w, i, lit(2)))))
+        .otherwise(array().cast("array<string>")))).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+    // left join back so zero-bigram docs (empty / single-token text)
+    // still report, with 0s
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .orderBy(col(idCol))
+  }
 }

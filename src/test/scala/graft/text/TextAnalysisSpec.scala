@@ -1,0 +1,40 @@
+package graft.text
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** bigramNovelty semantics: distinct bigrams per doc, novelty = corpus
+  * df 1, degenerate docs report zeros instead of vanishing.
+  */
+class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
+
+  test("bigramNovelty matches the hand count; single-token and empty docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b" and "b c" — "a b" also in doc 2, "b c" only here? no:
+      // doc 2 = "a b a b" → distinct bigrams {"a b", "b a"}
+      (1L, "a b c"),  // bigrams {a b, b c}
+      (2L, "a b a b"), // bigrams {a b, b a}
+      (3L, "x"),       // single token → no bigrams
+      (4L, ""),        // split("") = [""] → no bigrams
+      (5L, "q r"),     // {q r} — unique
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNovelty(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // df: "a b" -> 2, "b c" -> 1, "b a" -> 1, "q r" -> 1
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L), // {a b (df 2), b c (df 1)}
+      (2L, 2L, 1L), // {a b (df 2), b a (df 1)}
+      (3L, 0L, 0L),
+      (4L, 0L, 0L),
+      (5L, 1L, 1L),
+    ))
+  }
+
+  test("bigramNovelty counts distinct bigrams once however often they repeat in a doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "z z z z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNovelty(docs).collect().head
+    assert((got.getLong(1), got.getLong(2)) === ((1L, 1L))) // just {"z z"}
+  }
+}
