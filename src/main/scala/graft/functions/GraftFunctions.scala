@@ -25,6 +25,7 @@ object GraftFunctions {
   val ProbeListsName = "graft_probe_lists"
   val NfcName = "graft_nfc"
   val SigAgreeName = "graft_sig_agree"
+  val MaxTermCountName = "graft_max_term_count"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -86,6 +87,10 @@ object GraftFunctions {
       require(children.size == 2, s"$SigAgreeName takes exactly 2 arguments")
       SigAgree(children(0), children(1))
     }),
+    (MaxTermCountName, classOf[MaxTermCount].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$MaxTermCountName takes exactly 1 argument")
+      MaxTermCount(children.head)
+    }),
   )
 
   /** Idempotently register graft functions in this session's registry. */
@@ -137,4 +142,9 @@ object GraftFunctions {
 
   /** Count of agreeing positions between two ARRAY<BIGINT> signatures. */
   def sigAgree(a: Column, b: Column): Column = call_function(SigAgreeName, a, b)
+
+  /** Multiplicity of the most frequent term in an ARRAY<STRING> (0 for
+    * empty) — the within-doc repetition kernel.
+    */
+  def maxTermCount(tokens: Column): Column = call_function(MaxTermCountName, tokens)
 }

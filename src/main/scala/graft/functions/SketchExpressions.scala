@@ -82,6 +82,28 @@ object Sketches {
     out
   }
 
+  /** Multiplicity of the most frequent term in a token array (see
+    * [[MaxTermCount]]): 0 for empty input, null slots skipped. One pass,
+    * one open-addressing-free HashMap keyed on the array's UTF8String
+    * slices (no copies — UTF8String hashes/compares its bytes in place).
+    */
+  def maxTermCount(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val c = counts.merge(arr.getUTF8String(i), Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
+        if (c > best) best = c.intValue()
+      }
+      i += 1
+    }
+    best
+  }
+
   /** Count of positions where two long signatures agree (see [[SigAgree]]).
     * A null slot on either side counts as DISAGREEMENT — matching the
     * `zip_with` + `aggregate` HOF this kernel replaced, whose null
@@ -372,6 +394,33 @@ case class SigAgree(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigAgree =
     copy(left = newLeft, right = newRight)
+}
+
+/** Multiplicity of the most frequent term in an ARRAY<STRING> — the
+  * kernel behind within-document repetition quality signals (the Gopher
+  * filters' top-n-gram coverage, Rae et al. 2021 §A1.1): a narrow
+  * codegen'd pass, no explode, no shuffle.
+  */
+case class MaxTermCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_max_term_count requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_max_term_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.maxTermCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.maxTermCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxTermCount =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash of a token array (term-frequency weighted ±1 votes per

@@ -471,6 +471,38 @@ object DocQueries {
         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
       """),
     ),
+    // ------------------------------------------------ repetition signals
+    // Gopher-family within-doc repetition filters (top-n-gram coverage,
+    // duplicate-token fraction), integer-exact. A pure NARROW projection:
+    // codegen'd max-term-count kernel per row, no explode, no shuffle —
+    // at 100 TB this runs at scan speed. (The oracle explodes because
+    // DuckDB has no per-row multiplicity kernel; counts agree exactly.)
+    Q(
+      "doc_repetition",
+      (s, d) => TextAnalysis.repetitionSignals(T(s, d, "documents")),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+        tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        toks AS (
+          SELECT doc_id, MAX(c) AS top_tok, SUM(c - 1) AS dup_tok
+          FROM tc GROUP BY 1
+        ),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+1], ' '))) AS g
+          FROM t
+        ),
+        bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bgs AS (SELECT doc_id, MAX(c) AS top_bg FROM bc GROUP BY 1)
+        SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(toks.top_tok AS BIGINT) AS top_token_count,
+               CAST(COALESCE(toks.dup_tok, 0) AS BIGINT) AS dup_token_occurrences,
+               CAST(COALESCE(bgs.top_bg, 0) AS BIGINT) AS top_bigram_count
+        FROM t LEFT JOIN toks USING (doc_id) LEFT JOIN bgs USING (doc_id)
+        ORDER BY doc_id
+      """),
+    ),
     // ------------------------------------------------- text normalization
     // Canonicalization before any fingerprint/dedup: Unicode NFC (custom
     // codegen'd graft_nfc — Spark has no built-in normalizer; DuckDB's

@@ -105,6 +105,17 @@ object TextAnalysis {
     docs.withColumn("fp64", GraftFunctions.fp64(col(textCol)))
   }
 
+  /** Word bigrams of a token array, repeats preserved. The >= 2 guard
+    * matters: Spark's sequence(1, 0) counts DOWN to [1, 0] (step defaults
+    * to -1), it is not empty like DuckDB's generate_series — a
+    * single-token doc must emit no bigrams, not two broken slices.
+    */
+  def bigrams(w: Column): Column =
+    when(size(w) >= 2, transform(
+      sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", slice(w, i, lit(2)))))
+    .otherwise(array().cast("array<string>"))
+
   /** Per-document bigram NOVELTY: of a document's distinct word bigrams,
     * how many appear in no other document (corpus df = 1)? High novelty
     * marks original prose; near-zero novelty marks boilerplate and
@@ -123,18 +134,9 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text",
   ): DataFrame = {
-    val w = tokens(col(textCol))
-    // the >= 2 guard matters: Spark's sequence(1, 0) counts DOWN to
-    // [1, 0] (step defaults to -1), it is not empty like DuckDB's
-    // generate_series — a single-token doc must emit no bigrams, not two
-    // broken slices
     val grams = docs.select(
       col(idCol),
-      explode(array_distinct(
-        when(size(w) >= 2, transform(
-          sequence(lit(1), size(w) - 1),
-          i => concat_ws(" ", slice(w, i, lit(2)))))
-        .otherwise(array().cast("array<string>")))).as("g"))
+      explode(array_distinct(bigrams(tokens(col(textCol))))).as("g"))
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val perDoc = grams.join(df, Seq("g"))
       .groupBy(col(idCol))
@@ -150,5 +152,31 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .orderBy(col(idCol))
+  }
+
+  /** WITHIN-document repetition signals — the Gopher quality-filter
+    * family (Rae et al. 2021 §A1.1: fraction of tokens in the most
+    * frequent n-gram, duplicate-n-gram fraction), integer-exact:
+    * top_token_count, duplicate token occurrences (occurrences beyond
+    * each term's first), and top_bigram_count. Everything is computed
+    * per row by codegen'd expressions ([[GraftFunctions.maxTermCount]] +
+    * array built-ins) — a pure narrow projection, NO explode and NO
+    * shuffle at any corpus size; downstream filters divide by n_tokens
+    * for the published ratio forms.
+    */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val w = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(w).cast("bigint").as("n_tokens"),
+      GraftFunctions.maxTermCount(w).cast("bigint").as("top_token_count"),
+      (size(w) - size(array_distinct(w))).cast("bigint").as("dup_token_occurrences"),
+      GraftFunctions.maxTermCount(bigrams(w)).cast("bigint").as("top_bigram_count"),
+    ).orderBy(col(idCol))
   }
 }

@@ -37,4 +37,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val got = TextAnalysis.bigramNovelty(docs).collect().head
     assert((got.getLong(1), got.getLong(2)) === ((1L, 1L))) // just {"z z"}
   }
+
+  test("maxTermCount kernel: multiplicity of the mode, nulls skipped, empty = 0") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: Any*): GenericArrayData =
+      new GenericArrayData(ts.map {
+        case null => null
+        case s: String => UTF8String.fromString(s)
+      }.toArray[Any])
+    assert(graft.functions.Sketches.maxTermCount(arr("a", "b", "a", "a", "c")) === 3)
+    assert(graft.functions.Sketches.maxTermCount(arr("x")) === 1)
+    assert(graft.functions.Sketches.maxTermCount(arr()) === 0)
+    assert(graft.functions.Sketches.maxTermCount(arr(null, "y", null)) === 1)
+  }
+
+  test("repetitionSignals: hand-computed Gopher-style counts, narrow plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat the end"), // "the" x3; bigrams all distinct
+      (2L, "spam spam spam spam"),            // top tok 4, "spam spam" x3
+      (3L, "unique words only here"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 8L, 3L, 2L, 1L), // 8 tokens; "the" 3x; dups = 8-6; bigrams unique
+      (2L, 4L, 4L, 3L, 3L), // "spam spam" appears 3 times
+      (3L, 4L, 1L, 0L, 1L),
+    ))
+    // the scale claim IS the plan: no exchange, no generate/explode
+    val plan = TextAnalysis.repetitionSignals(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
 }
