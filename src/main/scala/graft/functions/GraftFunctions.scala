@@ -26,6 +26,7 @@ object GraftFunctions {
   val NfcName = "graft_nfc"
   val SigAgreeName = "graft_sig_agree"
   val MaxTermCountName = "graft_max_term_count"
+  val MaxPairCountName = "graft_max_pair_count"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -91,6 +92,10 @@ object GraftFunctions {
       require(children.size == 1, s"$MaxTermCountName takes exactly 1 argument")
       MaxTermCount(children.head)
     }),
+    (MaxPairCountName, classOf[MaxPairCount].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$MaxPairCountName takes exactly 1 argument")
+      MaxPairCount(children.head)
+    }),
   )
 
   /** Idempotently register graft functions in this session's registry. */
@@ -147,4 +152,9 @@ object GraftFunctions {
     * empty) — the within-doc repetition kernel.
     */
   def maxTermCount(tokens: Column): Column = call_function(MaxTermCountName, tokens)
+
+  /** Multiplicity of the most frequent adjacent token pair (word bigram)
+    * in an ARRAY<STRING> — interned-id pair counting, no string concat.
+    */
+  def maxPairCount(tokens: Column): Column = call_function(MaxPairCountName, tokens)
 }

@@ -104,6 +104,46 @@ object Sketches {
     best
   }
 
+  /** Multiplicity of the most frequent ADJACENT PAIR (word bigram) in a
+    * token array (see [[MaxPairCount]]): 0 when fewer than two non-null
+    * tokens ever sit adjacent. Tokens are interned to dense ids first,
+    * then pairs count as packed longs — no per-pair string
+    * concatenation, no interpreted lambda (the `transform(sequence…)`
+    * HOF this replaces is CodegenFallback and dominated the repetition
+    * query's runtime). Pairs with a null side are skipped.
+    */
+  def maxPairCount(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n < 2) return 0
+    val ids = new java.util.HashMap[UTF8String, Integer](n * 2)
+    val idOf = new Array[Int](n)
+    var next = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) idOf(i) = -1
+      else {
+        val t = arr.getUTF8String(i)
+        var id = ids.get(t)
+        if (id == null) { id = Integer.valueOf(next); ids.put(t, id); next += 1 }
+        idOf(i) = id.intValue()
+      }
+      i += 1
+    }
+    val pairs = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    var best = 0
+    i = 0
+    while (i < n - 1) {
+      if (idOf(i) >= 0 && idOf(i + 1) >= 0) {
+        val key = java.lang.Long.valueOf((idOf(i).toLong << 32) | (idOf(i + 1).toLong & 0xffffffffL))
+        val c = pairs.merge(key, Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
+        if (c > best) best = c.intValue()
+      }
+      i += 1
+    }
+    best
+  }
+
   /** Count of positions where two long signatures agree (see [[SigAgree]]).
     * A null slot on either side counts as DISAGREEMENT — matching the
     * `zip_with` + `aggregate` HOF this kernel replaced, whose null
@@ -420,6 +460,33 @@ case class MaxTermCount(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Sketches.maxTermCount($c);")
 
   override protected def withNewChildInternal(newChild: Expression): MaxTermCount =
+    copy(child = newChild)
+}
+
+/** Multiplicity of the most frequent adjacent token pair — the bigram
+  * face of the repetition signals, one codegen'd pass with interned
+  * token ids instead of a CodegenFallback `transform` building a bigram
+  * string per position.
+  */
+case class MaxPairCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_max_pair_count requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_max_pair_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.maxPairCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.maxPairCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxPairCount =
     copy(child = newChild)
 }
 

@@ -134,9 +134,18 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text",
   ): DataFrame = {
-    val grams = docs.select(
-      col(idCol),
-      explode(array_distinct(bigrams(tokens(col(textCol))))).as("g"))
+    // bigram stream WITHOUT the transform(sequence…) HOF (CodegenFallback,
+    // interpreted lambda per position — its removal took doc_repetition
+    // 2.6 → 0.36 s): two codegen'd slices zipped, string built post-
+    // explode in codegen, per-doc dedup as a distinct whose exchange sits
+    // upstream of (and AQE-reuses into) the df aggregate's
+    val w = tokens(col(textCol))
+    val grams = docs.select(col(idCol),
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))).as("a"),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))).as("b"))
+      .select(col(idCol), explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col(idCol), concat_ws(" ", col("p.a"), col("p.b")).as("g"))
+      .distinct()
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val perDoc = grams.join(df, Seq("g"))
       .groupBy(col(idCol))
@@ -176,7 +185,11 @@ object TextAnalysis {
       size(w).cast("bigint").as("n_tokens"),
       GraftFunctions.maxTermCount(w).cast("bigint").as("top_token_count"),
       (size(w) - size(array_distinct(w))).cast("bigint").as("dup_token_occurrences"),
-      GraftFunctions.maxTermCount(bigrams(w)).cast("bigint").as("top_bigram_count"),
+      // maxPairCount, NOT maxTermCount(bigrams(w)): the bigram HOF is
+      // CodegenFallback and was measured dominating this query (2.6 s →
+      // see spec equivalence pin); the pair kernel counts interned-id
+      // pairs in the same pass shape with no string building
+      GraftFunctions.maxPairCount(w).cast("bigint").as("top_bigram_count"),
     ).orderBy(col(idCol))
   }
 }

@@ -52,6 +52,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(graft.functions.Sketches.maxTermCount(arr(null, "y", null)) === 1)
   }
 
+  test("maxPairCount kernel equals maxTermCount over built bigram strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val g = graft.functions.GraftFunctions
+    g.register(spark)
+    // the kernel replaced the HOF form for speed — pin the equivalence
+    // on real corpus text (space-split tokens can't alias across pairs)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs.select(
+      g.maxPairCount(TextAnalysis.tokens(col("text"))).as("kernel"),
+      g.maxTermCount(TextAnalysis.bigrams(TextAnalysis.tokens(col("text")))).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // degenerate + null-slot semantics
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: Any*): GenericArrayData =
+      new GenericArrayData(ts.map {
+        case null => null
+        case s: String => UTF8String.fromString(s)
+      }.toArray[Any])
+    assert(graft.functions.Sketches.maxPairCount(arr("a", "b", "a", "b")) === 2) // "a b" twice
+    assert(graft.functions.Sketches.maxPairCount(arr("x")) === 0)
+    assert(graft.functions.Sketches.maxPairCount(arr()) === 0)
+    assert(graft.functions.Sketches.maxPairCount(arr("a", null, "a", "b")) === 1)
+  }
+
   test("repetitionSignals: hand-computed Gopher-style counts, narrow plan") {
     import spark.implicits._
     val docs = Seq(
