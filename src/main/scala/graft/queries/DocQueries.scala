@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
+import graft.operators.Mixing
 import graft.similarity.Ann
 import graft.streaming.EventStreams
 import graft.text.TextAnalysis
@@ -469,6 +470,54 @@ object DocQueries {
                CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel
         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
+      """),
+    ),
+    // ------------------------------------------------------ corpus mixing
+    // Deterministic source-balanced downsampling (operators/Mixing): docs
+    // rank inside their source by md5(doc_id) — the splitColumn order —
+    // so the surviving set is a pure function of the data, replayable in
+    // SQL. One window shuffle each.
+    Q(
+      "doc_cap_per_source",
+      (s, d) =>
+        Mixing.capPerBlock(T(s, d, "documents"), cap = 40)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("source"), col("doc_id")),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rk <= 40 ORDER BY source, doc_id
+      """),
+    ),
+    Q(
+      "doc_token_budget",
+      (s, d) =>
+        Mixing.tokenBudgetPerBlock(
+          T(s, d, "documents"),
+          tokens = size(split(col("text"), " ")), budget = 2000L)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            max(col("cum_toks")).as("tok_kept"))
+          .orderBy(col("source")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents
+        ), c AS (
+          SELECT source, toks,
+                 SUM(toks) OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+          FROM t
+        )
+        SELECT source, COUNT(*) AS n_kept, CAST(MAX(cum_toks) AS BIGINT) AS tok_kept
+        FROM c WHERE cum_toks <= 2000 GROUP BY source ORDER BY source
       """),
     ),
     // ------------------------------------------------ repetition signals
