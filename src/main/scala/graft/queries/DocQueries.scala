@@ -1039,6 +1039,35 @@ object DocQueries {
         FROM events GROUP BY 1, 2 ORDER BY event_type, hour_s
       """),
     ),
+    // Stream-static enrichment, batch execution: the dimension join runs
+    // broadcast + STATELESS under streaming (no join state however long
+    // the stream runs; the static side re-plans per micro-batch, so a
+    // refreshed dim snapshot is picked up live). EventStreamsSpec proves
+    // the streaming execution; this face proves the numbers.
+    Q(
+      "ev_stream_enrich",
+      (s, d) => {
+        import s.implicits._
+        val dim = T(s, d, "customer")
+          .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+        EventStreams.enrichedHourlyBySegment(T.events(s, d), dim)
+          .select(
+            col("segment"),
+            unix_timestamp(col("window.start")).as("hour_s"),
+            col("n_events"),
+            (col("value_c") / 100.0).as("total_value"),
+          )
+          .orderBy(col("segment"), col("hour_s"))
+      },
+      Some("""
+        SELECT c.c_mktsegment AS segment,
+               CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS hour_s,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY segment, hour_s
+      """),
+    ),
     // Sliding-window streaming surface, batch execution: 1-hour windows
     // every 15 minutes — each event lands in 4 overlapping windows
     // (epoch-aligned, like Spark's window()). Oracle enumerates the 4

@@ -43,6 +43,26 @@ object EventStreams {
         sum(round(col("value") * 100).cast("bigint")).as("value_c"),
       )
 
+  /** STREAM-STATIC enrichment — the dimension-join shape: each event
+    * enriched with its user's segment from a static (batch) dimension
+    * table, then rolled up per (hour window, segment). The static side
+    * is broadcast and STATELESS in streaming execution — no join state
+    * accumulates however long the stream runs, and Spark re-plans the
+    * static side per micro-batch, so a refreshed dimension snapshot is
+    * picked up without restarting the query. `value_c` is the exact
+    * cents twin (see [[hourlyByType]]). Works identically on batch
+    * frames for oracle parity.
+    */
+  def enrichedHourlyBySegment(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_c"),
+      )
+
   /** Stream-stream INTERVAL join — the attribution shape: each purchase
     * matched to the same user's views within the preceding
     * `attribution` interval. Both sides carry watermarks and the join

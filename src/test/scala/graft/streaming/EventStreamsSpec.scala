@@ -60,6 +60,42 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("enrichedHourlyBySegment: stream-static join is stateless and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "A"), (2L, "B"), (3L, "A")).toDF("user_id", "segment")
+    // EvId (top-level) so the batch face's toDF() can encode it too
+    val input = MemoryStream[EvId]
+    val query = EventStreams.enrichedHourlyBySegment(input.toDF(), dim)
+      .select(col("window.start").as("w"), col("segment"), col("n_events"), col("value_c"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val batch = Seq(
+        EvId(1L, us(0, 10), "click", 1, 1.5),
+        EvId(2L, us(0, 20), "click", 2, 2.0),
+        EvId(3L, us(0, 30), "buy", 3, 4.0),
+        EvId(4L, us(0, 40), "click", 9, 9.0)) // user 9 not in dim -> dropped (inner)
+      input.addData(batch: _*)
+      input.addData(EvId(5L, us(4, 0), "click", 1, 0.0)) // advance watermark past hour 0
+      query.processAllAvailable()
+      input.addData(EvId(6L, us(4, 1), "click", 1, 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .select("segment", "n_events", "value_c")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // segment A: users 1+3 -> 2 events, 150+400 cents; B: user 2 -> 200
+      assert(streamed === Set(("A", 2L, 550L), ("B", 1L, 200L)))
+      // batch face: identical code path, identical numbers
+      val batchRows = EventStreams.enrichedHourlyBySegment(batch.toDF(), dim)
+        .select("segment", "n_events", "value_c")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batchRows === streamed)
+      // stateless join: only the window aggregation holds state
+      assert(query.lastProgress.stateOperators.size === 1)
+    } finally query.stop()
+  }
+
   test("dedupWithinWatermark: redelivered event_ids are dropped across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
