@@ -79,6 +79,15 @@ class TiffForeignSpec extends AnyFunSuite with SparkSpec {
       bits = 16, signed = false, elementType = "MET_USHORT")
   }
 
+  test("FOREIGN BigTIFF (magic 43): multi-strip deflate LE + single-strip BE") {
+    assume(havePython, "python3 not available")
+    checkVolume(fixture("big_le.tif", "--bigtiff"),
+      bits = 16, signed = false, elementType = "MET_USHORT")
+    checkVolume(fixture("big_be.tif", "--bigtiff", "--endian", "be",
+        "--compress", "0", "--rps", "16"),
+      bits = 16, signed = false, elementType = "MET_USHORT")
+  }
+
   test("Tiff.read also accepts the engine's own BigTIFF export") {
     val grid = graft.queries.VolumeQueries.grid(spark)
     val vol = ChunkVolume.fromVoxels(grid, 16, 16, 16, 5, 6, 7)

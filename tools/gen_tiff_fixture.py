@@ -36,6 +36,75 @@ def grid_slice(z, dim, bits, endian, signed):
     return struct.pack(endian + fmt * len(vals), *vals)
 
 
+def bigtiff_bytes(slices, w, h, bpp, sample_format, endian, rows_per_strip, compress):
+    """BigTIFF (magic 43): 8-byte offsets, 20-byte IFD entries, LONG8
+    strip tables — the independent twin of the classic writer below, so
+    the reader's BigTIFF branch is also exercised on foreign output."""
+    e = endian
+    out = bytearray()
+    out += b"II" if e == "<" else b"MM"
+    out += struct.pack(e + "HHH", 43, 8, 0)
+    out += struct.pack(e + "Q", 0)  # first-IFD offset, patched below
+    page_strips = []
+    for s in slices:
+        strips = []
+        r = 0
+        while r < h:
+            n = min(rows_per_strip, h - r)
+            chunk = bytes(s[r * w * bpp:(r + n) * w * bpp])
+            if compress:
+                chunk = zlib.compress(chunk, 6)
+            strips.append((len(out), len(chunk)))
+            out += chunk
+            r += n
+        page_strips.append(strips)
+    prev_next_pos = 8
+    for strips in page_strips:
+        nstrips = len(strips)
+        if nstrips > 1:  # out-of-line LONG8 arrays precede the IFD
+            so_off = len(out)
+            for o, _ in strips:
+                out += struct.pack(e + "Q", o)
+            sc_off = len(out)
+            for _, c in strips:
+                out += struct.pack(e + "Q", c)
+        ifd_off = len(out)
+        struct.pack_into(e + "Q", out, prev_next_pos, ifd_off)
+        entries = []
+
+        def ent(tag, typ, count, payload):
+            entries.append(struct.pack(e + "HHQ", tag, typ, count)
+                           + payload + b"\x00" * (8 - len(payload)))
+
+        def short(v):
+            return struct.pack(e + "H", v)
+
+        def long8(v):
+            return struct.pack(e + "Q", v)
+
+        ent(256, 4, 1, struct.pack(e + "I", w))
+        ent(257, 4, 1, struct.pack(e + "I", h))
+        ent(258, 3, 1, short(bpp * 8))
+        ent(259, 3, 1, short(8 if compress else 1))
+        ent(262, 3, 1, short(1))
+        if nstrips == 1:
+            ent(273, 16, 1, long8(strips[0][0]))
+            ent(279, 16, 1, long8(strips[0][1]))
+        else:
+            ent(273, 16, nstrips, long8(so_off))
+            ent(279, 16, nstrips, long8(sc_off))
+        ent(277, 3, 1, short(1))
+        ent(278, 4, 1, struct.pack(e + "I", rows_per_strip))
+        ent(339, 3, 1, short(sample_format))
+        entries.sort(key=lambda b: struct.unpack(e + "H", b[:2])[0])
+        out += struct.pack(e + "Q", len(entries))
+        for x in entries:
+            out += x
+        prev_next_pos = len(out)
+        out += struct.pack(e + "Q", 0)
+    return bytes(out)
+
+
 def tiff_bytes(slices, w, h, bpp, sample_format, endian, rows_per_strip, compress,
                ancillary=False):
     e = endian
@@ -129,15 +198,22 @@ def main():
     ap.add_argument("--signed", action="store_true")
     ap.add_argument("--ancillary", action="store_true",
                     help="add XResolution/YResolution RATIONALs + Software ASCII")
+    ap.add_argument("--bigtiff", action="store_true",
+                    help="write BigTIFF (magic 43, 8-byte offsets) instead of classic")
     a = ap.parse_args()
     e = "<" if a.endian == "le" else ">"
     slices = [grid_slice(z, a.dim, a.bits, e, a.signed) for z in range(a.dim)]
-    data = tiff_bytes(slices, a.dim, a.dim, a.bits // 8,
-                      2 if a.signed else 1, e, a.rps, a.compress,
-                      ancillary=a.ancillary)
+    if a.bigtiff:
+        data = bigtiff_bytes(slices, a.dim, a.dim, a.bits // 8,
+                             2 if a.signed else 1, e, a.rps, a.compress)
+    else:
+        data = tiff_bytes(slices, a.dim, a.dim, a.bits // 8,
+                          2 if a.signed else 1, e, a.rps, a.compress,
+                          ancillary=a.ancillary)
     with open(a.out, "wb") as f:
         f.write(data)
-    print(f"wrote {a.out}: {a.dim}^3 {'' if a.signed else 'u'}int{a.bits} "
+    print(f"wrote {a.out}: {'bigtiff' if a.bigtiff else 'classic'} {a.dim}^3 "
+          f"{'' if a.signed else 'u'}int{a.bits} "
           f"{a.endian} rps={a.rps} compress={a.compress} ({len(data)} bytes)")
 
 
