@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails `runMain graft.Bench` stdout (last 2000 chars) and
+// json-parses lines. Two sbt behaviors broke that in r7/r8: the forked
+// process's output was routed through the logger (every line got an
+// "[info] " prefix that fails json.loads) and "[success] Total time"
+// printed after the bench JSON. Route forked output straight to stdout
+// and drop the success banner so the bench's final line IS the last
+// stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

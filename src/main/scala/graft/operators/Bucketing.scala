@@ -64,7 +64,14 @@ object Bucketing {
     */
   def mirrorName(prefix: String, sfDir: String, key: String, buckets: Int,
       cols: Seq[String]): String = {
-    val colsHash = java.lang.Integer.toHexString(cols.mkString(",").hashCode)
+    // unambiguous projection encoding: NUL can't appear in a column name,
+    // and the element count disambiguates any residual aliasing; MD5 (128
+    // bits, 16-hex prefix) instead of 32-bit String.hashCode so a
+    // collision can't silently reuse a wrong-shaped mirror
+    val enc = cols.length + "\u0000" + cols.mkString("\u0000")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(enc.getBytes("UTF-8"))
+    val colsHash = md5.take(8).map(b => f"$b%02x").mkString
     (prefix + "_" + sfDir + "_" + key + "_b" + buckets + "_" + colsHash)
       .replaceAll("[^A-Za-z0-9]", "_")
   }

@@ -134,42 +134,102 @@ object VolumeBench {
     s(s.length / 2)
   }
 
+  /** Ambient-disk probe: seconds to write (and fsync) `gb` GiB of
+    * incompressible deterministic bytes to `dir` — the same filesystem
+    * the sinks write to. Run before/between/after the timed sections,
+    * it turns "the zarr number doubled" into an attributable fact: if
+    * the probe doubled too, the box's disk was contended; if the probe
+    * held steady, the sink regressed. (r7 and r8 both measured the zarr
+    * sinks multi-× slower on the driver box than on a quiescent box,
+    * with pure-compute probes swinging ±50% — this puts the ambient-I/O
+    * evidence in the artifact itself.)
+    */
+  def diskProbe(dir: String, gb: Int = 2): Double = {
+    val p = Paths.get(dir, "disk_probe.bin")
+    Files.createDirectories(p.getParent)
+    // xorshift64-filled 64 MiB block: incompressible like the zstd
+    // frames the sinks emit, deterministic (no RNG in the bench)
+    val block = new Array[Byte](64 << 20)
+    var s = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < block.length) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      block(i) = s.toByte
+      i += 1
+    }
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      var written = 0L
+      val target = gb.toLong << 30
+      while (written < target) {
+        val buf = java.nio.ByteBuffer.wrap(block)
+        while (buf.hasRemaining) ch.write(buf)
+        written += block.length
+      }
+      ch.force(false)
+    } finally ch.close()
+    val sec = (System.nanoTime() - t0) / 1e9
+    Files.deleteIfExists(p)
+    sec
+  }
+
   /** Returns (name -> seconds) entries for the bench JSON. Canonical
     * names carry the MEDIAN of `reps` runs (see [[median]]); per-run
     * samples are reported as `<name>_runN`. The very first ×2 run pays
     * cold page cache + JIT and is reported separately as `_cold`.
+    *
+    * Sinks at the same scale are sampled as INTERLEAVED rep-tuples —
+    * rep i runs (internal, zarr, bitshuffle) back-to-back before rep
+    * i+1 — so an ambient-I/O window on the box hits all sinks equally
+    * and the internal store becomes an in-artifact control for the zarr
+    * numbers (r8: consecutive per-sink blocks left "zarr 2.6× over
+    * baseline" indistinguishable from "disk degraded mid-bench").
     */
   def run(spark: SparkSession, workDir: String = "/tmp/graft_volbench",
       reps: Int = 3): Seq[(String, Double)] = {
     val mhd = ensureFixture(workDir)
     val entries = Seq.newBuilder[(String, Double)]
-    def sample(name: String, body: => Double): Unit = {
-      val runs = (1 to reps).map { _ =>
+    def sampleInterleaved(specs: Seq[(String, () => Double)]): Unit = {
+      val runs = specs.map { case (name, _) => name -> Seq.newBuilder[Double] }.toMap
+      for (_ <- 1 to reps; (name, body) <- specs) {
         // the previous rep's publish queued an O(files) background delete
         // of the store it replaced — let it drain so the timed rep isn't
         // contending with its predecessor's retirement I/O (the r7 ×2-zarr
         // medians were measured without this and swung ±2.5×)
         AtomicDir.awaitQuiescent()
-        body
+        runs(name) += body()
       }
-      runs.zipWithIndex.foreach { case (t, i) => entries += (s"${name}_run${i + 1}" -> t) }
-      entries += (name -> median(runs))
+      specs.foreach { case (name, _) =>
+        val rs = runs(name).result()
+        rs.zipWithIndex.foreach { case (t, i) => entries += (s"${name}_run${i + 1}" -> t) }
+        entries += (name -> median(rs))
+      }
     }
+    entries += ("vol_disk_probe_pre" -> diskProbe(workDir))
     val cold = upscale(spark, mhd, 2, s"$workDir/out_x2")
     entries += ("vol_atlas_upscale_x2_cold" -> cold)
-    sample("vol_atlas_upscale_x2", upscale(spark, mhd, 2, s"$workDir/out_x2"))
-    sample("vol_atlas_upscale_x2_zarr", upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr"))
-    // the reference CLI's EXACT default output (Blosc zstd BITSHUFFLE,
-    // upscale_streaming.py:104) at the reference's headline scale
-    sample("vol_atlas_upscale_x2_zarr_bit",
-      upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr_bit", shuffle = 2))
+    // the ×2 headline into three sinks: the internal zstd chunk store,
+    // the spec-compliant blosc-zstd zarr, and the reference CLI's EXACT
+    // default output (Blosc zstd BITSHUFFLE, upscale_streaming.py:104)
+    sampleInterleaved(Seq(
+      "vol_atlas_upscale_x2" ->
+        (() => upscale(spark, mhd, 2, s"$workDir/out_x2")),
+      "vol_atlas_upscale_x2_zarr" ->
+        (() => upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr")),
+      "vol_atlas_upscale_x2_zarr_bit" ->
+        (() => upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr_bit", shuffle = 2)),
+    ))
+    entries += ("vol_disk_probe_mid" -> diskProbe(workDir))
     // the ×15 streaming run: 1.04 TB logical (260 G voxels), reference
     // baseline 684.5 s. Two sinks — the internal zstd chunk store and the
     // APPLES-TO-APPLES spec-compliant blosc-zstd zarr the reference
-    // itself wrote — each sampled `reps` times (median under the
-    // canonical name), plus sink-free stage probes (scan only /
-    // scan+kernel) so write cost is read directly as headline − kernel.
-    // SPARK_GRAFT_VOLBENCH=x2only skips.
+    // itself wrote — interleaved like the ×2 sinks, plus sink-free stage
+    // probes (scan only / scan+kernel) so write cost is read directly as
+    // headline − kernel. SPARK_GRAFT_VOLBENCH=x2only skips.
     if (!sys.env.get("SPARK_GRAFT_VOLBENCH").contains("x2only")) {
       // one untimed warmup before the timed probes: the ×15 kernel stage
       // swung 68.5→17.8 s across r7 reps on identical code (JIT + page
@@ -182,10 +242,14 @@ object VolumeBench {
       }
       entries += ("vol_atlas_x15_stage_scan" -> median(stages.map(_._1)))
       entries += ("vol_atlas_x15_stage_kernel" -> median(stages.map(_._2)))
-      sample("vol_atlas_upscale_x15", upscale(spark, mhd, 15, s"$workDir/out_x15"))
-      sample("vol_atlas_upscale_x15_zarr",
-        upscaleZarr(spark, mhd, 15, s"$workDir/out_x15_zarr"))
+      sampleInterleaved(Seq(
+        "vol_atlas_upscale_x15" ->
+          (() => upscale(spark, mhd, 15, s"$workDir/out_x15")),
+        "vol_atlas_upscale_x15_zarr" ->
+          (() => upscaleZarr(spark, mhd, 15, s"$workDir/out_x15_zarr")),
+      ))
     }
+    entries += ("vol_disk_probe_post" -> diskProbe(workDir))
     entries.result()
   }
 }
