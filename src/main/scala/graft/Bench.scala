@@ -46,7 +46,7 @@ object Bench {
     // headline volume benchmark FIRST, on the clean JVM — the reference's
     // recorded runs (BASELINE.md ×2 = 2.98 s) were fresh single processes,
     // so measuring after 38 queries of broadcast/GC residue would skew it.
-    val volume =
+    val volumeAll =
       if (!wanted("volume")) Seq.empty
       else try graft.volume.VolumeBench.run(spark, reps = reps)
       catch {
@@ -54,18 +54,36 @@ object Bench {
           errors("vol_atlas_upscale_x2") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           Seq("vol_atlas_upscale_x2" -> -1.0)
       }
+    // ambient-disk probes are deliberate I/O, not engine work: they ride
+    // in every JSON line under their own "probes" key and NEVER enter
+    // queries / total / n_queries (they'd inflate round-over-round totals)
+    val (volProbes, volume) = volumeAll.partition(_._1.startsWith("vol_disk_probe"))
+    val probesJson = volProbes.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     // the volume headlines also print as their OWN json line immediately:
     // the driver captures the bench tail, and a long registered-query run
     // once pushed these past the captured window (round-2 lesson)
     val volQs = volume.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"volume_headline","unit":"sec","queries":$volQs,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"volume_headline","unit":"sec","queries":$volQs,"probes":$probesJson,"sf":"${esc(sfDir)}"}""")
     Console.out.flush()
     // untimed warmup: session init, parquet reader, join/agg codegen —
     // otherwise the first registered query absorbs several seconds of
     // one-time JVM cost and skews its number.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // plan pins (PlanAudit): measured shuffle-exchange counts for the
+    // scale-critical queries, taken from the UNEXECUTED plan before the
+    // timed reps — a new Exchange in a pinned query fails loudly in the
+    // artifact (plan_pins_ok=false), not just in the specs.
+    val planPins = scala.collection.mutable.LinkedHashMap[String, Int]()
     val registered = SparkEntry.allQs.filter(q => wanted(q.name)).map { q =>
+      if (graft.plans.PlanAudit.pinnedExchanges.contains(q.name)) {
+        try planPins(q.name) = graft.plans.PlanAudit.shuffleExchanges(q.run(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            errors(q.name + "_plan_pin") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            planPins(q.name) = -1
+        }
+      }
       // median of `reps` runs (see the aggregation rule above); any
       // failed run poisons the query to -1 + an errors entry
       val times = Seq.newBuilder[Double]
@@ -88,10 +106,14 @@ object Bench {
     val results = volume ++ registered
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
+    val pinsJson = planPins.map { case (k, n) =>
+      "\"" + esc(k) + "\":{\"measured\":" + n + ",\"pinned\":" + graft.plans.PlanAudit.pinnedExchanges(k) + "}"
+    }.mkString("{", ",", "}")
+    val pinsOk = planPins.forall { case (k, n) => n == graft.plans.PlanAudit.pinnedExchanges(k) }
     // total sums the canonical (median) entries only, not the per-run samples
     val total = results.collect { case (k, v) if v >= 0 && !k.matches(".*_run\\d+$") => v }.sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"probes":$probesJson,"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
     println(fullLine)
     // the full per-query map ALSO lands in a file artifact: r7's stdout
     // capture truncated the long line and lost 80 queries' timings —
@@ -106,13 +128,13 @@ object Bench {
     // ...and once more as the LAST (short) line: whether the driver's
     // capture window is line- or byte-bounded from either end, the volume
     // headlines survive.
-    println(s"""{"metric":"volume_headline","unit":"sec","queries":$volQs,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"volume_headline","unit":"sec","queries":$volQs,"probes":$probesJson,"sf":"${esc(sfDir)}"}""")
     // short summary as the FINAL line: the driver's capture window is
     // byte-bounded from the left, so the (long) total line can lose its
     // head — this one always survives whole
     val nCanonical = results.count { case (k, v) => v >= 0 && !k.matches(".*_run\\d+$") }
     println(
-      s"""{"metric":"total_summary","value":$total,"unit":"sec","agg":"median_of_$reps","n_queries":$nCanonical,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","agg":"median_of_$reps","n_queries":$nCanonical,"n_failed":${errors.size},"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"probes":$probesJson,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -1,52 +1,66 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 
 /** Mechanized plan pins: the shuffle-exchange counts the engine's
   * scale-critical queries are DESIGNED to have. The ScalaTest specs
-  * assert these shapes, but the driver's per-round artifact never runs
-  * the specs — so [[graft.Bench]] also counts exchanges from each pinned
-  * query's physical plan and emits measured-vs-pinned into the bench
-  * JSON. A plan regression (a new Exchange sneaking into a pinned query)
-  * then fails loudly in the artifact itself.
+  * assert these shapes, and [[graft.Bench]] also counts exchanges from
+  * each pinned query's physical plan and emits measured-vs-pinned into
+  * the bench JSON (`plan_pins` + `plan_pins_ok`). A plan regression (a
+  * new Exchange sneaking into a pinned query) then fails loudly in the
+  * artifact itself.
   */
 object PlanAudit {
 
-  /** Planned shuffle-exchange count of `df`'s physical plan — the
-    * pre-execution shape (final AQE section only; AQE can only remove or
-    * locally replan exchanges at runtime, never add one). Broadcast and
-    * reused exchanges don't re-shuffle and are excluded.
+  /** Shuffle-exchange count of `df`'s physical plan, by tree traversal
+    * (not string matching): AQE wrappers are unwrapped
+    * ([[AdaptiveSparkPlanExec]] to its current plan, [[QueryStageExec]]
+    * to its materialized subtree), [[ReusedExchangeExec]] is excluded
+    * (it re-reads shuffle output, it does not re-shuffle), and every
+    * [[ShuffleExchangeLike]] counts once. On an unexecuted DataFrame
+    * this is the initial AQE plan — the shape the pins assert; AQE can
+    * only remove or locally replan exchanges at runtime, never add one.
     */
-  def shuffleExchanges(df: DataFrame): Int = {
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    plan.linesIterator.count { l =>
-      !l.contains("ReusedExchange") && (
-        l.contains("Exchange hashpartitioning") ||
-        l.contains("Exchange rangepartitioning") ||
-        l.contains("Exchange SinglePartition") ||
-        l.contains("Exchange RoundRobinPartitioning"))
-    }
+  def shuffleExchanges(df: DataFrame): Int =
+    count(df.queryExecution.executedPlan)
+
+  private def count(p: SparkPlan): Int = p match {
+    case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+    case s: QueryStageExec => count(s.plan)
+    case _: ReusedExchangeExec => 0
+    case e: ShuffleExchangeLike => 1 + e.children.map(count).sum + subq(e)
+    case other => other.children.map(count).sum + subq(other)
   }
 
-  /** The pinned values, keyed by registered query name. Each pin is the
-    * count a spec asserts and PLANS.md motivates:
-    *   - q22: bucketed-mirror co-located join — the whole point is ZERO
-    *     exchanges (both sides carry the bucket layout).
-    *   - doc_repetition: Gopher repetition signals via codegen'd kernels —
-    *     narrow, scan-speed, zero exchanges.
-    *   - ev_funnel / ev_retention: exactly ONE user_id exchange each; the
-    *     per-user state is O(1).
-    *   - doc_pack_sequences: one prefix-sum window exchange per shard.
-    *   - doc_cap_per_source / doc_token_budget: one window exchange,
-    *     O(1) running state.
+  private def subq(p: SparkPlan): Int = p.subqueries.map(count).sum
+
+  /** The pinned values, keyed by registered query name. Pins cover the
+    * query AS REGISTERED for the gate — core operator exchanges (the
+    * shapes the per-operator specs assert and PLANS.md motivates) PLUS
+    * the gate wrapper's small-output reporting rollup and deterministic
+    * orderBy (a rangepartitioning over a handful of rows). Any exchange
+    * sneaking into either layer bumps the count and trips the artifact.
+    *   - q22: bucketed-mirror co-located JOIN contributes ZERO exchanges
+    *     (both sides carry the bucket layout); the 2 are the priority
+    *     rollup + output sort.
+    *   - doc_repetition: zero-exchange codegen'd scan; the 1 is the
+    *     output sort.
+    *   - ev_funnel / ev_retention: ONE user_id exchange of the full
+    *     events table each; the rest are the stage/cohort rollups +
+    *     output sort over tiny aggregates.
+    *   - doc_pack_sequences / doc_cap_per_source / doc_token_budget: one
+    *     window exchange with O(1) running state (+ output sort).
     */
   val pinnedExchanges: Map[String, Int] = Map(
-    "q22_bucketed_colocated_join" -> 0,
-    "doc_repetition" -> 0,
-    "ev_funnel" -> 1,
-    "ev_retention" -> 1,
-    "doc_pack_sequences" -> 1,
-    "doc_cap_per_source" -> 1,
-    "doc_token_budget" -> 1,
+    "q22_bucketed_colocated_join" -> 2,
+    "doc_repetition" -> 1,
+    "ev_funnel" -> 2,
+    "ev_retention" -> 3,
+    "doc_pack_sequences" -> 2,
+    "doc_cap_per_source" -> 2,
+    "doc_token_budget" -> 2,
   )
 }

@@ -171,10 +171,13 @@ object VolumeBench {
         written += block.length
       }
       ch.force(false)
-    } finally ch.close()
-    val sec = (System.nanoTime() - t0) / 1e9
-    Files.deleteIfExists(p)
-    sec
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      // delete in the finally: a throw mid-write must not strand 2 GiB
+      // of probe bytes to contend with every subsequent timed sink rep
+      ch.close()
+      Files.deleteIfExists(p)
+    }
   }
 
   /** Returns (name -> seconds) entries for the bench JSON. Canonical

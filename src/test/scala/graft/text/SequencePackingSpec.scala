@@ -31,14 +31,17 @@ class SequencePackingSpec extends AnyFunSuite with SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = size(split(col("text"), " "))
     val packs = SequencePacking.packSummary(docs, toks, seqLen = 512).cache()
-    // every token is in exactly one pack
-    val packed = packs.agg(sum("n_tokens")).head.getLong(0)
-    val total = docs.agg(sum(toks.cast("bigint"))).head.getLong(0)
-    assert(packed === total)
-    // pack ids are a dense 0..max prefix within each shard
-    val gaps = packs.groupBy("source")
-      .agg(countDistinct("pack_id").as("n"), (max("pack_id") + 1).as("expected"))
-      .filter(col("n") =!= col("expected")).count()
-    assert(gaps === 0L)
+    try {
+      // every token is in exactly one pack
+      val packed = packs.agg(sum("n_tokens")).head.getLong(0)
+      val total = docs.agg(sum(toks.cast("bigint"))).head.getLong(0)
+      assert(packed === total)
+      // pack ids are a dense 0..max prefix within each shard
+      val gaps = packs.groupBy("source")
+        .agg(countDistinct("pack_id").as("n"), (max("pack_id") + 1).as("expected"))
+        .filter(col("n") =!= col("expected")).count()
+      assert(gaps === 0L)
+    } finally packs.unpersist() // a leaked cache entry rewrites OTHER
+    // suites' identical plans into InMemoryTableScans (PlanAuditSpec)
   }
 }
