@@ -9,8 +9,9 @@ import java.nio.file.{Files, Paths}
   * wrote: fixtures come from tools/gen_tiff_fixture.py, an INDEPENDENT
   * pure-stdlib (struct + zlib) encoder written from the TIFF 6.0 spec —
   * the same independence discipline as ZarrInteropSpec. Covers classic
-  * magic-42 parsing, both byte orders, multi-strip assembly, deflate,
-  * and 8/16/32-bit signed/unsigned grayscale.
+  * magic-42 parsing, both byte orders, multi-strip AND tiled assembly,
+  * deflate/LZW/PackBits, the horizontal predictor, and 8/16/32-bit
+  * signed/unsigned grayscale.
   */
 class TiffForeignSpec extends AnyFunSuite with SparkSpec {
 
@@ -35,12 +36,12 @@ class TiffForeignSpec extends AnyFunSuite with SparkSpec {
   }
 
   private def checkVolume(path: String, bits: Int, signed: Boolean,
-      elementType: String): Unit = {
+      elementType: String, dim: Long = 16L): Unit = {
     val vol = Tiff.read(spark, path)
     assert(vol.meta.elementType === elementType)
-    assert((vol.meta.dimZ, vol.meta.dimY, vol.meta.dimX) === (16L, 16L, 16L))
+    assert((vol.meta.dimZ, vol.meta.dimY, vol.meta.dimX) === (dim, dim, dim))
     val rows = vol.toVoxels.collect()
-    assert(rows.length === 4096)
+    assert(rows.length === dim * dim * dim)
     rows.foreach { r =>
       val (z, y, x) = (r.getLong(0), r.getLong(1), r.getLong(2))
       assert(r.getLong(3) === expected(z, y, x, bits, signed), s"voxel ($z,$y,$x)")
@@ -100,29 +101,103 @@ class TiffForeignSpec extends AnyFunSuite with SparkSpec {
     assert(viaTiff.length === 4096)
   }
 
-  test("fail-loud boundaries: tiled layout and unsupported compression are rejected by name") {
-    // hand-build a minimal classic-LE IFD with a TileWidth tag
-    def classicWith(tags: Seq[(Int, Int, Long)]): String = {
-      val bb = java.nio.ByteBuffer.allocate(512).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
-      bb.putShort(tags.length.toShort)
-      tags.foreach { case (tag, tpe, v) =>
-        bb.putShort(tag.toShort).putShort(tpe.toShort).putInt(1).putInt(v.toInt)
-      }
-      bb.putInt(0)
-      val p = Files.createTempDirectory("graft_tiff_bad").resolve("bad.tif")
-      Files.write(p, java.util.Arrays.copyOf(bb.array(), bb.position()))
-      p.toString
+  // -------------------------------------------------- tiled layout
+
+  test("TILED page, deflate, BIG-ENDIAN, edge tiles padded (dim 20, tile 16)") {
+    assume(havePython, "python3 not available")
+    // 20 is not a multiple of 16, so every page has a 2x2 tile grid with
+    // right/bottom padding that must be clipped on assembly
+    checkVolume(fixture("tiled20.tif", "--tiled", "--tile", "16", "--dim", "20",
+        "--endian", "be"),
+      bits = 16, signed = false, elementType = "MET_USHORT", dim = 20L)
+  }
+
+  test("TILED page, uncompressed, exact-fit single tile, uint32") {
+    assume(havePython, "python3 not available")
+    checkVolume(fixture("tiled16.tif", "--tiled", "--tile", "16", "--compress", "none",
+        "--bits", "32"),
+      bits = 32, signed = false, elementType = "MET_UINT")
+  }
+
+  // -------------------------------------------------- LZW / PackBits
+
+  test("LZW multi-strip uint16 — the most common wild compression") {
+    assume(havePython, "python3 not available")
+    checkVolume(fixture("lzw16.tif", "--compress", "lzw"),
+      bits = 16, signed = false, elementType = "MET_USHORT")
+  }
+
+  test("LZW single-strip dim 32: code width grows past 9 bits") {
+    assume(havePython, "python3 not available")
+    // a 32x32 uint16 strip is 2048 bytes -> hundreds of table entries,
+    // exercising the 9->10 bit early width change on the decode side
+    checkVolume(fixture("lzw32.tif", "--compress", "lzw", "--dim", "32", "--rps", "32"),
+      bits = 16, signed = false, elementType = "MET_USHORT", dim = 32L)
+  }
+
+  test("LZW + horizontal Predictor=2, BE uint16 (the tifffile/ImageJ combo)") {
+    assume(havePython, "python3 not available")
+    checkVolume(fixture("lzwpred.tif", "--compress", "lzw", "--predictor", "2",
+        "--endian", "be"),
+      bits = 16, signed = false, elementType = "MET_USHORT")
+  }
+
+  test("LZW tiled + Predictor=2: predictor rows are tile rows, not page rows") {
+    assume(havePython, "python3 not available")
+    checkVolume(fixture("lzwtiled.tif", "--tiled", "--tile", "16", "--dim", "20",
+        "--compress", "lzw", "--predictor", "2"),
+      bits = 16, signed = false, elementType = "MET_USHORT", dim = 20L)
+  }
+
+  test("PackBits uint8 (wrapped grid values)") {
+    assume(havePython, "python3 not available")
+    checkVolume(fixture("pb8.tif", "--compress", "packbits", "--bits", "8", "--rps", "3"),
+      bits = 8, signed = false, elementType = "MET_UCHAR")
+  }
+
+  // -------------------------------------------------- fail-loud boundaries
+
+  /** Minimal hand-built classic-LE IFD; `nextIfd` forges the chain tail. */
+  private def classicWith(tags: Seq[(Int, Int, Long)], nextIfd: Int = 0): String = {
+    val bb = java.nio.ByteBuffer.allocate(512).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(tags.length.toShort)
+    tags.foreach { case (tag, tpe, v) =>
+      bb.putShort(tag.toShort).putShort(tpe.toShort).putInt(1).putInt(v.toInt)
     }
-    val base = Seq((256, 4, 16L), (257, 4, 16L), (258, 3, 16L),
-      (273, 4, 8L), (279, 4, 512L))
+    bb.putInt(nextIfd)
+    val p = Files.createTempDirectory("graft_tiff_bad").resolve("bad.tif")
+    Files.write(p, java.util.Arrays.copyOf(bb.array(), bb.position()))
+    p.toString
+  }
+
+  private val base = Seq((256, 4, 16L), (257, 4, 16L), (258, 3, 16L),
+    (273, 4, 8L), (279, 4, 512L))
+
+  test("fail-loud: incomplete tile tags and unsupported compression are rejected by name") {
     val tiled = intercept[IllegalArgumentException] {
       Tiff.parseMeta(classicWith(base :+ ((322, 4, 16L))))
     }
-    assert(tiled.getMessage.contains("tiled"))
-    val lzw = intercept[IllegalArgumentException] {
-      Tiff.parseMeta(classicWith(base :+ ((259, 3, 5L))))
+    assert(tiled.getMessage.contains("TileWidth/TileLength/TileOffsets/TileByteCounts"))
+    val jpeg = intercept[IllegalArgumentException] {
+      Tiff.parseMeta(classicWith(base :+ ((259, 3, 7L))))
     }
-    assert(lzw.getMessage.contains("Compression=5"))
+    assert(jpeg.getMessage.contains("Compression=7"))
+  }
+
+  test("fail-loud: a cyclic next-IFD pointer throws instead of hanging the driver") {
+    // the single IFD lives at offset 8 and points back to itself
+    val cyclic = intercept[IllegalArgumentException] {
+      Tiff.parseMeta(classicWith(base, nextIfd = 8))
+    }
+    assert(cyclic.getMessage.contains("cyclic"))
+  }
+
+  test("fail-loud: a >=2 GiB page dies at parse time with a named error, not an executor OOM") {
+    // 40000 x 40000 x 2 B = 3.2e9 bytes: h*w*bpp overflows Int
+    val big = Seq((256, 4, 40000L), (257, 4, 40000L), (258, 3, 16L),
+      (273, 4, 8L), (279, 4, 512L))
+    val over = intercept[IllegalArgumentException] { Tiff.parseMeta(classicWith(big)) }
+    assert(over.getMessage.contains("2 GiB"))
   }
 }
