@@ -40,6 +40,45 @@ object VolumeQueries {
       FROM range(4096) t(id)
     )"""
 
+  /** Foreign-TIFF fixtures for the S5 gate queries, generated ONCE per
+    * JVM by tools/gen_tiff_fixture.py (the independent pure-stdlib
+    * encoder) into a single temp dir. The encode subprocess must never
+    * run inside a timed query body: bench reps would bill python startup
+    * + temp-dir churn to the engine (r9 finding), so queries resolve
+    * pre-built files through [[foreignTiff]].
+    */
+  private lazy val foreignTiffDir: java.nio.file.Path = {
+    val gen = java.nio.file.Paths.get("tools/gen_tiff_fixture.py")
+    require(java.nio.file.Files.exists(gen),
+      s"fixture generator not found at ${gen.toAbsolutePath}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ftiff")
+    dir.toFile.deleteOnExit()
+    def genOne(name: String, args: String*): Unit = {
+      val cmd = Seq("python3", gen.toString, dir.resolve(name).toString) ++ args
+      val rc = scala.sys.process.Process(cmd).!(scala.sys.process.ProcessLogger(_ => ()))
+      require(rc == 0, s"gen_tiff_fixture.py exited $rc for $name")
+      dir.resolve(name).toFile.deleteOnExit()
+    }
+    genOne("foreign.tif") // multi-strip deflate LE uint16 — the original gate config
+    genOne("tiled.tif", "--tiled", "--tile", "16", "--dim", "20", "--endian", "be")
+    genOne("lzw.tif", "--compress", "lzw", "--predictor", "2")
+    genOne("packbits.tif", "--compress", "packbits", "--bits", "8", "--rps", "3")
+    dir
+  }
+
+  private def foreignTiff(name: String): String =
+    foreignTiffDir.resolve(name).toString
+
+  /** One destination per JVM for the pyramid-group roundtrip: the write
+    * is atomic-overwrite (AtomicDir publish), so bench reps reuse the
+    * path instead of leaking a temp dir per rep.
+    */
+  private lazy val pyramidGroupDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_pyr")
+    d.toFile.deleteOnExit()
+    d.resolve("group").toString
+  }
+
   val all: Seq[Q] = Seq(
     // T1: nearest-neighbor ×2 upscale, long form (label preservation is the
     // invariant: every source voxel appears at (2z+dz, 2y+dy, 2x+dx)).
@@ -181,6 +220,25 @@ object VolumeQueries {
     Q(
       "vol_chunk_pyramid_l1",
       (s, _) => chunked(s).decimate().toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
+        FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+        ORDER BY z, y, x
+      """),
+    ),
+    // K3 read half: write the 2-level OME-Zarr pyramid GROUP, then read
+    // level 1 back THROUGH the group metadata (.zmetadata/multiscales
+    // dataset paths, view_upscaled.py:11) — same decimation oracle as
+    // vol_pyramid_level1, proving the flagship sink round-trips as a
+    // pyramid, not just as bare level directories.
+    Q(
+      "vol_pyramid_group_read",
+      (s, _) => {
+        val dest = pyramidGroupDir
+        graft.volume.PyramidWriter.write(chunked(s), levels = 2, dest)
+        graft.volume.PyramidWriter.readLevel(s, dest, 1)
+          .toVoxels.orderBy("z", "y", "x")
+      },
       Some(s"""$voxCte
         SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
         FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
@@ -396,26 +454,52 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
-    // S5 complete: a FOREIGN classic TIFF (magic 42, multi-strip,
-    // deflate) written at query time by tools/gen_tiff_fixture.py — an
-    // independent pure-stdlib python encoder, NOT BigTiff.write — read
-    // back through the general Tiff scan. Same pixel formula as the
-    // grid, so the oracle is the shared voxel CTE.
+    // S5 complete: FOREIGN classic TIFFs (magic 42) written by
+    // tools/gen_tiff_fixture.py — an independent pure-stdlib python
+    // encoder, NOT BigTiff.write — read back through the general Tiff
+    // scan. Same pixel formula as the grid, so the oracles are analytic.
+    // Fixtures are generated ONCE per JVM (lazy val below): subprocess
+    // encode must never bill into a timed bench rep.
     Q(
       "vol_tiff_foreign_roundtrip",
-      (s, _) => {
-        val gen = java.nio.file.Paths.get("tools/gen_tiff_fixture.py")
-        require(java.nio.file.Files.exists(gen),
-          s"fixture generator not found at ${gen.toAbsolutePath}")
-        val path = java.nio.file.Files.createTempDirectory("graft_ftiff")
-          .resolve("foreign.tif").toString
-        val rc = scala.sys.process.Process(
-          Seq("python3", gen.toString, path)).!(scala.sys.process.ProcessLogger(_ => ()))
-        require(rc == 0, s"gen_tiff_fixture.py exited $rc")
-        graft.volume.Tiff.read(s, path).toVoxels.orderBy("z", "y", "x")
-      },
+      (s, _) => graft.volume.Tiff.read(s, foreignTiff("foreign.tif"))
+        .toVoxels.orderBy("z", "y", "x"),
       Some(s"""$voxCte
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // S5 wild variants: TILED layout with edge-padded tiles (dim 20 is
+    // deliberately not a multiple of the 16-pixel tile), and LZW with the
+    // horizontal predictor — the two most common foreign TIFF shapes
+    // tifffile.imread accepts that strips+deflate does not cover.
+    Q(
+      "vol_tiff_tiled_roundtrip",
+      (s, _) => graft.volume.Tiff.read(s, foreignTiff("tiled.tif"))
+        .toVoxels.orderBy("z", "y", "x"),
+      Some("""
+        WITH vox AS (
+          SELECT id // 400 AS z, (id // 20) % 20 AS y, id % 20 AS x,
+                 ((id // 400) // 4) * 100 + (((id // 20) % 20) // 4) * 10 + ((id % 20) // 4) AS label
+          FROM range(8000) t(id)
+        )
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    Q(
+      "vol_tiff_lzw_roundtrip",
+      (s, _) => graft.volume.Tiff.read(s, foreignTiff("lzw.tif"))
+        .toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // uint8 PackBits: the grid formula wraps mod 256 in the dtype
+    Q(
+      "vol_tiff_packbits_roundtrip",
+      (s, _) => graft.volume.Tiff.read(s, foreignTiff("packbits.tif"))
+        .toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label % 256 AS label FROM vox ORDER BY z, y, x
       """),
     ),
     // T7: virtual rotation — pure coordinate projection.

@@ -152,13 +152,17 @@ object Ann {
     // neighbors in total — UNLESS recall@lo is already perfect (s_lo at
     // its maximum of one per query), where no gain is possible and a
     // correct implementation must still pass (small corpora / favorable
-    // quantizers hit this). 1e-9 absorbs the hits/k float division.
+    // quantizers hit this). The escape is gated on s_hi not regressing:
+    // strict_gain must never read true while total recall went DOWN,
+    // even if consumers forget to also assert monotone_ok. 1e-9 absorbs
+    // the hits/k float division.
     joined.crossJoin(broadcast(totals))
       .select(
         col("query_id"),
         (col("r_hi") >= col("r_lo")).as("monotone_ok"),
         ((col("s_hi") > col("s_lo")) ||
-          (col("s_lo") >= col("nq").cast("double") - lit(1e-9))).as("strict_gain"))
+          (col("s_lo") >= col("nq").cast("double") - lit(1e-9) &&
+            col("s_hi") >= col("s_lo") - lit(1e-9))).as("strict_gain"))
       .orderBy(col("query_id"))
   }
 

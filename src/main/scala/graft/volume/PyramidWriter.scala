@@ -116,7 +116,94 @@ object PyramidWriter {
       JsonMethods.pretty(JsonMethods.render(consolidated)))
   }
 
-  /** Read back one pyramid level written by [[write]]. */
-  def readLevel(spark: org.apache.spark.sql.SparkSession, path: String, level: Int): ChunkVolume =
-    ZarrStore.read(spark, s"$path/$level")
+  /** A parsed OME-Zarr multiscales group: level paths in dataset order
+    * and each level's (z,y,x) scale transform — what `zarr.open_group` +
+    * `attrs["multiscales"]` gives the reference's viewer
+    * (view_upscaled.py:11) before it picks a level.
+    */
+  final case class PyramidGroup(path: String, name: String,
+      levelPaths: Seq[String], scalesZyx: Seq[Seq[Double]]) {
+    def levels: Int = levelPaths.length
+  }
+
+  /** Open a pyramid group by its METADATA, the way a zarr client does:
+    * consolidated `.zmetadata` when present (the one-GET cloud path,
+    * `zarr.open_consolidated`), else `.zgroup` + `.zattrs`
+    * (`zarr.open_group`). Returns the parsed `multiscales` entry; fails
+    * loudly on a missing group, a non-v2 group, or attrs without
+    * multiscales — never guesses level directories from listings.
+    */
+  def openGroup(path: String): PyramidGroup = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = Paths.get(path)
+    require(Files.isDirectory(dir), s"$path: not a directory (no zarr group here)")
+    val zmeta = dir.resolve(".zmetadata")
+    val (groupDoc, attrsDoc): (JValue, JValue) =
+      if (Files.exists(zmeta)) {
+        val c = JsonMethods.parse(Files.readString(zmeta))
+        require((c \ "zarr_consolidated_format") == JInt(1),
+          s"$path/.zmetadata: unsupported zarr_consolidated_format (want 1)")
+        val docs = c \ "metadata"
+        (docs \ ".zgroup", docs \ ".zattrs")
+      } else {
+        val zgroup = dir.resolve(".zgroup")
+        val zattrs = dir.resolve(".zattrs")
+        require(Files.exists(zgroup), s"$path: no .zmetadata and no .zgroup — not a zarr group")
+        require(Files.exists(zattrs), s"$path: group has no .zattrs (no multiscales metadata)")
+        (JsonMethods.parse(Files.readString(zgroup)), JsonMethods.parse(Files.readString(zattrs)))
+      }
+    require((groupDoc \ "zarr_format") == JInt(2),
+      s"$path: zarr_format ${JsonMethods.compact(JsonMethods.render(groupDoc \ "zarr_format"))} (want 2)")
+    val multiscales = (attrsDoc \ "multiscales") match {
+      case JArray(ms :: _) => ms
+      case _ => throw new IllegalArgumentException(
+        s"$path: .zattrs carries no multiscales entry — a zarr group, but not a pyramid")
+    }
+    val name = (multiscales \ "name") match {
+      case JString(n) => n
+      case _ => ""
+    }
+    val datasets = (multiscales \ "datasets") match {
+      case JArray(ds) if ds.nonEmpty => ds
+      case _ => throw new IllegalArgumentException(s"$path: multiscales has no datasets")
+    }
+    val levelPaths = datasets.map { d =>
+      (d \ "path") match {
+        case JString(p) => p
+        case _ => throw new IllegalArgumentException(s"$path: multiscales dataset missing path")
+      }
+    }
+    val scales = datasets.map { d =>
+      (d \ "coordinateTransformations") match {
+        case JArray(ts) =>
+          ts.collectFirst { case t if (t \ "type") == JString("scale") =>
+            (t \ "scale") match {
+              case JArray(vs) => vs.map {
+                case JDouble(v) => v
+                case JInt(v) => v.toDouble
+                case other => throw new IllegalArgumentException(
+                  s"$path: non-numeric scale component $other")
+              }
+              case _ => throw new IllegalArgumentException(s"$path: scale transform without scale array")
+            }
+          }.getOrElse(Seq.empty)
+        case _ => Seq.empty
+      }
+    }
+    PyramidGroup(path, name, levelPaths, scales)
+  }
+
+  /** Read back one pyramid level THROUGH the group metadata (the read
+    * half of view_upscaled.py:11): resolve `multiscales.datasets[level]
+    * .path` via [[openGroup]], then open that zarr array. A level that
+    * is not declared in the metadata is an error even if a directory of
+    * that name exists.
+    */
+  def readLevel(spark: org.apache.spark.sql.SparkSession, path: String, level: Int): ChunkVolume = {
+    val g = openGroup(path)
+    require(level >= 0 && level < g.levels,
+      s"$path: level $level out of range — multiscales declares ${g.levels} levels")
+    ZarrStore.read(spark, Paths.get(path).resolve(g.levelPaths(level)).toString)
+  }
 }

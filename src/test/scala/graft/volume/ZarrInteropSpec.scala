@@ -509,6 +509,77 @@ class ZarrInteropSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ZarrStore reads python-written blosc lz4 AUTOSHUFFLE stores (shuffle=-1 in metadata)") {
+    assume(havePython, "python3+numpy not available")
+    // numcodecs serializes the CONFIGURED shuffle (-1) into .zarray and
+    // resolves it per dtype at encode time: byte shuffle for typesize 4,
+    // bitshuffle for typesize 1. The reader must take the mode from each
+    // chunk's header flags, never from the metadata value.
+    val dir4 = Files.createTempDirectory("zarr_lz4auto").toString + "/u4.zarr"
+    val dir1 = Files.createTempDirectory("zarr_lz4auto").toString + "/u1.zarr"
+    Files.createDirectories(Paths.get(dir4))
+    Files.createDirectories(Paths.get(dir1))
+    val script =
+      s"""
+         |import json, struct
+         |import numpy as np
+         |$pyBitshuffle
+         |$pyLz4
+         |$pySplit
+         |Z, Y, X = $lz, $ly, $lx
+         |cz, cy, cx = 4, 8, 8
+         |ids = np.arange(Z * Y * X).reshape(Z, Y, X)
+         |def byteshuffle(raw, T):
+         |    return np.frombuffer(raw, np.uint8).reshape(-1, T).T.tobytes()
+         |def blosc_encode(raw, T, shuf_mode):
+         |    shuf = byteshuffle(raw, T) if shuf_mode == 1 else bitshuffle(raw, T)
+         |    ns = nsplits(1, T, len(raw), False)
+         |    ne = len(raw) // ns
+         |    streams = []
+         |    for s in range(ns):
+         |        part = shuf[s*ne:(s+1)*ne]
+         |        comp = lz4_compress(bytearray(part))
+         |        if len(comp) < ne: streams.append((len(comp), comp))
+         |        else: streams.append((ne, part))
+         |    total = 16 + 4 + sum(4 + len(p) for _, p in streams)
+         |    flags = (0x1 if shuf_mode == 1 else 0x4) | (1 << 5)
+         |    head = bytes([2, 1, flags, T])
+         |    head += struct.pack("<iii", len(raw), len(raw), total)
+         |    head += struct.pack("<i", 20)
+         |    return head + b"".join(struct.pack("<i", c) + bytes(p) for c, p in streams)
+         |def write_store(d, dtype, T, shuf_mode):
+         |    arr = ((ids * 13) % 251).astype(dtype)
+         |    json.dump({"zarr_format": 2, "shape": [Z, Y, X], "chunks": [cz, cy, cx],
+         |               "dtype": dtype,
+         |               "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+         |                              "shuffle": -1, "blocksize": 0},
+         |               "fill_value": 0, "order": "C", "filters": None},
+         |              open(d + "/.zarray", "w"))
+         |    pad = np.zeros((cz, cy, cx), dtype=dtype)
+         |    for iz in range(-(-Z//cz)):
+         |        for iy in range(-(-Y//cy)):
+         |            for ix in range(-(-X//cx)):
+         |                blk = pad.copy()
+         |                z0, y0, x0 = iz*cz, iy*cy, ix*cx
+         |                nz, ny, nx = min(cz, Z-z0), min(cy, Y-y0), min(cx, X-x0)
+         |                blk[:nz, :ny, :nx] = arr[z0:z0+nz, y0:y0+ny, x0:x0+nx]
+         |                open(f"{d}/{iz}.{iy}.{ix}", "wb").write(
+         |                    blosc_encode(blk.tobytes(), T, shuf_mode))
+         |write_store("$dir4", "<u4", 4, 1)  # AUTOSHUFFLE @ typesize 4 -> byte shuffle
+         |write_store("$dir1", "|u1", 1, 2)  # AUTOSHUFFLE @ typesize 1 -> bitshuffle
+         |print("PY_AUTOSHUFFLE_WRITE_OK")
+         |""".stripMargin
+    assert(Process(Seq("python3", "-c", script)).!!.contains("PY_AUTOSHUFFLE_WRITE_OK"))
+    for (dir <- Seq(dir4, dir1)) {
+      val got = ZarrStore.read(spark, dir).toVoxels.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      for (z <- 0L until lz; y <- 0L until ly; x <- 0L until lx) {
+        val id = (z * ly + y) * lx + x
+        assert(got((z, y, x)) === (id * 13) % 251, s"voxel ($z,$y,$x) in $dir")
+      }
+    }
+  }
+
   test("ZarrStore reads a python-written standalone-lz4 (length-header) array") {
     assume(havePython, "python3+numpy not available")
     val dir = Files.createTempDirectory("zarr_lz43").toString + "/in.zarr"

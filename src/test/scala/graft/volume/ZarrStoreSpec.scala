@@ -313,4 +313,30 @@ class ZarrStoreSpec extends AnyFunSuite with SparkSpec {
         s"consolidated $key differs from the on-disk document")
     }
   }
+
+  test("openGroup parses the pyramid group via .zmetadata AND via .zgroup/.zattrs fallback") {
+    val dir = Files.createTempDirectory("zarr").toString + "/ome.zarr"
+    PyramidWriter.write(vol, levels = 2, dir, upscaleFactor = 2)
+    // consolidated path
+    val g = PyramidWriter.openGroup(dir)
+    assert(g.levels === 2)
+    assert(g.levelPaths === Seq("0", "1"))
+    assert(g.name === "labels")
+    // scale_zyx(i) = spacing(z,y,x) * 2^i / upscaleFactor; vol spacing is
+    // 1.0 here, so level 0 = 0.5, level 1 = 1.0 per axis
+    assert(g.scalesZyx === Seq(Seq(0.5, 0.5, 0.5), Seq(1.0, 1.0, 1.0)))
+    // fallback path: same parse without consolidated metadata
+    Files.delete(Paths.get(dir, ".zmetadata"))
+    assert(PyramidWriter.openGroup(dir) === g)
+    // readLevel resolves THROUGH the metadata and bounds-checks it
+    val back = PyramidWriter.readLevel(spark, dir, 1)
+    assert(collectVox(back.toVoxels) === collectVox(vol.decimate().toVoxels))
+    val oob = intercept[IllegalArgumentException] { PyramidWriter.readLevel(spark, dir, 2) }
+    assert(oob.getMessage.contains("declares 2 levels"))
+    // a bare zarr array is NOT a pyramid group: named error, no guessing
+    val arr = Files.createTempDirectory("zarr").toString + "/bare"
+    ZarrStore.write(vol, arr, ZarrStore.ZstdCodec())
+    val notGroup = intercept[IllegalArgumentException] { PyramidWriter.openGroup(arr) }
+    assert(notGroup.getMessage.contains(".zgroup"))
+  }
 }
