@@ -160,6 +160,61 @@ object Dedup {
   /** Distinct-token array for shingle/set based dedup. */
   private def tokenSet(textCol: String): Column = array_distinct(split(col(textCol), " "))
 
+  /** Repeated-passage detection — the window form of exact substring
+    * dedup (the suffix-array pass of arXiv:2107.06499 §4.1, re-expressed
+    * for a distributed engine): every W-token window of every document is
+    * fingerprinted, and a window whose fingerprint occurs ≥2 times in
+    * the corpus (across docs OR repeated inside one doc) is a duplicated
+    * span. Any duplicated substring of ≥ W tokens contains such a
+    * window, so per-doc duplicated-window counts bound span-level
+    * duplication from below — the standard scalable approximation to the
+    * suffix-array pass.
+    *
+    * Returns one row per document: `n_windows`, `n_dup_windows` (its
+    * windows whose fingerprint repeats corpus-wide).
+    *
+    * Scale shape: fingerprinting is a narrow codegen'd per-row transform
+    * (no UDF); only (fingerprint, id) pairs ever shuffle — document text
+    * never moves, and there is NO pair stream at all (counting, not pair
+    * generation), so nothing is quadratic however hot a boilerplate
+    * window is. md5 is used as the fingerprint because the DuckDB oracle
+    * computes the identical digest; a 100 TB run would swap in a cheaper
+    * 128-bit rolling hash with the same shape.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      w: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+    val wins = toks.select(
+      col(idCol),
+      explode(expr(
+        s"""case when size(toks) >= $w
+           |  then transform(sequence(0, size(toks) - $w),
+           |                 i -> md5(array_join(slice(toks, i + 1, $w), ' ')))
+           |  else array()
+           |end""".stripMargin)).as("wh"))
+    // a window is a duplicated span iff its fingerprint occurs >= 2 times
+    // corpus-wide; semi-joining the per-doc window stream against the
+    // duplicated set reuses the wh partitioning from the count aggregate
+    val dupW = wins.groupBy(col("wh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("wh"))
+    val dupCounts = wins.join(dupW, Seq("wh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    toks
+      .select(col(idCol),
+        greatest(size(col("toks")) - lit(w - 1), lit(0)).cast("long").as("n_windows"))
+      .join(dupCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .orderBy(col(idCol))
+  }
+
   /** Distinct word n-gram shingles — the unit real near-dup pipelines
     * compare (order-sensitive, unlike bare tokens). Pure codegen'd
     * higher-order functions: no UDF, no shuffle.

@@ -172,6 +172,38 @@ object DocQueries {
         ORDER BY id_a, id_b
       """),
     ),
+    // ---------------------------------------------- repeated-passage spans
+    // Window form of exact substring dedup (arXiv:2107.06499's suffix-array
+    // pass, approximated with W-token window fingerprints): counting only —
+    // no pair stream, nothing quadratic however hot a boilerplate window is.
+    Q(
+      "doc_dup_spans",
+      (s, d) => Dedup.duplicateSpans(T(s, d, "documents"), w = 8),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wins AS (
+          SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+          FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+            FROM toks
+          )
+        ),
+        dupw AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+        counts AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY 1),
+        dcounts AS (
+          SELECT w.doc_id, COUNT(*) AS n_dup_windows
+          FROM wins w JOIN dupw USING (wh) GROUP BY 1
+        )
+        SELECT t.doc_id,
+               COALESCE(c.n_windows, 0) AS n_windows,
+               COALESCE(dc.n_dup_windows, 0) AS n_dup_windows
+        FROM toks t
+          LEFT JOIN counts c USING (doc_id)
+          LEFT JOIN dcounts dc USING (doc_id)
+        ORDER BY doc_id
+      """),
+    ),
     // ------------------------------------------- exact n-gram/token Jaccard
     // Blocked inverted-index join (block = source): candidate generation is
     // per-block, never quadratic in the corpus.

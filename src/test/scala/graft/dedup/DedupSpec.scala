@@ -211,4 +211,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .select("fp64").collect().head.getLong(0)
     assert(viaDf === expected)
   }
+
+  test("duplicateSpans: cross-doc shares, in-doc repeats, and short docs, hand-computed") {
+    import spark.implicits._
+    // w=3 windows. doc 1 and 2 share the span "a b c" (and 2's "b c d"
+    // matches nothing else); doc 3 repeats "x y z x y z x y z": its
+    // window stream is [xyz, yzx, zxy, xyz, yzx, zxy, xyz] — every
+    // window occurs >= 2 times IN THE SAME DOC; doc 4 is shorter than w.
+    val docs = Seq(
+      (1L, "a b c p q"),
+      (2L, "q a b c d"),
+      (3L, "x y z x y z x y z"),
+      (4L, "u v"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, w = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 1L), // windows: abc, bcp, cpq — only abc repeats (doc 2)
+      (2L, 3L, 1L), // windows: qab, abc, bcd — only abc
+      (3L, 7L, 7L), // all 7 windows repeat within the doc itself
+      (4L, 0L, 0L), // shorter than the window — no windows, no dups
+    ))
+  }
 }

@@ -80,11 +80,13 @@ def render(bench_name, vol, tot, summary):
     x15_zarr = q.get("vol_atlas_upscale_x15_zarr")
     meta = summary or tot or {}
     agg = meta.get("agg", "single-run")
-    if tot:
+    if tot and "queries" in tot:
         n_queries = len([k for k in tot["queries"]
                          if not re.search(r"_run\d+$", k)])
     else:
-        n_queries = meta.get("n_queries")
+        # the driver's wrapper `parsed` field is a total_summary object
+        # (counts only, no per-query map)
+        n_queries = meta.get("n_queries") or (tot or {}).get("n_queries")
 
     rows = []
     if x2 is not None:
