@@ -53,6 +53,10 @@ object PlanAudit {
     *     output sort over tiny aggregates.
     *   - doc_pack_sequences / doc_cap_per_source / doc_token_budget: one
     *     window exchange with O(1) running state (+ output sort).
+    *   - doc_dup_spans: counting-only substring dedup — fingerprint
+    *     count-agg + per-doc rollup + output sort; a 4th exchange would
+    *     mean a pair stream appeared, the exact shape this op exists to
+    *     avoid.
     */
   val pinnedExchanges: Map[String, Int] = Map(
     "q22_bucketed_colocated_join" -> 2,
@@ -62,5 +66,6 @@ object PlanAudit {
     "doc_pack_sequences" -> 2,
     "doc_cap_per_source" -> 2,
     "doc_token_budget" -> 2,
+    "doc_dup_spans" -> 3,
   )
 }

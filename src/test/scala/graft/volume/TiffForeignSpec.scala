@@ -155,6 +155,43 @@ class TiffForeignSpec extends AnyFunSuite with SparkSpec {
       bits = 8, signed = false, elementType = "MET_UCHAR")
   }
 
+  // ------------------------------------------- high-entropy decoder paths
+
+  /** The generator's --noise value: LCG mix of the flat index, 64-bit
+    * wrap, top bits, clamped into the dtype.
+    */
+  private def expectedNoise(z: Long, y: Long, x: Long, bits: Int, dim: Long): Long = {
+    val i = (z * dim + y) * dim + x
+    val h = i * 6364136223846793005L + 1442695040888963407L
+    (h >>> 17) & ((1L << bits) - 1)
+  }
+
+  private def checkNoise(path: String, bits: Int, dim: Long): Unit = {
+    val rows = Tiff.read(spark, path).toVoxels.collect()
+    assert(rows.length === dim * dim * dim)
+    rows.foreach { r =>
+      val (z, y, x) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === expectedNoise(z, y, x, bits, dim), s"voxel ($z,$y,$x)")
+    }
+  }
+
+  test("NOISE data: LZW literal-heavy streams, PackBits long literals, stored blosc-free strips") {
+    assume(havePython, "python3 not available")
+    // incompressible pixels push every codec into its other regime: LZW
+    // emits literal-dominated code streams with steady table growth,
+    // PackBits rows become >=128-byte literal runs, and deflate strips
+    // barely shrink — none of which the low-entropy grid reaches
+    checkNoise(fixture("nz_lzw.tif", "--noise", "--compress", "lzw", "--dim", "24", "--rps", "24"),
+      bits = 16, dim = 24L)
+    checkNoise(fixture("nz_pb.tif", "--noise", "--compress", "packbits", "--bits", "8"),
+      bits = 8, dim = 16L)
+    checkNoise(fixture("nz_lzwpred.tif", "--noise", "--compress", "lzw", "--predictor", "2",
+        "--endian", "be", "--bits", "32"),
+      bits = 32, dim = 16L)
+    checkNoise(fixture("nz_tiled.tif", "--noise", "--tiled", "--tile", "16", "--dim", "20"),
+      bits = 16, dim = 20L)
+  }
+
   // -------------------------------------------------- fail-loud boundaries
 
   /** Minimal hand-built classic-LE IFD; `nextIfd` forges the chain tail. */

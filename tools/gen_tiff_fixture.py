@@ -22,7 +22,7 @@ import zlib
 COMP_NONE, COMP_LZW, COMP_DEFLATE, COMP_PACKBITS = 1, 5, 8, 32773
 
 
-def grid_slice(z, dim_y, dim_x, bits, endian, signed):
+def grid_slice(z, dim_y, dim_x, bits, endian, signed, noise=False):
     fmt = {8: "b" if signed else "B", 16: "h" if signed else "H",
            32: "i" if signed else "I"}[bits]
 
@@ -35,8 +35,18 @@ def grid_slice(z, dim_y, dim_x, bits, endian, signed):
             v -= 1 << bits
         return v
 
-    vals = [clamp((z // 4) * 100 + (y // 4) * 10 + (x // 4))
-            for y in range(dim_y) for x in range(dim_x)]
+    def val(y, x):
+        if noise:
+            # deterministic high-entropy values (LCG mix of the flat
+            # index): exercises the literal-heavy / stored-stream codec
+            # paths the low-entropy grid never reaches. Readers recompute
+            # the same 64-bit-wrapped formula.
+            i = (z * dim_y + y) * dim_x + x
+            h = (i * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+            return h >> 17
+        return (z // 4) * 100 + (y // 4) * 10 + (x // 4)
+
+    vals = [clamp(val(y, x)) for y in range(dim_y) for x in range(dim_x)]
     return struct.pack(endian + fmt * len(vals), *vals)
 
 
@@ -346,6 +356,8 @@ def main():
                     help="tile layout (tags 322-325) instead of strips")
     ap.add_argument("--tile", type=int, default=16,
                     help="tile edge (TIFF wants multiples of 16)")
+    ap.add_argument("--noise", action="store_true",
+                    help="deterministic high-entropy pixels instead of the grid")
     ap.add_argument("--ancillary", action="store_true",
                     help="add XResolution/YResolution RATIONALs + Software ASCII")
     ap.add_argument("--bigtiff", action="store_true",
@@ -355,7 +367,7 @@ def main():
     comp = {"0": COMP_NONE, "none": COMP_NONE, "1": COMP_DEFLATE,
             "deflate": COMP_DEFLATE, "lzw": COMP_LZW,
             "packbits": COMP_PACKBITS}[a.compress]
-    slices = [grid_slice(z, a.dim, a.dim, a.bits, e, a.signed)
+    slices = [grid_slice(z, a.dim, a.dim, a.bits, e, a.signed, noise=a.noise)
               for z in range(a.dim)]
     if a.bigtiff:
         assert comp in (COMP_NONE, COMP_DEFLATE) and not a.tiled and a.predictor == 1, \
