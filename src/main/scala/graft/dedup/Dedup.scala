@@ -536,6 +536,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Semantic (embedding-cluster) near-duplicate pairs, SemDeDup-style
+    * (arXiv:2303.09540): corpus vectors partition into k-means centroid
+    * clusters via the SAME deterministic quantizer the IVF index uses
+    * ([[graft.similarity.Ann.trainCentroids]] — fixed sample, fixed
+    * iterations, lowest-index tie-breaks, no RNG), then pairs ABOVE the
+    * cosine threshold are emitted within each cluster only. This is the
+    * dedup twin of IVF search: pairwise work is confined to a cluster
+    * (~corpus/nLists rows), never all-pairs — at 100 TB nLists scales
+    * with the corpus so per-cluster work stays bounded, exactly how
+    * SemDeDup ran on LAION. Recall loss is pairs straddling a cluster
+    * boundary (SemDeDup's documented approximation); identical vectors
+    * always land in the same cluster (assignment is a pure function of
+    * the vector), so recall at cos=1 is exact — which is what makes the
+    * verified output oracle-checkable on a duplicate-injected corpus.
+    *
+    * Returns (id_a, id_b, list_id) with id_a < id_b; downstream keeps
+    * one representative per [[connectedComponents]] cluster.
+    */
+  def semanticDupPairs(
+      emb: DataFrame,
+      dim: Int,
+      nLists: Int = 16,
+      threshold: Double = 0.999,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = graft.similarity.Ann.trainCentroids(emb, dim, nLists, idCol = idCol, vecCol = vecCol)
+    val assigned = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("e"), col("e"))))
+      .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
+    val a = assigned.select(col("list_id"), col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id"), col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", GraftFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("list_id"))
+  }
+
   /** Embedding cosine near-duplicate pairs. Brute force all-pairs — correct
     * baseline for modest corpora; the LSH-bucketed scale path is
     * [[embeddingLshDupPairs]] / [[graft.similarity.Ann.lshBuckets]].

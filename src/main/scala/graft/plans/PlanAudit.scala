@@ -57,6 +57,20 @@ object PlanAudit {
     *     count-agg + per-doc rollup + output sort; a 4th exchange would
     *     mean a pair stream appeared, the exact shape this op exists to
     *     avoid.
+    *   - doc_minhash_dedup / doc_simhash_dedup: ONE signature-grouping
+    *     exchange (full-sig / hash-value collect_list) + output sort; the
+    *     exact-verification joins broadcast the token side. A 3rd
+    *     exchange means the verify join started shuffling the corpus.
+    *   - doc_jaccard_pairs: the pair-GENERATION stage of doc_dup_clusters
+    *     too (same builder), pinned so a pair-stream regression can't
+    *     land silently behind the iteration-dependent CC rounds. 8 in
+    *     the INITIAL plan: df agg, postings agg, pair-count agg + the
+    *     sizes/dense join sides AQE demotes to broadcasts at runtime
+    *     (executed-plan audit in PLANS.md: 3 survive) — stable across
+    *     sf0.001/sf0.1 because the checkpointed base plans as an
+    *     ExistingRDD with default stats at every scale.
+    *   - doc_jaccard_pairs_ppjoin: term-df agg, prefix rarity window,
+    *     candidate-pair dedup agg, verify-join side, output sort.
     */
   val pinnedExchanges: Map[String, Int] = Map(
     "q22_bucketed_colocated_join" -> 2,
@@ -67,5 +81,9 @@ object PlanAudit {
     "doc_cap_per_source" -> 2,
     "doc_token_budget" -> 2,
     "doc_dup_spans" -> 3,
+    "doc_minhash_dedup" -> 2,
+    "doc_simhash_dedup" -> 2,
+    "doc_jaccard_pairs" -> 8,
+    "doc_jaccard_pairs_ppjoin" -> 5,
   )
 }

@@ -93,6 +93,30 @@ object DocQueries {
     """
   }
 
+  /** Shared oracle for the two exact-jaccard strategies (count-based
+    * postings and PPJoin prefix filtering): output identity between them
+    * is part of what the gate proves.
+    */
+  private val jaccardPairsOracle = """
+        WITH tok AS (
+          SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.source = b.source AND a.term = b.term
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, c / (na.n + nb.n - c) AS jaccard
+        FROM inter
+          JOIN sizes na ON inter.doc_a = na.doc_id
+          JOIN sizes nb ON inter.doc_b = nb.doc_id
+        WHERE c / (na.n + nb.n - c) >= 0.5
+        ORDER BY doc_a, doc_b
+      """
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     // One hash-partitioned aggregate; only (hash, id) shuffles at scale.
@@ -212,25 +236,21 @@ object DocQueries {
       (s, d) =>
         Dedup.tokenJaccardPairs(T(s, d, "documents"), threshold = 0.5)
           .orderBy(col("doc_a"), col("doc_b")),
-      Some("""
-        WITH tok AS (
-          SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
-          FROM documents
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-          FROM tok a JOIN tok b ON a.source = b.source AND a.term = b.term
-          WHERE a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b, c / (na.n + nb.n - c) AS jaccard
-        FROM inter
-          JOIN sizes na ON inter.doc_a = na.doc_id
-          JOIN sizes nb ON inter.doc_b = nb.doc_id
-        WHERE c / (na.n + nb.n - c) >= 0.5
-        ORDER BY doc_a, doc_b
-      """),
+      Some(jaccardPairsOracle),
+    ),
+    // The PREFIX-FILTERED (PPJoin-style) twin, gated against the IDENTICAL
+    // oracle: both strategies must produce the same pairs every round, so
+    // the large-vocabulary path can't silently rot while only the
+    // count-based path rides the gate. Strategy choice is data-driven —
+    // prefix filtering wins when rare prefix terms make candidate buckets
+    // tiny (realistic large vocabularies), loses on this corpus's dense
+    // tiny vocabulary (see Dedup.tokenJaccardPairsPrefix + PLANS.md).
+    Q(
+      "doc_jaccard_pairs_ppjoin",
+      (s, d) =>
+        Dedup.tokenJaccardPairsPrefix(T(s, d, "documents"), threshold = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(jaccardPairsOracle),
     ),
     // --------------------------------------- word-3-gram shingle Jaccard
     // The n-gram (order-sensitive) variant. Strategy choice is data-driven
@@ -794,6 +814,30 @@ object DocQueries {
         val emb = T(s, d, "embeddings")
         val corpus = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + DupOffset))
         Dedup.embeddingLshDupPairs(corpus, dim = 64)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        SELECT vec_id AS id_a, vec_id + $DupOffset AS id_b
+        FROM embeddings ORDER BY id_a, id_b
+      """),
+    ),
+    // -------------------------------- semantic (embedding-cluster) dedup
+    // SemDeDup-style within-centroid cosine pruning reusing the IVF
+    // quantizer (Ann.trainCentroids — deterministic, no RNG). Identical
+    // vectors assign to the same centroid (assignment is a pure function
+    // of the vector), so recall at cos=1 is exact and the verified output
+    // on the duplicate-injected corpus is centroid-independent: exactly
+    // the injected pairs (threshold 0.999 ≫ the originals' max pairwise
+    // cos of 0.51). Sub-threshold recall/precision vs brute force is
+    // DedupSpec-measured (cluster-boundary loss, the documented SemDeDup
+    // approximation).
+    Q(
+      "emb_semantic_dedup",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + DupOffset))
+        Dedup.semanticDupPairs(corpus, dim = 64, nLists = 16, threshold = 0.999)
+          .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""

@@ -79,6 +79,25 @@ object VolumeQueries {
     d.resolve("group").toString
   }
 
+  /** FOREIGN OME-Zarr multiscales group, written once per JVM by
+    * tools/gen_zarr_group_fixture.py (pure python stdlib — an independent
+    * implementation of the group layout, NOT PyramidWriter). Consolidated
+    * (.zmetadata-only) layout: the one-GET cloud path. Same subprocess
+    * discipline as [[foreignTiffDir]] — never inside a timed query body.
+    */
+  private lazy val foreignZarrGroupDir: String = {
+    val gen = java.nio.file.Paths.get("tools/gen_zarr_group_fixture.py")
+    require(java.nio.file.Files.exists(gen),
+      s"fixture generator not found at ${gen.toAbsolutePath}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fzgroup")
+    dir.toFile.deleteOnExit()
+    val dest = dir.resolve("group")
+    val cmd = Seq("python3", gen.toString, dest.toString, "--layout", "consolidated")
+    val rc = scala.sys.process.Process(cmd).!(scala.sys.process.ProcessLogger(_ => ()))
+    require(rc == 0, s"gen_zarr_group_fixture.py exited $rc")
+    dest.toString
+  }
+
   val all: Seq[Q] = Seq(
     // T1: nearest-neighbor ×2 upscale, long form (label preservation is the
     // invariant: every source voxel appears at (2z+dz, 2y+dy, 2x+dx)).
@@ -195,6 +214,68 @@ object VolumeQueries {
         ORDER BY z, y, x
       """),
     ),
+    // §7 streaming north star, oracle-gated: chunk files land in TWO
+    // arrival waves (half the grid before the stream starts, the rest
+    // mid-flight), stream through VolumeStreams.upscaleIngest's ×2
+    // micro-batch kernel into the internal chunk store, and the
+    // read-back must equal the one-shot batch upscale — the SAME oracle
+    // as vol_chunk_upscale_x2, proving the incremental pipeline computes
+    // the batch answer (upscale_streaming.py:42–127's whole premise).
+    Q(
+      "vol_stream_upscale",
+      (s, _) => {
+        import graft.volume.ChunkStore
+        val dir = java.nio.file.Files.createTempDirectory("graft_vstream")
+        dir.toFile.deleteOnExit()
+        val inDir = dir.resolve("in").toString
+        val outDir = dir.resolve("out").toString
+        val vol = chunked(s)
+        vol.chunks.filter(col("cz") === 0).write.mode("append").parquet(inDir)
+        val q = graft.streaming.VolumeStreams.upscaleIngest(s, inDir, outDir, vol.meta, 2)
+        try {
+          q.processAllAvailable()
+          vol.chunks.filter(col("cz") > 0).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+        ChunkStore.read(s, outDir).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT 2 * v.z + dz.range AS z, 2 * v.y + dy.range AS y, 2 * v.x + dx.range AS x, v.label
+        FROM vox v, range(2) dz, range(2) dy, range(2) dx
+        ORDER BY z, y, x
+      """),
+    ),
+    // The same streamed ingest into a SPEC-COMPLIANT zarr v2 array — the
+    // sink the reference's toolchain reads directly. Same oracle again:
+    // format choice must not change a single voxel. Chunk grid (4,8,8)
+    // divides the dims exactly: zarr v2 requires a UNIFORM chunk grid, and
+    // ×2 children of divisor-grid chunks stay uniform (the non-aligned
+    // edge-chunk path rides the internal-store gate above, which has no
+    // such constraint).
+    Q(
+      "vol_stream_upscale_zarr",
+      (s, _) => {
+        import graft.volume.ZarrStore
+        val dir = java.nio.file.Files.createTempDirectory("graft_vstreamz")
+        dir.toFile.deleteOnExit()
+        val inDir = dir.resolve("in").toString
+        val outDir = dir.resolve("out.zarr").toString
+        val vol = graft.volume.ChunkVolume.fromVoxels(grid(s), D, D, D, 4, 8, 8)
+        vol.chunks.filter(col("cz") === 0).write.mode("append").parquet(inDir)
+        val q = graft.streaming.VolumeStreams.upscaleIngest(s, inDir, outDir, vol.meta, 2, format = "zarr")
+        try {
+          q.processAllAvailable()
+          vol.chunks.filter(col("cz") > 0).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+        ZarrStore.read(s, outDir).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT 2 * v.z + dz.range AS z, 2 * v.y + dy.range AS y, 2 * v.x + dx.range AS x, v.label
+        FROM vox v, range(2) dz, range(2) dy, range(2) dx
+        ORDER BY z, y, x
+      """),
+    ),
     Q(
       "vol_chunk_outline",
       (s, _) =>
@@ -239,6 +320,23 @@ object VolumeQueries {
         graft.volume.PyramidWriter.readLevel(s, dest, 1)
           .toVoxels.orderBy("z", "y", "x")
       },
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
+        FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+        ORDER BY z, y, x
+      """),
+    ),
+    // K3 interop: the group reader against a FOREIGN OME-Zarr pyramid —
+    // written by the independent pure-stdlib python encoder in the
+    // CONSOLIDATED (.zmetadata-only) layout, so the reader must resolve
+    // levels through the consolidated document (no loose .zgroup/.zattrs
+    // exist). Same decimation oracle: level 1 of the foreign group is the
+    // stride-2 decimation of the 16³ grid.
+    Q(
+      "vol_pyramid_group_read_foreign",
+      (s, _) =>
+        graft.volume.PyramidWriter.readLevel(s, foreignZarrGroupDir, 1)
+          .toVoxels.orderBy("z", "y", "x"),
       Some(s"""$voxCte
         SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
         FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0

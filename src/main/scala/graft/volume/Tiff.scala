@@ -98,9 +98,16 @@ object Tiff {
       def values(b: ByteBuffer, off: Int): (Int, Array[Long]) = {
         val tag = b.getShort(off) & 0xffff
         val tpe = b.getShort(off + 2) & 0xffff
-        val count = (if (bigTiff) b.getLong(off + 4) else (b.getInt(off + 4) & 0xffffffffL)).toInt
+        // untrusted 64-bit count: truncating to Int before validation
+        // would wrap a forged value into a "plausible" size — reject at
+        // parse time with a named error instead
+        val rawCount = if (bigTiff) b.getLong(off + 4) else (b.getInt(off + 4) & 0xffffffffL)
         val elemSize = TypeSizes.getOrElse(tpe,
           throw new IllegalArgumentException(s"$path: unsupported TIFF field type $tpe for tag $tag"))
+        require(rawCount >= 0 && rawCount * elemSize <= Int.MaxValue,
+          s"$path: tag $tag declares $rawCount values of $elemSize B — " +
+            "corrupt IFD entry count (value block would exceed 2 GiB)")
+        val count = rawCount.toInt
         val total = elemSize * count
         val valOff = off + entrySize - inlineMax
         val data: ByteBuffer =
@@ -134,8 +141,14 @@ object Tiff {
           s"$path: IFD chain revisits offset $ifd — cyclic next-IFD pointer")
         require(seenIfds.size <= MaxPages,
           s"$path: more than $MaxPages IFDs — corrupt or unbounded next-IFD chain")
-        val nEntries = (if (bigTiff) readAt(ifd, 8).order(ord).getLong(0)
-                        else (readAt(ifd, 2).order(ord).getShort(0) & 0xffffL)).toInt
+        // the BigTIFF entry count is an untrusted 64-bit field: validate
+        // the RAW value before .toInt (truncation could turn a forged
+        // count into a negative or multi-GiB readAt), mirroring MaxPages
+        val rawEntries = if (bigTiff) readAt(ifd, 8).order(ord).getLong(0)
+                         else (readAt(ifd, 2).order(ord).getShort(0) & 0xffffL)
+        require(rawEntries >= 0L && rawEntries <= 0xffffL,
+          s"$path: IFD at $ifd declares $rawEntries entries — corrupt (want 0..65535)")
+        val nEntries = rawEntries.toInt
         val block = readAt(ifd + countSize, nEntries * entrySize + inlineMax).order(ord)
         var width = 0; var height = 0; var bits = 8; var sf = 1
         var compression = 1; var rps = -1; var spp = 1; var planar = 1; var predictor = 1
@@ -191,6 +204,18 @@ object Tiff {
         require(width > 0 && height > 0, s"$path: page missing ImageWidth/ImageLength")
         require(bits >= 8 && bits % 8 == 0,
           s"$path: BitsPerSample=$bits — only whole-byte sample widths are supported")
+        // byte-count tables are untrusted input consumed as allocation
+        // sizes on executors: a forged entry must die HERE with a named
+        // parse error, not as a NegativeArraySizeException (or a 2 GiB
+        // allocation) inside a task
+        def requireSaneByteCounts(which: String, cs: Array[Long]): Unit = {
+          var ci = 0
+          while (ci < cs.length) {
+            require(cs(ci) > 0L && cs(ci) <= Int.MaxValue,
+              s"$path: $which[$ci]=${cs(ci)} bytes — outside (0, 2 GiB]; corrupt byte-count table")
+            ci += 1
+          }
+        }
         // Int overflow guard BEFORE any executor allocates: a >=2 GiB page
         // must die here with a named error, not later as a
         // NegativeArraySizeException in a task
@@ -211,6 +236,7 @@ object Tiff {
           require(tOffsets.length.toLong == nTiles && tCounts.length.toLong == nTiles,
             s"$path: tile count ${tOffsets.length}/${tCounts.length} disagrees with " +
               s"$width x $height at $tileW x $tileL (want $nTiles)")
+          requireSaneByteCounts("TileByteCounts", tCounts)
           pages += Page(width, height, bits, sf, compression, predictor, -1,
             tOffsets, tCounts, tileW, tileL)
         } else {
@@ -219,6 +245,7 @@ object Tiff {
           val rowsPerStrip = if (rps <= 0 || rps > height) height else rps
           require(offsets.length == (height + rowsPerStrip - 1) / rowsPerStrip,
             s"$path: strip count ${offsets.length} disagrees with height $height / RowsPerStrip $rowsPerStrip")
+          requireSaneByteCounts("StripByteCounts", counts)
           pages += Page(width, height, bits, sf, compression, predictor, rowsPerStrip,
             offsets, counts)
         }

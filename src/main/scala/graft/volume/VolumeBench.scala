@@ -90,11 +90,11 @@ object VolumeBench {
     * shuffling would dominate).
     */
   def upscaleZarr(spark: SparkSession, mhdPath: String, s: Int, outDir: String,
-      shuffle: Int = 1): Double = {
+      shuffle: Int = 1, cname: String = "zstd", clevel: Int = 5): Double = {
     val meta = MhdMeta.parse(mhdPath)
     val t0 = System.nanoTime()
     val vol = MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt)
-    ZarrStore.write(vol.upscale(s), outDir, ZarrStore.BloscCodec("zstd", 5, shuffle = shuffle),
+    ZarrStore.write(vol.upscale(s), outDir, ZarrStore.BloscCodec(cname, clevel, shuffle = shuffle),
       extraAttrs = Map("source" -> mhdPath, "scale" -> s.toString))
     (System.nanoTime() - t0) / 1e9
   }
@@ -107,6 +107,31 @@ object VolumeBench {
       var s = 0L
       it.foreach(c => s += c.data.length)
     }
+
+  /** Sink-free CODEC probe: read → ×s kernel → pad + blosc-zstd compress
+    * every chunk and DISCARD the bytes — no file ever opens. With the
+    * scan/kernel stages this completes the ×15 cost ladder:
+    *   codec CPU ≈ this − kernel stage;
+    *   file/syscall/disk ≈ zarr headline − this.
+    * `codec` defaults to the headline sink's exact configuration.
+    */
+  def encodeStageTime(spark: SparkSession, mhdPath: String, s: Int,
+      codec: ZarrStore.Codec = ZarrStore.BloscCodec("zstd", 5, shuffle = 1)): Double = {
+    val meta = MhdMeta.parse(mhdPath)
+    val t0 = System.nanoTime()
+    val vol = MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt)
+      .upscale(s)
+    val outMeta = vol.meta
+    val eff = codec match {
+      case b: ZarrStore.BloscCodec => b.withTypesize(outMeta.bytesPerVoxel)
+      case c => c
+    }
+    vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
+      var n = 0L
+      it.foreach(c => n += ZarrStore.encodeChunkBytes(c, outMeta, eff).length)
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** (scan-only seconds, scan+kernel seconds) for a ×s upscale — no sink.
     * write cost ≈ headline − kernel stage.
@@ -196,7 +221,7 @@ object VolumeBench {
       reps: Int = 3): Seq[(String, Double)] = {
     val mhd = ensureFixture(workDir)
     val entries = Seq.newBuilder[(String, Double)]
-    def sampleInterleaved(specs: Seq[(String, () => Double)]): Unit = {
+    def sampleInterleaved(specs: Seq[(String, () => Double)]): Map[String, Double] = {
       val runs = specs.map { case (name, _) => name -> Seq.newBuilder[Double] }.toMap
       for (_ <- 1 to reps; (name, body) <- specs) {
         // the previous rep's publish queued an O(files) background delete
@@ -206,11 +231,12 @@ object VolumeBench {
         AtomicDir.awaitQuiescent()
         runs(name) += body()
       }
-      specs.foreach { case (name, _) =>
+      specs.map { case (name, _) =>
         val rs = runs(name).result()
         rs.zipWithIndex.foreach { case (t, i) => entries += (s"${name}_run${i + 1}" -> t) }
         entries += (name -> median(rs))
-      }
+        name -> median(rs)
+      }.toMap
     }
     entries += ("vol_disk_probe_pre" -> diskProbe(workDir))
     val cold = upscale(spark, mhd, 2, s"$workDir/out_x2")
@@ -245,12 +271,22 @@ object VolumeBench {
       }
       entries += ("vol_atlas_x15_stage_scan" -> median(stages.map(_._1)))
       entries += ("vol_atlas_x15_stage_kernel" -> median(stages.map(_._2)))
-      sampleInterleaved(Seq(
+      val x15 = sampleInterleaved(Seq(
         "vol_atlas_upscale_x15" ->
           (() => upscale(spark, mhd, 15, s"$workDir/out_x15")),
         "vol_atlas_upscale_x15_zarr" ->
           (() => upscaleZarr(spark, mhd, 15, s"$workDir/out_x15_zarr")),
+        // sink-free codec probe, interleaved with the sinks it explains so
+        // an ambient-I/O window hits all three equally
+        "vol_atlas_x15_stage_encode" ->
+          (() => encodeStageTime(spark, mhd, 15)),
       ))
+      // the derived sink split (medians): what the zarr headline pays ON
+      // TOP of scan+kernel+codec — file create/write/close syscalls and
+      // disk. Negative-in-noise is possible (different reps); the
+      // constituents ride alongside for exactly that reason.
+      entries += ("vol_atlas_x15_stage_sink" ->
+        (x15("vol_atlas_upscale_x15_zarr") - x15("vol_atlas_x15_stage_encode")))
     }
     entries += ("vol_disk_probe_post" -> diskProbe(workDir))
     entries.result()

@@ -632,11 +632,11 @@ object ZarrStore {
     writeChunkFiles(chunks, dir.toString, meta, zm.codec)
   }
 
-  /** Validate, pad, compress, and write ONE chunk's file — the per-row
-    * kernel shared by the Dataset writer and the DSv2 write path.
+  /** Validate, pad, and compress ONE chunk to its zarr file bytes WITHOUT
+    * writing — split from [[encodeChunkFile]] so the bench can isolate
+    * codec CPU from file I/O (vol_atlas_x15_stage_encode).
     */
-  private[graft] def encodeChunkFile(
-      c: Chunk, pathStr: String, meta: VolumeMeta, codec: Codec): Unit = {
+  private[graft] def encodeChunkBytes(c: Chunk, meta: VolumeMeta, codec: Codec): Array[Byte] = {
     val (ckZ, ckY, ckX) = (meta.chunkZ, meta.chunkY, meta.chunkX)
     val bpp = meta.bytesPerVoxel
     // zarr requires a UNIFORM grid (edge chunks trail); reject inputs
@@ -658,8 +658,15 @@ object ZarrStore {
         ChunkKernels.placeBox(padded, ckY, ckX, bpp, 0, 0, 0, c.nz, c.ny, c.nx, c.data)
         padded
       }
-    Files.write(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"), codec.compress(payload))
+    codec.compress(payload)
   }
+
+  /** Validate, pad, compress, and write ONE chunk's file — the per-row
+    * kernel shared by the Dataset writer and the DSv2 write path.
+    */
+  private[graft] def encodeChunkFile(
+      c: Chunk, pathStr: String, meta: VolumeMeta, codec: Codec): Unit =
+    Files.write(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"), encodeChunkBytes(c, meta, codec))
 
   /** Create an array directory with its `.zarray` only (no chunks yet) —
     * the driver-side step of the DSv2 write path; executors then land

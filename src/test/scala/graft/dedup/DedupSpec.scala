@@ -212,6 +212,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(viaDf === expected)
   }
 
+  test("semanticDupPairs: exact-dup recall is exact; sub-threshold output is a verified subset") {
+    import spark.implicits._
+    // deterministic planted-cluster embeddings (no RNG): vector i leans
+    // hard on axis i%4 (weight 10) with sin jitter elsewhere — 4 natural
+    // clusters the k-means quantizer can recover
+    val dim = 8
+    val n = 40L
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "j -> cast(case when j = id % 4 then 10.0 else sin(id * 7 + j) end as double))")
+        .as("embedding"))
+    // injected exact copies: identical vectors assign to the same centroid
+    // (pure function of the vector), so every copy pair MUST be found
+    // whatever the clustering — the property the emb_semantic_dedup gate
+    // relies on
+    val corpus = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + 1000L))
+    val dup = Dedup.semanticDupPairs(corpus, dim, nLists = 4, threshold = 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until n) assert(dup.contains((i, i + 1000L)), s"copy pair $i missing")
+    // sub-threshold: every emitted pair is exactly verified (cos computed
+    // on the real vectors), so the output must be a SUBSET of brute force;
+    // recall loss is only cluster-boundary pairs (SemDeDup's documented
+    // approximation) — on the planted clusters it stays high
+    val sem = Dedup.semanticDupPairs(emb, dim, nLists = 4, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.embeddingCosinePairs(emb, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "planted clusters produced no high-cosine pairs — fixture broken")
+    assert(sem.subsetOf(brute), s"unverified pairs emitted: ${sem.diff(brute)}")
+    assert(sem.size.toDouble / brute.size >= 0.5,
+      s"within-centroid recall ${sem.size}/${brute.size} below floor")
+  }
+
   test("duplicateSpans: cross-doc shares, in-doc repeats, and short docs, hand-computed") {
     import spark.implicits._
     // w=3 windows. doc 1 and 2 share the span "a b c" (and 2's "b c d"

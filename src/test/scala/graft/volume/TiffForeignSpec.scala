@@ -237,4 +237,35 @@ class TiffForeignSpec extends AnyFunSuite with SparkSpec {
     val over = intercept[IllegalArgumentException] { Tiff.parseMeta(classicWith(big)) }
     assert(over.getMessage.contains("2 GiB"))
   }
+
+  test("fail-loud: a forged StripByteCounts entry dies at parse time, not at task allocation") {
+    // StripByteCounts = 0x80000000 (2 GiB, negative as Int): the old path
+    // truncated with .toInt at `new Array[Byte]` inside the executor —
+    // must now be a named parse error
+    val forged = Seq((256, 4, 16L), (257, 4, 16L), (258, 3, 16L),
+      (273, 4, 8L), (279, 4, 0x80000000L))
+    val e = intercept[IllegalArgumentException] { Tiff.parseMeta(classicWith(forged)) }
+    assert(e.getMessage.contains("StripByteCounts"))
+    assert(e.getMessage.contains("corrupt byte-count table"))
+    // zero-byte strips are equally corrupt (readFully would return
+    // nothing and the decode would emit a short chunk)
+    val zero = Seq((256, 4, 16L), (257, 4, 16L), (258, 3, 16L),
+      (273, 4, 8L), (279, 4, 0L))
+    val z = intercept[IllegalArgumentException] { Tiff.parseMeta(classicWith(zero)) }
+    assert(z.getMessage.contains("StripByteCounts"))
+  }
+
+  test("fail-loud: a corrupt BigTIFF IFD entry count is rejected before Int truncation") {
+    // hand-built BigTIFF header whose first IFD declares 2^33 entries: the
+    // old getLong(0).toInt truncated to 0 (silent empty page) or negative
+    // (unnamed failure) — must now be a named parse error on the RAW value
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0).putLong(16L)
+    bb.putLong(1L << 33) // IFD entry count at offset 16
+    val p = Files.createTempDirectory("graft_btiff_bad").resolve("bad.tif")
+    Files.write(p, java.util.Arrays.copyOf(bb.array(), bb.position()))
+    val e = intercept[IllegalArgumentException] { Tiff.parseMeta(p.toString) }
+    assert(e.getMessage.contains("entries"))
+    assert(e.getMessage.contains("corrupt"))
+  }
 }

@@ -17,6 +17,25 @@ class ZarrInteropSpec extends AnyFunSuite with SparkSpec {
     try Process(Seq("python3", "-c", "import numpy")).!(ProcessLogger(_ => ())) == 0
     catch { case _: Exception => false }
 
+  // the group-fixture generator is pure stdlib — no numpy required
+  private def havePython3: Boolean =
+    try Process(Seq("python3", "-c", "")).!(ProcessLogger(_ => ())) == 0
+    catch { case _: Exception => false }
+
+  /** Generate the foreign OME-Zarr multiscales group fixture (pure-stdlib
+    * python encoder, independent of PyramidWriter) in the given layout.
+    */
+  private def genForeignGroup(layout: String): String = {
+    val dest = Files.createTempDirectory("zarr_fgroup").resolve("group")
+    val gen = Paths.get("tools/gen_zarr_group_fixture.py").toAbsolutePath
+    val out = Process(Seq("python3", gen.toString, dest.toString, "--layout", layout)).!!
+    assert(out.contains("GROUP_FIXTURE_OK"))
+    dest.toString
+  }
+
+  private def groupLabel(z: Long, y: Long, x: Long): Long =
+    (z / 4) * 100 + (y / 4) * 10 + x / 4
+
   private val (dz, dy, dx) = (5L, 4L, 6L)
 
   private lazy val vol = {
@@ -619,6 +638,42 @@ class ZarrInteropSpec extends AnyFunSuite with SparkSpec {
       val id = (z * dy + y) * dx + x
       assert(got((z, y, x)) === (id * 13) % 251, s"voxel ($z,$y,$x)")
     }
+  }
+
+  test("openGroup + readLevel read a FOREIGN multiscales group (.zgroup/.zattrs layout)") {
+    assume(havePython3, "python3 not available")
+    val dest = genForeignGroup("plain")
+    val g = PyramidWriter.openGroup(dest)
+    assert(g.name === "labels")
+    assert(g.levelPaths === Seq("0", "1"))
+    assert(g.scalesZyx === Seq(Seq(25.0, 25.0, 25.0), Seq(50.0, 50.0, 50.0)))
+    // level 1 = stride-2 decimation of the 16³ grid, resolved THROUGH the
+    // multiscales dataset path — 512 voxels, every value checked
+    val got = PyramidWriter.readLevel(spark, dest, 1).toVoxels.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got.size === 512)
+    for (z <- 0L until 8L; y <- 0L until 8L; x <- 0L until 8L)
+      assert(got((z, y, x)) === groupLabel(2 * z, 2 * y, 2 * x), s"voxel ($z,$y,$x)")
+  }
+
+  test("openGroup resolves a FOREIGN group through CONSOLIDATED .zmetadata alone") {
+    assume(havePython3, "python3 not available")
+    val dest = genForeignGroup("consolidated")
+    // the fixture deliberately omits the loose group files: a reader that
+    // quietly falls back to .zgroup/.zattrs would fail here
+    assert(!Files.exists(Paths.get(dest, ".zgroup")))
+    assert(!Files.exists(Paths.get(dest, ".zattrs")))
+    val g = PyramidWriter.openGroup(dest)
+    assert(g.levelPaths === Seq("0", "1"))
+    // level 0 this time: the full 16³ grid, every voxel checked
+    val got = PyramidWriter.readLevel(spark, dest, 0).toVoxels.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got.size === 4096)
+    for (z <- 0L until 16L; y <- 0L until 16L; x <- 0L until 16L)
+      assert(got((z, y, x)) === groupLabel(z, y, x), s"voxel ($z,$y,$x)")
+    // a level outside the declared datasets is a named error, not a guess
+    val e = intercept[IllegalArgumentException](PyramidWriter.readLevel(spark, dest, 2))
+    assert(e.getMessage.contains("declares 2 levels"))
   }
 
   test("ZarrStore reads a python (numpy+zlib) written array bit-exactly") {
