@@ -27,6 +27,7 @@ object GraftFunctions {
   val SigAgreeName = "graft_sig_agree"
   val MaxTermCountName = "graft_max_term_count"
   val MaxPairCountName = "graft_max_pair_count"
+  val FreqItemsName = "graft_freq_items"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -96,6 +97,15 @@ object GraftFunctions {
       require(children.size == 1, s"$MaxPairCountName takes exactly 1 argument")
       MaxPairCount(children.head)
     }),
+    (FreqItemsName, classOf[MisraGries].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$FreqItemsName takes (item, k)")
+      val k = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$FreqItemsName capacity k must be an integer literal, got $other")
+      }
+      MisraGries(children.head, k).toAggregateExpression()
+    }),
   )
 
   /** Idempotently register graft functions in this session's registry. */
@@ -157,4 +167,11 @@ object GraftFunctions {
     * in an ARRAY<STRING> — interned-id pair counting, no string concat.
     */
   def maxPairCount(tokens: Column): Column = call_function(MaxPairCountName, tokens)
+
+  /** Misra-Gries frequent-items sketch of a STRING column: a
+    * MAP<STRING,BIGINT> of at most k counters with the n/(k+1)
+    * heavy-hitter / error guarantees (see [[MisraGries]]).
+    */
+  def freqItems(item: Column, k: Int): Column =
+    call_function(FreqItemsName, item, lit(k))
 }

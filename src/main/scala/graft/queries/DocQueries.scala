@@ -318,6 +318,70 @@ object DocQueries {
         SELECT source, term, n_docs, rk FROM r WHERE rk <= 5 ORDER BY source, rk
       """),
     ),
+    // -------------------------------- heavy-hitter sketch gate (Misra-Gries)
+    // Same contract as ev_hll_users: the exact side (n_tokens, n_heavy) is
+    // the oracle face; the sketch side is exposed ONLY through its two
+    // order-invariant guarantees, because MG counter contents legitimately
+    // depend on partitioning. all_heavy_in_sketch: every term with
+    // frequency > n/(k+1) must be a sketch key; est_within_bound: every
+    // estimate e satisfies cnt - n/(k+1) <= e <= cnt. Integer arithmetic
+    // (cnt*(k+1) vs n) keeps both booleans exact. The sketch itself is the
+    // 100 TB shape: O(k) aggregation state per source vs the full
+    // vocabulary for the exact twin.
+    Q(
+      "doc_freq_terms_sketch",
+      (s, d) => {
+        val k = 32
+        val docs = T(s, d, "documents")
+        val sk = TextAnalysis.freqTerms(docs, k) // source, n_tokens, sketch
+        val toks = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+        val exact = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+        val entries = sk.select(
+          col("source"), col("n_tokens"), explode(col("sketch")).as(Seq("term", "est")))
+        // inner join is lossless: sketch keys are by construction input terms
+        val estAudit = entries.join(exact, Seq("source", "term"))
+          .groupBy(col("source"))
+          .agg(min(
+            col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * (k + 1) <= col("n_tokens"))
+            .as("est_within_bound"))
+        val heavy = exact.join(sk.select(col("source"), col("n_tokens")), "source")
+          .filter(col("cnt") * (k + 1) > col("n_tokens"))
+        val heavyAudit = heavy.groupBy(col("source")).agg(count(lit(1)).as("n_heavy"))
+        val missAudit = heavy
+          .join(entries.select(col("source"), col("term")), Seq("source", "term"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_missed"))
+        sk.select(col("source"), col("n_tokens"))
+          .join(heavyAudit, Seq("source"), "left")
+          .join(missAudit, Seq("source"), "left")
+          .join(estAudit, Seq("source"), "left")
+          .select(
+            col("source"),
+            col("n_tokens"),
+            coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+            (coalesce(col("n_missed"), lit(0L)) === 0).as("all_heavy_in_sketch"),
+            coalesce(col("est_within_bound"), lit(true)).as("est_within_bound"),
+          )
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        ), n AS (
+          SELECT source, COUNT(*) AS n_tokens FROM tok GROUP BY 1
+        ), c AS (
+          SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+        ), heavy AS (
+          SELECT c.source, c.term FROM c JOIN n ON c.source = n.source
+          WHERE c.cnt * 33 > n.n_tokens
+        )
+        SELECT n.source, n.n_tokens,
+               (SELECT COUNT(*) FROM heavy h WHERE h.source = n.source) AS n_heavy,
+               true AS all_heavy_in_sketch,
+               true AS est_within_bound
+        FROM n ORDER BY n.source
+      """),
+    ),
     // ----------------------------------------------------- text statistics
     Q(
       "doc_text_stats",
@@ -423,6 +487,62 @@ object DocQueries {
         )
         SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
         FROM reach GROUP BY id ORDER BY doc_id
+      """),
+    ),
+    // -------------------------------------------- deduplicated corpus (keep-one)
+    // The user-facing end of the dedup family: the corpus AFTER near-dup
+    // removal. Each cluster keeps its min-id representative; docs in no
+    // cluster survive untouched. The non-representative member list is the
+    // small side (duplicates only, never the corpus), so the left_anti
+    // join broadcasts under AQE at any corpus scale; the full documents
+    // table crosses no shuffle beyond the pair-generation stage itself.
+    Q(
+      "doc_dedup_corpus",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val clusters = Dedup.connectedComponents(
+          Dedup.tokenJaccardPairs(docs, threshold = 0.5))
+        val losers = clusters
+          .filter(col("id") =!= col("cluster_rep"))
+          .select(col("id").as("doc_id"))
+        docs
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE tok AS (
+          SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.source = b.source AND a.term = b.term
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT doc_a, doc_b
+          FROM inter
+            JOIN sizes na ON inter.doc_a = na.doc_id
+            JOIN sizes nb ON inter.doc_b = nb.doc_id
+          WHERE c / (na.n + nb.n - c) >= 0.5
+        ),
+        e AS (SELECT doc_a AS s, doc_b AS d FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        reach(id, r) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+        ),
+        losers AS (
+          SELECT id FROM reach GROUP BY id HAVING id != MIN(r)
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+        ORDER BY d.doc_id
       """),
     ),
     // ------------------------------------------------------ quality score

@@ -348,6 +348,44 @@ object EventQueries {
         FROM events GROUP BY event_type ORDER BY event_type
       """),
     ),
+    // Quantile sketch gate, same contract as ev_hll_users: exact
+    // percentiles (a full sort / Expand at scale) are the oracle face;
+    // the KLL-style approx_percentile sketch — the bounded-memory shape
+    // that replaces the global sort at 100 TB — must land inside the
+    // ±0.01 RANK band around each target, checked against the exact
+    // percentiles at p±0.01. approx_percentile(accuracy=10000) guarantees
+    // rank error <= n/10000, far inside the n/100 band, so the boolean is
+    // deterministic; a value-relative tolerance would be wrong for
+    // distributions with mass near zero.
+    Q(
+      "ev_value_quantiles",
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d)
+          .groupBy($"event_type")
+          .agg(
+            expr("percentile(value, array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))")
+              .as("ex"),
+            expr("approx_percentile(value, array(0.5D, 0.95D), 10000)").as("ap"),
+          )
+          .select(
+            $"event_type",
+            round($"ex"(1), 6).as("p50"),
+            round($"ex"(4), 6).as("p95"),
+            ($"ap"(0) >= $"ex"(0) && $"ap"(0) <= $"ex"(2)).as("p50_sketch_in_band"),
+            ($"ap"(1) >= $"ex"(3) && $"ap"(1) <= $"ex"(5)).as("p95_sketch_in_band"),
+          )
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+               ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95,
+               true AS p50_sketch_in_band,
+               true AS p95_sketch_in_band
+        FROM events GROUP BY event_type ORDER BY event_type
+      """),
+    ),
     // JSON-function extraction (the typed twin of the regex form above):
     // get_json_object / DuckDB json_extract over the props payload.
     Q(

@@ -105,6 +105,32 @@ object TextAnalysis {
     docs.withColumn("fp64", GraftFunctions.fp64(col(textCol)))
   }
 
+  /** Per-group heavy-hitter vocabulary: one row per group with the total
+    * token count and a Misra-Gries sketch (MAP<term, est> of <= k
+    * counters) over the group's full token stream. Unlike the exact
+    * (group, term) aggregation behind `doc_topk_terms` — whose state is
+    * the whole vocabulary — the sketch carries O(k) state per group
+    * through the map-side partial and the one group exchange, so the
+    * shuffle volume is independent of vocabulary size. Guarantees (any
+    * order/partitioning): terms with frequency > n/(k+1) are present;
+    * estimates undershoot true counts by at most n/(k+1).
+    */
+  def freqTerms(
+      docs: DataFrame,
+      k: Int,
+      groupCol: String = "source",
+      textCol: String = "text",
+  ): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        GraftFunctions.freqItems(col("term"), k).as("sketch"),
+      )
+  }
+
   /** Word bigrams of a token array, repeats preserved. The >= 2 guard
     * matters: Spark's sequence(1, 0) counts DOWN to [1, 0] (step defaults
     * to -1), it is not empty like DuckDB's generate_series — a
