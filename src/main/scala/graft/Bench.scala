@@ -125,10 +125,20 @@ object Bench {
       java.nio.file.Files.writeString(out, fullLine + "\n")
       println(s"""{"metric":"bench_file","path":"${esc(out.toString)}"}""")
     } catch { case e: Throwable => Console.err.println(s"bench file write failed: $e") }
-    // ...and once more as the LAST (short) line: whether the driver's
-    // capture window is line- or byte-bounded from either end, the volume
-    // headlines survive.
+    // ...and once more near the end: whether the driver's capture window
+    // is line- or byte-bounded from either end, the volume headlines
+    // survive when the window is generous.
     println(s"""{"metric":"volume_headline","unit":"sec","queries":$volQs,"probes":$probesJson,"sf":"${esc(sfDir)}"}""")
+    // compact medians-only atlas line: r10's capture window was 2000
+    // BYTES, and volume_headline (with its _runN samples) + total_summary
+    // together overflow that — the table regenerator lost the atlas
+    // medians. This line drops the run samples and rounds to ms so
+    // atlas_summary + total_summary always fit a 2 KB window together.
+    val volMedJson = volume
+      .filterNot { case (k, _) => k.matches(".*_run\\d+$") }
+      .map { case (k, v) => "\"" + esc(k) + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"atlas_summary","unit":"sec","queries":$volMedJson}""")
     // short summary as the FINAL line: the driver's capture window is
     // byte-bounded from the left, so the (long) total line can lose its
     // head — this one always survives whole

@@ -1,0 +1,34 @@
+package graft.volume
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off codec A/B for the ×15 encode stage (scan+kernel+compress, no
+  * file I/O): quantifies the blosc-zstd clevel knob and the lz4 escape
+  * hatch against the reference-parity default (zstd-5, byte shuffle).
+  * Variants are interleaved per rep so an ambient window hits all four
+  * equally. Results land in PLANS.md; this main is scratch tooling.
+  */
+object EncodeAb {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mhd = VolumeBench.ensureFixture("/tmp/graft_volbench")
+    VolumeBench.stageTimes(spark, mhd, 15) // untimed JIT warmup
+    val variants = Seq(
+      "zstd5" -> ZarrStore.BloscCodec("zstd", 5, shuffle = 1),
+      "zstd3" -> ZarrStore.BloscCodec("zstd", 3, shuffle = 1),
+      "zstd1" -> ZarrStore.BloscCodec("zstd", 1, shuffle = 1),
+      "lz4_5" -> ZarrStore.BloscCodec("lz4", 5, shuffle = 1),
+    )
+    for (rep <- 1 to 3; (name, codec) <- variants) {
+      val t = VolumeBench.encodeStageTime(spark, mhd, 15, codec)
+      println(s"ENCODE_AB variant=$name rep=$rep sec=$t")
+    }
+    spark.stop()
+  }
+}

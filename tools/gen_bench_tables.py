@@ -36,7 +36,7 @@ def parse_bench(path):
     survive whole."""
     with open(path) as f:
         doc = json.load(f)
-    vol, tot, summary = None, None, None
+    vol, atlas, tot, summary = None, None, None, None
     for line in doc.get("tail", "").splitlines():
         start = line.find('{"metric"')
         if start < 0:
@@ -47,14 +47,21 @@ def parse_bench(path):
             continue
         if obj.get("metric") == "volume_headline":
             vol = obj
+        elif obj.get("metric") == "atlas_summary":
+            atlas = obj
         elif obj.get("metric") == "total":
             tot = obj
         elif obj.get("metric") == "total_summary":
             summary = obj
     if doc.get("parsed"):
         tot = tot or doc["parsed"]
+    # atlas_summary is the byte-bounded-window fallback: medians only
+    # (no _runN samples, so spread() renders nothing), always short
+    # enough to survive alongside total_summary
+    vol = vol or atlas
     if not vol:
-        sys.exit(f"could not find a volume_headline JSON line in {path}")
+        sys.exit(f"could not find a volume_headline or atlas_summary "
+                 f"JSON line in {path}")
     return vol, tot, summary
 
 
