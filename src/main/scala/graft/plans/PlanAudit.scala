@@ -85,5 +85,9 @@ object PlanAudit {
     "doc_simhash_dedup" -> 2,
     "doc_jaccard_pairs" -> 8,
     "doc_jaccard_pairs_ppjoin" -> 5,
+    // one source window exchange + output sort, same shape as
+    // doc_cap_per_source: the sample must never become a global sort of
+    // the corpus by hash
+    "doc_sample_per_source" -> 2,
   )
 }

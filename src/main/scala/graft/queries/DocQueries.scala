@@ -545,6 +545,139 @@ object DocQueries {
         ORDER BY d.doc_id
       """),
     ),
+    // ------------------------------------------- incremental (shard) dedup
+    // The arrival-order form of dedup a 100 TB pipeline actually runs: a
+    // new shard (doc_id >= 250 stands in for it) is judged against
+    // everything that arrived earlier — a new doc is dropped iff it has a
+    // near-duplicate (token jaccard >= 0.5, in-block) with a SMALLER
+    // doc_id, whether that earlier doc is in the base corpus or earlier
+    // in the same shard. Deliberately NON-transitive (no CC iteration):
+    // each doc is judged against its direct neighbors only, so the rule
+    // is single-pass per shard and conservative toward keeping content.
+    // At scale the base side's term-df + postings are a build-once index
+    // (same lifecycle as the IVF index): only the shard side is scanned
+    // per arrival.
+    Q(
+      "doc_dedup_incremental",
+      (s, d) => {
+        val cut = 250L
+        val docs = T(s, d, "documents")
+        // pairs come out doc_a < doc_b (sorted postings), so "has an
+        // earlier near-dup" = appears as doc_b
+        val losers = Dedup.tokenJaccardPairs(docs, threshold = 0.5)
+          .filter(col("doc_b") >= cut)
+          .select(col("doc_b").as("doc_id"))
+          .distinct()
+        docs
+          .filter(col("doc_id") >= cut)
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.source = b.source AND a.term = b.term
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT doc_a, doc_b
+          FROM inter
+            JOIN sizes na ON inter.doc_a = na.doc_id
+            JOIN sizes nb ON inter.doc_b = nb.doc_id
+          WHERE c / (na.n + nb.n - c) >= 0.5
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d
+        WHERE d.doc_id >= 250
+          AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_b = d.doc_id)
+        ORDER BY d.doc_id
+      """),
+    ),
+    // ----------------------------------------- deterministic per-group sample
+    // Inspection sampling for a 100 TB corpus: k docs per source, chosen
+    // by md5(doc_id) order — the same engine-portable determinism as the
+    // train/val split (Dedup.splitColumn), so the sample is stable across
+    // engines, runs, and corpus growth (a doc's rank only moves when docs
+    // hash-before it arrive). One source exchange + window, no global
+    // sort; the md5 tie falls back to doc_id so the order is total.
+    Q(
+      "doc_sample_per_source",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 10
+        T(s, d, "documents")
+          .withColumn("rk",
+            row_number().over(Window.partitionBy(col("source"))
+              .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+          .filter(col("rk") <= k)
+          .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""
+        SELECT source, rk, doc_id FROM (
+          SELECT source, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM documents
+        ) WHERE rk <= 10 ORDER BY source, rk
+      """),
+    ),
+    // --------------------------------------------------- TF-IDF top terms
+    // Per-doc characteristic terms: rank by scaled-integer tf-idf
+    // (tf * 1e6 * n_docs) DIV df — integer arithmetic end to end, because
+    // tf * ln(N/df) differs between engines in the last ulp and a ranking
+    // flip there would be an un-debuggable hash mismatch (the q15 lesson).
+    // Monotone in tf * N/df, so the ranking is the tf-idf ranking.
+    Q(
+      "doc_tfidf_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score", expr("tf * 1000000L * n_docs DIV df"))
+        scored
+          .withColumn("rk",
+            row_number().over(Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("term"))))
+          .filter(col("rk") <= 3 && col("doc_id") < 50)
+          .select(col("doc_id"), col("rk").cast("long").as("rk"),
+            col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+          ) GROUP BY 1, 2
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf * 1000000 * n.n_docs // df.df AS score
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, rk, term, score FROM (
+          SELECT doc_id, term, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS BIGINT) AS rk
+          FROM scored
+        ) WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk
+      """),
+    ),
     // ------------------------------------------------------ quality score
     Q(
       "doc_quality",

@@ -114,6 +114,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incremental rule: drop iff an EARLIER direct near-dup exists (vs CC's transitive min-rep)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 10 ~ 30 and 20 ~ 30, but 10 !~ 20: under the incremental
+    // (arrival-order) rule 20 SURVIVES — its only near-dup arrived later —
+    // while CC-min-rep would collapse {10,20,30} and drop it. 30 is
+    // dropped by both (earlier neighbors 10 and 20).
+    val shard = Seq(
+      (10L, "a b c d", "s"), // base (below the cut)
+      (20L, "c d e f", "s"), // J(10,20)=2/6 < 0.5
+      (30L, "a b c d e f", "s"), // J(10,30)=J(20,30)=4/6 >= 0.5
+      (40L, "x y z", "s"),
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.tokenJaccardPairs(shard, threshold = 0.5)
+    val edges = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((10L, 30L), (20L, 30L)))
+    val cut = 15L
+    val survivors = shard.filter(col("doc_id") >= cut)
+      .join(
+        pairs.filter(col("doc_b") >= cut).select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(20L, 40L))
+    // the CC rule on the same edges drops 20 as well — the two semantics
+    // genuinely differ, which is why both are gated
+    val reps = Dedup.connectedComponents(pairs)
+    val ccLosers = reps.filter(col("id") =!= col("cluster_rep"))
+      .select("id").as[Long].collect().toSet
+    assert(ccLosers == Set(20L, 30L))
+  }
+
   test("connectedComponents: min-id clusters over pair edges, chains collapse") {
     import spark.implicits._
     // a 12-node chain (worst case for naive propagation), one triangle
