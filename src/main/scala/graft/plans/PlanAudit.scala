@@ -89,5 +89,14 @@ object PlanAudit {
     // doc_cap_per_source: the sample must never become a global sort of
     // the corpus by hash
     "doc_sample_per_source" -> 2,
+    // narrow per-row kernels (generator / regex): the 1 is the output
+    // sort — any second exchange means a shuffle appeared in a map-only
+    // pipeline
+    "doc_chunk_overlap" -> 1,
+    "doc_pii_scrub" -> 1,
+    // batch face of the streaming intake: fingerprint keep-first window
+    // + (hour, source) rollup + output sort. A 4th exchange would mean
+    // the dedup or rollup stopped being single-pass
+    "doc_stream_curate" -> 3,
   )
 }

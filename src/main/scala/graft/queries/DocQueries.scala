@@ -678,6 +678,141 @@ object DocQueries {
         ) WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk
       """),
     ),
+    // ------------------------------------------- token-window chunking
+    // The step between curation and packing in an LLM pipeline: split
+    // each doc's token stream into windows of W=64 tokens at stride
+    // S=48 (16-token overlap so no boundary context is lost). Narrow —
+    // one generator per doc, no shuffle beyond the output sort; chunk
+    // count per doc is ceil(n/S), so output volume is bounded by
+    // (1 + W/S) x input tokens at any corpus scale.
+    Q(
+      "doc_chunk_overlap",
+      (s, d) => {
+        val W = 64
+        val S = 48
+        T(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("start",
+            explode(sequence(lit(0), size(col("toks")) - 1, lit(S))))
+          .select(
+            col("doc_id"),
+            expr(s"start div $S").as("chunk_id"),
+            least(lit(W), size(col("toks")) - col("start")).cast("long").as("n_tokens"),
+            element_at(col("toks"), col("start") + 1).as("head_term"),
+            element_at(col("toks"),
+              least(col("start") + W, size(col("toks")))).as("tail_term"))
+          .filter(col("doc_id") < 100)
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        s AS (
+          SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 48)) AS start
+          FROM t
+        )
+        SELECT doc_id,
+               start // 48 AS chunk_id,
+               CAST(LEAST(64, len(w) - start) AS BIGINT) AS n_tokens,
+               w[start + 1] AS head_term,
+               w[LEAST(start + 64, len(w))] AS tail_term
+        FROM s WHERE doc_id < 100 ORDER BY doc_id, chunk_id
+      """),
+    ),
+    // ------------------------------------------------------- PII scrubbing
+    // Regex masking of emails and phone-shaped strings. The synthetic
+    // corpus carries no PII, so the query constructs a deterministic
+    // PII-bearing corpus inline (every 5th doc gains an email, every
+    // 7th a phone number) — both engines see the same text, and the
+    // masked output + match counts are exact. The patterns stay inside
+    // the common RE2/Java-regex subset (character classes + bounded
+    // quantifiers, no lookaround) so both engines match identically.
+    // Narrow per-row kernel: no shuffle beyond the output sort.
+    Q(
+      "doc_pii_scrub",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        T(s, d, "documents")
+          .withColumn("pii_text", concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" call 555-123-4567"))
+              .otherwise(lit(""))))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("pii_text"), lit(email), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("pii_text"), lit(phone), lit(0)))
+              .cast("long").as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("pii_text"), email, "<EMAIL>"),
+              phone, "<PHONE>")).as("masked_md5"))
+          .filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH pii AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+                 CASE WHEN doc_id % 7 = 0
+                      THEN ' call 555-123-4567' ELSE '' END AS pii_text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(pii_text,
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(pii_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS masked_md5
+        FROM pii
+        WHERE doc_id % 5 = 0 OR doc_id % 7 = 0
+        ORDER BY doc_id
+      """),
+    ),
+    // ------------------------------------------- streaming corpus curation
+    // Batch face of the streaming intake pipeline (DocStreams.curate):
+    // the feed is the corpus re-delivered twice (at-least-once), the
+    // pipeline is exactly-once exact dedup (keep first arrival) +
+    // quality gate + per-(hour, source) intake rollup. The streaming
+    // twin runs the state-bounded dropDuplicatesWithinWatermark;
+    // DocStreamsSpec pins stream==batch parity and the state-operator
+    // count under MemoryStream.
+    Q(
+      "doc_stream_curate",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        graft.streaming.DocStreams.curate(docs.unionAll(docs))
+          .select(
+            col("window.start").cast("long").as("window_s"),
+            col("source"),
+            col("n_docs"),
+            col("total_tokens"))
+          .orderBy(col("window_s"), col("source"))
+      },
+      Some("""
+        WITH feed AS (
+          SELECT * FROM documents UNION ALL SELECT * FROM documents
+        ),
+        dd AS (
+          SELECT doc_id, source, text,
+                 ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                    ORDER BY doc_id) AS rn
+          FROM feed
+        ),
+        cur AS (
+          SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+          FROM dd WHERE rn = 1
+        )
+        SELECT (doc_id * 60 // 3600) * 3600 AS window_s, source,
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM cur WHERE n_tokens >= 20
+        GROUP BY 1, 2 ORDER BY window_s, source
+      """),
+    ),
     // ------------------------------------------------------ quality score
     Q(
       "doc_quality",

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Top-level so Spark's encoder can instantiate it without an outer
+  * scope (MemoryStream deserialization).
+  */
+case class StreamDoc(doc_id: Long, text: String, source: String)
+
+/** The streaming corpus-curation pipeline under a real streaming query:
+  * first-arrival dedup across micro-batches (including a same-text
+  * re-delivery under a NEW doc_id), the stateless quality gate, window
+  * finalization via the watermark, and stream==batch-face parity on the
+  * finalized windows.
+  */
+class DocStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def longText(tag: String): String =
+    tag + " " + Seq.fill(24)("tok").mkString(" ") // 25 tokens, passes the gate
+
+  test("curate: stream matches batch face; dups and short docs dropped; state = dedup + window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val query = DocStreams.curate(input.toDF())
+      .select(
+        col("window.start").cast("long").as("window_s"),
+        col("source"), col("n_docs"), col("total_tokens"))
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val wave1 = Seq(
+        StreamDoc(1, longText("alpha"), "s1"),
+        StreamDoc(2, longText("beta"), "s1"),
+        StreamDoc(5, "too short", "s1"), // < 20 tokens: quality-gated
+        StreamDoc(70, longText("gamma"), "s2"))
+      val wave2 = Seq(
+        StreamDoc(2, longText("beta"), "s1"), // exact re-delivery
+        StreamDoc(130, longText("alpha"), "s2")) // same text, NEW id: still a dup
+      val wave3 = Seq(
+        StreamDoc(400, longText("omega"), "s3"), // 400 min: watermark -> 4.66 h
+        StreamDoc(401, longText("omega2"), "s3"))
+      input.addData(wave1: _*)
+      query.processAllAvailable()
+      input.addData(wave2: _*)
+      query.processAllAvailable()
+      wave3.foreach { d =>
+        input.addData(d)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("curate_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      // hours 0-3 finalized (watermark 4.66h): alpha+beta in (h0, s1),
+      // gamma in (h1, s2); the h2 arrival (130) was deduped away
+      assert(streamed === Set((0L, "s1", 2L, 50L), (3600L, "s2", 1L, 25L)))
+      // batch face over the identical feed, restricted to the finalized
+      // windows, must agree exactly
+      val batch = DocStreams.curate((wave1 ++ wave2 ++ wave3).toDF())
+        .select(
+          col("window.start").cast("long").as("window_s"),
+          col("source"), col("n_docs"), col("total_tokens"))
+        .filter(col("window_s") < 4 * 3600)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch === streamed)
+      // exactly two stateful operators: the dedup buffer + the window agg
+      assert(query.lastProgress.stateOperators.size === 2)
+    } finally query.stop()
+  }
+}
