@@ -813,6 +813,118 @@ object DocQueries {
         GROUP BY 1, 2 ORDER BY window_s, source
       """),
     ),
+    // --------------------------------------------------- OOV-rate quality
+    // Vocabulary-coverage quality signal: per-doc share of tokens
+    // OUTSIDE the corpus's top-16 vocabulary (count desc, term
+    // tie-break — a deterministic total order, so the cutoff is
+    // engine-exact; 16 because the synthetic corpus has only 31 distinct
+    // terms — a real corpus would use 1e5-ish). The vocabulary is a bounded broadcast at any corpus
+    // scale; the corpus pays one doc_id exchange. Integer permille, not
+    // a float ratio (the q15 lesson).
+    Q(
+      "doc_oov_stats",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(16)
+          .select(col("term"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        v AS (SELECT term FROM c ORDER BY cnt DESC, term LIMIT 16)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(COUNT(*) FILTER (term NOT IN (SELECT term FROM v)) AS BIGINT) AS n_oov,
+               CAST(COUNT(*) FILTER (term NOT IN (SELECT term FROM v)) AS BIGINT) * 1000
+                 // COUNT(*) AS oov_permille
+        FROM tok GROUP BY doc_id ORDER BY doc_id
+      """),
+    ),
+    // -------------------------------------- quality-aware dedup survivors
+    // Real pipelines do not keep the min-id duplicate — they keep the
+    // BEST one. Same CC clusters as doc_dedup_corpus, but the survivor
+    // per cluster is the longest doc (token count, doc_id tie-break).
+    // The ranking runs over CLUSTERED docs only (≪ corpus), and the
+    // loser list broadcasts into the anti-join, so the corpus still
+    // crosses no shuffle beyond pair generation.
+    Q(
+      "doc_dedup_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        val clusters = Dedup.connectedComponents(
+          Dedup.tokenJaccardPairs(docs, threshold = 0.5))
+        val members = docs
+          .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id")
+          .select(col("doc_id"), col("cluster_rep"), col("n_tokens"))
+        val losers = members
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("cluster_rep"))
+              .orderBy(col("n_tokens").desc, col("doc_id"))))
+          .filter(col("rk") > 1)
+          .select(col("doc_id"))
+        docs
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE tok AS (
+          SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.source = b.source AND a.term = b.term
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT doc_a, doc_b
+          FROM inter
+            JOIN sizes na ON inter.doc_a = na.doc_id
+            JOIN sizes nb ON inter.doc_b = nb.doc_id
+          WHERE c / (na.n + nb.n - c) >= 0.5
+        ),
+        e AS (SELECT doc_a AS s, doc_b AS d FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        reach(id, r) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+        ),
+        comp AS (SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+        m AS (
+          SELECT d.doc_id, comp.cluster_rep,
+                 len(string_split(d.text, ' ')) AS n_tokens
+          FROM documents d JOIN comp ON d.doc_id = comp.id
+        ),
+        losers AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                     ORDER BY n_tokens DESC, doc_id) AS rk
+            FROM m
+          ) WHERE rk > 1
+        )
+        SELECT d.doc_id, d.source,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+        ORDER BY d.doc_id
+      """),
+    ),
     // ------------------------------------------------------ quality score
     Q(
       "doc_quality",
