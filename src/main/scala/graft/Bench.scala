@@ -54,10 +54,15 @@ object Bench {
           errors("vol_atlas_upscale_x2") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           Seq("vol_atlas_upscale_x2" -> -1.0)
       }
-    // ambient-disk probes are deliberate I/O, not engine work: they ride
-    // in every JSON line under their own "probes" key and NEVER enter
-    // queries / total / n_queries (they'd inflate round-over-round totals)
-    val (volProbes, volume) = volumeAll.partition(_._1.startsWith("vol_disk_probe"))
+    // ambient-disk probes are deliberate I/O, not engine work, and the
+    // x15 STAGE probes (scan/kernel/encode/sink split) re-measure the
+    // same work the x15 headlines already time: both ride in every JSON
+    // line under their own "probes" key and NEVER enter queries / total /
+    // n_queries (they'd double-count and inflate round-over-round totals
+    // — r11: stage_encode alone is ~98 s of re-measured headline work)
+    val (volProbes, volume) = volumeAll.partition { case (k, _) =>
+      k.startsWith("vol_disk_probe") || k.startsWith("vol_atlas_x15_stage")
+    }
     val probesJson = volProbes.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     // the volume headlines also print as their OWN json line immediately:
     // the driver captures the bench tail, and a long registered-query run
@@ -143,8 +148,15 @@ object Bench {
     // byte-bounded from the left, so the (long) total line can lose its
     // head — this one always survives whole
     val nCanonical = results.count { case (k, v) => v >= 0 && !k.matches(".*_run\\d+$") }
+    // probes in the FINAL line are medians only, ms-rounded — the stage
+    // probes' _runN samples would push total_summary past the 2 KB
+    // capture window the line exists to fit
+    val probesCompact = volProbes
+      .filterNot { case (k, _) => k.matches(".*_run\\d+$") }
+      .map { case (k, v) => "\"" + esc(k) + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total_summary","value":$total,"unit":"sec","agg":"median_of_$reps","n_queries":$nCanonical,"n_failed":${errors.size},"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"probes":$probesJson,"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","agg":"median_of_$reps","n_queries":$nCanonical,"n_failed":${errors.size},"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"probes":$probesCompact,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }
