@@ -296,7 +296,9 @@ object Dedup {
         graft.functions.GraftFunctions.sigAgree(col("sig_a"), col("sig_b"))
           / size(col("sig_a")),
       )
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      // emitted unrounded: int-agreement / int-width is already the identical
+      // double everywhere; ROUND(x, d>0) is banned repo-wide (Fx.scala)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** Expand each >1-member group's sorted `members` array into ordered
@@ -598,7 +600,9 @@ object Dedup {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot", graft.functions.GraftFunctions.dot(col("ea"), col("eb")))
-      .withColumn("cos_sim", round(col("dot") / (col("na") * col("nb")), 4))
+      // unrounded, matching semanticDupPairs' threshold semantics exactly
+      // (ROUND(x, d>0) is banned repo-wide — Fx.scala)
+      .withColumn("cos_sim", col("dot") / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }

@@ -41,7 +41,7 @@ object SkewJoin {
   def keySkewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
     val total = df.count()
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .withColumn("share", round(col("n") / lit(total.toDouble), 4))
+      .withColumn("share", col("n") / lit(total.toDouble))
       .orderBy(col("n").desc)
       .limit(topK)
   }

@@ -726,12 +726,17 @@ object DocQueries {
     // masked output + match counts are exact. The patterns stay inside
     // the common RE2/Java-regex subset (character classes + bounded
     // quantifiers, no lookaround) so both engines match identically.
-    // Narrow per-row kernel: no shuffle beyond the output sort.
+    // The phone pattern is boundary-guarded by CONSUMING context
+    // classes (`(^|[^0-9-]) ... ($|[^0-9-])`, restored via
+    // backreference in the replacement) because lookaround is outside
+    // the RE2 subset — so '1555-123-4567', a longer digit run, is NOT
+    // partially masked. Narrow per-row kernel: no shuffle beyond the
+    // output sort.
     Q(
       "doc_pii_scrub",
       (s, d) => {
         val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val phone = "(^|[^0-9-])([0-9]{3}-[0-9]{3}-[0-9]{4})($|[^0-9-])"
         T(s, d, "documents")
           .withColumn("pii_text", concat(col("text"),
             when(col("doc_id") % 5 === 0,
@@ -746,7 +751,7 @@ object DocQueries {
             size(regexp_extract_all(col("pii_text"), lit(phone), lit(0)))
               .cast("long").as("n_phones"),
             md5(regexp_replace(regexp_replace(col("pii_text"), email, "<EMAIL>"),
-              phone, "<PHONE>")).as("masked_md5"))
+              phone, "$1<PHONE>$3")).as("masked_md5"))
           .filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
           .orderBy(col("doc_id"))
       },
@@ -764,10 +769,10 @@ object DocQueries {
                CAST(len(regexp_extract_all(pii_text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
                CAST(len(regexp_extract_all(pii_text,
-                 '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                 '(^|[^0-9-])([0-9]{3}-[0-9]{3}-[0-9]{4})($|[^0-9-])')) AS BIGINT) AS n_phones,
                md5(regexp_replace(regexp_replace(pii_text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS masked_md5
+                 '(^|[^0-9-])([0-9]{3}-[0-9]{3}-[0-9]{4})($|[^0-9-])', '\1<PHONE>\3', 'g')) AS masked_md5
         FROM pii
         WHERE doc_id % 5 = 0 OR doc_id % 7 = 0
         ORDER BY doc_id

@@ -370,8 +370,12 @@ object EventQueries {
           )
           .select(
             $"event_type",
-            round($"ex"(1), 6).as("p50"),
-            round($"ex"(4), 6).as("p95"),
+            // Fx discipline: never ROUND(x, d>0) on a hash-compared double —
+            // emit e6 integer units via ONE scale-0 round, which is
+            // bit-identical cross-engine on the same interpolated double
+            // (see Fx.scala's q15 lesson).
+            Fx.units($"ex"(1), 6).as("p50_e6"),
+            Fx.units($"ex"(4), 6).as("p95_e6"),
             ($"ap"(0) >= $"ex"(0) && $"ap"(0) <= $"ex"(2)).as("p50_sketch_in_band"),
             ($"ap"(1) >= $"ex"(3) && $"ap"(1) <= $"ex"(5)).as("p95_sketch_in_band"),
           )
@@ -379,8 +383,8 @@ object EventQueries {
       },
       Some("""
         SELECT event_type,
-               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
-               ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95,
+               CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) * 1000000) AS BIGINT) AS p50_e6,
+               CAST(ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value) * 1000000) AS BIGINT) AS p95_e6,
                true AS p50_sketch_in_band,
                true AS p95_sketch_in_band
         FROM events GROUP BY event_type ORDER BY event_type

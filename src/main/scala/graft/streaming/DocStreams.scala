@@ -31,9 +31,11 @@ object DocStreams {
     * feed runs (plain streaming `dropDuplicates` retains every key
     * forever — unusable on an unbounded feed) and keeps the FIRST
     * arrival. Spark rejects the within-watermark form on batch frames,
-    * so the batch face keeps the min-doc_id row per fingerprint —
-    * ingest time is monotone in doc_id, so this IS first-arrival, and
-    * unlike batch `dropDuplicates` (arbitrary survivor) it is
+    * so the batch face keeps the first row per fingerprint in
+    * (ingest_ts, doc_id) order — first-arrival under ANY timestamp
+    * source, not just the synthesized monotone-in-doc_id one, with
+    * doc_id as the deterministic tie-break for equal timestamps.
+    * Unlike batch `dropDuplicates` (arbitrary survivor) it is
     * deterministic when duplicate texts carry different ids (8 such
     * pairs at sf0.1). The quality gate (>= 20 tokens) and token count
     * are stateless per-row kernels; only the dedup buffer and the
@@ -47,7 +49,8 @@ object DocStreams {
         t.withWatermark("ingest_ts", horizon).dropDuplicatesWithinWatermark("fp")
       else
         t.withColumn("_rn",
-            row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+            row_number().over(
+              Window.partitionBy(col("fp")).orderBy(col("ingest_ts"), col("doc_id"))))
           .filter(col("_rn") === 1)
           .drop("_rn")
     deduped
