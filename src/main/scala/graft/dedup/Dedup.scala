@@ -188,15 +188,54 @@ object Dedup {
       textCol: String = "text",
   ): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
+    spanDupCounts(docs, w, idCol, textCol, toksCol => expr(
+      s"""case when size($toksCol) >= $w
+         |  then transform(sequence(0, size($toksCol) - $w),
+         |                 i -> md5(array_join(slice($toksCol, i + 1, $w), ' ')))
+         |  else array()
+         |end""".stripMargin))
+  }
+
+  /** The O(n) scale strategy for [[duplicateSpans]]: identical output (one
+    * row per doc, window/dup-window counts), but windows are fingerprinted
+    * by [[graft.functions.WindowFps]] — each token's bytes hash ONCE and a
+    * Rabin-Karp rolling update produces every window's 64-bit fingerprint,
+    * where the md5 form re-hashes all W tokens per position (O(W·n) digest
+    * work, ~16× the hashing at the default W=8 before md5's own per-call
+    * cost). Counting semantics are fingerprint-agnostic, so the two forms
+    * agree exactly unless a 64-bit collision maps two DISTINCT windows
+    * together (≈ n²/2⁶⁵: at 10⁹ distinct windows, P ≈ 3%, detectable by
+    * exactly this twin-gate; the fix at that scale is the 128-bit variant,
+    * same shape). The query gate pins both forms to the identical oracle.
+    */
+  def duplicateSpansRolling(
+      docs: DataFrame,
+      w: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    spanDupCounts(docs, w, idCol, textCol,
+      toksCol => graft.functions.GraftFunctions.windowFps(col(toksCol), w))
+  }
+
+  /** Shared counting stage of the span-dedup twins: explode per-window
+    * fingerprints, count corpus-wide occurrences, and emit per-doc
+    * (n_windows, n_dup_windows). Only (fingerprint, id) pairs shuffle;
+    * text never moves and no pair stream exists (counting, not pair
+    * generation) — nothing is quadratic however hot a boilerplate window
+    * is.
+    */
+  private def spanDupCounts(
+      docs: DataFrame,
+      w: Int,
+      idCol: String,
+      textCol: String,
+      fps: String => Column,
+  ): DataFrame = {
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
-    val wins = toks.select(
-      col(idCol),
-      explode(expr(
-        s"""case when size(toks) >= $w
-           |  then transform(sequence(0, size(toks) - $w),
-           |                 i -> md5(array_join(slice(toks, i + 1, $w), ' ')))
-           |  else array()
-           |end""".stripMargin)).as("wh"))
+    val wins = toks.select(col(idCol), explode(fps("toks")).as("wh"))
     // a window is a duplicated span iff its fingerprint occurs >= 2 times
     // corpus-wide; semi-joining the per-doc window stream against the
     // duplicated set reuses the wh partitioning from the count aggregate

@@ -28,6 +28,7 @@ object GraftFunctions {
   val MaxTermCountName = "graft_max_term_count"
   val MaxPairCountName = "graft_max_pair_count"
   val FreqItemsName = "graft_freq_items"
+  val WindowFpsName = "graft_window_fps"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -106,6 +107,15 @@ object GraftFunctions {
       }
       MisraGries(children.head, k).toAggregateExpression()
     }),
+    (WindowFpsName, classOf[WindowFps].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$WindowFpsName takes (tokens, w)")
+      val w = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$WindowFpsName window must be an integer literal, got $other")
+      }
+      WindowFps(children.head, w)
+    }),
   )
 
   /** Idempotently register graft functions in this session's registry. */
@@ -174,4 +184,10 @@ object GraftFunctions {
     */
   def freqItems(item: Column, k: Int): Column =
     call_function(FreqItemsName, item, lit(k))
+
+  /** All w-token window fingerprints (ARRAY<BIGINT>) of a token array in
+    * one O(n) Rabin-Karp pass — the rolling twin of md5-per-window.
+    */
+  def windowFps(tokens: Column, w: Int): Column =
+    call_function(WindowFpsName, tokens, lit(w))
 }

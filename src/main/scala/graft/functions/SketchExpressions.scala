@@ -144,6 +144,48 @@ object Sketches {
     best
   }
 
+  /** All `w`-token window fingerprints of a token array in ONE O(n) pass —
+    * the Rabin-Karp rolling form of repeated-passage fingerprinting
+    * (vs the md5-of-joined-window formulation, which re-hashes W tokens
+    * per position: O(W·n) hashing). Each token's bytes hash once
+    * (FNV + splitmix64 finalizer, the same family as [[minhash]]); window
+    * j's fingerprint is the degree-(w-1) polynomial
+    * Σ th(j+k)·B^(w-1-k) mod 2^64, updated per position with one
+    * multiply-subtract-add: F(j+1) = (F(j) − th(j)·B^(w-1))·B + th(j+w).
+    * B is odd, hence invertible mod 2^64 — shifting a window never
+    * collapses information. Empty output when the doc is shorter than w.
+    */
+  def windowFps(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // null tokens get a fixed sentinel hash distinct from any real
+      // token's (mix of a constant no byte stream maps to via tokenHash)
+      th(i) =
+        if (tokens.isNullAt(i)) mix(Golden)
+        else mix(tokenHash(tokens.getUTF8String(i).getBytes))
+      i += 1
+    }
+    val B = 1000003L // odd => invertible mod 2^64
+    var bPow = 1L // B^(w-1)
+    i = 1
+    while (i < w) { bPow *= B; i += 1 }
+    val out = new Array[Long](n - w + 1)
+    var f = 0L
+    i = 0
+    while (i < w) { f = f * B + th(i); i += 1 }
+    out(0) = f
+    var j = 1
+    while (j <= n - w) {
+      f = (f - th(j - 1) * bPow) * B + th(j + w - 1)
+      out(j) = f
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of positions where two long signatures agree (see [[SigAgree]]).
     * A null slot on either side counts as DISAGREEMENT — matching the
     * `zip_with` + `aggregate` HOF this kernel replaced, whose null
@@ -434,6 +476,34 @@ case class SigAgree(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigAgree =
     copy(left = newLeft, right = newRight)
+}
+
+/** All w-token window fingerprints of an ARRAY<STRING> as ARRAY<BIGINT> —
+  * the O(n) Rabin-Karp twin of the md5-per-window span fingerprint (see
+  * [[Sketches.windowFps]]). Codegen'd; `explode` the result to get the
+  * per-window fingerprint stream.
+  */
+case class WindowFps(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 2, s"window must be >= 2 tokens, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_fps requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.windowFps(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.windowFps($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowFps =
+    copy(child = newChild)
 }
 
 /** Multiplicity of the most frequent term in an ARRAY<STRING> — the

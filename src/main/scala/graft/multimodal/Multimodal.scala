@@ -142,6 +142,47 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Uniform-gray fixture image: every pixel = `value`, encoded with the
+    * named JDK writer. The JPEG-gate fixture shape: a LOSSY codec can't
+    * be round-tripped against the sawtooth pattern (quantization scrambles
+    * high-frequency AC terms), but a uniform image is all-DC — every 8×8
+    * block quantizes to the same reconstruction, MCU edge-padding
+    * replicates the same value, and the decode comes back uniform within
+    * ±2 gray of the input (DC quant step ≤8 at the JDK writer's default
+    * 0.75 quality → ≤0.5 gray, plus IDCT/level-shift rounding).
+    */
+  def encodeUniformImage(value: Int, w: Int, h: Int, format: String): Array[Byte] = {
+    require(value >= 0 && value <= 255, s"gray value out of range: $value")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, value); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos), s"no JDK image writer for '$format'")
+    bos.toByteArray
+  }
+
+  /** Doc-id-keyed fixture corpus of REAL JPEGs (single-component gray
+    * JFIF from the JDK's bundled JPEG writer), uniform value
+    * (id·37) mod 256 per image — what `mm_decode_jpeg` decodes back.
+    */
+  def syntheticJpegImages(docs: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, "image", encodeUniformImage(((id * 37) % 256).toInt, w, h, "jpg"),
+          Map("format" -> "jpeg", "width" -> w.toString, "height" -> h.toString))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Doc-id-keyed fixture corpus of REAL encoded images (PNG for even
     * ids, BMP for odd — both JDK writers), in the canonical multimodal
     * schema. Encoding runs per-partition on executors, like a production

@@ -81,6 +81,9 @@ object PlanAudit {
     "doc_cap_per_source" -> 2,
     "doc_token_budget" -> 2,
     "doc_dup_spans" -> 3,
+    // the rolling-fingerprint twin shares the counting stage, so the
+    // same 3 — a 4th exchange would mean a pair stream appeared
+    "doc_dup_spans_rolling" -> 3,
     "doc_minhash_dedup" -> 2,
     "doc_simhash_dedup" -> 2,
     "doc_jaccard_pairs" -> 8,

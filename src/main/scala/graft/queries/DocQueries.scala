@@ -117,6 +117,37 @@ object DocQueries {
         ORDER BY doc_a, doc_b
       """
 
+  /** Shared oracle for the two span-fingerprint strategies (md5-per-window
+    * and the O(n) Rabin-Karp rolling form): per-doc window/dup-window
+    * counts are fingerprint-agnostic, so both must match this exactly —
+    * output identity between the strategies is part of what the gate
+    * proves (the doc_jaccard_pairs/ppjoin twin-gate pattern).
+    */
+  private val dupSpansOracle = """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wins AS (
+          SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+          FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+            FROM toks
+          )
+        ),
+        dupw AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+        counts AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY 1),
+        dcounts AS (
+          SELECT w.doc_id, COUNT(*) AS n_dup_windows
+          FROM wins w JOIN dupw USING (wh) GROUP BY 1
+        )
+        SELECT t.doc_id,
+               COALESCE(c.n_windows, 0) AS n_windows,
+               COALESCE(dc.n_dup_windows, 0) AS n_dup_windows
+        FROM toks t
+          LEFT JOIN counts c USING (doc_id)
+          LEFT JOIN dcounts dc USING (doc_id)
+        ORDER BY doc_id
+      """
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     // One hash-partitioned aggregate; only (hash, id) shuffles at scale.
@@ -203,30 +234,18 @@ object DocQueries {
     Q(
       "doc_dup_spans",
       (s, d) => Dedup.duplicateSpans(T(s, d, "documents"), w = 8),
-      Some("""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        wins AS (
-          SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
-          FROM (
-            SELECT doc_id, t,
-                   unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
-            FROM toks
-          )
-        ),
-        dupw AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
-        counts AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY 1),
-        dcounts AS (
-          SELECT w.doc_id, COUNT(*) AS n_dup_windows
-          FROM wins w JOIN dupw USING (wh) GROUP BY 1
-        )
-        SELECT t.doc_id,
-               COALESCE(c.n_windows, 0) AS n_windows,
-               COALESCE(dc.n_dup_windows, 0) AS n_dup_windows
-        FROM toks t
-          LEFT JOIN counts c USING (doc_id)
-          LEFT JOIN dcounts dc USING (doc_id)
-        ORDER BY doc_id
-      """),
+      Some(dupSpansOracle),
+    ),
+    // The O(n) ROLLING-HASH twin (Rabin-Karp window fingerprints via the
+    // codegen'd graft_window_fps expression), gated against the IDENTICAL
+    // oracle: the md5 form re-hashes all W tokens per position (O(W·n)
+    // digest work) where this form hashes each token once and rolls —
+    // the 100 TB strategy Dedup.duplicateSpans' scaladoc promises. Same
+    // counting stage, so the outputs must agree exactly every round.
+    Q(
+      "doc_dup_spans_rolling",
+      (s, d) => Dedup.duplicateSpansRolling(T(s, d, "documents"), w = 8),
+      Some(dupSpansOracle),
     ),
     // ------------------------------------------- exact n-gram/token Jaccard
     // Blocked inverted-index join (block = source): candidate generation is
@@ -1422,6 +1441,37 @@ object DocQueries {
                CAST(MIN(v) AS BIGINT) AS min_px,
                CAST(MAX(v) AS BIGINT) AS max_px
         FROM px GROUP BY doc_id ORDER BY id
+      """),
+    ),
+    // --------------------------------------------- multimodal JPEG decode
+    // The LOSSY-codec gate (real corpora are JPEG-first): fixture payloads
+    // are real single-component JFIF bytes from the JDK's JPEG writer,
+    // uniform gray (id·37) mod 256 per image; the JDK JPEG READER must
+    // decode them back on executors. A row existing at all proves a real
+    // ImageIO decode (imageFeatures DROPS undecodable payloads — the stub
+    // path never reaches it); dims prove the frame geometry survived MCU
+    // padding (13×9 is deliberately not a multiple of 8); the booleans
+    // prove the raster content: a uniform all-DC image must come back
+    // uniform (max−min ≤ 2) and within ±2 gray of the encoded value —
+    // bounds that hold for ANY conformant JPEG codec at the writer's
+    // default quality, so the oracle states them analytically.
+    Q(
+      "mm_decode_jpeg",
+      (s, d) =>
+        Multimodal.imageFeatures(
+          Multimodal.syntheticJpegImages(
+            T(s, d, "documents").filter(col("doc_id") < 40), w = 13, h = 9))
+          .select(
+            col("id"), col("fmt"), col("width"), col("height"), col("n_px"),
+            (col("max_px") - col("min_px") <= 2).as("uniform_ok"),
+            (abs(col("sum_px") - (col("id") * 37 % 256) * col("n_px"))
+              <= lit(2L) * col("n_px")).as("value_ok"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT doc_id AS id, 'jpeg' AS fmt, 13 AS width, 9 AS height,
+               CAST(117 AS BIGINT) AS n_px,
+               TRUE AS uniform_ok, TRUE AS value_ok
+        FROM documents WHERE doc_id < 40 ORDER BY id
       """),
     ),
     // ------------------------------------------- multimodal frame sampling

@@ -299,4 +299,49 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (4L, 0L, 0L), // shorter than the window — no windows, no dups
     ))
   }
+
+  test("duplicateSpansRolling: identical output to the md5 form (twin strategies)") {
+    import spark.implicits._
+    // Same hand fixture as above plus adversarial shapes for a rolling
+    // hash: a one-token-shifted repeat (rolling update must not smear
+    // state across window boundaries) and repeated single tokens.
+    val docs = Seq(
+      (1L, "a b c p q"),
+      (2L, "q a b c d"),
+      (3L, "x y z x y z x y z"),
+      (4L, "u v"),
+      (5L, "m m m m m m"),
+      (6L, "p q a b c p q a"),
+    ).toDF("doc_id", "text")
+    for (w <- Seq(2, 3, 5)) {
+      val md5Form = Dedup.duplicateSpans(docs, w = w).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val rolling = Dedup.duplicateSpansRolling(docs, w = w).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rolling === md5Form, s"strategies diverged at w=$w")
+    }
+  }
+
+  test("windowFps kernel: rolling fingerprints equal direct polynomial evaluation") {
+    // The rolling recurrence F(j+1) = (F(j) - th(j)·B^(w-1))·B + th(j+w)
+    // must equal evaluating each window's polynomial from scratch — a
+    // drift bug in the update would pass the twin gate only by collision.
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = "the quick brown fox jumps over the lazy dog the quick brown".split(" ")
+    val arr: ArrayData = new GenericArrayData(toks.map(t => UTF8String.fromString(t): AnyRef))
+    val w = 4
+    val got = graft.functions.Sketches.windowFps(arr, w).toLongArray()
+    // direct per-window evaluation via a length-w slice (degenerate roll)
+    val expect = (0 to toks.length - w).map { j =>
+      val slice: ArrayData = new GenericArrayData(
+        toks.slice(j, j + w).map(t => UTF8String.fromString(t): AnyRef))
+      graft.functions.Sketches.windowFps(slice, w).toLongArray()(0)
+    }.toArray
+    assert(got.toSeq === expect.toSeq)
+    // identical windows (positions 0 and 9 start "the quick brown fox"?
+    // no — 9 starts "the quick brown" only w=3; here assert distinctness
+    // sanity instead: some collision-free spread
+    assert(got.distinct.length > 1)
+  }
 }

@@ -147,4 +147,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .toDF("id", "modality", "payload", "meta")
     assert(Multimodal.imageFeatures(mixed).count() === 0)
   }
+
+  test("JPEG: real lossy round-trip — uniform images survive within DC-quant tolerance") {
+    // the fixture really is a JPEG (JFIF SOI marker), the sniff admits it,
+    // and the JDK JPEG reader decodes it
+    val bytes = Multimodal.encodeUniformImage(180, w = 13, h = 9, "jpg")
+    assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8, "not a JPEG SOI")
+    assert(Multimodal.looksLikeImage(bytes))
+    val Some((w, h, px)) = Multimodal.decodeGray(bytes)
+    assert((w, h) === (13, 9)) // MCU padding (16×16 gray MCU) must not leak
+    // all-DC content: decode is uniform and within ±2 gray of the input
+    assert(px.max - px.min <= 2, s"non-uniform decode: ${px.min}..${px.max}")
+    assert(math.abs(px(0) - 180) <= 2, s"value drift: ${px(0)}")
+  }
+
+  test("imageFeatures decodes a JPEG corpus distributedly (the mm_decode_jpeg shape)") {
+    import spark.implicits._
+    val docs = spark.range(8).select(col("id").as("doc_id"))
+    val feats = Multimodal.imageFeatures(Multimodal.syntheticJpegImages(docs, w = 13, h = 9))
+      .orderBy("id").collect()
+    assert(feats.length === 8) // every JPEG decoded — none fell to the drop path
+    for (r <- feats) {
+      val id = r.getLong(0)
+      val v = (id * 37) % 256
+      assert(r.getString(1) === "jpeg")
+      assert((r.getInt(2), r.getInt(3)) === (13, 9))
+      assert(r.getLong(7) - r.getLong(6) <= 2, s"id=$id not uniform")
+      assert(math.abs(r.getLong(5) - v * 117L) <= 2 * 117L, s"id=$id value drift")
+    }
+  }
 }
