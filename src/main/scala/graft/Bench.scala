@@ -61,7 +61,8 @@ object Bench {
     // n_queries (they'd double-count and inflate round-over-round totals
     // — r11: stage_encode alone is ~98 s of re-measured headline work)
     val (volProbes, volume) = volumeAll.partition { case (k, _) =>
-      k.startsWith("vol_disk_probe") || k.startsWith("vol_atlas_x15_stage")
+      k.startsWith("vol_disk_probe") || k.startsWith("vol_atlas_x15_stage") ||
+        k.startsWith("vol_atlas_x2_stage")
     }
     val probesJson = volProbes.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     // the volume headlines also print as their OWN json line immediately:
@@ -134,14 +135,24 @@ object Bench {
     // is line- or byte-bounded from either end, the volume headlines
     // survive when the window is generous.
     println(s"""{"metric":"volume_headline","unit":"sec","queries":$volQs,"probes":$probesJson,"sf":"${esc(sfDir)}"}""")
-    // compact medians-only atlas line: r10's capture window was 2000
-    // BYTES, and volume_headline (with its _runN samples) + total_summary
+    // compact atlas line: r10's capture window was 2000 BYTES, and
+    // volume_headline (with its flat _runN samples) + total_summary
     // together overflow that — the table regenerator lost the atlas
-    // medians. This line drops the run samples and rounds to ms so
-    // atlas_summary + total_summary always fit a 2 KB window together.
+    // medians. This line rounds to ms and nests each headline's per-run
+    // samples as a compact array next to its median ("m"/"r"), so the
+    // SAMPLES survive the window too (r11: the zarr_bit median was
+    // unadjudicatable because its runs lived only in the truncated flat
+    // form — a median without its spread can't separate a regression
+    // from one bad rep on a contended disk).
+    val volByName = volume.toMap
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
     val volMedJson = volume
       .filterNot { case (k, _) => k.matches(".*_run\\d+$") }
-      .map { case (k, v) => "\"" + esc(k) + "\":" + (math.rint(v * 1000) / 1000) }
+      .map { case (k, v) =>
+        val runs = (1 to reps).flatMap(i => volByName.get(s"${k}_run$i"))
+        val rj = if (runs.isEmpty) "" else runs.map(ms).mkString(",\"r\":[", ",", "]")
+        "\"" + esc(k) + "\":{\"m\":" + ms(v) + rj + "}"
+      }
       .mkString("{", ",", "}")
     println(s"""{"metric":"atlas_summary","unit":"sec","queries":$volMedJson}""")
     // short summary as the FINAL line: the driver's capture window is

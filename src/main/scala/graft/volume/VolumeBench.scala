@@ -251,6 +251,15 @@ object VolumeBench {
         (() => upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr")),
       "vol_atlas_upscale_x2_zarr_bit" ->
         (() => upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr_bit", shuffle = 2)),
+      // sink-free codec probes for BOTH ×2 zarr variants, interleaved with
+      // the sinks they explain (r11: the zarr_bit headline measured 11.05 s
+      // on a 37%-slower disk with no per-stage evidence in the artifact —
+      // these make "codec CPU" vs "file/disk" directly readable at ×2:
+      //   codec ≈ probe − kernel;  sink I/O ≈ headline − probe)
+      "vol_atlas_x2_stage_encode" ->
+        (() => encodeStageTime(spark, mhd, 2)),
+      "vol_atlas_x2_stage_encode_bit" ->
+        (() => encodeStageTime(spark, mhd, 2, ZarrStore.BloscCodec("zstd", 5, shuffle = 2))),
     ))
     entries += ("vol_disk_probe_mid" -> diskProbe(workDir))
     // the ×15 streaming run: 1.04 TB logical (260 G voxels), reference
