@@ -29,6 +29,7 @@ object GraftFunctions {
   val MaxPairCountName = "graft_max_pair_count"
   val FreqItemsName = "graft_freq_items"
   val WindowFpsName = "graft_window_fps"
+  val HtmlExtractName = "graft_html_extract"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -116,6 +117,10 @@ object GraftFunctions {
       }
       WindowFps(children.head, w)
     }),
+    (HtmlExtractName, classOf[HtmlExtract].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$HtmlExtractName takes (html)")
+      HtmlExtract(children.head)
+    }),
   )
 
   /** Idempotently register graft functions in this session's registry. */
@@ -190,4 +195,8 @@ object GraftFunctions {
     */
   def windowFps(tokens: Column, w: Int): Column =
     call_function(WindowFpsName, tokens, lit(w))
+
+  /** Main-text extraction from HTML markup (see [[HtmlText.extract]]). */
+  def htmlExtract(html: Column): Column =
+    call_function(HtmlExtractName, html)
 }

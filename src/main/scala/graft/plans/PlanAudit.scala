@@ -97,6 +97,7 @@ object PlanAudit {
     // pipeline
     "doc_chunk_overlap" -> 1,
     "doc_pii_scrub" -> 1,
+    "doc_html_extract" -> 1,
     // batch face of the streaming intake: fingerprint keep-first window
     // + (hour, source) rollup + output sort. A 4th exchange would mean
     // the dedup or rollup stopped being single-pass

@@ -797,6 +797,50 @@ object DocQueries {
         ORDER BY doc_id
       """),
     ),
+    // --------------------------------------- HTML / boilerplate extraction
+    // The missing FIRST stage of web-corpus curation: real corpora start
+    // at markup, not clean text. The synthetic corpus has none, so the
+    // query builds a deterministic page around each doc (the doc_pii_scrub
+    // injection pattern): head with title/style/script, header + nav
+    // chrome, the doc text as the main <div> with an inline-markup +
+    // entity paragraph, and a footer. graft_html_extract (a codegen'd
+    // narrow expression — comment strip, boilerplate-subtree removal,
+    // block-tag newlines, tag strip, single-pass entity decode, whitespace
+    // normalize) must recover EXACTLY the main content: the h1 line, the
+    // untouched doc text, and the decoded trailing paragraph — which the
+    // oracle states verbatim from the fixture algebra. Chrome leaking in
+    // (title, nav items, footer) or text mangled by the tag strip fails
+    // the full-string hash. Pinned at 1 exchange: the whole extraction is
+    // a map-only pipeline; only the output sort shuffles.
+    Q(
+      "doc_html_extract",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val idStr = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>Site - Doc "), idStr,
+          lit("</title><style>p{margin:0;}</style>" +
+            "<script>var t=1<2&&4>3;track(\"u\");</script></head>" +
+            "<body><!-- fixture chrome -->" +
+            "<header><h1>SiteName</h1></header>" +
+            "<nav><ul><li><a href=\"/\">Home</a></li>" +
+            "<li><a href=\"/a\">About</a></li></ul></nav>" +
+            "<div class=\"content\"><h1>Doc "), idStr,
+          lit("</h1><p>"), col("text"),
+          lit("</p><p>A <b>bold</b> move &amp; a &lt;tag&gt; &#39;quoted&#39;</p></div>" +
+            "<footer><p>(c) fixture footer</p></footer></body></html>"))
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.htmlExtract(html).as("extracted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               'Doc ' || doc_id || chr(10) || text || chr(10) ||
+               'A bold move & a <tag> ''quoted''' AS extracted
+        FROM documents ORDER BY doc_id
+      """),
+    ),
     // ------------------------------------------- streaming corpus curation
     // Batch face of the streaming intake pipeline (DocStreams.curate):
     // the feed is the corpus re-delivered twice (at-least-once), the
