@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.Bpe
+
+/** Total trained-BPE token count of a text column — the tokenizer-token
+  * denomination for budgets/chunking/packing (vs the whitespace and
+  * pre-tokenizer counts in [[graft.text.TextAnalysis]]).
+  *
+  * The merge table is a plan constant: [[GraftFunctions.bpeCount]] passes
+  * it as a foldable ARRAY<ARRAY<STRING>> literal and the builder freezes it
+  * into this expression (the centroid-matrix pattern) — application is a
+  * narrow codegen'd per-row kernel, no shuffle, no UDF, no driver round
+  * trips. See [[graft.text.Bpe]] for training + the oracle replay.
+  */
+case class BpeTokenCount(child: Expression, model: Bpe.BpeModel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${GraftFunctions.BpeCountName} requires STRING, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = GraftFunctions.BpeCountName
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.countText(input.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bpeModel", model, classOf[Bpe.BpeModel].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.Bpe.countText($c, $modelRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}

@@ -30,6 +30,7 @@ object GraftFunctions {
   val FreqItemsName = "graft_freq_items"
   val WindowFpsName = "graft_window_fps"
   val HtmlExtractName = "graft_html_extract"
+  val BpeCountName = "graft_bpe_count"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -121,6 +122,20 @@ object GraftFunctions {
       require(children.size == 1, s"$HtmlExtractName takes (html)")
       HtmlExtract(children.head)
     }),
+    (BpeCountName, classOf[BpeTokenCount].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$BpeCountName takes (text, merges)")
+      // merge table arrives as a foldable ARRAY<ARRAY<STRING>> literal of
+      // [a, b] pairs and is frozen into the expression (a plan constant)
+      val m = children(1)
+      require(m.foldable, s"$BpeCountName merges must be a foldable literal, got $m")
+      val ad = m.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val merges = IndexedSeq.tabulate(ad.numElements()) { i =>
+        val pair = ad.getArray(i)
+        require(pair.numElements() == 2, s"$BpeCountName merge $i is not a pair")
+        (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+      }
+      BpeTokenCount(children.head, graft.text.Bpe.BpeModel(merges))
+    }),
   )
 
   /** Idempotently register graft functions in this session's registry. */
@@ -199,4 +214,11 @@ object GraftFunctions {
   /** Main-text extraction from HTML markup (see [[HtmlText.extract]]). */
   def htmlExtract(html: Column): Column =
     call_function(HtmlExtractName, html)
+
+  /** Total trained-BPE token count of a text column; the merge table is
+    * shipped as a plan constant (see [[graft.text.Bpe]]).
+    */
+  def bpeCount(text: Column, model: graft.text.Bpe.BpeModel): Column =
+    call_function(BpeCountName, text,
+      typedLit(model.merges.map(p => Seq(p._1, p._2)).toSeq))
 }

@@ -98,6 +98,13 @@ object PlanAudit {
     "doc_chunk_overlap" -> 1,
     "doc_pii_scrub" -> 1,
     "doc_html_extract" -> 1,
+    // trained-BPE application is map-only (merge table is a plan
+    // constant); the 1 is the output sort. Training's word-count agg is a
+    // separate driver-side job, deliberately not part of this plan.
+    "doc_bpe_tokens" -> 1,
+    // same strict-prefix budget shape as doc_token_budget: source window
+    // + final rollup/sort
+    "doc_token_budget_bpe" -> 2,
     // batch face of the streaming intake: fingerprint keep-first window
     // + (hour, source) rollup + output sort. A 4th exchange would mean
     // the dedup or rollup stopped being single-pass

@@ -8,7 +8,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Mixing
 import graft.similarity.Ann
 import graft.streaming.EventStreams
-import graft.text.TextAnalysis
+import graft.text.{Bpe, TextAnalysis}
 
 /** Training-data-pipeline queries over the `documents` and `embeddings`
   * tables: deduplication (exact, MinHash+LSH, SimHash, token Jaccard),
@@ -26,6 +26,14 @@ object DocQueries {
 
   /** Offset for the injected duplicate copy of the corpus. */
   private val DupOffset = 1000000L
+
+  /** Merge-table size for the trained-BPE gates: mid-table for this corpus
+    * (training exhausts at ~89 merges on the sf0.01 vocabulary), so the
+    * gate exercises both early high-count merges and compound merges of
+    * already-merged symbols. Both gate oracles unroll exactly this many
+    * training stages, so the constant must match on both sides.
+    */
+  private val BpeMerges = 48
 
   /** documents ∪ an exact copy shifted by DupOffset: every text appears
     * exactly twice, giving the dedup ops real duplicates to find.
@@ -839,6 +847,79 @@ object DocQueries {
                'Doc ' || doc_id || chr(10) || text || chr(10) ||
                'A bold move & a <tag> ''quoted''' AS extracted
         FROM documents ORDER BY doc_id
+      """),
+    ),
+    // ------------------------------------------------ trained-BPE tokenizer
+    // Real subword tokenization: a merge table TRAINED on the corpus
+    // (count-ordered, code-point tie-break, min pair count 2 — Bpe.train),
+    // applied per word as a codegen'd narrow expression with the merges
+    // frozen in as a plan constant. Two independent implementations meet
+    // at the hash: Spark trains driver-side from one distributed
+    // word-count agg (the collect is vocabulary-scale, fail-loud guarded);
+    // the oracle REPLAYS THE FULL TRAINING in DuckDB — one materialized
+    // stage pair per merge (best-pair argmax, then a separator-framed
+    // replace() that IS the left-to-right merge pass) — then re-derives
+    // every per-doc count. Nothing is shared but the corpus. Pinned at 1
+    // exchange: application is map-only; only the output sort shuffles.
+    Q(
+      "doc_bpe_tokens",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = T(s, d, "documents")
+        val model = Bpe.trainOnDocs(docs, numMerges = BpeMerges)
+        docs
+          .select(
+            col("doc_id"),
+            when(length(trim(col("text"))) === 0, lit(0L))
+              .otherwise(size(split(trim(col("text")), " +")).cast("bigint"))
+              .as("n_words"),
+            graft.functions.GraftFunctions.bpeCount(col("text"), model).as("bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${Bpe.oracleStages(BpeMerges)}
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+        FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
+        ORDER BY doc_id
+      """),
+    ),
+    // doc_token_budget re-denominated in TRAINED-TOKENIZER tokens — what a
+    // real pipeline's "fill each domain to N tokens" actually meters. Same
+    // strict-prefix window as doc_token_budget (2 exchanges); only the
+    // token column changes, from whitespace counts to the BPE kernel.
+    Q(
+      "doc_token_budget_bpe",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = T(s, d, "documents")
+        val model = Bpe.trainOnDocs(docs, numMerges = BpeMerges)
+        Mixing.tokenBudgetPerBlock(
+          docs,
+          tokens = graft.functions.GraftFunctions.bpeCount(col("text"), model),
+          budget = 2500L)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            max(col("cum_toks")).as("tok_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH ${Bpe.oracleStages(BpeMerges)},
+        t AS (
+          SELECT d.doc_id, d.source, COALESCE(p.bpe_tokens, 0) AS toks
+          FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
+        ),
+        cum AS (
+          SELECT source, toks,
+                 SUM(toks) OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+          FROM t
+        )
+        SELECT source, COUNT(*) AS n_kept, CAST(MAX(cum_toks) AS BIGINT) AS tok_kept
+        FROM cum WHERE cum_toks <= 2500 GROUP BY source ORDER BY source
       """),
     ),
     // ------------------------------------------- streaming corpus curation

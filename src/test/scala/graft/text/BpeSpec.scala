@@ -1,0 +1,102 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Trained-BPE contract: deterministic training (count order, code-point
+  * tie-break, min-pair-count stop), left-to-right non-overlapping
+  * application in training order, and the codegen'd expression matching
+  * the kernel.
+  */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+
+  test("training merges in count order with lexicographic tie-break") {
+    // freq: "abab" x3 -> (a,b)=6, (b,a)=3; "cd" x4 -> (c,d)=4
+    val m = Bpe.train(Seq(("abab", 3L), ("cd", 4L)), numMerges = 3)
+    // round 1: (a,b)=6 wins; round 2: "ab ab" gives (ab,ab)=3, (c,d)=4 -> (c,d);
+    // round 3: (ab,ab)=3 -> merge; round 4 would find nothing >= 2
+    assert(m.merges === IndexedSeq(("a", "b"), ("c", "d"), ("ab", "ab")))
+    assert(m.tokenCount("abab") === 1)
+    assert(m.tokenCount("cd") === 1)
+    assert(m.tokenCount("abcd") === 2) // ab + cd
+    assert(m.tokenCount("xyz") === 3)  // untouched symbols
+  }
+
+  test("ties break by code-point order of a then b") {
+    // (a,a) and (b,b) both count 2 -> (a,a) first
+    val m = Bpe.train(Seq(("aa", 2L), ("bb", 2L)), numMerges = 1)
+    assert(m.merges === IndexedSeq(("a", "a")))
+  }
+
+  test("stop below minPairCount: a once-seen pair never merges") {
+    val m = Bpe.train(Seq(("xy", 1L)), numMerges = 5)
+    assert(m.merges.isEmpty)
+    assert(m.tokenCount("xy") === 2)
+  }
+
+  test("left-to-right non-overlapping: aaa with (a,a) gives [aa, a]") {
+    val segs = Bpe.applyMerges("aaa", IndexedSeq(("a", "a")))
+    assert(segs.toSeq === Seq("aa", "a"))
+    // and the overlap chain: aaaa -> [aa, aa] -> with (aa,aa) -> [aaaa]
+    val segs2 = Bpe.applyMerges("aaaa", IndexedSeq(("a", "a"), ("aa", "aa")))
+    assert(segs2.toSeq === Seq("aaaa"))
+  }
+
+  test("countText splits on spaces, skipping empties") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = Bpe.BpeModel(IndexedSeq(("a", "b")))
+    assert(Bpe.countText(UTF8String.fromString("ab  ab "), m) === 2L)
+    assert(Bpe.countText(UTF8String.fromString(""), m) === 0L)
+    assert(Bpe.countText(UTF8String.fromString("   "), m) === 0L)
+  }
+
+  test("code-point compare orders supplementary chars after BMP (UTF-8 order)") {
+    // U+1F600 (surrogate pair in UTF-16) must sort AFTER U+FFFD
+    assert(Bpe.cpCompare(new String(Character.toChars(0x1F600)), "�") > 0)
+    assert(Bpe.cpCompare("a", "ab") < 0)
+    assert(Bpe.cpCompare("ab", "ab") === 0)
+  }
+
+  test("expression matches the kernel on a DataFrame and is codegen'd") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.T(spark, "/root/testdata/sf0.001", "documents")
+    val model = Bpe.trainOnDocs(docs, numMerges = 16)
+    assert(model.merges.size === 16)
+    val got = docs
+      .select($"doc_id", $"text",
+        graft.functions.GraftFunctions.bpeCount($"text", model).as("n"))
+      .collect()
+    got.foreach { r =>
+      val expected = r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => Bpe.applyMerges(w, model.merges).length.toLong).sum
+      assert(r.getLong(2) === expected, s"doc ${r.getLong(0)}")
+    }
+    // whole-stage codegen must cover the projection (no CodegenFallback)
+    val plan = docs.select(
+      graft.functions.GraftFunctions.bpeCount($"text", model).as("n"))
+      .queryExecution.executedPlan
+    val inCodegen = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.collect { case p: org.apache.spark.sql.execution.ProjectExec => p }.nonEmpty => w
+    }
+    assert(inCodegen.nonEmpty, plan.toString)
+  }
+
+  test("trained counts never exceed character counts and shrink with merges") {
+    val docs = graft.T(spark, "/root/testdata/sf0.001", "documents")
+    val m0 = Bpe.trainOnDocs(docs, numMerges = 0)
+    val m48 = Bpe.trainOnDocs(docs, numMerges = 48)
+    val words = docs.select(explode(split(col("text"), " "))).distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    words.foreach { w =>
+      val chars = Bpe.toSymbols(w).length
+      assert(m0.tokenCount(w) === chars)
+      assert(m48.tokenCount(w) <= chars)
+      assert(m48.tokenCount(w) >= 1)
+    }
+    // the corpus has repeated words, so 48 merges must compress SOMETHING
+    assert(words.map(m48.tokenCount).sum < words.map(m0.tokenCount).sum)
+  }
+}
