@@ -595,17 +595,40 @@ object Dedup {
     * Returns (id_a, id_b, list_id) with id_a < id_b; downstream keeps
     * one representative per [[connectedComponents]] cluster.
     */
+  /** The semantic-dedup SCALE CONTRACT: clusters sized ~`targetPerList`
+    * vectors, so nLists GROWS WITH THE CORPUS and within-cluster pair work
+    * per list stays O(targetPerList²) however large the corpus gets —
+    * nLists fixed while n grows would silently re-grow the all-pairs shape
+    * inside every cluster (n/k per list → (n/k)²/2 candidate pairs). The
+    * tradeoff is assignment cost (n·nLists·dim flops): proportional
+    * nLists keeps dedup work bounded but makes assignment quadratic at
+    * the extreme — beyond ~1e5 lists a production system inserts a
+    * coarse first-level quantizer (IVF-in-IVF) in front of this same
+    * within-list stage; the contract here (and the DedupSpec property)
+    * is about the dedup stage's boundedness, which is what SemDeDup
+    * requires. Floor of 16 keeps tiny corpora from degenerating into
+    * one-cluster all-pairs.
+    */
+  def semanticNLists(n: Long, targetPerList: Long = 512L): Int = {
+    require(targetPerList >= 1, s"targetPerList must be >= 1, got $targetPerList")
+    math.min(math.max(16L, (n + targetPerList - 1) / targetPerList), 1L << 20).toInt
+  }
+
   def semanticDupPairs(
       emb: DataFrame,
       dim: Int,
-      nLists: Int = 16,
+      nLists: Int = -1,
       threshold: Double = 0.999,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
     import graft.functions.GraftFunctions
     GraftFunctions.register(emb.sparkSession)
-    val centroids = graft.similarity.Ann.trainCentroids(emb, dim, nLists, idCol = idCol, vecCol = vecCol)
+    // nLists <= 0 (the default) derives k from the corpus via the scale
+    // contract above — one cheap count() against the source
+    val k = if (nLists > 0) nLists else semanticNLists(emb.count())
+    val centroids = graft.similarity.Ann.trainCentroids(emb, dim, k,
+      nSample = math.max(256, 2 * k), idCol = idCol, vecCol = vecCol)
     val assigned = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(GraftFunctions.dot(col("e"), col("e"))))
       .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))

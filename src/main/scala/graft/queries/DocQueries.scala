@@ -1485,7 +1485,11 @@ object DocQueries {
       (s, d) => {
         val emb = T(s, d, "embeddings")
         val corpus = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + DupOffset))
-        Dedup.semanticDupPairs(corpus, dim = 64, nLists = 16, threshold = 0.999)
+        // nLists deliberately NOT pinned: the gate exercises the default
+        // corpus-derived quantizer size (Dedup.semanticNLists — the
+        // SemDeDup scale contract), and the verified output is
+        // centroid-count-independent on this fixture
+        Dedup.semanticDupPairs(corpus, dim = 64, threshold = 0.999)
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
       },

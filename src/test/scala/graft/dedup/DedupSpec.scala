@@ -278,6 +278,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"within-centroid recall ${sem.size}/${brute.size} below floor")
   }
 
+  test("semantic-dedup scale contract: per-list candidate pairs stay bounded as rows grow") {
+    import graft.functions.GraftFunctions
+    import graft.similarity.Ann
+    GraftFunctions.register(spark)
+    // the pure contract: nLists grows proportionally once past the floor
+    assert(Dedup.semanticNLists(1000L) === 16)
+    assert(Dedup.semanticNLists(1000000L) === 1954) // ceil(1e6/512)
+    assert(Dedup.semanticNLists(100000000L, targetPerList = 512L) === 195313)
+    assert(Dedup.semanticNLists(Long.MaxValue / 2) === (1 << 20)) // ceiling holds
+    // the measured contract: at fixed dim and target, growing the corpus
+    // 8x must NOT grow the largest per-list candidate-pair count past the
+    // O(target²) bound — the property a fixed nLists would violate
+    // (n/k per list → (n/k)²/2 pairs, growing quadratically with n)
+    val dim = 8
+    val target = 128L
+    val bound = 8L * target * target // 4x-average-size cluster still passes
+    for (n <- Seq(1024L, 8192L)) {
+      val emb = spark.range(n).select(
+        col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "j -> cast(sin(id * 13 + j * 7) + cos(id * 5 - j) as double))")
+          .as("embedding"))
+      val k = Dedup.semanticNLists(n, target)
+      assert(k >= (n / target).toInt, s"nLists $k did not scale at n=$n")
+      val centroids = Ann.trainCentroids(emb, dim, k, nSample = math.max(256, 2 * k))
+      val sizes = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
+        .groupBy("list_id").count().collect().map(_.getLong(1))
+      val maxPairs = sizes.map(s => s * (s - 1) / 2).max
+      assert(maxPairs <= bound,
+        s"n=$n k=$k: largest list has $maxPairs candidate pairs > bound $bound " +
+          s"(sizes max ${sizes.max}, avg ${n / k})")
+    }
+  }
+
   test("duplicateSpans: cross-doc shares, in-doc repeats, and short docs, hand-computed") {
     import spark.implicits._
     // w=3 windows. doc 1 and 2 share the span "a b c" (and 2's "b c d"
