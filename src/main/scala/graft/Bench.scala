@@ -81,6 +81,10 @@ object Bench {
     // timed reps — a new Exchange in a pinned query fails loudly in the
     // artifact (plan_pins_ok=false), not just in the specs.
     val planPins = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // structural pins (broadcast anti-joins, partition-pruned IVF scan):
+    // (ok, evidence) per pinned query, same discipline as the exchange
+    // counts — a shape regression fails loudly in the artifact
+    val shapePins = scala.collection.mutable.LinkedHashMap[String, (Boolean, String)]()
     val registered = SparkEntry.allQs.filter(q => wanted(q.name)).map { q =>
       if (graft.plans.PlanAudit.pinnedExchanges.contains(q.name)) {
         try planPins(q.name) = graft.plans.PlanAudit.shuffleExchanges(q.run(spark, sfDir))
@@ -88,6 +92,16 @@ object Bench {
           case e: Throwable =>
             errors(q.name + "_plan_pin") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             planPins(q.name) = -1
+        }
+      }
+      graft.plans.PlanAudit.pinnedShapes.get(q.name).foreach { check =>
+        try {
+          val s = check(q.run(spark, sfDir))
+          shapePins(q.name) = (s.ok, s.detail)
+        } catch {
+          case e: Throwable =>
+            errors(q.name + "_shape_pin") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            shapePins(q.name) = (false, "exception")
         }
       }
       // median of `reps` runs (see the aggregation rule above); any
@@ -116,10 +130,14 @@ object Bench {
       "\"" + esc(k) + "\":{\"measured\":" + n + ",\"pinned\":" + graft.plans.PlanAudit.pinnedExchanges(k) + "}"
     }.mkString("{", ",", "}")
     val pinsOk = planPins.forall { case (k, n) => n == graft.plans.PlanAudit.pinnedExchanges(k) }
+    val shapeJson = shapePins.map { case (k, (ok, detail)) =>
+      "\"" + esc(k) + "\":{\"ok\":" + ok + ",\"detail\":\"" + esc(detail) + "\"}"
+    }.mkString("{", ",", "}")
+    val shapesOk = shapePins.valuesIterator.forall(_._1)
     // total sums the canonical (median) entries only, not the per-run samples
     val total = results.collect { case (k, v) if v >= 0 && !k.matches(".*_run\\d+$") => v }.sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"probes":$probesJson,"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"probes":$probesJson,"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"shape_pins":$shapeJson,"shape_pins_ok":$shapesOk,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
     println(fullLine)
     // the full per-query map ALSO lands in a file artifact: r7's stdout
     // capture truncated the long line and lost 80 queries' timings —
@@ -167,7 +185,7 @@ object Bench {
       .map { case (k, v) => "\"" + esc(k) + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total_summary","value":$total,"unit":"sec","agg":"median_of_$reps","n_queries":$nCanonical,"n_failed":${errors.size},"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"probes":$probesCompact,"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","agg":"median_of_$reps","n_queries":$nCanonical,"n_failed":${errors.size},"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"shape_pins":$shapeJson,"shape_pins_ok":$shapesOk,"probes":$probesCompact,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

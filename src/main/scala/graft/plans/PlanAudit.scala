@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Mechanized plan pins: the shuffle-exchange counts the engine's
   * scale-critical queries are DESIGNED to have. The ScalaTest specs
@@ -36,6 +38,73 @@ object PlanAudit {
   }
 
   private def subq(p: SparkPlan): Int = p.subqueries.map(count).sum
+
+  /** Every node of the physical plan, with AQE wrappers unwrapped the same
+    * way [[count]] unwraps them and subquery plans included — the
+    * traversal behind the structural shape pins.
+    */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+    case s: QueryStageExec => nodes(s.plan)
+    case other =>
+      other +: (other.children.flatMap(nodes) ++ other.subqueries.flatMap(nodes))
+  }
+
+  /** One structural plan pin: a named predicate with its evidence. */
+  final case class Shape(ok: Boolean, detail: String)
+
+  /** The anti-join must broadcast its (ids-only) exclusion list — a
+    * sort-merge or shuffled-hash LeftAnti means the CORPUS started
+    * shuffling for the subtraction, the silent scale regression the
+    * dedup-survivor operators exist to avoid.
+    */
+  def broadcastAntiShape(df: DataFrame): Shape = {
+    val ns = nodes(df.queryExecution.executedPlan)
+    val bcast = ns.count {
+      case b: BroadcastHashJoinExec => b.joinType == LeftAnti
+      case _ => false
+    }
+    val shuffled = ns.count {
+      case s: SortMergeJoinExec => s.joinType == LeftAnti
+      case s: ShuffledHashJoinExec => s.joinType == LeftAnti
+      case _ => false
+    }
+    Shape(bcast >= 1 && shuffled == 0, s"bcast_anti=$bcast shuffled_anti=$shuffled")
+  }
+
+  /** The persisted-IVF lists scan must be PARTITION-PRUNED to the probed
+    * lists: exactly one list_id-partitioned parquet scan, carrying a
+    * partition filter, reading strictly fewer list directories than exist
+    * (nProbe·|queries| draws over nLists=16 lists never cover all 16 on
+    * the harness fixtures). If pushdown breaks — the filter demoting to a
+    * post-scan predicate — selected == total and the pin trips.
+    */
+  def ivfPrunedScanShape(df: DataFrame): Shape = {
+    val scans = nodes(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("list_id") => f
+    }
+    scans match {
+      case Seq(f) =>
+        val selected = f.selectedPartitions.partitionCount
+        val total = f.relation.location.listFiles(Nil, Nil).length
+        Shape(
+          f.partitionFilters.nonEmpty && selected >= 1 && selected < total,
+          s"selected=$selected total=$total part_filters=${f.partitionFilters.size}")
+      case other =>
+        Shape(ok = false, s"expected exactly 1 list_id-partitioned scan, found ${other.size}")
+    }
+  }
+
+  /** Structural pins, keyed by registered query name — asserted by
+    * PlanAuditSpec and emitted measured-vs-pinned into the bench JSON
+    * (`shape_pins` / `shape_pins_ok`) like the exchange counts.
+    */
+  val pinnedShapes: Map[String, DataFrame => Shape] = Map(
+    "doc_dedup_corpus" -> broadcastAntiShape,
+    "doc_dedup_best" -> broadcastAntiShape,
+    "emb_ivf_persisted" -> ivfPrunedScanShape,
+  )
 
   /** The pinned values, keyed by registered query name. Pins cover the
     * query AS REGISTERED for the gate — core operator exchanges (the

@@ -532,8 +532,14 @@ object DocQueries {
         val losers = clusters
           .filter(col("id") =!= col("cluster_rep"))
           .select(col("id").as("doc_id"))
+        // EXPLICIT broadcast, not AQE-inferred: the loser list is ids-only
+        // (8 B/row, duplicates only — never the corpus), and the CC side
+        // plans from a checkpointed ExistingRDD whose default stats would
+        // leave AQE's static plan a sort-merge anti on the whole corpus.
+        // PlanAudit shape-pins this (a shuffled anti appearing = silent
+        // scale regression, the exact shape this operator exists to avoid).
         docs
-          .join(losers, Seq("doc_id"), "left_anti")
+          .join(broadcast(losers), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("source"), col("lang"))
           .orderBy("doc_id")
       },
@@ -1023,8 +1029,10 @@ object DocQueries {
               .orderBy(col("n_tokens").desc, col("doc_id"))))
           .filter(col("rk") > 1)
           .select(col("doc_id"))
+        // explicit ids-only broadcast into the anti-join, shape-pinned —
+        // see doc_dedup_corpus
         docs
-          .join(losers, Seq("doc_id"), "left_anti")
+          .join(broadcast(losers), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("source"), col("n_tokens"))
           .orderBy(col("doc_id"))
       },

@@ -24,6 +24,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(measured.toMap === PlanAudit.pinnedExchanges)
   }
 
+  test("every pinned shape holds on the live registered queries") {
+    spark.catalog.clearCache()
+    val qs = graft.SparkEntry.queries
+    PlanAudit.pinnedShapes.toSeq.sortBy(_._1).foreach { case (name, check) =>
+      assert(qs.contains(name), s"shape-pinned query $name is not registered")
+      val s = check(qs(name)(spark, dir))
+      assert(s.ok, s"$name shape pin failed: ${s.detail}")
+    }
+  }
+
+  test("broadcastAntiShape distinguishes broadcast from shuffled anti-joins") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val b = (1 to 10).map(i => i.toLong).toDF("k")
+    val good = a.join(org.apache.spark.sql.functions.broadcast(b), Seq("k"), "left_anti")
+    assert(PlanAudit.broadcastAntiShape(good).ok)
+    val bad = a.join(b.hint("merge"), Seq("k"), "left_anti")
+    val s = PlanAudit.broadcastAntiShape(bad)
+    assert(!s.ok, s.detail)
+  }
+
   test("counter sees exchanges string parsing would: join + agg shapes") {
     import spark.implicits._
     val a = (1 to 100).map(i => (i, i % 7)).toDF("k", "g")
