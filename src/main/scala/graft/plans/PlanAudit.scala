@@ -147,6 +147,7 @@ object PlanAudit {
     "ev_funnel" -> 2,
     "ev_retention" -> 3,
     "doc_pack_sequences" -> 2,
+    "doc_pack_sequences_bpe" -> 2,
     "doc_cap_per_source" -> 2,
     "doc_token_budget" -> 2,
     "doc_dup_spans" -> 3,

@@ -1323,6 +1323,39 @@ object DocQueries {
         FROM st GROUP BY 1, 2 ORDER BY source, pack_id
       """),
     ),
+    // Packing denominated in TRAINED-TOKENIZER tokens — what actually
+    // fills a 512-token training sequence (whitespace counts undercount
+    // ~2-3x, so whitespace-denominated packs overflow real context
+    // windows). Same one-window prefix-sum shape; the oracle re-trains
+    // the tokenizer (unrolled stages, see doc_bpe_tokens) and re-packs.
+    Q(
+      "doc_pack_sequences_bpe",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = T(s, d, "documents")
+        val model = Bpe.trainOnDocs(docs, numMerges = BpeMerges)
+        graft.text.SequencePacking.packSummary(
+          docs,
+          tokens = graft.functions.GraftFunctions.bpeCount(col("text"), model),
+          seqLen = 512)
+      },
+      Some(s"""
+        WITH ${Bpe.oracleStages(BpeMerges)},
+        t AS (
+          SELECT d.source, d.doc_id, CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS toks
+          FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
+        ), st AS (
+          SELECT source, doc_id, toks,
+                 CAST(COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+          FROM t
+        )
+        SELECT source, start_tok // 512 AS pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM st GROUP BY 1, 2 ORDER BY source, pack_id
+      """),
+    ),
     // --------------------------------------------- similarity: exact top-k
     // Brute-force cosine top-k for a small broadcast query set — the
     // correctness baseline; the corpus side streams (never collected).
