@@ -31,6 +31,9 @@ object GraftFunctions {
   val WindowFpsName = "graft_window_fps"
   val HtmlExtractName = "graft_html_extract"
   val BpeCountName = "graft_bpe_count"
+  val Sq8EncodeName = "graft_sq8_encode"
+  val Sq8DotName = "graft_sq8_dot"
+  val Sq8NrmName = "graft_sq8_nrm"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -136,6 +139,18 @@ object GraftFunctions {
       }
       BpeTokenCount(children.head, graft.text.Bpe.BpeModel(merges))
     }),
+    (Sq8EncodeName, classOf[Sq8Encode].getName, { children: Seq[Expression] =>
+      require(children.size == 3, s"$Sq8EncodeName takes (vec, lo, hi)")
+      Sq8Encode(children(0), children(1), children(2))
+    }),
+    (Sq8DotName, classOf[Sq8Dot].getName, { children: Seq[Expression] =>
+      require(children.size == 4, s"$Sq8DotName takes (qe, code, lo, hi)")
+      Sq8Dot(children(0), children(1), children(2), children(3))
+    }),
+    (Sq8NrmName, classOf[Sq8Nrm].getName, { children: Seq[Expression] =>
+      require(children.size == 3, s"$Sq8NrmName takes (code, lo, hi)")
+      Sq8Nrm(children(0), children(1), children(2))
+    }),
   )
 
   /** Idempotently register graft functions in this session's registry. */
@@ -221,4 +236,16 @@ object GraftFunctions {
   def bpeCount(text: Column, model: graft.text.Bpe.BpeModel): Column =
     call_function(BpeCountName, text,
       typedLit(model.merges.map(p => Seq(p._1, p._2)).toSeq))
+
+  /** SQ8 code bytes of an ARRAY<DOUBLE> on the [lo, hi] range. */
+  def sq8Encode(vec: Column, lo: Column, hi: Column): Column =
+    call_function(Sq8EncodeName, vec, lo, hi)
+
+  /** dot(qe, dequantize(code, lo, hi)) — fused, no array materializes. */
+  def sq8Dot(qe: Column, code: Column, lo: Column, hi: Column): Column =
+    call_function(Sq8DotName, qe, code, lo, hi)
+
+  /** L2 norm of the dequantized SQ8 vector. */
+  def sq8Nrm(code: Column, lo: Column, hi: Column): Column =
+    call_function(Sq8NrmName, code, lo, hi)
 }

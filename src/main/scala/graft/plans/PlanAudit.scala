@@ -104,6 +104,7 @@ object PlanAudit {
     "doc_dedup_corpus" -> broadcastAntiShape,
     "doc_dedup_best" -> broadcastAntiShape,
     "emb_ivf_persisted" -> ivfPrunedScanShape,
+    "emb_ivf_sq8_recall" -> ivfPrunedScanShape,
   )
 
   /** The pinned values, keyed by registered query name. Pins cover the

@@ -1493,6 +1493,34 @@ object DocQueries {
         FROM embeddings WHERE vec_id < 10 ORDER BY query_id
       """),
     ),
+    // ------------------------------- SQ8-quantized persisted IVF index
+    // The storage-scale variant of emb_ivf_persisted: list rows carry
+    // one-byte-per-component SQ8 codes (+ per-vector lo/hi and the
+    // dequantized norm) — 8× smaller than the ARRAY<DOUBLE> lists, the
+    // difference between page-cache-resident probes and disk-bound ones
+    // at 100 TB. Search fuses dequantize+dot in one codegen'd kernel
+    // (graft_sq8_dot); same probe/prune/rank shape, shape-pinned to the
+    // same partition-pruned scan. The gate holds the quantized path to
+    // the SAME recall floor vs exact float brute force as the float
+    // index — quantization error must not eat the recall budget.
+    Q(
+      "emb_ivf_sq8_recall",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val idx = sys.props("java.io.tmpdir") + "/graft_ivf_sq8/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Ann.inputFingerprint(emb)
+        if (!new java.io.File(s"$idx/lists/_SUCCESS").exists())
+          Ann.buildIvfIndexSq8(emb, dim = 64, nLists = 16, path = idx)
+        Ann.recallVsExact(
+          Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5),
+          Ann.ivfTopKFromIndexSq8(s, idx, emb.filter(col("vec_id") < 10), k = 5, nProbe = 4),
+          k = 5, recallFloor = 0.4)
+      },
+      Some("""
+        SELECT vec_id AS query_id, true AS recall_floor_met
+        FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+      """),
+    ),
     // ------------------------------------- embedding near-dup via LSH
     // Corpus ∪ an exact copy: identical vectors agree on every hyperplane
     // sign, so LSH recall at cos=1 is exact and the verified output

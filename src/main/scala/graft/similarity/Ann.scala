@@ -337,6 +337,88 @@ object Ann {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
 
+  /** Build the SQ8-QUANTIZED IVF index on disk: same layout and same
+    * quantizer as [[buildIvfIndex]], but each list row stores the vector
+    * as one-byte-per-component SQ8 codes plus its (lo, hi) range and the
+    * DEQUANTIZED norm — 8× smaller list rows than the ARRAY<DOUBLE> form
+    * (4× vs float32), which at 100 TB of embeddings is what keeps the
+    * probed lists page-cache-resident. Assignment uses the FLOAT vector
+    * (quantize after routing, so quantization error never moves a vector
+    * across a cluster boundary); search dequantizes inside the fused
+    * [[graft.functions.Sq8Dot]] kernel — the code bytes never expand to
+    * an array.
+    *
+    *   centroids/  (list_id, centroid) parquet — nLists rows, tiny
+    *   lists/      (id, code, lo, hi, nrm) parquet, partitionBy(list_id)
+    */
+  def buildIvfIndexSq8(
+      emb: DataFrame,
+      dim: Int,
+      nLists: Int,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Unit = {
+    import graft.functions.GraftFunctions
+    val spark = emb.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val centroids = trainCentroids(emb, dim, nLists, idCol = idCol, vecCol = vecCol)
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+      .withColumn("lo", array_min(col("e")))
+      .withColumn("hi", array_max(col("e")))
+      .withColumn("code", GraftFunctions.sq8Encode(col("e"), col("lo"), col("hi")))
+      // norm of the DEQUANTIZED vector: query-time cosine normalizes in
+      // the quantized space, so identical inputs still score exactly 1
+      .withColumn("nrm", GraftFunctions.sq8Nrm(col("code"), col("lo"), col("hi")))
+      .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
+      .select(col("id"), col("code"), col("lo"), col("hi"), col("nrm"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** ANN top-k against a [[buildIvfIndexSq8]] index: identical probe/
+    * prune/rank shape to [[ivfTopKFromIndex]] — partition-pruned probed
+    * lists, (cos desc, id) tie-break — with the cosine computed by the
+    * fused dequantizing dot kernel over the stored code bytes.
+    */
+  def ivfTopKFromIndexSq8(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val centroids = loadIvfCentroids(spark, path)
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(vecCol).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+      .withColumn("list_id", explode(GraftFunctions.probeLists(col("qe"), centroids, nProbe)))
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+      .select(col("list_id"), col("id").as("neighbor_id"),
+        col("code"), col("lo"), col("hi"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(lists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.sq8Dot(col("qe"), col("code"), col("lo"), col("hi"))
+          / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+
   /** Cheap content key for index caching: the DataFrame's input files as
     * sorted (path, length, mtime) triples, hashed. O(#files) driver
     * METADATA work — no data scan, so it stays viable when the corpus is

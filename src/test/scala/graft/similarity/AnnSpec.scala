@@ -114,6 +114,70 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(stored.map(_.toSeq).toSeq === trained.map(_.toSeq).toSeq)
   }
 
+  test("SQ8 quantization: per-component error bounded by half a step; constant vectors exact") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val rows = emb.limit(100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("lo", array_min(col("e")))
+      .withColumn("hi", array_max(col("e")))
+      .withColumn("code", GraftFunctions.sq8Encode(col("e"), col("lo"), col("hi")))
+      .collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Double](1)
+      val lo = r.getDouble(2); val hi = r.getDouble(3)
+      val code = r.getAs[Array[Byte]](4)
+      assert(code.length === e.length)
+      val step = (hi - lo) / 255.0
+      e.indices.foreach { i =>
+        val deq = lo + (code(i) & 0xff) * step
+        assert(math.abs(deq - e(i)) <= step / 2 + 1e-12,
+          s"vec ${r.getLong(0)} comp $i: |$deq - ${e(i)}| > ${step / 2}")
+      }
+    }
+    // degenerate range (constant vector): codes are all zero and the
+    // dequantized norm is |lo|*sqrt(dim) exactly
+    import spark.implicits._
+    val const = Seq((1L, Seq(0.25, 0.25, 0.25, 0.25))).toDF("vec_id", "e")
+      .withColumn("code", GraftFunctions.sq8Encode(col("e"), lit(0.25), lit(0.25)))
+      .withColumn("nrm", GraftFunctions.sq8Nrm(col("code"), lit(0.25), lit(0.25)))
+    val cr = const.select("code", "nrm").head()
+    assert(cr.getAs[Array[Byte]](0).toSeq === Seq[Byte](0, 0, 0, 0))
+    assert(math.abs(cr.getDouble(1) - 0.5) < 1e-15) // 0.25 * sqrt(4)
+  }
+
+  test("SQ8 persisted IVF: recall floor holds, identical copies score cos 1, lists are code bytes") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-sq8-spec").toString
+    Ann.buildIvfIndexSq8(emb, dim = 64, nLists = 16, path = idx)
+    // recall vs exact float brute force clears the same floor as the
+    // float index at the same operating point
+    val rows = Ann.recallVsExact(
+      Ann.bruteForceTopK(emb.filter(qf), emb, k),
+      Ann.ivfTopKFromIndexSq8(spark, idx, emb.filter(qf), k, nProbe = 4),
+      k, recallFloor = 0.4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(rows.map(_._1).toSeq === (0L until 10L))
+    assert(rows.forall(_._2), s"queries below floor: ${rows.filterNot(_._2).mkString(",")}")
+    // an identical copy of the query vector must rank FIRST. Search is
+    // asymmetric (ADC: float query against dequantized codes), so the
+    // score is 1 - O(quantization error), not exactly 1 — the bound here
+    // is generous vs the measured ~2e-5 on these 64-dim vectors.
+    val withCopy = emb.unionByName(
+      emb.filter(col("vec_id") === 3).withColumn("vec_id", lit(100003L)))
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-ivf-sq8-copy").toString
+    Ann.buildIvfIndexSq8(withCopy, dim = 64, nLists = 16, path = idx2)
+    val top = Ann.ivfTopKFromIndexSq8(spark, idx2,
+      withCopy.filter(col("vec_id") === 3), k = 1, nProbe = 1)
+      .collect().head
+    assert(top.getLong(1) === 100003L, s"copy not ranked first: $top")
+    assert(top.getDouble(2) > 0.999, s"copy cosine ${top.getDouble(2)} below ADC bound")
+    // stored list rows are BINARY codes of dim bytes — the 8x storage win
+    val one = spark.read.parquet(s"$idx/lists").limit(1).collect().head
+    assert(one.getAs[Array[Byte]]("code").length === 64)
+  }
+
   test("lshRecallVsExact: every audited query clears the registered floor") {
     val rows = Ann.lshRecallVsExact(emb, 64, k, qf, nPlanes = 4, nTables = 8, recallFloor = 0.2)
       .collect().map(r => (r.getLong(0), r.getBoolean(1)))
