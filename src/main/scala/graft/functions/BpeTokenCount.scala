@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.text.Bpe
@@ -40,5 +40,35 @@ case class BpeTokenCount(child: Expression, model: Bpe.BpeModel)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+/** The text's full trained-BPE token stream (ARRAY<STRING>, word order
+  * preserved) — for operators that need the tokens themselves, not just
+  * counts (chunking at subword granularity). Same plan-constant merge
+  * table as [[BpeTokenCount]].
+  */
+case class BpeSegment(child: Expression, model: Bpe.BpeModel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${GraftFunctions.BpeSegmentName} requires STRING, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = GraftFunctions.BpeSegmentName
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.segmentText(input.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bpeModel", model, classOf[Bpe.BpeModel].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.Bpe.segmentText($c, $modelRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegment =
     copy(child = newChild)
 }

@@ -31,6 +31,7 @@ object GraftFunctions {
   val WindowFpsName = "graft_window_fps"
   val HtmlExtractName = "graft_html_extract"
   val BpeCountName = "graft_bpe_count"
+  val BpeSegmentName = "graft_bpe_segment"
   val Sq8EncodeName = "graft_sq8_encode"
   val Sq8DotName = "graft_sq8_dot"
   val Sq8NrmName = "graft_sq8_nrm"
@@ -139,6 +140,18 @@ object GraftFunctions {
       }
       BpeTokenCount(children.head, graft.text.Bpe.BpeModel(merges))
     }),
+    (BpeSegmentName, classOf[BpeSegment].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$BpeSegmentName takes (text, merges)")
+      val m = children(1)
+      require(m.foldable, s"$BpeSegmentName merges must be a foldable literal, got $m")
+      val ad = m.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val merges = IndexedSeq.tabulate(ad.numElements()) { i =>
+        val pair = ad.getArray(i)
+        require(pair.numElements() == 2, s"$BpeSegmentName merge $i is not a pair")
+        (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+      }
+      BpeSegment(children.head, graft.text.Bpe.BpeModel(merges))
+    }),
     (Sq8EncodeName, classOf[Sq8Encode].getName, { children: Seq[Expression] =>
       require(children.size == 3, s"$Sq8EncodeName takes (vec, lo, hi)")
       Sq8Encode(children(0), children(1), children(2))
@@ -235,6 +248,11 @@ object GraftFunctions {
     */
   def bpeCount(text: Column, model: graft.text.Bpe.BpeModel): Column =
     call_function(BpeCountName, text,
+      typedLit(model.merges.map(p => Seq(p._1, p._2)).toSeq))
+
+  /** The text's trained-BPE token stream (ARRAY<STRING>, word order). */
+  def bpeSegment(text: Column, model: graft.text.Bpe.BpeModel): Column =
+    call_function(BpeSegmentName, text,
       typedLit(model.merges.map(p => Seq(p._1, p._2)).toSeq))
 
   /** SQ8 code bytes of an ARRAY<DOUBLE> on the [lo, hi] range. */

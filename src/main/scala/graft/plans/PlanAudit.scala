@@ -167,6 +167,7 @@ object PlanAudit {
     // sort — any second exchange means a shuffle appeared in a map-only
     // pipeline
     "doc_chunk_overlap" -> 1,
+    "doc_chunk_overlap_bpe" -> 1,
     "doc_pii_scrub" -> 1,
     "doc_html_extract" -> 1,
     // trained-BPE application is map-only (merge table is a plan

@@ -751,6 +751,67 @@ object DocQueries {
         FROM s WHERE doc_id < 100 ORDER BY doc_id, chunk_id
       """),
     ),
+    // Chunking denominated in TRAINED-TOKENIZER tokens — the window/
+    // stride that actually fills a model context. The stream is the
+    // graft_bpe_segment ARRAY<STRING> (per-word trained segmentation,
+    // word order preserved), so head/tail are SUBWORD tokens; the oracle
+    // re-trains the tokenizer (unrolled stages, see doc_bpe_tokens) and
+    // rebuilds each doc's stream by order-preserving flatten of per-word
+    // segmentations. Same narrow generator shape, pinned at 1 exchange.
+    Q(
+      "doc_chunk_overlap_bpe",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = T(s, d, "documents")
+        val model = Bpe.trainOnDocs(docs, numMerges = BpeMerges)
+        val W = 64
+        val S = 48
+        docs
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.bpeSegment(col("text"), model).as("toks"))
+          .withColumn("start",
+            explode(sequence(lit(0), size(col("toks")) - 1, lit(S))))
+          .select(
+            col("doc_id"),
+            expr(s"start div $S").as("chunk_id"),
+            least(lit(W), size(col("toks")) - col("start")).cast("long").as("n_tokens"),
+            element_at(col("toks"), col("start") + 1).as("head_term"),
+            element_at(col("toks"),
+              least(col("start") + W, size(col("toks")))).as("tail_term"))
+          .filter(col("doc_id") < 100)
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""
+        WITH ${Bpe.oracleStages(BpeMerges)},
+        syms AS (
+          SELECT word, string_split(trim(sym, chr(31)), chr(31)) AS sym_list
+          FROM s$BpeMerges
+        ),
+        t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+              WHERE doc_id < 100),
+        wpos AS (
+          SELECT doc_id, unnest(words) AS word,
+                 unnest(generate_series(1, len(words))) AS pos
+          FROM t
+        ),
+        stream AS (
+          SELECT doc_id, flatten(list(c.sym_list ORDER BY wpos.pos)) AS w
+          FROM wpos JOIN syms c USING (word)
+          WHERE wpos.word <> ''
+          GROUP BY doc_id
+        ),
+        st AS (
+          SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 48)) AS start
+          FROM stream
+        )
+        SELECT doc_id,
+               start // 48 AS chunk_id,
+               CAST(LEAST(64, len(w) - start) AS BIGINT) AS n_tokens,
+               w[start + 1] AS head_term,
+               w[LEAST(start + 64, len(w))] AS tail_term
+        FROM st ORDER BY doc_id, chunk_id
+      """),
+    ),
     // ------------------------------------------------------- PII scrubbing
     // Regex masking of emails and phone-shaped strings. The synthetic
     // corpus carries no PII, so the query constructs a deterministic

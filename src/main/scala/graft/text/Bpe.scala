@@ -45,15 +45,17 @@ object Bpe {
       * Bounded so an adversarial all-unique-words corpus cannot OOM it.
       */
     @transient private lazy val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
-    def tokenCount(word: String): Int = {
+    def segment(word: String): Array[String] = {
       val hit = cache.get(word)
-      if (hit != null) return hit.intValue()
-      val n = applyMerges(word, merges).length
-      if (cache.size() < (1 << 16)) cache.put(word, Integer.valueOf(n))
-      n
+      if (hit != null) return hit
+      val segs = applyMerges(word, merges)
+      if (cache.size() < (1 << 16)) cache.put(word, segs)
+      segs
     }
+
+    def tokenCount(word: String): Int = segment(word).length
   }
 
   /** Word → code-point symbols (NOT UTF-16 chars: a surrogate pair is one
@@ -139,6 +141,34 @@ object Bpe {
       if (i > start) total += model.tokenCount(s.substring(start, i))
     }
     total
+  }
+
+  /** Narrow kernel behind [[graft.functions.BpeSegment]]: the text's full
+    * BPE token stream — per space-separated word (empties skipped), the
+    * trained segmentation, concatenated in word order.
+    */
+  def segmentText(
+      text: UTF8String,
+      model: BpeModel,
+  ): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && s.charAt(i) != ' ') i += 1
+      if (i > start) {
+        val segs = model.segment(s.substring(start, i))
+        var j = 0
+        while (j < segs.length) {
+          out += UTF8String.fromString(segs(j))
+          j += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   /** Deterministic trainer over an exact word-frequency table. */

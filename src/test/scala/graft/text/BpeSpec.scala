@@ -84,6 +84,26 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(inCodegen.nonEmpty, plan.toString)
   }
 
+  test("segment stream preserves word order and concatenates back to the text") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.T(spark, "/root/testdata/sf0.001", "documents")
+    val model = Bpe.trainOnDocs(docs, numMerges = 16)
+    val rows = docs.limit(50)
+      .select($"text",
+        graft.functions.GraftFunctions.bpeSegment($"text", model).as("toks"),
+        graft.functions.GraftFunctions.bpeCount($"text", model).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val toks = r.getSeq[String](1)
+      // stream length == the count expression (same kernel family)
+      assert(toks.length.toLong === r.getLong(2))
+      // concatenating the subwords reconstructs the text minus spaces:
+      // segmentation never drops, duplicates, or reorders a character
+      assert(toks.mkString === r.getString(0).replace(" ", ""))
+    }
+  }
+
   test("trained counts never exceed character counts and shrink with merges") {
     val docs = graft.T(spark, "/root/testdata/sf0.001", "documents")
     val m0 = Bpe.trainOnDocs(docs, numMerges = 0)
