@@ -74,10 +74,15 @@ object PlanAudit {
 
   /** The persisted-IVF lists scan must be PARTITION-PRUNED to the probed
     * lists: exactly one list_id-partitioned parquet scan, carrying a
-    * partition filter, reading strictly fewer list directories than exist
-    * (nProbe·|queries| draws over nLists=16 lists never cover all 16 on
-    * the harness fixtures). If pushdown breaks — the filter demoting to a
-    * post-scan predicate — selected == total and the pin trips.
+    * partition filter whose probed-list IN-set the pruning provably
+    * honored — selected partitions == the filter's distinct list ids
+    * (every probed id exists as a partition: ids come from centroid
+    * assignment over the same data). This pins "pruning works" without
+    * coupling to fixture luck over WHICH lists the probes drew: if the
+    * probes happen to cover all nLists, expected == total == selected and
+    * the pin still holds; if pushdown breaks (the filter demoting to a
+    * post-scan predicate), partitionFilters is empty or selected == total
+    * with a smaller IN-set, and the pin trips.
     */
   def ivfPrunedScanShape(df: DataFrame): Shape = {
     val scans = nodes(df.queryExecution.executedPlan).collect {
@@ -88,9 +93,22 @@ object PlanAudit {
       case Seq(f) =>
         val selected = f.selectedPartitions.partitionCount
         val total = f.relation.location.listFiles(Nil, Nil).length
-        Shape(
-          f.partitionFilters.nonEmpty && selected >= 1 && selected < total,
-          s"selected=$selected total=$total part_filters=${f.partitionFilters.size}")
+        // the probed-list count, read off the partition filter itself
+        // (the query builds it with isin over the collected probe set)
+        val inSetSizes = f.partitionFilters.flatMap(_.collect {
+          case in: org.apache.spark.sql.catalyst.expressions.In =>
+            in.list.collect { case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value }.distinct.size
+          case s: org.apache.spark.sql.catalyst.expressions.InSet => s.hset.size
+        })
+        inSetSizes match {
+          case Seq(expected) =>
+            Shape(
+              f.partitionFilters.nonEmpty && selected == expected && expected <= total,
+              s"selected=$selected expected=$expected total=$total part_filters=${f.partitionFilters.size}")
+          case other =>
+            Shape(ok = false,
+              s"expected exactly 1 IN-set partition filter, found ${other.size} (selected=$selected total=$total)")
+        }
       case other =>
         Shape(ok = false, s"expected exactly 1 list_id-partitioned scan, found ${other.size}")
     }

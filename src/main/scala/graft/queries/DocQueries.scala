@@ -46,6 +46,34 @@ object DocQueries {
   private val dupCorpusSql =
     s"(SELECT doc_id, text, lang, source, n_chars FROM documents UNION ALL SELECT doc_id + $DupOffset, text, lang, source, n_chars FROM documents)"
 
+  /** documents ∪ one synthetic doc whose words force BACK-TO-BACK
+    * occurrences of early merges through the trained-BPE gate: 'ererer'
+    * hits merge #1 (e,r) at three adjacent positions, 'inin'/'stst' hit
+    * other top-5 merges adjacently, 'banana' is the canonical adjacent
+    * (a,n) shape. Under the old single-separator oracle framing DuckDB's
+    * replace() merged only the FIRST of back-to-back occurrences (the
+    * shared separator was consumed) — the corpus vocabulary never
+    * produced the case, so the gate couldn't see the divergence. This
+    * injection makes the open/close framing ([[Bpe.oracleStages]]) a
+    * gated property, not an audited one.
+    */
+  private val BpeFixtureDocId = 2000000L
+  private val BpeFixtureText = "banana banana ererer ererer inin inin stst stst"
+
+  private def bpeGateCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    docs.unionByName(docs.sparkSession.range(1).select(
+      lit(BpeFixtureDocId).as("doc_id"),
+      lit(BpeFixtureText).as("text"),
+      lit("en").as("lang"),
+      lit("src0").as("source"),
+      lit(BpeFixtureText.length.toLong).as("n_chars")))
+  }
+
+  private val bpeGateCorpusSql =
+    s"(SELECT doc_id, text, lang, source, n_chars FROM documents " +
+      s"UNION ALL SELECT $BpeFixtureDocId, '$BpeFixtureText', 'en', 'src0', ${BpeFixtureText.length})"
+
   /** DuckDB replay of [[Ann.lshTopK]] with the deterministic ±1
     * hyperplane sign matrices (graft.functions.SketchesLsh.bucket's
     * splitmix64 derivation) inlined as literal DOUBLE arrays — the
@@ -769,6 +797,12 @@ object DocQueries {
         docs
           .select(col("doc_id"),
             graft.functions.GraftFunctions.bpeSegment(col("text"), model).as("toks"))
+          // empty/whitespace-only text segments to an EMPTY token array
+          // (unlike the whitespace variant, where split() yields [''])
+          // and sequence(0, -1, S) throws — an empty doc has no chunks,
+          // so filter it out; the oracle's stream CTE drops it the same
+          // way (no word rows -> no stream row -> no chunks)
+          .filter(size(col("toks")) > 0)
           .withColumn("start",
             explode(sequence(lit(0), size(col("toks")) - 1, lit(S))))
           .select(
@@ -784,7 +818,9 @@ object DocQueries {
       Some(s"""
         WITH ${Bpe.oracleStages(BpeMerges)},
         syms AS (
-          SELECT word, string_split(trim(sym, chr(31)), chr(31)) AS sym_list
+          SELECT word, list_transform(
+                   list_filter(string_split(sym, chr(30)), x -> x <> ''),
+                   x -> rtrim(x, chr(31))) AS sym_list
           FROM s$BpeMerges
         ),
         t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -932,7 +968,7 @@ object DocQueries {
       "doc_bpe_tokens",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val docs = T(s, d, "documents")
+        val docs = bpeGateCorpus(s, d)
         val model = Bpe.trainOnDocs(docs, numMerges = BpeMerges)
         docs
           .select(
@@ -944,11 +980,11 @@ object DocQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH ${Bpe.oracleStages(BpeMerges)}
+        WITH ${Bpe.oracleStages(BpeMerges, bpeGateCorpusSql)}
         SELECT d.doc_id,
                CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
                CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
-        FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
+        FROM $bpeGateCorpusSql d LEFT JOIN bpe_per_doc p USING (doc_id)
         ORDER BY doc_id
       """),
     ),

@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `minPairCount` (default 2 — a pair seen once compresses nothing);
   *   - application: merges replayed IN TRAINING ORDER per word, each pass
   *     replacing adjacent (a,b) left-to-right non-overlapping — identical
-  *     to DuckDB `replace()` on a separator-framed symbol string, which is
-  *     how the oracle replays it.
+  *     to DuckDB `replace()` on a symbol string framed with per-symbol
+  *     open/close delimiters (see [[oracleStages]] for why the framing
+  *     must be open/close, not a shared separator), which is how the
+  *     oracle replays it.
   *
   * Scale contract: training collect()s the WORD-FREQUENCY table, never the
   * corpus — vocabulary is sublinear in corpus size (Heaps' law) and the
@@ -254,7 +256,10 @@ object Bpe {
 
   /** Train on a document corpus: ONE distributed word-count aggregation
     * (map-side combined), then the vocabulary-scale collect documented in
-    * the object scaladoc. Fail-loud if the vocabulary isn't training-scale.
+    * the object scaladoc. Fail-loud if the vocabulary isn't training-scale:
+    * the guard runs BEFORE anything driver-sized materializes — collect is
+    * capped at maxVocab+1 rows, so an over-scale vocabulary fails the
+    * require instead of OOMing the driver mid-collect.
     */
   def trainOnDocs(
       docs: DataFrame,
@@ -268,11 +273,12 @@ object Bpe {
       .filter(col("w") =!= "")
       .groupBy("w")
       .count()
+      .limit(maxVocab + 1)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
     require(wf.size <= maxVocab,
-      s"BPE training vocabulary ${wf.size} exceeds $maxVocab — train on a sample or cap the vocabulary")
+      s"BPE training vocabulary exceeds $maxVocab — train on a sample or cap the vocabulary")
     train(wf, numMerges, minPairCount)
   }
 
@@ -284,24 +290,38 @@ object Bpe {
     * or unmaterialized stages — would expand the reference chain
     * exponentially; AS MATERIALIZED evaluates each stage exactly once.
     *
-    * Stage state s{i} frames each word's symbols in chr(31) separators
-    * ("s1s2"): `replace(sym, sep||a||sep||b||sep,
-    * sep||a·b||sep)` is then exactly the left-to-right non-overlapping
-    * merge pass, and cannot match inside a symbol because every symbol
-    * boundary is a separator. chr(31) never occurs in the corpus (words
-    * are space-delimited text).
+    * Stage state s{i} frames each symbol with DISTINCT open/close
+    * delimiters — chr(30)·sym·chr(31) — so `replace(sym,
+    * open a close open b close, open a·b close)` is exactly the
+    * left-to-right non-overlapping merge pass. The earlier
+    * single-separator framing ("sep a sep b sep") was NOT: back-to-back
+    * occurrences of a pair (word 'ererer' under merge (e,r), or 'aaaa'
+    * under (a,a)) share the middle separator, so replace() consumed it
+    * and merged only the first occurrence while the Scala kernel merges
+    * every one. With per-symbol open+close delimiters no two occurrences
+    * share a character, a pattern cannot match inside a symbol, and it
+    * cannot match a symbol whose text merely STARTS with `b` (the close
+    * delimiter after `b` must be present). Verified case-by-case against
+    * [[applyMerges]]: 'aaaa'/(a,a), 'banana'/(a,n), ['a','bc']/(a,b),
+    * ['an','an','a']/(an,an). chr(30)/chr(31) never occur in the corpus
+    * (words are space-delimited text).
+    *
+    * `docsRel` is the corpus relation the stages read (a table name or a
+    * parenthesized subquery with columns doc_id, text) — gates inject
+    * adjacency-forcing fixture words through it.
     */
-  def oracleStages(numMerges: Int): String = {
+  def oracleStages(numMerges: Int, docsRel: String = "documents"): String = {
     val sb = new StringBuilder
     sb.append(
-      """vocab0 AS MATERIALIZED (
+      s"""vocab0 AS MATERIALIZED (
         |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $docsRel)
         |  WHERE w <> '' GROUP BY 1
         |),
         |s0 AS MATERIALIZED (
         |  SELECT word, freq,
-        |         chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS sym
+        |         array_to_string(list_transform(string_split(word, ''),
+        |           c -> chr(30) || c || chr(31)), '') AS sym
         |  FROM vocab0
         |)""".stripMargin)
     for (i <- 1 to numMerges) {
@@ -309,30 +329,32 @@ object Bpe {
         |p$i AS MATERIALIZED (
         |  SELECT syms[k] AS a, syms[k+1] AS b FROM (
         |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS k FROM (
-        |      SELECT freq, string_split(trim(sym, chr(31)), chr(31)) AS syms FROM s${i - 1})
+        |      SELECT freq, list_transform(
+        |               list_filter(string_split(sym, chr(30)), x -> x <> ''),
+        |               x -> rtrim(x, chr(31))) AS syms FROM s${i - 1})
         |  ) GROUP BY 1, 2 HAVING SUM(freq) >= 2
         |  ORDER BY SUM(freq) DESC, a, b LIMIT 1
         |),
         |s$i AS MATERIALIZED (
         |  SELECT word, freq,
         |         CASE WHEN p.a IS NULL THEN sym
-        |              ELSE replace(sym, chr(31) || p.a || chr(31) || p.b || chr(31),
-        |                                chr(31) || p.a || p.b || chr(31))
+        |              ELSE replace(sym, chr(30) || p.a || chr(31) || chr(30) || p.b || chr(31),
+        |                                chr(30) || p.a || p.b || chr(31))
         |         END AS sym
         |  FROM s${i - 1} LEFT JOIN p$i p ON TRUE
         |)""".stripMargin)
     }
-    // per-word final token count = separators - 1; then per-doc totals
+    // per-word final token count = open delimiters; then per-doc totals
     sb.append(s""",
       |bpe_counts AS (
       |  SELECT word,
-      |         CAST(length(sym) - length(replace(sym, chr(31), '')) - 1 AS BIGINT) AS n_tok
+      |         CAST(length(sym) - length(replace(sym, chr(30), '')) AS BIGINT) AS n_tok
       |  FROM s$numMerges
       |),
       |bpe_per_doc AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
       |         CAST(SUM(c.n_tok) AS BIGINT) AS bpe_tokens
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $docsRel) w
       |  JOIN bpe_counts c USING (word)
       |  WHERE w.word <> ''
       |  GROUP BY 1
