@@ -178,8 +178,9 @@ object Dedup {
     * never moves, and there is NO pair stream at all (counting, not pair
     * generation), so nothing is quadratic however hot a boilerplate
     * window is. md5 is used as the fingerprint because the DuckDB oracle
-    * computes the identical digest; a 100 TB run would swap in a cheaper
-    * 128-bit rolling hash with the same shape.
+    * computes the identical digest; the production form with the same
+    * shape and a cheaper 128-bit rolling fingerprint is
+    * [[duplicateSpansRolling]], gate-pinned to this one's oracle.
     */
   def duplicateSpans(
       docs: DataFrame,
@@ -198,15 +199,19 @@ object Dedup {
 
   /** The O(n) scale strategy for [[duplicateSpans]]: identical output (one
     * row per doc, window/dup-window counts), but windows are fingerprinted
-    * by [[graft.functions.WindowFps]] — each token's bytes hash ONCE and a
-    * Rabin-Karp rolling update produces every window's 64-bit fingerprint,
-    * where the md5 form re-hashes all W tokens per position (O(W·n) digest
-    * work, ~16× the hashing at the default W=8 before md5's own per-call
-    * cost). Counting semantics are fingerprint-agnostic, so the two forms
-    * agree exactly unless a 64-bit collision maps two DISTINCT windows
-    * together (≈ n²/2⁶⁵: at 10⁹ distinct windows, P ≈ 3%, detectable by
-    * exactly this twin-gate; the fix at that scale is the 128-bit variant,
-    * same shape). The query gate pins both forms to the identical oracle.
+    * by [[graft.functions.WindowFps128]] — each token's bytes hash ONCE
+    * (per stream) and TWO independent Rabin-Karp rolling updates produce
+    * every window's 128-bit (hi, lo) fingerprint, where the md5 form
+    * re-hashes all W tokens per position (O(W·n) digest work, ~16× the
+    * hashing at the default W=8 before md5's own per-call cost). Counting
+    * semantics are fingerprint-agnostic, so the two forms agree exactly
+    * unless BOTH 64-bit streams collide on two DISTINCT windows at once:
+    * the 64-bit form's n²/2⁶⁵ budget is ~3% at 10⁹ windows and ~certain
+    * at a 100 TB corpus's 10¹³⁺, which is why the registered operator
+    * rolls 128 bits (n²/2¹²⁹ < 10⁻¹¹ at 10¹⁷ windows); the 64-bit
+    * expression remains available but demoted. The query gate pins this
+    * form to the md5 twin's IDENTICAL oracle, so a width regression or
+    * stream-independence bug fails the hash, not a code review.
     */
   def duplicateSpansRolling(
       docs: DataFrame,
@@ -217,7 +222,7 @@ object Dedup {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     spanDupCounts(docs, w, idCol, textCol,
-      toksCol => graft.functions.GraftFunctions.windowFps(col(toksCol), w))
+      toksCol => graft.functions.GraftFunctions.windowFps128(col(toksCol), w))
   }
 
   /** Shared counting stage of the span-dedup twins: explode per-window

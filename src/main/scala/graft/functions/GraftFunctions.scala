@@ -29,6 +29,7 @@ object GraftFunctions {
   val MaxPairCountName = "graft_max_pair_count"
   val FreqItemsName = "graft_freq_items"
   val WindowFpsName = "graft_window_fps"
+  val WindowFps128Name = "graft_window_fps128"
   val HtmlExtractName = "graft_html_extract"
   val BpeCountName = "graft_bpe_count"
   val BpeSegmentName = "graft_bpe_segment"
@@ -121,6 +122,15 @@ object GraftFunctions {
           s"$WindowFpsName window must be an integer literal, got $other")
       }
       WindowFps(children.head, w)
+    }),
+    (WindowFps128Name, classOf[WindowFps128].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$WindowFps128Name takes (tokens, w)")
+      val w = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$WindowFps128Name window must be an integer literal, got $other")
+      }
+      WindowFps128(children.head, w)
     }),
     (HtmlExtractName, classOf[HtmlExtract].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$HtmlExtractName takes (html)")
@@ -238,6 +248,12 @@ object GraftFunctions {
     */
   def windowFps(tokens: Column, w: Int): Column =
     call_function(WindowFpsName, tokens, lit(w))
+
+  /** 128-bit window fingerprints (ARRAY<STRUCT<hi,lo>>) — the production
+    * width for corpus-scale span dedup (see [[WindowFps128]]).
+    */
+  def windowFps128(tokens: Column, w: Int): Column =
+    call_function(WindowFps128Name, tokens, lit(w))
 
   /** Main-text extraction from HTML markup (see [[HtmlText.extract]]). */
   def htmlExtract(html: Column): Column =

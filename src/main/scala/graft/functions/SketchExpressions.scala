@@ -186,6 +186,75 @@ object Sketches {
     new GenericArrayData(out)
   }
 
+  private final val FnvOffset2 = 1469598103934665603L ^ -7046029254386353131L // distinct basis for the 2nd stream
+
+  /** Second independent 64-bit base hash of a token's bytes: FNV with a
+    * DIFFERENT offset basis. The 128-bit window fingerprint needs the two
+    * streams to fail independently at the TOKEN level too — deriving both
+    * from one [[tokenHash]] would make any 64-bit token-hash collision a
+    * full 128-bit window collision.
+    */
+  def tokenHash2(bytes: Array[Byte]): Long = {
+    var h = FnvOffset2
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer with a shifted seed — the 2nd stream's mixer. */
+  def mix2(z: Long): Long = mix(z ^ -4658895280553007687L)
+
+  /** All `w`-token window fingerprints as 128-bit (hi, lo) structs — TWO
+    * independent Rabin-Karp streams rolled in one O(n) pass. Same shape
+    * and counting semantics as [[windowFps]]; this is the fingerprint
+    * width a 100 TB corpus needs: the 64-bit form's collision probability
+    * at 10¹³⁺ distinct windows is ~1 (n²/2⁶⁵), and a collision silently
+    * inflates dup-span counts, where at 2¹²⁸ the same budget stays below
+    * 10⁻¹¹. Independence is end-to-end per stream: different FNV offset
+    * basis ([[tokenHash2]]), different finalizer ([[mix2]]), different
+    * odd (hence invertible mod 2⁶⁴) polynomial base — a collision must
+    * happen in BOTH 64-bit streams simultaneously.
+    */
+  def windowFps128(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val th1 = new Array[Long](n)
+    val th2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) { th1(i) = mix(Golden); th2(i) = mix2(Golden) }
+      else {
+        val bytes = tokens.getUTF8String(i).getBytes
+        th1(i) = mix(tokenHash(bytes))
+        th2(i) = mix2(tokenHash2(bytes))
+      }
+      i += 1
+    }
+    val B1 = 1000003L // odd => invertible mod 2^64
+    val B2 = 1099511628211L // FNV prime, odd, independent of B1
+    var p1 = 1L // B1^(w-1)
+    var p2 = 1L // B2^(w-1)
+    i = 1
+    while (i < w) { p1 *= B1; p2 *= B2; i += 1 }
+    val out = new Array[Any](n - w + 1)
+    var f1 = 0L
+    var f2 = 0L
+    i = 0
+    while (i < w) { f1 = f1 * B1 + th1(i); f2 = f2 * B2 + th2(i); i += 1 }
+    out(0) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](f1, f2))
+    var j = 1
+    while (j <= n - w) {
+      f1 = (f1 - th1(j - 1) * p1) * B1 + th1(j + w - 1)
+      f2 = (f2 - th2(j - 1) * p2) * B2 + th2(j + w - 1)
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](f1, f2))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of positions where two long signatures agree (see [[SigAgree]]).
     * A null slot on either side counts as DISAGREEMENT — matching the
     * `zip_with` + `aggregate` HOF this kernel replaced, whose null
@@ -482,6 +551,11 @@ case class SigAgree(left: Expression, right: Expression)
   * the O(n) Rabin-Karp twin of the md5-per-window span fingerprint (see
   * [[Sketches.windowFps]]). Codegen'd; `explode` the result to get the
   * per-window fingerprint stream.
+  *
+  * DEMOTED: 64-bit width is fine for single-shard jobs but certain to
+  * collide at 100 TB window counts — the registered span-dedup operator
+  * uses [[WindowFps128]]; this form remains for width-vs-cost
+  * experiments and the DedupSpec invertibility property.
   */
 case class WindowFps(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 2, s"window must be >= 2 tokens, got $w")
@@ -503,6 +577,39 @@ case class WindowFps(child: Expression, w: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.Sketches.windowFps($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): WindowFps =
+    copy(child = newChild)
+}
+
+/** All w-token window fingerprints of an ARRAY<STRING> as
+  * ARRAY<STRUCT<hi BIGINT, lo BIGINT>> — the 128-bit production form of
+  * [[WindowFps]] (see [[Sketches.windowFps128]] for the collision
+  * budget). Codegen'd; the span-dup counting stage groups on the whole
+  * struct, so the fingerprint width is transparent to the plan shape.
+  */
+case class WindowFps128(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 2, s"window must be >= 2 tokens, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_fps128 requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("hi", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_window_fps128"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.windowFps128(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.windowFps128($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowFps128 =
     copy(child = newChild)
 }
 

@@ -272,12 +272,15 @@ object DocQueries {
       (s, d) => Dedup.duplicateSpans(T(s, d, "documents"), w = 8),
       Some(dupSpansOracle),
     ),
-    // The O(n) ROLLING-HASH twin (Rabin-Karp window fingerprints via the
-    // codegen'd graft_window_fps expression), gated against the IDENTICAL
-    // oracle: the md5 form re-hashes all W tokens per position (O(W·n)
-    // digest work) where this form hashes each token once and rolls —
-    // the 100 TB strategy Dedup.duplicateSpans' scaladoc promises. Same
-    // counting stage, so the outputs must agree exactly every round.
+    // The O(n) ROLLING-HASH twin (128-bit Rabin-Karp window fingerprints
+    // via the codegen'd graft_window_fps128 expression — two independent
+    // streams rolled in one pass), gated against the IDENTICAL oracle:
+    // the md5 form re-hashes all W tokens per position (O(W·n) digest
+    // work) where this form hashes each token once and rolls — the
+    // 100 TB strategy Dedup.duplicateSpans' scaladoc promises, at the
+    // width that strategy needs (64-bit fingerprints collide with
+    // near-certainty at 10^13+ windows; see Sketches.windowFps128).
+    // Same counting stage, so the outputs must agree exactly every round.
     Q(
       "doc_dup_spans_rolling",
       (s, d) => Dedup.duplicateSpansRolling(T(s, d, "documents"), w = 8),

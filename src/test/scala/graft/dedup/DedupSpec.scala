@@ -380,4 +380,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // sanity instead: some collision-free spread
     assert(got.distinct.length > 1)
   }
+
+  test("windowFps128 kernel: both streams roll exactly and fail independently") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    def fps(tokens: Seq[String], w: Int): Seq[(Long, Long)] = {
+      val arr: ArrayData = new GenericArrayData(
+        tokens.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val out = graft.functions.Sketches.windowFps128(arr, w)
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2).asInstanceOf[GenericInternalRow]
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    val toks = "the quick brown fox jumps over the lazy dog the quick brown".split(" ").toSeq
+    val w = 4
+    val got = fps(toks, w)
+    // rolling == direct per-window evaluation on BOTH streams (degenerate
+    // roll over a length-w slice computes each polynomial from scratch)
+    val expect = (0 to toks.length - w).map(j => fps(toks.slice(j, j + w), w).head)
+    assert(got === expect)
+    // equal token windows => equal 128-bit fingerprints (determinism)
+    assert(fps(Seq("a", "b", "c"), 3) === fps(Seq("a", "b", "c"), 3))
+    // the two streams are not in lockstep: across distinct windows the
+    // hi stream and lo stream must not be a function of each other
+    // (guards against deriving both from one token hash)
+    val his = got.map(_._1)
+    val los = got.map(_._2)
+    assert(his.distinct.length > 1 && los.distinct.length > 1)
+    assert(his.zip(los).map { case (h, l) => h ^ l }.distinct.length > 1)
+    // a single-token change flips BOTH streams
+    val mutated = fps(toks.updated(1, "quack"), w)
+    assert(mutated.head._1 !== got.head._1)
+    assert(mutated.head._2 !== got.head._2)
+    // shorter-than-window input yields no fingerprints
+    assert(fps(Seq("a", "b"), 3).isEmpty)
+  }
 }
