@@ -30,6 +30,7 @@ object GraftFunctions {
   val FreqItemsName = "graft_freq_items"
   val WindowFpsName = "graft_window_fps"
   val WindowFps128Name = "graft_window_fps128"
+  val FfdPackName = "graft_ffd_pack"
   val HtmlExtractName = "graft_html_extract"
   val BpeCountName = "graft_bpe_count"
   val BpeSegmentName = "graft_bpe_segment"
@@ -131,6 +132,16 @@ object GraftFunctions {
           s"$WindowFps128Name window must be an integer literal, got $other")
       }
       WindowFps128(children.head, w)
+    }),
+    (FfdPackName, classOf[FfdPack].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$FfdPackName takes (items, seqLen)")
+      val cap = children(1) match {
+        case Literal(v: Int, IntegerType) => v.toLong
+        case Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"$FfdPackName seqLen must be an integer literal, got $other")
+      }
+      FfdPack(children.head, cap)
     }),
     (HtmlExtractName, classOf[HtmlExtract].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$HtmlExtractName takes (html)")
@@ -254,6 +265,10 @@ object GraftFunctions {
     */
   def windowFps128(tokens: Column, w: Int): Column =
     call_function(WindowFps128Name, tokens, lit(w))
+
+  /** Per-shard first-fit-decreasing bin assignment (see [[FfdPack]]). */
+  def ffdPack(items: Column, seqLen: Int): Column =
+    call_function(FfdPackName, items, lit(seqLen))
 
   /** Main-text extraction from HTML markup (see [[HtmlText.extract]]). */
   def htmlExtract(html: Column): Column =

@@ -167,6 +167,12 @@ object PlanAudit {
     "ev_retention" -> 3,
     "doc_pack_sequences" -> 2,
     "doc_pack_sequences_bpe" -> 2,
+    // FFD packer: per-shard collect_list exchange + output sort. The
+    // (shard, bin) manifest rollup adds NO exchange — the shard hash
+    // partitioning already clusters (shard, bin), and Spark keeps it.
+    // A 3rd exchange would mean the rollup stopped riding the shard
+    // partitioning or the kernel stopped being a single per-shard pass
+    "doc_pack_sequences_ffd" -> 2,
     "doc_cap_per_source" -> 2,
     "doc_token_budget" -> 2,
     "doc_dup_spans" -> 3,

@@ -1456,6 +1456,60 @@ object DocQueries {
         FROM st GROUP BY 1, 2 ORDER BY source, pack_id
       """),
     ),
+    // First-fit-decreasing packing: whole docs bin-packed into 512-token
+    // sequences (no doc ever splits — the instruction-tuning complement
+    // of the contiguous chop above, which splits docs to achieve zero
+    // padding). Deterministic FFD (toks DESC, md5 rank, doc_id) runs as
+    // one codegen'd kernel per shard after a single collect_list
+    // exchange; the oracle REPLAYS THE GREEDY SEQUENTIALLY in a DuckDB
+    // recursive CTE carrying the bin-remainder list as row state — two
+    // independent implementations of the same deterministic algorithm.
+    // The per-bin `waste` column is the padding a bin ships; on this
+    // corpus FFD's total waste undercuts in-order next-fit by ~3x
+    // (SequencePackingSpec pins the comparison; PLANS.md records the
+    // fixture numbers).
+    Q(
+      "doc_pack_sequences_ffd",
+      (s, d) =>
+        graft.text.SequencePacking.ffdPackSummary(
+          T(s, d, "documents"),
+          tokens = size(split(col("text"), " ")),
+          seqLen = 512),
+      Some("""
+        WITH RECURSIVE ordered AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY len(string_split(text, ' ')) DESC,
+                            md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        ),
+        ffd AS (
+          SELECT source, rn, doc_id, toks,
+                 CAST(0 AS BIGINT) AS bin,
+                 [512 - toks] AS rem
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.source, o.rn, o.doc_id, o.toks,
+                 CAST(CASE WHEN COALESCE(fit.i, 0) = 0 THEN len(f.rem)
+                           ELSE fit.i - 1 END AS BIGINT) AS bin,
+                 CASE WHEN COALESCE(fit.i, 0) = 0 THEN list_append(f.rem, 512 - o.toks)
+                      ELSE list_transform(range(1, len(f.rem) + 1),
+                             j -> CASE WHEN j = fit.i THEN f.rem[j] - o.toks
+                                       ELSE f.rem[j] END)
+                 END AS rem
+          FROM ffd f
+          JOIN ordered o ON o.source = f.source AND o.rn = f.rn + 1
+          CROSS JOIN LATERAL (
+            SELECT list_position(list_transform(f.rem, r -> r >= o.toks), true) AS i) fit
+        )
+        SELECT source, bin, COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+               CAST(GREATEST(512 - SUM(toks), 0) AS BIGINT) AS waste
+        FROM ffd GROUP BY 1, 2 ORDER BY source, bin
+      """),
+    ),
     // --------------------------------------------- similarity: exact top-k
     // Brute-force cosine top-k for a small broadcast query set — the
     // correctness baseline; the corpus side streams (never collected).
