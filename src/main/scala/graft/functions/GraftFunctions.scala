@@ -31,6 +31,7 @@ object GraftFunctions {
   val WindowFpsName = "graft_window_fps"
   val WindowFps128Name = "graft_window_fps128"
   val FfdPackName = "graft_ffd_pack"
+  val DHashName = "graft_dhash64"
   val HtmlExtractName = "graft_html_extract"
   val BpeCountName = "graft_bpe_count"
   val BpeSegmentName = "graft_bpe_segment"
@@ -142,6 +143,10 @@ object GraftFunctions {
           s"$FfdPackName seqLen must be an integer literal, got $other")
       }
       FfdPack(children.head, cap)
+    }),
+    (DHashName, classOf[DHash64].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$DHashName takes exactly 1 argument")
+      DHash64(children.head)
     }),
     (HtmlExtractName, classOf[HtmlExtract].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$HtmlExtractName takes (html)")
@@ -269,6 +274,9 @@ object GraftFunctions {
   /** Per-shard first-fit-decreasing bin assignment (see [[FfdPack]]). */
   def ffdPack(items: Column, seqLen: Int): Column =
     call_function(FfdPackName, items, lit(seqLen))
+
+  /** 64-bit perceptual dHash of an image payload (see [[DHash64]]). */
+  def dhash64(payload: Column): Column = call_function(DHashName, payload)
 
   /** Main-text extraction from HTML markup (see [[HtmlText.extract]]). */
   def htmlExtract(html: Column): Column =

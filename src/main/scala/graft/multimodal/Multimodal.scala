@@ -183,6 +183,94 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** dHash: 64-bit perceptual fingerprint of a decoded raster — the
+    * standard multimodal-corpus near-dup signature (row-wise luma
+    * gradient of an 8×8 grid sampled from a 9-column downsample; bit
+    * gy·8+gx is set iff grid(gy,gx) < grid(gy,gx+1)). Survives
+    * re-encoding (PNG↔BMP), resizing (the grid is sampled, not pixel
+    * positions), and small local edits (≤ a few flipped gradient bits),
+    * while unrelated images land ~32 bits apart. Null when no JDK reader
+    * decodes the payload — undecodable media can't be fingerprinted,
+    * the same drop contract as [[imageFeatures]]. Nearest-neighbor grid
+    * sampling (sx = gx·w/9, sy = gy·h/8) keeps the hash exactly
+    * reproducible from the raster algebra, which is what lets the gate
+    * oracle recompute it in SQL.
+    */
+  def dhash64(payload: Array[Byte]): java.lang.Long =
+    decodeGray(payload) match {
+      case None => null
+      case Some((w, h, px)) =>
+        var hash = 0L
+        var gy = 0
+        while (gy < 8) {
+          val sy = gy * h / 8
+          var gx = 0
+          while (gx < 8) {
+            val a = px(sy * w + gx * w / 9)
+            val b = px(sy * w + (gx + 1) * w / 9)
+            if (a < b) hash |= 1L << (gy * 8 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        java.lang.Long.valueOf(hash)
+    }
+
+  /** Pixel formula of the near-dup fixture corpus: an id-dependent
+    * multiplicative sawtooth — the per-id MULTIPLIER (not just an offset)
+    * varies, so gradient wrap patterns differ per id and unrelated
+    * images sit ≥5 hamming bits apart on the 16×16 shape (probed over
+    * all pairs), while the `variant 1` tweak touches only the
+    * bottom-right sample of the dhash grid (≤1 bit). The oracle states
+    * this algebra verbatim in SQL.
+    */
+  def nearDupPixel(base: Long, variant: Int, x: Int, y: Int, w: Int): Int = {
+    if (variant == 1 && y >= 14 && x >= 12) ((base * 31) % 256).toInt
+    else (((y.toLong * w + x) * (97 + 2 * base) + base * 53) % 256).toInt
+  }
+
+  /** Encode a raster given by `f(x, y)` with the named JDK writer. */
+  def encodeImageWith(w: Int, h: Int, format: String)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos), s"no JDK image writer for '$format'")
+    bos.toByteArray
+  }
+
+  /** Near-dup image fixture corpus: per doc_id a base PNG of
+    * [[nearDupPixel]], plus a BYTE-IDENTICAL-raster BMP twin at
+    * id+1000 for every 5th id (re-encoding near-dup, hamming 0) and a
+    * locally-tweaked PNG twin at id+2000 for every 7th id (small-edit
+    * near-dup, hamming ≤1). Encoding runs per-partition on executors.
+    */
+  def syntheticNearDupImages(docs: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val base = Row(id, "image",
+          encodeImageWith(w, h, "png")(nearDupPixel(id, 0, _, _, w)),
+          Map("format" -> "png", "variant" -> "base"))
+        val reenc = if (id % 5 == 0) Seq(Row(id + 1000L, "image",
+          encodeImageWith(w, h, "bmp")(nearDupPixel(id, 0, _, _, w)),
+          Map("format" -> "bmp", "variant" -> "reencoded"))) else Nil
+        val tweak = if (id % 7 == 0) Seq(Row(id + 2000L, "image",
+          encodeImageWith(w, h, "png")(nearDupPixel(id, 1, _, _, w)),
+          Map("format" -> "png", "variant" -> "tweaked"))) else Nil
+        Iterator(base) ++ reenc ++ tweak
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Doc-id-keyed fixture corpus of REAL encoded images (PNG for even
     * ids, BMP for odd — both JDK writers), in the canonical multimodal
     * schema. Encoding runs per-partition on executors, like a production

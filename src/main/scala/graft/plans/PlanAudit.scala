@@ -114,6 +114,21 @@ object PlanAudit {
     }
   }
 
+  /** Candidate generation must stay BANDED: no Cartesian product and no
+    * broadcast nested-loop join anywhere in the plan — either node means
+    * a pair stream went all-pairs, the exact shape hamming-band /
+    * LSH-bucket candidate generation exists to avoid.
+    */
+  def noAllPairsShape(df: DataFrame): Shape = {
+    val ns = nodes(df.queryExecution.executedPlan)
+    val cartesian = ns.count {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    Shape(cartesian == 0, s"cartesian_or_bnlj=$cartesian")
+  }
+
   /** Structural pins, keyed by registered query name — asserted by
     * PlanAuditSpec and emitted measured-vs-pinned into the bench JSON
     * (`shape_pins` / `shape_pins_ok`) like the exchange counts.
@@ -123,6 +138,7 @@ object PlanAudit {
     "doc_dedup_best" -> broadcastAntiShape,
     "emb_ivf_persisted" -> ivfPrunedScanShape,
     "emb_ivf_sq8_recall" -> ivfPrunedScanShape,
+    "mm_phash_dedup" -> noAllPairsShape,
   )
 
   /** The pinned values, keyed by registered query name. Pins cover the

@@ -1895,6 +1895,78 @@ object DocQueries {
         FROM px GROUP BY doc_id ORDER BY id
       """),
     ),
+    // ------------------------------------- perceptual image near-dup (dHash)
+    // The standard multimodal-corpus dedup stage: every payload gets a
+    // 64-bit dHash (REAL decode through the JDK readers inside the
+    // codegen'd graft_dhash64 expression, then the 8x8 luma-gradient
+    // grid), candidates come from 16-bit hamming bands (the simhash
+    // pigeonhole: distance <= 3 forces a shared quarter — NEVER
+    // all-pairs), and the bounded candidate set is verified exactly by
+    // hamming distance. Fixture: per doc a base PNG of an id-dependent
+    // multiplicative sawtooth (unrelated images sit >= 5 bits apart,
+    // probed over all pairs), plus raster-identical BMP re-encodes
+    // (hamming 0) and bottom-right-tweaked PNG twins (hamming <= 1).
+    // The oracle re-derives every hash FROM THE RASTER ALGEBRA in SQL —
+    // same NN grid sampling, same gradient bits, same banding-free
+    // exhaustive pair scan — so Spark's decode+hash+band pipeline is
+    // checked end-to-end against an independent arithmetic replay.
+    Q(
+      "mm_phash_dedup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val mm = Multimodal.syntheticNearDupImages(
+          T(s, d, "documents").filter(col("doc_id") < 40), w = 16, h = 16)
+        val hashed = mm.select(
+          col("id").as("doc_id"),
+          graft.functions.GraftFunctions.dhash64(col("payload")).as("simhash"))
+          .filter(col("simhash").isNotNull)
+        Dedup.simhashPairs(hashed, maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH imgs AS (
+          SELECT doc_id AS img, doc_id AS base, 0 AS variant
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 1000, doc_id, 0 FROM documents
+          WHERE doc_id < 40 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000, doc_id, 1 FROM documents
+          WHERE doc_id < 40 AND doc_id % 7 = 0
+        ),
+        grid AS (
+          SELECT img, base, variant,
+                 gy.range AS gy, gx.range AS gx,
+                 CAST(gy.range * 2 AS BIGINT) AS sy,
+                 CAST(gx.range * 16 // 9 AS BIGINT) AS sxa,
+                 CAST((gx.range + 1) * 16 // 9 AS BIGINT) AS sxb
+          FROM imgs, range(8) gy, range(8) gx
+        ),
+        bits AS (
+          SELECT img, gy * 8 + gx AS b,
+                 CASE WHEN (CASE WHEN variant = 1 AND sy >= 14 AND sxa >= 12
+                                 THEN (base * 31) % 256
+                                 ELSE ((sy * 16 + sxa) * (97 + 2 * base) + base * 53) % 256 END)
+                         < (CASE WHEN variant = 1 AND sy >= 14 AND sxb >= 12
+                                 THEN (base * 31) % 256
+                                 ELSE ((sy * 16 + sxb) * (97 + 2 * base) + base * 53) % 256 END)
+                      THEN 1 ELSE 0 END AS bit
+          FROM grid
+        ),
+        hashes AS (
+          SELECT img,
+                 CAST(SUM(CASE WHEN bit = 0 THEN 0
+                               WHEN b = 63 THEN -9223372036854775808
+                               ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END) AS BIGINT) AS h
+          FROM bits GROUP BY img
+        )
+        SELECT a.img AS id_a, b.img AS id_b,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM hashes a JOIN hashes b ON a.img < b.img
+        WHERE bit_count(xor(a.h, b.h)) <= 3
+        ORDER BY id_a, id_b
+      """),
+    ),
     // --------------------------------------- end-to-end corpus curation
     // The composed pipeline a training-data run actually executes:
     // quality-score filter → exact dedup (keep the lowest doc_id per text)

@@ -176,4 +176,65 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(r.getLong(5) - v * 117L) <= 2 * 117L, s"id=$id value drift")
     }
   }
+
+  test("dhash64: format-invariant, resize-robust, local-edit-sensitive, null on undecodable") {
+    def enc(fmt: String, w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+      Multimodal.encodeImageWith(w, h, fmt)(f)
+    val pxf = (x: Int, y: Int) => Multimodal.nearDupPixel(3L, 0, x, y, 16)
+    val png = Multimodal.dhash64(enc("png", 16, 16)(pxf))
+    val bmp = Multimodal.dhash64(enc("bmp", 16, 16)(pxf))
+    val gif = Multimodal.dhash64(enc("gif", 16, 16)(pxf))
+    assert(png != null && png === bmp, "same raster, different container must hash equal")
+    assert(png === gif, "gray GIF preserves an 8-bit gray raster")
+    // direct recompute from the raster algebra == the decode path
+    var expect = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val sy = gy * 16 / 8
+      if (pxf(gx * 16 / 9, sy) < pxf((gx + 1) * 16 / 9, sy)) expect |= 1L << (gy * 8 + gx)
+    }
+    assert(png.longValue === expect)
+    // 2x nearest-neighbor upscale: grid sampling keeps the hash close
+    val up = Multimodal.dhash64(enc("png", 32, 32)((x, y) => pxf(x / 2, y / 2)))
+    assert(java.lang.Long.bitCount(png.longValue ^ up.longValue) <= 3,
+      "NN 2x resize must stay within the near-dup band")
+    // the tweak variant flips at most the bottom-right sample's bits
+    val tweak = Multimodal.dhash64(
+      enc("png", 16, 16)((x, y) => Multimodal.nearDupPixel(3L, 1, x, y, 16)))
+    assert(java.lang.Long.bitCount(png.longValue ^ tweak.longValue) <= 2)
+    // a DIFFERENT image is far away
+    val other = Multimodal.dhash64(
+      enc("png", 16, 16)((x, y) => Multimodal.nearDupPixel(4L, 0, x, y, 16)))
+    assert(java.lang.Long.bitCount(png.longValue ^ other.longValue) > 3)
+    // undecodable payloads fingerprint to null, never a fake hash
+    assert(Multimodal.dhash64("not an image".getBytes) == null)
+    assert(Multimodal.dhash64(Array.emptyByteArray) == null)
+  }
+
+  test("graft_dhash64 expression runs codegen'd over a DataFrame, null for text rows") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Multimodal.encodeImageWith(16, 16, "png")(Multimodal.nearDupPixel(1L, 0, _, _, 16))),
+      (2L, Multimodal.encodeImageWith(16, 16, "bmp")(Multimodal.nearDupPixel(1L, 0, _, _, 16))),
+      (3L, "plain text payload".getBytes),
+    ).toDF("id", "payload")
+    val got = rows.select(col("id"),
+      graft.functions.GraftFunctions.dhash64(col("payload")).as("h"))
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(1) && got(0).getLong(1) === got(1).getLong(1))
+    assert(got(2).isNullAt(1))
+    // stays inside whole-stage codegen (no CodegenFallback in the path) —
+    // over a parquet-backed frame: a bare LocalTableScan computes
+    // projections without ever entering a codegen stage, hiding the
+    // property
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = docs
+      .select(graft.functions.GraftFunctions.dhash64(col("text").cast("binary")))
+      .queryExecution.executedPlan
+    val inCodegen = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.collect { case p: org.apache.spark.sql.execution.ProjectExec => p }.nonEmpty => w
+    }
+    assert(inCodegen.nonEmpty, plan.toString)
+  }
 }
