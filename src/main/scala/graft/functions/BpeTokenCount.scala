@@ -72,3 +72,62 @@ case class BpeSegment(child: Expression, model: Bpe.BpeModel)
   override protected def withNewChildInternal(newChild: Expression): BpeSegment =
     copy(child = newChild)
 }
+
+/** Frozen BYTE-LEVEL BPE token count (see [[graft.text.ByteBpe]]): regex
+  * pre-tokenization + byte→unicode mapping + the thousands-of-merges
+  * frozen table as a plan constant — the application-scale twin of
+  * [[BpeTokenCount]]. Same narrow codegen'd per-row shape.
+  */
+case class ByteBpeCount(child: Expression, model: Bpe.BpeModel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${GraftFunctions.ByteBpeCountName} requires STRING, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = GraftFunctions.ByteBpeCountName
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.text.ByteBpe.countText(input.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("byteBpeModel", model, classOf[Bpe.BpeModel].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.ByteBpe.countText($c, $modelRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeCount =
+    copy(child = newChild)
+}
+
+/** The text's frozen byte-level BPE token stream (mapped-space strings,
+  * pre-token order preserved) — the application-scale twin of
+  * [[BpeSegment]].
+  */
+case class ByteBpeSegment(child: Expression, model: Bpe.BpeModel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${GraftFunctions.ByteBpeSegmentName} requires STRING, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = GraftFunctions.ByteBpeSegmentName
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.text.ByteBpe.segmentText(input.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("byteBpeModel", model, classOf[Bpe.BpeModel].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.ByteBpe.segmentText($c, $modelRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeSegment =
+    copy(child = newChild)
+}

@@ -32,6 +32,8 @@ object GraftFunctions {
   val WindowFps128Name = "graft_window_fps128"
   val FfdPackName = "graft_ffd_pack"
   val DHashName = "graft_dhash64"
+  val ByteBpeCountName = "graft_bytebpe_count"
+  val ByteBpeSegmentName = "graft_bytebpe_segment"
   val HtmlExtractName = "graft_html_extract"
   val BpeCountName = "graft_bpe_count"
   val BpeSegmentName = "graft_bpe_segment"
@@ -147,6 +149,19 @@ object GraftFunctions {
     (DHashName, classOf[DHash64].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$DHashName takes exactly 1 argument")
       DHash64(children.head)
+    }),
+    // the byte-level tokenizer's merge table is the COMMITTED resource
+    // fixture, not a per-call literal: the builder loads it once
+    // (ByteBpe.frozenModel is a lazy val) and freezes the shared model
+    // into the expression — plans stay small and every caller provably
+    // tokenizes with the same frozen table
+    (ByteBpeCountName, classOf[ByteBpeCount].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$ByteBpeCountName takes exactly 1 argument (text)")
+      ByteBpeCount(children.head, graft.text.ByteBpe.frozenModel)
+    }),
+    (ByteBpeSegmentName, classOf[ByteBpeSegment].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$ByteBpeSegmentName takes exactly 1 argument (text)")
+      ByteBpeSegment(children.head, graft.text.ByteBpe.frozenModel)
     }),
     (HtmlExtractName, classOf[HtmlExtract].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$HtmlExtractName takes (html)")
@@ -277,6 +292,12 @@ object GraftFunctions {
 
   /** 64-bit perceptual dHash of an image payload (see [[DHash64]]). */
   def dhash64(payload: Column): Column = call_function(DHashName, payload)
+
+  /** Frozen byte-level BPE token count (see [[graft.text.ByteBpe]]). */
+  def byteBpeCount(text: Column): Column = call_function(ByteBpeCountName, text)
+
+  /** Frozen byte-level BPE token stream (mapped-space ARRAY<STRING>). */
+  def byteBpeSegment(text: Column): Column = call_function(ByteBpeSegmentName, text)
 
   /** Main-text extraction from HTML markup (see [[HtmlText.extract]]). */
   def htmlExtract(html: Column): Column =

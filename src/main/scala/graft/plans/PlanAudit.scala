@@ -214,6 +214,10 @@ object PlanAudit {
     // constant); the 1 is the output sort. Training's word-count agg is a
     // separate driver-side job, deliberately not part of this plan.
     "doc_bpe_tokens" -> 1,
+    // frozen byte-level tokenizer application is map-only (the merge
+    // table is a committed fixture loaded at plan build); the 1 is the
+    // output sort
+    "doc_bpe_tokens_v2" -> 1,
     // same strict-prefix budget shape as doc_token_budget: source window
     // + final rollup/sort
     "doc_token_budget_bpe" -> 2,

@@ -8,7 +8,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Mixing
 import graft.similarity.Ann
 import graft.streaming.EventStreams
-import graft.text.{Bpe, TextAnalysis}
+import graft.text.{Bpe, ByteBpe, TextAnalysis}
 
 /** Training-data-pipeline queries over the `documents` and `embeddings`
   * tables: deduplication (exact, MinHash+LSH, SimHash, token Jaccard),
@@ -27,11 +27,15 @@ object DocQueries {
   /** Offset for the injected duplicate copy of the corpus. */
   private val DupOffset = 1000000L
 
-  /** Merge-table size for the trained-BPE gates: mid-table for this corpus
-    * (training exhausts at ~89 merges on the sf0.01 vocabulary), so the
-    * gate exercises both early high-count merges and compound merges of
-    * already-merged symbols. Both gate oracles unroll exactly this many
-    * training stages, so the constant must match on both sides.
+  /** Merge-table size for the TRAINING-replay gate (doc_bpe_tokens):
+    * mid-table for this corpus (training exhausts at ~89 merges on the
+    * sf0.01 vocabulary), so the gate exercises both early high-count
+    * merges and compound merges of already-merged symbols. The oracle
+    * unrolls exactly this many training stages, so the constant must
+    * match on both sides. The token-denominated operators (budget/pack/
+    * chunk) are denominated in the FROZEN 4096-merge byte-level
+    * tokenizer instead (ByteBpe; gated by doc_bpe_tokens_v2 and the
+    * _bpe trio's frozen-replay oracles).
     */
   private val BpeMerges = 48
 
@@ -73,6 +77,33 @@ object DocQueries {
   private val bpeGateCorpusSql =
     s"(SELECT doc_id, text, lang, source, n_chars FROM documents " +
       s"UNION ALL SELECT $BpeFixtureDocId, '$BpeFixtureText', 'en', 'src0', ${BpeFixtureText.length})"
+
+  /** documents ∪ one synthetic doc exercising every byte-level-tokenizer
+    * edge the plain corpus lacks: apostrophes and punctuation runs (the
+    * regex pre-tokenizer's ` ?punct-run` branch), digit runs, non-ASCII
+    * (multi-byte UTF-8 → multiple base symbols), double spaces (a
+    * whitespace-run pre-token), mixed alphanumerics, and repeated-letter
+    * words that force back-to-back merge applications through the
+    * open/close-framed oracle replay.
+    */
+  private val ByteBpeFixtureDocId = 3000000L
+  private val ByteBpeFixtureText =
+    "Don't stop -- really!? 12345 007 café naïve  double  spaced banana aaaa it's (quoted) x2y2"
+
+  private def byteBpeGateCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    docs.unionByName(docs.sparkSession.range(1).select(
+      lit(ByteBpeFixtureDocId).as("doc_id"),
+      lit(ByteBpeFixtureText).as("text"),
+      lit("en").as("lang"),
+      lit("src0").as("source"),
+      lit(ByteBpeFixtureText.length.toLong).as("n_chars")))
+  }
+
+  private val byteBpeGateCorpusSql =
+    s"(SELECT doc_id, text, lang, source, n_chars FROM documents " +
+      s"UNION ALL SELECT $ByteBpeFixtureDocId, '${ByteBpeFixtureText.replace("'", "''")}', " +
+      s"'en', 'src0', ${ByteBpeFixtureText.length})"
 
   /** DuckDB replay of [[Ann.lshTopK]] with the deterministic ±1
     * hyperplane sign matrices (graft.functions.SketchesLsh.bucket's
@@ -784,22 +815,22 @@ object DocQueries {
     ),
     // Chunking denominated in TRAINED-TOKENIZER tokens — the window/
     // stride that actually fills a model context. The stream is the
-    // graft_bpe_segment ARRAY<STRING> (per-word trained segmentation,
-    // word order preserved), so head/tail are SUBWORD tokens; the oracle
-    // re-trains the tokenizer (unrolled stages, see doc_bpe_tokens) and
-    // rebuilds each doc's stream by order-preserving flatten of per-word
+    // graft_bytebpe_segment ARRAY<STRING> (per-pre-token FROZEN-table
+    // segmentation, order preserved), so head/tail are SUBWORD tokens in
+    // the byte-mapped space (the GPT-2 visible-token convention); the
+    // oracle replays application of the same frozen table and rebuilds
+    // each doc's stream by order-preserving flatten of per-pre-token
     // segmentations. Same narrow generator shape, pinned at 1 exchange.
     Q(
       "doc_chunk_overlap_bpe",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val docs = T(s, d, "documents")
-        val model = Bpe.trainOnDocs(docs, numMerges = BpeMerges)
         val W = 64
         val S = 48
         docs
           .select(col("doc_id"),
-            graft.functions.GraftFunctions.bpeSegment(col("text"), model).as("toks"))
+            graft.functions.GraftFunctions.byteBpeSegment(col("text")).as("toks"))
           // empty/whitespace-only text segments to an EMPTY token array
           // (unlike the whitespace variant, where split() yields [''])
           // and sequence(0, -1, S) throws — an empty doc has no chunks,
@@ -819,15 +850,9 @@ object DocQueries {
           .orderBy(col("doc_id"), col("chunk_id"))
       },
       Some(s"""
-        WITH ${Bpe.oracleStages(BpeMerges)},
-        syms AS (
-          SELECT word, list_transform(
-                   list_filter(string_split(sym, chr(30)), x -> x <> ''),
-                   x -> rtrim(x, chr(31))) AS sym_list
-          FROM s$BpeMerges
-        ),
-        t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
-              WHERE doc_id < 100),
+        WITH ${ByteBpe.oracleApplyStages("documents")},
+        t AS (SELECT doc_id, regexp_extract_all(text, '${ByteBpe.PreTokPattern}') AS words
+              FROM documents WHERE doc_id < 100),
         wpos AS (
           SELECT doc_id, unnest(words) AS word,
                  unnest(generate_series(1, len(words))) AS pos
@@ -836,7 +861,6 @@ object DocQueries {
         stream AS (
           SELECT doc_id, flatten(list(c.sym_list ORDER BY wpos.pos)) AS w
           FROM wpos JOIN syms c USING (word)
-          WHERE wpos.word <> ''
           GROUP BY doc_id
         ),
         st AS (
@@ -991,19 +1015,54 @@ object DocQueries {
         ORDER BY doc_id
       """),
     ),
+    // ------------------------------------- byte-level frozen-BPE tokenizer
+    // The APPLICATION-scale tokenizer (graft.text.ByteBpe): regex
+    // pre-tokenization, 256-way byte base vocabulary, and a 4096-merge
+    // table trained ONCE on a deterministic synthetic corpus and shipped
+    // as a committed resource fixture — the production workflow (train on
+    // a sample, freeze, apply as a plan constant). The oracle replays
+    // APPLICATION of the same frozen table: framed byte symbols built
+    // from hex(encode(word)) in SQL, then all 4096 merges as generated
+    // nested-replace chains over materialized stages — the unrolled
+    // TRAINING replay of doc_bpe_tokens caps at ~dozens of merges; a
+    // frozen table needs no argmax stages, so thousands replay fine.
+    // The gate corpus injects punctuation/digit/non-ASCII/double-space/
+    // adjacency edge cases the plain corpus lacks. Pinned at 1 exchange:
+    // application is map-only; only the output sort shuffles.
+    Q(
+      "doc_bpe_tokens_v2",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        byteBpeGateCorpus(s, d)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(ByteBpe.PreTokPattern), lit(0)))
+              .cast("bigint").as("n_pretokens"),
+            graft.functions.GraftFunctions.byteBpeCount(col("text")).as("bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${ByteBpe.oracleApplyStages(byteBpeGateCorpusSql)}
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_pretokens, 0) AS BIGINT) AS n_pretokens,
+               CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+        FROM $byteBpeGateCorpusSql d LEFT JOIN bpe_per_doc p USING (doc_id)
+        ORDER BY doc_id
+      """),
+    ),
     // doc_token_budget re-denominated in TRAINED-TOKENIZER tokens — what a
     // real pipeline's "fill each domain to N tokens" actually meters. Same
-    // strict-prefix window as doc_token_budget (2 exchanges); only the
-    // token column changes, from whitespace counts to the BPE kernel.
+    // strict-prefix window as doc_token_budget (2 exchanges); the token
+    // column is the FROZEN byte-level tokenizer (ByteBpe), so budgets are
+    // metered in the same tokens a production run ships.
     Q(
       "doc_token_budget_bpe",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val docs = T(s, d, "documents")
-        val model = Bpe.trainOnDocs(docs, numMerges = BpeMerges)
         Mixing.tokenBudgetPerBlock(
           docs,
-          tokens = graft.functions.GraftFunctions.bpeCount(col("text"), model),
+          tokens = graft.functions.GraftFunctions.byteBpeCount(col("text")),
           budget = 2500L)
           .groupBy(col("source"))
           .agg(
@@ -1012,7 +1071,7 @@ object DocQueries {
           .orderBy(col("source"))
       },
       Some(s"""
-        WITH ${Bpe.oracleStages(BpeMerges)},
+        WITH ${ByteBpe.oracleApplyStages("documents")},
         t AS (
           SELECT d.doc_id, d.source, COALESCE(p.bpe_tokens, 0) AS toks
           FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
@@ -1426,21 +1485,21 @@ object DocQueries {
     // Packing denominated in TRAINED-TOKENIZER tokens — what actually
     // fills a 512-token training sequence (whitespace counts undercount
     // ~2-3x, so whitespace-denominated packs overflow real context
-    // windows). Same one-window prefix-sum shape; the oracle re-trains
-    // the tokenizer (unrolled stages, see doc_bpe_tokens) and re-packs.
+    // windows). Same one-window prefix-sum shape; the token column is
+    // the FROZEN byte-level tokenizer (ByteBpe), and the oracle replays
+    // application of the same frozen table, then re-packs.
     Q(
       "doc_pack_sequences_bpe",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val docs = T(s, d, "documents")
-        val model = Bpe.trainOnDocs(docs, numMerges = BpeMerges)
         graft.text.SequencePacking.packSummary(
           docs,
-          tokens = graft.functions.GraftFunctions.bpeCount(col("text"), model),
+          tokens = graft.functions.GraftFunctions.byteBpeCount(col("text")),
           seqLen = 512)
       },
       Some(s"""
-        WITH ${Bpe.oracleStages(BpeMerges)},
+        WITH ${ByteBpe.oracleApplyStages("documents")},
         t AS (
           SELECT d.source, d.doc_id, CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS toks
           FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)

@@ -1,0 +1,315 @@
+package graft.text
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level BPE at a realistic scale: regex pre-tokenization, a 256-way
+  * byte base vocabulary, and a FROZEN merge table in the thousands —
+  * trained once (on a deterministic synthetic corpus, [[trainingText]])
+  * by [[ByteBpeTrainMain]] and shipped as a resource fixture, exactly the
+  * production workflow (train on a sample, freeze, apply everywhere as a
+  * plan constant). The 48-merge [[Bpe]] gates keep proving TRAINING
+  * replay end-to-end; this module is the APPLICATION-scale tokenizer the
+  * token-denominated operators (budget/chunk/pack) actually meter with.
+  *
+  * Pipeline (both the Scala kernels and the DuckDB oracle replay exactly
+  * this, so the gate compares two independent implementations):
+  *   1. pre-tokenize with [[PreTokPattern]] — leftmost-first alternation
+  *      of ` ?letters | ?digits | ?punct-run | whitespace-run`, the
+  *      lookahead-free core of the GPT-2 pattern, restricted to the
+  *      Java-regex ∩ RE2 common subset (explicit whitespace classes:
+  *      Java's \s admits \x0B, RE2's does not);
+  *   2. map each pre-token's UTF-8 BYTES to printable unicode symbols
+  *      ([[byteChar]]: printable ASCII 33..126 is itself, every other
+  *      byte b becomes U+0100+b) — every byte sequence tokenizes, no OOV,
+  *      and the mapped alphabet contains no control characters, so the
+  *      oracle's chr(30)/chr(31) framing can never collide with a symbol;
+  *   3. apply the frozen merges in training order, each pass
+  *      left-to-right non-overlapping ([[Bpe.applyMerges]] — the same
+  *      contract, and the same open/close-framed replace() oracle form,
+  *      as the trained-on-corpus gates).
+  *
+  * Tokens are mapped-space strings (the GPT-2 "Ġword" convention: 0x120
+  * is the leading-space byte).
+  */
+object ByteBpe {
+
+  /** Lookahead-free pre-tokenizer, identical under Java regex and RE2:
+    * a letter run / digit run / other-run, each with one optional leading
+    * space, or a whitespace run. ASCII-anchored classes — non-ASCII
+    * letters land in the punctuation-run branch, which byte-level
+    * tokenization handles without OOV (documented trade for engine
+    * bit-parity; \x0B is outside the explicit whitespace classes because
+    * RE2 and Java disagree on \s).
+    */
+  val PreTokPattern: String =
+    " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+"
+
+  private val Pat = java.util.regex.Pattern.compile(PreTokPattern)
+
+  /** Pre-tokens of `text`, in order (empty for empty/unmatchable text). */
+  def preTokenize(text: String): IndexedSeq[String] = {
+    val m = Pat.matcher(text)
+    val out = IndexedSeq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** Byte → mapped symbol char: printable ASCII is itself, everything
+    * else (controls, space, DEL, high bytes) shifts to U+0100+b. Bijective
+    * over 0..255, control-character-free, single-BMP-char per byte.
+    */
+  def byteChar(b: Int): Char =
+    if (b >= 33 && b <= 126) b.toChar else (0x100 + (b & 0xff)).toChar
+
+  /** Inverse of [[byteChar]] (tests + debugging). */
+  def charByte(c: Char): Int =
+    if (c >= 33 && c <= 126) c.toInt else {
+      require(c >= 0x100 && c <= 0x1ff, s"not a mapped byte char: ${c.toInt}")
+      c.toInt - 0x100
+    }
+
+  /** A pre-token's UTF-8 bytes as a mapped-symbol string. */
+  def mapBytes(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val chars = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) { chars(i) = byteChar(bytes(i) & 0xff); i += 1 }
+    new String(chars)
+  }
+
+  /** Mapped-symbol string back to the original text (tests). */
+  def unmap(mapped: String): String = {
+    val bytes = new Array[Byte](mapped.length)
+    var i = 0
+    while (i < mapped.length) { bytes(i) = charByte(mapped.charAt(i)).toByte; i += 1 }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  // ------------------------------------------------------------- kernels
+
+  /** Total frozen-BPE token count of `text` — the narrow per-row kernel
+    * behind [[graft.functions.ByteBpeCount]]: regex pre-tokenize, map
+    * bytes, apply the plan-constant merges (memoized per word by
+    * [[Bpe.BpeModel.segment]]).
+    */
+  def countText(text: UTF8String, model: Bpe.BpeModel): Long = {
+    val m = Pat.matcher(text.toString)
+    var total = 0L
+    while (m.find()) total += model.tokenCount(mapBytes(m.group()))
+    total
+  }
+
+  /** The text's full frozen-BPE token stream (mapped-space strings,
+    * pre-token order preserved) — behind [[graft.functions.ByteBpeSegment]].
+    */
+  def segmentText(
+      text: UTF8String,
+      model: Bpe.BpeModel,
+  ): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = Pat.matcher(text.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    while (m.find()) {
+      val segs = model.segment(mapBytes(m.group()))
+      var j = 0
+      while (j < segs.length) { out += UTF8String.fromString(segs(j)); j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  // ------------------------------------------------------- frozen fixture
+
+  /** The frozen merge table, loaded from the committed resource fixture
+    * (written once by [[ByteBpeTrainMain]]). Tab-separated `a\tb` per
+    * line in training order; mapped-space symbols never contain real
+    * tabs or newlines (byte 0x09/0x0A map to U+0109/U+010A), so the
+    * format needs no escaping.
+    */
+  lazy val frozenModel: Bpe.BpeModel = {
+    val in = getClass.getResourceAsStream("/graft/bpe/merges_v2.tsv")
+    require(in != null, "missing resource fixture /graft/bpe/merges_v2.tsv — run graft.text.ByteBpeTrainMain")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val merges = src.getLines().filter(_.nonEmpty).map { line =>
+        val t = line.indexOf('\t')
+        require(t > 0, s"malformed merge line: $line")
+        (line.substring(0, t), line.substring(t + 1))
+      }.toIndexedSeq
+      Bpe.BpeModel(merges)
+    } finally src.close()
+  }
+
+  // ------------------------------------------------ deterministic trainer
+
+  private def mix(z0: Long): Long = graft.functions.Sketches.mix(z0)
+
+  /** Deterministic synthetic training corpus: syllable-built words under
+    * a Zipf-ish rank distribution, with sentence punctuation, possessive
+    * suffixes, number literals, and accented words — enough byte-pair
+    * structure for thousands of count≥2 merges, no randomness (every
+    * choice is a splitmix64 of the position). ~`nDocs` documents of ~60
+    * word slots each.
+    */
+  def trainingText(nDocs: Int = 800, vocabRanks: Int = 6000): Seq[String] = {
+    val onsets = Array("b", "br", "c", "ch", "cl", "d", "dr", "f", "fl", "g",
+      "gr", "h", "j", "k", "l", "m", "n", "p", "pl", "pr", "qu", "r", "s",
+      "sh", "sl", "sp", "st", "str", "t", "th", "tr", "v", "w")
+    val vowels = Array("a", "e", "i", "o", "u", "ai", "ea", "ee", "oo", "ou")
+    val codas = Array("", "b", "ck", "d", "g", "l", "ll", "m", "n", "nd",
+      "ng", "nt", "p", "r", "rd", "s", "sh", "st", "t", "th")
+    val accented = Array("café", "naïve", "señor", "über", "crème", "déjà")
+    def syllable(seed: Long): String = {
+      val h = mix(seed)
+      onsets(((h >>> 2) % onsets.length).toInt.abs) +
+        vowels(((h >>> 17) % vowels.length).toInt.abs) +
+        codas(((h >>> 31) % codas.length).toInt.abs)
+    }
+    def wordOfRank(rank: Int): String = {
+      val h = mix(rank.toLong * 0x9e3779b97f4a7c15L + 11L)
+      val nSyl = 1 + ((h >>> 5) % 3).toInt.abs
+      (0 until nSyl).map(k => syllable(rank.toLong * 31 + k)).mkString
+    }
+    (0 until nDocs).map { d =>
+      val sb = new StringBuilder
+      val slots = 40 + (mix(d.toLong) % 40).toInt.abs
+      var sentencePos = 0
+      for (j <- 0 until slots) {
+        val h = mix(d.toLong * 1315423911L + j)
+        // Zipf-ish rank: log-uniform over [1, vocabRanks]
+        val u = ((h >>> 11) & 0xfffffL).toDouble / 0x100000L.toDouble
+        val rank = math.min(vocabRanks - 1, math.exp(u * math.log(vocabRanks.toDouble)).toInt)
+        val hv = mix(h)
+        val token =
+          if ((hv & 31) == 0) ((hv >>> 8) % 10000).abs.toString // number literal
+          else if ((hv & 127) == 1) accented(((hv >>> 9) % accented.length).toInt.abs)
+          else {
+            val w = wordOfRank(rank)
+            val w2 = if ((hv & 63) == 2) w + "'s" else w
+            if (sentencePos == 0) w2.capitalize else w2
+          }
+        if (j > 0) sb.append(' ')
+        sb.append(token)
+        sentencePos += 1
+        if ((hv & 15) == 3) { sb.append(','); }
+        if (sentencePos >= 8 + (hv % 8).toInt.abs) {
+          sb.append(if ((hv & 7) == 0) "!" else if ((hv & 7) == 1) "?" else ".")
+          sentencePos = 0
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** Train the fixture model from scratch (the one-off
+    * [[ByteBpeTrainMain]] path; gates load [[frozenModel]] instead).
+    */
+  def trainFixture(numMerges: Int = 4096): Bpe.BpeModel = {
+    val wf = trainingText()
+      .flatMap(preTokenize)
+      .groupBy(identity)
+      .view.map { case (w, occ) => (mapBytes(w), occ.size.toLong) }
+      .toSeq.sortBy(_._1)
+    Bpe.train(wf, numMerges, minPairCount = 2L)
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB replay of frozen-table APPLICATION as WITH-clause stages —
+    * the v2 gate's oracle. Unlike the training-replay oracle
+    * ([[Bpe.oracleStages]], which caps at ~dozens of merges because each
+    * merge is a materialized argmax stage pair), application of a FROZEN
+    * table is a pure replace chain: the thousands of merges become
+    * `chainSize`-deep nested replace() calls over the same
+    * open/close-framed symbol string, grouped into materialized stages
+    * so each distinct pre-token is rewritten once per stage. The merge
+    * literals are generated FROM THE SAME resource fixture the Spark
+    * kernel froze into the plan — the data is shared (that is the
+    * fixture contract), the application machinery is not.
+    *
+    * Exposes: `pretok(doc_id, word)`, `bpe_counts(word, n_tok)`,
+    * `bpe_per_doc(doc_id, n_pretokens, bpe_tokens)` (docs with no
+    * pre-tokens have no row — COALESCE at the use site), and
+    * `syms(word, sym_list)` (the per-pre-token mapped-space
+    * segmentation, for stream rebuilds).
+    */
+  def oracleApplyStages(
+      docsRel: String,
+      model: Bpe.BpeModel = frozenModel,
+      chainSize: Int = 64,
+  ): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""pretok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, ${sqlStr(PreTokPattern)})) AS word
+         |  FROM $docsRel
+         |),
+         |vocabv2 AS MATERIALIZED (SELECT DISTINCT word FROM pretok),
+         |framed0 AS MATERIALIZED (
+         |  SELECT word, string_agg(
+         |           chr(30) || chr(CASE WHEN v >= 33 AND v <= 126 THEN v ELSE 256 + v END) || chr(31),
+         |           '' ORDER BY i) AS sym
+         |  FROM (
+         |    SELECT word, i,
+         |           CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS INT) AS v
+         |    FROM (SELECT word, hex(encode(word)) AS hx,
+         |                 unnest(range(octet_length(encode(word)))) AS i
+         |          FROM vocabv2)
+         |  ) GROUP BY word
+         |)""".stripMargin)
+    val groups = model.merges.grouped(chainSize).toIndexedSeq
+    for ((group, gi) <- groups.zipWithIndex) {
+      val prev = if (gi == 0) "framed0" else s"a$gi"
+      var expr = "sym"
+      for ((a, b) <- group) {
+        // open/close framing (see Bpe.oracleStages for why the framing
+        // must be per-symbol open+close): u001e = chr(30), u001f = chr(31)
+        val pat = sqlStr("\u001e" + a + "\u001f" + "\u001e" + b + "\u001f")
+        val rep = sqlStr("\u001e" + a + b + "\u001f")
+        expr = s"replace($expr, $pat, $rep)"
+      }
+      sb.append(s""",
+         |a${gi + 1} AS MATERIALIZED (SELECT word, $expr AS sym FROM $prev)""".stripMargin)
+    }
+    val last = s"a${groups.length}"
+    sb.append(s""",
+       |bpe_counts AS (
+       |  SELECT word,
+       |         CAST(length(sym) - length(replace(sym, chr(30), '')) AS BIGINT) AS n_tok
+       |  FROM $last
+       |),
+       |syms AS (
+       |  SELECT word, list_transform(
+       |           list_filter(string_split(sym, chr(30)), x -> x <> ''),
+       |           x -> rtrim(x, chr(31))) AS sym_list
+       |  FROM $last
+       |),
+       |bpe_per_doc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       |         CAST(SUM(c.n_tok) AS BIGINT) AS bpe_tokens
+       |  FROM pretok p JOIN bpe_counts c USING (word)
+       |  GROUP BY 1
+       |)""".stripMargin)
+    sb.toString
+  }
+}
+
+/** One-off fixture trainer: writes the frozen merge table resource. Run
+  * `sbt "runMain graft.text.ByteBpeTrainMain"` and commit the output —
+  * the gates then load the committed fixture, never retraining.
+  */
+object ByteBpeTrainMain {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("src/main/resources/graft/bpe/merges_v2.tsv")
+    val numMerges = args.lift(1).map(_.toInt).getOrElse(4096)
+    val t0 = System.nanoTime()
+    val model = ByteBpe.trainFixture(numMerges)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val sb = new StringBuilder
+    model.merges.foreach { case (a, b) => sb.append(a).append('\t').append(b).append('\n') }
+    java.nio.file.Files.writeString(p, sb.toString, java.nio.charset.StandardCharsets.UTF_8)
+    println(f"trained ${model.merges.size} merges in $secs%.1f s -> $out")
+  }
+}
