@@ -646,6 +646,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("list_id"))
   }
 
+  /** [[semanticDupPairs]] with a TWO-LEVEL quantizer (IVF-in-IVF) — the
+    * production shape for the >1e5-list regime the flat contract's
+    * scaladoc names: proportional nLists keeps within-list work bounded
+    * but makes flat assignment n·nLists·dim flops (quadratic in n once
+    * nLists ∝ n); a √kTotal coarse level in front of per-cell fine lists
+    * drops per-vector assignment to ~2·√kTotal distances
+    * ([[graft.similarity.Ann.trainTwoLevel]] — fine list counts derive
+    * from each cell's MEASURED population at ~targetPerList
+    * vectors/list, so the SemDeDup within-list bound is preserved).
+    *
+    * Same within-list pair stage, same output contract: assignment is a
+    * pure function of the vector (deterministic tie-breaks at both
+    * levels), so identical vectors share a fine list and recall at
+    * cos=1 stays exact — the gate pins this path to the SAME oracle as
+    * the flat operator. Sub-threshold recall differs only in WHICH
+    * boundary pairs are lost (different partition, same approximation).
+    */
+  def semanticDupPairsTwoLevel(
+      emb: DataFrame,
+      dim: Int,
+      threshold: Double = 0.999,
+      targetPerList: Long = 512L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(emb.sparkSession)
+    val kTotal = semanticNLists(emb.count(), targetPerList)
+    val q = graft.similarity.Ann.trainTwoLevel(emb, dim, kTotal, targetPerList,
+      idCol = idCol, vecCol = vecCol)
+    val assigned = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("e"), col("e"))))
+      .withColumn("list_id",
+        GraftFunctions.nearestCentroid2(col("e"), q.coarse, q.fine, q.start, q.len))
+    val a = assigned.select(col("list_id"), col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id"), col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", GraftFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("list_id"))
+  }
+
   /** Embedding cosine near-duplicate pairs. Brute force all-pairs — correct
     * baseline for modest corpora; the LSH-bucketed scale path is
     * [[embeddingLshDupPairs]] / [[graft.similarity.Ann.lshBuckets]].

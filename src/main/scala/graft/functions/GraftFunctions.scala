@@ -33,6 +33,7 @@ object GraftFunctions {
   val FfdPackName = "graft_ffd_pack"
   val DHashName = "graft_dhash64"
   val ByteBpeCountName = "graft_bytebpe_count"
+  val NearestCentroid2Name = "graft_nearest_centroid2"
   val ByteBpeSegmentName = "graft_bytebpe_segment"
   val HtmlExtractName = "graft_html_extract"
   val BpeCountName = "graft_bpe_count"
@@ -155,6 +156,19 @@ object GraftFunctions {
     // (ByteBpe.frozenModel is a lazy val) and freezes the shared model
     // into the expression — plans stay small and every caller provably
     // tokenizes with the same frozen table
+    (NearestCentroid2Name, classOf[NearestCentroid2].getName, { children: Seq[Expression] =>
+      require(children.size == 5,
+        s"$NearestCentroid2Name takes (vec, coarse, fine, start, len)")
+      def intArrayLit(e: Expression, what: String): Array[Int] = {
+        require(e.foldable, s"$NearestCentroid2Name $what must be a foldable literal, got $e")
+        e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+      }
+      NearestCentroid2(children.head,
+        matrixLit(children(1), NearestCentroid2Name),
+        matrixLit(children(2), NearestCentroid2Name),
+        intArrayLit(children(3), "start"),
+        intArrayLit(children(4), "len"))
+    }),
     (ByteBpeCountName, classOf[ByteBpeCount].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$ByteBpeCountName takes exactly 1 argument (text)")
       ByteBpeCount(children.head, graft.text.ByteBpe.frozenModel)
@@ -246,6 +260,20 @@ object GraftFunctions {
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     call_function(NearestCentroidName, vec, typedLit(centroids.map(_.toSeq).toSeq))
+
+  /** Two-level IVF assignment to a global fine list id (see
+    * [[NearestCentroid2]]); the quantizer rides as plan constants.
+    */
+  def nearestCentroid2(
+      vec: Column,
+      coarse: Array[Array[Double]],
+      fine: Array[Array[Double]],
+      start: Array[Int],
+      len: Array[Int],
+  ): Column =
+    call_function(NearestCentroid2Name, vec,
+      typedLit(coarse.map(_.toSeq).toSeq), typedLit(fine.map(_.toSeq).toSeq),
+      typedLit(start.toSeq), typedLit(len.toSeq))
 
   /** The nProbe nearest centroid indices, (distance, index)-ordered. */
   def probeLists(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =

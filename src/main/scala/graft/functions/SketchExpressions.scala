@@ -308,6 +308,40 @@ object VectorKernels {
     best
   }
 
+  /** TWO-LEVEL IVF assignment (IVF-in-IVF): nearest coarse cell first
+    * (kCoarse distances), then nearest fine centroid within that cell's
+    * slice of the flattened fine matrix — global fine list id =
+    * start(cell) + local index. Per-vector cost is kCoarse + len(cell)
+    * distances instead of the flat quantizer's kTotal — the production
+    * shape once proportional nLists makes flat assignment quadratic
+    * (see Dedup.semanticNLists). Same strict-< lowest-index tie-breaks
+    * at both levels, so assignment stays a pure function of the vector.
+    */
+  def nearestCentroid2(
+      vec: ArrayData,
+      coarse: Array[Array[Double]],
+      fine: Array[Array[Double]],
+      start: Array[Int],
+      len: Array[Int],
+  ): Int = {
+    val c = nearestCentroid(vec, coarse)
+    val s = start(c)
+    val l = len(c)
+    val dim = vec.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < l) {
+      val cent = fine(s + i)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { val t = vec.getDouble(j) - cent(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    s + best
+  }
+
   /** The `nProbe` nearest centroid indices, ordered by (distance, index)
     * ascending — repeated strict-< argmin, equivalent to sortBy((d, c)).
     */
@@ -455,6 +489,47 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Two-level IVF assignment (see [[VectorKernels.nearestCentroid2]]):
+  * coarse + flattened-fine centroid matrices and the per-cell
+  * start/length tables ride as plan constants, so the whole hierarchical
+  * assignment is one codegen'd per-row loop.
+  */
+case class NearestCentroid2(
+    child: Expression,
+    coarse: Array[Array[Double]],
+    fine: Array[Array[Double]],
+    start: Array[Int],
+    len: Array[Int],
+) extends UnaryExpression {
+  require(coarse.nonEmpty && fine.nonEmpty, "centroid matrices must be non-empty")
+  require(start.length == coarse.length && len.length == coarse.length,
+    "per-cell tables must match the coarse matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid2 requires ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid2"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroid2(input.asInstanceOf[ArrayData], coarse, fine, start, len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val fRef = ctx.addReferenceObj("fine", fine, "double[][]")
+    val sRef = ctx.addReferenceObj("start", start, "int[]")
+    val lRef = ctx.addReferenceObj("len", len, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCentroid2($c, $cRef, $fRef, $sRef, $lRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid2 =
     copy(child = newChild)
 }
 

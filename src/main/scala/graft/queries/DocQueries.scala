@@ -1780,6 +1780,30 @@ object DocQueries {
         FROM embeddings ORDER BY id_a, id_b
       """),
     ),
+    // The TWO-LEVEL (IVF-in-IVF) twin of emb_semantic_dedup — the
+    // production quantizer shape for the >1e5-list regime where flat
+    // proportional-nLists assignment goes quadratic (PLANS.md named it;
+    // this round ships it). sqrt(kTotal) coarse cells, per-cell fine
+    // lists sized from each cell's measured population, the whole
+    // hierarchical assignment one codegen'd expression with the
+    // quantizer as plan constants. Identical vectors share a fine list
+    // (deterministic tie-breaks at both levels), so the verified output
+    // on the duplicate-injected corpus is the SAME oracle as the flat
+    // path — quantizer topology cannot change it.
+    Q(
+      "emb_semantic_dedup_2level",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + DupOffset))
+        Dedup.semanticDupPairsTwoLevel(corpus, dim = 64, threshold = 0.999)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        SELECT vec_id AS id_a, vec_id + $DupOffset AS id_b
+        FROM embeddings ORDER BY id_a, id_b
+      """),
+    ),
     // ------------------------------------------------ multimodal features
     // Opaque binary payloads → per-partition byte-feature kernel
     // (mapPartitions, no shuffle). Text bytes stand in for media payloads;

@@ -205,22 +205,111 @@ object Ann {
       .select(asDouble(vecCol)).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= nLists, s"sample ${sample.length} < nLists $nLists")
-    var centroids = sample.take(nLists).map(_.clone())
+    lloyd(sample, dim, nLists, iters)
+  }
+
+  /** Deterministic in-memory Lloyd iteration (first-k init, lowest-index
+    * tie-breaks, empty list keeps its centroid) — the shared core of
+    * [[trainCentroids]] and the per-cell fine training in
+    * [[trainTwoLevel]].
+    */
+  def lloyd(sample: Array[Array[Double]], dim: Int, k: Int, iters: Int): Array[Array[Double]] = {
+    var centroids = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nLists)(new Array[Double](dim))
-      val counts = new Array[Long](nLists)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
       sample.foreach { v =>
         val c = nearestCentroid(v, centroids)
         counts(c) += 1
         var j = 0
         while (j < dim) { sums(c)(j) += v(j); j += 1 }
       }
-      centroids = Array.tabulate(nLists) { c =>
+      centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c) // empty list keeps its centroid
         else { val s = sums(c); val n = counts(c).toDouble; s.map(_ / n) }
       }
     }
     centroids
+  }
+
+  /** A trained two-level quantizer: coarse centroids, the flattened fine
+    * matrix, and each cell's [start, start+len) slice of it. Global fine
+    * list id = start(cell) + local index; `totalLists` = fine.length.
+    */
+  final case class TwoLevelQuantizer(
+      coarse: Array[Array[Double]],
+      fine: Array[Array[Double]],
+      start: Array[Int],
+      len: Array[Int],
+  ) {
+    def totalLists: Int = fine.length
+    /** Upper bound on per-vector assignment distances (the flop bound the
+      * DedupSpec property pins): coarse cells + the largest cell's list
+      * count — vs the flat quantizer's totalLists.
+      */
+    def maxAssignDistances: Int = coarse.length + len.max
+  }
+
+  /** Train the TWO-LEVEL (IVF-in-IVF) quantizer for the >1e5-list regime
+    * where flat proportional-nLists assignment goes quadratic
+    * (n·nLists·dim flops; see Dedup.semanticNLists): kCoarse ≈ √kTotal
+    * coarse cells, then per-cell fine centroids sized to the cell's
+    * MEASURED population at ~targetPerList vectors/list — so within-list
+    * dedup work keeps the SemDeDup bound while per-vector assignment
+    * drops from kTotal to ~2·√kTotal distances.
+    *
+    * Deterministic end-to-end: coarse training is [[trainCentroids]] on
+    * the lowest-id sample; cell populations come from ONE distributed
+    * count-by-cell; fine training is per-cell [[lloyd]] over the
+    * lowest-id fine sample partitioned by coarse cell on the driver
+    * (sample-bounded — no per-cell Spark jobs, no RNG). A cell whose
+    * sample is empty keeps its coarse centroid as its single fine list;
+    * fine list counts are clamped to the cell's sample size (first-k
+    * init needs that many distinct seeds).
+    */
+  def trainTwoLevel(
+      emb: DataFrame,
+      dim: Int,
+      kTotal: Int,
+      targetPerList: Long = 512L,
+      iters: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): TwoLevelQuantizer = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(emb.sparkSession)
+    val kCoarse = math.max(2, math.ceil(math.sqrt(kTotal.toDouble)).toInt)
+    val coarse = trainCentroids(emb, dim, kCoarse,
+      nSample = math.max(256, 2 * kCoarse), iters = iters, idCol = idCol, vecCol = vecCol)
+    // one distributed pass: measured population per coarse cell
+    val pops = emb
+      .select(GraftFunctions.nearestCentroid(
+        col(vecCol).cast("array<double>"), coarse).as("cell"))
+      .groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // driver-side fine sample, partitioned by coarse cell
+    val fineSample = emb.orderBy(col(idCol)).limit(math.max(256, 4 * kTotal))
+      .select(asDouble(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val byCell = fineSample.groupBy(v => nearestCentroid(v, coarse))
+    val fineB = Array.newBuilder[Array[Double]]
+    val start = new Array[Int](kCoarse)
+    val len = new Array[Int](kCoarse)
+    var off = 0
+    for (c <- 0 until kCoarse) {
+      val cellSample = byCell.getOrElse(c, Array.empty[Array[Double]])
+      val pop = pops.getOrElse(c, 0L)
+      val want = math.max(1L, (pop + targetPerList - 1) / targetPerList)
+      val kf = math.min(want, math.max(1L, cellSample.length.toLong)).toInt
+      val cents =
+        if (cellSample.isEmpty) Array(coarse(c).clone())
+        else lloyd(cellSample, dim, kf, iters)
+      start(c) = off
+      len(c) = cents.length
+      cents.foreach(fineB += _)
+      off += cents.length
+    }
+    TwoLevelQuantizer(coarse, fineB.result(), start, len)
   }
 
   private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {

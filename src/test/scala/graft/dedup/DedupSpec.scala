@@ -311,7 +311,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       assert(maxPairs <= bound,
         s"n=$n k=$k: largest list has $maxPairs candidate pairs > bound $bound " +
           s"(sizes max ${sizes.max}, avg ${n / k})")
+      // ASSIGNMENT-FLOP bound (the two-level contract): the flat
+      // quantizer pays k distances per vector (quadratic total once
+      // k ∝ n); the two-level quantizer's per-vector distance count —
+      // coarse cells + the largest cell's fine lists — must stay
+      // O(sqrt(k)), the whole point of IVF-in-IVF
+      val q = Ann.trainTwoLevel(emb, dim, k, target)
+      assert(q.totalLists >= 1 && q.fine.length === q.len.sum)
+      val sqrtBound = 8 * math.ceil(math.sqrt(k.toDouble)).toInt + 8
+      assert(q.maxAssignDistances <= sqrtBound,
+        s"n=$n k=$k: two-level assignment pays ${q.maxAssignDistances} distances " +
+          s"(coarse ${q.coarse.length} + max cell ${q.len.max}) > O(sqrt k) bound $sqrtBound")
+      assert(q.maxAssignDistances < k || k <= 32,
+        s"two-level must undercut flat assignment at k=$k")
     }
+  }
+
+  test("two-level semantic dedup: exact-dup recall matches the flat path") {
+    import spark.implicits._
+    val base = spark.range(200).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> cast(sin(id * 13 + j * 7) + cos(id * 5 - j) as double))")
+        .as("embedding"))
+    val corpus = base.unionByName(base.withColumn("vec_id", col("vec_id") + 100000L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = pairs(Dedup.semanticDupPairs(corpus, dim = 8, threshold = 0.999))
+    val two = pairs(Dedup.semanticDupPairsTwoLevel(corpus, dim = 8, threshold = 0.999))
+    val expected = (0L until 200L).map(i => (i, i + 100000L)).toSet
+    // identical vectors share a list under ANY deterministic quantizer
+    // topology — both paths recover every injected pair, and nothing
+    // above threshold besides
+    assert(flat === expected)
+    assert(two === expected)
   }
 
   test("duplicateSpans: cross-doc shares, in-doc repeats, and short docs, hand-computed") {
