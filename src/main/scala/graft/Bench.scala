@@ -60,9 +60,12 @@ object Bench {
     // line under their own "probes" key and NEVER enter queries / total /
     // n_queries (they'd double-count and inflate round-over-round totals
     // — r11: stage_encode alone is ~98 s of re-measured headline work)
+    // vol_retry_* carries the probe-gated retry metadata: the retry flag
+    // per headline block plus the POISONED first attempt's samples when a
+    // block re-ran (VolumeBench.gated) — evidence, never a timing
     val (volProbes, volume) = volumeAll.partition { case (k, _) =>
       k.startsWith("vol_disk_probe") || k.startsWith("vol_atlas_x15_stage") ||
-        k.startsWith("vol_atlas_x2_stage")
+        k.startsWith("vol_atlas_x2_stage") || k.startsWith("vol_retry")
     }
     val probesJson = volProbes.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     // the volume headlines also print as their OWN json line immediately:
@@ -123,7 +126,55 @@ object Bench {
       }
       q.name -> (if (ok) graft.volume.VolumeBench.median(times.result()) else -1.0)
     }
-    val results = volume ++ registered
+    // Jaccard STRATEGY-CROSSOVER measurement (not a gate — the two
+    // strategies are output-identical and both already hash-gated on the
+    // corpus fixture): a synthetic LARGE-VOCABULARY Zipf corpus where
+    // prefix filtering's regime holds (rare prefix tokens make candidate
+    // buckets tiny), measured for both strategies so the "prefer
+    // count-based on dense vocabularies, prefix on large ones" guidance
+    // in PLANS.md is backed by two measured points instead of one.
+    val crossover: Seq[(String, Double)] =
+      if (!wanted("jaccard_crossover")) Seq.empty
+      else try {
+        import org.apache.spark.sql.functions._
+        val nDocs = 4000
+        val docLen = 30
+        val vocab = 30000
+        // deterministic Zipf-ish ranks: u log-uniform per (doc, slot)
+        val docs = spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          lit("src").as("source"),
+          array_join(
+            transform(sequence(lit(0), lit(docLen - 1)), j =>
+              concat(lit("t"), floor(exp(
+                (pmod(((col("id") * docLen + j) * 2654435761L), lit(1048576L))
+                  .cast("double") / 1048576.0) * math.log(vocab.toDouble))).cast("long"))),
+            " ").as("text"))
+          .localCheckpoint(true)
+        def time(body: => Long): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val rows = body
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        def med3(body: => Long): (Double, Long) = {
+          val samples = (1 to reps).map(_ => time(body))
+          (graft.volume.VolumeBench.median(samples.map(_._1)), samples.head._2)
+        }
+        val (tCount, nCount) = med3(
+          graft.dedup.Dedup.tokenJaccardPairs(docs, threshold = 0.7).count())
+        val (tPrefix, nPrefix) = med3(
+          graft.dedup.Dedup.tokenJaccardPairsPrefix(docs, threshold = 0.7).count())
+        if (nCount != nPrefix)
+          errors("jaccard_crossover") = s"strategy outputs diverged: $nCount vs $nPrefix pairs"
+        Seq(
+          "jaccard_crossover_largevocab_count" -> tCount,
+          "jaccard_crossover_largevocab_prefix" -> tPrefix)
+      } catch {
+        case e: Throwable =>
+          errors("jaccard_crossover") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          Seq.empty
+      }
+    val results = volume ++ registered ++ crossover
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val pinsJson = planPins.map { case (k, n) =>

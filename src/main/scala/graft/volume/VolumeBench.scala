@@ -221,7 +221,9 @@ object VolumeBench {
       reps: Int = 3): Seq[(String, Double)] = {
     val mhd = ensureFixture(workDir)
     val entries = Seq.newBuilder[(String, Double)]
-    def sampleInterleaved(specs: Seq[(String, () => Double)]): Map[String, Double] = {
+    def sampleInterleaved(
+        specs: Seq[(String, () => Double)]): (Seq[(String, Double)], Map[String, Double]) = {
+      val local = Seq.newBuilder[(String, Double)]
       val runs = specs.map { case (name, _) => name -> Seq.newBuilder[Double] }.toMap
       for (_ <- 1 to reps; (name, body) <- specs) {
         // the previous rep's publish queued an O(files) background delete
@@ -231,20 +233,53 @@ object VolumeBench {
         AtomicDir.awaitQuiescent()
         runs(name) += body()
       }
-      specs.map { case (name, _) =>
+      val meds = specs.map { case (name, _) =>
         val rs = runs(name).result()
-        rs.zipWithIndex.foreach { case (t, i) => entries += (s"${name}_run${i + 1}" -> t) }
-        entries += (name -> median(rs))
+        rs.zipWithIndex.foreach { case (t, i) => local += (s"${name}_run${i + 1}" -> t) }
+        local += (name -> median(rs))
         name -> median(rs)
       }.toMap
+      (local.result(), meds)
     }
-    entries += ("vol_disk_probe_pre" -> diskProbe(workDir))
+    // PROBE-GATED block: sample the specs, close with a disk probe, and
+    // if the bracketing probes disagree by >2× the measured window was
+    // ambient-contaminated — re-run the whole block ONCE (bounded) and
+    // publish the re-run, stashing the poisoned attempt as probe-side
+    // evidence (vol_retry_* keys never enter queries/total). Two rounds
+    // in a row needed a human to adjudicate an ambient median from the
+    // probes; this makes the artifact defend itself. Returns the
+    // published medians and the probe that closes the block (the next
+    // block's opening probe).
+    def gated(
+        blockTag: String,
+        specs: Seq[(String, () => Double)],
+        preProbe: Double): (Map[String, Double], Double) = {
+      val (e1, m1) = sampleInterleaved(specs)
+      val p1 = diskProbe(workDir)
+      val ratio = math.max(preProbe, p1) / math.max(1e-9, math.min(preProbe, p1))
+      if (ratio <= 2.0) {
+        entries ++= e1
+        entries += (s"vol_retry_$blockTag" -> 0.0)
+        (m1, p1)
+      } else {
+        e1.foreach { case (k, v) => entries += (s"vol_retry_${blockTag}_try1_$k" -> v) }
+        entries += (s"vol_retry_${blockTag}_try1_probe_pre" -> preProbe)
+        entries += (s"vol_retry_${blockTag}_try1_probe_post" -> p1)
+        val (e2, m2) = sampleInterleaved(specs)
+        val p2 = diskProbe(workDir)
+        entries ++= e2
+        entries += (s"vol_retry_$blockTag" -> 1.0)
+        (m2, p2)
+      }
+    }
+    val pre = diskProbe(workDir)
+    entries += ("vol_disk_probe_pre" -> pre)
     val cold = upscale(spark, mhd, 2, s"$workDir/out_x2")
     entries += ("vol_atlas_upscale_x2_cold" -> cold)
     // the ×2 headline into three sinks: the internal zstd chunk store,
     // the spec-compliant blosc-zstd zarr, and the reference CLI's EXACT
     // default output (Blosc zstd BITSHUFFLE, upscale_streaming.py:104)
-    sampleInterleaved(Seq(
+    val (_, midProbe) = gated("x2", Seq(
       "vol_atlas_upscale_x2" ->
         (() => upscale(spark, mhd, 2, s"$workDir/out_x2")),
       "vol_atlas_upscale_x2_zarr" ->
@@ -260,8 +295,8 @@ object VolumeBench {
         (() => encodeStageTime(spark, mhd, 2)),
       "vol_atlas_x2_stage_encode_bit" ->
         (() => encodeStageTime(spark, mhd, 2, ZarrStore.BloscCodec("zstd", 5, shuffle = 2))),
-    ))
-    entries += ("vol_disk_probe_mid" -> diskProbe(workDir))
+    ), pre)
+    entries += ("vol_disk_probe_mid" -> midProbe)
     // the ×15 streaming run: 1.04 TB logical (260 G voxels), reference
     // baseline 684.5 s. Two sinks — the internal zstd chunk store and the
     // APPLES-TO-APPLES spec-compliant blosc-zstd zarr the reference
@@ -280,7 +315,7 @@ object VolumeBench {
       }
       entries += ("vol_atlas_x15_stage_scan" -> median(stages.map(_._1)))
       entries += ("vol_atlas_x15_stage_kernel" -> median(stages.map(_._2)))
-      val x15 = sampleInterleaved(Seq(
+      val (x15, postProbe) = gated("x15", Seq(
         "vol_atlas_upscale_x15" ->
           (() => upscale(spark, mhd, 15, s"$workDir/out_x15")),
         "vol_atlas_upscale_x15_zarr" ->
@@ -289,15 +324,17 @@ object VolumeBench {
         // an ambient-I/O window hits all three equally
         "vol_atlas_x15_stage_encode" ->
           (() => encodeStageTime(spark, mhd, 15)),
-      ))
+      ), midProbe)
       // the derived sink split (medians): what the zarr headline pays ON
       // TOP of scan+kernel+codec — file create/write/close syscalls and
       // disk. Negative-in-noise is possible (different reps); the
       // constituents ride alongside for exactly that reason.
       entries += ("vol_atlas_x15_stage_sink" ->
         (x15("vol_atlas_upscale_x15_zarr") - x15("vol_atlas_x15_stage_encode")))
+      entries += ("vol_disk_probe_post" -> postProbe)
+    } else {
+      entries += ("vol_disk_probe_post" -> diskProbe(workDir))
     }
-    entries += ("vol_disk_probe_post" -> diskProbe(workDir))
     entries.result()
   }
 }
