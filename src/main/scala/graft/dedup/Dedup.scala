@@ -73,6 +73,61 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** The 100 TB shape of [[contamination]]: a BLOOM-FILTER pre-filter on
+    * the corpus side before the exact join. [[contamination]] broadcasts
+    * the exact benchmark n-gram SET and joins every corpus shingle
+    * against it — at gate scale that broadcast is small, but a real
+    * benchmark suite's n-gram set runs to billions of entries, too big
+    * to broadcast as rows. This variant builds a Bloom filter over the
+    * benchmark grams DISTRIBUTED (`bloom_filter_agg`, map-side partial
+    * merge — only the filter's bytes ever reach the driver), ships those
+    * bytes as a binary plan constant, and drops non-matching corpus
+    * shingles map-side inside the scan stage (Spark's codegen'd
+    * `BloomFilterMightContain`) — so the shuffle/join stage sees only
+    * (true hits + fpp·corpus) shingles instead of all of them.
+    *
+    * False positives cannot reach the output: survivors still pass
+    * through the SAME exact broadcast join as [[contamination]], so the
+    * result is row-identical to it by construction (the registered twin
+    * gate asserts this against the identical oracle). numBits is sized
+    * at 16 bits/gram ≈ 0.04% fpp — ~2 GiB of filter per billion grams,
+    * broadcastable where the row set is not.
+    */
+  def contaminationBloom(
+      docs: DataFrame,
+      benchFilter: Column,
+      n: Int = 3,
+      minHits: Long = 1L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(docs.sparkSession)
+    val benchGrams = docs.filter(benchFilter)
+      .select(explode(shingles(textCol, n)).as("g")).distinct()
+    // one count + one aggregate over the (deduplicated) bench grams —
+    // both tiny relative to the corpus scan they save
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val bfBytes = benchGrams
+      .select(GraftFunctions.bloomAgg(xxhash64(col("g")), nGrams, nGrams * 16).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpusGrams = docs.filter(!benchFilter)
+      .select(col(idCol), explode(shingles(textCol, n)).as("g"))
+      .filter(GraftFunctions.bloomMightContain(lit(bfBytes), xxhash64(col("g"))))
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"))
+    docs.filter(!benchFilter).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) >= minHits).as("contaminated"),
+      )
+      .orderBy(col(idCol))
+  }
+
   /** Connected components over a near-duplicate pair list — the clustering
     * step every real dedup pipeline runs on its candidate pairs (keep one
     * representative per component). Deterministic min-id labels via

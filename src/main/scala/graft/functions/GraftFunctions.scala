@@ -45,6 +45,8 @@ object GraftFunctions {
   val PqLutName = "graft_pq_lut"
   val PqAdcDotName = "graft_pq_adc_dot"
   val PqNrmName = "graft_pq_nrm"
+  val BloomMightContainName = "graft_bloom_might_contain"
+  val BloomAggName = "graft_bloom_agg"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -242,6 +244,26 @@ object GraftFunctions {
       PqNrm(children.head, matrixLit(children(1), PqNrmName),
         intLitOf(children(2), PqNrmName, "ksub"))
     }),
+    // Spark ships the codegen'd BloomFilterMightContain predicate (the
+    // probe side of bloom_filter_agg, used internally by runtime-filter
+    // injection) but does not SQL-register it — graft does, so the
+    // Bloom-prefilter shapes can consume bloom_filter_agg's binary
+    // through the supported call_function path.
+    (BloomMightContainName,
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      { children: Seq[Expression] =>
+        require(children.size == 2, s"$BloomMightContainName takes (bloomBytes, xxhash64Value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))
+      }),
+    // the build side: Spark's BloomFilterAggregate (map-side partial
+    // filters OR-merged up the tree) — also internal-only in this build
+    (BloomAggName,
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      { children: Seq[Expression] =>
+        require(children.size == 3, s"$BloomAggName takes (xxhash64Value, estimatedNumItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2)).toAggregateExpression()
+      }),
   )
 
   private def intLitOf(e: Expression, fn: String, what: String): Int = e match {
@@ -366,6 +388,19 @@ object GraftFunctions {
   /** L2 norm of the PQ-reconstructed vector (stored at index-build time). */
   def pqNrm(code: Column, codebook: Array[Array[Double]], ksub: Int): Column =
     call_function(PqNrmName, code, typedLit(codebook.map(_.toSeq).toSeq), lit(ksub))
+
+  /** Probe a `bloom_filter_agg`-built filter: true if the filter might
+    * contain the value, which MUST be the same xxhash64 the filter was
+    * built over. The serialized filter rides as a binary plan constant.
+    */
+  def bloomMightContain(bloomBytes: Column, hashed: Column): Column =
+    call_function(BloomMightContainName, bloomBytes, hashed)
+
+  /** Distributed Bloom-filter build over xxhash64 values (aggregate →
+    * one BINARY row). Probe the result with [[bloomMightContain]].
+    */
+  def bloomAgg(hashed: Column, estimatedNumItems: Long, numBits: Long): Column =
+    call_function(BloomAggName, hashed, lit(estimatedNumItems), lit(numBits))
 
   /** 64-bit perceptual dHash of an image payload (see [[DHash64]]). */
   def dhash64(payload: Column): Column = call_function(DHashName, payload)

@@ -537,6 +537,41 @@ object DocQueries {
         ORDER BY d.doc_id
       """),
     ),
+    // The BLOOM-PREFILTERED twin of doc_contamination — the shape that
+    // survives a benchmark suite whose n-gram set is too large to
+    // broadcast as rows: bloom_filter_agg builds the filter distributed
+    // (16 bits/gram ≈ 0.04% fpp), the bytes ride as a plan constant, and
+    // Spark's codegen'd BloomFilterMightContain drops non-matching
+    // corpus shingles map-side BEFORE the join stage. False positives
+    // still pass the exact broadcast join, so the output is
+    // row-identical to doc_contamination — gated by the IDENTICAL
+    // oracle, like the jaccard/ppjoin and md5/rolling twins.
+    Q(
+      "doc_contamination_bloom",
+      (s, d) =>
+        Dedup.contaminationBloom(T(s, d, "documents"), benchFilter = col("doc_id") < 5, n = 3),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(w[i:i+2], ' ')))) AS g
+          FROM t
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 5),
+        hits AS (
+          SELECT sh.doc_id, COUNT(DISTINCT sh.g) AS n_shared_ngrams
+          FROM sh JOIN bench USING (g) WHERE sh.doc_id >= 5
+          GROUP BY sh.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+               COALESCE(h.n_shared_ngrams, 0) >= 1 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+          LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id
+      """),
+    ),
     // ----------------------------------------- near-dup cluster formation
     // Connected components over the jaccard near-dup pairs (min-id label
     // propagation + pointer jumping — log-diameter rounds of (id, label)

@@ -449,4 +449,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // shorter-than-window input yields no fingerprints
     assert(fps(Seq("a", "b"), 3).isEmpty)
   }
+
+  test("contaminationBloom: row-identical to the exact path, and the prefilter prunes") {
+    import org.apache.spark.sql.functions.{col, explode, lit, not, xxhash64}
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bench = col("doc_id") < 5
+    val exact = Dedup.contamination(corpus, bench, n = 3).collect().map(_.toSeq)
+    val bloom = Dedup.contaminationBloom(corpus, bench, n = 3).collect().map(_.toSeq)
+    assert(bloom.length === exact.length)
+    assert(bloom.toSeq === exact.toSeq) // false positives must die in the exact join
+    // the prefilter must actually drop corpus shingles (otherwise it's
+    // just overhead): rebuild the same filter and measure the survivor rate
+    graft.functions.GraftFunctions.register(spark)
+    val benchGrams = corpus.filter(bench)
+      .select(explode(Dedup.shingles("text", 3)).as("g")).distinct()
+    val nG = benchGrams.count()
+    val bf = benchGrams
+      .select(graft.functions.GraftFunctions.bloomAgg(xxhash64(col("g")), nG, nG * 16))
+      .head().getAs[Array[Byte]](0)
+    val corpusGrams = corpus.filter(not(bench))
+      .select(explode(Dedup.shingles("text", 3)).as("g"))
+    val total = corpusGrams.count()
+    val survive = corpusGrams
+      .filter(graft.functions.GraftFunctions.bloomMightContain(lit(bf), xxhash64(col("g"))))
+      .count()
+    val trueHits = corpusGrams.join(benchGrams, Seq("g"), "left_semi").count()
+    info(s"shingles: total=$total survive=$survive trueHits=$trueHits")
+    assert(survive < total, "bloom prefilter dropped nothing")
+    // fpp budget: survivors beyond true hits stay under 1% of the corpus side
+    assert(survive - trueHits <= math.max(1L, total / 100))
+  }
 }
