@@ -120,6 +120,21 @@ object VolumeQueries {
         ORDER BY z, y, x
       """),
     ),
+    // T3 intensity twin: MEAN-pooled level 1 (the OME-NGFF default for
+    // intensity volumes; decimation remains the label-volume form the
+    // reference uses). Floor of the 2×2×2 block mean in exact integer
+    // arithmetic — one map-side-combined aggregation over the pooled
+    // lattice, shuffling ~1/8 of the rows.
+    Q(
+      "vol_pyramid_mean_l1",
+      (s, _) => VoxelOps.meanPool(grid(s)).orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x,
+               CAST(SUM(label) AS BIGINT) // COUNT(*) AS label
+        FROM vox GROUP BY 1, 2, 3
+        ORDER BY z, y, x
+      """),
+    ),
     // T2: outline with wrap-around (da.roll parity), 6 modular neighbors.
     Q(
       "vol_outline",
@@ -304,6 +319,21 @@ object VolumeQueries {
       Some(s"""$voxCte
         SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
         FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+        ORDER BY z, y, x
+      """),
+    ),
+    // Mean-pooled level 1, CHUNK form, on the deliberately non-aligned
+    // (5,6,7) grid: blocks straddling chunk boundaries are merged from
+    // per-chunk partial (sum, count) rows — the shuffle carries only the
+    // pooled lattice (~1/8 of the volume), never the chunk bodies. Same
+    // oracle as the voxel form: partial-merge topology cannot change it.
+    Q(
+      "vol_chunk_pyramid_mean_l1",
+      (s, _) => chunked(s).meanPoolVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x,
+               CAST(SUM(label) AS BIGINT) // COUNT(*) AS label
+        FROM vox GROUP BY 1, 2, 3
         ORDER BY z, y, x
       """),
     ),

@@ -89,6 +89,64 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     (1 until levels).scanLeft(this)((prev, _) => prev.decimate())
   }
 
+  /** 2×2×2 MEAN-pooled pyramid level (floor of the block mean) — the
+    * intensity-volume downscale the OME-NGFF ecosystem defaults to,
+    * where [[decimate]] is the label-volume one (the reference's own
+    * choice for its categorical atlas, upscale_streaming_enhance.py:125).
+    *
+    * Chunk grids need not align with the 2-block lattice (this fixture's
+    * (5,6,7) grid deliberately doesn't): each chunk reduces ITSELF to
+    * partial (sum, count) rows at pooled granularity — a chunk-local
+    * kernel pass emitting ~n/8 rows per chunk — and one groupBy merges
+    * the ≤8 partials of each straddled boundary block. The shuffle
+    * carries only the POOLED lattice partials (~volume/8 + boundary
+    * terms); the chunk bodies never move. Volume-edge blocks average
+    * their in-range voxels (count < 8), matching the SQL group-by
+    * semantics exactly.
+    *
+    * Returns the level-1 VOXEL frame; chunk-store re-packing is
+    * [[ChunkVolume.fromVoxels]] / rechunk (T4, each byte moves once).
+    */
+  def meanPoolVoxels: DataFrame = {
+    require(!meta.isFloating, s"meanPoolVoxels requires an integral element type, got ${meta.elementType}")
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    import chunks.sparkSession.implicits._
+    chunks.flatMap { c =>
+      // pooled-lattice extent this chunk touches (coords are non-negative)
+      val pz0 = c.z0 / 2; val py0 = c.y0 / 2; val px0 = c.x0 / 2
+      val onz = ((c.z0 + c.nz - 1) / 2 - pz0 + 1).toInt
+      val ony = ((c.y0 + c.ny - 1) / 2 - py0 + 1).toInt
+      val onx = ((c.x0 + c.nx - 1) / 2 - px0 + 1).toInt
+      val sums = new Array[Long](onz * ony * onx)
+      val cnts = new Array[Long](onz * ony * onx)
+      var z = 0
+      while (z < c.nz) {
+        val oz = ((c.z0 + z) / 2 - pz0).toInt
+        var y = 0
+        while (y < c.ny) {
+          val oy = ((c.y0 + y) / 2 - py0).toInt
+          var x = 0
+          while (x < c.nx) {
+            val ox = ((c.x0 + x) / 2 - px0).toInt
+            val o = (oz * ony + oy) * onx + ox
+            sums(o) += ChunkKernels.decodeLong(c.data, (z * c.ny + y) * c.nx + x, bpp, unsigned)
+            cnts(o) += 1
+            x += 1
+          }
+          y += 1
+        }
+        z += 1
+      }
+      Iterator.range(0, onz * ony * onx).filter(cnts(_) > 0).map { o =>
+        val oz = o / (ony * onx); val rem = o % (ony * onx)
+        (pz0 + oz, py0 + rem / onx, px0 + rem % onx, sums(o), cnts(o))
+      }
+    }.toDF("z", "y", "x", "s", "n")
+      .groupBy(col("z"), col("y"), col("x"))
+      .agg(expr("sum(s) div sum(n)").as("label"))
+  }
+
   /** Outline / edge extraction (T2 scale path): each chunk sends its 6
     * face planes (≈ 2·(1/cz+1/cy+1/cx) of the data) to its grid neighbors,
     * then a chunk-local stencil runs. Wrap-around (da.roll parity) comes

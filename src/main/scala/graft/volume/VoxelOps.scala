@@ -50,6 +50,21 @@ object VoxelOps {
         col("label"),
       )
 
+  /** 2×2×2 MEAN-pooled pyramid level, voxel-table form (see
+    * [[ChunkVolume.meanPoolVoxels]] for the chunk form and the
+    * decimate-vs-mean contract): one hash-partitioned aggregation over
+    * the pooled lattice — partial sums combine map-side, so the shuffle
+    * carries ~1/8 of the voxel rows. Floor of the block mean; blocks
+    * truncated by the volume edge average their in-range voxels.
+    */
+  def meanPool(vox: DataFrame): DataFrame =
+    vox
+      .groupBy(
+        expr("z div 2").as("z"),
+        expr("y div 2").as("y"),
+        expr("x div 2").as("x"))
+      .agg(expr("sum(label) div count(1)").as("label"))
+
   /** Full pyramid: level 0 is the input, level i is decimate(level i-1).
     * Returns one DataFrame with a `level` column.
     */

@@ -158,6 +158,30 @@ class ChunkVolumeSpec extends AnyFunSuite with SparkSpec {
     assert(up.pointLookup(7, 5, 3) === Some(label(3, 2, 1)))
   }
 
+  test("meanPool: chunk form == voxel form == hand computation, incl. odd-dim edge blocks") {
+    // odd dims force volume-edge blocks with 1/2/4-voxel counts; the
+    // (3,2,4) chunk grid is non-aligned so blocks straddle chunks too
+    val (oz, oy, ox) = (7L, 6L, 5L)
+    val oddVox = spark.range(oz * oy * ox).select(
+      expr(s"id div ${oy * ox}").as("z"),
+      expr(s"(id div $ox) % $oy").as("y"),
+      expr(s"id % $ox").as("x"),
+      expr(s"(id * 37) % 251").as("label"),
+    )
+    val oddVol = ChunkVolume.fromVoxels(oddVox, oz, oy, ox, 3, 2, 4)
+    val chunkForm = collectVox(oddVol.meanPoolVoxels.orderBy("z", "y", "x"))
+    val voxForm = collectVox(VoxelOps.meanPool(oddVox).orderBy("z", "y", "x"))
+    // hand computation from the raw voxel map
+    val raw = collectVox(oddVox)
+    val expect = raw.groupBy { case ((z, y, x), _) => (z / 2, y / 2, x / 2) }
+      .map { case (k, vs) => k -> vs.values.sum / vs.size }
+    assert(chunkForm.size === ((oz + 1) / 2 * ((oy + 1) / 2) * ((ox + 1) / 2)))
+    assert(chunkForm === expect)
+    assert(voxForm === expect)
+    // edge blocks really are partial: the corner block has exactly 1 voxel
+    assert(raw.keys.count { case (z, y, x) => z / 2 == 3 && y / 2 == 2 && x / 2 == 2 } === 2)
+  }
+
   test("chunk histogram equals long-form histogram; resize generalizes upscale") {
     val chunkHist = vol.histogram().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val longHist = VoxelOps.histogram(vol.toVoxels)
