@@ -73,6 +73,68 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** Content-defined chunking (CDC) dedup: chunk boundaries come from the
+    * CONTENT (a boundary falls after character position p iff the md5 of
+    * the w-char window ending at p starts with hex '0', P=1/16 → expected
+    * chunk ≈ w+16 chars), so an insertion or deletion only re-chunks its
+    * neighborhood — every chunk after the edit re-aligns, the property
+    * fixed-stride chunking lacks and the reason storage/dedup systems
+    * chunk this way (Muthitacharoen et al., "A Low-Bandwidth Network File
+    * System", SOSP 2001; FastCDC, USENIX ATC 2016). Where
+    * [[duplicateSpans]] counts fixed-width token windows, CDC finds
+    * shared VARIABLE-length passages robust to offset shift.
+    *
+    * Returns per doc: `n_chunks` and `n_shared_chunks` (distinct chunk
+    * contents appearing in ≥ 2 distinct docs). Whole pipeline is
+    * codegen'd built-ins (sequence/transform/substr/md5) — the boundary
+    * rule is deliberately md5 so DuckDB replays it verbatim; the O(w·n)
+    * digest cost is the md5-window discipline duplicateSpans uses, and
+    * the same rolling-hash swap (graft_window_fps) applies at 100 TB
+    * where hashing throughput matters more than oracle replayability.
+    * Counting only — no pair stream, nothing quadratic in doc count:
+    * one distinct over (doc, chunk-hash), one count per hash, one
+    * rollup per doc.
+    */
+  def cdcChunkStats(
+      docs: DataFrame,
+      w: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val len = length(col(textCol))
+    // 1-based end positions of candidate windows; Spark's sequence()
+    // DESCENDS when stop < start, so short docs need the explicit guard
+    val positions = when(len >= w, sequence(lit(w), len))
+      .otherwise(array().cast("array<int>"))
+    val bounds = filter(positions, p =>
+      md5(col(textCol).substr(p - (w - 1), lit(w)).cast("binary")).startsWith("0"))
+    val starts = concat(array(lit(1)), transform(bounds, b => b + 1))
+    val ends = concat(bounds, array(len))
+    val chunks = filter(
+      zip_with(starts, ends, (s, e) =>
+        when(e >= s, col(textCol).substr(s, e - s + 1))),
+      c => c.isNotNull)
+    val chunked = docs.select(col(idCol), chunks.as("chunks"))
+    val docChunk = chunked
+      .select(col(idCol), explode(col("chunks")).as("c"))
+      .select(col(idCol), md5(col("c").cast("binary")).as("h"))
+      .distinct()
+    val popular = docChunk.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd")) // rows are distinct (doc, hash) pairs
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val shared = docChunk.join(popular, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+    chunked.select(col(idCol), size(col("chunks")).cast("bigint").as("n_chunks"))
+      .join(shared, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_chunks"),
+        coalesce(col("n_shared_chunks"), lit(0L)).as("n_shared_chunks"))
+      .orderBy(col(idCol))
+  }
+
   /** The 100 TB shape of [[contamination]]: a BLOOM-FILTER pre-filter on
     * the corpus side before the exact join. [[contamination]] broadcasts
     * the exact benchmark n-gram SET and joins every corpus shingle

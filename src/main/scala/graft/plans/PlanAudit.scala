@@ -129,6 +129,24 @@ object PlanAudit {
     Shape(cartesian == 0, s"cartesian_or_bnlj=$cartesian")
   }
 
+  /** The corpus side must be Bloom-PREFILTERED before any join: at least
+    * one FilterExec whose condition contains Spark's codegen'd
+    * BloomFilterMightContain predicate. If the filter is optimized away
+    * or demoted (e.g. the might-contain moved above the join), the
+    * map-side prune that makes the decontamination shape broadcastable
+    * at 100 TB is gone — and that regression should fail the artifact,
+    * not just slow the query down.
+    */
+  def bloomPrefilterShape(df: DataFrame): Shape = {
+    val filters = nodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    val bloomFilters = filters.count(_.condition.collectFirst {
+      case _: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => ()
+    }.nonEmpty)
+    Shape(bloomFilters >= 1, s"bloom_might_contain_filters=$bloomFilters")
+  }
+
   /** Structural pins, keyed by registered query name — asserted by
     * PlanAuditSpec and emitted measured-vs-pinned into the bench JSON
     * (`shape_pins` / `shape_pins_ok`) like the exchange counts.
@@ -138,7 +156,13 @@ object PlanAudit {
     "doc_dedup_best" -> broadcastAntiShape,
     "emb_ivf_persisted" -> ivfPrunedScanShape,
     "emb_ivf_sq8_recall" -> ivfPrunedScanShape,
+    // the PQ index shares the pruned-scan contract: probes must prune
+    // the list_id-partitioned lists scan to the probed IN-set (the
+    // refine stage's corpus re-scan is NOT list_id-partitioned, so the
+    // "exactly 1 partitioned scan" clause still bites)
+    "emb_ivf_pq_recall" -> ivfPrunedScanShape,
     "mm_phash_dedup" -> noAllPairsShape,
+    "doc_contamination_bloom" -> bloomPrefilterShape,
   )
 
   /** The pinned values, keyed by registered query name. Pins cover the
@@ -225,5 +249,24 @@ object PlanAudit {
     // + (hour, source) rollup + output sort. A 4th exchange would mean
     // the dedup or rollup stopped being single-pass
     "doc_stream_curate" -> 3,
+    // mean-pooled pyramid, voxel form: ONE map-side-combined aggregation
+    // over the pooled lattice + output sort. A 3rd exchange would mean
+    // the pooling stopped being a single hash aggregation
+    "vol_pyramid_mean_l1" -> 2,
+    // chunk form adds only the fixture's fromVoxels chunk-assembly
+    // exchange in front of the same agg + sort; the partial-merge
+    // groupBy itself must stay a single exchange of pooled-lattice rows
+    "vol_chunk_pyramid_mean_l1" -> 3,
+    // bloom decontamination: bench-gram distinct (broadcast-side), hit
+    // rollup, docs-vs-hits report join, output sort. A 5th exchange
+    // would mean the corpus side started shuffling BEFORE the bloom
+    // prefilter + broadcast verify join — the exact regression the
+    // bloomPrefilterShape pin also guards
+    "doc_contamination_bloom" -> 4,
+    // CDC dedup is counting-only: (doc, chunk-hash) distinct, popular-
+    // hash agg, per-doc shared rollup, the report join side, output
+    // sort. A 6th exchange would mean a pair stream appeared — the
+    // shape content-defined chunk COUNTING exists to avoid
+    "doc_cdc_dedup" -> 5,
   )
 }

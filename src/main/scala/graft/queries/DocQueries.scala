@@ -317,6 +317,55 @@ object DocQueries {
       (s, d) => Dedup.duplicateSpansRolling(T(s, d, "documents"), w = 8),
       Some(dupSpansOracle),
     ),
+    // --------------------------------------- content-defined chunk dedup
+    // CDC (LBFS/FastCDC-style): boundaries fall where the md5 of the
+    // trailing 8-char window starts with hex '0', so shared passages
+    // chunk identically REGARDLESS of their offset — an insertion
+    // re-aligns every later chunk, which fixed windows can't do. The
+    // boundary rule is deliberately md5 so the oracle replays the exact
+    // pipeline (boundaries → chunks → shared-content counts) in DuckDB;
+    // counting only, no pair stream (see Dedup.cdcChunkStats).
+    Q(
+      "doc_cdc_dedup",
+      (s, d) => Dedup.cdcChunkStats(T(s, d, "documents"), w = 8),
+      Some("""
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        b AS (
+          SELECT doc_id, n, text,
+                 list_filter(CASE WHEN n >= 8 THEN generate_series(8, n) ELSE [] END,
+                             p -> md5(substring(text, p - 7, 8)) LIKE '0%') AS bnd
+          FROM d
+        ),
+        ch AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(generate_series(1, len(bnd) + 1), i ->
+                     CASE WHEN (CASE WHEN i = len(bnd) + 1 THEN n
+                                     ELSE bnd[i] END)
+                            >= (CASE WHEN i = 1 THEN 1 ELSE bnd[i-1] + 1 END)
+                          THEN substring(text,
+                                 CASE WHEN i = 1 THEN 1 ELSE bnd[i-1] + 1 END,
+                                 (CASE WHEN i = len(bnd) + 1 THEN n ELSE bnd[i] END)
+                                   - (CASE WHEN i = 1 THEN 1 ELSE bnd[i-1] + 1 END) + 1)
+                     END),
+                   c -> c IS NOT NULL) AS chunks
+          FROM b
+        ),
+        dc AS (
+          SELECT DISTINCT doc_id, md5(unnest(chunks)) AS h FROM ch
+        ),
+        pop AS (SELECT h FROM dc GROUP BY h HAVING COUNT(*) >= 2),
+        sh AS (
+          SELECT dc.doc_id, COUNT(*) AS n_shared_chunks
+          FROM dc JOIN pop USING (h) GROUP BY dc.doc_id
+        )
+        SELECT ch.doc_id,
+               CAST(len(ch.chunks) AS BIGINT) AS n_chunks,
+               COALESCE(sh.n_shared_chunks, 0) AS n_shared_chunks
+        FROM ch LEFT JOIN sh ON ch.doc_id = sh.doc_id
+        ORDER BY ch.doc_id
+      """),
+    ),
     // ------------------------------------------- exact n-gram/token Jaccard
     // Blocked inverted-index join (block = source): candidate generation is
     // per-block, never quadratic in the corpus.

@@ -450,6 +450,44 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fps(Seq("a", "b"), 3).isEmpty)
   }
 
+  test("cdcChunkStats: boundaries are content-defined (offset-shift robust), edges handled") {
+    import org.apache.spark.sql.functions.{col, explode, length, lit, md5, when, sequence, array, filter => afilter, transform => atransform, concat, zip_with, size}
+    import spark.implicits._
+    // reimplement just the chunker column to inspect chunk CONTENTS
+    def chunksOf(texts: Seq[String]): Seq[Seq[String]] = {
+      val w = 8
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val len = length(col("text"))
+      val positions = when(len >= w, sequence(lit(w), len)).otherwise(array().cast("array<int>"))
+      val bounds = afilter(positions, p =>
+        md5(col("text").substr(p - (w - 1), lit(w)).cast("binary")).startsWith("0"))
+      val starts = concat(array(lit(1)), atransform(bounds, b => b + 1))
+      val ends = concat(bounds, array(len))
+      val chunks = afilter(
+        zip_with(starts, ends, (s, e) => when(e >= s, col("text").substr(s, e - s + 1))),
+        c => c.isNotNull)
+      df.orderBy("doc_id").select(chunks).collect().map(_.getSeq[String](0).toSeq).toSeq
+    }
+    // a long pseudo-random ASCII body with enough entropy for boundaries
+    val body = (0 until 2000).map(i => ((i * 131 + 7) % 83 + 40).toChar).mkString
+    val prefix = "PREFIXED DIFFERENT LEAD-IN @@ "
+    val Seq(base, shifted) = chunksOf(Seq(body, prefix + body))
+    assert(base.length > 5, s"fixture produced only ${base.length} chunks")
+    // CONTENT-DEFINED: every chunk of the body except the first must
+    // reappear verbatim in the prefixed doc — boundaries re-align after
+    // the seam because they depend only on the trailing window content
+    val shiftedSet = shifted.toSet
+    base.drop(1).foreach(c => assert(shiftedSet.contains(c), s"chunk lost after shift: ${c.take(20)}"))
+    // fixed-stride chunking would NOT have this property (the prefix
+    // length 30 is not a multiple of any stride that matters)
+    assert(prefix.length === 30)
+    // edges: shorter-than-window doc = 1 whole-text chunk; empty doc = 0
+    assert(chunksOf(Seq("short")) === Seq(Seq("short")))
+    assert(chunksOf(Seq("")) === Seq(Seq()))
+    // chunks reassemble the document exactly (partition, no gaps/overlap)
+    assert(base.mkString === body && shifted.mkString === prefix + body)
+  }
+
   test("contaminationBloom: row-identical to the exact path, and the prefilter prunes") {
     import org.apache.spark.sql.functions.{col, explode, lit, not, xxhash64}
     val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
