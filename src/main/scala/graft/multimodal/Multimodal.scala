@@ -460,4 +460,134 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  // ------------------------------------------------ audio: RIFF/WAVE PCM16
+
+  /** Deterministic synthetic PCM16 sample: full-wave [-2048, 2047] sweep,
+    * a pure function of (id, index) that the analytic SQL oracle derives
+    * independently.
+    */
+  def wavSample(id: Long, i: Int): Int = ((id * 31 + i.toLong * 7) % 4096 - 2048).toInt
+
+  /** Canonical-form RIFF/WAVE writer (PCM, 16-bit LE): the self-encoded
+    * fixture face of [[decodeWavPcm16]]. Interop with FOREIGN writers is
+    * proven in MultimodalSpec against python's stdlib `wave` module.
+    */
+  def encodeWavPcm16(samples: Array[Int], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    require(samples.length % channels == 0, "sample count must divide by channels")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** REAL RIFF/WAVE PCM16 parser (pure JDK, no javax.sound): validates
+    * the RIFF/WAVE container, WALKS the chunk list (skipping LIST/fact/
+    * any other chunk a foreign writer may emit, honoring the spec's even
+    * padding), requires fmt's audioFormat=1 (PCM) and 16 bits/sample,
+    * and decodes the data chunk's little-endian samples (interleaved if
+    * multi-channel). Anything else → None: undecodable media is
+    * FILTERED, not faked (the same curation contract as [[decodeGray]]).
+    * Returns (sampleRate, channels, samples).
+    */
+  def decodeWavPcm16(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payload.length < 44) return None
+    def ascii(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    def le32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    var off = 12
+    var sampleRate = -1
+    var channels = -1
+    var samples: Array[Int] = null
+    while (off + 8 <= payload.length) {
+      val cid = ascii(off)
+      val csize = le32(off + 4)
+      val body = off + 8
+      if (csize < 0 || body + csize > payload.length) return None
+      cid match {
+        case "fmt " =>
+          if (csize < 16) return None
+          val audioFormat = le16(body)
+          val bits = le16(body + 14)
+          if (audioFormat != 1 || bits != 16) return None
+          channels = le16(body + 2)
+          sampleRate = le32(body + 4)
+        case "data" =>
+          if (csize % 2 != 0) return None
+          samples = Array.tabulate(csize / 2) { i =>
+            (le16(body + 2 * i) << 16) >> 16 // sign-extend
+          }
+        case _ => // LIST, fact, cue, bext, ... — skip per spec
+      }
+      off = body + csize + (csize & 1) // chunks pad to even length
+    }
+    if (sampleRate <= 0 || channels <= 0 || samples == null) None
+    else Some((sampleRate, channels, samples))
+  }
+
+  /** Synthetic WAV corpus: one canonical mono PCM16 file per doc, samples
+    * from [[wavSample]] — decodable stats are analytic in (id, i).
+    */
+  def syntheticWavs(docs: DataFrame, nSamples: Int, sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(nSamples)(i => wavSample(id, i))
+        Row(id, "audio", encodeWavPcm16(samples, sampleRate),
+          Map("format" -> "wav", "sample_rate" -> sampleRate.toString))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL audio feature extraction: parse each payload with
+    * [[decodeWavPcm16]] and emit exact-integer sample stats. Narrow
+    * per-partition kernel, no shuffle; undecodable rows are dropped.
+    */
+  def audioFeatures(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_s", LongType, nullable = false),
+      StructField("min_s", LongType, nullable = false),
+      StructField("max_s", LongType, nullable = false),
+    ))
+    val rdd = mm.select(col("id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        decodeWavPcm16(bytes).map { case (rate, ch, s) =>
+          var sum = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var i = 0
+          while (i < s.length) {
+            sum += s(i)
+            if (s(i) < mn) mn = s(i)
+            if (s(i) > mx) mx = s(i)
+            i += 1
+          }
+          if (s.isEmpty) { mn = 0L; mx = 0L } // zero-sample data chunk
+          Row(id, rate, ch, s.length.toLong, sum, mn, mx)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

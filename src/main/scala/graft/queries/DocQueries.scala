@@ -2030,6 +2030,35 @@ object DocQueries {
         FROM documents WHERE doc_id < 40 ORDER BY id
       """),
     ),
+    // ------------------------------------------------ multimodal REAL audio
+    // RIFF/WAVE PCM16 decode with NO stub and no javax.sound: a pure-JDK
+    // chunk-walking parser (fmt validation, LIST/fact skipping, even
+    // padding, sign-extended LE samples — Multimodal.decodeWavPcm16;
+    // foreign interop vs python's stdlib `wave` writer is
+    // MultimodalSpec-pinned). Fixture payloads are canonical-form WAVs of
+    // the analytic sweep sample(id,i) = (id*31 + i*7) % 4096 - 2048, so
+    // the oracle derives every stat from the formula — a byte-stats fake
+    // reading the RIFF header as audio cannot match the exact sums.
+    Q(
+      "mm_decode_wav",
+      (s, d) =>
+        Multimodal.audioFeatures(
+          Multimodal.syntheticWavs(
+            T(s, d, "documents").filter(col("doc_id") < 40), nSamples = 480))
+          .orderBy(col("id")),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, (doc_id * 31 + t.range * 7) % 4096 - 2048 AS v
+          FROM documents, range(480) t WHERE doc_id < 40
+        )
+        SELECT doc_id AS id, 8000 AS sample_rate, 1 AS channels,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sum_s,
+               CAST(MIN(v) AS BIGINT) AS min_s,
+               CAST(MAX(v) AS BIGINT) AS max_s
+        FROM s GROUP BY doc_id ORDER BY id
+      """),
+    ),
     // ------------------------------------------- multimodal frame sampling
     // Fixed 64-byte frames per payload (the audio/video frame-sample batch
     // shape): one row per frame, features from identical integer sums on

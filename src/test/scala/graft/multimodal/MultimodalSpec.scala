@@ -237,4 +237,90 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
     assert(inCodegen.nonEmpty, plan.toString)
   }
+
+  test("WAV: canonical round-trip; FOREIGN python-wave interop; chunk skipping; rejects") {
+    // 1. self round-trip: encode → decode is the identity
+    val samples = Array.tabulate(300)(i => Multimodal.wavSample(7L, i))
+    val Some((rate, ch, got)) =
+      Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(samples, 8000))
+    assert(rate === 8000 && ch === 1 && got.toSeq === samples.toSeq)
+
+    // 2. FOREIGN writer: python's stdlib `wave` module (an independent
+    //    RIFF implementation) writes stereo PCM16; our parser must read
+    //    it back sample-exact. Same independent-encoder discipline as
+    //    the TIFF/zarr foreign fixtures.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wav")
+    val wavPath = dir.resolve("foreign.wav")
+    val py =
+      s"""
+         |import wave, struct
+         |w = wave.open(${"\"" + wavPath.toString + "\""}, 'wb')
+         |w.setnchannels(2); w.setsampwidth(2); w.setframerate(44100)
+         |frames = b''.join(struct.pack('<hh', (i * 13) % 2048 - 1024, -((i * 7) % 512))
+         |                  for i in range(200))
+         |w.writeframes(frames); w.close()
+         |""".stripMargin
+    val rc = scala.sys.process.Process(Seq("python3", "-c", py)).!(
+      scala.sys.process.ProcessLogger(_ => ()))
+    assert(rc === 0, "python wave writer failed")
+    val foreign = java.nio.file.Files.readAllBytes(wavPath)
+    val Some((fRate, fCh, fS)) = Multimodal.decodeWavPcm16(foreign)
+    assert(fRate === 44100 && fCh === 2 && fS.length === 400)
+    for (i <- 0 until 200) {
+      assert(fS(2 * i) === (i * 13) % 2048 - 1024)
+      assert(fS(2 * i + 1) === -((i * 7) % 512))
+    }
+
+    // 3. chunk walking: an inserted odd-length junk chunk (with its spec
+    //    padding byte) between fmt and data must be skipped cleanly
+    val canon = Multimodal.encodeWavPcm16(samples, 8000)
+    val junkBody = Array[Byte](1, 2, 3) // odd length → 1 pad byte
+    val bb = java.nio.ByteBuffer
+      .allocate(canon.length + 8 + junkBody.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(canon, 0, 36) // RIFF header + fmt chunk
+    bb.put("junk".getBytes("US-ASCII")).putInt(junkBody.length).put(junkBody).put(0.toByte)
+    bb.put(canon, 36, canon.length - 36) // data chunk
+    val withJunk = bb.array()
+    // patch the RIFF size field for the inserted bytes
+    val newRiff = canon.length - 8 + 8 + junkBody.length + 1
+    withJunk(4) = (newRiff & 0xff).toByte; withJunk(5) = ((newRiff >> 8) & 0xff).toByte
+    withJunk(6) = ((newRiff >> 16) & 0xff).toByte; withJunk(7) = ((newRiff >> 24) & 0xff).toByte
+    val Some((_, _, skipped)) = Multimodal.decodeWavPcm16(withJunk)
+    assert(skipped.toSeq === samples.toSeq)
+
+    // 4. rejects: 8-bit sampwidth, non-PCM format tag, truncated, non-WAV
+    val py8 =
+      s"""
+         |import wave
+         |w = wave.open(${"\"" + dir.resolve("w8.wav").toString + "\""}, 'wb')
+         |w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+         |w.writeframes(bytes(range(64))); w.close()
+         |""".stripMargin
+    assert(scala.sys.process.Process(Seq("python3", "-c", py8)).!(
+      scala.sys.process.ProcessLogger(_ => ())) === 0)
+    assert(Multimodal.decodeWavPcm16(
+      java.nio.file.Files.readAllBytes(dir.resolve("w8.wav"))).isEmpty)
+    val nonPcm = canon.clone(); nonPcm(20) = 3 // audioFormat = IEEE float
+    assert(Multimodal.decodeWavPcm16(nonPcm).isEmpty)
+    assert(Multimodal.decodeWavPcm16(canon.take(40)).isEmpty)
+    assert(Multimodal.decodeWavPcm16("not audio at all".getBytes).isEmpty)
+  }
+
+  test("audioFeatures decodes a WAV corpus distributedly (the mm_decode_wav shape)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 10)
+    val out = Multimodal.audioFeatures(Multimodal.syntheticWavs(docs, nSamples = 480))
+      .orderBy(col("id")).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expect = (0 until 480).map(Multimodal.wavSample(id, _))
+      assert(r.getInt(1) === 8000 && r.getInt(2) === 1)
+      assert(r.getLong(3) === 480L)
+      assert(r.getLong(4) === expect.map(_.toLong).sum)
+      assert(r.getLong(5) === expect.min.toLong)
+      assert(r.getLong(6) === expect.max.toLong)
+    }
+  }
 }
