@@ -85,12 +85,14 @@ object Dedup {
     * shared VARIABLE-length passages robust to offset shift.
     *
     * Returns per doc: `n_chunks` and `n_shared_chunks` (distinct chunk
-    * contents appearing in ≥ 2 distinct docs). Whole pipeline is
-    * codegen'd built-ins (sequence/transform/substr/md5) — the boundary
-    * rule is deliberately md5 so DuckDB replays it verbatim; the O(w·n)
-    * digest cost is the md5-window discipline duplicateSpans uses, and
-    * the same rolling-hash swap (graft_window_fps) applies at 100 TB
-    * where hashing throughput matters more than oracle replayability.
+    * contents appearing in ≥ 2 distinct docs). The chunker is the
+    * codegen'd single-pass [[graft.functions.CdcChunks]] kernel — the
+    * boundary rule is deliberately md5 so DuckDB replays it verbatim,
+    * and DedupSpec pins the kernel chunk-for-chunk against an
+    * independent built-in-HOF formulation of the same rule. The O(w·n)
+    * digest cost is the md5-window discipline duplicateSpans uses; the
+    * same rolling-hash swap (gear hashing) applies at 100 TB where
+    * hashing throughput matters more than oracle replayability.
     * Counting only — no pair stream, nothing quadratic in doc count:
     * one distinct over (doc, chunk-hash), one count per hash, one
     * rollup per doc.
@@ -101,20 +103,14 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
   ): DataFrame = {
-    val len = length(col(textCol))
-    // 1-based end positions of candidate windows; Spark's sequence()
-    // DESCENDS when stop < start, so short docs need the explicit guard
-    val positions = when(len >= w, sequence(lit(w), len))
-      .otherwise(array().cast("array<int>"))
-    val bounds = filter(positions, p =>
-      md5(col(textCol).substr(p - (w - 1), lit(w)).cast("binary")).startsWith("0"))
-    val starts = concat(array(lit(1)), transform(bounds, b => b + 1))
-    val ends = concat(bounds, array(len))
-    val chunks = filter(
-      zip_with(starts, ends, (s, e) =>
-        when(e >= s, col(textCol).substr(s, e - s + 1))),
-      c => c.isNotNull)
-    val chunked = docs.select(col(idCol), chunks.as("chunks"))
+    // the chunker is the native single-pass kernel (one reused digest,
+    // byte-range hashing — CdcKernels); DedupSpec pins it chunk-for-chunk
+    // against the built-in-HOF formulation of the same boundary rule,
+    // which costs ~10× in per-window UTF8String + MessageDigest churn
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val chunked = docs.select(
+      col(idCol),
+      graft.functions.GraftFunctions.cdcChunks(col(textCol), w).as("chunks"))
     val docChunk = chunked
       .select(col(idCol), explode(col("chunks")).as("c"))
       .select(col(idCol), md5(col("c").cast("binary")).as("h"))

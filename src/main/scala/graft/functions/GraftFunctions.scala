@@ -47,6 +47,7 @@ object GraftFunctions {
   val PqNrmName = "graft_pq_nrm"
   val BloomMightContainName = "graft_bloom_might_contain"
   val BloomAggName = "graft_bloom_agg"
+  val CdcChunksName = "graft_cdc_chunks"
 
   // the centroid matrix arrives as a foldable ARRAY<ARRAY<DOUBLE>> literal
   // and is frozen into the expression at build time (a plan constant)
@@ -264,6 +265,10 @@ object GraftFunctions {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children(0), children(1), children(2)).toAggregateExpression()
       }),
+    (CdcChunksName, classOf[CdcChunks].getName, { children: Seq[Expression] =>
+      require(children.size == 2, s"$CdcChunksName takes (text, w)")
+      CdcChunks(children.head, intLitOf(children(1), CdcChunksName, "w"))
+    }),
   )
 
   private def intLitOf(e: Expression, fn: String, what: String): Int = e match {
@@ -401,6 +406,10 @@ object GraftFunctions {
     */
   def bloomAgg(hashed: Column, estimatedNumItems: Long, numBits: Long): Column =
     call_function(BloomAggName, hashed, lit(estimatedNumItems), lit(numBits))
+
+  /** Content-defined chunks of a text column (see [[CdcChunks]]). */
+  def cdcChunks(text: Column, w: Int): Column =
+    call_function(CdcChunksName, text, lit(w))
 
   /** 64-bit perceptual dHash of an image payload (see [[DHash64]]). */
   def dhash64(payload: Column): Column = call_function(DHashName, payload)

@@ -451,10 +451,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("cdcChunkStats: boundaries are content-defined (offset-shift robust), edges handled") {
-    import org.apache.spark.sql.functions.{col, explode, length, lit, md5, when, sequence, array, filter => afilter, transform => atransform, concat, zip_with, size}
+    import org.apache.spark.sql.functions.{col, length, lit, md5, when, sequence, array, filter => afilter, transform => atransform, concat, zip_with}
     import spark.implicits._
-    // reimplement just the chunker column to inspect chunk CONTENTS
+    // the REGISTERED chunker: the native single-pass CdcChunks kernel
     def chunksOf(texts: Seq[String]): Seq[Seq[String]] = {
+      graft.functions.GraftFunctions.register(spark)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      df.orderBy("doc_id")
+        .select(graft.functions.GraftFunctions.cdcChunks(col("text"), 8))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+    }
+    // INDEPENDENT formulation of the identical boundary rule in pure
+    // built-ins (sequence/substr/md5 HOFs) — the kernel must match it
+    // chunk-for-chunk (incl. multi-byte UTF-8, where char-defined
+    // windows and byte-range hashing must agree)
+    def chunksOfHof(texts: Seq[String]): Seq[Seq[String]] = {
       val w = 8
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       val len = length(col("text"))
@@ -471,6 +482,11 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // a long pseudo-random ASCII body with enough entropy for boundaries
     val body = (0 until 2000).map(i => ((i * 131 + 7) % 83 + 40).toChar).mkString
     val prefix = "PREFIXED DIFFERENT LEAD-IN @@ "
+    // kernel == independent HOF formulation, chunk-for-chunk — incl. a
+    // multi-byte UTF-8 doc (é/中/emoji) where byte offsets != char offsets
+    val utf8Doc = "héllo wörld 中文测试 🌍 " + body.take(300) + " ünïcode tail"
+    val fixture = Seq(body, prefix + body, utf8Doc, "short", "")
+    assert(chunksOf(fixture) === chunksOfHof(fixture))
     val Seq(base, shifted) = chunksOf(Seq(body, prefix + body))
     assert(base.length > 5, s"fixture produced only ${base.length} chunks")
     // CONTENT-DEFINED: every chunk of the body except the first must
