@@ -7,13 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column support: image/audio/video as opaque `BinaryType`
   * payloads with typed metadata, plus distributed feature extraction.
   *
-  * The Spark-side plumbing — schema, partition-parallel batch kernels,
-  * output shape — is real and tested. IMAGE decode is REAL: the JDK's
-  * `javax.imageio` readers (PNG/BMP/GIF/JPEG — no external dependency)
-  * run inside the per-partition kernels ([[decodeGray]] /
-  * [[imageFeatures]]). [[decodeStub]] remains only as the no-codec
-  * fallback for payloads no installed reader recognizes (text standing
-  * in for media, or codecs the JRE lacks, e.g. audio/video containers).
+  * ALL THREE modalities decode for REAL, no external dependency:
+  * IMAGE via the JDK's `javax.imageio` readers (PNG/BMP/GIF/JPEG —
+  * [[decodeGray]] / [[imageFeatures]]), AUDIO via the pure-JDK
+  * chunk-walking RIFF/WAVE PCM16 parser ([[decodeWavPcm16]] /
+  * [[audioFeatures]]), VIDEO via the pure-JDK AVI container parser
+  * over uncompressed 24-bit DIB frames ([[decodeAviRgb24]] /
+  * [[videoFrameFeatures]]). Each is foreign-interop-tested against an
+  * independent encoder (JDK writers / python stdlib `wave` /
+  * tools/gen_avi_fixture.py). [[decodeStub]] remains only as the
+  * no-codec fallback for payloads no parser recognizes (text standing
+  * in for media, or compressed codecs the JRE lacks, e.g. H.264/MP3 —
+  * undecodable media is FILTERED, not faked).
   */
 object Multimodal {
 
@@ -551,6 +556,181 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  // --------------------------------------- video: AVI (RIFF) + raw DIB
+
+  /** Deterministic synthetic video byte: a pure function of
+    * (id, frame, byte index) the analytic SQL oracle derives
+    * independently — one value per BGR byte of the frame.
+    */
+  def aviByte(id: Long, frame: Int, i: Int): Int =
+    ((id * 31 + frame.toLong * 17 + i.toLong * 7) % 256).toInt
+
+  /** Canonical-form AVI writer: RIFF('AVI ') → LIST('hdrl'){avih,
+    * LIST('strl'){strh,strf=BITMAPINFOHEADER}} → LIST('movi') with one
+    * '00db' chunk per uncompressed 24-bit DIB frame (bottom-up rows,
+    * BGR, rows padded to 4 bytes — the actual DIB layout, so the parser
+    * must really handle it). The self-encoded fixture face of
+    * [[decodeAviRgb24]]; foreign interop is MultimodalSpec-pinned
+    * against tools/gen_avi_fixture.py, an independent pure-struct
+    * python writer.
+    */
+  def encodeAviRgb24(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) & ~3
+    require(frames.forall(_.length == rowBytes * h),
+      s"each frame must be $rowBytes*$h top-down BGR bytes")
+    val frameDib = frames.map { f =>
+      // top-down logical rows → bottom-up padded DIB rows
+      val out = new Array[Byte](stride * h)
+      for (y <- 0 until h)
+        System.arraycopy(f, y * rowBytes, out, (h - 1 - y) * stride, rowBytes)
+      out
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(id.getBytes("US-ASCII")); b.write(le32(body.length)); b.write(body)
+      if (body.length % 2 == 1) b.write(0)
+      b.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val frameBytes = stride * h
+    val avih = le32(1000000 / fps) ++ le32(frameBytes * fps) ++ le32(0) ++ le32(0x10) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(frameBytes) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++
+      le32(0) ++ le32(frames.length) ++ le32(frameBytes) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(frameBytes) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frameDib.map(chunk("00db", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** REAL AVI/RIFF video parser (pure JDK): validates RIFF('AVI '),
+    * walks LIST('hdrl') for avih (dims, rate) and strf (24-bit
+    * uncompressed DIB required), then LIST('movi') for '00db'/'00dc'
+    * frame chunks — each decoded from bottom-up padded DIB rows back to
+    * top-down BGR bytes. JUNK and unknown chunks skip per spec (even
+    * padding); anything non-raw-DIB → None: undecodable media is
+    * filtered, not faked. Returns (w, h, microSecPerFrame, frames).
+    */
+  def decodeAviRgb24(payload: Array[Byte]): Option[(Int, Int, Int, Seq[Array[Int]])] = {
+    if (payload.length < 24) return None
+    def ascii(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    def le32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    if (ascii(0) != "RIFF" || ascii(8) != "AVI ") return None
+    var w = -1; var h = -1; var usPerFrame = -1
+    var dibOk = false
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    // walk chunks, descending into LISTs (hdrl, strl, movi)
+    def walk(from: Int, to: Int): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val cid = ascii(off)
+        val csize = le32(off + 4)
+        val body = off + 8
+        if (csize < 0 || body + csize > to) return false
+        cid match {
+          case "LIST" =>
+            if (csize < 4) return false
+            if (!walk(body + 4, body + csize)) return false
+          case "avih" =>
+            if (csize < 40) return false
+            usPerFrame = le32(body)
+            w = le32(body + 32); h = le32(body + 36)
+          case "strf" =>
+            // BITMAPINFOHEADER: biBitCount at +14, biCompression at +16
+            if (csize >= 20 && le16(body + 14) == 24 && le32(body + 16) == 0) dibOk = true
+          case "00db" | "00dc" =>
+            if (w <= 0 || h <= 0 || !dibOk) return false
+            val stride = (w * 3 + 3) & ~3
+            if (csize != stride * h) return false
+            val f = new Array[Int](w * 3 * h)
+            for (y <- 0 until h; i <- 0 until w * 3)
+              f(y * w * 3 + i) = payload(body + (h - 1 - y) * stride + i) & 0xff
+            frames += f
+          case _ => // JUNK, idx1, strh, vprp, ... — skip
+        }
+        off = body + csize + (csize & 1)
+      }
+      true
+    }
+    if (!walk(12, payload.length)) return None
+    if (w <= 0 || h <= 0 || usPerFrame <= 0 || !dibOk || frames.isEmpty) None
+    else Some((w, h, usPerFrame, frames.toSeq))
+  }
+
+  /** Synthetic AVI corpus: one canonical raw-DIB video per doc, every
+    * frame byte from [[aviByte]] — stats are analytic in (id, f, i).
+    */
+  def syntheticAvis(docs: DataFrame, nFrames: Int, w: Int, h: Int, fps: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = (0 until nFrames).map(f =>
+          Array.tabulate(w * 3 * h)(i => aviByte(id, f, i).toByte))
+        Row(id, "video", encodeAviRgb24(frames, w, h, fps),
+          Map("format" -> "avi", "fps" -> fps.toString))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL video feature extraction: parse each payload with
+    * [[decodeAviRgb24]] and emit exact-integer per-FRAME pixel stats —
+    * the decode → frame → feature batch shape with nothing stubbed.
+    * Narrow per-partition kernel, no shuffle; undecodable rows dropped.
+    */
+  def videoFrameFeatures(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("min_b", LongType, nullable = false),
+      StructField("max_b", LongType, nullable = false),
+    ))
+    val rdd = mm.select(col("id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        decodeAviRgb24(bytes).toSeq.flatMap { case (w, h, _, frames) =>
+          frames.zipWithIndex.map { case (f, idx) =>
+            var sum = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var i = 0
+            while (i < f.length) {
+              sum += f(i)
+              if (f(i) < mn) mn = f(i)
+              if (f(i) > mx) mx = f(i)
+              i += 1
+            }
+            if (f.isEmpty) { mn = 0L; mx = 0L }
+            Row(id, idx, w, h, f.length.toLong, sum, mn, mx)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** REAL audio feature extraction: parse each payload with

@@ -2059,6 +2059,37 @@ object DocQueries {
         FROM s GROUP BY doc_id ORDER BY id
       """),
     ),
+    // ------------------------------------------------ multimodal REAL video
+    // AVI/RIFF decode with NO stub: a pure-JDK container parser walks
+    // hdrl (avih dims/rate, strf 24-bit uncompressed DIB required) and
+    // movi ('00db' frames, bottom-up padded DIB rows flipped back to
+    // top-down BGR — Multimodal.decodeAviRgb24; foreign interop vs an
+    // independent python struct writer incl. JUNK/idx1 chunks is
+    // MultimodalSpec-pinned). Fixture frames are the analytic byte sweep
+    // aviByte(id,f,i) = (id*31 + f*17 + i*7) % 256, so the oracle
+    // derives every per-frame stat from the formula — container headers
+    // fed to a byte-stats fake cannot match the exact sums.
+    Q(
+      "mm_decode_avi",
+      (s, d) =>
+        Multimodal.videoFrameFeatures(
+          Multimodal.syntheticAvis(
+            T(s, d, "documents").filter(col("doc_id") < 40), nFrames = 3, w = 16, h = 4))
+          .orderBy(col("id"), col("frame_idx")),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, f.range AS fi, (doc_id * 31 + f.range * 17 + t.range * 7) % 256 AS v
+          FROM documents, range(3) f, range(192) t WHERE doc_id < 40
+        )
+        SELECT doc_id AS id, CAST(fi AS INT) AS frame_idx,
+               16 AS width, 4 AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_bytes,
+               CAST(SUM(v) AS BIGINT) AS sum_b,
+               CAST(MIN(v) AS BIGINT) AS min_b,
+               CAST(MAX(v) AS BIGINT) AS max_b
+        FROM b GROUP BY doc_id, fi ORDER BY id, frame_idx
+      """),
+    ),
     // ------------------------------------------- multimodal frame sampling
     // Fixed 64-byte frames per payload (the audio/video frame-sample batch
     // shape): one row per frame, features from identical integer sums on

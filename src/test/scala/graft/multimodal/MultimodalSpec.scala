@@ -307,6 +307,66 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeWavPcm16("not audio at all".getBytes).isEmpty)
   }
 
+  test("AVI: canonical round-trip incl. padded stride; FOREIGN python fixture; rejects") {
+    // 1. self round-trip at a PADDED width (w=5 → row 15, stride 16):
+    //    bottom-up flip + padding must reproduce top-down bytes exactly
+    val (w, h) = (5, 3)
+    val frames = (0 until 2).map(f => Array.tabulate(w * 3 * h)(i => ((f * 50 + i) % 256).toByte))
+    val Some((dw, dh, us, got)) =
+      Multimodal.decodeAviRgb24(Multimodal.encodeAviRgb24(frames, w, h, fps = 10))
+    assert(dw === w && dh === h && us === 100000)
+    assert(got.length === 2)
+    got.zip(frames).foreach { case (g, e) =>
+      assert(g.toSeq === e.map(_ & 0xff).toSeq)
+    }
+
+    // 2. FOREIGN fixture: independent python struct writer with JUNK +
+    //    idx1 chunks and its own byte formula — parse sample-exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_avi")
+    val avi = dir.resolve("foreign.avi")
+    val rc = scala.sys.process.Process(Seq(
+      "python3", "tools/gen_avi_fixture.py", avi.toString, "7", "5", "4", "25")).!(
+      scala.sys.process.ProcessLogger(_ => ()))
+    assert(rc === 0, "gen_avi_fixture.py failed")
+    val Some((fw, fh, fus, ff)) =
+      Multimodal.decodeAviRgb24(java.nio.file.Files.readAllBytes(avi))
+    assert(fw === 7 && fh === 5 && fus === 1000000 / 25 && ff.length === 4)
+    for (f <- 0 until 4; i <- 0 until 7 * 3 * 5)
+      assert(ff(f)(i) === (7 * f + 3 * i) % 251, s"frame $f byte $i")
+
+    // 3. rejects: compressed stream (biCompression != 0), wrong frame
+    //    size, truncated, non-AVI RIFF (a WAV), garbage
+    val canon = Multimodal.encodeAviRgb24(frames, w, h, fps = 10)
+    // strf's biCompression field: locate the strf chunk by FourCC; its
+    // body (BITMAPINFOHEADER) starts at +8, biCompression at body+16
+    val strfOff = canon.indexOfSlice("strf".getBytes("US-ASCII"))
+    assert(strfOff > 0)
+    val rle = canon.clone(); rle(strfOff + 8 + 16) = 1
+    assert(Multimodal.decodeAviRgb24(rle).isEmpty)
+    assert(Multimodal.decodeAviRgb24(canon.take(60)).isEmpty)
+    assert(Multimodal.decodeAviRgb24(
+      Multimodal.encodeWavPcm16(Array(1, 2, 3), 8000)).isEmpty)
+    assert(Multimodal.decodeAviRgb24("definitely not a video".getBytes).isEmpty)
+  }
+
+  test("videoFrameFeatures decodes an AVI corpus distributedly (the mm_decode_avi shape)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 8)
+    val out = Multimodal.videoFrameFeatures(
+        Multimodal.syntheticAvis(docs, nFrames = 3, w = 16, h = 4))
+      .orderBy(col("id"), col("frame_idx")).collect()
+    assert(out.length === 24)
+    out.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(1)
+      val expect = (0 until 192).map(Multimodal.aviByte(id, f, _))
+      assert(r.getInt(2) === 16 && r.getInt(3) === 4)
+      assert(r.getLong(4) === 192L)
+      assert(r.getLong(5) === expect.map(_.toLong).sum)
+      assert(r.getLong(6) === expect.min.toLong)
+      assert(r.getLong(7) === expect.max.toLong)
+    }
+  }
+
   test("audioFeatures decodes a WAV corpus distributedly (the mm_decode_wav shape)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 10)
