@@ -268,5 +268,10 @@ object PlanAudit {
     // sort. A 6th exchange would mean a pair stream appeared — the
     // shape content-defined chunk COUNTING exists to avoid
     "doc_cdc_dedup" -> 5,
+    // bigram LM scoring: unigram agg, bigram agg, the two count joins'
+    // stream sides, per-doc rollup, output sort — counter-state
+    // aggregations and hash joins only. A 7th exchange would mean the
+    // model counts stopped being single-pass aggregations
+    "doc_lm_score" -> 6,
   )
 }

@@ -1424,6 +1424,42 @@ object DocQueries {
         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
       """),
     ),
+    // ------------------------------------------------- n-gram LM scoring
+    // The CCNet/KenLM-family perplexity quality filter on a
+    // corpus-trained add-one bigram model: score = Σ ln((c(ab)+1)/(c(a)+V))
+    // over bigram OCCURRENCES (a language model, not a df table — the
+    // counting cousin doc_bigram_novelty stays integer-exact; this is
+    // the real log-probability). Fx e4 fixed point: both engines sum
+    // identical exact-integer log ratios, only accumulation order
+    // differs (~1e-13 abs error vs the 5e-5 half-boundary margin — the
+    // entropy_e4 discipline).
+    Q(
+      "doc_lm_score",
+      (s, d) => TextAnalysis.lmScore(T(s, d, "documents")),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        uni AS (SELECT tok, COUNT(*) AS ca FROM tok GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+        bg AS (
+          SELECT doc_id,
+                 w[i] AS tok,
+                 w[i] || ' ' || w[i + 1] AS g
+          FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+        ),
+        bi AS (SELECT g, COUNT(*) AS cab FROM bg GROUP BY 1),
+        per AS (
+          SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                 SUM(ln((bi.cab + 1)::DOUBLE / (uni.ca + v.v)::DOUBLE)) AS score
+          FROM bg JOIN bi USING (g) JOIN uni USING (tok) CROSS JOIN v
+          GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(CAST(ROUND(per.score * 10000) AS BIGINT), 0) AS BIGINT) AS score_e4
+        FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
+      """),
+    ),
     // ------------------------------------------------------ corpus mixing
     // Deterministic source-balanced downsampling (operators/Mixing): docs
     // rank inside their source by md5(doc_id) — the splitColumn order —

@@ -189,6 +189,69 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Per-document BIGRAM-LM score — the CCNet/KenLM-family perplexity
+    * quality filter (Wenzek et al., "CCNet", LREC 2020) re-expressed on
+    * a corpus-trained model with add-one smoothing:
+    *
+    *   score(doc) = Σ_{(a,b) ∈ doc bigram OCCURRENCES} ln( (c(a,b)+1) / (c(a)+V) )
+    *
+    * where c(·) are corpus-wide token-occurrence counts and V the
+    * corpus vocabulary size. Very negative per-bigram scores mark
+    * improbable text (gibberish, wrong-language, OCR noise); scores
+    * near zero mark template/boilerplate — the two tails real pipelines
+    * cut. `n_bigrams` rides along so consumers can normalize to
+    * per-token log-perplexity.
+    *
+    * Published as Fx e4 fixed point: the log SUM's order differs across
+    * engines at ulps (the mm_byte_features entropy discipline — every
+    * input to ln is an exact integer ratio identical on both engines,
+    * only the accumulation order varies, so the absolute error is
+    * ~1e-13 against a 5e-5 rounding half-boundary margin).
+    *
+    * Scale shape: unigram + bigram count tables are ONE map-side-
+    * combined aggregation each over the token/bigram streams (counter
+    * state only); the corpus bigram stream then joins its two count
+    * tables (hash joins on the gram keys — broadcastable when the
+    * vocabulary is, shuffled joins otherwise) and one per-doc rollup
+    * sums the logs. V is a scalar aggregate broadcast into the
+    * expression. Nothing collects, nothing is quadratic.
+    */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val w = tokens(col(textCol))
+    // token-OCCURRENCE stream (no distinct — this is a language model,
+    // not a df table); same codegen'd zip-slice bigram build as
+    // bigramNovelty, keeping the history token as its own column
+    val toks = docs.select(explode(w).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("ca"))
+    val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+    val grams = docs.select(col(idCol),
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))).as("a"),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))).as("b"))
+      .select(col(idCol), explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col(idCol), col("p.a").as("tok"), concat_ws(" ", col("p.a"), col("p.b")).as("g"))
+    val bi = grams.groupBy(col("g")).agg(count(lit(1)).as("cab"))
+    val perDoc = grams
+      .join(bi, Seq("g"))
+      .join(uni, Seq("tok"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(log((col("cab") + 1).cast("double") / (col("ca") + col("v")).cast("double")))
+          .as("score"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("score") * 10000).cast("bigint"), lit(0L)).as("score_e4"))
+      .orderBy(col(idCol))
+  }
+
   /** WITHIN-document repetition signals — the Gopher quality-filter
     * family (Rae et al. 2021 §A1.1: fraction of tokens in the most
     * frequent n-gram, duplicate-n-gram fraction), integer-exact:

@@ -99,4 +99,56 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
     assert(!plan.contains("Generate"), plan)
   }
+
+  test("lmScore: third-implementation check on a hand corpus; edges; e4 margin audit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: ab, ba, ab, bc
+      (2L, "a b"),       // bigram: ab
+      (3L, "x"),         // no bigrams
+      (4L, ""),          // split("") = [""] → one token, no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side recomputation (a third, independent implementation)
+    val toks = Seq("a", "b", "a", "b", "c", "a", "b", "x", "")
+    val ca = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = toks.distinct.size.toLong
+    val cab = Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L)
+    def ln(g: String, a: String) = math.log((cab(g) + 1).toDouble / (ca(a) + v).toDouble)
+    val s1 = ln("a b", "a") + ln("b a", "b") + ln("a b", "a") + ln("b c", "b")
+    val s2 = ln("a b", "a")
+    assert(got(1L) === ((4L, math.round(s1 * 10000))))
+    assert(got(2L) === ((1L, math.round(s2 * 10000))))
+    assert(got(3L) === ((0L, 0L)))
+    assert(got(4L) === ((0L, 0L)))
+    // e4 rounding margin on the real corpus: every score must sit far
+    // from a rounding half-boundary relative to cross-engine float
+    // accumulation noise (~1e-13 abs) — the entropy_e4 discipline
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // recompute the raw double via the same pipeline minus rounding
+    val scores = {
+      import org.apache.spark.sql.functions._
+      val toksC = corpus.select(explode(split(col("text"), " ")).as("tok"))
+      val uni = toksC.groupBy(col("tok")).agg(count(lit(1)).as("ca"))
+      val vocab = toksC.agg(countDistinct(col("tok")).as("v"))
+      val wcol = split(col("text"), " ")
+      val grams = corpus.select(col("doc_id"),
+          slice(wcol, lit(1), greatest(size(wcol) - 1, lit(0))).as("a"),
+          slice(wcol, lit(2), greatest(size(wcol) - 1, lit(0))).as("b"))
+        .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+        .select(col("doc_id"), col("p.a").as("tok"), concat_ws(" ", col("p.a"), col("p.b")).as("g"))
+      val bi = grams.groupBy(col("g")).agg(count(lit(1)).as("cab"))
+      grams.join(bi, Seq("g")).join(uni, Seq("tok")).crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(sum(log((col("cab") + 1).cast("double") / (col("ca") + col("v")).cast("double"))).as("s"))
+        .select(col("s")).collect().map(_.getDouble(0))
+    }
+    val minMargin = scores.map { s =>
+      val x = math.abs(s * 10000)
+      math.abs(x - math.floor(x) - 0.5)
+    }.min
+    info(f"min distance to an e4 half-boundary: $minMargin%.3e over ${scores.length} docs")
+    assert(minMargin > 1e-9, f"half-boundary margin $minMargin%.3e too small for e4 rounding")
+  }
 }
