@@ -116,11 +116,11 @@ def render(bench_name, vol, tot, summary):
         rows.append(f"| ×15 streaming upscale → 1.04 TB logical | {REF_X15} s | {cell} |")
 
     lines = [
-        f"Numbers are DRIVER-measured ({bench_name}, local[32], sf0.1);",
+        f"Numbers measured from {bench_name} (local[32], sf0.1);",
         f"aggregation rule: {agg.replace('_', '-')} (per-run samples ship",
         "alongside as `<name>_runN` in the bench JSON).",
         "",
-        "| Flow | Reference | This engine (driver-measured) |",
+        "| Flow | Reference | This engine (measured) |",
         "|---|---|---|",
         *rows,
     ]
