@@ -1909,6 +1909,36 @@ object DocQueries {
         FROM embeddings ORDER BY id_a, id_b
       """),
     ),
+    // --------------------------- STREAMING semantic dedup vs the index
+    // The production intake shape: an arriving vector shard streams
+    // against the PERSISTED IVF index with ZERO streaming state —
+    // plan-constant centroid routing, a stateless stream-static join to
+    // the stored lists, per-row cosine filter
+    // (streaming/EmbeddingStreams.dedupAgainstIndex;
+    // EmbeddingStreamsSpec proves stream==batch under MemoryStream and
+    // pins stateOperators == 0). This is the batch face: arrivals = an
+    // exact copy of the corpus under shifted ids, index = the corpus —
+    // identical vectors route to the identical list (assignment is a
+    // pure function of the vector), so every arrival flags exactly its
+    // original at cos = 1 ≫ the originals' max pairwise 0.51.
+    Q(
+      "emb_stream_dedup",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val idx = sys.props("java.io.tmpdir") + "/graft_ivf/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Ann.inputFingerprint(emb)
+        if (!new java.io.File(s"$idx/lists/_SUCCESS").exists())
+          Ann.buildIvfIndex(emb, dim = 64, nLists = 16, path = idx)
+        graft.streaming.EmbeddingStreams.dedupAgainstIndex(
+            emb.withColumn("vec_id", col("vec_id") + DupOffset), s, idx, threshold = 0.999)
+          .select(col("vec_id"), col("dup_id"))
+          .orderBy(col("vec_id"), col("dup_id"))
+      },
+      Some(s"""
+        SELECT vec_id + $DupOffset AS vec_id, vec_id AS dup_id
+        FROM embeddings ORDER BY vec_id, dup_id
+      """),
+    ),
     // -------------------------------- semantic (embedding-cluster) dedup
     // SemDeDup-style within-centroid cosine pruning reusing the IVF
     // quantizer (Ann.trainCentroids — deterministic, no RNG). Identical
