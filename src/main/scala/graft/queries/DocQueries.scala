@@ -1826,6 +1826,51 @@ object DocQueries {
         FROM embeddings WHERE vec_id < 10 ORDER BY query_id
       """),
     ),
+    // -------------------------------------- IVF index SHARD APPEND
+    // The index-maintenance lifecycle: build on the first shard (even
+    // vec_ids), APPEND the second (odd vec_ids) through the FROZEN
+    // stored quantizer — no retraining, no rewrite of existing rows
+    // (Ann.appendToIvfIndex; AnnSpec pins centroid immutability and
+    // disk-assignment == independent recomputation). Queries then run
+    // against the appended index exactly as against a monolithic one:
+    // same pruning, same kernels, same recall floor vs exact brute
+    // force over the FULL corpus. The _APPENDED marker makes the
+    // non-idempotent append run once per data fingerprint.
+    Q(
+      "emb_ivf_appended",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val idx = sys.props("java.io.tmpdir") + "/graft_ivf_app/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Ann.inputFingerprint(emb)
+        if (!new java.io.File(s"$idx/_APPENDED").exists()) {
+          // a partial build without the marker must rebuild from scratch,
+          // never double-append
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(idx))
+          Ann.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), dim = 64, nLists = 16, path = idx)
+          Ann.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), path = idx)
+          new java.io.File(s"$idx/_APPENDED").createNewFile()
+        }
+        // nProbe 8, not the monolithic gates' 4: the shard-append
+        // lifecycle keeps the quantizer trained on the FIRST shard
+        // only, so later-shard neighbors scatter across more lists —
+        // the standard IVF response is probing more of them (the
+        // recall/cost dial emb_ivf_recall_curve pins as monotone), and
+        // at probe 8 the appended index holds the same 0.4 floor as
+        // every other index gate at both harness scales
+        Ann.recallVsExact(
+          Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5),
+          Ann.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 10), k = 5, nProbe = 8),
+          k = 5, recallFloor = 0.4)
+      },
+      Some("""
+        SELECT vec_id AS query_id, true AS recall_floor_met
+        FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+      """),
+    ),
     // ------------------------------- SQ8-quantized persisted IVF index
     // The storage-scale variant of emb_ivf_persisted: list rows carry
     // one-byte-per-component SQ8 codes (+ per-vector lo/hi and the

@@ -697,6 +697,39 @@ object Ann {
     spark.read.parquet(s"$path/centroids").orderBy(col("list_id"))
       .select(col("centroid")).collect().map(_.getSeq[Double](0).toArray)
 
+  /** APPEND a new shard to a [[buildIvfIndex]]-persisted index WITHOUT
+    * retraining — the index-maintenance half of the build-once contract.
+    * A 100 TB corpus lands in shards; re-clustering the world per shard
+    * would invalidate every stored assignment, so production IVF
+    * systems freeze the quantizer and route new vectors through it
+    * (exactly like the frozen BPE merge table: train once, apply
+    * forever; re-train is a deliberate full rebuild). Assignment uses
+    * the STORED centroids as a plan constant; the shard's rows append
+    * to the hive-partitioned lists, so queries pick the new vectors up
+    * with no change anywhere — the probed-list pruning, kernels, and
+    * tie-breaks are oblivious to which build wrote a row.
+    *
+    * NOT idempotent (append twice = rows twice): callers own the
+    * applied-shards bookkeeping, e.g. the gate query's `_APPENDED`
+    * marker protocol. AnnSpec pins quantizer immutability under append
+    * and that disk assignment == an independent recomputation.
+    */
+  def appendToIvfIndex(
+      shard: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Unit = {
+    import graft.functions.GraftFunctions
+    val spark = shard.sparkSession
+    GraftFunctions.register(spark)
+    val centroids = loadIvfCentroids(spark, path)
+    shard.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
   /** ANN top-k against a [[buildIvfIndex]]-persisted index. The probed
     * list ids collect to the driver (bounded by |queries|·nProbe ints) and
     * become a partition-pruning filter on the lists scan — only probed

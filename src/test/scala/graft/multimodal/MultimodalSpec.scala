@@ -367,6 +367,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("media parsers never throw on hostile bytes (fuzz: wild corpora contain garbage)") {
+    // deterministic xorshift fuzz corpus: random blobs, truncations of
+    // VALID media at every interesting boundary, and bit-flipped valid
+    // media — a decoder that throws instead of returning None/null would
+    // kill a 100 TB scan on its first corrupt object
+    var seed = 0x9e3779b97f4a7c15L
+    def nextBytes(n: Int): Array[Byte] = Array.fill(n) {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      seed.toByte
+    }
+    val wav = Multimodal.encodeWavPcm16(Array.tabulate(100)(Multimodal.wavSample(3L, _)), 8000)
+    val avi = Multimodal.encodeAviRgb24(
+      Seq(Array.tabulate(48)(i => Multimodal.aviByte(3L, 0, i).toByte)), 4, 4, 10)
+    val png = Multimodal.encodeImage(3L, 5, 4, "png")
+    val cases: Seq[Array[Byte]] =
+      (0 until 200).map(_ => nextBytes(1 + (seed.toInt & 0x3ff).abs)) ++
+        (0 until wav.length by 7).map(wav.take) ++
+        (0 until avi.length by 11).map(avi.take) ++
+        (0 until png.length by 13).map(png.take) ++
+        Seq(wav, avi, png).flatMap { v =>
+          (0 until v.length by 17).map { i =>
+            val m = v.clone(); m(i) = (m(i) ^ 0x5a).toByte; m
+          }
+        } ++
+        Seq(Array.emptyByteArray)
+    cases.foreach { bytes =>
+      // must complete without throwing; Option/None and null are both fine
+      Multimodal.decodeWavPcm16(bytes)
+      Multimodal.decodeAviRgb24(bytes)
+      Multimodal.decodeGray(bytes)
+      Multimodal.dhash64(bytes)
+    }
+    assert(cases.length > 300)
+  }
+
   test("audioFeatures decodes a WAV corpus distributedly (the mm_decode_wav shape)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 10)

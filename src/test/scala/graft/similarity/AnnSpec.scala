@@ -188,4 +188,37 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getBoolean(1))
     assert(strict.length === 10 && strict.forall(!_))
   }
+
+  test("appendToIvfIndex: frozen quantizer, disk assignment == recomputation, search sees all") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val shard = emb.filter(col("vec_id") % 2 === 1)
+    Ann.buildIvfIndex(base, dim = 64, nLists = 16, path = idx)
+    val before = Ann.loadIvfCentroids(spark, idx)
+    Ann.appendToIvfIndex(shard, path = idx)
+    // 1. append must NOT touch the quantizer (the frozen-table contract)
+    val after = Ann.loadIvfCentroids(spark, idx)
+    assert(before.length === after.length)
+    before.zip(after).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // 2. every corpus id is on disk exactly once, in exactly the list an
+    //    independent recomputation with the stored centroids assigns
+    graft.functions.GraftFunctions.register(spark)
+    val onDisk = spark.read.parquet(s"$idx/lists")
+      .select(col("id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val recomputed = emb.select(col("vec_id"),
+        graft.functions.GraftFunctions.nearestCentroid(
+          col("embedding").cast("array<double>"), before).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(onDisk.size === recomputed.size) // no duplicates, no misses
+    assert(onDisk === recomputed)
+    // 3. search over the appended index ranks appended vectors too: an
+    //    odd id's exact duplicate... the corpus has none, so assert the
+    //    weaker-but-real property that top-k results INCLUDE odd
+    //    (appended) neighbors for at least one audited query
+    val topk = Ann.ivfTopKFromIndex(spark, idx, emb.filter(qf), k, nProbe = 4)
+      .select(col("neighbor_id")).collect().map(_.getLong(0))
+    assert(topk.exists(_ % 2 === 1), "appended (odd) vectors never surfaced in search")
+  }
 }
