@@ -372,6 +372,62 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** REMOVE duplicated spans — the curation action behind
+    * [[duplicateSpans]]'s counts (Lee et al., arXiv:2107.06499 §4:
+    * deduplicating the substrings themselves, not just flagging docs):
+    * every token covered by ANY window whose fingerprint occurs ≥ 2
+    * times corpus-wide is dropped, and the kept tokens re-join into the
+    * cleaned text. Output per doc: n_tokens, n_removed, and cleaned_fp
+    * (md5 of the cleaned text — a full-strength reconstruction gate; the
+    * oracle rebuilds the cleaned string independently and must match the
+    * digest exactly).
+    *
+    * Shape: the same counting stage as duplicateSpans (only
+    * (fingerprint, doc, pos) rows shuffle; no pair stream), then each
+    * doc's duplicated-window START LIST (bounded by the doc's window
+    * count) joins back and one codegen'd HOF pass drops covered tokens.
+    * The coverage test is exists-over-starts per token — O(n·|starts|)
+    * worst-case on a fully-boilerplate doc; the difference-array form
+    * (+1 at s, −1 at s+w, prefix sum) is the adversarial-doc variant,
+    * same join shape.
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      w: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+    val wins = toks.select(col(idCol), posexplode(expr(
+      s"""case when size(toks) >= $w
+         |  then transform(sequence(0, size(toks) - $w),
+         |                 i -> md5(array_join(slice(toks, i + 1, $w), ' ')))
+         |  else array()
+         |end""".stripMargin)))
+      .toDF(idCol, "s", "wh")
+    val dupW = wins.groupBy(col("wh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("wh"))
+    // per-doc duplicated-window start list (coverage is order-independent,
+    // so collect_list's nondeterministic order is immaterial)
+    val starts = wins.join(dupW, Seq("wh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("s")).as("ss"))
+    val n = size(col("toks"))
+    val idxs = when(n > 0, sequence(lit(0), n - 1)).otherwise(array().cast("array<int>"))
+    val ss = coalesce(col("ss"), array().cast("array<int>"))
+    val keptIdx = filter(idxs, i => !exists(ss, s => s <= i && i < s + w))
+    val kept = transform(keptIdx, i => element_at(col("toks"), i + 1))
+    toks.join(starts, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        n.cast("long").as("n_tokens"),
+        (n - size(kept)).cast("long").as("n_removed"),
+        md5(array_join(kept, " ").cast("binary")).as("cleaned_fp"))
+      .orderBy(col(idCol))
+  }
+
   /** Distinct word n-gram shingles — the unit real near-dup pipelines
     * compare (order-sensitive, unlike bare tokens). Pure codegen'd
     * higher-order functions: no UDF, no shuffle.

@@ -268,6 +268,11 @@ object PlanAudit {
     // sort. A 6th exchange would mean a pair stream appeared — the
     // shape content-defined chunk COUNTING exists to avoid
     "doc_cdc_dedup" -> 5,
+    // span REMOVAL shares the counting stage's shape: dup-fingerprint
+    // agg, per-doc start-list agg, output sort (the coverage pass is a
+    // narrow HOF projection). A 4th exchange would mean a pair stream
+    // appeared in what must stay a counting+coverage pipeline
+    "doc_dup_spans_removed" -> 3,
     // bigram LM scoring: unigram agg, bigram agg, the two count joins'
     // stream sides, per-doc rollup, output sort — counter-state
     // aggregations and hash joins only. A 7th exchange would mean the

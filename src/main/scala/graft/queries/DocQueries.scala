@@ -303,6 +303,49 @@ object DocQueries {
       (s, d) => Dedup.duplicateSpans(T(s, d, "documents"), w = 8),
       Some(dupSpansOracle),
     ),
+    // The REMOVAL action behind the span counts (arXiv:2107.06499 §4 —
+    // deduplicate the substrings themselves): drop every token covered
+    // by a corpus-duplicated window, re-join the survivors, and gate the
+    // md5 of the CLEANED TEXT — the oracle rebuilds each cleaned string
+    // independently, so a single mis-kept token anywhere fails the hash.
+    Q(
+      "doc_dup_spans_removed",
+      (s, d) => Dedup.removeDuplicateSpans(T(s, d, "documents"), w = 8),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wins AS (
+          SELECT doc_id, i - 1 AS s,
+                 md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+          FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+            FROM toks
+          )
+        ),
+        dupw AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+        starts AS (
+          SELECT w.doc_id, list(w.s) AS ss
+          FROM wins w JOIN dupw USING (wh) GROUP BY 1
+        ),
+        clean AS (
+          SELECT t.doc_id,
+                 len(t.t) AS n_tokens,
+                 list_transform(
+                   list_filter(generate_series(0, len(t.t) - 1),
+                     i -> NOT len(list_filter(COALESCE(st.ss, []),
+                                              s -> s <= i AND i < s + 8)) > 0),
+                   i -> t.t[i + 1]) AS kept
+          FROM toks t LEFT JOIN starts st USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+               -- DuckDB array_to_string([]) is NULL where Spark
+               -- array_join([]) is '' — a fully-removed doc must hash ''
+               md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_fp
+        FROM clean ORDER BY doc_id
+      """),
+    ),
     // The O(n) ROLLING-HASH twin (128-bit Rabin-Karp window fingerprints
     // via the codegen'd graft_window_fps128 expression — two independent
     // streams rolled in one pass), gated against the IDENTICAL oracle:

@@ -504,6 +504,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(base.mkString === body && shifted.mkString === prefix + body)
   }
 
+  test("removeDuplicateSpans: exact coverage on a hand corpus; in-doc repeats; clean docs intact") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ") // exactly one window wide
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"),      // shared span mid-doc
+      (2L, s"$shared epsilon zeta eta theta iota"), // same span at doc start
+      (3L, "totally unrelated words here only five six seven eight nine"),
+      (4L, s"$shared $shared"),                     // in-doc repeat: ALL covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, w = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1: 12 tokens; positions 2..9 hold the shared window — but ONLY
+    // that window's fingerprint repeats (windows straddling the span mix
+    // in unique context tokens), so exactly tokens 2..9 are removed
+    assert(out(1L) === ((12L, 8L, md5hex("alpha beta gamma delta"))))
+    // doc 2: span at start; same reasoning, survivors are the tail
+    assert(out(2L) === ((13L, 8L, md5hex("epsilon zeta eta theta iota"))))
+    // doc 3: no duplicated window anywhere — byte-identical survivor
+    assert(out(3L) === ((10L, 0L,
+      md5hex("totally unrelated words here only five six seven eight nine"))))
+    // doc 4: two copies back-to-back; every window of the doc repeats
+    // corpus-wide (and the doc-internal repeat alone would dup them),
+    // so the whole doc is removed and the cleaned text is empty
+    assert(out(4L) === ((16L, 16L, md5hex(""))))
+  }
+
   test("contaminationBloom: row-identical to the exact path, and the prefilter prunes") {
     import org.apache.spark.sql.functions.{col, explode, lit, not, xxhash64}
     val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
