@@ -135,6 +135,17 @@ object VolumeQueries {
         ORDER BY z, y, x
       """),
     ),
+    // T3 third pooling mode: 2×2×2 MAX pool (mask/distance-map downscale —
+    // any-hit per block survives). Same single-aggregation shape as mean.
+    Q(
+      "vol_pyramid_max_l1",
+      (s, _) => VoxelOps.maxPool(grid(s)).orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, MAX(label) AS label
+        FROM vox GROUP BY 1, 2, 3
+        ORDER BY z, y, x
+      """),
+    ),
     // T2: outline with wrap-around (da.roll parity), 6 modular neighbors.
     Q(
       "vol_outline",
@@ -333,6 +344,18 @@ object VolumeQueries {
       Some(s"""$voxCte
         SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x,
                CAST(SUM(label) AS BIGINT) // COUNT(*) AS label
+        FROM vox GROUP BY 1, 2, 3
+        ORDER BY z, y, x
+      """),
+    ),
+    // T3 third pooling mode, chunk form: per-chunk max partials at pooled
+    // granularity, one groupBy merges straddled-block partials (the
+    // (5,6,7) grid misaligns with the 2-lattice on purpose).
+    Q(
+      "vol_chunk_pyramid_max_l1",
+      (s, _) => chunked(s).maxPoolVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, MAX(label) AS label
         FROM vox GROUP BY 1, 2, 3
         ORDER BY z, y, x
       """),

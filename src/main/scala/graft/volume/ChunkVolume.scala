@@ -147,6 +147,51 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
       .agg(expr("sum(s) div sum(n)").as("label"))
   }
 
+  /** 2×2×2 MAX-pooled pyramid level, chunk form — see [[meanPoolVoxels]]
+    * for the partial-rows design (this is the same shape with max
+    * partials instead of (sum, count) pairs: each chunk reduces itself
+    * to per-pooled-block maxima, one groupBy merges the ≤8 partials of
+    * straddled boundary blocks). The mask / distance-map downscale,
+    * where a block survives iff ANY of its voxels did.
+    */
+  def maxPoolVoxels: DataFrame = {
+    require(!meta.isFloating, s"maxPoolVoxels requires an integral element type, got ${meta.elementType}")
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    import chunks.sparkSession.implicits._
+    chunks.flatMap { c =>
+      val pz0 = c.z0 / 2; val py0 = c.y0 / 2; val px0 = c.x0 / 2
+      val onz = ((c.z0 + c.nz - 1) / 2 - pz0 + 1).toInt
+      val ony = ((c.y0 + c.ny - 1) / 2 - py0 + 1).toInt
+      val onx = ((c.x0 + c.nx - 1) / 2 - px0 + 1).toInt
+      val maxs = Array.fill(onz * ony * onx)(Long.MinValue)
+      var z = 0
+      while (z < c.nz) {
+        val oz = ((c.z0 + z) / 2 - pz0).toInt
+        var y = 0
+        while (y < c.ny) {
+          val oy = ((c.y0 + y) / 2 - py0).toInt
+          var x = 0
+          while (x < c.nx) {
+            val ox = ((c.x0 + x) / 2 - px0).toInt
+            val o = (oz * ony + oy) * onx + ox
+            val v = ChunkKernels.decodeLong(c.data, (z * c.ny + y) * c.nx + x, bpp, unsigned)
+            if (v > maxs(o)) maxs(o) = v
+            x += 1
+          }
+          y += 1
+        }
+        z += 1
+      }
+      Iterator.range(0, onz * ony * onx).filter(maxs(_) != Long.MinValue).map { o =>
+        val oz = o / (ony * onx); val rem = o % (ony * onx)
+        (pz0 + oz, py0 + rem / onx, px0 + rem % onx, maxs(o))
+      }
+    }.toDF("z", "y", "x", "m")
+      .groupBy(col("z"), col("y"), col("x"))
+      .agg(max(col("m")).as("label"))
+  }
+
   /** Outline / edge extraction (T2 scale path): each chunk sends its 6
     * face planes (≈ 2·(1/cz+1/cy+1/cx) of the data) to its grid neighbors,
     * then a chunk-local stencil runs. Wrap-around (da.roll parity) comes

@@ -65,6 +65,21 @@ object VoxelOps {
         expr("x div 2").as("x"))
       .agg(expr("sum(label) div count(1)").as("label"))
 
+  /** 2×2×2 MAX-pooled pyramid level, voxel-table form — the third member
+    * of the pooling family (decimate = label volumes, mean = intensity
+    * volumes, max = masks / distance maps, where any-hit per block must
+    * survive the downscale). Same single hash-partitioned aggregation
+    * shape as [[meanPool]]: max partials combine map-side, the shuffle
+    * carries ~1/8 of the voxel rows.
+    */
+  def maxPool(vox: DataFrame): DataFrame =
+    vox
+      .groupBy(
+        expr("z div 2").as("z"),
+        expr("y div 2").as("y"),
+        expr("x div 2").as("x"))
+      .agg(max(col("label")).as("label"))
+
   /** Full pyramid: level 0 is the input, level i is decimate(level i-1).
     * Returns one DataFrame with a `level` column.
     */

@@ -182,6 +182,27 @@ class ChunkVolumeSpec extends AnyFunSuite with SparkSpec {
     assert(raw.keys.count { case (z, y, x) => z / 2 == 3 && y / 2 == 2 && x / 2 == 2 } === 2)
   }
 
+  test("maxPool: chunk form == voxel form == hand computation on the odd-dim fixture") {
+    val (oz, oy, ox) = (7L, 6L, 5L)
+    val oddVox = spark.range(oz * oy * ox).select(
+      expr(s"id div ${oy * ox}").as("z"),
+      expr(s"(id div $ox) % $oy").as("y"),
+      expr(s"id % $ox").as("x"),
+      expr(s"(id * 37) % 251").as("label"),
+    )
+    val oddVol = ChunkVolume.fromVoxels(oddVox, oz, oy, ox, 3, 2, 4)
+    val chunkForm = collectVox(oddVol.maxPoolVoxels.orderBy("z", "y", "x"))
+    val voxForm = collectVox(VoxelOps.maxPool(oddVox).orderBy("z", "y", "x"))
+    val raw = collectVox(oddVox)
+    val expect = raw.groupBy { case ((z, y, x), _) => (z / 2, y / 2, x / 2) }
+      .map { case (k, vs) => k -> vs.values.max }
+    assert(chunkForm === expect)
+    assert(voxForm === expect)
+    // max differs from mean on at least one straddled block (mode matters)
+    val mean = collectVox(oddVol.meanPoolVoxels)
+    assert(chunkForm.exists { case (k, v) => mean(k) != v })
+  }
+
   test("chunk histogram equals long-form histogram; resize generalizes upscale") {
     val chunkHist = vol.histogram().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val longHist = VoxelOps.histogram(vol.toVoxels)
