@@ -257,6 +257,17 @@ object PlanAudit {
     // exchange in front of the same agg + sort; the partial-merge
     // groupBy itself must stay a single exchange of pooled-lattice rows
     "vol_chunk_pyramid_mean_l1" -> 3,
+    // max pool mirrors mean pool exactly (same partial-rows design)
+    "vol_pyramid_max_l1" -> 2,
+    "vol_chunk_pyramid_max_l1" -> 3,
+    // box stencil, voxel form: the 27-way scatter collapses into ONE
+    // map-side-combined aggregation + output sort. A 3rd exchange means
+    // the scatter rows started shuffling unaggregated
+    "vol_boxsum3" -> 2,
+    // chunk form: fixture chunk assembly + ONE halo-exchange groupByKey
+    // (shell slabs + body once) + output sort. A 4th exchange would mean
+    // the stencil stopped being a single exchange of slab messages
+    "vol_chunk_boxsum3" -> 3,
     // bloom decontamination: bench-gram distinct (broadcast-side), hit
     // rollup, docs-vs-hits report join, output sort. A 5th exchange
     // would mean the corpus side started shuffling BEFORE the bloom

@@ -33,6 +33,20 @@ object VolumeQueries {
   def chunked(s: SparkSession): ChunkVolume =
     ChunkVolume.fromVoxels(grid(s), D, D, D, 5, 6, 7)
 
+  /** One oracle for both box-sum forms: a 27-neighbor range self-join —
+    * out-of-volume neighbors simply don't exist in vox, which IS the
+    * zero padding.
+    */
+  private def boxSumOracle: String = s"""$voxCte
+    SELECT a.z, a.y, a.x, CAST(SUM(b.label) AS BIGINT) AS boxsum
+    FROM vox a JOIN vox b
+      ON b.z BETWEEN a.z - 1 AND a.z + 1
+     AND b.y BETWEEN a.y - 1 AND a.y + 1
+     AND b.x BETWEEN a.x - 1 AND a.x + 1
+    GROUP BY a.z, a.y, a.x
+    ORDER BY a.z, a.y, a.x
+  """
+
   private val voxCte = """
     WITH vox AS (
       SELECT id // 256 AS z, (id // 16) % 16 AS y, id % 16 AS x,
@@ -347,6 +361,21 @@ object VolumeQueries {
         FROM vox GROUP BY 1, 2, 3
         ORDER BY z, y, x
       """),
+    ),
+    // General dense stencil, voxel form: 3×3×3 box SUM via 27-way
+    // scatter + one map-side-combined aggregation; zero-padded edges.
+    Q(
+      "vol_boxsum3",
+      (s, _) => VoxelOps.boxSum3(grid(s), D, D, D).orderBy("z", "y", "x"),
+      Some(boxSumOracle),
+    ),
+    // General dense stencil, chunk form: full 26-neighbor halo exchange
+    // (faces+edges+corners, thickness-1 slabs), zero-padded assembly,
+    // separable 9-add kernel. Same oracle as the voxel form.
+    Q(
+      "vol_chunk_boxsum3",
+      (s, _) => chunked(s).boxSumVoxels.orderBy("z", "y", "x"),
+      Some(boxSumOracle),
     ),
     // T3 third pooling mode, chunk form: per-chunk max partials at pooled
     // granularity, one groupBy merges straddled-block partials (the

@@ -269,6 +269,66 @@ object ChunkKernels {
     }
   }
 
+  /** 3×3×3 box SUM over the core cells of a zero-padded
+    * (nz+2)·(ny+2)·(nx+2) byte frame (see [[ChunkVolume.boxSumVoxels]]
+    * for the halo assembly). Separable inside the kernel: one 1-D
+    * 3-tap pass per axis — 9 adds per cell instead of 27, exact integer
+    * arithmetic throughout. Returns nz·ny·nx sums in C order.
+    */
+  def boxSum3(padded: Array[Byte], nz: Int, ny: Int, nx: Int, bpp: Int, unsigned: Boolean): Array[Long] = {
+    val pz = nz + 2; val py = ny + 2; val px = nx + 2
+    // pass 1 (x): A has dims (pz, py, nx)
+    val a = new Array[Long](pz * py * nx)
+    var z = 0
+    while (z < pz) {
+      var y = 0
+      while (y < py) {
+        val rowBase = (z * py + y) * px
+        var x = 0
+        while (x < nx) {
+          a((z * py + y) * nx + x) =
+            decodeLong(padded, rowBase + x, bpp, unsigned) +
+            decodeLong(padded, rowBase + x + 1, bpp, unsigned) +
+            decodeLong(padded, rowBase + x + 2, bpp, unsigned)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    // pass 2 (y): B has dims (pz, ny, nx)
+    val b = new Array[Long](pz * ny * nx)
+    z = 0
+    while (z < pz) {
+      var y = 0
+      while (y < ny) {
+        var x = 0
+        while (x < nx) {
+          b((z * ny + y) * nx + x) =
+            a((z * py + y) * nx + x) +
+            a((z * py + y + 1) * nx + x) +
+            a((z * py + y + 2) * nx + x)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    // pass 3 (z): out has dims (nz, ny, nx)
+    val out = new Array[Long](nz * ny * nx)
+    z = 0
+    while (z < nz) {
+      var i = 0
+      val n = ny * nx
+      while (i < n) {
+        out(z * n + i) = b(z * n + i) + b((z + 1) * n + i) + b((z + 2) * n + i)
+        i += 1
+      }
+      z += 1
+    }
+    out
+  }
+
   /** In-place big-endian → little-endian element swap (reader-side
     * normalization of ByteOrderMSB=True raws, upscale_streaming.py:51–53).
     */

@@ -249,6 +249,75 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     ChunkVolume(out, meta)
   }
 
+  /** 3×3×3 box-filter SUM with full 26-neighbor halo exchange — the
+    * general dense-stencil pattern (smoothing / local density /
+    * convolution) that [[outline]]'s 6-face exchange is the special case
+    * of. Each chunk sends the thickness-1 slab adjacent to each of its
+    * 26 grid neighbors (faces = planes, edges = lines, corners = single
+    * voxels; total shell ≈ 2·(1/cz+1/cy+1/cx) of the body, the diagonal
+    * slabs are asymptotically free), the receiver assembles a zero-padded
+    * (nz+2)·(ny+2)·(nx+2) frame and one dense kernel pass sums the 27
+    * neighbors of every core cell. Volume edges are ZERO-padded (out-of-
+    * grid targets are skipped), deliberately unlike outline's wrap-around
+    * roll parity: a blur must not bleed across the volume boundary.
+    *
+    * Returns voxel rows (z,y,x,boxsum) for the relational surface —
+    * sums of uint32 labels exceed the input dtype, and the store has no
+    * 8-byte integer element type, so a chunk-native result would be a
+    * lossy cast. Body bytes move once (groupByKey co-location, same
+    * class as [[outline]]/[[rechunk]]); a separable 3-pass (z,y,x)
+    * variant trades 3 body moves for face-only halos and wins only when
+    * chunks are so small the diagonal shell dominates.
+    */
+  def boxSumVoxels: DataFrame = {
+    require(!meta.isFloating, s"boxSumVoxels requires an integral element type, got ${meta.elementType}")
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    val (ncz, ncy, ncx) = (meta.ncz, meta.ncy, meta.ncx)
+    import chunks.sparkSession.implicits._
+
+    // message: (tcz, tcy, tcx, isCore, gz0, gy0, gx0, bnz, bny, bnx, data)
+    val msgs = chunks.flatMap { c =>
+      val core = (c.cz, c.cy, c.cx, 1, c.z0, c.y0, c.x0, c.nz, c.ny, c.nx, c.data)
+      val slabs = for {
+        dz <- -1 to 1; dy <- -1 to 1; dx <- -1 to 1
+        if dz != 0 || dy != 0 || dx != 0
+        tz = c.cz + dz; ty = c.cy + dy; tx = c.cx + dx
+        if tz >= 0 && tz < ncz && ty >= 0 && ty < ncy && tx >= 0 && tx < ncx
+      } yield {
+        // the thickness-1 slab of THIS chunk adjacent to neighbor (dz,dy,dx)
+        val (bz, bnz) = if (dz == 1) (c.nz - 1, 1) else if (dz == -1) (0, 1) else (0, c.nz)
+        val (by, bny) = if (dy == 1) (c.ny - 1, 1) else if (dy == -1) (0, 1) else (0, c.ny)
+        val (bx, bnx) = if (dx == 1) (c.nx - 1, 1) else if (dx == -1) (0, 1) else (0, c.nx)
+        val box = ChunkKernels.extractBox(c.data, c.ny, c.nx, bpp, bz, by, bx, bnz, bny, bnx)
+        (tz, ty, tx, 0, c.z0 + bz, c.y0 + by, c.x0 + bx, bnz, bny, bnx, box)
+      }
+      Iterator.single(core) ++ slabs.iterator
+    }
+
+    msgs
+      .groupByKey { case (tz, ty, tx, _, _, _, _, _, _, _, _) => (tz, ty, tx) }
+      .flatMapGroups { (_, it) =>
+        val parts = it.toArray
+        val (_, _, _, _, z0, y0, x0, nz, ny, nx, _) = parts.find(_._4 == 1).get
+        val (pz, py, px) = (nz + 2, ny + 2, nx + 2)
+        // zero bytes decode as label 0 under every integral dtype — the
+        // untouched pad IS the zero padding
+        val padded = new Array[Byte](pz * py * px * bpp)
+        parts.foreach { case (_, _, _, _, gz0, gy0, gx0, bnz, bny, bnx, data) =>
+          ChunkKernels.placeBox(padded, py, px, bpp,
+            (gz0 - (z0 - 1)).toInt, (gy0 - (y0 - 1)).toInt, (gx0 - (x0 - 1)).toInt,
+            bnz, bny, bnx, data)
+        }
+        val sums = ChunkKernels.boxSum3(padded, nz, ny, nx, bpp, unsigned)
+        Iterator.range(0, nz * ny * nx).map { i =>
+          val z = i / (ny * nx); val rem = i % (ny * nx)
+          (z0 + z, y0 + rem / nx, x0 + rem % nx, sums(i))
+        }
+      }
+      .toDF("z", "y", "x", "boxsum")
+  }
+
   /** Re-block to a new uniform chunk grid (T4, the reference's
     * `up.rechunk(out_chunks)` — upscale_streaming.py:126). The ONLY
     * volume-body shuffle in the engine, and an explicit opt-in: each chunk

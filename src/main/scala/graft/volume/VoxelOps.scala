@@ -80,6 +80,31 @@ object VoxelOps {
         expr("x div 2").as("x"))
       .agg(max(col("label")).as("label"))
 
+  /** 3×3×3 box-filter SUM, voxel-table form — scatter/gather: every voxel
+    * contributes its label to the 27 cells around it (three generator
+    * explodes), out-of-volume targets are dropped (ZERO padding at the
+    * volume edge — a blur must not wrap), and one hash aggregation sums
+    * per target cell. The 27× row amplification collapses map-side
+    * (partial aggregation), so the shuffle carries ~1 row per voxel.
+    * The chunk form ([[ChunkVolume.boxSumVoxels]]) is the scale path —
+    * it moves only shell slabs plus the body once.
+    */
+  def boxSum3(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long): DataFrame =
+    vox
+      .select(col("z"), col("y"), col("x"), col("label"),
+        explode(sequence(lit(-1), lit(1))).as("dz"))
+      .select(col("z"), col("y"), col("x"), col("label"), col("dz"),
+        explode(sequence(lit(-1), lit(1))).as("dy"))
+      .select((col("z") + col("dz")).as("z"), (col("y") + col("dy")).as("y"),
+        col("x"), col("label"),
+        explode(sequence(lit(-1), lit(1))).as("dx"))
+      .select(col("z"), col("y"), (col("x") + col("dx")).as("x"), col("label"))
+      .filter(col("z") >= 0 && col("z") < dimZ
+        && col("y") >= 0 && col("y") < dimY
+        && col("x") >= 0 && col("x") < dimX)
+      .groupBy(col("z"), col("y"), col("x"))
+      .agg(sum(col("label")).as("boxsum"))
+
   /** Full pyramid: level 0 is the input, level i is decimate(level i-1).
     * Returns one DataFrame with a `level` column.
     */

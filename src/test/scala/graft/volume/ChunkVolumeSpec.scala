@@ -203,6 +203,35 @@ class ChunkVolumeSpec extends AnyFunSuite with SparkSpec {
     assert(chunkForm.exists { case (k, v) => mean(k) != v })
   }
 
+  test("boxSum3: chunk halo form == voxel scatter form == hand computation, zero-padded edges") {
+    val (oz, oy, ox) = (7L, 6L, 5L)
+    val oddVox = spark.range(oz * oy * ox).select(
+      expr(s"id div ${oy * ox}").as("z"),
+      expr(s"(id div $ox) % $oy").as("y"),
+      expr(s"id % $ox").as("x"),
+      expr(s"(id * 37) % 251").as("label"),
+    )
+    // (3,2,4) chunk grid: interior chunk boundaries exercise face, edge
+    // AND corner slabs; volume edges exercise the zero padding
+    val oddVol = ChunkVolume.fromVoxels(oddVox, oz, oy, ox, 3, 2, 4)
+    def collectSum(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    val chunkForm = collectSum(oddVol.boxSumVoxels)
+    val voxForm = collectSum(VoxelOps.boxSum3(oddVox, oz, oy, ox))
+    val raw = collectVox(oddVox)
+    val expect = raw.keys.map { case (z, y, x) =>
+      var s = 0L
+      for (dz <- -1 to 1; dy <- -1 to 1; dx <- -1 to 1)
+        s += raw.getOrElse((z + dz, y + dy, x + dx), 0L)
+      (z, y, x) -> s
+    }.toMap
+    assert(chunkForm.size === (oz * oy * ox))
+    assert(chunkForm === expect)
+    assert(voxForm === expect)
+    // the interior cell really sums 27 values, the corner only 8
+    assert(raw.keys.count { case (z, y, x) => z == 0 && y == 0 && x == 0 } === 1)
+  }
+
   test("chunk histogram equals long-form histogram; resize generalizes upscale") {
     val chunkHist = vol.histogram().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val longHist = VoxelOps.histogram(vol.toVoxels)
