@@ -189,11 +189,30 @@ object Dedup {
   /** Connected components over a near-duplicate pair list — the clustering
     * step every real dedup pipeline runs on its candidate pairs (keep one
     * representative per component). Deterministic min-id labels via
-    * distributed label propagation: each round takes the minimum over
-    * neighbors' labels AND pointer-jumps (label := label's label), giving
-    * logarithmic-in-diameter convergence — the alternating-star family of
-    * MapReduce CC algorithms. Each round is two shuffles over (id, label)
-    * pairs; nothing is quadratic, nothing collects.
+    * distributed GRAPH CONTRACTION (the star-contraction family of
+    * MapReduce CC algorithms): each round builds the star map
+    * m(u) = min(u, neighbors), POINTER-DOUBLES m to its fixpoint (each
+    * inner step composes m with itself, squaring the jump length —
+    * log(chain) self-joins), rewrites both edge endpoints through m and
+    * drops self-loops, and folds m into the global node→label map. Every
+    * non-singleton contracted node absorbs at least one other, so live
+    * nodes at least HALVE per round — ≤ log₂(component) rounds
+    * regardless of diameter (a prior min-propagation form was
+    * diameter-bound: a 16³ percolation mask needed 45 rounds; this
+    * design needs 4). The edge set also shrinks every round, so late
+    * rounds are near-free. Nothing is quadratic, nothing collects.
+    *
+    * Two scale-critical mechanics, both measured:
+    *   - localCheckpoint per round truncates the iterative plan (without
+    *     it Catalyst re-analysis dominates by round 3: 2.7 s → 33 s).
+    *   - the checkpointed frame is REBUILT from its materialized RDD
+    *     ([[ckFresh]]) because localCheckpoint SNAPSHOTS the optimized
+    *     plan's sizeInBytes, and an iterative self-join SQUARES that
+    *     BigInt every round — by round ~15 Catalyst's stats visitor does
+    *     multi-million-digit BigInteger multiplication on the DRIVER
+    *     (observed: minutes of planner CPU for millisecond jobs). The
+    *     rebuild resets stats to the session default at the cost of one
+    *     Row conversion over (long, long) rows.
     *
     * Returns (id, cluster_rep) for every id appearing in `pairs`,
     * cluster_rep = smallest id in the component.
@@ -202,70 +221,82 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIters: Int = 25,
+      maxIters: Int = 40,
   ): DataFrame = {
-    // localCheckpoint (not cache) per round: iterative plans otherwise
-    // grow exponentially and Catalyst re-analysis, not execution, becomes
-    // the bottleneck (measured: 2.7 s -> 33 s per round by iteration 3
-    // without truncation). Eager checkpoints also materialize each round,
-    // so `changed` below reads computed data.
-    // No distinct() and no pre-partitioning: min-propagation is
-    // idempotent over duplicate edges, so the distinct's shuffle+agg
-    // bought nothing, and pre-partitioning on the round join key does
-    // not survive localCheckpoint anyway (the materialized plan scans a
-    // plain ExistingRDD with unknown partitioning — DedupSpec pins
-    // this), so the init is a pure narrow union: zero shuffles.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true)
-    // init at min(id, min neighbor) — the first propagation round folded
-    // into the label derivation (the same one shuffle the old
-    // distinct-ids init paid, one fewer loop round; measured 2.0 s →
-    // 1.5 s on the sf0.1 cluster stage, identical labels)
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("rep"))
-      .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("rep").as("nbr_rep")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nbr_rep")).as("nbr_rep"))
-      // carry the previous label through the round so convergence is
-      // observable in the SAME job that materializes the checkpoint —
-      // one job per round, not a round job plus a count() job
-      val propagated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"),
-          col("rep").as("old"))
-      // pointer jump: rep := rep's rep (collapses chains logarithmically).
-      // An r8 A/B measured dropping this at only −0.08 s on sf0.1 (dup
-      // graphs are clique-shaped, so propagation alone converges in the
-      // same rounds there) — kept because the log-diameter bound is what
-      // makes 25 rounds safe on ADVERSARIAL chain graphs at 100 TB.
-      val jumped = propagated.as("l")
-        .join(propagated.select(col("id").as("rep"), col("rep").as("rep2")).as("r"), Seq("rep"), "left")
-        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"), col("old"))
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val checkpointed = jumped
-        .observe(obs, sum(when(col("rep") =!= col("old"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint(true) // eager: runs the round's one job, fills obs
-      val changed = obs.get("changed") match {
+    val spark = pairs.sparkSession
+
+    // eager checkpoint + stats reset (see scaladoc); the observation on
+    // `df`, if any, fires during the checkpoint's job
+    def ckFresh(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    def obsLong(obs: org.apache.spark.sql.Observation, key: String): Long =
+      obs.get(key) match {
         case null => 0L
         case n: Long => n
         case n: Number => n.longValue()
       }
-      labels = checkpointed.select(col("id"), col("rep"))
-      converged = changed == 0
+
+    // bidirectional edges: min-propagation is idempotent over duplicate
+    // edges, so no distinct() — the init is a pure narrow union (and
+    // pre-partitioning would not survive localCheckpoint anyway: the
+    // materialized plan scans a plain ExistingRDD with unknown
+    // partitioning — DedupSpec pins this)
+    var edges = ckFresh(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+
+    var labels: DataFrame = null // original node → current rep, grown per round
+    var iter = 0
+    var done = false
+    while (iter < maxIters && !done) {
+      // star map over the current contracted graph
+      var m = ckFresh(
+        edges.groupBy(col("src").as("id"))
+          .agg(least(min(col("dst")), col("src")).as("rep")))
+      // pointer-double m to its fixpoint: m := m ∘ m. m maps into its own
+      // domain (every rep is some node's id), so the left join's coalesce
+      // only fires for already-terminal chains.
+      var j = 0
+      var mDone = false
+      while (j < 64 && !mDone) {
+        val obs = org.apache.spark.sql.Observation(s"cc_double_${iter}_$j")
+        val composed = m.as("l")
+          .join(m.select(col("id").as("rep"), col("rep").as("rep2")).as("r"), Seq("rep"), "left")
+          .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"), col("rep").as("old"))
+          .observe(obs, sum(when(col("rep") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        val ck = ckFresh(composed)
+        mDone = obsLong(obs, "changed") == 0L
+        m = ck.select(col("id"), col("rep"))
+        j += 1
+      }
+      require(mDone, s"star-map doubling did not reach a fixpoint in 64 steps")
+      // contract: rewrite both endpoints, drop self-loops; count survivors
+      // in the same job that materializes the round
+      val obsE = org.apache.spark.sql.Observation(s"cc_contract_$iter")
+      val contracted = edges
+        .join(m.select(col("id").as("src"), col("rep").as("src_rep")), Seq("src"))
+        .join(m.select(col("id").as("dst"), col("rep").as("dst_rep")), Seq("dst"))
+        .select(col("src_rep").as("src"), col("dst_rep").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .observe(obsE, count(lit(1L)).as("n"))
+      edges = ckFresh(contracted)
+      done = obsLong(obsE, "n") == 0L
+      // fold m into the global map (round 1: m IS the global map — its
+      // domain is every original node)
+      labels =
+        if (labels == null) m
+        else ckFresh(
+          labels.as("l")
+            .join(m.select(col("id").as("rep"), col("rep").as("rep2")).as("r"), Seq("rep"), "left")
+            .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep")))
       iter += 1
     }
-    // min+jump converges in O(log diameter); 25 rounds covers any graph a
-    // dedup pipeline produces (2^25-step diameters are adversarial-only).
-    // A silent partial clustering would be data corruption — fail loudly.
-    require(converged,
+    // node count halves per round, so 40 rounds covers 2^40-node
+    // components. A silent partial clustering would be data corruption —
+    // fail loudly.
+    require(done,
       s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
     labels.select(col("id"), col("rep").as("cluster_rep")).orderBy(col("id"))
   }

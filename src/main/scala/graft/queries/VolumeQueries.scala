@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.volume.{ChunkVolume, VoxelOps}
+import graft.volume.{ChunkVolume, ConnectedComponents, VoxelOps}
 
 /** The reference's volume semantics (SURVEY.md §2.7) expressed long-form on
   * a deterministic dense 16³ label grid that both engines can generate
@@ -32,6 +32,59 @@ object VolumeQueries {
     */
   def chunked(s: SparkSession): ChunkVolume =
     ChunkVolume.fromVoxels(grid(s), D, D, D, 5, 6, 7)
+
+  /** Foreground mask for the connected-components gates: an md5-derived
+    * site-percolation mask at p = 6/16 = 0.375 (just above the cubic
+    * site threshold ~0.312 — one nontrivial spanning component plus ~200
+    * islands, so cross-chunk merging is guaranteed on the (5,6,7) grid).
+    * Both engines derive the SAME mask from the same string algebra.
+    */
+  private def ccMaskCol =
+    substring(md5(concat_ws("_",
+      col("z").cast("string"), col("y").cast("string"), col("x").cast("string"))), 1, 1)
+      .between("0", "5")
+
+  /** The percolation mask as a 0/1-labeled chunked volume on the (5,6,7)
+    * grid — the chunk-form CC queries' shared input.
+    */
+  private def ccMaskVol(s: SparkSession): ChunkVolume =
+    ChunkVolume.fromVoxels(
+      grid(s).select(col("z"), col("y"), col("x"),
+        when(ccMaskCol, 1L).otherwise(0L).as("label")),
+      D, D, D, 5, 6, 7)
+
+  /** Shared CTE prefix of every CC oracle: min-label propagation to a
+    * fixpoint as a recursive CTE — labels flow along 6-adjacency edges;
+    * `cc` is (z, y, x, component) with component = min linear voxel id
+    * in the component, exactly the engine's contract.
+    */
+  private def ccCte: String = """
+    WITH RECURSIVE vox AS (
+      SELECT id // 256 AS z, (id // 16) % 16 AS y, id % 16 AS x
+      FROM range(4096) t(id)
+    ), m AS (
+      SELECT z, y, x, (z*16 + y)*16 + x AS id FROM vox
+      WHERE substr(md5(CAST(z AS VARCHAR) || '_' || CAST(y AS VARCHAR) || '_' || CAST(x AS VARCHAR)), 1, 1)
+            BETWEEN '0' AND '5'
+    ), e AS (
+      SELECT a.id AS src, b.id AS dst FROM m a JOIN m b ON
+        (b.z = a.z + 1 AND b.y = a.y AND b.x = a.x) OR
+        (b.z = a.z AND b.y = a.y + 1 AND b.x = a.x) OR
+        (b.z = a.z AND b.y = a.y AND b.x = a.x + 1)
+    ), ed AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+    r AS (
+      SELECT id, id AS lbl FROM m
+      UNION
+      SELECT ed.dst AS id, r.lbl FROM r JOIN ed ON r.id = ed.src
+    ), cc AS (
+      SELECT m.z, m.y, m.x, MIN(r.lbl) AS component
+      FROM r JOIN m USING (id) GROUP BY m.z, m.y, m.x
+    )
+  """
+
+  /** One oracle for both CC label forms. */
+  private def ccOracle: String =
+    ccCte + "SELECT z, y, x, component FROM cc ORDER BY z, y, x"
 
   /** One oracle for both box-sum forms: a 27-neighbor range self-join —
     * out-of-volume neighbors simply don't exist in vox, which IS the
@@ -359,6 +412,59 @@ object VolumeQueries {
         SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x,
                CAST(SUM(label) AS BIGINT) // COUNT(*) AS label
         FROM vox GROUP BY 1, 2, 3
+        ORDER BY z, y, x
+      """),
+    ),
+    // 3D connected components, voxel form: 3 shifted self-joins build
+    // the 6-adjacency, then the dedup pipeline's distributed min-label
+    // CC. Labels = min linear voxel id per component, fully
+    // deterministic. (Not exchange-pinned: the CC loop's round count is
+    // data-dependent and each round localCheckpoints.)
+    Q(
+      "vol_cc_labels",
+      (s, _) => ConnectedComponents
+        .voxelForm(grid(s).filter(ccMaskCol).select("z", "y", "x"), D, D, D)
+        .orderBy("z", "y", "x"),
+      Some(ccOracle),
+    ),
+    // 3D connected components, chunk form (the scale path): per-chunk
+    // union-find collapses within-chunk components with zero shuffle,
+    // only rep FACE PLANES cross the wire (2 per interior face), the
+    // face-bounded rep graph runs distributed CC, and a broadcast join
+    // stamps global labels. Same oracle as the voxel form.
+    Q(
+      "vol_chunk_cc_labels",
+      (s, _) => ConnectedComponents.chunkForm(ccMaskVol(s), _ != 0L)
+        .orderBy("z", "y", "x"),
+      Some(ccOracle),
+    ),
+    // Component census: per-component voxel counts, largest first — the
+    // island-counting rollup (lesion/soma counts) on top of the chunk
+    // form. One extra map-side-combined agg over (component) keys.
+    Q(
+      "vol_cc_sizes",
+      (s, _) => ConnectedComponents.chunkForm(ccMaskVol(s), _ != 0L)
+        .groupBy("component").agg(count(lit(1L)).as("n_voxels"))
+        .orderBy(desc("n_voxels"), col("component")),
+      Some(ccCte + """
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_voxels
+        FROM cc GROUP BY component
+        ORDER BY n_voxels DESC, component
+      """),
+    ),
+    // Despeckling: drop every component below 8 voxels — the standard
+    // segmentation clean-up pass. Component-size agg + one shuffle join
+    // on the component key (deliberately NOT broadcast: at
+    // percolation-like densities the component table is itself huge).
+    Q(
+      "vol_cc_despeckle",
+      (s, _) => ConnectedComponents
+        .despeckle(ConnectedComponents.chunkForm(ccMaskVol(s), _ != 0L), 8L)
+        .orderBy("z", "y", "x"),
+      Some(ccCte + """
+        SELECT z, y, x, component FROM cc
+        WHERE component IN (
+          SELECT component FROM cc GROUP BY component HAVING COUNT(*) >= 8)
         ORDER BY z, y, x
       """),
     ),
