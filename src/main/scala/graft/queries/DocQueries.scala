@@ -2568,5 +2568,30 @@ object DocQueries {
         FROM w GROUP BY window_s ORDER BY window_s
       """),
     ),
+    // Model-based quality filter: the hashing-trick linear classifier
+    // (fastText-family) with a FROZEN synthetic weight table — feature
+    // hashing via md5, LCG-sprayed weights in 1e-3 units, length-
+    // normalized score in exact 1e-6 integers. One codegen'd narrow
+    // projection (transform+aggregate HOFs, no explode, no shuffle);
+    // production swaps trained weights in as the same plan constant.
+    // The oracle re-derives every hash, weight, and score in SQL.
+    Q(
+      "doc_quality_model",
+      (s, d) => TextAnalysis.modelScore(T(s, d, "documents")).orderBy("doc_id"),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(list_sum(list_transform(string_split(text, ' '),
+                   t -> ((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024)
+                           * 1103515245 + 12345) % 2001 - 1000)) AS BIGINT) AS sum_w_e3
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               (sum_w_e3 * 1000) // n_tokens AS score_e6,
+               CAST(((sum_w_e3 * 1000) // n_tokens) >= 0 AS BIGINT) AS quality_pass
+        FROM scored ORDER BY doc_id
+      """),
+    ),
   )
 }

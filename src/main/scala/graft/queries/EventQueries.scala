@@ -614,5 +614,39 @@ object EventQueries {
         FROM a GROUP BY 1, 2 ORDER BY cohort, "offset"
       """),
     ),
+    // Event-type transition matrix (first-order Markov over per-user
+    // journeys): lag() over each user's (ts_ns, event_id)-ordered stream,
+    // one agg on the (from, to) pair, then per-from probabilities in
+    // exact 1e-6 fixed point over the tiny |types|² table. One events
+    // shuffle on user_id; the probability window rides the aggregated
+    // matrix, not the facts.
+    Q(
+      "ev_transitions",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+        val tr = T.events(s, d)
+          .withColumn("from_type", lag($"event_type", 1).over(w))
+          .filter($"from_type".isNotNull)
+          .groupBy($"from_type", $"event_type".as("to_type"))
+          .agg(count(lit(1)).as("n_trans"))
+        tr.withColumn("p_e6",
+            expr("(n_trans * 1000000) div sum(n_trans) over (partition by from_type)"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""
+        WITH seq AS (
+          SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS from_type
+          FROM events
+        ), tr AS (
+          SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+          FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n_trans,
+               CAST((n_trans * 1000000) // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS p_e6
+        FROM tr ORDER BY from_type, to_type
+      """),
+    ),
   )
 }

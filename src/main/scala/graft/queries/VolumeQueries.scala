@@ -100,6 +100,29 @@ object VolumeQueries {
     ORDER BY a.z, a.y, a.x
   """
 
+  /** One oracle per morphology op, shared by the voxel and chunk forms:
+    * min/max over the face-adjacent cross via a |dz|+|dy|+|dx| ≤ 1
+    * self-join; a border voxel joins fewer than 7 partners, which is how
+    * the erode oracle realizes the zero pad (`COUNT(*) < 7 → 0`) while
+    * dilation needs no correction on a nonnegative volume.
+    */
+  private def erodeOracle: String = s"""$voxCte
+    SELECT a.z, a.y, a.x,
+           CASE WHEN COUNT(*) < 7 THEN 0 ELSE MIN(b.label) END AS label
+    FROM vox a JOIN vox b
+      ON ABS(a.z - b.z) + ABS(a.y - b.y) + ABS(a.x - b.x) <= 1
+    GROUP BY a.z, a.y, a.x
+    ORDER BY a.z, a.y, a.x
+  """
+
+  private def dilateOracle: String = s"""$voxCte
+    SELECT a.z, a.y, a.x, MAX(b.label) AS label
+    FROM vox a JOIN vox b
+      ON ABS(a.z - b.z) + ABS(a.y - b.y) + ABS(a.x - b.x) <= 1
+    GROUP BY a.z, a.y, a.x
+    ORDER BY a.z, a.y, a.x
+  """
+
   private val voxCte = """
     WITH vox AS (
       SELECT id // 256 AS z, (id // 16) % 16 AS y, id % 16 AS x,
@@ -843,6 +866,126 @@ object VolumeQueries {
         FROM vox v LEFT JOIN region r ON v.label % 7 = r.r_regionkey
         WHERE v.z = 3 AND v.y IN (0, 5, 10)
         ORDER BY v.z, v.y, v.x
+      """),
+    ),
+    // 6-neighbor grayscale morphology, voxel form: scatter-to-cross +
+    // one (min,count)/(max) aggregation; the implicit zero pad at the
+    // volume border is realized by `cnt < 7` on the erode side.
+    Q(
+      "vol_erode6",
+      (s, _) => VoxelOps.erode6(grid(s), D, D, D).orderBy("z", "y", "x"),
+      Some(erodeOracle),
+    ),
+    Q(
+      "vol_dilate6",
+      (s, _) => VoxelOps.dilate6(grid(s), D, D, D).orderBy("z", "y", "x"),
+      Some(dilateOracle),
+    ),
+    // Chunk forms (the scale path): the same halo machinery as boxsum but
+    // FACE slabs only — the cross kernel never reads diagonal neighbors,
+    // so edge/corner slabs stay home. Same oracles as the voxel forms.
+    Q(
+      "vol_chunk_erode6",
+      (s, _) => chunked(s).erodeVoxels.orderBy("z", "y", "x"),
+      Some(erodeOracle),
+    ),
+    Q(
+      "vol_chunk_dilate6",
+      (s, _) => chunked(s).dilateVoxels.orderBy("z", "y", "x"),
+      Some(dilateOracle),
+    ),
+    // Morphological OPENING on the percolation mask — the classic
+    // despeckle companion to vol_cc_despeckle: protrusions and islands
+    // thinner than the cross vanish, bulk survives. Two stencil
+    // aggregations back to back; the oracle nests erode inside dilate.
+    Q(
+      "vol_open_mask",
+      (s, _) => VoxelOps.open6(
+        grid(s).select(col("z"), col("y"), col("x"),
+          when(ccMaskCol, lit(1L)).otherwise(lit(0L)).as("label")),
+        D, D, D).orderBy("z", "y", "x"),
+      Some("""
+        WITH g AS (
+          SELECT id // 256 AS z, (id // 16) % 16 AS y, id % 16 AS x FROM range(4096) t(id)
+        ), m AS (
+          SELECT z, y, x,
+                 CAST(CASE WHEN substr(md5(CAST(z AS VARCHAR) || '_' || CAST(y AS VARCHAR) || '_' || CAST(x AS VARCHAR)), 1, 1)
+                      BETWEEN '0' AND '5' THEN 1 ELSE 0 END AS BIGINT) AS label
+          FROM g
+        ), er AS (
+          SELECT a.z, a.y, a.x,
+                 CASE WHEN COUNT(*) < 7 THEN 0 ELSE MIN(b.label) END AS label
+          FROM m a JOIN m b
+            ON ABS(a.z - b.z) + ABS(a.y - b.y) + ABS(a.x - b.x) <= 1
+          GROUP BY a.z, a.y, a.x
+        )
+        SELECT a.z, a.y, a.x, MAX(b.label) AS label
+        FROM er a JOIN er b
+          ON ABS(a.z - b.z) + ABS(a.y - b.y) + ABS(a.x - b.x) <= 1
+        GROUP BY a.z, a.y, a.x
+        ORDER BY a.z, a.y, a.x
+      """),
+    ),
+    // Per-label region properties (regionprops): count, bbox, centroid in
+    // 1e-4 fixed point — one map-side-combined agg on the label key.
+    Q(
+      "vol_region_props",
+      (s, _) => VoxelOps.regionProps(grid(s)).orderBy("label"),
+      Some(s"""$voxCte
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_voxels,
+               MIN(z) AS z_min, MAX(z) AS z_max,
+               MIN(y) AS y_min, MAX(y) AS y_max,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               CAST((SUM(z) * 10000) // COUNT(*) AS BIGINT) AS cz_e4,
+               CAST((SUM(y) * 10000) // COUNT(*) AS BIGINT) AS cy_e4,
+               CAST((SUM(x) * 10000) // COUNT(*) AS BIGINT) AS cx_e4
+        FROM vox GROUP BY label ORDER BY label
+      """),
+    ),
+    // Exposed surface area per label: engine computes 6n − 2·(same-label
+    // pairs) from a positive-direction pair stream; the oracle counts
+    // exposed faces per voxel directly (6 − same-label face neighbors) —
+    // two independent formulations of the same quantity.
+    Q(
+      "vol_region_surface",
+      (s, _) => VoxelOps.regionSurface(grid(s)).orderBy("label"),
+      Some(s"""$voxCte,
+        links AS (
+          SELECT a.label,
+                 (SELECT COUNT(*) FROM vox b
+                  WHERE ABS(a.z - b.z) + ABS(a.y - b.y) + ABS(a.x - b.x) = 1
+                    AND b.label = a.label) AS same_links
+          FROM vox a
+        )
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_voxels,
+               CAST(SUM(6 - same_links) AS BIGINT) AS surface_faces
+        FROM links GROUP BY label ORDER BY label
+      """),
+    ),
+    // Region adjacency graph: which labels share faces, and how many —
+    // contact-area census over the same positive-direction pair stream.
+    Q(
+      "vol_region_adjacency",
+      (s, _) => VoxelOps.regionAdjacency(grid(s)).orderBy("label_a", "label_b"),
+      Some(s"""$voxCte
+        SELECT LEAST(a.label, b.label) AS label_a,
+               GREATEST(a.label, b.label) AS label_b,
+               CAST(COUNT(*) AS BIGINT) AS n_faces
+        FROM vox a JOIN vox b
+          ON ((b.z = a.z + 1 AND b.y = a.y AND b.x = a.x)
+           OR (b.z = a.z AND b.y = a.y + 1 AND b.x = a.x)
+           OR (b.z = a.z AND b.y = a.y AND b.x = a.x + 1))
+         AND a.label <> b.label
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """),
+    ),
+    // Maximum-intensity projection along z — the 2-D review image; one
+    // MAX agg onto the (y,x) lattice.
+    Q(
+      "vol_mip_z",
+      (s, _) => VoxelOps.mipZ(grid(s)).orderBy("y", "x"),
+      Some(s"""$voxCte
+        SELECT y, x, MAX(label) AS label FROM vox GROUP BY y, x ORDER BY y, x
       """),
     ),
   )

@@ -252,6 +252,46 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Hashing-trick linear quality classifier (the fastText-family
+    * model-based filter — Joulin et al. 2016; the shape CCNet/RefinedWeb
+    * use for "looks like good prose" scoring): every token hashes into
+    * one of `buckets` feature slots (first 8 hex chars of md5 → BIGINT,
+    * mod buckets — the classic feature-hashing trick, no vocabulary
+    * anywhere), each slot carries a FROZEN weight in 1e-3 units, and the
+    * doc score is the length-normalized sum `(Σ w(bucket(tok))) · 1000
+    * div n_tokens` in exact 1e-6 integer units. The weight table here is
+    * a deterministic synthetic model (`w(b) = (b·1103515245 + 12345) mod
+    * 2001 − 1000` — an LCG spray in [−1000, 1000]); a production
+    * deployment swaps in trained weights as the same kind of plan-side
+    * constant, exactly like the frozen BPE merge table. The whole scorer
+    * is ONE codegen'd narrow projection (transform + aggregate HOFs over
+    * the token array — no explode, no shuffle at any corpus size): at
+    * 100 TB the model applies map-side at scan speed.
+    */
+  def modelScore(
+      docs: DataFrame,
+      buckets: Int = 1024,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val w = tokens(col(textCol))
+    // weight(tok) inlined per element: bucket → LCG weight, all BIGINT
+    val weighted = expr(
+      s"""aggregate(
+            transform(split($textCol, ' '),
+              t -> (CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % $buckets)
+                     * 1103515245L),
+            0L, (acc, x) -> acc + (x + 12345L) % 2001L - 1000L)""")
+    docs.select(
+      col(idCol),
+      size(w).cast("bigint").as("n_tokens"),
+      weighted.as("sum_w_e3"))
+      .select(
+        col(idCol), col("n_tokens"),
+        expr("(sum_w_e3 * 1000) div n_tokens").as("score_e6"))
+      .withColumn("quality_pass", (col("score_e6") >= 0).cast("bigint"))
+  }
+
   /** WITHIN-document repetition signals — the Gopher quality-filter
     * family (Rae et al. 2021 §A1.1: fraction of tokens in the most
     * frequent n-gram, duplicate-n-gram fraction), integer-exact:

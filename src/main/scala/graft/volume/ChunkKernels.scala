@@ -329,6 +329,44 @@ object ChunkKernels {
     out
   }
 
+  /** 6-neighbor (face-adjacent cross) grayscale morphology over the core
+    * cells of a zero-padded (nz+2)·(ny+2)·(nx+2) byte frame (halo assembly
+    * in [[ChunkVolume]]). `isMin = true` is EROSION (min over self + 6 face
+    * neighbors — the zero pad makes out-of-volume read as 0, so a nonneg
+    * volume erodes to 0 at its border), `isMin = false` is DILATION (max;
+    * the zero pad never wins on a nonnegative volume). Binary open/close
+    * compose these; on label volumes they are the standard grayscale
+    * min/max filters. Returns nz·ny·nx values in C order.
+    */
+  def morph6(padded: Array[Byte], nz: Int, ny: Int, nx: Int, bpp: Int, unsigned: Boolean, isMin: Boolean): Array[Long] = {
+    val py = ny + 2; val px = nx + 2
+    val out = new Array[Long](nz * ny * nx)
+    var z = 0
+    while (z < nz) {
+      var y = 0
+      while (y < ny) {
+        val base = ((z + 1) * py + (y + 1)) * px + 1
+        var x = 0
+        while (x < nx) {
+          val i = base + x
+          var v = decodeLong(padded, i, bpp, unsigned)
+          @inline def acc(j: Int): Unit = {
+            val n = decodeLong(padded, j, bpp, unsigned)
+            if (if (isMin) n < v else n > v) v = n
+          }
+          acc(i - 1); acc(i + 1)
+          acc(i - px); acc(i + px)
+          acc(i - py * px); acc(i + py * px)
+          out((z * ny + y) * nx + x) = v
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    out
+  }
+
   /** In-place big-endian → little-endian element swap (reader-side
     * normalization of ByteOrderMSB=True raws, upscale_streaming.py:51–53).
     */

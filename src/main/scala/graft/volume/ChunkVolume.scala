@@ -269,8 +269,47 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     * variant trades 3 body moves for face-only halos and wins only when
     * chunks are so small the diagonal shell dominates.
     */
-  def boxSumVoxels: DataFrame = {
-    require(!meta.isFloating, s"boxSumVoxels requires an integral element type, got ${meta.elementType}")
+  def boxSumVoxels: DataFrame =
+    haloStencilVoxels("boxsum", facesOnly = false)(ChunkKernels.boxSum3(_, _, _, _, _, _))
+
+  /** 6-neighbor grayscale EROSION (min filter) as voxel rows — see
+    * [[morphVoxels]].
+    */
+  def erodeVoxels: DataFrame = morphVoxels(isMin = true)
+
+  /** 6-neighbor grayscale DILATION (max filter) as voxel rows — see
+    * [[morphVoxels]].
+    */
+  def dilateVoxels: DataFrame = morphVoxels(isMin = false)
+
+  /** Morphological min/max over the face-adjacent cross (the 6-neighbor
+    * structuring element that matches [[outline]]'s boundary test and the
+    * CC gates' 6-adjacency). Same halo machinery as [[boxSumVoxels]] but
+    * the cross kernel only reads FACE neighbors, so only the 6 face planes
+    * ship — no edge/corner slabs. Zero padding at the volume border means
+    * a nonnegative volume ERODES to 0 on its outermost shell (out-of-volume
+    * is background) while dilation is unaffected; binary opening/closing
+    * compose the two forms.
+    */
+  private def morphVoxels(isMin: Boolean): DataFrame =
+    haloStencilVoxels("label", facesOnly = true)(
+      ChunkKernels.morph6(_, _, _, _, _, _, isMin))
+
+  /** Shared halo-exchange stencil plumbing: each chunk sends the
+    * thickness-1 slab adjacent to each in-grid neighbor (all 26 for a
+    * dense 3×3×3 kernel; just the 6 faces when `facesOnly` — edge/corner
+    * slabs are only needed by kernels that read diagonal neighbors), the
+    * receiver assembles a zero-padded (nz+2)·(ny+2)·(nx+2) frame, and
+    * `kernel(padded, nz, ny, nx, bpp, unsigned)` produces the core cells
+    * in C order. Volume edges are ZERO-padded (out-of-grid targets are
+    * skipped), deliberately unlike outline's wrap-around roll parity.
+    * Body bytes move once (groupByKey co-location, same class as
+    * [[outline]]/[[rechunk]]); shell traffic ≈ 2·(1/cz+1/cy+1/cx) of the
+    * body.
+    */
+  private def haloStencilVoxels(outName: String, facesOnly: Boolean)(
+      kernel: (Array[Byte], Int, Int, Int, Int, Boolean) => Array[Long]): DataFrame = {
+    require(!meta.isFloating, s"halo stencil requires an integral element type, got ${meta.elementType}")
     val bpp = meta.bytesPerVoxel
     val unsigned = meta.isUnsigned
     val (ncz, ncy, ncx) = (meta.ncz, meta.ncy, meta.ncx)
@@ -282,6 +321,7 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
       val slabs = for {
         dz <- -1 to 1; dy <- -1 to 1; dx <- -1 to 1
         if dz != 0 || dy != 0 || dx != 0
+        if !facesOnly || math.abs(dz) + math.abs(dy) + math.abs(dx) == 1
         tz = c.cz + dz; ty = c.cy + dy; tx = c.cx + dx
         if tz >= 0 && tz < ncz && ty >= 0 && ty < ncy && tx >= 0 && tx < ncx
       } yield {
@@ -309,13 +349,13 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
             (gz0 - (z0 - 1)).toInt, (gy0 - (y0 - 1)).toInt, (gx0 - (x0 - 1)).toInt,
             bnz, bny, bnx, data)
         }
-        val sums = ChunkKernels.boxSum3(padded, nz, ny, nx, bpp, unsigned)
+        val out = kernel(padded, nz, ny, nx, bpp, unsigned)
         Iterator.range(0, nz * ny * nx).map { i =>
           val z = i / (ny * nx); val rem = i % (ny * nx)
-          (z0 + z, y0 + rem / nx, x0 + rem % nx, sums(i))
+          (z0 + z, y0 + rem / nx, x0 + rem % nx, out(i))
         }
       }
-      .toDF("z", "y", "x", "boxsum")
+      .toDF("z", "y", "x", outName)
   }
 
   /** Re-block to a new uniform chunk grid (T4, the reference's

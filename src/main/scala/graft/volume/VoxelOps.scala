@@ -105,6 +105,58 @@ object VoxelOps {
       .groupBy(col("z"), col("y"), col("x"))
       .agg(sum(col("label")).as("boxsum"))
 
+  /** Scatter every voxel to itself + its 6 face neighbors (the cross
+    * structuring element), dropping out-of-volume targets — the shared
+    * generator behind [[erode6]]/[[dilate6]]. The 7× amplification
+    * collapses map-side exactly like [[boxSum3]]'s.
+    */
+  private def scatter6(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long): DataFrame =
+    vox
+      .select(col("z"), col("y"), col("x"), col("label"),
+        explode(expr(
+          "array(array(0,0,0), array(1,0,0), array(-1,0,0), array(0,1,0), array(0,-1,0), array(0,0,1), array(0,0,-1))"))
+          .as("d"))
+      .select(
+        (col("z") + col("d").getItem(0)).as("z"),
+        (col("y") + col("d").getItem(1)).as("y"),
+        (col("x") + col("d").getItem(2)).as("x"),
+        col("label"))
+      .filter(col("z") >= 0 && col("z") < dimZ
+        && col("y") >= 0 && col("y") < dimY
+        && col("x") >= 0 && col("x") < dimX)
+
+  /** 6-neighbor grayscale EROSION (min over self + face neighbors),
+    * voxel-table form. Out-of-volume reads as background 0: a target that
+    * received fewer than 7 contributions sits on the volume border, so its
+    * min includes the implicit 0 — `when(cnt < 7, 0)` realizes the zero
+    * pad without materializing it. Requires nonnegative labels (store
+    * dtypes are unsigned). One map-side-combined (min, count) aggregation;
+    * the chunk form ([[ChunkVolume.erodeVoxels]]) moves face planes only.
+    */
+  def erode6(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long): DataFrame =
+    scatter6(vox, dimZ, dimY, dimX)
+      .groupBy(col("z"), col("y"), col("x"))
+      .agg(min(col("label")).as("mn"), count(lit(1)).as("cnt"))
+      .select(col("z"), col("y"), col("x"),
+        when(col("cnt") < 7, lit(0L)).otherwise(col("mn")).as("label"))
+
+  /** 6-neighbor grayscale DILATION (max over self + face neighbors),
+    * voxel-table form. The implicit zero pad never wins a max on a
+    * nonnegative volume, so no border correction is needed.
+    */
+  def dilate6(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long): DataFrame =
+    scatter6(vox, dimZ, dimY, dimX)
+      .groupBy(col("z"), col("y"), col("x"))
+      .agg(max(col("label")).as("label"))
+
+  /** Morphological OPENING (erode then dilate) with the 6-neighbor cross —
+    * the classic despeckle: isolated foreground thinner than the
+    * structuring element vanishes, bulk shapes survive with their border
+    * shell restored. Two stencil aggregations back to back.
+    */
+  def open6(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long): DataFrame =
+    dilate6(erode6(vox, dimZ, dimY, dimX), dimZ, dimY, dimX)
+
   /** Full pyramid: level 0 is the input, level i is decimate(level i-1).
     * Returns one DataFrame with a `level` column.
     */
@@ -231,4 +283,83 @@ object VoxelOps {
         "region_name",
         coalesce(col(nameCol), concat(lit("Unknown region ID: "), col("label").cast("string"))),
       )
+
+  /** One row per face between an adjacent voxel PAIR, scanning only the 3
+    * positive directions so each unordered pair appears exactly once —
+    * the shared adjacency stream behind [[regionSurface]] and
+    * [[regionAdjacency]]. 3 shuffle equi-joins on shifted coordinates
+    * (the same shape the CC voxel form uses to build its edge list).
+    */
+  private def facePairs(vox: DataFrame): DataFrame =
+    Seq((1, 0, 0), (0, 1, 0), (0, 0, 1)).map { case (dz, dy, dx) =>
+      val b = vox.select(
+        col("z").as("bz"), col("y").as("by"), col("x").as("bx"),
+        col("label").as("lb"))
+      vox.join(b,
+        col("z") + lit(dz) === col("bz")
+          && col("y") + lit(dy) === col("by")
+          && col("x") + lit(dx) === col("bx"))
+        .select(col("label").as("la"), col("lb"))
+    }.reduce(_ unionAll _)
+
+  /** Per-label region properties (scikit-image `regionprops` analog for
+    * label volumes): voxel count, axis-aligned bounding box, and centroid
+    * in 1e-4 fixed point (floor(sum·10⁴ / n) — exact integers on both
+    * engines). ONE map-side-combined aggregation over the label key.
+    */
+  def regionProps(vox: DataFrame): DataFrame =
+    vox.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_voxels"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        sum(col("z")).as("sz"), sum(col("y")).as("sy"), sum(col("x")).as("sx"))
+      .select(
+        col("label"), col("n_voxels"),
+        col("z_min"), col("z_max"), col("y_min"), col("y_max"),
+        col("x_min"), col("x_max"),
+        expr("(sz * 10000) div n_voxels").as("cz_e4"),
+        expr("(sy * 10000) div n_voxels").as("cy_e4"),
+        expr("(sx * 10000) div n_voxels").as("cx_e4"))
+
+  /** Exposed surface area per label, in faces: each voxel has 6 faces;
+    * a face is INTERNAL iff the face neighbor exists and shares the label,
+    * so surface = 6·n_voxels − 2·(same-label adjacent pairs). Volume-border
+    * and background-adjacent faces count as exposed (outside = background).
+    * The pair stream scans only positive directions — no double counting,
+    * no per-voxel 6-way join.
+    */
+  def regionSurface(vox: DataFrame): DataFrame = {
+    val n = vox.groupBy(col("label")).agg(count(lit(1)).as("n_voxels"))
+    val same = facePairs(vox)
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("internal_pairs"))
+    n.join(same, Seq("label"), "left_outer")
+      .select(
+        col("label"), col("n_voxels"),
+        (col("n_voxels") * 6 - coalesce(col("internal_pairs"), lit(0L)) * 2)
+          .as("surface_faces"))
+  }
+
+  /** Region adjacency graph: one row per unordered label pair that shares
+    * at least one face, with the shared-face count — which atlas regions
+    * border which, and by how much contact area. Same pair stream as
+    * [[regionSurface]], filtered to label-crossing faces.
+    */
+  def regionAdjacency(vox: DataFrame): DataFrame =
+    facePairs(vox)
+      .filter(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("label_a"),
+        greatest(col("la"), col("lb")).as("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n_faces"))
+
+  /** Maximum-intensity projection along z (the standard 2-D review image
+    * for a 3-D stack): one map-side-combined MAX aggregation onto the
+    * (y,x) lattice — the shuffle carries one row per output pixel.
+    */
+  def mipZ(vox: DataFrame): DataFrame =
+    vox.groupBy(col("y"), col("x")).agg(max(col("label")).as("label"))
 }

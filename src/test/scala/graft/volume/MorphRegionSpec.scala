@@ -1,0 +1,106 @@
+package graft.volume
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 6-neighbor morphology (erode/dilate/open) and the region-analysis
+  * rollups (props / surface / adjacency / MIP): hand-pinned boundary
+  * semantics, the chunk form == voxel form equivalence the shared gate
+  * oracle relies on, and closed-form checks on a solid cube.
+  */
+class MorphRegionSpec extends AnyFunSuite with SparkSpec {
+
+  private val D = 8L
+
+  /** A single solid 4³ foreground cube (label 7) at [2,6)³ inside an 8³
+    * volume of background 0.
+    */
+  private def cube: DataFrame =
+    spark.range(D * D * D).select(
+      expr(s"id div ${D * D}").as("z"),
+      expr(s"(id div $D) % $D").as("y"),
+      expr(s"id % $D").as("x"),
+    ).withColumn("label",
+      when(col("z").between(2, 5) && col("y").between(2, 5) && col("x").between(2, 5), lit(7L))
+        .otherwise(lit(0L)))
+
+  private def collectVox(df: DataFrame): Map[(Long, Long, Long), Long] =
+    df.select("z", "y", "x", df.columns.last).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+
+  test("erode6 shrinks the 4-cube to the 2-cube core; dilate6 grows it by the cross") {
+    val er = collectVox(VoxelOps.erode6(cube, D, D, D))
+    assert(er.size === D * D * D)
+    // survivors: voxels whose whole cross is foreground = the [3,5)³ core
+    assert(er.count(_._2 == 7L) === 8)
+    assert(er((3, 3, 3)) === 7L && er((4, 4, 4)) === 7L)
+    assert(er((2, 3, 3)) === 0L)
+
+    val dl = collectVox(VoxelOps.dilate6(cube, D, D, D))
+    // dilation adds one cross-voxel per face voxel: 4³ + 6 faces · 4² = 160
+    assert(dl.count(_._2 == 7L) === 64 + 6 * 16)
+    assert(dl((1, 3, 3)) === 7L && dl((2, 2, 2)) === 7L)
+    assert(dl((1, 1, 3)) === 0L) // edge-diagonal is NOT in the cross
+  }
+
+  test("erode6 zero-pads the volume border: a full volume erodes to 0 on its shell") {
+    val full = spark.range(27).select(
+      expr("id div 9").as("z"), expr("(id div 3) % 3").as("y"),
+      expr("id % 3").as("x")).withColumn("label", lit(5L))
+    val er = collectVox(VoxelOps.erode6(full, 3, 3, 3))
+    assert(er((1, 1, 1)) === 5L) // only the center has a full in-volume cross
+    assert(er.count(_._2 == 5L) === 1)
+  }
+
+  test("open6 removes an isolated voxel but keeps the bulk cube") {
+    val speckled = cube.withColumn("label",
+      when(col("z") === 0 && col("y") === 0 && col("x") === 0, lit(9L)).otherwise(col("label")))
+    val op = collectVox(VoxelOps.open6(speckled, D, D, D))
+    assert(op((0, 0, 0)) === 0L) // speckle gone
+    assert(op((3, 3, 3)) === 7L) // bulk interior survives
+    // opening of the solid cube = dilate(2-cube core) — 8 + 6·4 = 32 voxels
+    assert(op.count(_._2 == 7L) === 32)
+  }
+
+  test("chunk forms equal voxel forms on a non-aligned chunk grid") {
+    val vol = ChunkVolume.fromVoxels(cube, D, D, D, 3, 5, 7)
+    assert(collectVox(vol.erodeVoxels) === collectVox(VoxelOps.erode6(cube, D, D, D)))
+    assert(collectVox(vol.dilateVoxels) === collectVox(VoxelOps.dilate6(cube, D, D, D)))
+  }
+
+  test("regionSurface: closed forms for the solid cube and the background") {
+    val surf = VoxelOps.regionSurface(cube).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 4³ cube: 6 faces · 16 voxels each
+    assert(surf(7L) === ((64L, 96L)))
+    // background: 8³−4³ voxels; exposed = outer hull 6·64 + cube hull 96
+    assert(surf(0L) === ((448L, 6 * 64L + 96L)))
+  }
+
+  test("regionAdjacency: cube touches only background, with face count = cube surface") {
+    val adj = VoxelOps.regionAdjacency(cube).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(adj === Map((0L, 7L) -> 96L))
+  }
+
+  test("regionProps: count, bbox, and fixed-point centroid of the cube") {
+    val row = VoxelOps.regionProps(cube).filter(col("label") === 7L).collect()(0)
+    val m = row.getValuesMap[Long](Seq("n_voxels", "z_min", "z_max", "y_min",
+      "y_max", "x_min", "x_max", "cz_e4", "cy_e4", "cx_e4"))
+    assert(m("n_voxels") === 64L)
+    assert((m("z_min"), m("z_max"), m("y_min"), m("y_max"), m("x_min"), m("x_max"))
+      === ((2L, 5L, 2L, 5L, 2L, 5L)))
+    // centroid = 3.5 exactly → 35000 in e4 fixed point
+    assert((m("cz_e4"), m("cy_e4"), m("cx_e4")) === ((35000L, 35000L, 35000L)))
+  }
+
+  test("mipZ: projection keeps the max label per (y,x) column") {
+    val mip = VoxelOps.mipZ(cube).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(mip((3, 3)) === 7L)
+    assert(mip((0, 0)) === 0L)
+    assert(mip.size === D * D)
+  }
+}
