@@ -2079,6 +2079,74 @@ object DocQueries {
         FROM embeddings ORDER BY id_a, id_b
       """),
     ),
+    // Distributed k-means (2 Lloyd rounds, k=8) under the cross-engine-
+    // exact arithmetic contract (1e-4 FLOOR quantization, BIGINT squared
+    // L2, smallest-index ties, `sum div n` centroid means, smallest-id
+    // init) — the corpus-clustering stage behind topic balancing /
+    // cluster-based mixing. The oracle REPLAYS THE FULL TRAINING in
+    // DuckDB: init → assign → update → assign → update → final assign,
+    // one materialized CTE stage per step, landing on bit-identical
+    // (vec_id, cluster, d2) rows. Per iteration the engine runs one
+    // narrow plan-constant assignment projection + one k·dim-row
+    // map-side-combined agg (the only driver materialization).
+    Q(
+      "emb_kmeans",
+      (s, d) => graft.similarity.KMeans
+        .fitAssign(T(s, d, "embeddings"), k = 8, iters = 2)
+        .orderBy("vec_id"),
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+          FROM embeddings
+        ), c0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, q AS c
+          FROM q ORDER BY vec_id LIMIT 8
+        ), d1 AS (
+          SELECT q.vec_id,  c0.cl,
+                 CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c0.c[i]) * (q.q[i] - c0.c[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN c0
+        ), a1 AS (
+          SELECT vec_id, cl AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d1
+          ) WHERE rn = 1
+        ), u1 AS (
+          SELECT a1.cluster AS cl, t.i + 1 AS pos, SUM(q.q[t.i + 1]) AS s, COUNT(*) AS n
+          FROM a1 JOIN q USING (vec_id), range(64) t(i)
+          GROUP BY 1, 2
+        ), c1 AS (
+          SELECT c0.cl, COALESCE(lu.c, c0.c) AS c
+          FROM c0 LEFT JOIN (
+            SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c FROM u1 GROUP BY cl
+          ) lu USING (cl)
+        ), d2_ AS (
+          SELECT q.vec_id, c1.cl,
+                 CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c1.c[i]) * (q.q[i] - c1.c[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN c1
+        ), a2 AS (
+          SELECT vec_id, cl AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d2_
+          ) WHERE rn = 1
+        ), u2 AS (
+          SELECT a2.cluster AS cl, t.i + 1 AS pos, SUM(q.q[t.i + 1]) AS s, COUNT(*) AS n
+          FROM a2 JOIN q USING (vec_id), range(64) t(i)
+          GROUP BY 1, 2
+        ), c2 AS (
+          SELECT c1.cl, COALESCE(lu.c, c1.c) AS c
+          FROM c1 LEFT JOIN (
+            SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c FROM u2 GROUP BY cl
+          ) lu USING (cl)
+        ), d3 AS (
+          SELECT q.vec_id, c2.cl,
+                 CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c2.c[i]) * (q.q[i] - c2.c[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN c2
+        )
+        SELECT vec_id, cl AS cluster, d2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d3
+        ) WHERE rn = 1
+        ORDER BY vec_id
+      """),
+    ),
     // ------------------------------------------------ multimodal features
     // Opaque binary payloads → per-partition byte-feature kernel
     // (mapPartitions, no shuffle). Text bytes stand in for media payloads;
