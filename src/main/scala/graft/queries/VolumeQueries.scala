@@ -159,6 +159,37 @@ object VolumeQueries {
   private def foreignTiff(name: String): String =
     foreignTiffDir.resolve(name).toString
 
+  /** Foreign-NRRD fixtures (same once-per-JVM subprocess discipline as
+    * [[foreignTiffDir]]): a gzip big-endian CRLF-headered file and a raw
+    * little-endian one, both written by tools/gen_nrrd_fixture.py — an
+    * independent pure-stdlib encoder, NOT NrrdStore.write.
+    */
+  private lazy val foreignNrrdDir: java.nio.file.Path = {
+    val gen = java.nio.file.Paths.get("tools/gen_nrrd_fixture.py")
+    require(java.nio.file.Files.exists(gen),
+      s"fixture generator not found at ${gen.toAbsolutePath}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fnrrd")
+    dir.toFile.deleteOnExit()
+    def genOne(name: String, args: String*): Unit = {
+      val cmd = Seq("python3", gen.toString, dir.resolve(name).toString) ++ args
+      val rc = scala.sys.process.Process(cmd).!(scala.sys.process.ProcessLogger(_ => ()))
+      require(rc == 0, s"gen_nrrd_fixture.py exited $rc for $name")
+      dir.resolve(name).toFile.deleteOnExit()
+    }
+    genOne("foreign_gz_be.nrrd", "--encoding", "gzip", "--endian", "be", "--crlf")
+    genOne("foreign_raw_le.nrrd", "--encoding", "raw", "--endian", "le", "--bits", "32")
+    dir
+  }
+
+  /** One NRRD export destination per JVM (bench reps overwrite in place
+    * instead of leaking a temp file per rep).
+    */
+  private lazy val nrrdDest: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_nrrd")
+    d.toFile.deleteOnExit()
+    d.resolve("export.nrrd").toString
+  }
+
   /** One destination per JVM for the pyramid-group roundtrip: the write
     * is atomic-overwrite (AtomicDir publish), so bench reps reuse the
     * path instead of leaking a temp dir per rep.
@@ -986,6 +1017,45 @@ object VolumeQueries {
       (s, _) => VoxelOps.mipZ(grid(s)).orderBy("y", "x"),
       Some(s"""$voxCte
         SELECT y, x, MAX(label) AS label FROM vox GROUP BY y, x ORDER BY y, x
+      """),
+    ),
+    // S-family: NRRD export + scan round-trip — driver writes the text
+    // header, executors land chunk bytes with positioned writes, and the
+    // scan reads per-chunk row runs at headerLen + offset (the MHD
+    // discipline on the other header+raw format).
+    Q(
+      "vol_nrrd_roundtrip",
+      (s, _) => {
+        graft.volume.NrrdStore.write(chunked(s), nrrdDest)
+        graft.volume.NrrdStore.read(s, nrrdDest)
+          .toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // S-family interop: a FOREIGN gzip big-endian CRLF-headered NRRD from
+    // the independent python encoder — exercises the sequential
+    // slab-streaming gzip path, byte-order normalization, and header
+    // robustness (comments, key:=value, ignored space fields).
+    Q(
+      "vol_nrrd_foreign",
+      (s, _) => graft.volume.NrrdStore
+        .read(s, foreignNrrdDir.resolve("foreign_gz_be.nrrd").toString)
+        .toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // Foreign raw little-endian uint32 — the parallel positioned-read
+    // path on a file the engine never produced.
+    Q(
+      "vol_nrrd_foreign_raw",
+      (s, _) => graft.volume.NrrdStore
+        .read(s, foreignNrrdDir.resolve("foreign_raw_le.nrrd").toString)
+        .toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
   )

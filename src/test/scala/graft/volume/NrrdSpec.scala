@@ -1,0 +1,98 @@
+package graft.volume
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+/** NrrdStore contract: header parsing (CRLF, comments, key:=value,
+  * ignored space fields), fail-loud rejection outside the supported
+  * surface, write→read round-trips, gzip == raw equality, and foreign
+  * interop against the independent python encoder.
+  */
+class NrrdSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(): Path = {
+    val d = Files.createTempDirectory("graft_nrrdspec")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def writeHeader(p: Path, body: String): String = {
+    Files.write(p, body.getBytes(StandardCharsets.US_ASCII))
+    p.toString
+  }
+
+  private def vox = spark.range(5 * 4 * 3).select(
+    expr("id div 12").as("z"), expr("(id div 3) % 4").as("y"),
+    expr("id % 3").as("x"), (col("id") % 7 * 100).as("label"))
+
+  private def collectVox(v: ChunkVolume): Map[(Long, Long, Long), Long] =
+    v.toVoxels.collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+
+  test("write → read round-trip on a non-aligned chunk grid") {
+    val vol = ChunkVolume.fromVoxels(vox, 5, 4, 3, 2, 3, 2)
+    val p = tmp().resolve("rt.nrrd").toString
+    NrrdStore.write(vol, p)
+    val back = NrrdStore.read(spark, p)
+    assert(back.meta.elementType === vol.meta.elementType)
+    assert(collectVox(back) === collectVox(vol))
+  }
+
+  test("parseHeader: CRLF, comments, key:=value, and space fields are all handled") {
+    val hdr = "NRRD0004\r\n# a comment\r\ntype: uint16\r\ndimension: 3\r\n" +
+      "sizes: 3 4 5\r\nspace directions: (1,0,0) (0,1,0) (0,0,1)\r\n" +
+      "mykey:=ignored\r\nendian: big\r\nencoding: gzip\r\n\r\n"
+    val p = writeHeader(tmp().resolve("h.nrrd"), hdr)
+    val m = NrrdStore.parseHeader(p)
+    assert((m.dimZ, m.dimY, m.dimX) === ((5L, 4L, 3L)))
+    assert(m.elementType === "MET_USHORT" && m.encoding === "gzip" && m.bigEndian)
+    assert(m.dataOffset === hdr.length)
+  }
+
+  test("fail-loud: bad magic, unsupported dimension/encoding/type, missing endian") {
+    val d = tmp()
+    def boom(name: String, body: String): Unit = {
+      val p = writeHeader(d.resolve(name), body)
+      intercept[Exception](NrrdStore.parseHeader(p))
+    }
+    boom("magic.nrrd", "NRRD9999\ntype: uint8\ndimension: 3\nsizes: 1 1 1\nencoding: raw\n\n")
+    boom("dim.nrrd", "NRRD0004\ntype: uint8\ndimension: 2\nsizes: 4 4\nencoding: raw\n\n")
+    boom("enc.nrrd", "NRRD0004\ntype: uint8\ndimension: 3\nsizes: 1 1 1\nencoding: hex\n\n")
+    boom("type.nrrd", "NRRD0004\ntype: block\ndimension: 3\nsizes: 1 1 1\nencoding: raw\n\n")
+    // multi-byte type without an endian field must not guess
+    boom("endian.nrrd", "NRRD0004\ntype: uint16\ndimension: 3\nsizes: 1 1 1\nencoding: raw\n\n")
+    // truncated header (no blank line)
+    boom("trunc.nrrd", "NRRD0004\ntype: uint8\n")
+  }
+
+  test("foreign interop: python gzip big-endian == python raw little-endian == formula") {
+    val d = tmp()
+    def gen(name: String, args: String*): String = {
+      val p = d.resolve(name).toString
+      val cmd = Seq("python3", "tools/gen_nrrd_fixture.py", p) ++ args
+      assert(scala.sys.process.Process(cmd).! === 0)
+      p
+    }
+    val gz = NrrdStore.read(spark, gen("g.nrrd", "--encoding", "gzip", "--endian", "be", "--dim", "8", "--crlf"))
+    val raw = NrrdStore.read(spark, gen("r.nrrd", "--encoding", "raw", "--endian", "le", "--dim", "8"))
+    val a = collectVox(gz); val b = collectVox(raw)
+    assert(a === b)
+    assert(a((7, 7, 7)) === 111L && a((0, 0, 0)) === 0L && a.size === 512)
+  }
+
+  test("gzip payload truncation dies with a named error, not a silent short volume") {
+    val d = tmp()
+    val p = d.resolve("full.nrrd").toString
+    assert(scala.sys.process.Process(
+      Seq("python3", "tools/gen_nrrd_fixture.py", p, "--encoding", "gzip", "--dim", "8")).! === 0)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+    val cut = d.resolve("cut.nrrd")
+    Files.write(cut, bytes.take(bytes.length - 20))
+    val ex = intercept[Exception] {
+      NrrdStore.read(spark, cut.toString).toVoxels.count()
+    }
+    assert(ex.getMessage != null)
+  }
+}
