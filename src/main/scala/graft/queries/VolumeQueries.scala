@@ -123,6 +123,30 @@ object VolumeQueries {
     ORDER BY a.z, a.y, a.x
   """
 
+  /** One oracle for both distance-transform forms: the capped manhattan
+    * distance computed DIRECTLY — min over all background voxels plus the
+    * six border-distance terms — vs the engines' erosion peeling.
+    */
+  private def distanceOracle: String = """
+    WITH g AS (
+      SELECT id // 256 AS z, (id // 16) % 16 AS y, id % 16 AS x FROM range(4096) t(id)
+    ), m AS (
+      SELECT z, y, x,
+             CASE WHEN substr(md5(CAST(z AS VARCHAR) || '_' || CAST(y AS VARCHAR) || '_' || CAST(x AS VARCHAR)), 1, 1)
+                  BETWEEN '0' AND '5' THEN 1 ELSE 0 END AS label
+      FROM g
+    )
+    SELECT f.z, f.y, f.x,
+           CAST(LEAST(4,
+             COALESCE((SELECT MIN(ABS(f.z - b.z) + ABS(f.y - b.y) + ABS(f.x - b.x))
+                       FROM m b WHERE b.label = 0), 99),
+             f.z + 1, 16 - f.z, f.y + 1, 16 - f.y, f.x + 1, 16 - f.x) AS BIGINT) AS depth
+    FROM m f WHERE f.label = 1
+    UNION ALL
+    SELECT z, y, x, CAST(0 AS BIGINT) AS depth FROM m WHERE label = 0
+    ORDER BY z, y, x
+  """
+
   private val voxCte = """
     WITH vox AS (
       SELECT id // 256 AS z, (id // 16) % 16 AS y, id % 16 AS x,
@@ -1018,6 +1042,32 @@ object VolumeQueries {
       Some(s"""$voxCte
         SELECT y, x, MAX(label) AS label FROM vox GROUP BY y, x ORDER BY y, x
       """),
+    ),
+    // Distance transform (erosion peeling, cap 4) on the percolation
+    // mask, voxel form: cap−1 chained erosion aggregations whose 0/1
+    // masks sum per voxel. depth = min(manhattan distance to nearest
+    // background/border, cap); background = 0. The oracle computes the
+    // distance DIRECTLY (min over background voxels + border terms) —
+    // an independent formulation of what peeling computes.
+    Q(
+      "vol_distance",
+      (s, _) => VoxelOps.erosionDepth(
+        grid(s).select(col("z"), col("y"), col("x"),
+          when(ccMaskCol, lit(1L)).otherwise(lit(0L)).as("label")),
+        D, D, D, cap = 4).orderBy("z", "y", "x"),
+      Some(distanceOracle),
+    ),
+    // Chunk form (the scale path): ONE halo exchange of thickness cap−1
+    // ships the radius-3 neighborhood, then all peeling rounds run
+    // locally — the deep-halo pattern. (8,8,8) grid so every chunk
+    // (incl. remainders) is at least cap−1 thick. Same oracle.
+    Q(
+      "vol_chunk_distance",
+      (s, _) => ChunkVolume.fromVoxels(
+        grid(s).select(col("z"), col("y"), col("x"),
+          when(ccMaskCol, lit(1L)).otherwise(lit(0L)).as("label")),
+        D, D, D, 8, 8, 8).erosionDepthVoxels(cap = 4).orderBy("z", "y", "x"),
+      Some(distanceOracle),
     ),
     // S-family: NRRD export + scan round-trip — driver writes the text
     // header, executors land chunk bytes with positioned writes, and the

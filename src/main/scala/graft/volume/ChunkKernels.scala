@@ -367,6 +367,76 @@ object ChunkKernels {
     out
   }
 
+  /** Erosion-peeling distance transform over a zero-padded frame with pad
+    * thickness `t`: runs `rounds` binary 6-neighbor erosions locally and
+    * returns, per core cell, 0 for background else 1 + (# rounds
+    * survived) == min(manhattan distance to nearest background/border,
+    * rounds + 1). Pad cells erode too — after r rounds cells within
+    * pad distance t − r of the core are still exact, so the core is
+    * exact for rounds ≤ t (the deep-halo contract [[ChunkVolume]]
+    * enforces).
+    */
+  def erodeDepth(padded: Array[Byte], nz: Int, ny: Int, nx: Int, bpp: Int,
+      unsigned: Boolean, t: Int, rounds: Int): Array[Long] = {
+    val pz = nz + 2 * t; val py = ny + 2 * t; val px = nx + 2 * t
+    val n = pz * py * px
+    var fg = new Array[Boolean](n)
+    var i = 0
+    while (i < n) { fg(i) = decodeLong(padded, i, bpp, unsigned) != 0; i += 1 }
+    val out = new Array[Long](nz * ny * nx)
+    @inline def coreIdx(z: Int, y: Int, x: Int) = ((z + t) * py + (y + t)) * px + (x + t)
+    var z = 0
+    while (z < nz) {
+      var y = 0
+      while (y < ny) {
+        var x = 0
+        while (x < nx) {
+          if (fg(coreIdx(z, y, x))) out((z * ny + y) * nx + x) = 1L
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    var r = 0
+    var next = new Array[Boolean](n)
+    while (r < rounds) {
+      java.util.Arrays.fill(next, false)
+      var zz = 1
+      while (zz < pz - 1) {
+        var yy = 1
+        while (yy < py - 1) {
+          val rowBase = (zz * py + yy) * px
+          var xx = 1
+          while (xx < px - 1) {
+            val j = rowBase + xx
+            next(j) = fg(j) && fg(j - 1) && fg(j + 1) && fg(j - px) && fg(j + px) &&
+              fg(j - py * px) && fg(j + py * px)
+            xx += 1
+          }
+          yy += 1
+        }
+        zz += 1
+      }
+      val swap = fg; fg = next; next = swap
+      z = 0
+      while (z < nz) {
+        var y = 0
+        while (y < ny) {
+          var x = 0
+          while (x < nx) {
+            if (fg(coreIdx(z, y, x))) out((z * ny + y) * nx + x) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        z += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** In-place big-endian → little-endian element swap (reader-side
     * normalization of ByteOrderMSB=True raws, upscale_streaming.py:51–53).
     */

@@ -295,6 +295,30 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     haloStencilVoxels("label", facesOnly = true)(
       ChunkKernels.morph6(_, _, _, _, _, _, isMin))
 
+  /** Distance transform by erosion peeling, capped at `cap`: per voxel,
+    * min(manhattan distance to the nearest background voxel or volume
+    * border, cap); background stays 0. The chunk form runs ALL cap−1
+    * peeling rounds locally after ONE halo exchange of thickness cap−1
+    * (a k-round stencil needs a radius-k neighborhood, shipped once —
+    * the deep-halo pattern), vs the voxel form's cap−1 chained shuffle
+    * aggregations. Halo bytes ≈ 2(cap−1)·(1/cz+1/cy+1/cx) of the body;
+    * requires cap−1 ≤ every chunk dim (at scale chunks ≫ cap — tiny
+    * chunks would need multi-hop halos).
+    */
+  def erosionDepthVoxels(cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val t = cap - 1
+    // the halo is ONE hop: every chunk incl. grid remainders must be at
+    // least t thick, or a radius-t neighborhood would span 2+ chunks
+    def minDim(dim: Long, chunk: Int): Long =
+      if (dim % chunk == 0) chunk.toLong else math.min(chunk.toLong, dim % chunk)
+    val mins = (minDim(meta.dimZ, meta.chunkZ), minDim(meta.dimY, meta.chunkY), minDim(meta.dimX, meta.chunkX))
+    require(t <= mins._1 && t <= mins._2 && t <= mins._3,
+      s"cap-1 = $t exceeds a chunk dimension (incl. remainders) $mins — rechunk first")
+    haloStencilVoxels("depth", facesOnly = false, thickness = math.max(t, 1))(
+      ChunkKernels.erodeDepth(_, _, _, _, _, _, math.max(t, 1), t))
+  }
+
   /** Shared halo-exchange stencil plumbing: each chunk sends the
     * thickness-1 slab adjacent to each in-grid neighbor (all 26 for a
     * dense 3×3×3 kernel; just the 6 faces when `facesOnly` — edge/corner
@@ -307,11 +331,12 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
     * [[outline]]/[[rechunk]]); shell traffic ≈ 2·(1/cz+1/cy+1/cx) of the
     * body.
     */
-  private def haloStencilVoxels(outName: String, facesOnly: Boolean)(
+  private def haloStencilVoxels(outName: String, facesOnly: Boolean, thickness: Int = 1)(
       kernel: (Array[Byte], Int, Int, Int, Int, Boolean) => Array[Long]): DataFrame = {
     require(!meta.isFloating, s"halo stencil requires an integral element type, got ${meta.elementType}")
     val bpp = meta.bytesPerVoxel
     val unsigned = meta.isUnsigned
+    val t = thickness
     val (ncz, ncy, ncx) = (meta.ncz, meta.ncy, meta.ncx)
     import chunks.sparkSession.implicits._
 
@@ -325,10 +350,11 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
         tz = c.cz + dz; ty = c.cy + dy; tx = c.cx + dx
         if tz >= 0 && tz < ncz && ty >= 0 && ty < ncy && tx >= 0 && tx < ncx
       } yield {
-        // the thickness-1 slab of THIS chunk adjacent to neighbor (dz,dy,dx)
-        val (bz, bnz) = if (dz == 1) (c.nz - 1, 1) else if (dz == -1) (0, 1) else (0, c.nz)
-        val (by, bny) = if (dy == 1) (c.ny - 1, 1) else if (dy == -1) (0, 1) else (0, c.ny)
-        val (bx, bnx) = if (dx == 1) (c.nx - 1, 1) else if (dx == -1) (0, 1) else (0, c.nx)
+        // the thickness-t slab of THIS chunk adjacent to neighbor (dz,dy,dx)
+        val tzs = math.min(t, c.nz); val tys = math.min(t, c.ny); val txs = math.min(t, c.nx)
+        val (bz, bnz) = if (dz == 1) (c.nz - tzs, tzs) else if (dz == -1) (0, tzs) else (0, c.nz)
+        val (by, bny) = if (dy == 1) (c.ny - tys, tys) else if (dy == -1) (0, tys) else (0, c.ny)
+        val (bx, bnx) = if (dx == 1) (c.nx - txs, txs) else if (dx == -1) (0, txs) else (0, c.nx)
         val box = ChunkKernels.extractBox(c.data, c.ny, c.nx, bpp, bz, by, bx, bnz, bny, bnx)
         (tz, ty, tx, 0, c.z0 + bz, c.y0 + by, c.x0 + bx, bnz, bny, bnx, box)
       }
@@ -340,13 +366,13 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
       .flatMapGroups { (_, it) =>
         val parts = it.toArray
         val (_, _, _, _, z0, y0, x0, nz, ny, nx, _) = parts.find(_._4 == 1).get
-        val (pz, py, px) = (nz + 2, ny + 2, nx + 2)
+        val (pz, py, px) = (nz + 2 * t, ny + 2 * t, nx + 2 * t)
         // zero bytes decode as label 0 under every integral dtype — the
         // untouched pad IS the zero padding
         val padded = new Array[Byte](pz * py * px * bpp)
         parts.foreach { case (_, _, _, _, gz0, gy0, gx0, bnz, bny, bnx, data) =>
           ChunkKernels.placeBox(padded, py, px, bpp,
-            (gz0 - (z0 - 1)).toInt, (gy0 - (y0 - 1)).toInt, (gx0 - (x0 - 1)).toInt,
+            (gz0 - (z0 - t)).toInt, (gy0 - (y0 - t)).toInt, (gx0 - (x0 - t)).toInt,
             bnz, bny, bnx, data)
         }
         val out = kernel(padded, nz, ny, nx, bpp, unsigned)

@@ -157,6 +157,25 @@ object VoxelOps {
   def open6(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long): DataFrame =
     dilate6(erode6(vox, dimZ, dimY, dimX), dimZ, dimY, dimX)
 
+  /** Distance transform by erosion peeling, capped at `cap`: depth =
+    * min(manhattan distance to the nearest background voxel or volume
+    * border, cap) for foreground, 0 for background. Voxel-table form:
+    * cap−1 CHAINED erosion aggregations (one shuffle each) whose 0/1
+    * masks sum per voxel — the chunk form
+    * ([[ChunkVolume.erosionDepthVoxels]]) folds all rounds into ONE
+    * thickness-(cap−1) halo exchange and is the scale path.
+    */
+  def erosionDepth(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val mask0 = vox.select(col("z"), col("y"), col("x"),
+      when(col("label") =!= 0, lit(1L)).otherwise(lit(0L)).as("label"))
+    val masks = Iterator.iterate(mask0)(m => erode6(m, dimZ, dimY, dimX))
+      .take(cap).toSeq
+    masks.reduce(_ unionAll _)
+      .groupBy(col("z"), col("y"), col("x"))
+      .agg(sum(col("label")).as("depth"))
+  }
+
   /** Full pyramid: level 0 is the input, level i is decimate(level i-1).
     * Returns one DataFrame with a `level` column.
     */

@@ -96,6 +96,29 @@ class MorphRegionSpec extends AnyFunSuite with SparkSpec {
     assert((m("cz_e4"), m("cy_e4"), m("cx_e4")) === ((35000L, 35000L, 35000L)))
   }
 
+  test("erosionDepth: hand depths on the solid cube; cap saturates; bg stays 0") {
+    val d = collectVox(VoxelOps.erosionDepth(cube, D, D, D, cap = 3))
+    assert(d((2, 3, 3)) === 1L) // cube face
+    assert(d((3, 3, 3)) === 2L) // core: manhattan distance 2 to background
+    assert(d((0, 0, 0)) === 0L) // background
+    // a 4-cube has no voxel deeper than 2, so cap 3 never saturates here;
+    // a full volume saturates: center of an all-fg 8³ cube at cap 3 → 3
+    val full = cube.withColumn("label", lit(1L))
+    val df = collectVox(VoxelOps.erosionDepth(full, D, D, D, cap = 3))
+    assert(df((4, 4, 4)) === 3L) // >= 3 away from the border → capped
+    assert(df((0, 4, 4)) === 1L) // volume border counts as background
+  }
+
+  test("chunk erosionDepth (one deep halo) == voxel form; thin-chunk guard fails loud") {
+    val vol = ChunkVolume.fromVoxels(cube, D, D, D, 4, 4, 4)
+    assert(collectVox(vol.erosionDepthVoxels(cap = 3))
+      === collectVox(VoxelOps.erosionDepth(cube, D, D, D, cap = 3)))
+    // (3,5,7) on 8³ leaves a 1-thick x-remainder < cap-1 = 2 → reject
+    val thin = ChunkVolume.fromVoxels(cube, D, D, D, 3, 5, 7)
+    val ex = intercept[IllegalArgumentException](thin.erosionDepthVoxels(cap = 3))
+    assert(ex.getMessage.contains("rechunk"))
+  }
+
   test("mipZ: projection keeps the max label per (y,x) column") {
     val mip = VoxelOps.mipZ(cube).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
