@@ -648,5 +648,23 @@ object EventQueries {
         FROM tr ORDER BY from_type, to_type
       """),
     ),
+    // Streaming heavy hitters, batch face: per-user counts from the
+    // bucketed Misra-Gries state op (flatMapGroupsWithState — the
+    // stateful-stream twin of doc_freq_terms_sketch; streaming execution
+    // proven in StreamingTopKSpec). Capacity 256/bucket ≥ the harness's
+    // distinct users per bucket, so the sketch is in its exact regime
+    // and the top-20 matches the exact count oracle.
+    Q(
+      "ev_stream_topk",
+      (s, d) => graft.streaming.EventStreams.heavyHitters(T.events(s, d))
+        .select(col("user_id"), col("n_events"))
+        .orderBy(desc("n_events"), col("user_id"))
+        .limit(20),
+      Some("""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+        ORDER BY n_events DESC, user_id LIMIT 20
+      """),
+    ),
   )
 }

@@ -108,6 +108,63 @@ object EventStreams {
     else
       events.dropDuplicates("event_id")
 
+  /** Classic Misra-Gries fold: exact while the bucket's distinct-key count
+    * stays within `capacity`; beyond it counts become LOWER bounds with
+    * error ≤ n/capacity (any key with true count above that survives —
+    * the heavy-hitter guarantee). Shared by the streaming and batch faces.
+    */
+  private def mgAdd(m: scala.collection.mutable.Map[Long, Long], k: Long, capacity: Int): Unit =
+    m.get(k) match {
+      case Some(c) => m.update(k, c + 1)
+      case None if m.size < capacity => m.update(k, 1L)
+      case None =>
+        val dead = List.newBuilder[Long]
+        m.foreach { case (kk, c) => if (c == 1) dead += kk else m.update(kk, c - 1) }
+        dead.result().foreach(m.remove)
+    }
+
+  /** Streaming heavy hitters: per-user event counts as a Misra-Gries
+    * sketch maintained in `flatMapGroupsWithState` — the stateful-stream
+    * twin of the batch `doc_freq_terms_sketch` aggregate. Keys hash into
+    * `nBuckets` state groups (bounding any one task's state) and each
+    * group's sketch is O(capacity) FOREVER — the state never grows with
+    * stream length or key cardinality, so the query runs indefinitely at
+    * any feed rate (no watermark needed; nothing is ever evicted by
+    * time). Every trigger re-emits the group's current counters (Update
+    * mode); a key lives in exactly one bucket, so the global top-k is a
+    * union + sort away. Batch face: the identical fold per bucket group —
+    * bit-identical to streaming-to-completion because MG is
+    * order-insensitive in the exact regime (capacity ≥ bucket's distinct
+    * keys, the gate fixture's regime; over capacity both faces give
+    * lower bounds with the same guarantee).
+    */
+  def heavyHitters(events: DataFrame, nBuckets: Int = 32, capacity: Int = 256): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(
+      (col("user_id") % nBuckets).as("bucket"), col("user_id")).as[(Long, Long)]
+    if (events.isStreaming)
+      keyed.groupByKey(_._1)
+        .flatMapGroupsWithState[Map[Long, Long], (Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout,
+        ) { (bucket: Long, it: Iterator[(Long, Long)], state: GroupState[Map[Long, Long]]) =>
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(m ++= _)
+          it.foreach(e => mgAdd(m, e._2, capacity))
+          state.update(m.toMap)
+          m.iterator.map { case (u, c) => (bucket, u, c) }
+        }
+        .toDF("bucket", "user_id", "n_events")
+    else
+      keyed.groupByKey(_._1)
+        .flatMapGroups { (bucket: Long, it: Iterator[(Long, Long)]) =>
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          it.foreach(e => mgAdd(m, e._2, capacity))
+          m.iterator.map { case (u, c) => (bucket, u, c) }
+        }
+        .toDF("bucket", "user_id", "n_events")
+  }
+
   case class Event(user_id: Long, ts_us: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)
