@@ -202,6 +202,27 @@ object PlanAudit {
     */
   val pinnedExchanges: Map[String, Int] = Map(
     "q22_bucketed_colocated_join" -> 2,
+    // hashing-trick linear scorer is map-only; the 1 is the output sort
+    "doc_quality_model" -> 1,
+    // k-means final assignment is a narrow plan-constant projection; the
+    // 1 is the output sort (training iterations are separate jobs)
+    "emb_kmeans" -> 1,
+    // one state-bucket exchange; orderBy+limit folds into TakeOrdered
+    "ev_stream_topk" -> 1,
+    // user window + (from,to) agg + per-from probability window + sort —
+    // a 5th exchange would mean the probability window stopped riding
+    // the aggregated matrix
+    "ev_transitions" -> 4,
+    // chunk-form stencils: fromVoxels chunking + ONE halo exchange +
+    // output sort; a 4th exchange means a second halo appeared
+    "vol_chunk_erode6" -> 3,
+    "vol_chunk_dilate6" -> 3,
+    // deep-halo distance: ALL peeling rounds ride the single halo
+    // exchange (the voxel form pays ~8) — the pin guards exactly that
+    "vol_chunk_distance" -> 3,
+    // single map-side-combined aggs + output sort
+    "vol_mip_z" -> 2,
+    "vol_region_props" -> 2,
     "doc_repetition" -> 1,
     "ev_funnel" -> 2,
     "ev_retention" -> 3,
