@@ -2079,6 +2079,54 @@ object DocQueries {
         FROM embeddings ORDER BY id_a, id_b
       """),
     ),
+    // Matryoshka/truncated-dimension search: top-5 using only the FIRST
+    // 32 of 64 components (half the bytes, half the multiplies — the
+    // cheap first stage of a coarse→fine funnel) scored per query as
+    // |top5_trunc ∩ top5_full|. A FULL-VALUE gate: DuckDB independently
+    // computes BOTH rankings (the emb_cosine_topk bit-exact double
+    // contract) and the overlap. On these synthetic (non-MRL-trained)
+    // embeddings the prefix carries no privileged information — mean
+    // overlap ~0.3 at sf0.01 — which is itself the measurement: the
+    // funnel's first stage needs a front-loaded encoder to be cheap AND
+    // faithful.
+    Q(
+      "emb_matryoshka_hits",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val tr = emb.withColumn("embedding", expr("slice(embedding, 1, 32)"))
+        val exact = Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        val approx = Ann.bruteForceTopK(tr.filter(col("vec_id") < 10), tr, 5)
+        exact.select(col("query_id"), col("neighbor_id"))
+          .join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        rf AS (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   list_inner_product(qe, ce)
+                     / (SQRT(list_inner_product(qe, qe)) * SQRT(list_inner_product(ce, ce))) DESC,
+                   neighbor_id) AS rk
+          FROM q, c WHERE query_id <> neighbor_id
+        ), rt AS (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   list_inner_product(qe[1:32], ce[1:32])
+                     / (SQRT(list_inner_product(qe[1:32], qe[1:32])) * SQRT(list_inner_product(ce[1:32], ce[1:32]))) DESC,
+                   neighbor_id) AS rk
+          FROM q, c WHERE query_id <> neighbor_id
+        )
+        SELECT f.query_id,
+               CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM (SELECT * FROM rf WHERE rk <= 5) f
+        LEFT JOIN (SELECT * FROM rt WHERE rk <= 5) t
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY 1 ORDER BY 1
+      """),
+    ),
     // Distributed k-means (2 Lloyd rounds, k=8) under the cross-engine-
     // exact arithmetic contract (1e-4 FLOOR quantization, BIGINT squared
     // L2, smallest-index ties, `sum div n` centroid means, smallest-id

@@ -123,6 +123,36 @@ object VolumeQueries {
     ORDER BY a.z, a.y, a.x
   """
 
+  /** Synthetic measurement volume for the region-intensity gates: an
+    * md5-derived 0..255 intensity per voxel (hex chars 3–4 of the same
+    * key string the percolation mask hashes), deterministic on both
+    * engines.
+    */
+  private def intensityGrid(s: SparkSession): DataFrame =
+    s.range(D * D * D).select(
+      expr("id div 256").as("z"),
+      expr("(id div 16) % 16").as("y"),
+      expr("id % 16").as("x"))
+      .withColumn("intensity",
+        expr("CAST(conv(substr(md5(concat_ws('_', CAST(z AS STRING), CAST(y AS STRING), CAST(x AS STRING))), 3, 2), 16, 10) AS BIGINT)"))
+
+  /** One oracle for both region-intensity forms: label formula × md5
+    * intensity formula, grouped per label — sum/count/min/max are exact
+    * integers.
+    */
+  private def regionIntensityOracle: String = s"""$voxCte,
+    iv AS (
+      SELECT z, y, x,
+             CAST('0x' || substr(md5(CAST(z AS VARCHAR) || '_' || CAST(y AS VARCHAR) || '_' || CAST(x AS VARCHAR)), 3, 2) AS BIGINT) AS intensity
+      FROM vox
+    )
+    SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_voxels,
+           CAST(SUM(i.intensity) AS BIGINT) AS sum_i,
+           MIN(i.intensity) AS min_i, MAX(i.intensity) AS max_i
+    FROM vox v JOIN iv i ON v.z = i.z AND v.y = i.y AND v.x = i.x
+    GROUP BY v.label ORDER BY v.label
+  """
+
   /** One oracle for both distance-transform forms: the capped manhattan
     * distance computed DIRECTLY — min over all background voxels plus the
     * six border-distance terms — vs the engines' erosion peeling.
@@ -1042,6 +1072,27 @@ object VolumeQueries {
       Some(s"""$voxCte
         SELECT y, x, MAX(label) AS label FROM vox GROUP BY y, x ORDER BY y, x
       """),
+    ),
+    // Atlas-overlay quantification: per-region statistics of a second,
+    // identically-gridded measurement volume (the workflow the atlas is
+    // upscaled FOR). Voxel form: coordinate equi-join + one label agg.
+    Q(
+      "vol_region_intensity",
+      (s, _) => VoxelOps.regionIntensityStats(grid(s), intensityGrid(s))
+        .orderBy("label"),
+      Some(regionIntensityOracle),
+    ),
+    // Chunk form: the two chunk streams co-locate by chunk coordinate
+    // (bodies move once), aligned pairs fold to per-chunk per-label
+    // partials, and one tiny agg merges — the post-join shuffle carries
+    // O(labels · chunks) partial rows, never voxels. Same oracle.
+    Q(
+      "vol_chunk_region_intensity",
+      (s, _) => ChunkVolume.fromVoxels(grid(s), D, D, D, 5, 6, 7)
+        .regionStatsAgainst(ChunkVolume.fromVoxels(
+          intensityGrid(s).withColumnRenamed("intensity", "label"), D, D, D, 5, 6, 7))
+        .orderBy("label"),
+      Some(regionIntensityOracle),
     ),
     // Distance transform (erosion peeling, cap 4) on the percolation
     // mask, voxel form: cap−1 chained erosion aggregations whose 0/1

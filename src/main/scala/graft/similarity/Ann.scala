@@ -182,6 +182,33 @@ object Ann {
     lshTopK(emb, dim, k, queryFilter, nPlanes, nTables, idCol, vecCol),
     k, recallFloor)
 
+  /** Matryoshka/truncated-dimension recall: search with only the FIRST
+    * `truncDim` components (the matryoshka-representation deployment
+    * trick — an MRL-trained encoder front-loads information, so a prefix
+    * slice is a usable low-cost embedding: Kusupati et al. 2022),
+    * recall@k vs the full-dim exact top-k. The truncated scan reads
+    * truncDim/dim of the bytes and does truncDim/dim of the multiplies —
+    * the cheap first stage of a coarse→fine funnel; this gate measures
+    * what that cut costs on the harness vectors. Both sides are
+    * brute-force here: the variable under test is the DIMENSION cut, not
+    * the index.
+    */
+  def truncatedRecallVsExact(
+      emb: DataFrame,
+      truncDim: Int,
+      k: Int,
+      queryFilter: Column,
+      recallFloor: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val truncated = emb.withColumn(vecCol, expr(s"slice($vecCol, 1, $truncDim)"))
+    recallVsExact(
+      bruteForceTopK(emb.filter(queryFilter), emb, k, idCol, vecCol),
+      bruteForceTopK(truncated.filter(queryFilter), truncated, k, idCol, vecCol),
+      k, recallFloor)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Deterministic coarse quantizer for the IVF path: Lloyd k-means over a

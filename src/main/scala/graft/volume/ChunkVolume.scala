@@ -319,6 +319,56 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
       ChunkKernels.erodeDepth(_, _, _, _, _, _, math.max(t, 1), t))
   }
 
+  /** Per-label intensity statistics against a SECOND, identically-gridded
+    * volume — the atlas-overlay quantification every registered-atlas
+    * workflow ends in (this volume carries region labels, `intensity`
+    * carries the measurement; reference: the ADMBA atlas is upscaled
+    * precisely to be laid over imaging volumes). The two chunk streams
+    * co-locate by chunk coordinate (one hash exchange each — chunk
+    * bodies move once, nothing is amplified), each aligned pair folds to
+    * per-chunk per-label partials (sum/count/min/max — a few rows per
+    * label per chunk), and one tiny aggregation merges partials. At
+    * 100 TB the shuffle after the join carries O(labels·chunks) partial
+    * rows, never voxels.
+    */
+  def regionStatsAgainst(intensity: ChunkVolume): DataFrame = {
+    val m = meta; val im = intensity.meta
+    require(m.dimZ == im.dimZ && m.dimY == im.dimY && m.dimX == im.dimX
+      && m.chunkZ == im.chunkZ && m.chunkY == im.chunkY && m.chunkX == im.chunkX,
+      s"volumes must share dims and chunk grid: $m vs $im")
+    require(!m.isFloating && !im.isFloating, "integral element types required")
+    val (bppL, unsL) = (m.bytesPerVoxel, m.isUnsigned)
+    val (bppI, unsI) = (im.bytesPerVoxel, im.isUnsigned)
+    import chunks.sparkSession.implicits._
+    chunks
+      .joinWith(intensity.chunks,
+        chunks("cz") === intensity.chunks("cz")
+          && chunks("cy") === intensity.chunks("cy")
+          && chunks("cx") === intensity.chunks("cx"))
+      .flatMap { case (lc, ic) =>
+        val n = lc.nz * lc.ny * lc.nx
+        require(ic.nz == lc.nz && ic.ny == lc.ny && ic.nx == lc.nx,
+          s"misaligned chunk (${lc.cz},${lc.cy},${lc.cx})")
+        val acc = scala.collection.mutable.LongMap.empty[Array[Long]]
+        var i = 0
+        while (i < n) {
+          val l = ChunkKernels.decodeLong(lc.data, i, bppL, unsL)
+          val v = ChunkKernels.decodeLong(ic.data, i, bppI, unsI)
+          val a = acc.getOrElseUpdate(l, Array(0L, 0L, Long.MaxValue, Long.MinValue))
+          a(0) += v; a(1) += 1
+          if (v < a(2)) a(2) = v
+          if (v > a(3)) a(3) = v
+          i += 1
+        }
+        acc.iterator.map { case (l, a) => (l, a(0), a(1), a(2), a(3)) }
+      }
+      .toDF("label", "s", "n", "mn", "mx")
+      .groupBy(col("label"))
+      .agg(sum(col("s")).as("sum_i"), sum(col("n")).as("n_voxels"),
+        min(col("mn")).as("min_i"), max(col("mx")).as("max_i"))
+      .select(col("label"), col("n_voxels"), col("sum_i"), col("min_i"), col("max_i"))
+  }
+
   /** Shared halo-exchange stencil plumbing: each chunk sends the
     * thickness-1 slab adjacent to each in-grid neighbor (all 26 for a
     * dense 3×3×3 kernel; just the 6 faces when `facesOnly` — edge/corner

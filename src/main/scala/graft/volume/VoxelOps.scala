@@ -381,4 +381,19 @@ object VoxelOps {
     */
   def mipZ(vox: DataFrame): DataFrame =
     vox.groupBy(col("y"), col("x")).agg(max(col("label")).as("label"))
+
+  /** Per-label intensity statistics of a SECOND voxel table (columns
+    * z,y,x,intensity) under this label volume — the voxel-table face of
+    * [[ChunkVolume.regionStatsAgainst]]: one coordinate equi-join + one
+    * map-side-combined aggregation on the label key.
+    */
+  def regionIntensityStats(labels: DataFrame, intensity: DataFrame): DataFrame =
+    labels
+      .join(intensity, Seq("z", "y", "x"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_voxels"),
+        sum(col("intensity")).as("sum_i"),
+        min(col("intensity")).as("min_i"),
+        max(col("intensity")).as("max_i"))
 }

@@ -189,6 +189,19 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(strict.length === 10 && strict.forall(!_))
   }
 
+  test("truncatedRecallVsExact: full-dim truncation is the identity (recall 1); half-dim stays a valid ranking") {
+    // truncating to ALL 64 dims changes nothing → recall exactly 1 per query
+    val full = Ann.truncatedRecallVsExact(emb, truncDim = 64, k, qf, recallFloor = 0.999)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(full.map(_._1).toSeq === (0L until 10L) && full.forall(_._2))
+    // half-dim: every query row present, floor semantics intact (recall
+    // on these non-MRL synthetic vectors is low — that's the point of
+    // the emb_matryoshka_hits measurement; here we only pin mechanics)
+    val half = Ann.truncatedRecallVsExact(emb, truncDim = 32, k, qf, recallFloor = 0.0)
+      .collect()
+    assert(half.length === 10 && half.forall(_.getBoolean(1)))
+  }
+
   test("appendToIvfIndex: frozen quantizer, disk assignment == recomputation, search sees all") {
     import org.apache.spark.sql.functions.col
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString

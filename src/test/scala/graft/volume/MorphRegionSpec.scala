@@ -119,6 +119,26 @@ class MorphRegionSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("rechunk"))
   }
 
+  test("regionStatsAgainst: chunk form == voxel form; grid mismatch fails loud") {
+    // intensity = linear voxel id mod 97 — exact integers, hand-checkable
+    val intensity = cube.select(col("z"), col("y"), col("x"),
+      ((col("z") * 64 + col("y") * 8 + col("x")) % 97).as("intensity"))
+    val voxel = VoxelOps.regionIntensityStats(cube, intensity)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val chunk = ChunkVolume.fromVoxels(cube, D, D, D, 3, 5, 7)
+      .regionStatsAgainst(ChunkVolume.fromVoxels(
+        intensity.withColumnRenamed("intensity", "label"), D, D, D, 3, 5, 7))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(chunk === voxel)
+    assert(voxel(7L)._1 === 64L) // the 4³ cube's voxel count
+    // different chunk grids must be rejected, not silently mis-zipped
+    val other = ChunkVolume.fromVoxels(
+      intensity.withColumnRenamed("intensity", "label"), D, D, D, 4, 4, 4)
+    intercept[IllegalArgumentException] {
+      ChunkVolume.fromVoxels(cube, D, D, D, 3, 5, 7).regionStatsAgainst(other)
+    }
+  }
+
   test("mipZ: projection keeps the max label per (y,x) column") {
     val mip = VoxelOps.mipZ(cube).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
