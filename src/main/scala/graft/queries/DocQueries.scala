@@ -2079,6 +2079,78 @@ object DocQueries {
         FROM embeddings ORDER BY id_a, id_b
       """),
     ),
+    // Cross-source overlap matrix: for every source pair, how many
+    // distinct text fingerprints they share — the "which feeds are
+    // re-crawling each other" curation question that decides dedup
+    // ordering and per-source caps. Shape: distinct (fp, source) pairs
+    // (payload drops at the first agg), then a self-join ON fp whose
+    // fan-out is bounded by sources-per-fingerprint, never corpus size.
+    // Uses the duplicate-injected corpus so sources genuinely overlap.
+    Q(
+      "doc_source_overlap",
+      (s, d) => {
+        val fps = dupCorpus(s, d)
+          // remap the injected copy onto the NEXT source (src k → k+1
+          // mod 20) so overlap exists across source labels, not within
+          .withColumn("source",
+            when(col("doc_id") >= DupOffset,
+              concat(lit("src"),
+                (((col("doc_id") - DupOffset) % 20 + 1) % 20).cast("string")))
+              .otherwise(col("source")))
+          .select(md5(col("text").cast("binary")).as("fp"), col("source"))
+          .distinct()
+        val b = fps.select(col("fp"), col("source").as("source_b"))
+        fps.join(b, Seq("fp"))
+          .filter(col("source") < col("source_b"))
+          .groupBy(col("source").as("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""
+        WITH fps AS (
+          SELECT DISTINCT md5(text) AS fp,
+                 CASE WHEN doc_id >= $DupOffset
+                      THEN 'src' || CAST(((doc_id - $DupOffset) % 20 + 1) % 20 AS VARCHAR)
+                      ELSE source END AS source
+          FROM $dupCorpusSql
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """),
+    ),
+    // Model-free document embedding: signed feature-hashed bag-of-words
+    // (the hashing trick with Achlioptas-style ±1 signs — a sparse
+    // random projection with no stored matrix). Every token adds ±1 to
+    // one of 16 dims via md5; exact integer components, published as
+    // (doc_id, dim, val) rows. Gives any corpus a dense-embedding
+    // column with NO model artifact — the cheap input to cosine
+    // near-dup/clustering when no encoder is available. One explode +
+    // one map-side-combined agg (≤16 rows/doc survive the combine).
+    Q(
+      "doc_hash_embedding",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 16").as("dim"),
+          expr("CASE WHEN substr(md5(t), 9, 1) BETWEEN '0' AND '7' THEN 1L ELSE -1L END").as("sgn"))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sgn")).as("val"))
+        .orderBy(col("doc_id"), col("dim")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16 AS dim,
+                 CASE WHEN substr(md5(t), 9, 1) BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS sgn
+          FROM toks
+        )
+        SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS val
+        FROM h GROUP BY 1, 2 ORDER BY doc_id, dim
+      """),
+    ),
     // Matryoshka/truncated-dimension search: top-5 using only the FIRST
     // 32 of 64 components (half the bytes, half the multiplies — the
     // cheap first stage of a coarse→fine funnel) scored per query as
