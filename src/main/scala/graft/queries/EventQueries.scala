@@ -648,6 +648,61 @@ object EventQueries {
         FROM tr ORDER BY from_type, to_type
       """),
     ),
+    // Conversion latency: per user, first 'view' → first subsequent
+    // 'purchase' delay, rolled up to EXACT index-based percentiles
+    // (element at floor((n−1)·p/100) of the sorted deltas — integer
+    // seconds, deterministic on both engines, no interpolation knife
+    // edges). The global rank window runs over the USER-level table
+    // (~|users| rows), never raw events — the q7 discipline.
+    Q(
+      "ev_funnel_latency",
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d)
+        val firstView = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts_ns").as("view_ns"))
+        val firstBuy = ev.filter($"event_type" === "purchase")
+          .join(firstView, Seq("user_id"))
+          .filter($"ts_ns" >= $"view_ns")
+          .groupBy($"user_id").agg(min($"ts_ns").as("buy_ns"))
+        val deltas = firstBuy.join(firstView, Seq("user_id"))
+          .select(expr("(buy_ns - view_ns) div 1000000000").as("delta_s"), $"user_id")
+        val ranked = deltas.withColumn("rn",
+          row_number().over(Window.orderBy($"delta_s", $"user_id")) - 1)
+        val n = ranked.agg(count(lit(1)).as("n")).select($"n")
+        ranked.crossJoin(broadcast(n))
+          .filter($"rn" === (($"n" - 1) * 50 / 100).cast("int")
+            || $"rn" === (($"n" - 1) * 90 / 100).cast("int"))
+          .select($"n".as("n_users"),
+            when($"rn" === (($"n" - 1) * 50 / 100).cast("int"), lit("p50")).otherwise(lit("p90")).as("pct"),
+            $"delta_s")
+          .orderBy($"pct")
+      },
+      Some("""
+        WITH fv AS (
+          SELECT user_id, MIN(epoch_ns(ts)) AS view_ns FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), fb AS (
+          SELECT e.user_id, MIN(epoch_ns(e.ts)) AS buy_ns
+          FROM events e JOIN fv USING (user_id)
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= fv.view_ns
+          GROUP BY 1
+        ), deltas AS (
+          SELECT fb.user_id, (fb.buy_ns - fv.view_ns) // 1000000000 AS delta_s
+          FROM fb JOIN fv USING (user_id)
+        ), ranked AS (
+          SELECT delta_s, ROW_NUMBER() OVER (ORDER BY delta_s, user_id) - 1 AS rn,
+                 COUNT(*) OVER () AS n
+          FROM deltas
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               CASE WHEN rn = (n - 1) * 50 // 100 THEN 'p50' ELSE 'p90' END AS pct,
+               delta_s
+        FROM ranked
+        WHERE rn = (n - 1) * 50 // 100 OR rn = (n - 1) * 90 // 100
+        ORDER BY pct
+      """),
+    ),
     // Streaming heavy hitters, batch face: per-user counts from the
     // bucketed Misra-Gries state op (flatMapGroupsWithState — the
     // stateful-stream twin of doc_freq_terms_sketch; streaming execution
