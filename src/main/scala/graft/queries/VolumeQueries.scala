@@ -244,6 +244,30 @@ object VolumeQueries {
     d.resolve("export.nrrd").toString
   }
 
+  /** One zarr v3 export destination per JVM (AtomicDir overwrite). */
+  private lazy val zarr3Dest: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_z3")
+    d.toFile.deleteOnExit()
+    d.resolve("array").toString
+  }
+
+  /** Foreign zarr v3 array (gzip + big-endian, default `/` keys) written
+    * once per JVM by tools/gen_zarr3_fixture.py — an independent
+    * pure-stdlib encoder, NOT Zarr3Store.
+    */
+  private lazy val foreignZarr3Dir: String = {
+    val gen = java.nio.file.Paths.get("tools/gen_zarr3_fixture.py")
+    require(java.nio.file.Files.exists(gen),
+      s"fixture generator not found at ${gen.toAbsolutePath}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fz3")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("arr").toString
+    val cmd = Seq("python3", gen.toString, out, "--endian", "be", "--codec", "gzip")
+    val rc = scala.sys.process.Process(cmd).!(scala.sys.process.ProcessLogger(_ => ()))
+    require(rc == 0, s"gen_zarr3_fixture.py exited $rc")
+    out
+  }
+
   /** One destination per JVM for the pyramid-group roundtrip: the write
     * is atomic-overwrite (AtomicDir publish), so bench reps reuse the
     * path instead of leaking a temp dir per rep.
@@ -1119,6 +1143,33 @@ object VolumeQueries {
           when(ccMaskCol, lit(1L)).otherwise(lit(0L)).as("label")),
         D, D, D, 8, 8, 8).erosionDepthVoxels(cap = 4).orderBy("z", "y", "x"),
       Some(distanceOracle),
+    ),
+    // S4, v3 dialect: zarr v3 write→read round-trip in the reference
+    // CLI's flagship codec (blosc-zstd-BITSHUFFLE) — zarr.json metadata,
+    // codec pipeline, c/-prefixed keys; chunk encode/decode is the same
+    // v2-proven machinery underneath.
+    Q(
+      "vol_zarr3_roundtrip",
+      (s, _) => {
+        graft.volume.Zarr3Store.write(chunked(s), zarr3Dest,
+          graft.volume.ZarrStore.BloscCodec("zstd", 5, 2))
+        graft.volume.Zarr3Store.read(s, zarr3Dest).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // S4 interop: a FOREIGN zarr v3 array from the independent python
+    // encoder — gzip codec (RFC-1952), big-endian bytes codec, extra
+    // attributes — proving the reader against a layout the engine never
+    // produced.
+    Q(
+      "vol_zarr3_foreign",
+      (s, _) => graft.volume.Zarr3Store.read(s, foreignZarr3Dir)
+        .toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
     ),
     // S-family: NRRD export + scan round-trip — driver writes the text
     // header, executors land chunk bytes with positioned writes, and the

@@ -93,6 +93,34 @@ object ZarrStore {
     }
   }
 
+  /** numcodecs `gzip`: RFC-1952 member (header + CRC32), exactly python
+    * `gzip.compress` — distinct from `zlib`'s RFC-1950 stream. Also the
+    * zarr v3 `gzip` codec ([[Zarr3Store]]).
+    */
+  final case class GzipCodec(level: Int = 5) extends Codec {
+    val id: Option[String] = Some("gzip")
+    def compress(src: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(src.length / 2 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos) {
+        `def`.setLevel(level)
+      }
+      gz.write(src); gz.close()
+      bos.toByteArray
+    }
+    def decompress(src: Array[Byte], rawLen: Int): Array[Byte] = {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(src))
+      val out = new Array[Byte](rawLen)
+      var off = 0
+      while (off < rawLen) {
+        val r = in.read(out, off, rawLen - off)
+        require(r >= 0, s"gzip chunk truncated at $off of $rawLen")
+        off += r
+      }
+      in.close()
+      out
+    }
+  }
+
   /** numcodecs `lz4`: the standalone (non-blosc) LZ4 codec — a 4-byte LE
     * header holding the uncompressed length, then one raw LZ4 block
     * (numcodecs lz4.pyx `encode`/`decode`). Distinct from the raw
@@ -490,6 +518,7 @@ object ZarrStore {
     val comp = m.codec match {
       case Raw => "null"
       case Zlib(l) => s"""{"id": "zlib", "level": $l}"""
+      case GzipCodec(l) => s"""{"id": "gzip", "level": $l}"""
       case ZstdCodec(l) => s"""{"id": "zstd", "level": $l}"""
       case Lz4Codec(a) => s"""{"id": "lz4", "acceleration": $a}"""
       case BloscCodec(cname, clevel, shuffle, _) =>
@@ -538,6 +567,7 @@ object ZarrStore {
         val level = comp \ "level" match { case JNothing => 5 case l => num(l).toInt }
         id match {
           case "zlib" => Zlib(level)
+          case "gzip" => GzipCodec(level)
           case "zstd" => ZstdCodec(level)
           case "lz4" =>
             val acc = comp \ "acceleration" match { case JNothing => 1 case a => num(a).toInt }

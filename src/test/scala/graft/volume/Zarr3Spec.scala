@@ -1,0 +1,95 @@
+package graft.volume
+
+import graft.SparkSpec
+import graft.volume.ZarrStore.{BloscCodec, GzipCodec, Raw, ZstdCodec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Zarr v3 contract: metadata round-trip, codec pipeline parsing,
+  * fail-loud rejection of sharding/unknown codecs, fill-value semantics
+  * for absent chunks, the '.' key separator, and foreign interop against
+  * the independent python encoder.
+  */
+class Zarr3Spec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_z3spec")
+    d.toFile.deleteOnExit()
+    d.resolve("arr").toString
+  }
+
+  private def vox: DataFrame = spark.range(6 * 5 * 4).select(
+    expr("id div 20").as("z"), expr("(id div 4) % 5").as("y"),
+    expr("id % 4").as("x"), (col("id") * 17 % 1000).as("label"))
+
+  private def vol = ChunkVolume.fromVoxels(vox, 6, 5, 4, 3, 2, 3)
+
+  private def collectVox(v: ChunkVolume): Map[(Long, Long, Long), Long] =
+    v.toVoxels.collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+
+  test("write → read round-trip under every supported codec") {
+    for (codec <- Seq(Raw, ZstdCodec(3), GzipCodec(6), BloscCodec("zstd", 5, 2), BloscCodec("lz4", 5, 1))) {
+      val p = tmp()
+      Zarr3Store.write(vol, p, codec)
+      assert(collectVox(Zarr3Store.read(spark, p)) === collectVox(vol), s"codec $codec")
+      assert(Files.exists(Paths.get(p, "zarr.json")))
+      assert(Files.exists(Paths.get(p, "c", "0", "0", "0"))) // v3 key layout
+    }
+  }
+
+  test("metadata: zarrJson → parseZarrJson is the identity on the codec and dtype") {
+    for (codec <- Seq(Raw, ZstdCodec(7), GzipCodec(2), BloscCodec("zstd", 5, 2, 4))) {
+      val m = ZarrStore.ZarrMeta(Seq(6, 5, 4), Seq(3, 2, 3), "<u4", codec, 0L, "/")
+      val back = Zarr3Store.parseZarrJson(Zarr3Store.zarrJson(m))
+      assert(back.shape === m.shape && back.chunks === m.chunks)
+      assert(back.dtype === m.dtype)
+      (back.codec, codec) match {
+        case (a: BloscCodec, b: BloscCodec) =>
+          assert(a.cname === b.cname && a.clevel === b.clevel && a.shuffle === b.shuffle)
+        case (a, b) => assert(a === b)
+      }
+    }
+  }
+
+  test("fail-loud: sharding_indexed, unknown codec, non-bytes first codec, v2 doc") {
+    def boom(doc: String): Unit = intercept[Exception](Zarr3Store.parseZarrJson(doc))
+    val base = """{"zarr_format": 3, "node_type": "array", "shape": [4,4,4],
+      "data_type": "uint16",
+      "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2,2,2]}},
+      "fill_value": 0, "codecs": CODECS}"""
+    boom(base.replace("CODECS",
+      """[{"name": "sharding_indexed", "configuration": {}}]"""))
+    boom(base.replace("CODECS",
+      """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "lzma", "configuration": {}}]"""))
+    boom(base.replace("CODECS", """[{"name": "crc32c"}]"""))
+    boom("""{"zarr_format": 2, "shape": [4,4,4]}""")
+  }
+
+  test("absent chunk decodes as fill_value; '.' separator resolves") {
+    val d = Files.createTempDirectory("graft_z3f").toString
+    def gen(out: String, args: String*): String = {
+      val cmd = Seq("python3", "tools/gen_zarr3_fixture.py", out) ++ args
+      assert(scala.sys.process.Process(cmd).! === 0)
+      out
+    }
+    // chunk (0,0,0) dropped: its 7³∩volume voxels read as fill 0
+    val dropped = Zarr3Store.read(spark,
+      gen(s"$d/drop", "--drop-chunk", "--endian", "le"))
+    val m = collectVox(dropped)
+    assert(m((0, 0, 0)) === 0L && m((6, 6, 6)) === 0L)   // inside the dropped chunk
+    assert(m((7, 0, 0)) === 100L && m((0, 7, 0)) === 10L) // neighbors intact
+    // '.' separator: same values, flat key files
+    val dotted = Zarr3Store.read(spark, gen(s"$d/dot", "--sep", ".", "--endian", "be"))
+    assert(collectVox(dotted)((15, 15, 15)) === 333L)
+    assert(Files.exists(Paths.get(s"$d/dot", "c.0.0.0")))
+  }
+
+  test("gzip codec is RFC-1952 (python gzip), not zlib") {
+    val payload = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val gz = GzipCodec(6).compress(payload)
+    assert((gz(0) & 0xff) === 0x1f && (gz(1) & 0xff) === 0x8b) // gzip magic
+    assert(GzipCodec(6).decompress(gz, 100) === payload)
+  }
+}
