@@ -648,6 +648,54 @@ object EventQueries {
         FROM tr ORDER BY from_type, to_type
       """),
     ),
+    // Windowed anomaly detection, INTEGER-EXACT: flag hours whose event
+    // count exceeds mean + 2σ of the trailing 24 observed hours — the
+    // z-score test rearranged to avoid every float: with m trailing
+    // counts summing to S (squares Q), c > μ + 2σ ⇔ mc − S > 0 AND
+    // (mc − S)² > 4(mQ − S²). Only full 24-hour histories flag. One
+    // (type, hour) agg + one window over the aggregated series.
+    Q(
+      "ev_anomaly_hours",
+      (s, d) => {
+        import s.implicits._
+        val hourly = T.events(s, d)
+          .groupBy($"event_type",
+            expr(s"(ts_ns div $NS_PER_HOUR) * 3600").as("hour_s"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy($"event_type").orderBy($"hour_s")
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("m", count($"c").over(w))
+          .withColumn("s", sum($"c").over(w))
+          .withColumn("q", sum($"c" * $"c").over(w))
+          .filter($"m" === 24
+            && ($"m" * $"c" - $"s") > 0
+            && ($"m" * $"c" - $"s") * ($"m" * $"c" - $"s") > ($"m" * $"q" - $"s" * $"s") * 4)
+          .select($"event_type", $"hour_s", $"c".as("n_events"))
+          .orderBy($"event_type", $"hour_s")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), win AS (
+          SELECT event_type, hour_s, c,
+                 COUNT(c) OVER tw AS m,
+                 SUM(c) OVER tw AS s,
+                 SUM(c * c) OVER tw AS q
+          FROM hourly
+          WINDOW tw AS (PARTITION BY event_type ORDER BY hour_s
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, hour_s, c AS n_events
+        FROM win
+        WHERE m = 24 AND (m * c - s) > 0
+          AND (m * c - s) * (m * c - s) > (m * q - s * s) * 4
+        ORDER BY event_type, hour_s
+      """),
+    ),
     // Conversion latency: per user, first 'view' → first subsequent
     // 'purchase' delay, rolled up to EXACT index-based percentiles
     // (element at floor((n−1)·p/100) of the sorted deltas — integer

@@ -1097,6 +1097,16 @@ object VolumeQueries {
         SELECT y, x, MAX(label) AS label FROM vox GROUP BY y, x ORDER BY y, x
       """),
     ),
+    // Chunk form: each chunk collapses its z-extent to one plane
+    // locally, planes MAX-merge per (y,x) — the shuffle carries
+    // ~1/chunkZ of the volume. Same oracle.
+    Q(
+      "vol_chunk_mip_z",
+      (s, _) => chunked(s).mipZVoxels.orderBy("y", "x"),
+      Some(s"""$voxCte
+        SELECT y, x, MAX(label) AS label FROM vox GROUP BY y, x ORDER BY y, x
+      """),
+    ),
     // Atlas-overlay quantification: per-region statistics of a second,
     // identically-gridded measurement volume (the workflow the atlas is
     // upscaled FOR). Voxel form: coordinate equi-join + one label agg.

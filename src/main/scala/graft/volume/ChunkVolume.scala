@@ -319,6 +319,38 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
       ChunkKernels.erodeDepth(_, _, _, _, _, _, math.max(t, 1), t))
   }
 
+  /** Maximum-intensity projection along z, chunk form: each chunk
+    * collapses its own z-extent to ONE (ny·nx) plane locally (body never
+    * leaves the task), then planes merge per (y, x) in a map-side-
+    * combined MAX aggregation — the shuffle carries ncz plane rows per
+    * column chunk, ~1/chunkZ of the volume.
+    */
+  def mipZVoxels: DataFrame = {
+    require(!meta.isFloating, s"mipZ requires an integral element type, got ${meta.elementType}")
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    import chunks.sparkSession.implicits._
+    chunks
+      .flatMap { c =>
+        val plane = new Array[Long](c.ny * c.nx)
+        java.util.Arrays.fill(plane, Long.MinValue)
+        var i = 0
+        val n = c.nz * c.ny * c.nx
+        while (i < n) {
+          val v = ChunkKernels.decodeLong(c.data, i, bpp, unsigned)
+          val j = i % (c.ny * c.nx)
+          if (v > plane(j)) plane(j) = v
+          i += 1
+        }
+        Iterator.range(0, c.ny * c.nx).map { j =>
+          (c.y0 + j / c.nx, c.x0 + j % c.nx, plane(j))
+        }
+      }
+      .toDF("y", "x", "label")
+      .groupBy(col("y"), col("x"))
+      .agg(max(col("label")).as("label"))
+  }
+
   /** Per-label intensity statistics against a SECOND, identically-gridded
     * volume — the atlas-overlay quantification every registered-atlas
     * workflow ends in (this volume carries region labels, `intensity`
