@@ -215,6 +215,60 @@ object DocQueries {
         ORDER BY doc_id
       """
 
+  /** Shared DuckDB replay of the emb_kmeans training (two full Lloyd
+    * rounds under the cross-engine-exact integer contract), ending at
+    * `d3` = every (vec_id, candidate cluster, exact BIGINT d2) pair vs
+    * the final centroids — emb_kmeans takes the argmin; downstream
+    * consumers (emb_cluster_balance) extend the chain.
+    */
+  private val kmeansReplayCte = """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+          FROM embeddings
+        ), c0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, q AS c
+          FROM q ORDER BY vec_id LIMIT 8
+        ), d1 AS (
+          SELECT q.vec_id,  c0.cl,
+                 CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c0.c[i]) * (q.q[i] - c0.c[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN c0
+        ), a1 AS (
+          SELECT vec_id, cl AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d1
+          ) WHERE rn = 1
+        ), u1 AS (
+          SELECT a1.cluster AS cl, t.i + 1 AS pos, SUM(q.q[t.i + 1]) AS s, COUNT(*) AS n
+          FROM a1 JOIN q USING (vec_id), range(64) t(i)
+          GROUP BY 1, 2
+        ), c1 AS (
+          SELECT c0.cl, COALESCE(lu.c, c0.c) AS c
+          FROM c0 LEFT JOIN (
+            SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c FROM u1 GROUP BY cl
+          ) lu USING (cl)
+        ), d2_ AS (
+          SELECT q.vec_id, c1.cl,
+                 CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c1.c[i]) * (q.q[i] - c1.c[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN c1
+        ), a2 AS (
+          SELECT vec_id, cl AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d2_
+          ) WHERE rn = 1
+        ), u2 AS (
+          SELECT a2.cluster AS cl, t.i + 1 AS pos, SUM(q.q[t.i + 1]) AS s, COUNT(*) AS n
+          FROM a2 JOIN q USING (vec_id), range(64) t(i)
+          GROUP BY 1, 2
+        ), c2 AS (
+          SELECT c1.cl, COALESCE(lu.c, c1.c) AS c
+          FROM c1 LEFT JOIN (
+            SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c FROM u2 GROUP BY cl
+          ) lu USING (cl)
+        ), d3 AS (
+          SELECT q.vec_id, c2.cl,
+                 CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c2.c[i]) * (q.q[i] - c2.c[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN c2
+        )"""
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     // One hash-partitioned aggregate; only (hash, id) shuffles at scale.
@@ -2214,57 +2268,47 @@ object DocQueries {
       (s, d) => graft.similarity.KMeans
         .fitAssign(T(s, d, "embeddings"), k = 8, iters = 2)
         .orderBy("vec_id"),
-      Some("""
-        WITH q AS (
-          SELECT vec_id,
-                 list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
-          FROM embeddings
-        ), c0 AS (
-          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, q AS c
-          FROM q ORDER BY vec_id LIMIT 8
-        ), d1 AS (
-          SELECT q.vec_id,  c0.cl,
-                 CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c0.c[i]) * (q.q[i] - c0.c[i]))) AS BIGINT) AS d2
-          FROM q CROSS JOIN c0
-        ), a1 AS (
-          SELECT vec_id, cl AS cluster FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d1
-          ) WHERE rn = 1
-        ), u1 AS (
-          SELECT a1.cluster AS cl, t.i + 1 AS pos, SUM(q.q[t.i + 1]) AS s, COUNT(*) AS n
-          FROM a1 JOIN q USING (vec_id), range(64) t(i)
-          GROUP BY 1, 2
-        ), c1 AS (
-          SELECT c0.cl, COALESCE(lu.c, c0.c) AS c
-          FROM c0 LEFT JOIN (
-            SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c FROM u1 GROUP BY cl
-          ) lu USING (cl)
-        ), d2_ AS (
-          SELECT q.vec_id, c1.cl,
-                 CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c1.c[i]) * (q.q[i] - c1.c[i]))) AS BIGINT) AS d2
-          FROM q CROSS JOIN c1
-        ), a2 AS (
-          SELECT vec_id, cl AS cluster FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d2_
-          ) WHERE rn = 1
-        ), u2 AS (
-          SELECT a2.cluster AS cl, t.i + 1 AS pos, SUM(q.q[t.i + 1]) AS s, COUNT(*) AS n
-          FROM a2 JOIN q USING (vec_id), range(64) t(i)
-          GROUP BY 1, 2
-        ), c2 AS (
-          SELECT c1.cl, COALESCE(lu.c, c1.c) AS c
-          FROM c1 LEFT JOIN (
-            SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c FROM u2 GROUP BY cl
-          ) lu USING (cl)
-        ), d3 AS (
-          SELECT q.vec_id, c2.cl,
-                 CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c2.c[i]) * (q.q[i] - c2.c[i]))) AS BIGINT) AS d2
-          FROM q CROSS JOIN c2
-        )
+      Some(kmeansReplayCte + """
         SELECT vec_id, cl AS cluster, d2 FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d3
         ) WHERE rn = 1
         ORDER BY vec_id
+      """),
+    ),
+    // Cluster-balanced corpus sampling: the learned k-means clusters
+    // feeding curation — per-cluster caps (the doc_cap_per_source shape
+    // keyed by LEARNED topic instead of source metadata; SemDeDup /
+    // cluster-balanced mixing pipelines do exactly this). Deterministic
+    // md5-order survivors; output is the per-cluster census. The oracle
+    // re-replays the full k-means training and then the capped window.
+    Q(
+      "emb_cluster_balance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val assigned = graft.similarity.KMeans
+          .fitAssign(T(s, d, "embeddings"), k = 8, iters = 2)
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+        assigned
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("rn") <= 40, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("cluster"))
+      },
+      Some(kmeansReplayCte + """
+        , fin AS (
+          SELECT vec_id, cl AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d3
+          ) WHERE rn = 1
+        ), ranked AS (
+          SELECT cluster, ROW_NUMBER() OVER (PARTITION BY cluster
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM fin
+        )
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM ranked GROUP BY 1 ORDER BY 1
       """),
     ),
     // ------------------------------------------------ multimodal features
