@@ -251,6 +251,29 @@ object VolumeQueries {
     d.resolve("array").toString
   }
 
+  /** One NGFF 0.5 group destination per JVM (AtomicDir overwrite). */
+  private lazy val ngff3GroupDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ngff3")
+    d.toFile.deleteOnExit()
+    d.resolve("group").toString
+  }
+
+  /** Foreign NGFF 0.5 group written once per JVM by
+    * tools/gen_ngff3_fixture.py (independent pure-stdlib encoder).
+    */
+  private lazy val foreignNgff3Dir: String = {
+    val gen = java.nio.file.Paths.get("tools/gen_ngff3_fixture.py")
+    require(java.nio.file.Files.exists(gen),
+      s"fixture generator not found at ${gen.toAbsolutePath}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fngff3")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("group").toString
+    val rc = scala.sys.process.Process(Seq("python3", gen.toString, out))
+      .!(scala.sys.process.ProcessLogger(_ => ()))
+    require(rc == 0, s"gen_ngff3_fixture.py exited $rc")
+    out
+  }
+
   /** Foreign zarr v3 array (gzip + big-endian, default `/` keys) written
     * once per JVM by tools/gen_zarr3_fixture.py — an independent
     * pure-stdlib encoder, NOT Zarr3Store.
@@ -1179,6 +1202,38 @@ object VolumeQueries {
         .toVoxels.orderBy("z", "y", "x"),
       Some(s"""$voxCte
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // K3 on the v3 spec: write the pyramid as an OME-NGFF 0.5 group
+    // (zarr v3 group doc, multiscales under attributes.ome, levels as
+    // v3 arrays), then read level 1 back THROUGH the group metadata —
+    // the flagship sink round-trips on the CURRENT spec too.
+    Q(
+      "vol_pyramid_v3_group_read",
+      (s, _) => {
+        val dest = ngff3GroupDir
+        graft.volume.PyramidWriter.writeV3(chunked(s), levels = 2, dest)
+        graft.volume.PyramidWriter.readLevelV3(s, dest, 1)
+          .toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
+        FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+        ORDER BY z, y, x
+      """),
+    ),
+    // K3 v3 interop: a FOREIGN NGFF 0.5 group from the independent
+    // python encoder (gzip + big-endian v3 level arrays) — level 1
+    // resolved through attributes.ome.multiscales. Same oracle.
+    Q(
+      "vol_pyramid_v3_foreign",
+      (s, _) => graft.volume.PyramidWriter
+        .readLevelV3(s, foreignNgff3Dir, 1)
+        .toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
+        FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+        ORDER BY z, y, x
       """),
     ),
     // S-family: NRRD export + scan round-trip — driver writes the text

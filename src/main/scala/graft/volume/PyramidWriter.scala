@@ -206,4 +206,132 @@ object PyramidWriter {
       s"$path: level $level out of range — multiscales declares ${g.levels} levels")
     ZarrStore.read(spark, Paths.get(path).resolve(g.levelPaths(level)).toString)
   }
+
+  // ------------------------------------------------------ NGFF 0.5 (v3)
+
+  /** OME-NGFF 0.5 group document: a zarr v3 GROUP whose multiscales live
+    * under `attributes.ome` with the version at the `ome` level — the
+    * layout ome-zarr-py ≥ 0.5 / zarr-python 3 read.
+    */
+  def ngff05GroupJson(meta: VolumeMeta, upscaleFactor: Int, levels: Int, name: String = "labels"): String = {
+    val datasets = (0 until levels).map { i =>
+      val f = (1 << i).toDouble / upscaleFactor
+      s"""        {
+         |          "path": "$i",
+         |          "coordinateTransformations": [{
+         |            "type": "scale",
+         |            "scale": [${meta.spacingZ * f}, ${meta.spacingY * f}, ${meta.spacingX * f}]
+         |          }]
+         |        }""".stripMargin
+    }.mkString(",\n")
+    s"""{
+       |  "zarr_format": 3,
+       |  "node_type": "group",
+       |  "attributes": {
+       |    "ome": {
+       |      "version": "0.5",
+       |      "multiscales": [{
+       |        "name": ${jsonStr(name)},
+       |        "axes": [
+       |          {"name": "z", "type": "space", "unit": "micrometer"},
+       |          {"name": "y", "type": "space", "unit": "micrometer"},
+       |          {"name": "x", "type": "space", "unit": "micrometer"}
+       |        ],
+       |        "datasets": [
+       |$datasets
+       |        ]
+       |      }]
+       |    }
+       |  }
+       |}
+       |""".stripMargin
+  }
+
+  /** Write the pyramid as an OME-NGFF 0.5 group: zarr v3 group document
+    * + levels as zarr v3 arrays under `0/`, `1/`, … — the same level
+    * lifecycle/rechunk discipline as the v2 [[write]], atomic-published
+    * as one group.
+    */
+  def writeV3(vol: ChunkVolume, levels: Int, path: String, upscaleFactor: Int = 1,
+      codec: ZarrStore.Codec = ZarrStore.ZstdCodec()): Unit = {
+    val pyr = vol.pyramid(levels)
+    val dest = Paths.get(path).toAbsolutePath.normalize
+    AtomicDir.sweepLeftovers(dest)
+    val dir = AtomicDir.tempSibling(dest)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("zarr.json"),
+      ngff05GroupJson(vol.meta, upscaleFactor, levels))
+    val (bz, by, bx) = (vol.meta.chunkZ, vol.meta.chunkY, vol.meta.chunkX)
+    try {
+      pyr.zipWithIndex.foreach { case (level, i) =>
+        val uniform =
+          if (i == 0) level
+          else level.rechunk(
+            math.min(bz.toLong, level.meta.dimZ).toInt,
+            math.min(by.toLong, level.meta.dimY).toInt,
+            math.min(bx.toLong, level.meta.dimX).toInt)
+        Zarr3Store.write(uniform, dir.resolve(i.toString).toString, codec)
+      }
+    } catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
+    AtomicDir.publish(dir, dest)
+  }
+
+  /** Open an NGFF 0.5 group by its `zarr.json`: v3 group node,
+    * `attributes.ome.version == 0.5`, multiscales under `attributes.ome`.
+    * Fails loudly on v2 groups (use [[openGroup]]) or missing ome attrs.
+    */
+  def openGroupV3(path: String): PyramidGroup = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = Paths.get(path)
+    val doc = dir.resolve("zarr.json")
+    require(Files.exists(doc), s"$path: no zarr.json — not a zarr v3 group")
+    val v = JsonMethods.parse(Files.readString(doc))
+    require((v \ "zarr_format") == JInt(3), s"$path: not a zarr v3 document")
+    require((v \ "node_type") == JString("group"), s"$path: not a group node")
+    val ome = v \ "attributes" \ "ome"
+    require(ome != JNothing, s"$path: group carries no attributes.ome (not NGFF >= 0.5)")
+    val multiscales = (ome \ "multiscales") match {
+      case JArray(ms :: _) => ms
+      case _ => throw new IllegalArgumentException(
+        s"$path: attributes.ome has no multiscales — an NGFF group, but not a pyramid")
+    }
+    val name = (multiscales \ "name") match { case JString(n) => n; case _ => "" }
+    val datasets = (multiscales \ "datasets") match {
+      case JArray(ds) if ds.nonEmpty => ds
+      case _ => throw new IllegalArgumentException(s"$path: multiscales has no datasets")
+    }
+    val levelPaths = datasets.map { d =>
+      (d \ "path") match {
+        case JString(p) => p
+        case _ => throw new IllegalArgumentException(s"$path: multiscales dataset missing path")
+      }
+    }
+    val scales = datasets.map { d =>
+      (d \ "coordinateTransformations") match {
+        case JArray(ts) =>
+          ts.collectFirst { case t if (t \ "type") == JString("scale") =>
+            (t \ "scale") match {
+              case JArray(vs) => vs.map {
+                case JDouble(dd) => dd
+                case JInt(n) => n.toDouble
+                case other => throw new IllegalArgumentException(
+                  s"$path: non-numeric scale component $other")
+              }
+              case _ => throw new IllegalArgumentException(s"$path: scale transform without scale array")
+            }
+          }.getOrElse(Seq.empty)
+        case _ => Seq.empty
+      }
+    }
+    PyramidGroup(path, name, levelPaths, scales)
+  }
+
+  /** Read one level of an NGFF 0.5 group through its metadata. */
+  def readLevelV3(spark: org.apache.spark.sql.SparkSession, path: String, level: Int): ChunkVolume = {
+    val g = openGroupV3(path)
+    require(level >= 0 && level < g.levels,
+      s"$path: level $level out of range — multiscales declares ${g.levels} levels")
+    Zarr3Store.read(spark, Paths.get(path).resolve(g.levelPaths(level)).toString)
+  }
 }

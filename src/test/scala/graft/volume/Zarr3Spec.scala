@@ -86,6 +86,27 @@ class Zarr3Spec extends AnyFunSuite with SparkSpec {
     assert(Files.exists(Paths.get(s"$d/dot", "c.0.0.0")))
   }
 
+  test("NGFF 0.5 group: writeV3 → openGroupV3 round-trips metadata; v2/bare groups fail loud") {
+    val p = tmp()
+    PyramidWriter.writeV3(vol, levels = 2, p, upscaleFactor = 2)
+    val g = PyramidWriter.openGroupV3(p)
+    assert(g.levels === 2 && g.levelPaths === Seq("0", "1"))
+    assert(g.scalesZyx(1).head === g.scalesZyx(0).head * 2) // level 1 doubles the pitch
+    val l1 = PyramidWriter.readLevelV3(spark, p, 1)
+    assert(l1.meta.dimZ === 3 && l1.meta.dimY === 3 && l1.meta.dimX === 2)
+    // level out of declared range is an error even if a dir existed
+    intercept[IllegalArgumentException](PyramidWriter.readLevelV3(spark, p, 2))
+    // a v3 ARRAY document is not a group
+    val arr = tmp()
+    Zarr3Store.write(vol, arr, Raw)
+    intercept[Exception](PyramidWriter.openGroupV3(arr))
+    // a group without attributes.ome is not an NGFF pyramid
+    val bare = Files.createTempDirectory("graft_z3bare")
+    Files.writeString(bare.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    intercept[Exception](PyramidWriter.openGroupV3(bare.toString))
+  }
+
   test("gzip codec is RFC-1952 (python gzip), not zlib") {
     val payload = Array.tabulate[Byte](100)(i => (i * 7).toByte)
     val gz = GzipCodec(6).compress(payload)
