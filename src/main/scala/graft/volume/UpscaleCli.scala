@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.volume.UpscaleCli --input vol.mhd|vol.tif --output out_store
   *     [--scale 2] [--chunk-mb 128] [--mode labels|outline]
   *     [--pyramid-levels 1] [--max-gb 500] [--dry-run] [--force]
-  *     [--format zarr|graftchunks]
+  *     [--format zarr|zarr3|graftchunks]
   *     [--compressor zstd|zlib|blosc-zstd|blosc-zlib|lz4|zstd-bit|none]
   *
   * `--compressor lz4` / `zstd-bit` reproduce the reference CLI's exact
@@ -31,7 +31,7 @@ object UpscaleCli {
       maxGb: Double = 500.0,
       dryRun: Boolean = false,
       force: Boolean = false,
-      format: String = "zarr", // zarr (reference parity) | graftchunks (value-indexed)
+      format: String = "zarr", // zarr (reference parity) | zarr3 (v3 spec) | graftchunks (value-indexed)
       compressor: String = "zstd", // zstd|zlib|blosc-zstd|blosc-zlib|lz4|zstd-bit|none
   )
 
@@ -70,7 +70,8 @@ object UpscaleCli {
     require(a.scale >= 1, "--scale must be >= 1")
     require(a.mode == "labels" || a.mode == "outline", "--mode must be labels|outline")
     require(a.pyramidLevels >= 1, "--pyramid-levels must be >= 1")
-    require(a.format == "zarr" || a.format == "graftchunks", "--format must be zarr|graftchunks")
+    require(a.format == "zarr" || a.format == "zarr3" || a.format == "graftchunks",
+      "--format must be zarr|zarr3|graftchunks")
     zarrCodec(a.compressor) // validate eagerly
     a
   }
@@ -121,6 +122,8 @@ object UpscaleCli {
         PyramidWriter.write(processed, a.pyramidLevels, a.output, a.scale, zarrCodec(a.compressor))
       else if (a.format == "zarr")
         ZarrStore.write(processed, a.output, zarrCodec(a.compressor), extraAttrs = provenance)
+      else if (a.format == "zarr3")
+        Zarr3Store.write(processed, a.output, zarrCodec(a.compressor))
       else
         ChunkStore.write(processed, a.output, extraProvenance = provenance)
     }
@@ -129,6 +132,8 @@ object UpscaleCli {
       s"Finished. OME-Zarr pyramid (${a.pyramidLevels} levels) written to: ${a.output}"
     else if (a.format == "zarr")
       s"Finished. Zarr array (${a.compressor}) written to: ${a.output}"
+    else if (a.format == "zarr3")
+      s"Finished. Zarr v3 array (${a.compressor}) written to: ${a.output}"
     else s"Finished. Chunk store written to: ${a.output}")
     out.result()
   }

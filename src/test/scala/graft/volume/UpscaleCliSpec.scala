@@ -85,6 +85,21 @@ class UpscaleCliSpec extends AnyFunSuite with SparkSpec {
       .select("label").collect().head.getLong(0) === 15564L + (2 / 2) * 10 + (4 / 4))
   }
 
+  test("--format zarr3 writes a spec-v3 array the v3 reader round-trips") {
+    val outZ3 = fixtureDir.resolve("out_zarr3").toString
+    val lines = UpscaleCli.run(spark, UpscaleCli.Args(
+      input = fixtureDir.resolve("f.mhd").toString, output = outZ3, scale = 2, chunkMb = 1,
+      compressor = "blosc-zstd", format = "zarr3"))
+    assert(lines.exists(_.startsWith("Finished. Zarr v3 array (blosc-zstd) written to:")))
+    val zm = Zarr3Store.parseZarrJson(
+      Files.readString(java.nio.file.Paths.get(outZ3, "zarr.json")))
+    assert(zm.dtype === "<u4")
+    val back = Zarr3Store.read(spark, outZ3)
+    assert(back.meta.dimZ === 12)
+    assert(back.toVoxels.filter(col("z") === 4 && col("y") === 8 && col("x") === 6)
+      .select("label").collect().head.getLong(0) === 15564L + (2 / 2) * 10 + (4 / 4))
+  }
+
   test("--compressor lz4: the reference CLI's Blosc(lz4, BITSHUFFLE) output end-to-end") {
     val outZarr = fixtureDir.resolve("out_lz4").toString
     val lines = UpscaleCli.run(spark, UpscaleCli.Args(
