@@ -638,5 +638,43 @@ object RelationalQueries {
         GROUP BY 1 ORDER BY o_orderpriority
       """),
     ),
+    // Customer revenue deciles: ntile(10) over the per-customer rollup
+    // (exact integer cents, deterministic (revenue desc, custkey) order
+    // so both engines tile identically), then per-decile census — the
+    // whale-curve / segmentation cut. The ntile window runs over the
+    // AGGREGATED customer table, never line items.
+    Q(
+      "q23_revenue_deciles",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val li = T(s, d, "lineitem")
+        val o = T(s, d, "orders")
+        val perCust = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy($"o_custkey")
+          .agg(sum(Fx.units($"l_extendedprice" * (lit(1) - $"l_discount"), 2)).as("rev_c"))
+        perCust
+          .withColumn("decile",
+            ntile(10).over(Window.orderBy($"rev_c".desc, $"o_custkey")).cast("bigint"))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_customers"),
+            (sum($"rev_c") / 100.0).as("revenue"))
+          .orderBy($"decile")
+      },
+      Some("""
+        WITH pc AS (
+          SELECT o_custkey,
+                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_custkey
+        ), tiled AS (
+          SELECT rev_c, CAST(NTILE(10) OVER (ORDER BY rev_c DESC, o_custkey) AS BIGINT) AS decile
+          FROM pc
+        )
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(rev_c) / 100.0 AS revenue
+        FROM tiled GROUP BY 1 ORDER BY decile
+      """),
+    ),
   )
 }

@@ -524,6 +524,33 @@ object VolumeQueries {
         ORDER BY z, y, x
       """),
     ),
+    // The same streamed ingest into a zarr V3 array — micro-batches land
+    // c/z/y/x chunk files idempotently under a zarr.json written up
+    // front. Same oracle a third time: the sink dialect must not change
+    // a voxel.
+    Q(
+      "vol_stream_upscale_zarr3",
+      (s, _) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_vstreamz3")
+        dir.toFile.deleteOnExit()
+        val inDir = dir.resolve("in").toString
+        val outDir = dir.resolve("out.zarr3").toString
+        val vol = ChunkVolume.fromVoxels(grid(s), D, D, D, 4, 8, 8)
+        vol.chunks.filter(col("cz") === 0).write.mode("append").parquet(inDir)
+        val q = graft.streaming.VolumeStreams.upscaleIngest(s, inDir, outDir, vol.meta, 2, format = "zarr3")
+        try {
+          q.processAllAvailable()
+          vol.chunks.filter(col("cz") > 0).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.volume.Zarr3Store.read(s, outDir).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT 2 * v.z + dz.range AS z, 2 * v.y + dy.range AS y, 2 * v.x + dx.range AS x, v.label
+        FROM vox v, range(2) dz, range(2) dy, range(2) dx
+        ORDER BY z, y, x
+      """),
+    ),
     Q(
       "vol_chunk_outline",
       (s, _) =>

@@ -32,9 +32,9 @@ object VolumeStreams {
   /** Watch `inDir` for chunk parquet files; upscale ×s each micro-batch
     * and append the child chunks to the store at `outDir`. The output
     * store's sidecar is committed up front from the (scaled) metadata.
-    * `format`: "graftchunks" (value-indexed internal store) or "zarr"
+    * `format`: "graftchunks" (value-indexed internal store), "zarr"
     * (spec-compliant zarr v2 — streams straight into the format the
-    * reference's toolchain reads).
+    * reference's toolchain reads), or "zarr3" (the current v3 spec).
     */
   def upscaleIngest(
       spark: SparkSession,
@@ -45,7 +45,8 @@ object VolumeStreams {
       format: String = "graftchunks",
   ): StreamingQuery = {
     import spark.implicits._
-    require(format == "graftchunks" || format == "zarr", s"unknown ingest format: $format")
+    require(format == "graftchunks" || format == "zarr" || format == "zarr3",
+      s"unknown ingest format: $format")
     val outMeta = inputMeta.copy(
       dimZ = inputMeta.dimZ * s, dimY = inputMeta.dimY * s, dimX = inputMeta.dimX * s,
       ncz = inputMeta.ncz * s, ncy = inputMeta.ncy * s, ncx = inputMeta.ncx * s)
@@ -57,6 +58,7 @@ object VolumeStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val up = ChunkVolume(batch.as[Chunk], inputMeta).upscale(s).chunks
         if (format == "zarr") graft.volume.ZarrStore.appendChunks(up, outDir, outMeta)
+        else if (format == "zarr3") graft.volume.Zarr3Store.appendChunks(up, outDir, outMeta)
         else ChunkStore.appendChunks(up, outDir, outMeta)
       }
       .start()

@@ -183,6 +183,32 @@ object Zarr3Store {
     AtomicDir.publish(dir, dest)
   }
 
+  /** Append chunk files into an existing zarr v3 array — the
+    * incremental-ingest building block (v3 chunks are independent files,
+    * so micro-batches append idempotently; a re-landed coordinate
+    * overwrites its own file). Writes `zarr.json` on first call.
+    */
+  def appendChunks(
+      chunks: org.apache.spark.sql.Dataset[Chunk],
+      path: String,
+      meta: VolumeMeta,
+      codec: Codec = ZstdCodec()): Unit = {
+    val dir = Paths.get(path).toAbsolutePath
+    Files.createDirectories(dir)
+    val zm = metaOf(meta, codec)
+    val doc = dir.resolve("zarr.json")
+    if (!Files.exists(doc)) Files.writeString(doc, zarrJson(zm))
+    val pathStr = dir.toString
+    val effCodec = zm.codec
+    chunks.foreachPartition { (it: Iterator[Chunk]) =>
+      it.foreach { c =>
+        val f = Paths.get(pathStr, "c", c.cz.toString, c.cy.toString, c.cx.toString)
+        Files.createDirectories(f.getParent)
+        Files.write(f, ZarrStore.encodeChunkBytes(c, meta, effCodec))
+      }
+    }
+  }
+
   /** Read a zarr v3 array directory as a ChunkVolume: grid planned from
     * `zarr.json` alone, absent chunk files decode as fill_value, chunk
     * keys resolved through the `default` encoding (`c/` prefix + the
