@@ -645,6 +645,50 @@ object Dedup {
       threshold: Double = 0.5,
       terms: Column = null, // defaults to the distinct-token set of textCol
       maxTermDf: Int = 1000,
+  ): DataFrame =
+    pairIntersections(docs, idCol, textCol, blockCol, terms, maxTermDf)
+      .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_raw").as("jaccard"))
+
+  /** Exact token-set CONTAINMENT ≥ threshold — the asymmetric cousin of
+    * Jaccard: containment(A ⊑ B) = |A∩B| / |A| finds SUB-document
+    * duplication (a doc whose content rides inside a larger one —
+    * quote-heavy pages, concatenated dumps, boilerplate supersets) that
+    * symmetric Jaccard misses whenever the size ratio is large. Same
+    * posting-list intersection stream as [[tokenJaccardPairs]]; each
+    * unordered pair emits up to two DIRECTED (doc_sub, doc_sup) rows.
+    */
+  def tokenContainmentPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      blockCol: String = "source",
+      threshold: Double = 0.9,
+      maxTermDf: Int = 1000,
+  ): DataFrame = {
+    val frame = pairIntersections(docs, idCol, textCol, blockCol, null, maxTermDf)
+    val ab = frame.select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+      (col("c") / col("na")).as("containment"))
+    val ba = frame.select(col("doc_b").as("doc_sub"), col("doc_a").as("doc_sup"),
+      (col("c") / col("nb")).as("containment"))
+    ab.unionAll(ba).filter(col("containment") >= threshold)
+  }
+
+  /** Shared exact pair-intersection frame behind [[tokenJaccardPairs]] /
+    * [[tokenContainmentPairs]]: one row per co-occurring in-block pair
+    * with the exact distinct-token intersection count `c` and both set
+    * sizes (na, nb). All the scale machinery lives here — eager
+    * tokenize-once checkpoint, df-capped postings with the dense-term
+    * exact correction, i<j pair generation from sorted postings.
+    */
+  private def pairIntersections(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      terms: Column,
+      maxTermDf: Int,
   ): DataFrame = {
     // Tokenize/shingle ONCE into a materialized per-doc array frame: the
     // term arrays feed three consumers (per-doc sizes, term-df, tagging)
@@ -690,10 +734,8 @@ object Dedup {
       .join(dense.select(col(idCol).as("doc_a"), col("dense_toks").as("dense_a")), Seq("doc_a"), "left")
       .join(dense.select(col(idCol).as("doc_b"), col("dense_toks").as("dense_b")), Seq("doc_b"), "left")
       .withColumn("c", col("c_rare") + size(array_intersect(
-        coalesce(col("dense_a"), emptyArr), coalesce(col("dense_b"), emptyArr))))
-      .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard_raw").as("jaccard"))
+        coalesce(col("dense_a"), emptyArr), coalesce(col("dense_b"), emptyArr))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb"))
   }
 
   /** Exact token-set Jaccard ≥ threshold via PREFIX-FILTERED candidate

@@ -2133,6 +2133,60 @@ object DocQueries {
         FROM embeddings ORDER BY id_a, id_b
       """),
     ),
+    // Asymmetric containment dedup: |A∩B|/|A| ≥ 0.9 finds SUB-document
+    // duplication symmetric Jaccard misses at large size ratios
+    // (quote-heavy pages, concatenated dumps). Fixture: every doc plus a
+    // prefix-half copy — each half's token set is contained in its
+    // original with containment exactly 1. Same posting-list machinery
+    // as doc_jaccard_pairs; the oracle recomputes every directed pair
+    // exactly in SQL.
+    Q(
+      "doc_containment_pairs",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val halves = docs.select(
+          (col("doc_id") + lit(2 * DupOffset)).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2), ' ')").as("text"),
+          col("source"))
+        Dedup.tokenContainmentPairs(
+          docs.select(col("doc_id"), col("text"), col("source")).unionByName(halves),
+          threshold = 0.9)
+          .orderBy(col("doc_sub"), col("doc_sup"))
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + ${2 * DupOffset},
+                 array_to_string(list_slice(string_split(text, ' '), 1,
+                   (len(string_split(text, ' ')) + 1) // 2), ' ') AS text,
+                 source
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS term
+          FROM corpus
+        ), sizes AS (
+          SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n
+          FROM corpus
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks a JOIN toks b
+            ON a.source = b.source AND a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), directed AS (
+          SELECT p.doc_a AS doc_sub, p.doc_b AS doc_sup,
+                 CAST(p.c AS DOUBLE) / sa.n AS containment
+          FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+          UNION ALL
+          SELECT p.doc_b AS doc_sub, p.doc_a AS doc_sup,
+                 CAST(p.c AS DOUBLE) / sb.n AS containment
+          FROM pairs p JOIN sizes sb ON p.doc_b = sb.doc_id
+        )
+        SELECT doc_sub, doc_sup, containment FROM directed
+        WHERE containment >= 0.9
+        ORDER BY doc_sub, doc_sup
+      """),
+    ),
     // Cross-source overlap matrix: for every source pair, how many
     // distinct text fingerprints they share — the "which feeds are
     // re-crawling each other" curation question that decides dedup

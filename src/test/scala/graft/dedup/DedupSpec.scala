@@ -104,6 +104,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     capped.foreach { case (k, v) => assert(uncapped(k) === v) }
   }
 
+  test("tokenContainmentPairs: sub-document containment is directed and exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "a"),
+      (2L, "alpha beta gamma", "a"),            // strict subset of 1 → containment 1
+      (3L, "alpha beta gamma delta eta", "a"),  // 4/5 of its tokens in 1
+      (4L, "unrelated words entirely here", "a"),
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.tokenContainmentPairs(corpus, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((2L, 1L)) === 1.0)       // subset fully contained
+    assert(out((3L, 1L)) === 0.8)       // 4 of 5 tokens
+    assert(!out.contains((1L, 2L)))     // asymmetric: 6-token doc not inside the 3-token one
+    assert(!out.contains((4L, 1L)) && !out.contains((1L, 4L)))
+    // jaccard at the same threshold misses both: j(1,2)=0.5, j(1,3)=4/7
+    val j = Dedup.tokenJaccardPairs(corpus, threshold = 0.8).collect()
+    assert(j.isEmpty)
+  }
+
   test("tokenJaccardPairsPrefix: prefix filtering is lossless (same output)") {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b", "jaccard").collect()
