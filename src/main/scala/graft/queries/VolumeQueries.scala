@@ -244,6 +244,23 @@ object VolumeQueries {
     d.resolve("export.nrrd").toString
   }
 
+  /** One chunk store for the label-search gate, written once per JVM
+    * (bench reps must not re-pay the write).
+    */
+  private val labelSearchStoreCache = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def labelSearchStore(s: SparkSession): String = {
+    val cached = labelSearchStoreCache.get()
+    if (cached != null) cached
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft_lsearch")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("store").toString
+      graft.volume.ChunkStore.write(chunked(s), p)
+      labelSearchStoreCache.compareAndSet(null, p)
+      labelSearchStoreCache.get()
+    }
+  }
+
   /** One zarr v3 export destination per JVM (AtomicDir overwrite). */
   private lazy val zarr3Dest: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_z3")
@@ -1155,6 +1172,25 @@ object VolumeQueries {
       (s, _) => chunked(s).mipZVoxels.orderBy("y", "x"),
       Some(s"""$voxCte
         SELECT y, x, MAX(label) AS label FROM vox GROUP BY y, x ORDER BY y, x
+      """),
+    ),
+    // Value-indexed label search over a written store: "which chunks
+    // contain label L, how often" — candidates resolve from the
+    // consolidated stats index / 64-byte header peeks (no decompression),
+    // only candidates decode for exact counts. The oracle recomputes the
+    // per-chunk census from the grid formula.
+    Q(
+      "vol_label_search",
+      (s, _) => {
+        val store = labelSearchStore(s)
+        graft.volume.ChunkStore.findLabel(s, store, 231L)
+          .orderBy("cz", "cy", "cx")
+      },
+      Some(s"""$voxCte
+        SELECT z // 5 AS cz, y // 6 AS cy, x // 7 AS cx,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM vox WHERE label = 231
+        GROUP BY 1, 2, 3 ORDER BY cz, cy, cx
       """),
     ),
     // Atlas-overlay quantification: per-region statistics of a second,
