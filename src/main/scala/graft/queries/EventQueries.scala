@@ -648,6 +648,36 @@ object EventQueries {
         FROM tr ORDER BY from_type, to_type
       """),
     ),
+    // Rolling 7-day active users (WAU), EXACT: distinct (user, day)
+    // pairs — a tiny table after the first distinct — range-joined to
+    // the observed-day grid within a 6-day lookback, then one exact
+    // countDistinct per day. The scale story for raw-event cardinality
+    // is ev_hll_users (sketch partials); this is the exact form over
+    // the pre-deduplicated pair table.
+    Q(
+      "ev_rolling_wau",
+      (s, d) => {
+        import s.implicits._
+        val days = T.events(s, d)
+          .select(expr("ts_ns div 86400000000000").as("day"), $"user_id")
+          .distinct()
+        val grid = days.select($"day").distinct()
+        grid.as("g")
+          .join(days.as("p"),
+            col("p.day").between(col("g.day") - 6, col("g.day")))
+          .groupBy(col("g.day").as("day"))
+          .agg(countDistinct(col("p.user_id")).as("wau"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events
+        ), daygrid AS (SELECT DISTINCT day FROM pairs)
+        SELECT g.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM daygrid g JOIN pairs p ON p.day BETWEEN g.day - 6 AND g.day
+        GROUP BY g.day ORDER BY g.day
+      """),
+    ),
     // Windowed anomaly detection, INTEGER-EXACT: flag hours whose event
     // count exceeds mean + 2σ of the trailing 24 observed hours — the
     // z-score test rearranged to avoid every float: with m trailing

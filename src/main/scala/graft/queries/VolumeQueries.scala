@@ -1174,6 +1174,25 @@ object VolumeQueries {
         SELECT y, x, MAX(label) AS label FROM vox GROUP BY y, x ORDER BY y, x
       """),
     ),
+    // Per-slice QC profile: foreground count + label min/max/sum per z
+    // plane — the sanity curve inspected after every batch of slices
+    // lands (a dropped or shifted slice shows as a notch). One
+    // map-side-combined agg onto the z axis.
+    Q(
+      "vol_slice_stats",
+      (s, _) => grid(s).groupBy(col("z"))
+        .agg(
+          sum(when(col("label") =!= 0, 1L).otherwise(0L)).as("n_fg"),
+          min(col("label")).as("min_l"), max(col("label")).as("max_l"),
+          sum(col("label")).as("sum_l"))
+        .orderBy("z"),
+      Some(s"""$voxCte
+        SELECT z, CAST(SUM(CASE WHEN label <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fg,
+               MIN(label) AS min_l, MAX(label) AS max_l,
+               CAST(SUM(label) AS BIGINT) AS sum_l
+        FROM vox GROUP BY z ORDER BY z
+      """),
+    ),
     // Value-indexed label search over a written store: "which chunks
     // contain label L, how often" — candidates resolve from the
     // consolidated stats index / 64-byte header peeks (no decompression),
