@@ -2187,6 +2187,74 @@ object DocQueries {
         ORDER BY doc_sub, doc_sup
       """),
     ),
+    // The curation ACTION on the containment detector: drop every doc
+    // whose token set is ≥0.9 contained in a doc with STRICTLY more
+    // tokens (equal sizes keep the smaller id) — dedupe the fragments,
+    // keep the supersets. Exclusion list is doc ids only → broadcast
+    // anti-join (the dedup-survivor discipline); output is the
+    // per-source census.
+    Q(
+      "doc_containment_dedup",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val halves = docs.select(
+          (col("doc_id") + lit(2 * DupOffset)).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2), ' ')").as("text"),
+          col("source"))
+        val corpus = docs.select(col("doc_id"), col("text"), col("source")).unionByName(halves)
+        val sizes = corpus.select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n"))
+        val drop = Dedup.tokenContainmentPairs(corpus, threshold = 0.9)
+          .join(sizes.select(col("doc_id").as("doc_sub"), col("n").as("n_sub")), Seq("doc_sub"))
+          .join(sizes.select(col("doc_id").as("doc_sup"), col("n").as("n_sup")), Seq("doc_sup"))
+          .filter(col("n_sup") > col("n_sub")
+            || (col("n_sup") === col("n_sub") && col("doc_sup") < col("doc_sub")))
+          .select(col("doc_sub").as("doc_id")).distinct()
+        corpus
+          .join(broadcast(drop), Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+          .join(corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + ${2 * DupOffset},
+                 array_to_string(list_slice(string_split(text, ' '), 1,
+                   (len(string_split(text, ' ')) + 1) // 2), ' ') AS text,
+                 source
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS term
+          FROM corpus
+        ), sizes AS (
+          SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n
+          FROM corpus
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks a JOIN toks b
+            ON a.source = b.source AND a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), directed AS (
+          SELECT p.doc_a AS doc_sub, p.doc_b AS doc_sup, p.c FROM pairs p
+          UNION ALL
+          SELECT p.doc_b AS doc_sub, p.doc_a AS doc_sup, p.c FROM pairs p
+        ), dropped AS (
+          SELECT DISTINCT d.doc_sub AS doc_id
+          FROM directed d
+          JOIN sizes sa ON d.doc_sub = sa.doc_id
+          JOIN sizes sb ON d.doc_sup = sb.doc_id
+          WHERE CAST(d.c AS DOUBLE) / sa.n >= 0.9
+            AND (sb.n > sa.n OR (sb.n = sa.n AND d.doc_sup < d.doc_sub))
+        )
+        SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM corpus c LEFT JOIN dropped dr ON c.doc_id = dr.doc_id
+        GROUP BY c.source ORDER BY c.source
+      """),
+    ),
     // Cross-source overlap matrix: for every source pair, how many
     // distinct text fingerprints they share — the "which feeds are
     // re-crawling each other" curation question that decides dedup

@@ -1174,6 +1174,20 @@ object VolumeQueries {
         SELECT y, x, MAX(label) AS label FROM vox GROUP BY y, x ORDER BY y, x
       """),
     ),
+    // ROI crop (P4 generalized to boxes): chunk-level pruning drops
+    // non-intersecting chunks before any decode, survivors trim via one
+    // extractBox — no shuffle, cost O(chunks ∩ ROI). The box straddles
+    // chunk boundaries of the (5,6,7) grid on purpose.
+    Q(
+      "vol_crop_box",
+      (s, _) => chunked(s).cropVoxels(3, 9, 4, 11, 5, 14)
+        .orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox
+        WHERE z BETWEEN 3 AND 8 AND y BETWEEN 4 AND 10 AND x BETWEEN 5 AND 13
+        ORDER BY z, y, x
+      """),
+    ),
     // Per-slice QC profile: foreground count + label min/max/sum per z
     // plane — the sanity curve inspected after every batch of slices
     // lands (a dropped or shifted slice shows as a notch). One

@@ -319,6 +319,38 @@ final case class ChunkVolume(chunks: Dataset[Chunk], meta: VolumeMeta) {
       ChunkKernels.erodeDepth(_, _, _, _, _, _, math.max(t, 1), t))
   }
 
+  /** ROI crop: voxels of the half-open box [z0,z1)×[y0,y1)×[x0,x1),
+    * PRUNED at the chunk level first — a narrow filter on chunk
+    * coordinates drops every non-intersecting chunk before any byte is
+    * decoded (the P4 point-lookup contract generalized to boxes), then
+    * each surviving chunk trims to its intersection with one
+    * extractBox. No shuffle anywhere; cost is O(chunks ∩ ROI).
+    */
+  def cropVoxels(z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): DataFrame = {
+    require(z0 < z1 && y0 < y1 && x0 < x1, s"empty ROI [$z0,$z1)×[$y0,$y1)×[$x0,$x1)")
+    val bpp = meta.bytesPerVoxel
+    val unsigned = meta.isUnsigned
+    import chunks.sparkSession.implicits._
+    chunks
+      .filter(c => c.z0 < z1 && z0 < c.z0 + c.nz
+        && c.y0 < y1 && y0 < c.y0 + c.ny
+        && c.x0 < x1 && x0 < c.x0 + c.nx)
+      .flatMap { c =>
+        val bz = math.max(z0, c.z0); val ez = math.min(z1, c.z0 + c.nz)
+        val by = math.max(y0, c.y0); val ey = math.min(y1, c.y0 + c.ny)
+        val bx = math.max(x0, c.x0); val ex = math.min(x1, c.x0 + c.nx)
+        val (nz, ny, nx) = ((ez - bz).toInt, (ey - by).toInt, (ex - bx).toInt)
+        val box = ChunkKernels.extractBox(c.data, c.ny, c.nx, bpp,
+          (bz - c.z0).toInt, (by - c.y0).toInt, (bx - c.x0).toInt, nz, ny, nx)
+        Iterator.range(0, nz * ny * nx).map { i =>
+          val z = i / (ny * nx); val rem = i % (ny * nx)
+          (bz + z, by + rem / nx, bx + rem % nx,
+            ChunkKernels.decodeLong(box, i, bpp, unsigned))
+        }
+      }
+      .toDF("z", "y", "x", "label")
+  }
+
   /** Maximum-intensity projection along z, chunk form: each chunk
     * collapses its own z-extent to ONE (ny·nx) plane locally (body never
     * leaves the task), then planes merge per (y, x) in a map-side-

@@ -139,6 +139,27 @@ class MorphRegionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("opening is idempotent: open(open(x)) == open(x)") {
+    val once = collectVox(VoxelOps.open6(cube, D, D, D))
+    val twice = collectVox(VoxelOps.open6(
+      VoxelOps.open6(cube, D, D, D), D, D, D))
+    assert(twice === once)
+  }
+
+  test("cropVoxels: chunk-pruned box read equals the filtered voxel table; chunk filter prunes") {
+    val vol = ChunkVolume.fromVoxels(cube, D, D, D, 3, 5, 7)
+    val crop = vol.cropVoxels(2, 6, 1, 7, 3, 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    val expect = collectVox(cube.filter(
+      col("z").between(2, 5) && col("y").between(1, 6) && col("x").between(3, 7)))
+    assert(crop === expect)
+    // pruning: a 1-voxel ROI touches exactly one chunk of the grid
+    val one = vol.chunks.filter(c => c.z0 < 1 && 0 < c.z0 + c.nz
+      && c.y0 < 1 && 0 < c.y0 + c.ny && c.x0 < 1 && 0 < c.x0 + c.nx).count()
+    assert(one === 1)
+    intercept[IllegalArgumentException](vol.cropVoxels(5, 5, 0, 1, 0, 1))
+  }
+
   test("mipZ: projection keeps the max label per (y,x) column") {
     val mip = VoxelOps.mipZ(cube).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
