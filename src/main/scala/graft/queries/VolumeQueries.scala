@@ -667,6 +667,28 @@ object VolumeQueries {
         ORDER BY z, y, x
       """),
     ),
+    // Component properties: regionProps over the chunk-form CC labels —
+    // per-island voxel count, bounding box, and centroid (the census a
+    // segmentation pipeline reports per lesion/soma). One extra
+    // map-side-combined agg on the component key.
+    Q(
+      "vol_cc_props",
+      (s, _) => VoxelOps.regionProps(
+        ConnectedComponents.chunkForm(ccMaskVol(s), _ != 0L)
+          .withColumnRenamed("component", "label"))
+        .withColumnRenamed("label", "component")
+        .orderBy("component"),
+      Some(ccCte + """
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_voxels,
+               MIN(z) AS z_min, MAX(z) AS z_max,
+               MIN(y) AS y_min, MAX(y) AS y_max,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               CAST((SUM(z) * 10000) // COUNT(*) AS BIGINT) AS cz_e4,
+               CAST((SUM(y) * 10000) // COUNT(*) AS BIGINT) AS cy_e4,
+               CAST((SUM(x) * 10000) // COUNT(*) AS BIGINT) AS cx_e4
+        FROM cc GROUP BY component ORDER BY component
+      """),
+    ),
     // General dense stencil, voxel form: 3×3×3 box SUM via 27-way
     // scatter + one map-side-combined aggregation; zero-padded edges.
     Q(

@@ -142,8 +142,11 @@ object Zarr3Store {
         s"codec pipelines with ${more.length} compressors are not supported")
     }
     val endianTag = (if (tag.endsWith("1")) "|" else if (bigEndian) ">" else "<") + tag
-    ZarrMeta(shape.map(num), chunkShape.map(num(_).toInt), endianTag, codec,
-      num(v \ "fill_value"), sep)
+    val shapeN = shape.map(num)
+    val chunkN = chunkShape.map(num(_).toInt)
+    require(shapeN.forall(_ > 0) && chunkN.forall(_ > 0),
+      s"non-positive shape/chunk dims: shape=${shapeN.mkString(",")} chunks=${chunkN.mkString(",")}")
+    ZarrMeta(shapeN, chunkN, endianTag, codec, num(v \ "fill_value"), sep)
   }
 
   private def metaOf(vol: VolumeMeta, codec: Codec): ZarrMeta = ZarrMeta(

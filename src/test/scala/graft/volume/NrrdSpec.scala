@@ -82,6 +82,34 @@ class NrrdSpec extends AnyFunSuite with SparkSpec {
     assert(a((7, 7, 7)) === 111L && a((0, 0, 0)) === 0L && a.size === 512)
   }
 
+  test("header fuzz: truncations and bit flips parse or fail LOUD — never hang or misparse silently") {
+    val valid = ("NRRD0004\ntype: uint16\ndimension: 3\nsizes: 3 4 5\n" +
+      "endian: little\nencoding: raw\n\n").getBytes(StandardCharsets.US_ASCII)
+    val d = tmp()
+    val cases =
+      (0 until valid.length by 3).map(valid.take) ++
+        (0 until valid.length by 5).map { i =>
+          val m = valid.clone(); m(i) = (m(i) ^ 0x5a).toByte; m
+        }
+    cases.zipWithIndex.foreach { case (bytes, i) =>
+      val p = d.resolve(s"fz$i.nrrd")
+      Files.write(p, bytes)
+      scala.util.Try(NrrdStore.parseHeader(p.toString)) match {
+        case scala.util.Success(m) =>
+          // if it still parses, it must be the VALID metadata (a flip that
+          // survived hit a comment-irrelevant byte) or have sane dims
+          assert(m.dimZ > 0 && m.dimY > 0 && m.dimX > 0)
+        case scala.util.Failure(e) => assert(e.isInstanceOf[Exception])
+      }
+    }
+    // unbounded-header guard: 100 KiB with no blank line fails at the
+    // 64 KiB bound instead of reading forever
+    val big = d.resolve("big.nrrd")
+    Files.write(big, ("NRRD0004\n" + "# x\n" * 30000).getBytes(StandardCharsets.US_ASCII))
+    val ex = intercept[Exception](NrrdStore.parseHeader(big.toString))
+    assert(ex.getMessage.contains("64 KiB"))
+  }
+
   test("gzip payload truncation dies with a named error, not a silent short volume") {
     val d = tmp()
     val p = d.resolve("full.nrrd").toString

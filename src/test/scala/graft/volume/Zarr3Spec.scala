@@ -107,6 +107,23 @@ class Zarr3Spec extends AnyFunSuite with SparkSpec {
     intercept[Exception](PyramidWriter.openGroupV3(bare.toString))
   }
 
+  test("metadata fuzz: corrupted zarr.json parses or fails loud, never misparses silently") {
+    val valid = Zarr3Store.zarrJson(
+      ZarrStore.ZarrMeta(Seq(6, 5, 4), Seq(3, 2, 3), "<u2", ZstdCodec(3), 0L, "/"))
+    val cases =
+      (0 until valid.length by 7).map(valid.take) ++
+        (0 until valid.length by 11).map { i =>
+          val a = valid.toCharArray; a(i) = (a(i) ^ 0x5).toChar; new String(a)
+        }
+    cases.foreach { doc =>
+      scala.util.Try(Zarr3Store.parseZarrJson(doc)) match {
+        case scala.util.Success(m) =>
+          assert(m.shape.forall(_ > 0) && m.chunks.forall(_ > 0))
+        case scala.util.Failure(e) => assert(e.isInstanceOf[Exception])
+      }
+    }
+  }
+
   test("gzip codec is RFC-1952 (python gzip), not zlib") {
     val payload = Array.tabulate[Byte](100)(i => (i * 7).toByte)
     val gz = GzipCodec(6).compress(payload)
