@@ -2187,6 +2187,41 @@ object DocQueries {
         ORDER BY doc_sub, doc_sup
       """),
     ),
+    // Temperature-balanced language mixing (mT5/XLM-R α=0.5): each
+    // language's share of the budget ∝ floor(sqrt(n)) — integer-exact
+    // throughout (one IEEE sqrt per block, never a float SUM), head
+    // flattened so low-resource languages survive. The harness lang
+    // distribution is genuinely skewed (en 218 … fr 64 at sf0.01).
+    Q(
+      "doc_temperature_mix",
+      (s, d) => Mixing.temperatureSample(T(s, d, "documents"), budget = 250)
+        .orderBy("lang"),
+      Some("""
+        WITH counts AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS weight
+          FROM documents GROUP BY 1
+        ), tot AS (SELECT SUM(weight) AS tw FROM counts),
+        targets AS (
+          SELECT lang, n_docs, weight,
+                 LEAST((250 * weight) // tw, n_docs) AS n_target
+          FROM counts, tot
+        ), ranked AS (
+          SELECT lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents
+        ), kept AS (
+          SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM ranked r JOIN targets t USING (lang)
+          WHERE r.rk <= t.n_target GROUP BY 1
+        )
+        SELECT t.lang, t.n_docs, t.weight, CAST(t.n_target AS BIGINT) AS n_target,
+               COALESCE(k.n_kept, 0) AS n_kept
+        FROM targets t LEFT JOIN kept k USING (lang)
+        ORDER BY lang
+      """),
+    ),
     // The curation ACTION on the containment detector: drop every doc
     // whose token set is ≥0.9 contained in a doc with STRICTLY more
     // tokens (equal sizes keep the smaller id) — dedupe the fragments,
