@@ -2187,6 +2187,66 @@ object DocQueries {
         ORDER BY doc_sub, doc_sup
       """),
     ),
+    // The round's curation stages COMPOSED end-to-end: model-based
+    // quality filter (hashed linear scorer ≥ 0) → exact dedup
+    // (keep-first by md5 text group) → temperature-balanced language
+    // mixing over the survivors — one pipeline, one oracle replaying
+    // every stage. Output: per-language census through the funnel.
+    Q(
+      "doc_pipeline_curate_v2",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val quality = TextAnalysis.modelScore(docs)
+          .filter(col("quality_pass") === 1L).select(col("doc_id"))
+        val qdocs = docs.join(broadcast(quality), Seq("doc_id"), "left_semi")
+        val keep = Dedup.exactGroups(qdocs).select(col("keep_id").as("doc_id"))
+        val deduped = qdocs.join(keep, Seq("doc_id"), "left_semi")
+        Mixing.temperatureSample(deduped, budget = 150)
+          .join(qdocs.groupBy(col("lang")).agg(count(lit(1)).as("n_quality")), Seq("lang"))
+          .select(col("lang"), col("n_quality"), col("n_docs").as("n_dedup"),
+            col("n_target"), col("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(string_split(text, ' '),
+                   t -> ((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024)
+                           * 1103515245 + 12345) % 2001 - 1000)) AS BIGINT) AS sum_w_e3,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), q AS (
+          SELECT d.* FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+          WHERE (s.sum_w_e3 * 1000) // s.n_tokens >= 0
+        ), dd AS (
+          SELECT * FROM q WHERE doc_id IN (
+            SELECT MIN(doc_id) FROM q GROUP BY md5(text))
+        ), counts AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_dedup,
+                 CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS weight
+          FROM dd GROUP BY 1
+        ), tot AS (SELECT SUM(weight) AS tw FROM counts),
+        targets AS (
+          SELECT lang, n_dedup, LEAST((150 * weight) // tw, n_dedup) AS n_target
+          FROM counts, tot
+        ), ranked AS (
+          SELECT lang, ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM dd
+        ), kept AS (
+          SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM ranked r JOIN targets t USING (lang)
+          WHERE r.rk <= t.n_target GROUP BY 1
+        ), nq AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_quality FROM q GROUP BY 1
+        )
+        SELECT t.lang, nq.n_quality, t.n_dedup,
+               CAST(t.n_target AS BIGINT) AS n_target,
+               COALESCE(k.n_kept, 0) AS n_kept
+        FROM targets t JOIN nq USING (lang) LEFT JOIN kept k USING (lang)
+        ORDER BY lang
+      """),
+    ),
     // Temperature-balanced language mixing (mT5/XLM-R α=0.5): each
     // language's share of the budget ∝ floor(sqrt(n)) — integer-exact
     // throughout (one IEEE sqrt per block, never a float SUM), head

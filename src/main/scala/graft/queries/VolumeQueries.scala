@@ -1124,6 +1124,37 @@ object VolumeQueries {
         ORDER BY a.z, a.y, a.x
       """),
     ),
+    // Morphological CLOSING on the percolation mask — open6's dual:
+    // fills sub-structuring-element holes/gaps. Oracle nests dilate
+    // inside erode (with the border-zero correction on the erode side).
+    Q(
+      "vol_close_mask",
+      (s, _) => VoxelOps.close6(
+        grid(s).select(col("z"), col("y"), col("x"),
+          when(ccMaskCol, lit(1L)).otherwise(lit(0L)).as("label")),
+        D, D, D).orderBy("z", "y", "x"),
+      Some("""
+        WITH g AS (
+          SELECT id // 256 AS z, (id // 16) % 16 AS y, id % 16 AS x FROM range(4096) t(id)
+        ), m AS (
+          SELECT z, y, x,
+                 CAST(CASE WHEN substr(md5(CAST(z AS VARCHAR) || '_' || CAST(y AS VARCHAR) || '_' || CAST(x AS VARCHAR)), 1, 1)
+                      BETWEEN '0' AND '5' THEN 1 ELSE 0 END AS BIGINT) AS label
+          FROM g
+        ), dl AS (
+          SELECT a.z, a.y, a.x, MAX(b.label) AS label
+          FROM m a JOIN m b
+            ON ABS(a.z - b.z) + ABS(a.y - b.y) + ABS(a.x - b.x) <= 1
+          GROUP BY a.z, a.y, a.x
+        )
+        SELECT a.z, a.y, a.x,
+               CASE WHEN COUNT(*) < 7 THEN 0 ELSE MIN(b.label) END AS label
+        FROM dl a JOIN dl b
+          ON ABS(a.z - b.z) + ABS(a.y - b.y) + ABS(a.x - b.x) <= 1
+        GROUP BY a.z, a.y, a.x
+        ORDER BY a.z, a.y, a.x
+      """),
+    ),
     // Per-label region properties (regionprops): count, bbox, centroid in
     // 1e-4 fixed point — one map-side-combined agg on the label key.
     Q(

@@ -157,6 +157,13 @@ object VoxelOps {
   def open6(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long): DataFrame =
     dilate6(erode6(vox, dimZ, dimY, dimX), dimZ, dimY, dimX)
 
+  /** Morphological CLOSING (dilate then erode) with the 6-neighbor cross —
+    * fills holes and gaps thinner than the structuring element while the
+    * background bulk survives; the dual of [[open6]].
+    */
+  def close6(vox: DataFrame, dimZ: Long, dimY: Long, dimX: Long): DataFrame =
+    erode6(dilate6(vox, dimZ, dimY, dimX), dimZ, dimY, dimX)
+
   /** Distance transform by erosion peeling, capped at `cap`: depth =
     * min(manhattan distance to the nearest background voxel or volume
     * border, cap) for foreground, 0 for background. Voxel-table form:
