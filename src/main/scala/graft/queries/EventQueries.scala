@@ -648,6 +648,58 @@ object EventQueries {
         FROM tr ORDER BY from_type, to_type
       """),
     ),
+    // MULTI-touch linear attribution — the companion to last-touch
+    // ev_view_attribution: each purchase's credit splits equally across
+    // every view in its 1-hour lookback, in exact 1e-6 integer credit
+    // units (1000000 div n_views per view; truncation identical on
+    // both engines, and the per-purchase remainder n_views·credit ≤ 1e6
+    // is deliberately NOT redistributed — documented conservation
+    // contract). Rollup: credited views per (user, hour).
+    Q(
+      "ev_attribution_linear",
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d)
+        val v = ev.filter($"event_type" === "view")
+          .select($"user_id".as("v_user"), $"ts_ns".as("v_ns"), $"event_id".as("view_id"))
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts_ns".as("p_ns"), $"event_id".as("p_id"))
+        val joined = p.join(v,
+          $"user_id" === $"v_user" && $"v_ns" <= $"p_ns" && $"v_ns" > $"p_ns" - NS_PER_HOUR)
+        val credited = joined
+          .withColumn("n_views",
+            count(lit(1)).over(Window.partitionBy($"p_id")))
+          .withColumn("credit_e6", expr("1000000 div n_views"))
+        credited
+          .groupBy($"user_id",
+            expr(s"(v_ns div $NS_PER_HOUR) * 3600").as("view_hour_s"))
+          .agg(count(lit(1)).as("n_credited_views"),
+            sum($"credit_e6").as("credit_e6_total"))
+          .orderBy($"user_id", $"view_hour_s")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id AS v_user, epoch_ns(ts) AS v_ns, event_id AS view_id
+          FROM events WHERE event_type = 'view'
+        ), p AS (
+          SELECT user_id, epoch_ns(ts) AS p_ns, event_id AS p_id
+          FROM events WHERE event_type = 'purchase'
+        ), joined AS (
+          SELECT p.user_id, p.p_id, v.v_ns
+          FROM p JOIN v ON p.user_id = v.v_user
+            AND v.v_ns <= p.p_ns AND v.v_ns > p.p_ns - 3600000000000
+        ), credited AS (
+          SELECT user_id, v_ns,
+                 1000000 // COUNT(*) OVER (PARTITION BY p_id) AS credit_e6
+          FROM joined
+        )
+        SELECT user_id, (v_ns // 3600000000000) * 3600 AS view_hour_s,
+               CAST(COUNT(*) AS BIGINT) AS n_credited_views,
+               CAST(SUM(credit_e6) AS BIGINT) AS credit_e6_total
+        FROM credited GROUP BY 1, 2
+        ORDER BY user_id, view_hour_s
+      """),
+    ),
     // Rolling 7-day active users (WAU), EXACT: distinct (user, day)
     // pairs — a tiny table after the first distinct — range-joined to
     // the observed-day grid within a 6-day lookback, then one exact
