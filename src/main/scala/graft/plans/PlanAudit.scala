@@ -223,6 +223,27 @@ object PlanAudit {
     // single map-side-combined aggs + output sort
     "vol_mip_z" -> 2,
     "vol_region_props" -> 2,
+    "vol_slice_stats" -> 2,
+    // fromVoxels chunking + output sort: the CROP ITSELF adds no
+    // exchange — chunk-coordinate pruning is a narrow filter
+    "vol_crop_box" -> 2,
+    // fromVoxels + plane-merge agg + sort
+    "vol_chunk_mip_z" -> 3,
+    // two chunk streams co-partition (one exchange each) + label agg +
+    // sort; a 5th exchange would mean voxels started moving
+    "vol_chunk_region_intensity" -> 4,
+    // explode + map-side-combined agg + sort
+    "doc_hash_embedding" -> 2,
+    // distinct (fp,source) + fp self-join + pair agg + sort
+    "doc_source_overlap" -> 4,
+    // (user,day) distinct + day grid + range join + exact-distinct agg + sort
+    "ev_rolling_wau" -> 5,
+    // purchase-view join + per-purchase count window + rollup/sort
+    "ev_attribution_linear" -> 3,
+    // hourly agg + trailing window + sort
+    "ev_anomaly_hours" -> 3,
+    // per-customer cents agg + global ntile over the aggregated table
+    "q23_revenue_deciles" -> 2,
     "doc_repetition" -> 1,
     "ev_funnel" -> 2,
     "ev_retention" -> 3,
