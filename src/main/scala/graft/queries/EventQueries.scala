@@ -700,6 +700,59 @@ object EventQueries {
         ORDER BY user_id, view_hour_s
       """),
     ),
+    // TIME-DECAY attribution completes the trio (last-touch, linear,
+    // decay): a view's weight halves per 10 minutes of age at purchase
+    // time — w = 2^(5 − age_bucket) over the 6 buckets of the 1-hour
+    // lookback, all integers (no float pow anywhere); per-purchase
+    // share = (1000000·w) div Σw. Same join + per-purchase window shape
+    // as the linear form.
+    Q(
+      "ev_attribution_decay",
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d)
+        val v = ev.filter($"event_type" === "view")
+          .select($"user_id".as("v_user"), $"ts_ns".as("v_ns"), $"event_id".as("view_id"))
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts_ns".as("p_ns"), $"event_id".as("p_id"))
+        val joined = p.join(v,
+          $"user_id" === $"v_user" && $"v_ns" <= $"p_ns" && $"v_ns" > $"p_ns" - NS_PER_HOUR)
+          .withColumn("w",
+            expr(s"shiftleft(1L, 5 - CAST((p_ns - v_ns) div ${NS_PER_HOUR / 6} AS INT))"))
+        val credited = joined
+          .withColumn("sw", sum($"w").over(Window.partitionBy($"p_id")))
+          .withColumn("credit_e6", expr("(1000000 * w) div sw"))
+        credited
+          .groupBy($"user_id",
+            expr(s"(v_ns div $NS_PER_HOUR) * 3600").as("view_hour_s"))
+          .agg(count(lit(1)).as("n_credited_views"),
+            sum($"credit_e6").as("credit_e6_total"))
+          .orderBy($"user_id", $"view_hour_s")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id AS v_user, epoch_ns(ts) AS v_ns, event_id AS view_id
+          FROM events WHERE event_type = 'view'
+        ), p AS (
+          SELECT user_id, epoch_ns(ts) AS p_ns, event_id AS p_id
+          FROM events WHERE event_type = 'purchase'
+        ), joined AS (
+          SELECT p.user_id, p.p_id, v.v_ns,
+                 (1::BIGINT << (5 - CAST((p.p_ns - v.v_ns) // 600000000000 AS INT))) AS w
+          FROM p JOIN v ON p.user_id = v.v_user
+            AND v.v_ns <= p.p_ns AND v.v_ns > p.p_ns - 3600000000000
+        ), credited AS (
+          SELECT user_id, v_ns,
+                 (1000000 * w) // SUM(w) OVER (PARTITION BY p_id) AS credit_e6
+          FROM joined
+        )
+        SELECT user_id, (v_ns // 3600000000000) * 3600 AS view_hour_s,
+               CAST(COUNT(*) AS BIGINT) AS n_credited_views,
+               CAST(SUM(credit_e6) AS BIGINT) AS credit_e6_total
+        FROM credited GROUP BY 1, 2
+        ORDER BY user_id, view_hour_s
+      """),
+    ),
     // Rolling 7-day active users (WAU), EXACT: distinct (user, day)
     // pairs — a tiny table after the first distinct — range-joined to
     // the observed-day grid within a 6-day lookback, then one exact
