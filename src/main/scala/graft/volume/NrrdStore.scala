@@ -63,8 +63,30 @@ object NrrdStore {
     def bytesPerVoxel: Int = MhdMeta.BytesPerVoxel(elementType)
   }
 
+  /** Field names this reader understands or can PROVABLY ignore (pure
+    * annotation — orientation/space metadata that never changes where a
+    * voxel's bytes live). Anything else fails loud below: a spec-valid
+    * field like `byte skip`, `line skip`, or `data file` changes the
+    * payload layout, and silently reading at the wrong offset would
+    * decode shifted garbage with no error — the exact opposite of the
+    * fail-loud contract this store promises.
+    */
+  private val KnownFields: Set[String] = Set(
+    // layout-defining, parsed below
+    "dimension", "sizes", "type", "encoding", "endian", "spacings",
+    // pure annotation, provably layout-neutral
+    "space", "space directions", "space origin", "space units",
+    "space dimension", "kinds", "labels", "units", "content",
+    "centers", "centerings", "thicknesses",
+    "min", "max", "old min", "old max", "oldmin", "oldmax",
+    "sample units", "measurement frame",
+  )
+
   /** Parse the text header (driver-side, bounded): bytes up to the first
-    * blank line, fail-loud on anything outside the supported surface.
+    * blank line, fail-loud on anything outside the supported surface —
+    * including any field NOT in [[KnownFields]] (e.g. `byte skip`,
+    * `line skip`, `data file`, `block size`), which would silently
+    * corrupt the payload addressing if ignored.
     */
   def parseHeader(path: String): NrrdMeta = {
     val in = new BufferedInputStream(new FileInputStream(path))
@@ -94,6 +116,11 @@ object NrrdStore {
           val i = l.indexOf(": ")
           if (i < 0) None else Some(l.substring(0, i).toLowerCase -> l.substring(i + 2).trim)
         }.toMap
+      val unknown = fields.keySet.diff(KnownFields)
+      require(unknown.isEmpty,
+        s"$path: unsupported NRRD field(s) ${unknown.toSeq.sorted.mkString("'", "', '", "'")} — " +
+          "fields like 'byte skip'/'line skip'/'data file' change the payload layout; " +
+          "refusing to guess rather than decode shifted voxels")
 
       val dim = fields.getOrElse("dimension", sys.error(s"$path: missing 'dimension'")).toInt
       require(dim == 3, s"$path: only 3-D NRRDs are supported, got dimension $dim")
@@ -158,6 +185,11 @@ object NrrdStore {
     import spark.implicits._
     val chunks = spark.range(ncz.toLong * ncy * ncx).mapPartitions { ids =>
       var raf: RandomAccessFile = null
+      // close unconditionally at task end: hasNext-exhaustion alone would
+      // leak the handle on a partially consumed scan (.limit, task abort)
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        if (raf != null) { raf.close(); raf = null }
+      })
       def channel() = {
         if (raf == null) raf = new RandomAccessFile(path, "r")
         raf.getChannel
@@ -227,6 +259,11 @@ object NrrdStore {
         skipped += s
       }
       val gz = new GZIPInputStream(new BufferedInputStream(fin), 1 << 16)
+      // close unconditionally at task end — the last-slab close below only
+      // fires when the iterator fully drains (.limit / abort would leak)
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        try gz.close() catch { case _: java.io.IOException => () }
+      })
       def readFully(buf: Array[Byte], len: Int): Unit = {
         var off = 0
         while (off < len) {
@@ -238,7 +275,12 @@ object NrrdStore {
       Iterator.range(0, nczL).flatMap { cz =>
         val z0 = cz.toLong * chunkZ
         val nz = math.min(chunkZ.toLong, dimZ - z0).toInt
-        val slab = new Array[Byte]((nz * dimY * dimX * bpp).toInt)
+        val slabBytes = nz.toLong * dimY * dimX * bpp
+        require(slabBytes <= Int.MaxValue,
+          s"$path: gzip NRRD z-slab of $slabBytes bytes exceeds the 2 GiB JVM array " +
+            "limit — a single gzip stream cannot be sliced finer than a chunk-z slab; " +
+            "convert to raw NRRD or zarr for volumes with planes this large")
+        val slab = new Array[Byte](slabBytes.toInt)
         readFully(slab, slab.length)
         if (msb) ChunkKernels.swapEndianInPlace(slab, bpp)
         Iterator.tabulate(ncy * ncx) { j =>

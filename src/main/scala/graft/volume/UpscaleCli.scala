@@ -123,7 +123,7 @@ object UpscaleCli {
       else if (a.format == "zarr")
         ZarrStore.write(processed, a.output, zarrCodec(a.compressor), extraAttrs = provenance)
       else if (a.format == "zarr3")
-        Zarr3Store.write(processed, a.output, zarrCodec(a.compressor))
+        Zarr3Store.write(processed, a.output, zarrCodec(a.compressor), extraAttrs = provenance)
       else
         ChunkStore.write(processed, a.output, extraProvenance = provenance)
     }

@@ -42,8 +42,11 @@ object Zarr3Store {
     case other => throw new IllegalArgumentException(s"bad blosc shuffle '$other'")
   }
 
-  /** The `zarr.json` document for an array (spec key order). */
-  def zarrJson(m: ZarrMeta): String = {
+  /** The `zarr.json` document for an array (spec key order). `attrs`
+    * lands under the spec's user-metadata `attributes` member — the v3
+    * home for the write provenance the v2 sink records in `.zattrs`.
+    */
+  def zarrJson(m: ZarrMeta, attrs: Map[String, String] = Map.empty): String = {
     val compressor = m.codec match {
       case Raw => ""
       case b: BloscCodec =>
@@ -70,7 +73,11 @@ object Zarr3Store {
        |    "codecs": [
        |        {"name": "bytes", "configuration": {"endian": "$endian"}}$compressor
        |    ],
-       |    "attributes": {}
+       |    "attributes": {${
+      attrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => ChunkVolume.jsonStr(k) + ": " + ChunkVolume.jsonStr(v) }
+        .mkString(", ")
+    }}
        |}""".stripMargin
   }
 
@@ -85,6 +92,25 @@ object Zarr3Store {
       case other => throw new IllegalArgumentException(s"expected number, got $other")
     }
     require(num(v \ "zarr_format") == 3, s"not a zarr v3 document")
+    // the v3 spec REQUIRES readers to refuse documents carrying unknown
+    // extension members marked "must_understand": true — silently
+    // ignoring one could change how the data must be interpreted
+    val knownMembers = Set(
+      "zarr_format", "node_type", "shape", "data_type", "chunk_grid",
+      "chunk_key_encoding", "fill_value", "codecs", "attributes",
+      "dimension_names", "storage_transformers")
+    v match {
+      case JObject(members) =>
+        members.foreach { case (key, value) =>
+          if (!knownMembers.contains(key)) {
+            val mu = value \ "must_understand"
+            require(mu == JBool(false),
+              s"zarr v3 document carries unknown extension member '$key' without " +
+                "\"must_understand\": false — the spec requires refusing it")
+          }
+        }
+      case other => throw new IllegalArgumentException(s"zarr.json is not an object: $other")
+    }
     val JString(nodeType) = v \ "node_type"
     require(nodeType == "array", s"only array nodes supported, got '$nodeType'")
     val JArray(shape) = v \ "shape"
@@ -142,11 +168,20 @@ object Zarr3Store {
         s"codec pipelines with ${more.length} compressors are not supported")
     }
     val endianTag = (if (tag.endsWith("1")) "|" else if (bigEndian) ">" else "<") + tag
+    // integer data_types demand an integral fill_value: truncating 3.7 → 3
+    // would silently rewrite what absent chunks decode to
+    val fillValue = v \ "fill_value" match {
+      case JDouble(d) if tag != "f4" && tag != "f8" =>
+        require(d.isWhole,
+          s"non-integral fill_value $d for integer data_type '$dataType'")
+        d.toLong
+      case other => num(other)
+    }
     val shapeN = shape.map(num)
     val chunkN = chunkShape.map(num(_).toInt)
     require(shapeN.forall(_ > 0) && chunkN.forall(_ > 0),
       s"non-positive shape/chunk dims: shape=${shapeN.mkString(",")} chunks=${chunkN.mkString(",")}")
-    ZarrMeta(shapeN, chunkN, endianTag, codec, num(v \ "fill_value"), sep)
+    ZarrMeta(shapeN, chunkN, endianTag, codec, fillValue, sep)
   }
 
   private def metaOf(vol: VolumeMeta, codec: Codec): ZarrMeta = ZarrMeta(
@@ -164,13 +199,17 @@ object Zarr3Store {
     * executors land `c/z/y/x` chunk files (same AtomicDir all-or-nothing
     * publish and executor-parallel scaling as the v2 writer).
     */
-  def write(vol: ChunkVolume, path: String, codec: Codec = ZstdCodec()): Unit = {
+  def write(
+      vol: ChunkVolume,
+      path: String,
+      codec: Codec = ZstdCodec(),
+      extraAttrs: Map[String, String] = Map.empty): Unit = {
     val dest = Paths.get(path).toAbsolutePath.normalize
     AtomicDir.sweepLeftovers(dest)
     val dir = AtomicDir.tempSibling(dest)
     Files.createDirectories(dir)
     val zm = metaOf(vol.meta, codec)
-    Files.writeString(dir.resolve("zarr.json"), zarrJson(zm))
+    Files.writeString(dir.resolve("zarr.json"), zarrJson(zm, extraAttrs))
     val pathStr = dir.toString
     val meta = vol.meta
     val effCodec = zm.codec

@@ -65,6 +65,14 @@ class NrrdSpec extends AnyFunSuite with SparkSpec {
     boom("endian.nrrd", "NRRD0004\ntype: uint16\ndimension: 3\nsizes: 1 1 1\nencoding: raw\n\n")
     // truncated header (no blank line)
     boom("trunc.nrrd", "NRRD0004\ntype: uint8\n")
+    // layout-affecting fields this reader does not implement must REFUSE,
+    // not silently read the payload at the wrong offset
+    val okBase = "NRRD0004\ntype: uint8\ndimension: 3\nsizes: 1 1 1\nencoding: raw\n"
+    boom("bskip.nrrd", okBase + "byte skip: 8\n\n")
+    boom("lskip.nrrd", okBase + "line skip: 2\n\n")
+    boom("detached.nrrd", okBase + "data file: payload.raw\n\n")
+    boom("block.nrrd", okBase + "block size: 16\n\n")
+    boom("unknown.nrrd", okBase + "some future field: 1\n\n")
   }
 
   test("foreign interop: python gzip big-endian == python raw little-endian == formula") {

@@ -67,6 +67,28 @@ class Zarr3Spec extends AnyFunSuite with SparkSpec {
     boom("""{"zarr_format": 2, "shape": [4,4,4]}""")
   }
 
+  test("fail-loud: must_understand extensions and non-integral integer fill_value") {
+    def boom(doc: String): Unit = intercept[Exception](Zarr3Store.parseZarrJson(doc))
+    val base = """{"zarr_format": 3, "node_type": "array", "shape": [4,4,4],
+      "data_type": "uint16",
+      "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2,2,2]}},
+      "fill_value": FILL,
+      "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]EXTRA}"""
+    // unknown extension member without must_understand:false → refuse (spec)
+    boom(base.replace("FILL", "0").replace("EXTRA",
+      """, "exotic_extension": {"must_understand": true, "x": 1}"""))
+    boom(base.replace("FILL", "0").replace("EXTRA", """, "exotic_extension": {"x": 1}"""))
+    // explicitly ignorable extension is fine
+    val ok = Zarr3Store.parseZarrJson(base.replace("FILL", "0").replace("EXTRA",
+      """, "exotic_extension": {"must_understand": false, "x": 1}"""))
+    assert(ok.fillValue === 0L)
+    // 3.7 for uint16 must NOT silently truncate to 3
+    boom(base.replace("FILL", "3.7").replace("EXTRA", ""))
+    // whole-double fill for an integer type is acceptable (json writers emit 3.0)
+    assert(Zarr3Store.parseZarrJson(
+      base.replace("FILL", "3.0").replace("EXTRA", "")).fillValue === 3L)
+  }
+
   test("absent chunk decodes as fill_value; '.' separator resolves") {
     val d = Files.createTempDirectory("graft_z3f").toString
     def gen(out: String, args: String*): String = {
