@@ -56,16 +56,21 @@ object VolumeQueries {
   /** Shared CTE prefix of every CC oracle: min-label propagation to a
     * fixpoint as a recursive CTE — labels flow along 6-adjacency edges;
     * `cc` is (z, y, x, component) with component = min linear voxel id
-    * in the component, exactly the engine's contract.
+    * in the component, exactly the engine's contract. `maskExtra` is an
+    * additional SQL predicate ANDed into the mask — the voxel-form gates
+    * run on a z-slice of the percolation mask (the oracle is
+    * slice-agnostic: the same CTE over whatever mask set), keeping the
+    * deliberately-expensive relational twin's gate cost bounded while
+    * the chunk-form gates stay full-size.
     */
-  private def ccCte: String = """
+  private def ccCte(maskExtra: String = ""): String = s"""
     WITH RECURSIVE vox AS (
       SELECT id // 256 AS z, (id // 16) % 16 AS y, id % 16 AS x
       FROM range(4096) t(id)
     ), m AS (
       SELECT z, y, x, (z*16 + y)*16 + x AS id FROM vox
       WHERE substr(md5(CAST(z AS VARCHAR) || '_' || CAST(y AS VARCHAR) || '_' || CAST(x AS VARCHAR)), 1, 1)
-            BETWEEN '0' AND '5'
+            BETWEEN '0' AND '5' $maskExtra
     ), e AS (
       SELECT a.id AS src, b.id AS dst FROM m a JOIN m b ON
         (b.z = a.z + 1 AND b.y = a.y AND b.x = a.x) OR
@@ -82,9 +87,15 @@ object VolumeQueries {
     )
   """
 
-  /** One oracle for both CC label forms. */
+  /** One oracle for both CC label forms (chunk form runs full-size). */
   private def ccOracle: String =
-    ccCte + "SELECT z, y, x, component FROM cc ORDER BY z, y, x"
+    ccCte() + "SELECT z, y, x, component FROM cc ORDER BY z, y, x"
+
+  /** The voxel-form twin's oracle on the z < 8 slice — identical CTE
+    * semantics, smaller mask (see [[ccCte]]).
+    */
+  private def ccOracleSliced: String =
+    ccCte("AND z < 8") + "SELECT z, y, x, component FROM cc ORDER BY z, y, x"
 
   /** One oracle for both box-sum forms: a 27-neighbor range self-join —
     * out-of-volume neighbors simply don't exist in vox, which IS the
@@ -618,13 +629,21 @@ object VolumeQueries {
     // the 6-adjacency, then the dedup pipeline's distributed min-label
     // CC. Labels = min linear voxel id per component, fully
     // deterministic. (Not exchange-pinned: the CC loop's round count is
-    // data-dependent and each round localCheckpoints.)
+    // data-dependent and each round localCheckpoints.) Runs on the z < 8
+    // SLICE of the percolation mask: this query is the deliberate
+    // relational ORACLE TWIN of vol_chunk_cc_labels (which stays
+    // full-size) — at ~8 shuffle rounds its gate cost scales with mask
+    // diameter, and the slice keeps the pair's bench time bounded
+    // without changing any semantics (same id formula: dimY/dimX are
+    // unchanged, z only shrinks).
     Q(
       "vol_cc_labels",
       (s, _) => ConnectedComponents
-        .voxelForm(grid(s).filter(ccMaskCol).select("z", "y", "x"), D, D, D)
+        .voxelForm(
+          grid(s).filter(ccMaskCol && col("z") < 8).select("z", "y", "x"),
+          8L, D, D)
         .orderBy("z", "y", "x"),
-      Some(ccOracle),
+      Some(ccOracleSliced),
     ),
     // 3D connected components, chunk form (the scale path): per-chunk
     // union-find collapses within-chunk components with zero shuffle,
@@ -645,7 +664,7 @@ object VolumeQueries {
       (s, _) => ConnectedComponents.chunkForm(ccMaskVol(s), _ != 0L)
         .groupBy("component").agg(count(lit(1L)).as("n_voxels"))
         .orderBy(desc("n_voxels"), col("component")),
-      Some(ccCte + """
+      Some(ccCte() + """
         SELECT component, CAST(COUNT(*) AS BIGINT) AS n_voxels
         FROM cc GROUP BY component
         ORDER BY n_voxels DESC, component
@@ -655,12 +674,23 @@ object VolumeQueries {
     // segmentation clean-up pass. Component-size agg + one shuffle join
     // on the component key (deliberately NOT broadcast: at
     // percolation-like densities the component table is itself huge).
+    // Same z < 8 slice as vol_cc_labels (gate-cost bound; the full-size
+    // CC surface is covered by vol_chunk_cc_labels / vol_cc_sizes /
+    // vol_cc_props): the slice changes WHICH components exist near the
+    // cut plane, but the oracle slices identically, so semantics match.
     Q(
       "vol_cc_despeckle",
       (s, _) => ConnectedComponents
-        .despeckle(ConnectedComponents.chunkForm(ccMaskVol(s), _ != 0L), 8L)
+        .despeckle(
+          ConnectedComponents.chunkForm(
+            ChunkVolume.fromVoxels(
+              grid(s).filter(col("z") < 8).select(col("z"), col("y"), col("x"),
+                when(ccMaskCol, 1L).otherwise(0L).as("label")),
+              8L, D, D, 5, 6, 7),
+            _ != 0L),
+          8L)
         .orderBy("z", "y", "x"),
-      Some(ccCte + """
+      Some(ccCte("AND z < 8") + """
         SELECT z, y, x, component FROM cc
         WHERE component IN (
           SELECT component FROM cc GROUP BY component HAVING COUNT(*) >= 8)
@@ -678,7 +708,7 @@ object VolumeQueries {
           .withColumnRenamed("component", "label"))
         .withColumnRenamed("label", "component")
         .orderBy("component"),
-      Some(ccCte + """
+      Some(ccCte() + """
         SELECT component, CAST(COUNT(*) AS BIGINT) AS n_voxels,
                MIN(z) AS z_min, MAX(z) AS z_max,
                MIN(y) AS y_min, MAX(y) AS y_max,

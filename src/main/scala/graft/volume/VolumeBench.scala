@@ -253,14 +253,14 @@ object VolumeBench {
     def gated(
         blockTag: String,
         specs: Seq[(String, () => Double)],
-        preProbe: Double): (Map[String, Double], Double) = {
+        preProbe: Double): (Seq[(String, Double)], Map[String, Double], Double) = {
       val (e1, m1) = sampleInterleaved(specs)
       val p1 = diskProbe(workDir)
       val ratio = math.max(preProbe, p1) / math.max(1e-9, math.min(preProbe, p1))
       if (ratio <= 2.0) {
         entries ++= e1
         entries += (s"vol_retry_$blockTag" -> 0.0)
-        (m1, p1)
+        (e1, m1, p1)
       } else {
         e1.foreach { case (k, v) => entries += (s"vol_retry_${blockTag}_try1_$k" -> v) }
         entries += (s"vol_retry_${blockTag}_try1_probe_pre" -> preProbe)
@@ -269,7 +269,7 @@ object VolumeBench {
         val p2 = diskProbe(workDir)
         entries ++= e2
         entries += (s"vol_retry_$blockTag" -> 1.0)
-        (m2, p2)
+        (e2, m2, p2)
       }
     }
     val pre = diskProbe(workDir)
@@ -279,7 +279,7 @@ object VolumeBench {
     // the ×2 headline into three sinks: the internal zstd chunk store,
     // the spec-compliant blosc-zstd zarr, and the reference CLI's EXACT
     // default output (Blosc zstd BITSHUFFLE, upscale_streaming.py:104)
-    val (_, midProbe) = gated("x2", Seq(
+    val (_, _, midProbe) = gated("x2", Seq(
       "vol_atlas_upscale_x2" ->
         (() => upscale(spark, mhd, 2, s"$workDir/out_x2")),
       "vol_atlas_upscale_x2_zarr" ->
@@ -315,7 +315,7 @@ object VolumeBench {
       }
       entries += ("vol_atlas_x15_stage_scan" -> median(stages.map(_._1)))
       entries += ("vol_atlas_x15_stage_kernel" -> median(stages.map(_._2)))
-      val (x15, postProbe) = gated("x15", Seq(
+      val (x15Entries, _, postProbe) = gated("x15", Seq(
         "vol_atlas_upscale_x15" ->
           (() => upscale(spark, mhd, 15, s"$workDir/out_x15")),
         "vol_atlas_upscale_x15_zarr" ->
@@ -325,12 +325,27 @@ object VolumeBench {
         "vol_atlas_x15_stage_encode" ->
           (() => encodeStageTime(spark, mhd, 15)),
       ), midProbe)
-      // the derived sink split (medians): what the zarr headline pays ON
-      // TOP of scan+kernel+codec — file create/write/close syscalls and
-      // disk. Negative-in-noise is possible (different reps); the
-      // constituents ride alongside for exactly that reason.
-      entries += ("vol_atlas_x15_stage_sink" ->
-        (x15("vol_atlas_upscale_x15_zarr") - x15("vol_atlas_x15_stage_encode")))
+      // the derived sink split: what the zarr headline pays ON TOP of
+      // scan+kernel+codec — file create/write/close syscalls and disk.
+      // Paired PER REP (rep i's headline − rep i's encode probe — the two
+      // run back-to-back inside the same interleaved rep, so they share
+      // ambient conditions), then median-of-deltas. r13's median-of-
+      // medians form paired a fast headline median with a slow encode
+      // median from a DIFFERENT rep and published −6 s; the per-rep
+      // pairing removes that artifact, and the publication clamps at 0
+      // (the signed value rides alongside as _sink_raw) so the stage
+      // decomposition sums to the headline within noise with no negative
+      // component.
+      val byName = x15Entries.toMap
+      val sinkDeltas = (1 to reps).flatMap { i =>
+        for {
+          z <- byName.get(s"vol_atlas_upscale_x15_zarr_run$i")
+          e <- byName.get(s"vol_atlas_x15_stage_encode_run$i")
+        } yield z - e
+      }
+      val sinkRaw = if (sinkDeltas.nonEmpty) median(sinkDeltas) else 0.0
+      entries += ("vol_atlas_x15_stage_sink" -> math.max(0.0, sinkRaw))
+      entries += ("vol_atlas_x15_stage_sink_raw" -> sinkRaw)
       entries += ("vol_disk_probe_post" -> postProbe)
     } else {
       entries += ("vol_disk_probe_post" -> diskProbe(workDir))
