@@ -147,11 +147,30 @@ object PlanAudit {
     Shape(bloomFilters >= 1, s"bloom_might_contain_filters=$bloomFilters")
   }
 
+  /** The sharded-store point lookup must touch ONE shard file and read
+    * only its index plus one inner chunk's byte range — positioned-read
+    * evidence from the lookup itself (the access pattern lives below the
+    * Spark plan, so the pin checks the reader's own probe instead of
+    * plan nodes, the same measured-evidence discipline as
+    * [[ivfPrunedScanShape]]'s selected-partitions check). Reading the
+    * whole shard (bytesRead == fileBytes with a compressed body) or
+    * touching several shards would mean the index addressing regressed
+    * to a scan.
+    */
+  def shardedPointShape(df: DataFrame): Shape = {
+    val store = graft.queries.VolumeQueries.zarr3ShardedStore(df.sparkSession)
+    val p = graft.volume.Zarr3Store.pointLookupSharded(store, 9, 9, 9)
+    Shape(
+      p.shardsOpened == 1 && p.bytesRead > 0 && p.bytesRead < p.fileBytes,
+      s"shards_opened=${p.shardsOpened} bytes_read=${p.bytesRead} file_bytes=${p.fileBytes}")
+  }
+
   /** Structural pins, keyed by registered query name — asserted by
     * PlanAuditSpec and emitted measured-vs-pinned into the bench JSON
     * (`shape_pins` / `shape_pins_ok`) like the exchange counts.
     */
   val pinnedShapes: Map[String, DataFrame => Shape] = Map(
+    "vol_zarr3_sharded_point" -> shardedPointShape,
     "doc_dedup_corpus" -> broadcastAntiShape,
     "doc_dedup_best" -> broadcastAntiShape,
     "emb_ivf_persisted" -> ivfPrunedScanShape,

@@ -279,6 +279,54 @@ object VolumeQueries {
     d.resolve("array").toString
   }
 
+  /** One SHARDED zarr v3 store per JVM, written once (the sharded-point
+    * gate and its evidence pin both read it; bench reps must not re-pay
+    * the write). Shard grid (8,8,8) over the 16³ volume, inner chunks
+    * (4,4,4), the flagship blosc-zstd codec.
+    */
+  private val zarr3ShardedCache = new java.util.concurrent.atomic.AtomicReference[String]()
+  def zarr3ShardedStore(s: SparkSession): String = {
+    val cached = zarr3ShardedCache.get()
+    if (cached != null) cached
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft_z3sh")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("arr").toString
+      graft.volume.Zarr3Store.writeSharded(
+        chunked(s).rechunk(8, 8, 8), p, innerShape = (4, 4, 4),
+        graft.volume.ZarrStore.BloscCodec("zstd", 5, 2))
+      zarr3ShardedCache.compareAndSet(null, p)
+      zarr3ShardedCache.get()
+    }
+  }
+
+  /** One sharded-write destination per JVM (AtomicDir overwrite). */
+  private lazy val zarr3ShardDest: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_z3shrt")
+    d.toFile.deleteOnExit()
+    d.resolve("arr").toString
+  }
+
+  /** Foreign SHARDED zarr v3 array (gzip + big-endian inner pipeline,
+    * crc32c index at the START of each shard, one dropped inner cell)
+    * written once per JVM by tools/gen_zarr3_fixture.py --shard-inner —
+    * the independent pure-stdlib shard encoder, NOT Zarr3Store.
+    */
+  private lazy val foreignZarr3ShardDir: String = {
+    val gen = java.nio.file.Paths.get("tools/gen_zarr3_fixture.py")
+    require(java.nio.file.Files.exists(gen),
+      s"fixture generator not found at ${gen.toAbsolutePath}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fz3sh")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("arr").toString
+    val cmd = Seq("python3", gen.toString, out, "--dim", "16", "--chunk", "8",
+      "--shard-inner", "4", "--endian", "be", "--codec", "gzip",
+      "--index-location", "start", "--drop-chunk")
+    val rc = scala.sys.process.Process(cmd).!(scala.sys.process.ProcessLogger(_ => ()))
+    require(rc == 0, s"gen_zarr3_fixture.py exited $rc")
+    out
+  }
+
   /** One NGFF 0.5 group destination per JVM (AtomicDir overwrite). */
   private lazy val ngff3GroupDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_ngff3")
@@ -1381,6 +1429,54 @@ object VolumeQueries {
         .toVoxels.orderBy("z", "y", "x"),
       Some(s"""$voxCte
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // S4+ at object-storage scale: sharding_indexed write → read
+    // round-trip — (8,8,8) shards over the non-aligned source grid
+    // (rechunk moves each byte once), (4,4,4) inner chunks each
+    // independently blosc-zstd'd inside ONE file per shard with the
+    // crc32c'd uint64-LE index. This is how a v3 store holds 100 TB
+    // without billions of object keys: file count scales with shards,
+    // read granularity stays one inner chunk.
+    Q(
+      "vol_zarr3_sharded_roundtrip",
+      (s, _) => {
+        graft.volume.Zarr3Store.writeSharded(
+          chunked(s).rechunk(8, 8, 8), zarr3ShardDest, innerShape = (4, 4, 4),
+          graft.volume.ZarrStore.BloscCodec("zstd", 5, 2))
+        graft.volume.Zarr3Store.read(s, zarr3ShardDest).toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // S4+ sharded interop: a FOREIGN sharded array from the independent
+    // python shard encoder — gzip + big-endian inner pipeline, crc32c
+    // index at the START of each shard, one inner cell dropped (the
+    // 2^64−1 missing sentinel must decode as fill) — a layout the
+    // engine never produced.
+    Q(
+      "vol_zarr3_sharded_foreign",
+      (s, _) => graft.volume.Zarr3Store.read(s, foreignZarr3ShardDir)
+        .toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // P4 on the sharded store: a point lookup does TWO positioned reads
+    // (index range + one inner chunk's range) against ONE shard file —
+    // never a scan, never the shard body. The evidence (shards opened,
+    // bytes read vs file bytes) is shape-pinned in the bench artifact
+    // (PlanAudit.shardedPointShape).
+    Q(
+      "vol_zarr3_sharded_point",
+      (s, _) => {
+        val probe = graft.volume.Zarr3Store.pointLookupSharded(zarr3ShardedStore(s), 9, 9, 9)
+        import s.implicits._
+        Seq((9L, 9L, 9L, probe.label)).toDF("z", "y", "x", "label")
+      },
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox WHERE z = 9 AND y = 9 AND x = 9
       """),
     ),
     // K3 on the v3 spec: write the pyramid as an OME-NGFF 0.5 group

@@ -46,20 +46,30 @@ object Zarr3Store {
     * lands under the spec's user-metadata `attributes` member — the v3
     * home for the write provenance the v2 sink records in `.zattrs`.
     */
+  /** The compressor codec object for `m` (empty for Raw), prefixed with
+    * ", " so it appends to the `bytes` codec in a pipeline array.
+    */
+  private def compressorJson(m: ZarrMeta): String = m.codec match {
+    case Raw => ""
+    case b: BloscCodec =>
+      s""", {"name": "blosc", "configuration": {"cname": "${b.cname}", "clevel": ${b.clevel}, "shuffle": "${shuffleName(b.shuffle)}", "typesize": ${m.bpp}, "blocksize": 0}}"""
+    case ZstdCodec(l) =>
+      s""", {"name": "zstd", "configuration": {"level": $l, "checksum": false}}"""
+    case GzipCodec(l) =>
+      s""", {"name": "gzip", "configuration": {"level": $l}}"""
+    case other => throw new IllegalArgumentException(
+      s"codec ${other.id.getOrElse("?")} has no zarr v3 form here (use blosc/zstd/gzip/raw)")
+  }
+
+  private def attrsJson(attrs: Map[String, String]): String =
+    attrs.toSeq.sortBy(_._1)
+      .map { case (k, v) => ChunkVolume.jsonStr(k) + ": " + ChunkVolume.jsonStr(v) }
+      .mkString(", ")
+
   def zarrJson(m: ZarrMeta, attrs: Map[String, String] = Map.empty): String = {
-    val compressor = m.codec match {
-      case Raw => ""
-      case b: BloscCodec =>
-        s""",
-           |        {"name": "blosc", "configuration": {"cname": "${b.cname}", "clevel": ${b.clevel}, "shuffle": "${shuffleName(b.shuffle)}", "typesize": ${m.bpp}, "blocksize": 0}}""".stripMargin
-      case ZstdCodec(l) =>
-        s""",
-           |        {"name": "zstd", "configuration": {"level": $l, "checksum": false}}""".stripMargin
-      case GzipCodec(l) =>
-        s""",
-           |        {"name": "gzip", "configuration": {"level": $l}}""".stripMargin
-      case other => throw new IllegalArgumentException(
-        s"codec ${other.id.getOrElse("?")} has no zarr v3 form here (use blosc/zstd/gzip/raw)")
+    val compressor = compressorJson(m) match {
+      case "" => ""
+      case s => ",\n        " + s.stripPrefix(", ")
     }
     val endian = if (m.bigEndian) "big" else "little"
     s"""{
@@ -73,24 +83,117 @@ object Zarr3Store {
        |    "codecs": [
        |        {"name": "bytes", "configuration": {"endian": "$endian"}}$compressor
        |    ],
-       |    "attributes": {${
-      attrs.toSeq.sortBy(_._1)
-        .map { case (k, v) => ChunkVolume.jsonStr(k) + ": " + ChunkVolume.jsonStr(v) }
-        .mkString(", ")
-    }}
+       |    "attributes": {${attrsJson(attrs)}}
        |}""".stripMargin
   }
 
-  def parseZarrJson(json: String): ZarrMeta = {
-    val v = JsonMethods.parse(json)
-    def num(j: JValue): Long = j match {
-      case JInt(n) => n.toLong
-      case JLong(n) => n
-      case JDouble(d) => d.toLong
-      case JDecimal(d) => d.toLong
-      case JNull => 0L
-      case other => throw new IllegalArgumentException(s"expected number, got $other")
+  /** The `zarr.json` document for a SHARDED array: chunk_grid carries the
+    * shard shape, the single array codec is `sharding_indexed` nesting
+    * the inner pipeline, and the index pipeline is the zarr-python
+    * default `[bytes le, crc32c]`.
+    */
+  def shardedZarrJson(
+      m: ZarrMeta,
+      sh: ShardingMeta,
+      attrs: Map[String, String] = Map.empty): String = {
+    val endian = if (m.bigEndian) "big" else "little"
+    val loc = if (sh.indexAtEnd) "end" else "start"
+    val idxCodecs =
+      """[{"name": "bytes", "configuration": {"endian": "little"}}""" +
+        (if (sh.indexCrc32c) """, {"name": "crc32c"}]""" else "]")
+    s"""{
+       |    "zarr_format": 3,
+       |    "node_type": "array",
+       |    "shape": [${m.shape.mkString(", ")}],
+       |    "data_type": "${NameOfDtype(m.dtype.substring(1))}",
+       |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunks.mkString(", ")}]}},
+       |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+       |    "fill_value": ${m.fillValue},
+       |    "codecs": [
+       |        {"name": "sharding_indexed", "configuration": {"chunk_shape": [${sh.innerChunks.mkString(", ")}], "codecs": [{"name": "bytes", "configuration": {"endian": "$endian"}}${compressorJson(m)}], "index_codecs": $idxCodecs, "index_location": "$loc"}}
+       |    ],
+       |    "attributes": {${attrsJson(attrs)}}
+       |}""".stripMargin
+  }
+
+  private def num(j: JValue): Long = j match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case JDouble(d) => d.toLong
+    case JDecimal(d) => d.toLong
+    case JNull => 0L
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+
+  /** A `bytes`-led codec pipeline → (bigEndian, compressor). Shared by
+    * the array-level pipeline of unsharded arrays and the INNER pipeline
+    * inside a `sharding_indexed` configuration (the spec nests the same
+    * grammar).
+    */
+  private def parsePipeline(codecs: List[JValue]): (Boolean, Codec) = {
+    require(codecs.nonEmpty, "empty codec pipeline")
+    val JString(c0name) = codecs.head \ "name"
+    require(c0name == "bytes",
+      s"first codec must be 'bytes', got '$c0name' (array->array codecs are not supported)")
+    val bigEndian = codecs.head \ "configuration" \ "endian" match {
+      case JString("big") => true
+      case JString("little") | JNothing => false
+      case other => throw new IllegalArgumentException(s"bad endian $other")
     }
+    val codec: Codec = codecs.tail match {
+      case Nil => Raw
+      case c :: Nil =>
+        val JString(name) = c \ "name"
+        val conf = c \ "configuration"
+        name match {
+          case "blosc" =>
+            val JString(cname) = conf \ "cname"
+            val clevel = num(conf \ "clevel").toInt
+            val JString(sh) = conf \ "shuffle"
+            BloscCodec(cname, clevel, shuffleOf(sh))
+          case "zstd" => ZstdCodec(num(conf \ "level").toInt)
+          case "gzip" => GzipCodec(num(conf \ "level").toInt)
+          case other => throw new IllegalArgumentException(
+            s"unsupported zarr v3 codec '$other'")
+        }
+      case more => throw new IllegalArgumentException(
+        s"codec pipelines with ${more.length} compressors are not supported")
+    }
+    (bigEndian, codec)
+  }
+
+  /** The sharding layer of a `sharding_indexed` array: inner-chunk grid
+    * shape plus how the per-shard index is encoded and where it sits.
+    * The OUTER chunk_grid chunk_shape is the SHARD shape (one file per
+    * shard); [[ZarrMeta.codec]]/bigEndian describe the INNER pipeline.
+    */
+  final case class ShardingMeta(
+      innerChunks: Seq[Int],
+      indexCrc32c: Boolean,
+      indexAtEnd: Boolean,
+  ) {
+    def innerGridPerShard(shardShape: Seq[Int]): Seq[Int] =
+      shardShape.zip(innerChunks).map { case (s, i) => s / i }
+    /** Index bytes: 16 per inner cell (+4 crc32c). */
+    def indexLen(shardShape: Seq[Int]): Int =
+      innerGridPerShard(shardShape).product * 16 + (if (indexCrc32c) 4 else 0)
+  }
+
+  def parseZarrJson(json: String): ZarrMeta = {
+    val (zm, sharding) = parseZarrJsonAny(json)
+    require(sharding.isEmpty,
+      "sharding_indexed array passed to the unsharded parser — " +
+        "use Zarr3Store.read (it dispatches) or parseZarrJsonAny")
+    zm
+  }
+
+  /** Parse an array document, sharded or not. For `sharding_indexed`
+    * arrays the returned [[ZarrMeta]] carries the SHARD shape in
+    * `chunks` and the INNER pipeline in `codec`/`dtype` endianness;
+    * the second element carries the sharding layout.
+    */
+  def parseZarrJsonAny(json: String): (ZarrMeta, Option[ShardingMeta]) = {
+    val v = JsonMethods.parse(json)
     require(num(v \ "zarr_format") == 3, s"not a zarr v3 document")
     // the v3 spec REQUIRES readers to refuse documents carrying unknown
     // extension members marked "must_understand": true — silently
@@ -138,35 +241,42 @@ object Zarr3Store {
     require(sep == "/" || sep == ".", s"bad chunk key separator '$sep'")
     val JArray(codecs) = v \ "codecs"
     require(codecs.nonEmpty, "empty codec pipeline")
-    // pipeline: bytes first (endianness), then at most one compressor
-    val JString(c0name) = codecs.head \ "name"
-    require(c0name == "bytes",
-      s"first codec must be 'bytes', got '$c0name' (sharding_indexed and " +
-        "array->array codecs are not supported)")
-    val bigEndian = codecs.head \ "configuration" \ "endian" match {
-      case JString("big") => true
-      case JString("little") | JNothing => false
-      case other => throw new IllegalArgumentException(s"bad endian $other")
-    }
-    val codec: Codec = codecs.tail match {
-      case Nil => Raw
-      case c :: Nil =>
-        val JString(name) = c \ "name"
-        val conf = c \ "configuration"
-        name match {
-          case "blosc" =>
-            val JString(cname) = conf \ "cname"
-            val clevel = num(conf \ "clevel").toInt
-            val JString(sh) = conf \ "shuffle"
-            BloscCodec(cname, clevel, shuffleOf(sh))
-          case "zstd" => ZstdCodec(num(conf \ "level").toInt)
-          case "gzip" => GzipCodec(num(conf \ "level").toInt)
+    // either a bytes-led pipeline (unsharded), or a single
+    // sharding_indexed codec whose configuration nests the inner pipeline
+    val isSharded = (codecs.head \ "name") == JString("sharding_indexed")
+    val (bigEndian, codec, sharding) =
+      if (!isSharded) {
+        val (be, c) = parsePipeline(codecs)
+        (be, c, None)
+      } else {
+        require(codecs.length == 1,
+          s"sharding_indexed must be the ONLY array codec, found ${codecs.length}")
+        val conf = codecs.head \ "configuration"
+        val JArray(innerShape) = conf \ "chunk_shape"
+        val JArray(innerCodecs) = conf \ "codecs"
+        val (be, c) = parsePipeline(innerCodecs)
+        val JArray(indexCodecs) = conf \ "index_codecs"
+        // supported index pipelines: [bytes le] or [bytes le, crc32c]
+        val idxNames = indexCodecs.map { ic => val JString(n) = ic \ "name"; n }
+        val crc = idxNames match {
+          case List("bytes") => false
+          case List("bytes", "crc32c") => true
           case other => throw new IllegalArgumentException(
-            s"unsupported zarr v3 codec '$other' (sharding_indexed is deliberately rejected)")
+            s"unsupported index_codecs ${other.mkString("[", ", ", "]")} " +
+              "(expected [bytes] or [bytes, crc32c])")
         }
-      case more => throw new IllegalArgumentException(
-        s"codec pipelines with ${more.length} compressors are not supported")
-    }
+        indexCodecs.head \ "configuration" \ "endian" match {
+          case JString("little") | JNothing => ()
+          case other => throw new IllegalArgumentException(
+            s"shard index must be little-endian, got $other")
+        }
+        val atEnd = conf \ "index_location" match {
+          case JString("end") | JNothing => true
+          case JString("start") => false
+          case other => throw new IllegalArgumentException(s"bad index_location $other")
+        }
+        (be, c, Some(ShardingMeta(innerShape.map(num(_).toInt), crc, atEnd)))
+      }
     val endianTag = (if (tag.endsWith("1")) "|" else if (bigEndian) ">" else "<") + tag
     // integer data_types demand an integral fill_value: truncating 3.7 → 3
     // would silently rewrite what absent chunks decode to
@@ -181,7 +291,14 @@ object Zarr3Store {
     val chunkN = chunkShape.map(num(_).toInt)
     require(shapeN.forall(_ > 0) && chunkN.forall(_ > 0),
       s"non-positive shape/chunk dims: shape=${shapeN.mkString(",")} chunks=${chunkN.mkString(",")}")
-    ZarrMeta(shapeN, chunkN, endianTag, codec, fillValue, sep)
+    sharding.foreach { sh =>
+      require(sh.innerChunks.length == 3 && sh.innerChunks.forall(_ > 0),
+        s"bad inner chunk_shape ${sh.innerChunks.mkString(",")}")
+      require(chunkN.zip(sh.innerChunks).forall { case (s, i) => s % i == 0 },
+        s"shard shape ${chunkN.mkString(",")} is not a multiple of inner " +
+          s"chunk shape ${sh.innerChunks.mkString(",")} (spec requirement)")
+    }
+    (ZarrMeta(shapeN, chunkN, endianTag, codec, fillValue, sep), sharding)
   }
 
   private def metaOf(vol: VolumeMeta, codec: Codec): ZarrMeta = ZarrMeta(
@@ -258,7 +375,12 @@ object Zarr3Store {
     */
   def read(spark: SparkSession, path: String): ChunkVolume = {
     val dir = Paths.get(path).toAbsolutePath
-    val zm = parseZarrJson(Files.readString(dir.resolve("zarr.json")))
+    val (zm0, sharding) = parseZarrJsonAny(Files.readString(dir.resolve("zarr.json")))
+    sharding match {
+      case Some(sh) => return readSharded(spark, dir.toString, zm0, sh)
+      case None => ()
+    }
+    val zm = zm0
     val Seq(dz, dy, dx) = zm.shape
     val Seq(cz, cy, cx) = zm.chunks
     val Seq(ncz0, ncy0, ncx0) = zm.gridShape
@@ -282,5 +404,277 @@ object Zarr3Store {
         ZarrStore.decodeChunk(bytes, zm, vm, icz, icy, icx)
       }
     ChunkVolume(chunks, vm)
+  }
+
+  // ------------------------------------------------------------------
+  // sharding_indexed (zarr v3 sharding codec): ONE file per shard holding
+  // an inner grid of independently-compressed chunks plus a binary index
+  // of (offset, nbytes) uint64-LE pairs in C-order over the shard's
+  // inner cells, optionally crc32c-checksummed, at the start or end of
+  // the file. This is how a v3 store holds 100 TB on object storage
+  // without billions of keys: object count scales with SHARDS while read
+  // granularity stays one INNER chunk — a point lookup GETs the index
+  // range and one inner-chunk range, never the shard body (the
+  // pointLookupSharded path below does exactly those positioned reads,
+  // and the gate pins it).
+
+  /** Sentinel for an absent inner chunk: offset = nbytes = 2^64−1. */
+  private val Missing = -1L
+
+  private def crc32cOf(bytes: Array[Byte], len: Int): Int = {
+    val c = new java.util.zip.CRC32C
+    c.update(bytes, 0, len)
+    c.getValue.toInt
+  }
+
+  /** Engine metadata for the INNER chunk grid of a sharded array. */
+  private def innerVm(zm: ZarrMeta, sh: ShardingMeta): VolumeMeta = {
+    val Seq(dz, dy, dx) = zm.shape
+    val Seq(iz, iy, ix) = sh.innerChunks
+    VolumeMeta(dz, dy, dx, iz, iy, ix,
+      ((dz + iz - 1) / iz).toInt, ((dy + iy - 1) / iy).toInt, ((dx + ix - 1) / ix).toInt,
+      zm.elementType, spacingX = 1.0, spacingY = 1.0, spacingZ = 1.0)
+  }
+
+  /** Encode one SHARD chunk (the full shard extent, trimmed at array
+    * edges) into its shard-file bytes: split into inner chunks on the
+    * global inner grid, encode each through the inner pipeline, lay the
+    * index out per `sh`. Inner cells wholly outside the array are
+    * recorded missing.
+    */
+  private[volume] def encodeShard(
+      c: Chunk, zm: ZarrMeta, sh: ShardingMeta, ivm: VolumeMeta): Array[Byte] = {
+    val bpp = zm.bpp
+    val Seq(iz, iy, ix) = sh.innerChunks
+    val Seq(nIz, nIy, nIx) = sh.innerGridPerShard(zm.chunks)
+    val nCells = nIz * nIy * nIx
+    val entries = new Array[Long](nCells * 2)
+    val blobs = new Array[Array[Byte]](nCells)
+    var cell = 0
+    var dataLen = 0L
+    while (cell < nCells) {
+      val lz = cell / (nIy * nIx); val rem = cell % (nIy * nIx)
+      val ly = rem / nIx; val lx = rem % nIx
+      // global inner-grid coordinate of this cell
+      val gcz = c.cz * nIz + lz; val gcy = c.cy * nIy + ly; val gcx = c.cx * nIx + lx
+      if (gcz >= ivm.ncz || gcy >= ivm.ncy || gcx >= ivm.ncx) {
+        entries(cell * 2) = Missing; entries(cell * 2 + 1) = Missing
+      } else {
+        val z0 = gcz.toLong * iz; val y0 = gcy.toLong * iy; val x0 = gcx.toLong * ix
+        val nz = math.min(iz.toLong, ivm.dimZ - z0).toInt
+        val ny = math.min(iy.toLong, ivm.dimY - y0).toInt
+        val nx = math.min(ix.toLong, ivm.dimX - x0).toInt
+        val box = ChunkKernels.extractBox(c.data, c.ny, c.nx, bpp,
+          (z0 - c.z0).toInt, (y0 - c.y0).toInt, (x0 - c.x0).toInt, nz, ny, nx)
+        val inner = Chunk(gcz, gcy, gcx, z0, y0, x0, nz, ny, nx, box)
+        blobs(cell) = ZarrStore.encodeChunkBytes(inner, ivm, zm.codec)
+        dataLen += blobs(cell).length
+      }
+      cell += 1
+    }
+    val idxLen = sh.indexLen(zm.chunks)
+    val total = dataLen + idxLen
+    require(total <= Int.MaxValue,
+      s"shard (${c.cz},${c.cy},${c.cx}) of $total bytes exceeds the 2 GiB " +
+        "assembly limit — use a smaller shard shape")
+    val out = new Array[Byte](total.toInt)
+    val dataBase = if (sh.indexAtEnd) 0 else idxLen
+    var off = dataBase.toLong
+    cell = 0
+    while (cell < nCells) {
+      if (blobs(cell) != null) {
+        System.arraycopy(blobs(cell), 0, out, off.toInt, blobs(cell).length)
+        entries(cell * 2) = off
+        entries(cell * 2 + 1) = blobs(cell).length.toLong
+        off += blobs(cell).length
+      }
+      cell += 1
+    }
+    val idx = java.nio.ByteBuffer.wrap(out,
+      if (sh.indexAtEnd) (total - idxLen).toInt else 0, idxLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    entries.foreach(idx.putLong)
+    if (sh.indexCrc32c) {
+      val idxStart = if (sh.indexAtEnd) (total - idxLen).toInt else 0
+      val crcTmp = new java.util.zip.CRC32C
+      crcTmp.update(out, idxStart, nCells * 16)
+      idx.putInt(crcTmp.getValue.toInt)
+    }
+    out
+  }
+
+  /** Parse a shard file's index → (offset, nbytes) per inner cell in
+    * C-order; verifies the crc32c when declared. `idxBytes` are exactly
+    * the [[ShardingMeta.indexLen]] bytes at the declared location.
+    */
+  private[volume] def parseShardIndex(
+      idxBytes: Array[Byte], sh: ShardingMeta, zm: ZarrMeta, name: String): Array[Long] = {
+    val nCells = sh.innerGridPerShard(zm.chunks).product
+    if (sh.indexCrc32c) {
+      val want = java.nio.ByteBuffer.wrap(idxBytes, nCells * 16, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val got = crc32cOf(idxBytes, nCells * 16)
+      require(got == want,
+        f"shard $name: index crc32c mismatch (stored 0x$want%08x, computed 0x$got%08x) — " +
+          "refusing to address chunks off a corrupt index")
+    }
+    val buf = java.nio.ByteBuffer.wrap(idxBytes, 0, nCells * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(nCells * 2)(buf.getLong)
+  }
+
+  /** Write a ChunkVolume as a SHARDED zarr v3 array: the volume's chunk
+    * grid IS the shard grid (rechunk first to choose shard size), each
+    * executor task assembles and lands its shards' files independently —
+    * zero shuffle, the BigTiff positioned-write discipline at shard
+    * granularity. `innerShape` must divide the volume's chunk shape.
+    */
+  def writeSharded(
+      vol: ChunkVolume,
+      path: String,
+      innerShape: (Int, Int, Int),
+      codec: Codec = ZstdCodec(),
+      indexAtEnd: Boolean = true,
+      extraAttrs: Map[String, String] = Map.empty): Unit = {
+    val m = vol.meta
+    val inner = Seq(innerShape._1, innerShape._2, innerShape._3)
+    require(Seq(m.chunkZ, m.chunkY, m.chunkX).zip(inner).forall { case (s, i) => i > 0 && s % i == 0 },
+      s"inner shape ${inner.mkString(",")} must divide the shard (chunk) shape " +
+        s"(${m.chunkZ},${m.chunkY},${m.chunkX}) — rechunk the volume to the shard grid first")
+    val sh = ShardingMeta(inner, indexCrc32c = true, indexAtEnd = indexAtEnd)
+    val zm = metaOf(m, codec)
+    val ivm = innerVm(zm, sh)
+    val dest = Paths.get(path).toAbsolutePath.normalize
+    AtomicDir.sweepLeftovers(dest)
+    val dir = AtomicDir.tempSibling(dest)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("zarr.json"), shardedZarrJson(zm, sh, extraAttrs))
+    val pathStr = dir.toString
+    try {
+      vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
+        it.foreach { c =>
+          val f = Paths.get(pathStr, "c", c.cz.toString, c.cy.toString, c.cx.toString)
+          Files.createDirectories(f.getParent)
+          Files.write(f, encodeShard(c, zm, sh, ivm))
+        }
+      }
+    } catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
+    AtomicDir.publish(dir, dest)
+  }
+
+  /** Scan a sharded array: one task per shard reads the file once,
+    * verifies the index, and emits its inner cells as engine chunks on
+    * the INNER grid (absent shards/cells decode as fill_value). The
+    * returned volume's chunk grid is the inner grid — downstream
+    * operators see the fine granularity, exactly as if the array were
+    * unsharded.
+    */
+  private def readSharded(
+      spark: SparkSession, pathStr: String, zm: ZarrMeta, sh: ShardingMeta): ChunkVolume = {
+    val ivm = innerVm(zm, sh)
+    val Seq(nIz, nIy, nIx) = sh.innerGridPerShard(zm.chunks)
+    val Seq(nscz0, nscy0, nscx0) = zm.gridShape
+    val (nscz, nscy, nscx) = (nscz0, nscy0, nscx0)
+    val sep = zm.dimSeparator
+    import spark.implicits._
+    val nShards = nscz.toLong * nscy * nscx
+    val chunks = spark.range(nShards)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { idx =>
+        val scz = (idx / (nscy.toLong * nscx)).toInt
+        val scy = ((idx / nscx) % nscy).toInt
+        val scx = (idx % nscx).toInt
+        val f = Paths.get(pathStr,
+          (Seq("c", scz, scy, scx).mkString(sep)).split('/').toSeq: _*)
+        val shardBytes = if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
+        val idxLen = sh.indexLen(zm.chunks)
+        val entries = shardBytes.map { b =>
+          require(b.length >= idxLen,
+            s"shard $f: ${b.length} bytes is shorter than its $idxLen-byte index")
+          val idxBytes = new Array[Byte](idxLen)
+          System.arraycopy(b, if (sh.indexAtEnd) b.length - idxLen else 0, idxBytes, 0, idxLen)
+          parseShardIndex(idxBytes, sh, zm, f.toString)
+        }
+        // inner ZarrMeta drives decodeChunk: inner chunk shape + inner codec
+        val izm = ZarrMeta(zm.shape, sh.innerChunks, zm.dtype, zm.codec, zm.fillValue, sep)
+        Iterator.range(0, nIz * nIy * nIx).flatMap { cell =>
+          val lz = cell / (nIy * nIx); val rem = cell % (nIy * nIx)
+          val ly = rem / nIx; val lx = rem % nIx
+          val gcz = scz * nIz + lz; val gcy = scy * nIy + ly; val gcx = scx * nIx + lx
+          if (gcz >= ivm.ncz || gcy >= ivm.ncy || gcx >= ivm.ncx) Iterator.empty
+          else {
+            val blob = entries.flatMap { e =>
+              val off = e(cell * 2); val len = e(cell * 2 + 1)
+              if (off == Missing) None
+              else {
+                require(off >= 0 && len >= 0 && off + len <= shardBytes.get.length,
+                  s"shard $f: inner cell $cell addresses [$off, ${off + len}) outside the file")
+                val b = new Array[Byte](len.toInt)
+                System.arraycopy(shardBytes.get, off.toInt, b, 0, len.toInt)
+                Some(b)
+              }
+            }
+            Iterator.single(ZarrStore.decodeChunk(blob, izm, ivm, gcz, gcy, gcx))
+          }
+        }
+      }
+    ChunkVolume(chunks, ivm)
+  }
+
+  /** Evidence-carrying point lookup against a sharded store: TWO
+    * positioned reads (the index range, then one inner chunk's range) on
+    * ONE shard file — the object-storage P4 contract. `bytesRead` vs
+    * `fileBytes` proves the shard body never streamed.
+    */
+  final case class ShardProbe(
+      label: Long, shardsOpened: Int, bytesRead: Long, fileBytes: Long)
+
+  def pointLookupSharded(path: String, z: Long, y: Long, x: Long): ShardProbe = {
+    val dir = Paths.get(path).toAbsolutePath
+    val (zm, shOpt) = parseZarrJsonAny(Files.readString(dir.resolve("zarr.json")))
+    val sh = shOpt.getOrElse(throw new IllegalArgumentException(
+      s"$path is not a sharded array — use Zarr3Store.read"))
+    require(z >= 0 && y >= 0 && x >= 0
+      && z < zm.shape(0) && y < zm.shape(1) && x < zm.shape(2),
+      s"point ($z,$y,$x) outside array ${zm.shape.mkString("x")}")
+    val Seq(sz, sy, sx) = zm.chunks
+    val Seq(iz, iy, ix) = sh.innerChunks
+    val Seq(nIz, nIy, nIx) = sh.innerGridPerShard(zm.chunks)
+    val (scz, scy, scx) = ((z / sz).toInt, (y / sy).toInt, (x / sx).toInt)
+    val (lz, ly, lx) = (((z % sz) / iz).toInt, ((y % sy) / iy).toInt, ((x % sx) / ix).toInt)
+    val cell = (lz * nIy + ly) * nIx + lx
+    val sep = zm.dimSeparator
+    val f = Paths.get(dir.toString, (Seq("c", scz, scy, scx).mkString(sep)).split('/').toSeq: _*)
+    val ivm = innerVm(zm, sh)
+    val izm = ZarrMeta(zm.shape, sh.innerChunks, zm.dtype, zm.codec, zm.fillValue, sep)
+    val (gcz, gcy, gcx) = (scz * nIz + lz, scy * nIy + ly, scx * nIx + lx)
+    if (!Files.exists(f))
+      return ShardProbe(zm.fillValue, shardsOpened = 0, bytesRead = 0L, fileBytes = 0L)
+    val raf = new java.io.RandomAccessFile(f.toFile, "r")
+    try {
+      val fileLen = raf.length()
+      val idxLen = sh.indexLen(zm.chunks)
+      require(fileLen >= idxLen, s"shard $f shorter than its index")
+      val idxBytes = new Array[Byte](idxLen)
+      raf.seek(if (sh.indexAtEnd) fileLen - idxLen else 0L)
+      raf.readFully(idxBytes)
+      val entries = parseShardIndex(idxBytes, sh, zm, f.toString)
+      val off = entries(cell * 2); val len = entries(cell * 2 + 1)
+      val blob = if (off == Missing) None else {
+        require(off >= 0 && len >= 0 && off + len <= fileLen,
+          s"shard $f: cell $cell addresses [$off, ${off + len}) outside the file")
+        val b = new Array[Byte](len.toInt)
+        raf.seek(off)
+        raf.readFully(b)
+        Some(b)
+      }
+      val inner = ZarrStore.decodeChunk(blob, izm, ivm, gcz, gcy, gcx)
+      val bpp = zm.bpp
+      val vi = (((z - inner.z0) * inner.ny + (y - inner.y0)) * inner.nx + (x - inner.x0)).toInt
+      val label = ChunkKernels.decodeLong(inner.data, vi, bpp, ivm.isUnsigned)
+      ShardProbe(label, shardsOpened = 1,
+        bytesRead = idxLen + blob.map(_.length.toLong).getOrElse(0L), fileBytes = fileLen)
+    } finally raf.close()
   }
 }
