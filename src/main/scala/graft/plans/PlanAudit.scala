@@ -295,6 +295,17 @@ object PlanAudit {
     "doc_chunk_overlap_bpe" -> 1,
     "doc_pii_scrub" -> 1,
     "doc_html_extract" -> 1,
+    // WARC intake is member-range parallel: the sidecar-span
+    // repartition + output sort — a 3rd exchange would mean record
+    // parsing or extraction started shuffling payload bytes
+    "doc_warc_extract" -> 2,
+    // composed crawl pipeline: span repartition, the dedup keep-set's
+    // md5 group agg (broadcast build side), the source cap window, the
+    // per-source census rollup, output sort — a 6th exchange would mean
+    // the corpus started shuffling through the dedup subtraction (the
+    // keep set must stay broadcast) or the census stopped riding the
+    // cap's source partitioning
+    "doc_pipeline_curate_v3" -> 5,
     // trained-BPE application is map-only (merge table is a plan
     // constant); the 1 is the output sort. Training's word-count agg is a
     // separate driver-side job, deliberately not part of this plan.

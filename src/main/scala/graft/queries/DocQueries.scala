@@ -27,6 +27,27 @@ object DocQueries {
   /** Offset for the injected duplicate copy of the corpus. */
   private val DupOffset = 1000000L
 
+  /** One `.warc.gz` + sidecar index per (JVM, sfDir), wrapping THAT
+    * scale's documents corpus — written by tools/gen_warc_fixture.py,
+    * the independent python WARC encoder (never inside a timed query
+    * body: the once-per-JVM subprocess discipline of the TIFF/zarr
+    * fixtures).
+    */
+  private val warcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcFixture(d: String): String =
+    warcCache.computeIfAbsent(d, { dir =>
+      val gen = java.nio.file.Paths.get("tools/gen_warc_fixture.py")
+      require(java.nio.file.Files.exists(gen),
+        s"fixture generator not found at ${gen.toAbsolutePath}")
+      val out = java.nio.file.Files.createTempDirectory("graft_warc")
+      out.toFile.deleteOnExit()
+      val p = out.resolve("crawl.warc.gz").toString
+      val rc = scala.sys.process.Process(Seq("python3", gen.toString, p, dir))
+        .!(scala.sys.process.ProcessLogger(_ => ()))
+      require(rc == 0, s"gen_warc_fixture.py exited $rc")
+      p
+    })
+
   /** Merge-table size for the TRAINING-replay gate (doc_bpe_tokens):
     * mid-table for this corpus (training exhausts at ~89 merges on the
     * sf0.01 vocabulary), so the gate exercises both early high-count
@@ -1158,6 +1179,104 @@ object DocQueries {
                'Doc ' || doc_id || chr(10) || text || chr(10) ||
                'A bold move & a <tag> ''quoted''' AS extracted
         FROM documents ORDER BY doc_id
+      """),
+    ),
+    // ------------------------------------------------ WARC/WET ingestion
+    // The crawl intake stage: a foreign .warc.gz (ISO 28500 records, one
+    // gzip member each — the Common Crawl convention) written by the
+    // independent python WARC encoder around THIS scale's documents
+    // corpus, read through the sidecar-indexed split path (executors
+    // positioned-read + inflate only their member ranges), response
+    // records HTTP-header-stripped, HTML boilerplate removed. The oracle
+    // replays the page formula from the documents table — the WARC
+    // framing, gzip membering, HTTP parse, and extraction all have to be
+    // right for the hashes to meet.
+    Q(
+      "doc_warc_extract",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.sources.WarcSource.read(s, warcFixture(d))
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            graft.functions.GraftFunctions.htmlExtract(col("body")).as("extracted"))
+          .orderBy(col("url"))
+      },
+      Some("""
+        WITH pages AS (
+          SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+                 'Doc ' || doc_id || chr(10) || text AS extracted
+          FROM documents
+          UNION ALL
+          SELECT 'https://mirror.' || source || '.example.org/doc/' || doc_id,
+                 'Doc ' || doc_id || chr(10) || text
+          FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT url, extracted FROM pages ORDER BY url
+      """),
+    ),
+    // The full crawl-to-corpus pipeline COMPOSED: warc → html extract →
+    // quality filter → exact dedup (the fixture's mirror pages are real
+    // byte-identical duplicates; keep the lexicographically-first URL) →
+    // per-domain cap (Mixing.capPerBlock on the md5 order) → per-source
+    // census. One oracle replays every stage from the documents table.
+    // Scale shape: intake and extraction are map-only over member
+    // ranges; dedup's keep-set broadcasts; the cap is ONE window
+    // exchange on the source key.
+    Q(
+      "doc_pipeline_curate_v3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val pages = graft.sources.WarcSource.read(s, warcFixture(d))
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            regexp_extract(col("url"),
+              "https://(?:mirror\\.)?([^.]+)\\.example\\.org/", 1).as("source"),
+            graft.functions.GraftFunctions.htmlExtract(col("body")).as("text"))
+        val scored = TextAnalysis.withQuality(pages).filter(col("quality_score") >= 0.5)
+        val keep = Dedup.exactGroups(scored, idCol = "url").select(col("keep_id").as("url"))
+        val kept = scored.join(broadcast(keep), Seq("url"), "left_semi")
+        Mixing.capPerBlock(kept, cap = 40, idCol = "url", blockCol = "source")
+          .withColumn("q_micro", round(col("quality_score") * 1000000L).cast("bigint"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (sum(col("q_micro")) / (count(lit(1)) * 1000000.0)).as("avg_quality"),
+          )
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH pages AS (
+          SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+                 source, 'Doc ' || doc_id || chr(10) || text AS xtext
+          FROM documents
+          UNION ALL
+          SELECT 'https://mirror.' || source || '.example.org/doc/' || doc_id,
+                 source, 'Doc ' || doc_id || chr(10) || text
+          FROM documents WHERE doc_id % 10 = 0
+        ), stats AS (
+          SELECT url, source, xtext,
+                 CAST(len(string_split(xtext, ' ')) AS BIGINT) AS n,
+                 CAST(len(list_distinct(string_split(xtext, ' '))) AS BIGINT) AS dst,
+                 CAST(len(list_filter(string_split(xtext, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS st
+          FROM pages
+        ), q AS (
+          SELECT *, (5000 * dst + 30 * LEAST(n, 100) * n + 2000 * st) / (n * 10000.0) AS quality_score
+          FROM stats
+          WHERE (5000 * dst + 30 * LEAST(n, 100) * n + 2000 * st) / (n * 10000.0) >= 0.5
+        ), keep AS (
+          SELECT MIN(url) AS url FROM q GROUP BY md5(xtext)
+        ), kept AS (
+          SELECT * FROM q WHERE url IN (SELECT url FROM keep)
+        ), ranked AS (
+          SELECT kept.*, ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(url), url) AS rk
+          FROM kept
+        )
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+               SUM(CAST(ROUND(quality_score * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0) AS avg_quality
+        FROM ranked WHERE rk <= 40
+        GROUP BY source ORDER BY source
       """),
     ),
     // ------------------------------------------------ trained-BPE tokenizer

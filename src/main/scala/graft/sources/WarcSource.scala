@@ -1,0 +1,288 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{GZIPInputStream, Inflater}
+
+/** WARC/1.0 ingestion (ISO 28500 framing over the Common Crawl
+  * `.warc.gz` member-per-record convention) — the intake stage of a web
+  * curation pipeline, feeding HtmlExtract → quality → dedup → mix.
+  *
+  * Scale shapes, in preference order:
+  *   - WITH a member-offset sidecar (`<file>.idx`, one byte offset per
+  *     line — the cdx-index shape every production crawl ships):
+  *     executors take contiguous offset RANGES and positioned-read +
+  *     inflate ONLY their members. Parallelism WITHIN a file; a 1 GiB
+  *     crawl file fans out across the cluster without any task reading
+  *     bytes it does not own.
+  *   - WITHOUT a sidecar: gzip members are not self-delimiting from the
+  *     outside (member length is only discoverable by inflating), so the
+  *     file is one sequential task streaming records in order — the
+  *     classic one-task-per-warc-file shape (a real crawl has tens of
+  *     thousands of files, so cluster parallelism comes from the file
+  *     count). [[buildIndex]]/[[writeIndexSidecar]] bootstrap the sidecar
+  *     with one such sequential pass.
+  *
+  * Output row per record: (warc_type, url, http_status, content_type,
+  * body, member_offset). `body` is the HTTP payload body for response
+  * records (headers stripped), the raw WARC payload otherwise.
+  */
+object WarcSource {
+
+  /** Read a `.warc.gz`: indexed-split when `<path>.idx` exists,
+    * sequential single-task otherwise.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val idx = Paths.get(path + ".idx")
+    if (Files.exists(idx)) {
+      val offsets = Files.readAllLines(idx).toArray(Array.empty[String])
+        .iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      readIndexed(spark, path, offsets)
+    } else readSequential(spark, Seq(path))
+  }
+
+  /** Indexed-split read: offsets come from the sidecar (or
+    * [[buildIndex]]); each task positioned-reads and inflates only its
+    * own members.
+    */
+  def readIndexed(spark: SparkSession, path: String, offsets: Seq[Long]): DataFrame = {
+    val fileLen = Files.size(Paths.get(path))
+    val sorted = offsets.sorted
+    require(sorted.headOption.forall(_ == 0L),
+      s"$path.idx: first member offset must be 0, got ${sorted.headOption}")
+    // (offset, end) per member — ends derive from the next offset
+    val spans = sorted.zip(sorted.drop(1) :+ fileLen)
+    import spark.implicits._
+    val df = spark.createDataset(spans)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        var raf: RandomAccessFile = null
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          if (raf != null) { raf.close(); raf = null }
+        })
+        it.map { case (off, end) =>
+          if (raf == null) raf = new RandomAccessFile(path, "r")
+          val comp = new Array[Byte]((end - off).toInt)
+          raf.seek(off)
+          raf.readFully(comp)
+          val rec = parseRecord(inflateMember(comp, path, off), path, off)
+          (rec.warcType, rec.url, rec.httpStatus, rec.contentType, rec.body, off)
+        }
+      }
+    df.toDF("warc_type", "url", "http_status", "content_type", "body", "member_offset")
+  }
+
+  /** Sequential read: one task per FILE streams its members in order
+    * (GZIPInputStream consumes concatenated members transparently;
+    * records are re-delimited from their own Content-Length framing).
+    */
+  def readSequential(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val df = spark.createDataset(paths)
+      .repartition(math.max(1, paths.length))
+      .flatMap { p =>
+        val in = new GZIPInputStream(
+          new java.io.BufferedInputStream(new java.io.FileInputStream(p), 1 << 16), 1 << 16)
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: java.io.IOException => () }
+        })
+        Iterator.continually(readRecordBytes(in, p))
+          .takeWhile(_ != null)
+          .map { bytes =>
+            val rec = parseRecord(bytes, p, -1L)
+            (rec.warcType, rec.url, rec.httpStatus, rec.contentType, rec.body, -1L)
+          }
+      }
+    df.toDF("warc_type", "url", "http_status", "content_type", "body", "member_offset")
+  }
+
+  /** Member byte offsets of a `.warc.gz`, by one sequential pass that
+    * parses each gzip member's header and inflates (discarding output)
+    * to find its end — the sidecar bootstrap. O(file) decompression
+    * once, after which every read splits.
+    */
+  def buildIndex(path: String): Seq[Long] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val len = raf.length()
+      val offsets = Seq.newBuilder[Long]
+      var pos = 0L
+      while (pos < len) {
+        offsets += pos
+        pos = memberEnd(raf, pos, len, path)
+      }
+      offsets.result()
+    } finally raf.close()
+  }
+
+  def writeIndexSidecar(path: String): Unit =
+    Files.writeString(Paths.get(path + ".idx"),
+      buildIndex(path).mkString("", "\n", "\n"))
+
+  // ------------------------------------------------------------------
+
+  private[sources] final case class Rec(
+      warcType: String, url: String, httpStatus: Int, contentType: String, body: String)
+
+  /** End offset (exclusive) of the gzip member starting at `pos`:
+    * header parse (FEXTRA/FNAME/FCOMMENT/FHCRC per RFC 1952) + inflate
+    * to stream end + the 8-byte CRC/ISIZE trailer.
+    */
+  private def memberEnd(raf: RandomAccessFile, pos: Long, len: Long, path: String): Long = {
+    raf.seek(pos)
+    val head = new Array[Byte](math.min(1 << 16, len - pos).toInt)
+    raf.readFully(head)
+    require(head.length >= 10 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
+      s"$path: no gzip magic at member offset $pos")
+    require(head(2) == 8, s"$path: unsupported gzip method ${head(2)} at $pos")
+    val flg = head(3) & 0xff
+    var h = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      val xlen = (head(h) & 0xff) | ((head(h + 1) & 0xff) << 8); h += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (head(h) != 0) h += 1; h += 1 } // FNAME
+    if ((flg & 16) != 0) { while (head(h) != 0) h += 1; h += 1 } // FCOMMENT
+    if ((flg & 2) != 0) h += 2 // FHCRC
+    val inf = new Inflater(true)
+    val out = new Array[Byte](1 << 16)
+    inf.setInput(head, h, head.length - h)
+    var fed = head.length.toLong // bytes of this member handed to the inflater
+    val chunk = new Array[Byte](1 << 16)
+    while (!inf.finished()) {
+      if (inf.needsInput()) {
+        raf.seek(pos + fed)
+        val want = math.min(chunk.length.toLong, len - (pos + fed)).toInt
+        require(want > 0, s"$path: truncated gzip member at offset $pos")
+        raf.readFully(chunk, 0, want)
+        inf.setInput(chunk, 0, want)
+        fed += want
+      }
+      inf.inflate(out) // output discarded — only the length matters
+    }
+    val consumed = h + inf.getBytesRead
+    inf.end()
+    val end = pos + consumed + 8 // CRC32 + ISIZE trailer
+    require(end <= len, s"$path: member at $pos overruns the file")
+    end
+  }
+
+  /** Inflate ONE whole gzip member (the indexed-read unit). */
+  private def inflateMember(comp: Array[Byte], path: String, off: Long): Array[Byte] = {
+    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(comp), 1 << 16)
+    try {
+      val bos = new java.io.ByteArrayOutputStream(comp.length * 4)
+      val buf = new Array[Byte](1 << 16)
+      var r = in.read(buf)
+      while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+      bos.toByteArray
+    } catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"$path: gzip member at offset $off failed to inflate: ${e.getMessage}", e)
+    } finally in.close()
+  }
+
+  /** Read one WARC record's bytes from a continuous decompressed stream
+    * (header block + Content-Length payload + the \r\n\r\n separator),
+    * or null at EOF.
+    */
+  private def readRecordBytes(in: java.io.InputStream, path: String): Array[Byte] = {
+    val head = new java.io.ByteArrayOutputStream(512)
+    // read byte-wise until \r\n\r\n (header block end); EOF before any
+    // byte means clean end of file
+    var state = 0
+    var first = in.read()
+    if (first < 0) return null
+    head.write(first)
+    while (state != 4) {
+      val b = in.read()
+      require(b >= 0, s"$path: EOF inside a WARC header block")
+      head.write(b)
+      state = (state, b) match {
+        case (0, '\r') => 1
+        case (1, '\n') => 2
+        case (2, '\r') => 3
+        case (3, '\n') => 4
+        case (_, '\r') => 1
+        case _ => 0
+      }
+    }
+    val headBytes = head.toByteArray
+    val headStr = new String(headBytes, StandardCharsets.UTF_8)
+    val clen = headStr.linesIterator
+      .find(_.toLowerCase.startsWith("content-length:"))
+      .map(_.split(":", 2)(1).trim.toLong)
+      .getOrElse(sys.error(s"$path: WARC record without Content-Length"))
+    require(clen <= Int.MaxValue - headBytes.length - 4,
+      s"$path: WARC record of $clen bytes exceeds the single-record limit")
+    val payload = new Array[Byte](clen.toInt)
+    var got = 0
+    while (got < clen) {
+      val r = in.read(payload, got, clen.toInt - got)
+      require(r >= 0, s"$path: EOF inside a WARC payload ($got of $clen bytes)")
+      got += r
+    }
+    // the two CRLF separating records
+    val sep = new Array[Byte](4)
+    var s = 0
+    while (s < 4) {
+      val r = in.read(sep, s, 4 - s)
+      require(r >= 0, s"$path: EOF inside the record separator")
+      s += r
+    }
+    require(new String(sep, StandardCharsets.US_ASCII) == "\r\n\r\n",
+      s"$path: bad record separator after a $clen-byte payload")
+    val all = new Array[Byte](headBytes.length + payload.length)
+    System.arraycopy(headBytes, 0, all, 0, headBytes.length)
+    System.arraycopy(payload, 0, all, headBytes.length, payload.length)
+    all
+  }
+
+  /** Parse one record's bytes (WARC header block + payload). */
+  private[sources] def parseRecord(bytes: Array[Byte], path: String, off: Long): Rec = {
+    val sepIdx = indexOfCrlfCrlf(bytes, 0)
+    require(sepIdx >= 0, s"$path: record at $off has no header/payload separator")
+    val headStr = new String(bytes, 0, sepIdx, StandardCharsets.UTF_8)
+    val lines = headStr.split("\r\n")
+    require(lines.headOption.exists(_.startsWith("WARC/")),
+      s"$path: record at $off does not start with a WARC version line " +
+        s"(got '${lines.headOption.getOrElse("")}')")
+    val headers = lines.tail.flatMap { l =>
+      val i = l.indexOf(':')
+      if (i < 0) None else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+    }.toMap
+    val warcType = headers.getOrElse("warc-type",
+      sys.error(s"$path: record at $off missing WARC-Type"))
+    val clen = headers.get("content-length").map(_.toInt)
+      .getOrElse(sys.error(s"$path: record at $off missing Content-Length"))
+    val payloadStart = sepIdx + 4
+    require(payloadStart + clen <= bytes.length,
+      s"$path: record at $off truncated (declared $clen payload bytes)")
+    val url = headers.getOrElse("warc-target-uri", "")
+    if (warcType == "response" && headers.getOrElse("content-type", "").startsWith("application/http")) {
+      // payload is an HTTP response: status line + headers + body
+      val bodyIdx = indexOfCrlfCrlf(bytes, payloadStart)
+      require(bodyIdx >= 0 && bodyIdx < payloadStart + clen,
+        s"$path: response record at $off has no HTTP header/body separator")
+      val statusLine = new String(bytes, payloadStart,
+        math.min(64, bodyIdx - payloadStart), StandardCharsets.US_ASCII)
+      val status = statusLine.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(0)
+      val body = new String(bytes, bodyIdx + 4, payloadStart + clen - (bodyIdx + 4),
+        StandardCharsets.UTF_8)
+      Rec(warcType, url, status, headers.getOrElse("content-type", ""), body)
+    } else {
+      val body = new String(bytes, payloadStart, clen, StandardCharsets.UTF_8)
+      Rec(warcType, url, 0, headers.getOrElse("content-type", ""), body)
+    }
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+}
