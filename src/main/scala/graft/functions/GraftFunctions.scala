@@ -36,6 +36,8 @@ object GraftFunctions {
   val NearestCentroid2Name = "graft_nearest_centroid2"
   val ByteBpeSegmentName = "graft_bytebpe_segment"
   val HtmlExtractName = "graft_html_extract"
+  val UrlCanonName = "graft_url_canon"
+  val RegDomainName = "graft_reg_domain"
   val BpeCountName = "graft_bpe_count"
   val BpeSegmentName = "graft_bpe_segment"
   val Sq8EncodeName = "graft_sq8_encode"
@@ -187,6 +189,14 @@ object GraftFunctions {
     (HtmlExtractName, classOf[HtmlExtract].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$HtmlExtractName takes (html)")
       HtmlExtract(children.head)
+    }),
+    (UrlCanonName, classOf[UrlCanonicalize].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$UrlCanonName takes (url)")
+      UrlCanonicalize(children.head)
+    }),
+    (RegDomainName, classOf[RegistrableDomain].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$RegDomainName takes (url)")
+      RegistrableDomain(children.head)
     }),
     (BpeCountName, classOf[BpeTokenCount].getName, { children: Seq[Expression] =>
       require(children.size == 2, s"$BpeCountName takes (text, merges)")
@@ -423,6 +433,12 @@ object GraftFunctions {
   /** Main-text extraction from HTML markup (see [[HtmlText.extract]]). */
   def htmlExtract(html: Column): Column =
     call_function(HtmlExtractName, html)
+
+  /** Canonical URL form (see [[UrlOps.canonicalize]]). */
+  def urlCanon(url: Column): Column = call_function(UrlCanonName, url)
+
+  /** Registrable domain / eTLD+1 (see [[UrlOps.registrableDomain]]). */
+  def regDomain(url: Column): Column = call_function(RegDomainName, url)
 
   /** Total trained-BPE token count of a text column; the merge table is
     * shipped as a plan constant (see [[graft.text.Bpe]]).

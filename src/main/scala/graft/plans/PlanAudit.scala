@@ -275,6 +275,10 @@ object PlanAudit {
     // partitioning or the kernel stopped being a single per-shard pass
     "doc_pack_sequences_ffd" -> 2,
     "doc_cap_per_source" -> 2,
+    // domain cap: canonicalize + PSL-key map-side, ONE domain window
+    // exchange + output sort — a 3rd exchange would mean URL
+    // normalization or domain keying started shuffling
+    "doc_domain_caps" -> 2,
     "doc_token_budget" -> 2,
     "doc_dup_spans" -> 3,
     // the rolling-fingerprint twin shares the counting stage, so the

@@ -1697,6 +1697,56 @@ object DocQueries {
         SELECT doc_id, source FROM r WHERE rk <= 40 ORDER BY source, doc_id
       """),
     ),
+    // ------------------------------------------------ domain-level curation
+    // The crawl-side mixing key: raw URLs (formula-built with the junk a
+    // crawler actually sees — mixed case, default port, tracking params,
+    // fragments) are canonicalized and keyed by REGISTRABLE DOMAIN
+    // (eTLD+1 via the PSL algorithm — 'example.co.uk' is one domain, not
+    // 'co.uk'), a blocklisted domain is dropped, and the per-domain cap
+    // rides the same one-window capPerBlock machinery as the source cap.
+    // The oracle replays the canonical form and the capped window from
+    // the formula — the canonicalizer and PSL walk must both be right
+    // for the hashes to meet. Both expressions are codegen'd: at 100 TB
+    // the URL column keys map-side and never shuffles to be normalized.
+    Q(
+      "doc_domain_caps",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val tld = expr(
+          "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' " +
+            "WHEN 2 THEN 'io' ELSE 'org' END")
+        val raw = concat(
+          lit("HTTPS://"), upper(col("source")), lit(".News.Example."), upper(tld),
+          lit(":443/doc/"), col("doc_id"),
+          lit("?utm_source=feed&id="), col("doc_id"), lit("&fbclid=abc#sec"))
+        val urls = T(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.urlCanon(raw).as("url"))
+          .withColumn("domain", graft.functions.GraftFunctions.regDomain(col("url")))
+          .filter(col("domain") =!= "example.org") // blocklist
+        Mixing.capPerBlock(urls, cap = 30, idCol = "doc_id", blockCol = "domain")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH urls AS (
+          SELECT doc_id,
+                 'https://' || source || '.news.example.' || tld || '/doc/' || doc_id
+                   || '?id=' || doc_id AS url,
+                 'example.' || tld AS domain
+          FROM (
+            SELECT doc_id, source,
+                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                        WHEN 2 THEN 'io' ELSE 'org' END AS tld
+            FROM documents)
+          WHERE tld <> 'org'
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM urls
+        )
+        SELECT doc_id, url, domain FROM ranked WHERE rk <= 30 ORDER BY doc_id
+      """),
+    ),
     Q(
       "doc_token_budget",
       (s, d) =>
