@@ -131,3 +131,31 @@ case class ByteBpeSegment(child: Expression, model: Bpe.BpeModel)
   override protected def withNewChildInternal(newChild: Expression): ByteBpeSegment =
     copy(child = newChild)
 }
+
+/** Mapped-space token stream back to the original text — frozen-BPE
+  * detokenization (concat + byte-unmap; see [[graft.text.ByteBpe.detok]]).
+  * segment → detok is the identity on any text, which the
+  * doc_bpe_roundtrip_v3 gate pins corpus-wide.
+  */
+case class ByteBpeDetok(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${GraftFunctions.ByteBpeDetokName} requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.ByteBpeDetokName
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.text.ByteBpe.detok(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.ByteBpe.detok($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeDetok =
+    copy(child = newChild)
+}

@@ -33,6 +33,9 @@ object GraftFunctions {
   val FfdPackName = "graft_ffd_pack"
   val DHashName = "graft_dhash64"
   val ByteBpeCountName = "graft_bytebpe_count"
+  val ByteBpeCountV3Name = "graft_bytebpe_count_v3"
+  val ByteBpeSegmentV3Name = "graft_bytebpe_segment_v3"
+  val ByteBpeDetokName = "graft_bytebpe_detok"
   val NearestCentroid2Name = "graft_nearest_centroid2"
   val ByteBpeSegmentName = "graft_bytebpe_segment"
   val HtmlExtractName = "graft_html_extract"
@@ -185,6 +188,18 @@ object GraftFunctions {
     (ByteBpeSegmentName, classOf[ByteBpeSegment].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$ByteBpeSegmentName takes exactly 1 argument (text)")
       ByteBpeSegment(children.head, graft.text.ByteBpe.frozenModel)
+    }),
+    (ByteBpeCountV3Name, classOf[ByteBpeCount].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$ByteBpeCountV3Name takes exactly 1 argument (text)")
+      ByteBpeCount(children.head, graft.text.ByteBpe.frozenModelV3)
+    }),
+    (ByteBpeSegmentV3Name, classOf[ByteBpeSegment].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$ByteBpeSegmentV3Name takes exactly 1 argument (text)")
+      ByteBpeSegment(children.head, graft.text.ByteBpe.frozenModelV3)
+    }),
+    (ByteBpeDetokName, classOf[ByteBpeDetok].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$ByteBpeDetokName takes (tokens)")
+      ByteBpeDetok(children.head)
     }),
     (HtmlExtractName, classOf[HtmlExtract].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$HtmlExtractName takes (html)")
@@ -426,6 +441,11 @@ object GraftFunctions {
 
   /** Frozen byte-level BPE token count (see [[graft.text.ByteBpe]]). */
   def byteBpeCount(text: Column): Column = call_function(ByteBpeCountName, text)
+
+  /** 32k-merge (v3) frozen tokenizer count/stream/detok. */
+  def byteBpeCountV3(text: Column): Column = call_function(ByteBpeCountV3Name, text)
+  def byteBpeSegmentV3(text: Column): Column = call_function(ByteBpeSegmentV3Name, text)
+  def byteBpeDetok(tokens: Column): Column = call_function(ByteBpeDetokName, tokens)
 
   /** Frozen byte-level BPE token stream (mapped-space ARRAY<STRING>). */
   def byteBpeSegment(text: Column): Column = call_function(ByteBpeSegmentName, text)

@@ -316,8 +316,12 @@ object PlanAudit {
     "doc_bpe_tokens" -> 1,
     // frozen byte-level tokenizer application is map-only (the merge
     // table is a committed fixture loaded at plan build); the 1 is the
-    // output sort
+    // output sort — same shape at the 4096- and 32k-merge tiers, and
+    // for the segment→detok identity (rank-based apply keeps per-word
+    // cost independent of table size)
     "doc_bpe_tokens_v2" -> 1,
+    "doc_bpe_tokens_v3" -> 1,
+    "doc_bpe_roundtrip_v3" -> 1,
     // same strict-prefix budget shape as doc_token_budget: source window
     // + final rollup/sort
     "doc_token_budget_bpe" -> 2,

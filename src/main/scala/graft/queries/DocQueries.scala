@@ -1017,10 +1017,10 @@ object DocQueries {
     ),
     // Chunking denominated in TRAINED-TOKENIZER tokens — the window/
     // stride that actually fills a model context. The stream is the
-    // graft_bytebpe_segment ARRAY<STRING> (per-pre-token FROZEN-table
-    // segmentation, order preserved), so head/tail are SUBWORD tokens in
-    // the byte-mapped space (the GPT-2 visible-token convention); the
-    // oracle replays application of the same frozen table and rebuilds
+    // graft_bytebpe_segment_v3 ARRAY<STRING> (per-pre-token 32k-merge
+    // FROZEN-table segmentation, order preserved), so head/tail are
+    // SUBWORD tokens in the byte-mapped space (the GPT-2 visible-token
+    // convention); the min-rank oracle replays the same table and rebuilds
     // each doc's stream by order-preserving flatten of per-pre-token
     // segmentations. Same narrow generator shape, pinned at 1 exchange.
     Q(
@@ -1032,7 +1032,7 @@ object DocQueries {
         val S = 48
         docs
           .select(col("doc_id"),
-            graft.functions.GraftFunctions.byteBpeSegment(col("text")).as("toks"))
+            graft.functions.GraftFunctions.byteBpeSegmentV3(col("text")).as("toks"))
           // empty/whitespace-only text segments to an EMPTY token array
           // (unlike the whitespace variant, where split() yields [''])
           // and sequence(0, -1, S) throws — an empty doc has no chunks,
@@ -1052,7 +1052,7 @@ object DocQueries {
           .orderBy(col("doc_id"), col("chunk_id"))
       },
       Some(s"""
-        WITH ${ByteBpe.oracleApplyStages("documents")},
+        WITH RECURSIVE ${ByteBpe.oracleApplyRanked("documents")},
         t AS (SELECT doc_id, regexp_extract_all(text, '${ByteBpe.PreTokPattern}') AS words
               FROM documents WHERE doc_id < 100),
         wpos AS (
@@ -1350,6 +1350,54 @@ object DocQueries {
         ORDER BY doc_id
       """),
     ),
+    // The 32k-merge tier (merges_v3.tsv — trained once at production
+    // vocabulary scale by ByteBpeTrainMain over the larger synthetic
+    // corpus, Bpe.trainFast). The staged-replace oracle does not scale
+    // to 32k merges (512 materialized stages ≈ 0.2 s of DuckDB planning
+    // each); this oracle replays application as MIN-RANK iteration — a
+    // recursive CTE that repeatedly merges each word's lowest-rank
+    // adjacent pair, provably the same function as sequential replay
+    // (see ByteBpe.oracleApplyRanked) with iteration count bounded by
+    // word length, not table size. Same edge-case gate corpus, same
+    // 1-exchange pin (map-only application + output sort).
+    Q(
+      "doc_bpe_tokens_v3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        byteBpeGateCorpus(s, d)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(ByteBpe.PreTokPattern), lit(0)))
+              .cast("bigint").as("n_pretokens"),
+            graft.functions.GraftFunctions.byteBpeCountV3(col("text")).as("bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${ByteBpe.oracleApplyRanked(byteBpeGateCorpusSql)}
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_pretokens, 0) AS BIGINT) AS n_pretokens,
+               CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+        FROM $byteBpeGateCorpusSql d LEFT JOIN bpe_per_doc p USING (doc_id)
+        ORDER BY doc_id
+      """),
+    ),
+    // Tokenizer round-trip identity: segment → detokenize reproduces the
+    // corpus byte-for-byte (pre-tokens partition the byte stream, merges
+    // only concatenate, unmap inverts the byte map — so the composition
+    // is the identity). The oracle is the corpus itself: any dropped
+    // pre-token, mis-merged symbol, or unmap defect breaks the hash.
+    Q(
+      "doc_bpe_roundtrip_v3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.byteBpeDetok(
+              graft.functions.GraftFunctions.byteBpeSegmentV3(col("text"))).as("rebuilt"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, text AS rebuilt FROM documents ORDER BY doc_id"),
+    ),
     // doc_token_budget re-denominated in TRAINED-TOKENIZER tokens — what a
     // real pipeline's "fill each domain to N tokens" actually meters. Same
     // strict-prefix window as doc_token_budget (2 exchanges); the token
@@ -1362,7 +1410,7 @@ object DocQueries {
         val docs = T(s, d, "documents")
         Mixing.tokenBudgetPerBlock(
           docs,
-          tokens = graft.functions.GraftFunctions.byteBpeCount(col("text")),
+          tokens = graft.functions.GraftFunctions.byteBpeCountV3(col("text")),
           budget = 2500L)
           .groupBy(col("source"))
           .agg(
@@ -1371,7 +1419,7 @@ object DocQueries {
           .orderBy(col("source"))
       },
       Some(s"""
-        WITH ${ByteBpe.oracleApplyStages("documents")},
+        WITH RECURSIVE ${ByteBpe.oracleApplyRanked("documents")},
         t AS (
           SELECT d.doc_id, d.source, COALESCE(p.bpe_tokens, 0) AS toks
           FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
@@ -1881,11 +1929,11 @@ object DocQueries {
         val docs = T(s, d, "documents")
         graft.text.SequencePacking.packSummary(
           docs,
-          tokens = graft.functions.GraftFunctions.byteBpeCount(col("text")),
+          tokens = graft.functions.GraftFunctions.byteBpeCountV3(col("text")),
           seqLen = 512)
       },
       Some(s"""
-        WITH ${ByteBpe.oracleApplyStages("documents")},
+        WITH RECURSIVE ${ByteBpe.oracleApplyRanked("documents")},
         t AS (
           SELECT d.source, d.doc_id, CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS toks
           FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)

@@ -49,12 +49,63 @@ object Bpe {
     @transient private lazy val cache =
       new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
+    /** Merge → training rank, for the rank-based apply. */
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+      var i = 0
+      while (i < merges.length) {
+        // ' ' can never appear inside a symbol: corpus words are
+        // space-split and byte-level symbols map 0x20 to U+0120
+        m.putIfAbsent(merges(i)._1 + " " + merges(i)._2, Integer.valueOf(i))
+        i += 1
+      }
+      m
+    }
+
     def segment(word: String): Array[String] = {
       val hit = cache.get(word)
       if (hit != null) return hit
-      val segs = applyMerges(word, merges)
+      val segs = applyRanked(word)
       if (cache.size() < (1 << 16)) cache.put(word, segs)
       segs
+    }
+
+    /** Rank-based application: repeatedly take the LOWEST-rank adjacent
+      * pair present and merge all its left-to-right non-overlapping
+      * occurrences. Produces exactly [[applyMerges]]'s sequential replay
+      * (BpeSpec pins equality on trained tables): a merge's output
+      * symbol exists only after its rank, so new adjacencies can only
+      * enable LATER merges — the two orders converge. Cost is
+      * O(len²·log) per word, INDEPENDENT of table size, which is what
+      * makes a 32k-merge frozen tokenizer applicable in a narrow
+      * expression (sequential replay scans all 32k merges per word).
+      */
+    private def applyRanked(word: String): Array[String] = {
+      var syms = toSymbols(word)
+      var continue = syms.length > 1 && !rank.isEmpty
+      while (continue) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) continue = false
+        else {
+          val (a, b) = merges(bestRank)
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.toArray
+          continue = syms.length > 1
+        }
+      }
+      syms
     }
 
     def tokenCount(word: String): Int = segment(word).length
@@ -171,6 +222,106 @@ object Bpe {
       }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** [[train]] with incremental pair-count maintenance — identical
+    * output (BpeSpec pins equality), built for LARGE tables: the naive
+    * trainer recounts every pair each round (O(merges × corpus symbols),
+    * hours at 32k merges), this one counts once and then touches only
+    * the words containing the merged pair, with a lazily-invalidated
+    * max-heap for the argmax (stale entries are skipped when their
+    * count no longer matches). Same total order: count desc, then `a`,
+    * then `b` in code-point order.
+    */
+  def trainFast(
+      wordFreq: Seq[(String, Long)],
+      numMerges: Int,
+      minPairCount: Long = 2L,
+  ): BpeModel = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val words = wordFreq.toArray
+    val syms: Array[Array[String]] = words.map { case (w, _) => toSymbols(w) }
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val where = new java.util.HashMap[(String, String), java.util.BitSet]()
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      1024,
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // count desc
+          if (c != 0) c
+          else {
+            val a = cpCompare(x._2, y._2)
+            if (a != 0) a else cpCompare(x._3, y._3)
+          }
+        }
+      })
+    def contribute(k: Int, sign: Long): Unit = {
+      val s = syms(k)
+      val f = words(k)._2 * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nc = counts.merge(p, f, (x, y) => x + y)
+        if (nc == 0L) counts.remove(p)
+        else if (sign > 0) {
+          where.computeIfAbsent(p, _ => new java.util.BitSet()).set(k)
+          heap.add((nc, p._1, p._2))
+        } else heap.add((nc, p._1, p._2))
+        i += 1
+      }
+    }
+    var k = 0
+    while (k < words.length) { contribute(k, 1L); k += 1 }
+    val merges = IndexedSeq.newBuilder[(String, String)]
+    var made = 0
+    var exhausted = false
+    while (made < numMerges && !exhausted) {
+      // pop until a LIVE entry (its count still matches) above the floor
+      var best: (String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val e = heap.poll()
+        val p = (e._2, e._3)
+        val live = counts.get(p)
+        if (live != null && live == e._1 && live >= minPairCount) best = p
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        made += 1
+        val hits = where.remove(best)
+        val (a, b) = best
+        if (hits != null) {
+          var w = hits.nextSetBit(0)
+          while (w >= 0) {
+            val s = syms(w)
+            var i = 0
+            var found = false
+            while (i < s.length - 1 && !found) {
+              if (s(i) == a && s(i + 1) == b) found = true
+              i += 1
+            }
+            if (found) {
+              contribute(w, -1L) // retract the old word's pair multiset
+              val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+              var j = 0
+              while (j < s.length) {
+                if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+                  out += (a + b); j += 2
+                } else { out += s(j); j += 1 }
+              }
+              syms(w) = out.toArray
+              contribute(w, 1L)
+            }
+            w = hits.nextSetBit(w + 1)
+          }
+        }
+        // best's count may be nonzero again only via words NOT in hits —
+        // impossible (hits held every occurrence), so nothing re-adds it
+        // except future merges creating (a, b) anew, which contribute()
+        // re-indexes.
+      }
+    }
+    BpeModel(merges.result())
   }
 
   /** Deterministic trainer over an exact word-frequency table. */

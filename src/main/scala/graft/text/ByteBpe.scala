@@ -116,6 +116,21 @@ object ByteBpe {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Detokenize a mapped-space token stream back to text — the narrow
+    * kernel behind [[graft.functions.ByteBpeDetok]]. Concatenation then
+    * byte-unmap is exact: pre-tokens partition the byte stream (the
+    * pattern's branches cover every character class), so
+    * detok(segment(text)) == text — the round-trip identity the
+    * doc_bpe_roundtrip_v3 gate pins.
+    */
+  def detok(tokens: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = tokens.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) { sb.append(tokens.getUTF8String(i).toString); i += 1 }
+    UTF8String.fromString(unmap(sb.toString))
+  }
+
   // ------------------------------------------------------- frozen fixture
 
   /** The frozen merge table, loaded from the committed resource fixture
@@ -127,6 +142,27 @@ object ByteBpe {
   lazy val frozenModel: Bpe.BpeModel = {
     val in = getClass.getResourceAsStream("/graft/bpe/merges_v2.tsv")
     require(in != null, "missing resource fixture /graft/bpe/merges_v2.tsv — run graft.text.ByteBpeTrainMain")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val merges = src.getLines().filter(_.nonEmpty).map { line =>
+        val t = line.indexOf('\t')
+        require(t > 0, s"malformed merge line: $line")
+        (line.substring(0, t), line.substring(t + 1))
+      }.toIndexedSeq
+      Bpe.BpeModel(merges)
+    } finally src.close()
+  }
+
+  /** The APPLICATION-scale 32k-merge frozen table (merges_v3.tsv,
+    * trained once by [[ByteBpeTrainMain]] on the larger synthetic
+    * corpus). Same format and loading contract as [[frozenModel]]; the
+    * v2 4096-merge table stays committed as the oracle-budget tier.
+    */
+  lazy val frozenModelV3: Bpe.BpeModel = loadFrozen("/graft/bpe/merges_v3.tsv")
+
+  private def loadFrozen(resource: String): Bpe.BpeModel = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing resource fixture $resource — run graft.text.ByteBpeTrainMain")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
       val merges = src.getLines().filter(_.nonEmpty).map { line =>
@@ -201,14 +237,19 @@ object ByteBpe {
 
   /** Train the fixture model from scratch (the one-off
     * [[ByteBpeTrainMain]] path; gates load [[frozenModel]] instead).
+    * The 32k table trains through [[Bpe.trainFast]] (identical output,
+    * BpeSpec-pinned; the naive recount trainer would take hours there).
     */
-  def trainFixture(numMerges: Int = 4096): Bpe.BpeModel = {
-    val wf = trainingText()
+  def trainFixture(
+      numMerges: Int = 4096,
+      nDocs: Int = 800,
+      vocabRanks: Int = 6000): Bpe.BpeModel = {
+    val wf = trainingText(nDocs, vocabRanks)
       .flatMap(preTokenize)
       .groupBy(identity)
       .view.map { case (w, occ) => (mapBytes(w), occ.size.toLong) }
       .toSeq.sortBy(_._1)
-    Bpe.train(wf, numMerges, minPairCount = 2L)
+    Bpe.trainFast(wf, numMerges, minPairCount = 2L)
   }
 
   // ------------------------------------------------------------- oracle
@@ -292,8 +333,86 @@ object ByteBpe {
        |)""".stripMargin)
     sb.toString
   }
-}
 
+  /** DuckDB replay of frozen-table application for LARGE tables (the
+    * 32k-merge v3 tier) — same exposed interface as
+    * [[oracleApplyStages]] (`pretok`, `bpe_counts(word, n_tok)`,
+    * `bpe_per_doc`, `syms(word, sym_list)`), different machinery: a
+    * recursive CTE that repeatedly merges each word's LOWEST-RANK
+    * adjacent pair (leftmost occurrence) until none matches. That
+    * min-rank iteration is provably the same function as sequential
+    * replay (a merge's output symbol exists only after its rank, so new
+    * adjacencies only enable later merges — the equivalence every BPE
+    * implementation relies on, and the one [[Bpe.BpeModel.segment]]
+    * itself now uses; BpeSpec pins kernel-level equality and the v2
+    * gate keeps pinning the staged-replace formulation). Iteration
+    * count = max merges applied to any single word (≈ word length), so
+    * cost is independent of table size — the staged replace() chain at
+    * 32k merges spends ~0.2 s of DuckDB planning per stage × 512
+    * stages. The merge literals come from the SAME committed fixture
+    * the Spark kernel froze in (shared data, not shared machinery).
+    *
+    * Callers must open with `WITH RECURSIVE` (DuckDB requires the
+    * keyword once for the whole clause; non-recursive CTEs mix freely).
+    */
+  def oracleApplyRanked(
+      docsRel: String,
+      model: Bpe.BpeModel = frozenModelV3,
+  ): String = {
+    val vals = model.merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r,${sqlStr(a)},${sqlStr(b)})" }
+      .mkString(",")
+    s"""mergesv(rank, a, b) AS MATERIALIZED (
+       |  FROM (VALUES $vals) t(rank, a, b)
+       |),
+       |pretok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, ${sqlStr(PreTokPattern)})) AS word
+       |  FROM $docsRel
+       |),
+       |vocabv AS MATERIALIZED (SELECT DISTINCT word FROM pretok),
+       |framedv AS MATERIALIZED (
+       |  SELECT word, list(chr(CASE WHEN v >= 33 AND v <= 126 THEN v ELSE 256 + v END) ORDER BY i) AS syms
+       |  FROM (
+       |    SELECT word, i,
+       |           CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS INT) AS v
+       |    FROM (SELECT word, hex(encode(word)) AS hx,
+       |                 unnest(range(octet_length(encode(word)))) AS i
+       |          FROM vocabv)
+       |  ) GROUP BY word
+       |),
+       |rmerge AS (
+       |  SELECT word, syms FROM framedv
+       |  UNION ALL
+       |  SELECT word, list_concat(list_concat(syms[1:i-1], [a || b]), syms[i+2:]) AS syms
+       |  FROM (
+       |    SELECT word, syms, i, a, b,
+       |           ROW_NUMBER() OVER (PARTITION BY word ORDER BY rank, i) AS rn
+       |    FROM (
+       |      SELECT rmerge.word, rmerge.syms, t.i, m.a, m.b, m.rank
+       |      FROM rmerge, LATERAL (SELECT unnest(range(1, len(rmerge.syms))) AS i) t
+       |      JOIN mergesv m ON rmerge.syms[i] = m.a AND rmerge.syms[i+1] = m.b
+       |    )
+       |  ) WHERE rn = 1
+       |),
+       |syms AS (
+       |  SELECT word, syms AS sym_list FROM (
+       |    SELECT word, syms, ROW_NUMBER() OVER (PARTITION BY word ORDER BY len(syms)) AS rn
+       |    FROM rmerge
+       |  ) WHERE rn = 1
+       |),
+       |bpe_counts AS (
+       |  SELECT word, CAST(len(sym_list) AS BIGINT) AS n_tok FROM syms
+       |),
+       |bpe_per_doc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       |         CAST(SUM(c.n_tok) AS BIGINT) AS bpe_tokens
+       |  FROM pretok p JOIN bpe_counts c USING (word)
+       |  GROUP BY 1
+       |)""".stripMargin
+  }
+
+
+}
 /** One-off fixture trainer: writes the frozen merge table resource. Run
   * `sbt "runMain graft.text.ByteBpeTrainMain"` and commit the output —
   * the gates then load the committed fixture, never retraining.
@@ -302,8 +421,10 @@ object ByteBpeTrainMain {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("src/main/resources/graft/bpe/merges_v2.tsv")
     val numMerges = args.lift(1).map(_.toInt).getOrElse(4096)
+    val nDocs = args.lift(2).map(_.toInt).getOrElse(800)
+    val vocabRanks = args.lift(3).map(_.toInt).getOrElse(6000)
     val t0 = System.nanoTime()
-    val model = ByteBpe.trainFixture(numMerges)
+    val model = ByteBpe.trainFixture(numMerges, nDocs, vocabRanks)
     val secs = (System.nanoTime() - t0) / 1e9
     val p = java.nio.file.Paths.get(out)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -119,4 +119,47 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     // the corpus has repeated words, so 48 merges must compress SOMETHING
     assert(words.map(m48.tokenCount).sum < words.map(m0.tokenCount).sum)
   }
+
+  test("trainFast reproduces the naive trainer exactly, at several table sizes") {
+    // word-frequency tables with ties, overlaps ("aaa"), and shared parts
+    val wf1 = Seq("aaa" -> 3L, "aab" -> 2L, "abab" -> 2L, "banana" -> 5L,
+      "bandana" -> 1L, "cocoa" -> 4L, "cococo" -> 2L)
+    for (n <- Seq(0, 1, 5, 50)) {
+      assert(Bpe.trainFast(wf1, n).merges === Bpe.train(wf1, n).merges, s"wf1 n=$n")
+    }
+    // the synthetic byte-level corpus at a few hundred merges
+    val wf2 = ByteBpe.trainingText(nDocs = 60, vocabRanks = 400)
+      .flatMap(ByteBpe.preTokenize)
+      .groupBy(identity).view.map { case (w, occ) => (ByteBpe.mapBytes(w), occ.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(Bpe.trainFast(wf2, 300).merges === Bpe.train(wf2, 300).merges)
+    // exhaustion point agrees too
+    val fastAll = Bpe.trainFast(wf2, 1000000)
+    assert(fastAll.merges === Bpe.train(wf2, 1000000).merges)
+  }
+
+  test("rank-based segment == sequential replay on the frozen 4096 and 32k tables") {
+    val docs = graft.T(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val extra = Seq("ererer inin stst banana", "caf\u00e9 d\u00e9j\u00e0 \u00fcber", "a1b2 42  x!?;")
+    for (model <- Seq(ByteBpe.frozenModel, ByteBpe.frozenModelV3)) {
+      (docs.take(60) ++ extra).foreach { text =>
+        ByteBpe.preTokenize(text).foreach { w =>
+          val mapped = ByteBpe.mapBytes(w)
+          assert(model.segment(mapped).toSeq === Bpe.applyMerges(mapped, model.merges).toSeq,
+            s"word '$w' (${model.merges.size} merges)")
+        }
+      }
+    }
+  }
+
+  test("segment -> detok is the identity on every corpus text") {
+    val docs = graft.T(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    docs.foreach { text =>
+      val toks = ByteBpe.preTokenize(text)
+        .flatMap(w => ByteBpe.frozenModelV3.segment(ByteBpe.mapBytes(w)))
+      assert(ByteBpe.unmap(toks.mkString) === text)
+    }
+  }
 }
