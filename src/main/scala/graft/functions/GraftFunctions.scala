@@ -32,6 +32,7 @@ object GraftFunctions {
   val WindowFps128Name = "graft_window_fps128"
   val FfdPackName = "graft_ffd_pack"
   val DHashName = "graft_dhash64"
+  val AudioFpName = "graft_audio_fp64"
   val ByteBpeCountName = "graft_bytebpe_count"
   val ByteBpeCountV3Name = "graft_bytebpe_count_v3"
   val ByteBpeSegmentV3Name = "graft_bytebpe_segment_v3"
@@ -162,6 +163,10 @@ object GraftFunctions {
     (DHashName, classOf[DHash64].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$DHashName takes exactly 1 argument")
       DHash64(children.head)
+    }),
+    (AudioFpName, classOf[AudioFp64].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$AudioFpName takes exactly 1 argument")
+      AudioFp64(children.head)
     }),
     // the byte-level tokenizer's merge table is the COMMITTED resource
     // fixture, not a per-call literal: the builder loads it once
@@ -438,6 +443,9 @@ object GraftFunctions {
 
   /** 64-bit perceptual dHash of an image payload (see [[DHash64]]). */
   def dhash64(payload: Column): Column = call_function(DHashName, payload)
+
+  /** 64-bit audio perceptual fingerprint of a WAV payload (see [[AudioFp64]]). */
+  def audioFp64(payload: Column): Column = call_function(AudioFpName, payload)
 
   /** Frozen byte-level BPE token count (see [[graft.text.ByteBpe]]). */
   def byteBpeCount(text: Column): Column = call_function(ByteBpeCountName, text)

@@ -558,6 +558,111 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  // ----------------------- audio perceptual fingerprint (WHT band hash)
+
+  /** Analytic noise-like waveform for the audio-dedup fixture: a
+    * quadratic-residue scramble of (id, i), integer-exact on both
+    * engines (all intermediates < 2⁶³; DuckDB BIGINT errors on
+    * overflow, so no wraparound is relied on). Unlike a periodic tone,
+    * every id gets an essentially independent spectrum — unrelated
+    * clips land ≥18 bits apart on the 64-bit fingerprint (probed over
+    * all pairs in MultimodalSpec).
+    */
+  def audioTone(id: Long, i: Int): Int = {
+    val t = i.toLong * (id * 64 + 17) + 29
+    ((t * t % 816929L) % 4096L - 2048L).toInt
+  }
+
+  /** 64-bit audio perceptual fingerprint — the Haitsma–Kalker
+    * band-energy-difference construction over an integer-exact
+    * spectrum: 9 frames × 64 samples, per-frame Walsh–Hadamard
+    * transform (the ±1 sequency basis — H(k) = Σᵢ (−1)^popcount(i∧k)·xᵢ,
+    * exact in int64 where an FFT would be float), 9 band energies of 7
+    * |coefficients| each (k = 1..63, DC excluded so the fingerprint is
+    * offset-independent), then bit(f,b) = sign of the time-and-band
+    * difference (E(f,b)−E(f,b+1)) − (E(f−1,b)−E(f−1,b+1)) — invariant
+    * under amplitude scaling (all energies scale together) and robust
+    * to small dithers (a bit flips only where the double difference is
+    * near zero). Returns null for undecodable / non-mono / too-short
+    * payloads (filtered, not faked — the decodeGray contract).
+    */
+  def audioFp64(payload: Array[Byte]): java.lang.Long = {
+    decodeWavPcm16(payload) match {
+      case None => null
+      case Some((_, channels, samples)) =>
+        if (channels != 1 || samples.length < 9 * 64) null
+        else {
+          val e = Array.ofDim[Long](9, 9)
+          var f = 0
+          while (f < 9) {
+            val base = f * 64
+            var b = 0
+            while (b < 9) {
+              var energy = 0L
+              var k = b * 7 + 1
+              while (k <= b * 7 + 7) {
+                var h = 0L
+                var i = 0
+                while (i < 64) {
+                  val v = samples(base + i)
+                  h += (if (java.lang.Integer.bitCount(i & k) % 2 == 0) v else -v)
+                  i += 1
+                }
+                energy += math.abs(h)
+                k += 1
+              }
+              e(f)(b) = energy
+              b += 1
+            }
+            f += 1
+          }
+          var fp = 0L
+          f = 1
+          while (f < 9) {
+            var b = 0
+            while (b < 8) {
+              val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+              if (d > 0) fp |= (1L << ((f - 1) * 8 + b))
+              b += 1
+            }
+            f += 1
+          }
+          java.lang.Long.valueOf(fp)
+        }
+    }
+  }
+
+  /** Near-dup audio fixture: per doc a base clip of [[audioTone]] noise,
+    * plus an amplitude-doubled re-master (id+1000, every 5th doc —
+    * fingerprint-identical: the band-difference signs are scale
+    * invariant) and a dithered twin (id+2000, every 7th doc — frame 2
+    * perturbed by a ±200 sweep, hamming ≤ 1). 576 mono PCM16 samples
+    * per clip through the real WAV encoder.
+    */
+  def syntheticNearDupWavs(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val base = Array.tabulate(576)(i => audioTone(id, i))
+        val meta = Map("format" -> "wav", "sample_rate" -> sampleRate.toString)
+        val out = scala.collection.mutable.ArrayBuffer(
+          Row(id, "audio", encodeWavPcm16(base, sampleRate), meta))
+        if (id % 5 == 0)
+          out += Row(id + 1000L, "audio",
+            encodeWavPcm16(base.map(_ * 2), sampleRate), meta)
+        if (id % 7 == 0) {
+          val dithered = base.clone()
+          var i = 128
+          while (i < 192) { dithered(i) += (i * 7) % 401 - 200; i += 1 }
+          out += Row(id + 2000L, "audio", encodeWavPcm16(dithered, sampleRate), meta)
+        }
+        out
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   // --------------------------------------- video: AVI (RIFF) + raw DIB
 
   /** Deterministic synthetic video byte: a pure function of

@@ -181,6 +181,7 @@ object PlanAudit {
     // "exactly 1 partitioned scan" clause still bites)
     "emb_ivf_pq_recall" -> ivfPrunedScanShape,
     "mm_phash_dedup" -> noAllPairsShape,
+    "mm_audio_dedup" -> noAllPairsShape,
     "doc_contamination_bloom" -> bloomPrefilterShape,
   )
 

@@ -3051,6 +3051,89 @@ object DocQueries {
         ORDER BY id_a, id_b
       """),
     ),
+    // ------------------------------------- perceptual audio near-dup
+    // The audio twin of mm_phash_dedup: every WAV payload gets a 64-bit
+    // Haitsma–Kalker band-energy-difference fingerprint (REAL RIFF
+    // decode inside the codegen'd graft_audio_fp64 expression, then a
+    // per-frame Walsh–Hadamard spectrum — the ±1 sequency basis keeps
+    // every energy integer-exact where an FFT would be float, so the
+    // oracle can replay the WHOLE spectral pipeline in SQL), candidates
+    // come from 16-bit hamming bands (NEVER all-pairs — shape-pinned),
+    // and the bounded candidate set is verified exactly. Fixture: per
+    // doc a quadratic-residue noise clip, plus amplitude-doubled
+    // re-masters (band-difference signs are scale invariant → hamming
+    // 0) and dithered twins (±200 sweep in frame 2 → hamming ≤ 1);
+    // unrelated clips sit ≥ 18 bits apart, probed over all pairs in
+    // MultimodalSpec. The oracle re-derives every fingerprint FROM THE
+    // SAMPLE FORMULA — decode, WHT, banding, and hamming all have to be
+    // right for the hashes to meet.
+    Q(
+      "mm_audio_dedup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val mm = Multimodal.syntheticNearDupWavs(
+          T(s, d, "documents").filter(col("doc_id") < 40))
+        val hashed = mm.select(
+          col("id").as("doc_id"),
+          graft.functions.GraftFunctions.audioFp64(col("payload")).as("simhash"))
+          .filter(col("simhash").isNotNull)
+        Dedup.simhashPairs(hashed, maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH clips AS (
+          SELECT doc_id AS clip, doc_id AS base, 0 AS pert
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 1000, doc_id, 1 FROM documents
+          WHERE doc_id < 40 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000, doc_id, 2 FROM documents
+          WHERE doc_id < 40 AND doc_id % 7 = 0
+        ),
+        samp AS (
+          SELECT clip, t.range AS i,
+                 (((t.range * (base * 64 + 17) + 29) * (t.range * (base * 64 + 17) + 29)
+                     % 816929) % 4096 - 2048)
+                   * CASE WHEN pert = 1 THEN 2 ELSE 1 END
+                 + CASE WHEN pert = 2 AND t.range BETWEEN 128 AND 191
+                        THEN (t.range * 7) % 401 - 200 ELSE 0 END AS v
+          FROM clips, range(576) t
+        ),
+        wht AS (
+          SELECT s.clip, s.i // 64 AS f, k.range AS k,
+                 CAST(SUM(CASE WHEN bit_count((s.i % 64) & k.range) % 2 = 0
+                               THEN s.v ELSE -s.v END) AS BIGINT) AS h
+          FROM samp s, range(1, 64) k
+          GROUP BY 1, 2, 3
+        ),
+        bands AS (
+          SELECT clip, f, (k - 1) // 7 AS b, CAST(SUM(ABS(h)) AS BIGINT) AS e
+          FROM wht GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT c.clip, (c.f - 1) * 8 + c.b AS idx,
+                 CASE WHEN (c.e - cn.e) - (p.e - pn.e) > 0 THEN 1 ELSE 0 END AS bit
+          FROM bands c
+          JOIN bands cn ON cn.clip = c.clip AND cn.f = c.f AND cn.b = c.b + 1
+          JOIN bands p  ON p.clip = c.clip AND p.f = c.f - 1 AND p.b = c.b
+          JOIN bands pn ON pn.clip = c.clip AND pn.f = c.f - 1 AND pn.b = c.b + 1
+          WHERE c.f >= 1 AND c.b <= 7
+        ),
+        fps AS (
+          SELECT clip,
+                 CAST(SUM(CASE WHEN bit = 0 THEN 0
+                               WHEN idx = 63 THEN -9223372036854775808
+                               ELSE CAST(1 AS BIGINT) << CAST(idx AS INT) END) AS BIGINT) AS h
+          FROM bits GROUP BY clip
+        )
+        SELECT a.clip AS id_a, b.clip AS id_b,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM fps a JOIN fps b ON a.clip < b.clip
+        WHERE bit_count(xor(a.h, b.h)) <= 3
+        ORDER BY id_a, id_b
+      """),
+    ),
     // --------------------------------------- end-to-end corpus curation
     // The composed pipeline a training-data run actually executes:
     // quality-score filter → exact dedup (keep the lowest doc_id per text)

@@ -418,4 +418,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(6) === expect.max.toLong)
     }
   }
+  test("audio fingerprint: twins within 3 bits, unrelated clips >= 5 bits, all pairs probed") {
+    def fp(samples: Array[Int]): Long =
+      Multimodal.audioFp64(Multimodal.encodeWavPcm16(samples, 8000)).longValue()
+    val clips = scala.collection.mutable.Map[Long, Long]()
+    for (id <- 0L until 40L) {
+      val base = Array.tabulate(576)(i => Multimodal.audioTone(id, i))
+      clips(id) = fp(base)
+      if (id % 5 == 0) clips(id + 1000) = fp(base.map(_ * 2))
+      if (id % 7 == 0) {
+        val dithered = base.clone()
+        for (i <- 128 until 192) dithered(i) += (i * 7) % 401 - 200
+        clips(id + 2000) = fp(dithered)
+      }
+    }
+    val ids = clips.keys.toSeq.sorted
+    for (ai <- ids.indices; bi <- (ai + 1) until ids.length) {
+      val (a, b) = (ids(ai), ids(bi))
+      val d = java.lang.Long.bitCount(clips(a) ^ clips(b))
+      if (a % 1000 == b % 1000) assert(d <= 3, s"twin pair ($a,$b) at hamming $d")
+      else assert(d >= 5, s"unrelated pair ($a,$b) at hamming $d")
+    }
+    // amplitude scaling is EXACTLY invariant (not just within 3)
+    val base0 = Array.tabulate(576)(i => Multimodal.audioTone(3, i))
+    assert(fp(base0) === fp(base0.map(_ * 3)))
+  }
+
+  test("audio fingerprint: undecodable / stereo / short payloads are null, not faked") {
+    assert(Multimodal.audioFp64(Array[Byte](1, 2, 3)) == null)
+    val stereo = Multimodal.encodeWavPcm16(Array.fill(1200)(5), 8000, channels = 2)
+    assert(Multimodal.audioFp64(stereo) == null)
+    val short = Multimodal.encodeWavPcm16(Array.fill(100)(5), 8000)
+    assert(Multimodal.audioFp64(short) == null)
+  }
 }
