@@ -289,6 +289,17 @@ object PlanAudit {
     "doc_simhash_dedup" -> 2,
     "doc_jaccard_pairs" -> 8,
     "doc_jaccard_pairs_ppjoin" -> 5,
+    // skew-adversarial twin: same builder, same 8 (the df cap changes
+    // WHICH rows flow, never the plan shape)
+    "doc_jaccard_skewed" -> 8,
+    // + the three census rollups (candidate count, doc count, uncapped
+    // stop-term fanout) over the same frame
+    "doc_jaccard_skewed_bound" -> 11,
+    // banded LSH under the bucket cap: signature/band exchange, the
+    // bucket-size window, pair dedup, output sort — a 5th exchange
+    // would mean the exact-verify joins stopped broadcasting the text
+    // hashes
+    "doc_minhash_skewed" -> 4,
     // one source window exchange + output sort, same shape as
     // doc_cap_per_source: the sample must never become a global sort of
     // the corpus by hash

@@ -33,6 +33,40 @@ object DocQueries {
     * body: the once-per-JVM subprocess discipline of the TIFF/zarr
     * fixtures).
     */
+  /** Skew-adversarial Jaccard corpus (shared by doc_jaccard_skewed and
+    * its boundedness gate): every doc carries a universal `stopterm`,
+    * 30% carry a `hotshingle`, every doc carries a near-unique `mkN`
+    * marker, and every 10th doc has a near-copy (text + ` extrazz`)
+    * sharing its base's marker — the ONE rare term that lets the capped
+    * candidate generation surface the injected pairs while the hot
+    * terms stay df-capped out.
+    */
+  private def skewedJaccardCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val copies = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + DupOffset).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" extrazz")).as("text"))
+    base.unionByName(copies)
+      .withColumn("text", concat(
+        col("text"),
+        lit(" mk"), (col("doc_id") % DupOffset).cast("string"),
+        when(col("doc_id") % 10 < 3, lit(" hotshingle")).otherwise(lit("")),
+        lit(" stopterm")))
+  }
+
+  /** The same corpus as one SQL CTE named `corpus`. */
+  private val skewedJaccardCorpusSql: String = s"""corpus AS (
+      SELECT doc_id, lang,
+             text || ' mk' || doc_id ||
+             CASE WHEN doc_id % 10 < 3 THEN ' hotshingle' ELSE '' END ||
+             ' stopterm' AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + $DupOffset, lang,
+             text || ' extrazz mk' || doc_id || ' hotshingle stopterm' AS text
+      FROM documents WHERE doc_id % 10 = 0
+    )"""
+
   private val warcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def warcFixture(d: String): String =
     warcCache.computeIfAbsent(d, { dir =>
@@ -507,6 +541,164 @@ object DocQueries {
         Dedup.tokenJaccardPairsPrefix(T(s, d, "documents"), threshold = 0.5)
           .orderBy(col("doc_a"), col("doc_b")),
       Some(jaccardPairsOracle),
+    ),
+    // ----------------------------------------- skew-adversarial Jaccard
+    // The capped paths under DELIBERATE skew (the benign harness corpus
+    // never fires the guards): every doc gains a universal 'stopterm',
+    // 30% gain a 'hotshingle', and every 10th doc gets a near-copy
+    // sharing a df=2 'mkN' marker. With maxTermDf = 10 the hot terms are
+    // DENSE — excluded from candidate generation (the cap that keeps one
+    // stop-term from fanning |block|² pairs at 100 TB) yet still counted
+    // EXACTLY in every surfaced pair's jaccard through the dense-term
+    // correction. The oracle replays the full capped semantics: rare-term
+    // candidates, full-intersection jaccard. Output = the injected
+    // near-copy pairs, found via their rare marker.
+    Q(
+      "doc_jaccard_skewed",
+      (s, d) => {
+        Dedup.tokenJaccardPairs(
+          skewedJaccardCorpus(s, d), blockCol = "lang",
+          threshold = 0.5, maxTermDf = 10)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $skewedJaccardCorpusSql,
+        arrs AS (
+          SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM corpus
+        ),
+        toks AS (SELECT doc_id, lang, unnest(toks) AS term FROM arrs),
+        df AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1, 2),
+        rare AS (
+          SELECT t.doc_id, t.lang, t.term
+          FROM toks t JOIN df USING (lang, term) WHERE df.df <= 10
+        ),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b
+            ON a.lang = b.lang AND a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        FROM cand c
+        JOIN arrs a ON a.doc_id = c.doc_a
+        JOIN arrs b ON b.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        ORDER BY doc_a, doc_b
+      """),
+    ),
+    // The BOUNDEDNESS gate for the same skewed corpus: the capped
+    // candidate stream must stay LINEAR in the corpus (each rare posting
+    // is ≤ maxTermDf long), while the un-capped stop-term alone would
+    // fan Σ_block (n_block choose 2) pairs — quadratic. Both counts are
+    // computed on BOTH engines (the oracle independently replays
+    // candidate generation), and `bounded` asserts candidates ≤ 2·docs
+    // in the artifact — the observe()-style pair-stream pin, made
+    // hash-gated instead of bench-side.
+    Q(
+      "doc_jaccard_skewed_bound",
+      (s, d) => {
+        val corpus = skewedJaccardCorpus(s, d)
+        val cands = Dedup.tokenJaccardPairs(
+          corpus, blockCol = "lang", threshold = 0.0, maxTermDf = 10)
+        val nDocs = corpus.groupBy().agg(count(lit(1)).as("n_docs"))
+        val uncapped = corpus.groupBy(col("lang")).agg(count(lit(1)).as("nb"))
+          .agg(sum(col("nb") * (col("nb") - 1) / 2).cast("bigint").as("stopterm_fanout"))
+        cands.groupBy().agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(nDocs).crossJoin(uncapped)
+          .select(
+            col("n_candidates"), col("n_docs"), col("stopterm_fanout"),
+            (col("n_candidates") <= col("n_docs") * 2).as("bounded"))
+      },
+      Some(s"""
+        WITH $skewedJaccardCorpusSql,
+        arrs AS (
+          SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM corpus
+        ),
+        toks AS (SELECT doc_id, lang, unnest(toks) AS term FROM arrs),
+        df AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1, 2),
+        rare AS (
+          SELECT t.doc_id, t.lang, t.term
+          FROM toks t JOIN df USING (lang, term) WHERE df.df <= 10
+        ),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b
+            ON a.lang = b.lang AND a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_docs,
+               (SELECT CAST(SUM(nb * (nb - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS nb FROM corpus GROUP BY lang)) AS stopterm_fanout,
+               (SELECT COUNT(*) FROM cand) <= 2 * (SELECT COUNT(*) FROM corpus) AS bounded
+      """),
+    ),
+    // -------------------------------------------- skewed-bucket MinHash
+    // The hot-LSH-bucket adversary: 60 byte-identical boilerplate pages
+    // land every band in ONE bucket of 60 — over the maxBucketSize = 20
+    // cap, so the banded path DROPS the bucket (the documented recall
+    // cost that keeps one boilerplate group from going quadratic) while
+    // ordinary duplicate groups (≤ 20 members) keep all their pairs,
+    // exactly verified by text equality so the output is
+    // hash-independent. The oracle replays the cap as group-size
+    // semantics: identical-text groups of 2..20 yield their pairs, the
+    // hot group yields none.
+    Q(
+      "doc_minhash_skewed",
+      (s, d) => {
+        // disjoint per-doc vocabularies ('t<id>x<j>'): distinct docs share
+        // no tokens, so minhash band buckets contain EXACTLY the
+        // identical-text groups (on the dense 61-word harness vocabulary,
+        // similar-but-distinct docs share band slices and pollute bucket
+        // sizes, making the cap's effect hash-dependent — the corpus
+        // must isolate the semantics the oracle replays)
+        val ids = T(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 400)
+        val base = ids.select(col("doc_id"),
+          concat_ws(" ", (0 until 8).map(j =>
+            concat(lit("t"), col("doc_id"), lit(s"x$j"))): _*).as("text"))
+        val corpus = base
+          .unionByName(base.select(
+            (col("doc_id") + DupOffset).as("doc_id"), col("text")))
+          .unionByName(ids.filter(col("doc_id") < 60).select(
+            (col("doc_id") + 2 * DupOffset).as("doc_id"),
+            lit("hot bucket boilerplate page exactly identical").as("text")))
+        val cand = Dedup.minhashCandidatePairs(
+          Dedup.minhash(corpus), maxBucketSize = 20)
+        val hashes = corpus.select(col("doc_id"), md5(col("text")).as("th"))
+        cand
+          .join(hashes.select(col("doc_id").as("id_a"), col("th").as("ha")), Seq("id_a"))
+          .join(hashes.select(col("doc_id").as("id_b"), col("th").as("hb")), Seq("id_b"))
+          .filter(col("ha") === col("hb")) // exact verify: no hash coincidences
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id,
+                 ${(0 until 8).map(j => s"'t' || doc_id || 'x$j'").mkString(" || ' ' || ")} AS text
+          FROM documents WHERE doc_id < 400
+        ), corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + $DupOffset, text FROM base
+          UNION ALL
+          SELECT doc_id + ${2 * DupOffset},
+                 'hot bucket boilerplate page exactly identical'
+          FROM documents WHERE doc_id < 60
+        ), g AS (
+          SELECT list_sort(list(doc_id)) AS members
+          FROM corpus GROUP BY md5(text)
+          HAVING COUNT(*) BETWEEN 2 AND 20
+        )
+        SELECT a.m AS id_a, b.m AS id_b
+        FROM g, LATERAL unnest(g.members) a(m), LATERAL unnest(g.members) b(m)
+        WHERE a.m < b.m
+        ORDER BY id_a, id_b
+      """),
     ),
     // --------------------------------------- word-3-gram shingle Jaccard
     // The n-gram (order-sensitive) variant. Strategy choice is data-driven
