@@ -88,7 +88,18 @@ object Bench {
     // (ok, evidence) per pinned query, same discipline as the exchange
     // counts — a shape regression fails loudly in the artifact
     val shapePins = scala.collection.mutable.LinkedHashMap[String, (Boolean, String)]()
-    val registered = SparkEntry.allQs.filter(q => wanted(q.name)).map { q =>
+    // the doc-family queries whose r13 medians exceeded ~5 s at sf0.1:
+    // their timed reps are BRACKETED by disk probes with ONE bounded
+    // retry when the probes disagree >2× (the VolumeBench.gated
+    // discipline) — the jaccard family needed manual ambient
+    // adjudication three rounds running, so the artifact now defends
+    // those numbers itself. Probe/retry evidence rides in the probes
+    // map, never in queries/total.
+    val docProbed = Set("doc_jaccard_pairs_ppjoin", "doc_containment_dedup",
+      "doc_containment_pairs", "doc_jaccard_pairs", "doc_lm_score")
+    val docProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val probeDir = sys.env.getOrElse("SPARK_GRAFT_VOLBENCH_DIR", "/tmp/graft_volbench")
+    val registered = SparkEntry.allQs.filter(q => wanted(q.name)).flatMap { q =>
       if (graft.plans.PlanAudit.pinnedExchanges.contains(q.name)) {
         try planPins(q.name) = graft.plans.PlanAudit.shuffleExchanges(q.run(spark, sfDir))
         catch {
@@ -109,22 +120,51 @@ object Bench {
       }
       // median of `reps` runs (see the aggregation rule above); any
       // failed run poisons the query to -1 + an errors entry
-      val times = Seq.newBuilder[Double]
-      var ok = true
-      var i = 0
-      while (ok && i < reps) {
-        val t0 = System.nanoTime()
-        try {
-          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            ok = false
+      def sampleReps(): (Seq[Double], Boolean) = {
+        val times = Seq.newBuilder[Double]
+        var ok = true
+        var i = 0
+        while (ok && i < reps) {
+          val t0 = System.nanoTime()
+          try {
+            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+            times += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              ok = false
+          }
+          i += 1
         }
-        i += 1
+        (times.result(), ok)
       }
-      q.name -> (if (ok) graft.volume.VolumeBench.median(times.result()) else -1.0)
+      if (!docProbed(q.name)) {
+        val (times, ok) = sampleReps()
+        Seq(q.name -> (if (ok) graft.volume.VolumeBench.median(times) else -1.0))
+      } else {
+        val pre = graft.volume.VolumeBench.diskProbe(probeDir, gb = 1)
+        docProbes(s"${q.name}_probe_pre") = pre
+        var (times, ok) = sampleReps()
+        var post = graft.volume.VolumeBench.diskProbe(probeDir, gb = 1)
+        val ratio = math.max(pre, post) / math.max(1e-9, math.min(pre, post))
+        if (ok && ratio > 2.0) {
+          // ambient-contaminated window: stash the poisoned attempt as
+          // probe-side evidence, publish the single bounded re-run
+          times.zipWithIndex.foreach { case (t, i) =>
+            docProbes(s"doc_retry_${q.name}_try1_run${i + 1}") = t
+          }
+          docProbes(s"doc_retry_${q.name}_try1_probe_pre") = pre
+          docProbes(s"doc_retry_${q.name}_try1_probe_post") = post
+          val again = sampleReps()
+          times = again._1
+          ok = again._2
+          post = graft.volume.VolumeBench.diskProbe(probeDir, gb = 1)
+          docProbes(s"doc_retry_${q.name}") = 1.0
+        } else docProbes(s"doc_retry_${q.name}") = 0.0
+        docProbes(s"${q.name}_probe_post") = post
+        val runEntries = times.zipWithIndex.map { case (t, i) => s"${q.name}_run${i + 1}" -> t }
+        runEntries :+ (q.name -> (if (ok) graft.volume.VolumeBench.median(times) else -1.0))
+      }
     }
     // Jaccard STRATEGY-CROSSOVER measurement (not a gate — the two
     // strategies are output-identical and both already hash-gated on the
@@ -176,6 +216,10 @@ object Bench {
       }
     val results = volume ++ registered ++ crossover
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
+    // doc-bracket probes join the volume probes in every line that
+    // carries probe context (same never-in-queries/total rule)
+    val allProbes = volProbes ++ docProbes
+    val probesAllJson = allProbes.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val pinsJson = planPins.map { case (k, n) =>
       "\"" + esc(k) + "\":{\"measured\":" + n + ",\"pinned\":" + graft.plans.PlanAudit.pinnedExchanges(k) + "}"
@@ -188,7 +232,7 @@ object Bench {
     // total sums the canonical (median) entries only, not the per-run samples
     val total = results.collect { case (k, v) if v >= 0 && !k.matches(".*_run\\d+$") => v }.sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"probes":$probesJson,"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"shape_pins":$shapeJson,"shape_pins_ok":$shapesOk,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"probes":$probesAllJson,"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"shape_pins":$shapeJson,"shape_pins_ok":$shapesOk,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
     println(fullLine)
     // the full per-query map ALSO lands in a file artifact: r7's stdout
     // capture truncated the long line and lost 80 queries' timings —
@@ -199,6 +243,16 @@ object Bench {
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(out, fullLine + "\n")
       println(s"""{"metric":"bench_file","path":"${esc(out.toString)}"}""")
+      // ...and an IMMUTABLE per-run copy (CREATE_NEW, epoch-stamped):
+      // later sanity runs overwrite bench_full.json, which once left a
+      // round's artifact chain unreconstructable — history files are
+      // write-once
+      val hist = out.resolveSibling("bench_history")
+      java.nio.file.Files.createDirectories(hist)
+      val stamped = hist.resolve(s"bench_full_${System.currentTimeMillis / 1000}.json")
+      java.nio.file.Files.writeString(stamped, fullLine + "\n",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      println(s"""{"metric":"bench_history_file","path":"${esc(stamped.toString)}"}""")
     } catch { case e: Throwable => Console.err.println(s"bench file write failed: $e") }
     // ...and once more near the end: whether the driver's capture window
     // is line- or byte-bounded from either end, the volume headlines
@@ -231,7 +285,7 @@ object Bench {
     // probes in the FINAL line are medians only, ms-rounded — the stage
     // probes' _runN samples would push total_summary past the 2 KB
     // capture window the line exists to fit
-    val probesCompact = volProbes
+    val probesCompact = allProbes.toSeq
       .filterNot { case (k, _) => k.matches(".*_run\\d+$") }
       .map { case (k, v) => "\"" + esc(k) + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
