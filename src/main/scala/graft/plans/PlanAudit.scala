@@ -315,6 +315,8 @@ object PlanAudit {
     // repartition + output sort — a 3rd exchange would mean record
     // parsing or extraction started shuffling payload bytes
     "doc_warc_extract" -> 2,
+    // WET sibling: same member-range shape
+    "doc_wet_extract" -> 2,
     // composed crawl pipeline: span repartition, the dedup keep-set's
     // md5 group agg (broadcast build side), the source cap window, the
     // per-source census rollup, output sort — a 6th exchange would mean

@@ -68,19 +68,23 @@ object DocQueries {
     )"""
 
   private val warcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def warcFixture(d: String): String =
-    warcCache.computeIfAbsent(d, { dir =>
+  private def warcGen(d: String, wet: Boolean): String =
+    warcCache.computeIfAbsent(s"$d#wet=$wet", { _ =>
       val gen = java.nio.file.Paths.get("tools/gen_warc_fixture.py")
       require(java.nio.file.Files.exists(gen),
         s"fixture generator not found at ${gen.toAbsolutePath}")
       val out = java.nio.file.Files.createTempDirectory("graft_warc")
       out.toFile.deleteOnExit()
-      val p = out.resolve("crawl.warc.gz").toString
-      val rc = scala.sys.process.Process(Seq("python3", gen.toString, p, dir))
+      val name = if (wet) "crawl.wet.gz" else "crawl.warc.gz"
+      val p = out.resolve(name).toString
+      val cmd = Seq("python3", gen.toString, p, d) ++ (if (wet) Seq("--wet") else Nil)
+      val rc = scala.sys.process.Process(cmd)
         .!(scala.sys.process.ProcessLogger(_ => ()))
       require(rc == 0, s"gen_warc_fixture.py exited $rc")
       p
     })
+  private def warcFixture(d: String): String = warcGen(d, wet = false)
+  private def wetFixture(d: String): String = warcGen(d, wet = true)
 
   /** Merge-table size for the TRAINING-replay gate (doc_bpe_tokens):
     * mid-table for this corpus (training exhausts at ~89 merges on the
@@ -1393,6 +1397,32 @@ object DocQueries {
             graft.functions.GraftFunctions.htmlExtract(col("body")).as("extracted"))
           .orderBy(col("url"))
       },
+      Some("""
+        WITH pages AS (
+          SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+                 'Doc ' || doc_id || chr(10) || text AS extracted
+          FROM documents
+          UNION ALL
+          SELECT 'https://mirror.' || source || '.example.org/doc/' || doc_id,
+                 'Doc ' || doc_id || chr(10) || text
+          FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT url, extracted FROM pages ORDER BY url
+      """),
+    ),
+    // The WET sibling: Common Crawl ships each WARC's extracted text as
+    // 'conversion' records with text/plain payloads — the intake most
+    // training pipelines actually start from. Same member framing, same
+    // sidecar-indexed split read; the oracle is the same page formula,
+    // so the WARC(html)→extract path and the WET(plain) path must
+    // converge on identical text.
+    Q(
+      "doc_wet_extract",
+      (s, d) =>
+        graft.sources.WarcSource.read(s, wetFixture(d))
+          .filter(col("warc_type") === "conversion")
+          .select(col("url"), col("body").as("extracted"))
+          .orderBy(col("url")),
       Some("""
         WITH pages AS (
           SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,

@@ -327,6 +327,13 @@ object VolumeQueries {
     out
   }
 
+  /** One SHARDED NGFF 0.5 group destination per JVM (AtomicDir overwrite). */
+  private lazy val ngff3ShardedGroupDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ngff3sh")
+    d.toFile.deleteOnExit()
+    d.resolve("group").toString
+  }
+
   /** One NGFF 0.5 group destination per JVM (AtomicDir overwrite). */
   private lazy val ngff3GroupDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_ngff3")
@@ -1488,6 +1495,28 @@ object VolumeQueries {
       (s, _) => {
         val dest = ngff3GroupDir
         graft.volume.PyramidWriter.writeV3(chunked(s), levels = 2, dest)
+        graft.volume.PyramidWriter.readLevelV3(s, dest, 1)
+          .toVoxels.orderBy("z", "y", "x")
+      },
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
+        FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+        ORDER BY z, y, x
+      """),
+    ),
+    // K3 at object-storage scale: the NGFF 0.5 pyramid with SHARDED
+    // levels — each level is a sharding_indexed v3 array ((8,8,8)
+    // shards, (4,4,4) inner chunks), so a 100 TB pyramid's object count
+    // scales with shards per level while reads stay one inner chunk.
+    // Level 1 read back THROUGH the group metadata (readLevelV3
+    // dispatches to the sharded reader off the level's own zarr.json).
+    Q(
+      "vol_pyramid_v3_sharded",
+      (s, _) => {
+        val dest = ngff3ShardedGroupDir
+        graft.volume.PyramidWriter.writeV3(
+          chunked(s).rechunk(8, 8, 8), levels = 2, dest,
+          shardInner = Some((4, 4, 4)))
         graft.volume.PyramidWriter.readLevelV3(s, dest, 1)
           .toVoxels.orderBy("z", "y", "x")
       },

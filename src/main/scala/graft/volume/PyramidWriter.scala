@@ -253,7 +253,8 @@ object PyramidWriter {
     * as one group.
     */
   def writeV3(vol: ChunkVolume, levels: Int, path: String, upscaleFactor: Int = 1,
-      codec: ZarrStore.Codec = ZarrStore.ZstdCodec()): Unit = {
+      codec: ZarrStore.Codec = ZarrStore.ZstdCodec(),
+      shardInner: Option[(Int, Int, Int)] = None): Unit = {
     val pyr = vol.pyramid(levels)
     val dest = Paths.get(path).toAbsolutePath.normalize
     AtomicDir.sweepLeftovers(dest)
@@ -270,7 +271,16 @@ object PyramidWriter {
             math.min(bz.toLong, level.meta.dimZ).toInt,
             math.min(by.toLong, level.meta.dimY).toInt,
             math.min(bx.toLong, level.meta.dimX).toInt)
-        Zarr3Store.write(uniform, dir.resolve(i.toString).toString, codec)
+        shardInner match {
+          // sharded levels: the at-scale NGFF layout — object count per
+          // level scales with SHARDS (the level's chunk grid), reads
+          // stay one inner chunk; the level's uniform chunk shape must
+          // be a multiple of the inner shape (writeSharded fails loud)
+          case Some(inner) =>
+            Zarr3Store.writeSharded(uniform, dir.resolve(i.toString).toString, inner, codec)
+          case None =>
+            Zarr3Store.write(uniform, dir.resolve(i.toString).toString, codec)
+        }
       }
     } catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
     AtomicDir.publish(dir, dest)

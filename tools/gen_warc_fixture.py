@@ -22,7 +22,11 @@ Writes OUT (the .warc.gz) and OUT.idx (member byte offsets, one per
 line — the cdx-style sidecar that lets executors split WITHIN the file
 by positioned reads).
 
-Usage: gen_warc_fixture.py OUT.warc.gz SFDIR [--limit N]
+With --wet, writes the WET (extracted-text) sibling instead: one
+'conversion' record per page carrying the already-extracted text as a
+text/plain payload — the form Common Crawl ships next to each WARC.
+
+Usage: gen_warc_fixture.py OUT.warc.gz SFDIR [--limit N] [--wet]
 """
 import argparse
 import gzip
@@ -59,6 +63,7 @@ def main():
     ap.add_argument("out")
     ap.add_argument("sfdir")
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--wet", action="store_true")
     a = ap.parse_args()
 
     import duckdb  # driver-side only; the Scala engine never imports this
@@ -83,18 +88,30 @@ def main():
             "Content-Type": "application/http; msgtype=response",
         }, http_response(html))
 
+    def conversion(doc_id, url, text, uuid_prefix):
+        # WET record: the page's EXTRACTED text as a plain payload
+        payload = f"Doc {doc_id}\n{text}".encode("utf-8")
+        return record("conversion", {
+            "WARC-Date": date,
+            "WARC-Record-ID": f"<urn:uuid:{uuid_prefix}-{doc_id:012d}>",
+            "WARC-Target-URI": url,
+            "WARC-Refers-To": f"<urn:uuid:resp-{doc_id:012d}>",
+            "Content-Type": "text/plain",
+        }, payload)
+
+    make = conversion if a.wet else response
     for doc_id, source, text in rows:
         url = f"https://{source}.example.org/doc/{doc_id}"
-        if doc_id == 0:  # one request record: readers must filter by type
+        if doc_id == 0 and not a.wet:  # one request record: readers must filter by type
             members.append(record("request", {
                 "WARC-Date": date,
                 "WARC-Record-ID": "<urn:uuid:req-000000000000>",
                 "WARC-Target-URI": url,
                 "Content-Type": "application/http; msgtype=request",
             }, b"GET /doc/0 HTTP/1.1\r\nHost: x\r\n\r\n"))
-        members.append(response(doc_id, url, text, "resp"))
+        members.append(make(doc_id, url, text, "resp" if not a.wet else "conv"))
         if doc_id % 10 == 0:  # identical mirror page -> real duplicate
-            members.append(response(
+            members.append(make(
                 doc_id, f"https://mirror.{source}.example.org/doc/{doc_id}",
                 text, "mirr"))
 
