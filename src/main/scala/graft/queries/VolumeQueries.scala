@@ -327,6 +327,15 @@ object VolumeQueries {
     out
   }
 
+  /** One (fine, packed) compaction destination pair per JVM (AtomicDir
+    * overwrite — bench reps reuse the paths).
+    */
+  private lazy val zarr3CompactDirs: (String, String) = {
+    val d = java.nio.file.Files.createTempDirectory("graft_z3cmp")
+    d.toFile.deleteOnExit()
+    (d.resolve("fine").toString, d.resolve("packed").toString)
+  }
+
   /** One SHARDED NGFF 0.5 group destination per JVM (AtomicDir overwrite). */
   private lazy val ngff3ShardedGroupDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_ngff3sh")
@@ -1466,6 +1475,25 @@ object VolumeQueries {
       "vol_zarr3_sharded_foreign",
       (s, _) => graft.volume.Zarr3Store.read(s, foreignZarr3ShardDir)
         .toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox ORDER BY z, y, x
+      """),
+    ),
+    // The object-storage lifecycle composed: streaming-style fine-chunk
+    // land (the unsharded write) → COMPACTION to shards (one rechunk +
+    // the zero-shuffle sharded writer) → read back through the sharded
+    // dispatcher. This is how a 100 TB store keeps its object count
+    // bounded without blocking ingest on shard assembly.
+    Q(
+      "vol_zarr3_compact",
+      (s, _) => {
+        val (fine, packed) = zarr3CompactDirs
+        graft.volume.Zarr3Store.write(chunked(s), fine,
+          graft.volume.ZarrStore.ZstdCodec())
+        graft.volume.Zarr3Store.compactToSharded(
+          s, fine, packed, shardShape = (8, 8, 8), innerShape = (4, 4, 4))
+        graft.volume.Zarr3Store.read(s, packed).toVoxels.orderBy("z", "y", "x")
+      },
       Some(s"""$voxCte
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),

@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.volume.UpscaleCli --input vol.mhd|vol.tif --output out_store
   *     [--scale 2] [--chunk-mb 128] [--mode labels|outline]
   *     [--pyramid-levels 1] [--max-gb 500] [--dry-run] [--force]
-  *     [--format zarr|zarr3|graftchunks]
+  *     [--format zarr|zarr3|zarr3-sharded|graftchunks]
   *     [--compressor zstd|zlib|blosc-zstd|blosc-zlib|lz4|zstd-bit|none]
   *
   * `--compressor lz4` / `zstd-bit` reproduce the reference CLI's exact
@@ -31,7 +31,7 @@ object UpscaleCli {
       maxGb: Double = 500.0,
       dryRun: Boolean = false,
       force: Boolean = false,
-      format: String = "zarr", // zarr (reference parity) | zarr3 (v3 spec) | graftchunks (value-indexed)
+      format: String = "zarr", // zarr (parity) | zarr3 | zarr3-sharded (object-storage) | graftchunks
       compressor: String = "zstd", // zstd|zlib|blosc-zstd|blosc-zlib|lz4|zstd-bit|none
   )
 
@@ -70,8 +70,9 @@ object UpscaleCli {
     require(a.scale >= 1, "--scale must be >= 1")
     require(a.mode == "labels" || a.mode == "outline", "--mode must be labels|outline")
     require(a.pyramidLevels >= 1, "--pyramid-levels must be >= 1")
-    require(a.format == "zarr" || a.format == "zarr3" || a.format == "graftchunks",
-      "--format must be zarr|zarr3|graftchunks")
+    require(
+      Set("zarr", "zarr3", "zarr3-sharded", "graftchunks").contains(a.format),
+      "--format must be zarr|zarr3|zarr3-sharded|graftchunks")
     zarrCodec(a.compressor) // validate eagerly
     a
   }
@@ -124,6 +125,18 @@ object UpscaleCli {
         ZarrStore.write(processed, a.output, zarrCodec(a.compressor), extraAttrs = provenance)
       else if (a.format == "zarr3")
         Zarr3Store.write(processed, a.output, zarrCodec(a.compressor), extraAttrs = provenance)
+      else if (a.format == "zarr3-sharded") {
+        // shard = 2× the chunk shape per axis, inner = the chunk shape:
+        // 8× fewer objects at unchanged read granularity. No dim clamps:
+        // an oversized shard is legal (grid cell count just hits 1) and
+        // clamping could break the divisibility contract.
+        val m = processed.meta
+        Zarr3Store.writeSharded(
+          processed.rechunk(m.chunkZ * 2, m.chunkY * 2, m.chunkX * 2),
+          a.output,
+          innerShape = (m.chunkZ, m.chunkY, m.chunkX),
+          zarrCodec(a.compressor), extraAttrs = provenance)
+      }
       else
         ChunkStore.write(processed, a.output, extraProvenance = provenance)
     }
@@ -134,6 +147,8 @@ object UpscaleCli {
       s"Finished. Zarr array (${a.compressor}) written to: ${a.output}"
     else if (a.format == "zarr3")
       s"Finished. Zarr v3 array (${a.compressor}) written to: ${a.output}"
+    else if (a.format == "zarr3-sharded")
+      s"Finished. Sharded zarr v3 array (${a.compressor}) written to: ${a.output}"
     else s"Finished. Chunk store written to: ${a.output}")
     out.result()
   }

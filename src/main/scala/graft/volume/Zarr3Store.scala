@@ -622,6 +622,32 @@ object Zarr3Store {
     ChunkVolume(chunks, ivm)
   }
 
+  /** Compact an UNSHARDED zarr v3 array into a sharded one — the
+    * object-storage lifecycle step: streaming ingest lands fine-grained
+    * chunk files ([[appendChunks]] is idempotent per chunk), and a
+    * periodic compaction folds them into shards so the store's object
+    * count stays bounded. One rechunk (each byte moves once) to the
+    * shard grid, then the zero-shuffle sharded writer; reads dispatch
+    * transparently before and after.
+    */
+  def compactToSharded(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      shardShape: (Int, Int, Int),
+      innerShape: (Int, Int, Int),
+      codec: Codec = ZstdCodec(),
+      extraAttrs: Map[String, String] = Map.empty): Unit = {
+    val (zm, sharding) = parseZarrJsonAny(
+      Files.readString(Paths.get(srcPath).toAbsolutePath.resolve("zarr.json")))
+    require(sharding.isEmpty, s"$srcPath is already sharded — nothing to compact")
+    val vol = read(spark, srcPath)
+    writeSharded(
+      vol.rechunk(shardShape._1, shardShape._2, shardShape._3),
+      destPath, innerShape, codec, extraAttrs = extraAttrs)
+    val _ = zm // parsed for the fail-loud sharded check only
+  }
+
   /** Evidence-carrying point lookup against a sharded store: TWO
     * positioned reads (the index range, then one inner chunk's range) on
     * ONE shard file — the object-storage P4 contract. `bytesRead` vs

@@ -100,6 +100,30 @@ class UpscaleCliSpec extends AnyFunSuite with SparkSpec {
       .select("label").collect().head.getLong(0) === 15564L + (2 / 2) * 10 + (4 / 4))
   }
 
+  test("--format zarr3-sharded writes a sharding_indexed array the dispatcher round-trips") {
+    val outSh = fixtureDir.resolve("out_zarr3_sharded").toString
+    val plain = fixtureDir.resolve("out_zarr3_plain").toString
+    UpscaleCli.run(spark, UpscaleCli.Args(
+      input = fixtureDir.resolve("f.mhd").toString, output = plain, scale = 2, chunkMb = 1,
+      format = "zarr3"))
+    val lines = UpscaleCli.run(spark, UpscaleCli.Args(
+      input = fixtureDir.resolve("f.mhd").toString, output = outSh, scale = 2, chunkMb = 1,
+      format = "zarr3-sharded"))
+    assert(lines.exists(_.startsWith("Finished. Sharded zarr v3 array (zstd) written to:")))
+    val (_, sh) = Zarr3Store.parseZarrJsonAny(
+      Files.readString(java.nio.file.Paths.get(outSh, "zarr.json")))
+    assert(sh.nonEmpty) // really a sharding_indexed doc, with provenance attrs alongside
+    assert(Files.readString(java.nio.file.Paths.get(outSh, "zarr.json")).contains("\"scale\""))
+    // value-identical to the plain v3 output of the same run
+    val a = Zarr3Store.read(spark, outSh).toVoxels.orderBy("z", "y", "x").collect()
+    val b = Zarr3Store.read(spark, plain).toVoxels.orderBy("z", "y", "x").collect()
+    assert(a === b)
+    // and fewer store objects than the plain layout
+    def nFiles(p: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).filter(Files.isRegularFile(_)).count()
+    assert(nFiles(outSh) < nFiles(plain))
+  }
+
   test("--compressor lz4: the reference CLI's Blosc(lz4, BITSHUFFLE) output end-to-end") {
     val outZarr = fixtureDir.resolve("out_lz4").toString
     val lines = UpscaleCli.run(spark, UpscaleCli.Args(

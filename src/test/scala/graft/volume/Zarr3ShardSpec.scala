@@ -102,6 +102,23 @@ class Zarr3ShardSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Zarr3Store.pointLookupSharded(p, 10, 0, 0))
   }
 
+  test("compactToSharded: fine-chunk store folds into shards, values intact; sharded input refused") {
+    val d = Files.createTempDirectory("graft_z3cmp_spec")
+    d.toFile.deleteOnExit()
+    val fine = d.resolve("fine").toString
+    val packed = d.resolve("packed").toString
+    Zarr3Store.write(vol, fine, ZstdCodec(3))
+    Zarr3Store.compactToSharded(spark, fine, packed,
+      shardShape = (6, 6, 4), innerShape = (3, 2, 2))
+    assert(collectVox(Zarr3Store.read(spark, packed)) === collectVox(vol))
+    // object count dropped: fine has one file per (6,6,4)-grid chunk,
+    // packed has one per shard (same grid here) but holds the index too
+    assert(Files.exists(Paths.get(packed, "c", "0", "0", "0")))
+    intercept[IllegalArgumentException](
+      Zarr3Store.compactToSharded(spark, packed, d.resolve("x").toString,
+        (6, 6, 4), (3, 2, 2)))
+  }
+
   test("foreign interop: python sharded fixtures (both index locations, BE, gzip, dropped cell)") {
     val d = Files.createTempDirectory("graft_z3shard_f").toString
     def gen(out: String, args: String*): String = {
