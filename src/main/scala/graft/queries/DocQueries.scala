@@ -2721,6 +2721,60 @@ object DocQueries {
         ORDER BY lang
       """),
     ),
+    // Temperature mixing keyed by REGISTRABLE DOMAIN — the crawl-side
+    // mixing composition: formula URLs → codegen'd canonicalize + PSL
+    // key (map-side, no shuffle to key), then the integer-exact α=0.5
+    // temperature allocation over domains instead of languages. Same
+    // window shape as doc_temperature_mix; the oracle re-derives the
+    // domain from the URL formula and replays the allocation.
+    Q(
+      "doc_domain_temperature_mix",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val tld = expr(
+          "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' " +
+            "WHEN 2 THEN 'io' ELSE 'org' END")
+        val raw = concat(
+          lit("HTTPS://"), upper(col("source")), lit(".News.Example."), upper(tld),
+          lit(":443/doc/"), col("doc_id"), lit("#frag"))
+        val keyed = T(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.regDomain(
+              graft.functions.GraftFunctions.urlCanon(raw)).as("domain"))
+        Mixing.temperatureSample(keyed, budget = 120, blockCol = "domain")
+          .orderBy("domain")
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id,
+                 'example.' || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com'
+                   WHEN 1 THEN 'co.uk' WHEN 2 THEN 'io' ELSE 'org' END AS domain
+          FROM documents
+        ), counts AS (
+          SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS weight
+          FROM keyed GROUP BY 1
+        ), tot AS (SELECT SUM(weight) AS tw FROM counts),
+        targets AS (
+          SELECT domain, n_docs, weight,
+                 LEAST((120 * weight) // tw, n_docs) AS n_target
+          FROM counts, tot
+        ), ranked AS (
+          SELECT domain,
+                 ROW_NUMBER() OVER (PARTITION BY domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM keyed
+        ), kept AS (
+          SELECT r.domain, CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM ranked r JOIN targets t USING (domain)
+          WHERE r.rk <= t.n_target GROUP BY 1
+        )
+        SELECT t.domain, t.n_docs, t.weight, CAST(t.n_target AS BIGINT) AS n_target,
+               COALESCE(k.n_kept, 0) AS n_kept
+        FROM targets t LEFT JOIN kept k USING (domain)
+        ORDER BY domain
+      """),
+    ),
     // The curation ACTION on the containment detector: drop every doc
     // whose token set is ≥0.9 contained in a doc with STRICTLY more
     // tokens (equal sizes keep the smaller id) — dedupe the fragments,
