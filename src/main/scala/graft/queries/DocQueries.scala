@@ -1436,6 +1436,35 @@ object DocQueries {
         SELECT url, extracted FROM pages ORDER BY url
       """),
     ),
+    // Batch face of the STREAMING crawl intake (DocStreams.crawlIntake):
+    // WARC records → response filter → html extraction → exactly-once
+    // text-fingerprint dedup (the mirror pages are the real duplicates;
+    // bounded within-watermark state on the streaming face, pinned
+    // stream==batch by DocStreamsSpec over the binaryFile file stream) →
+    // per-(hour, source) intake accounting. The oracle counts each page
+    // once from the formula — exactly what dedup must reduce the
+    // mirrored feed to.
+    Q(
+      "doc_stream_crawl",
+      (s, d) =>
+        graft.streaming.DocStreams.crawlIntake(
+          graft.sources.WarcSource.read(s, warcFixture(d)))
+          .select(
+            col("window.start").cast("long").as("window_s"),
+            col("source"), col("n_docs"), col("total_tokens"))
+          .orderBy(col("window_s"), col("source")),
+      Some("""
+        WITH pages AS (
+          SELECT doc_id, source,
+                 len(string_split('Doc ' || doc_id || chr(10) || text, ' ')) AS n
+          FROM documents
+        )
+        SELECT ((doc_id * 60 + 3600) // 3600) * 3600 AS window_s, source,
+               COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+        FROM pages WHERE n >= 20
+        GROUP BY 1, 2 ORDER BY window_s, source
+      """),
+    ),
     // The full crawl-to-corpus pipeline COMPOSED: warc → html extract →
     // quality filter → exact dedup (the fixture's mirror pages are real
     // byte-identical duplicates; keep the lexicographically-first URL) →

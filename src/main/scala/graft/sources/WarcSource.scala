@@ -98,6 +98,45 @@ object WarcSource {
     df.toDF("warc_type", "url", "http_status", "content_type", "body", "member_offset")
   }
 
+  /** All records of one in-memory `.warc.gz` (the STREAMING intake unit:
+    * the binaryFile stream source delivers whole files as byte arrays).
+    */
+  private[graft] def parseAllMembers(bytes: Array[Byte], name: String): Seq[Rec] = {
+    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 1 << 16)
+    try Iterator.continually(readRecordBytes(in, name))
+      .takeWhile(_ != null)
+      .map(parseRecord(_, name, -1L))
+      .toSeq
+    finally in.close()
+  }
+
+  /** STREAMING intake over a directory of `.warc.gz` files: Structured
+    * Streaming's binaryFile source tracks file arrivals exactly-once,
+    * each micro-batch parses its new files' records — the incremental
+    * crawl-ingest shape (a crawler keeps dropping finished warc files;
+    * the pipeline keeps up without re-reading old ones). One file is one
+    * row from the source, so per-file memory is the file size — the
+    * intake unit a crawler emits (≤ ~1 GiB by convention).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      // streaming sources require the schema up front — binaryFile's is
+      // fixed by the format
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parseAllMembers(bytes, path).map(r =>
+          (r.warcType, r.url, r.httpStatus, r.contentType, r.body, -1L))
+      }
+      .toDF("warc_type", "url", "http_status", "content_type", "body", "member_offset")
+  }
+
   /** Member byte offsets of a `.warc.gz`, by one sequential pass that
     * parses each gzip member's header and inflates (discarding output)
     * to find its end — the sidecar bootstrap. O(file) decompression

@@ -41,6 +41,51 @@ object DocStreams {
     * are stateless per-row kernels; only the dedup buffer and the
     * windowed rollup hold state (the spec pins stateOperators == 2).
     */
+  /** Streaming CRAWL intake: WARC records (the [[graft.sources.WarcSource]]
+    * schema, batch or streaming) → response filter → HTML main-text
+    * extraction → exactly-once text-fingerprint dedup (the fixture's
+    * mirror pages are real byte-identical duplicates) → per-(hour,
+    * source) intake accounting. Event time derives from the page id in
+    * the URL (doc_id minutes — the harness feed carries one constant
+    * WARC-Date; a production feed uses its fetch timestamp). The same
+    * state discipline as [[curate]]: bounded within-watermark dedup on a
+    * stream, first-arrival window dedup on the batch face, stateless
+    * extraction/quality kernels, two stateful operators total.
+    */
+  def crawlIntake(records: DataFrame, horizon: String = "2 hours"): DataFrame = {
+    graft.functions.GraftFunctions.register(records.sparkSession)
+    val pages = records
+      .filter(col("warc_type") === "response")
+      .select(
+        col("url"),
+        regexp_extract(col("url"), "https://(?:mirror\\.)?([^.]+)\\.", 1).as("source"),
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("page_id"),
+        graft.functions.GraftFunctions.htmlExtract(col("body")).as("text"))
+      // +1h epoch shift: a row whose event time EQUALS the initial
+      // watermark (0) is dropped as late by the within-watermark dedup
+      // (the expiry predicate is <=), so page 0 must not sit exactly at
+      // the epoch
+      .withColumn("ingest_ts", timestamp_seconds(col("page_id") * 60 + 3600))
+      .withColumn("fp", md5(col("text")))
+    val deduped =
+      if (pages.isStreaming)
+        pages.withWatermark("ingest_ts", horizon).dropDuplicatesWithinWatermark("fp")
+      else
+        pages.withColumn("_rn",
+            row_number().over(
+              Window.partitionBy(col("fp")).orderBy(col("ingest_ts"), col("url"))))
+          .filter(col("_rn") === 1)
+          .drop("_rn")
+    deduped
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tokens") >= 20)
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+      )
+  }
+
   def curate(docs: DataFrame, horizon: String = "2 hours"): DataFrame = {
     val t = withIngestTime(docs)
       .withColumn("fp", md5(lower(trim(col("text")))))

@@ -71,4 +71,45 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(query.lastProgress.stateOperators.size === 2)
     } finally query.stop()
   }
+
+  test("crawlIntake: binaryFile WARC stream matches the batch face; cross-file dups deduped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcstream")
+    dir.toFile.deleteOnExit()
+    def gen(name: String, limit: Int): Unit = {
+      val cmd = Seq("python3", "tools/gen_warc_fixture.py",
+        dir.resolve(name).toString, "/root/testdata/sf0.001", "--limit", limit.toString)
+      assert(scala.sys.process.Process(cmd).! === 0)
+    }
+    gen("a.warc.gz", 400)
+    val query = DocStreams.crawlIntake(
+      graft.sources.WarcSource.readStream(spark, dir.toString))
+      .select(
+        col("window.start").cast("long").as("window_s"),
+        col("source"), col("n_docs"), col("total_tokens"))
+      .writeStream.format("memory").queryName("crawl_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      // second file re-delivers pages 0..399 (cross-file duplicates) and
+      // adds 400..499, advancing the watermark to 499min − 2h ≈ 6.3 h
+      gen("b.warc.gz", 500)
+      query.processAllAvailable()
+      val streamed = spark.table("crawl_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty)
+      // finalized windows end at or before the watermark (~7.3 h)
+      assert(streamed.forall(_._1 <= 6 * 3600))
+      assert(streamed.exists(_._1 == 3600L)) // the epoch-shifted first window survived
+      val batch = DocStreams.crawlIntake(
+        graft.sources.WarcSource.read(spark, dir.resolve("b.warc.gz").toString))
+        .select(
+          col("window.start").cast("long").as("window_s"),
+          col("source"), col("n_docs"), col("total_tokens"))
+        .filter(col("window_s") <= 6 * 3600)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(query.lastProgress.stateOperators.size === 2)
+    } finally query.stop()
+  }
 }
