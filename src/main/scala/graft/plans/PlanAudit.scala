@@ -165,12 +165,30 @@ object PlanAudit {
       s"shards_opened=${p.shardsOpened} bytes_read=${p.bytesRead} file_bytes=${p.fileBytes}")
   }
 
+  /** The sharded ROI read must PRUNE: touch only the intersecting
+    * shards (4 of 8 for the gate's box), read only the intersecting
+    * inner chunks (12 of 64), and cover fewer bytes than the touched
+    * files hold — the reader's own access-plan evidence, same measured
+    * discipline as [[shardedPointShape]].
+    */
+  def shardedBoxShape(df: DataFrame): Shape = {
+    val store = graft.queries.VolumeQueries.zarr3ShardedStore(df.sparkSession)
+    val p = graft.volume.Zarr3Store.boxProbeSharded(store, 2, 7, 4, 11, 5, 14)
+    Shape(
+      p.shardsPlanned == 4 && p.shardsTotal == 8
+        && p.innerChunksRead == 12 && p.innerChunksTotal == 64
+        && p.bytesRead > 0 && p.bytesRead < p.fileBytes,
+      s"shards=${p.shardsPlanned}/${p.shardsTotal} inner=${p.innerChunksRead}/${p.innerChunksTotal} " +
+        s"bytes_read=${p.bytesRead} file_bytes=${p.fileBytes}")
+  }
+
   /** Structural pins, keyed by registered query name — asserted by
     * PlanAuditSpec and emitted measured-vs-pinned into the bench JSON
     * (`shape_pins` / `shape_pins_ok`) like the exchange counts.
     */
   val pinnedShapes: Map[String, DataFrame => Shape] = Map(
     "vol_zarr3_sharded_point" -> shardedPointShape,
+    "vol_zarr3_sharded_box" -> shardedBoxShape,
     "doc_dedup_corpus" -> broadcastAntiShape,
     "doc_dedup_best" -> broadcastAntiShape,
     "emb_ivf_persisted" -> ivfPrunedScanShape,
@@ -317,6 +335,15 @@ object PlanAudit {
     "doc_warc_extract" -> 2,
     // WET sibling: same member-range shape
     "doc_wet_extract" -> 2,
+    // crawl-intake batch face: span repartition, fingerprint dedup
+    // window, (hour, source) rollup, output sort — a 5th exchange would
+    // mean extraction stopped being stateless per-row
+    "doc_stream_crawl" -> 4,
+    // domain temperature mix: the doc_temperature_mix shape (domain
+    // census, weight total, rank window, kept rollup, final join sides +
+    // output sort) with the URL keying fully map-side — any extra
+    // exchange means canonicalize/PSL started shuffling
+    "doc_domain_temperature_mix" -> 8,
     // composed crawl pipeline: span repartition, the dedup keep-set's
     // md5 group agg (broadcast build side), the source cap window, the
     // per-source census rollup, output sort — a 6th exchange would mean

@@ -1479,6 +1479,22 @@ object VolumeQueries {
         SELECT z, y, x, label FROM vox ORDER BY z, y, x
       """),
     ),
+    // P4 ROI on the sharded store: the box plan touches only the
+    // intersecting shards, and each task positioned-reads its shard's
+    // index plus only the inner chunks the box covers — never a shard
+    // body, never a scan. Evidence (4 of 8 shards, 12 of 64 inner
+    // chunks, bytes ≪ files) is shape-pinned (shardedBoxShape).
+    Q(
+      "vol_zarr3_sharded_box",
+      (s, _) => graft.volume.Zarr3Store.readBoxSharded(
+        s, zarr3ShardedStore(s), 2, 7, 4, 11, 5, 14)
+        .orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z, y, x, label FROM vox
+        WHERE z BETWEEN 2 AND 6 AND y BETWEEN 4 AND 10 AND x BETWEEN 5 AND 13
+        ORDER BY z, y, x
+      """),
+    ),
     // The object-storage lifecycle composed: streaming-style fine-chunk
     // land (the unsharded write) → COMPACTION to shards (one rechunk +
     // the zero-shuffle sharded writer) → read back through the sharded

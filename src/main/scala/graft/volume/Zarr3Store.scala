@@ -1,7 +1,7 @@
 package graft.volume
 
 import graft.volume.ZarrStore.{BloscCodec, Codec, GzipCodec, Raw, ZarrMeta, ZstdCodec}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import java.nio.file.{Files, Paths}
@@ -17,8 +17,10 @@ import java.nio.file.{Files, Paths}
   * it too. Supported codecs: `bytes` (both endians) alone, or followed by
   * ONE of `blosc` (all reference cnames/shuffles), `zstd`, `gzip`
   * (RFC-1952 — distinct from v2's RFC-1950 `zlib`). `sharding_indexed`
-  * fails loud with a named error: sharding changes the addressing model
-  * and silently mis-reading shards as chunks would corrupt volumes.
+  * is fully supported (writeSharded/readSharded/pointLookupSharded/
+  * readBoxSharded below — one file per shard with the spec's crc32c'd
+  * uint64-LE index); only [[parseZarrJson]], the UNsharded entry point
+  * used by append paths, still refuses sharded documents by name.
   */
 object Zarr3Store {
 
@@ -42,10 +44,6 @@ object Zarr3Store {
     case other => throw new IllegalArgumentException(s"bad blosc shuffle '$other'")
   }
 
-  /** The `zarr.json` document for an array (spec key order). `attrs`
-    * lands under the spec's user-metadata `attributes` member — the v3
-    * home for the write provenance the v2 sink records in `.zattrs`.
-    */
   /** The compressor codec object for `m` (empty for Raw), prefixed with
     * ", " so it appends to the `bytes` codec in a pipeline array.
     */
@@ -66,6 +64,10 @@ object Zarr3Store {
       .map { case (k, v) => ChunkVolume.jsonStr(k) + ": " + ChunkVolume.jsonStr(v) }
       .mkString(", ")
 
+  /** The `zarr.json` document for an array (spec key order). `attrs`
+    * lands under the spec's user-metadata `attributes` member — the v3
+    * home for the write provenance the v2 sink records in `.zattrs`.
+    */
   def zarrJson(m: ZarrMeta, attrs: Map[String, String] = Map.empty): String = {
     val compressor = compressorJson(m) match {
       case "" => ""
@@ -655,6 +657,160 @@ object Zarr3Store {
     */
   final case class ShardProbe(
       label: Long, shardsOpened: Int, bytesRead: Long, fileBytes: Long)
+
+  /** ROI box read against a sharded store: the P4 contract generalized —
+    * tasks cover only the INTERSECTING shards, and each task positioned-
+    * reads its shard's index plus only the inner chunks the box touches
+    * (never the shard body). Returns (z, y, x, label) voxels of
+    * [z0,z1)×[y0,y1)×[x0,x1); [[boxProbeSharded]] carries the matching
+    * evidence for the shape pin.
+    */
+  def readBoxSharded(
+      spark: SparkSession, path: String,
+      z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): DataFrame = {
+    require(z0 < z1 && y0 < y1 && x0 < x1, s"empty ROI [$z0,$z1)×[$y0,$y1)×[$x0,$x1)")
+    val dir = Paths.get(path).toAbsolutePath
+    val (zm, shOpt) = parseZarrJsonAny(Files.readString(dir.resolve("zarr.json")))
+    val sh = shOpt.getOrElse(throw new IllegalArgumentException(
+      s"$path is not a sharded array — use Zarr3Store.read + cropVoxels"))
+    val ivm = innerVm(zm, sh)
+    val Seq(nIz, nIy, nIx) = sh.innerGridPerShard(zm.chunks)
+    val Seq(sz, sy, sx) = zm.chunks
+    val dirStr = dir.toString
+    val sep = zm.dimSeparator
+    val bpp = zm.bpp
+    val unsigned = ivm.isUnsigned
+    // shard coords intersecting the box (driver-planned, O(shards-in-box))
+    val shardCoords = for {
+      scz <- (z0 / sz).toInt to ((z1 - 1) / sz).toInt
+      scy <- (y0 / sy).toInt to ((y1 - 1) / sy).toInt
+      scx <- (x0 / sx).toInt to ((x1 - 1) / sx).toInt
+    } yield (scz, scy, scx)
+    import spark.implicits._
+    val izm = ZarrMeta(zm.shape, sh.innerChunks, zm.dtype, zm.codec, zm.fillValue, sep)
+    spark.createDataset(shardCoords)
+      .repartition(math.min(shardCoords.size, spark.sparkContext.defaultParallelism))
+      .flatMap { case (scz, scy, scx) =>
+        val f = Paths.get(dirStr, (Seq("c", scz, scy, scx).mkString(sep)).split('/').toSeq: _*)
+        val Seq(iz, iy, ix) = sh.innerChunks
+        // intersecting inner cells of this shard, bounded to the array grid
+        val cells = for {
+          gcz <- math.max(scz * nIz, (z0 / iz).toInt) to
+            math.min(math.min((scz + 1) * nIz - 1, ivm.ncz - 1), ((z1 - 1) / iz).toInt)
+          gcy <- math.max(scy * nIy, (y0 / iy).toInt) to
+            math.min(math.min((scy + 1) * nIy - 1, ivm.ncy - 1), ((y1 - 1) / iy).toInt)
+          gcx <- math.max(scx * nIx, (x0 / ix).toInt) to
+            math.min(math.min((scx + 1) * nIx - 1, ivm.ncx - 1), ((x1 - 1) / ix).toInt)
+        } yield (gcz, gcy, gcx)
+        if (cells.isEmpty) Iterator.empty
+        else {
+          val raf: java.io.RandomAccessFile =
+            if (Files.exists(f)) new java.io.RandomAccessFile(f.toFile, "r") else null
+          try {
+            val entries =
+              if (raf == null) null
+              else {
+                val idxLen = sh.indexLen(zm.chunks)
+                val idxBytes = new Array[Byte](idxLen)
+                raf.seek(if (sh.indexAtEnd) raf.length() - idxLen else 0L)
+                raf.readFully(idxBytes)
+                parseShardIndex(idxBytes, sh, zm, f.toString)
+              }
+            cells.iterator.flatMap { case (gcz, gcy, gcx) =>
+              val cell = ((gcz - scz * nIz) * nIy + (gcy - scy * nIy)) * nIx + (gcx - scx * nIx)
+              val blob =
+                if (entries == null) None
+                else {
+                  val off = entries(cell * 2); val len = entries(cell * 2 + 1)
+                  if (off == Missing) None
+                  else {
+                    val b = new Array[Byte](len.toInt)
+                    raf.seek(off)
+                    raf.readFully(b)
+                    Some(b)
+                  }
+                }
+              val c = ZarrStore.decodeChunk(blob, izm, ivm, gcz, gcy, gcx)
+              // trim to the box and emit voxels (the cropVoxels kernel)
+              val bz = math.max(z0, c.z0); val ez = math.min(z1, c.z0 + c.nz)
+              val by = math.max(y0, c.y0); val ey = math.min(y1, c.y0 + c.ny)
+              val bx = math.max(x0, c.x0); val ex = math.min(x1, c.x0 + c.nx)
+              val (nz, ny, nx) = ((ez - bz).toInt, (ey - by).toInt, (ex - bx).toInt)
+              val box = ChunkKernels.extractBox(c.data, c.ny, c.nx, bpp,
+                (bz - c.z0).toInt, (by - c.y0).toInt, (bx - c.x0).toInt, nz, ny, nx)
+              Iterator.range(0, nz * ny * nx).map { i =>
+                val z = i / (ny * nx); val rem = i % (ny * nx)
+                (bz + z, by + rem / nx, bx + rem % nx,
+                  ChunkKernels.decodeLong(box, i, bpp, unsigned))
+              }.toSeq
+            }.toSeq
+          } finally if (raf != null) raf.close()
+        }
+      }
+      .toDF("z", "y", "x", "label")
+  }
+
+  /** Evidence for [[readBoxSharded]]'s access pattern: how many shards
+    * the box plan touches (vs the store total), how many inner chunks it
+    * reads (vs the store total), and the bytes those positioned reads
+    * cover vs the touched shard files' sizes.
+    */
+  final case class ShardBoxProbe(
+      shardsPlanned: Int, shardsTotal: Int,
+      innerChunksRead: Int, innerChunksTotal: Int,
+      bytesRead: Long, fileBytes: Long)
+
+  def boxProbeSharded(
+      path: String,
+      z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): ShardBoxProbe = {
+    val dir = Paths.get(path).toAbsolutePath
+    val (zm, shOpt) = parseZarrJsonAny(Files.readString(dir.resolve("zarr.json")))
+    val sh = shOpt.getOrElse(throw new IllegalArgumentException(s"$path is not sharded"))
+    val ivm = innerVm(zm, sh)
+    val Seq(nIz, nIy, nIx) = sh.innerGridPerShard(zm.chunks)
+    val Seq(sz, sy, sx) = zm.chunks
+    val Seq(iz, iy, ix) = sh.innerChunks
+    val sep = zm.dimSeparator
+    var shards = 0
+    var innerRead = 0
+    var bytesRead = 0L
+    var fileBytes = 0L
+    for {
+      scz <- (z0 / sz).toInt to ((z1 - 1) / sz).toInt
+      scy <- (y0 / sy).toInt to ((y1 - 1) / sy).toInt
+      scx <- (x0 / sx).toInt to ((x1 - 1) / sx).toInt
+    } {
+      val f = Paths.get(dir.toString, (Seq("c", scz, scy, scx).mkString(sep)).split('/').toSeq: _*)
+      shards += 1
+      if (Files.exists(f)) {
+        fileBytes += Files.size(f)
+        val idxLen = sh.indexLen(zm.chunks)
+        bytesRead += idxLen
+        val raf = new java.io.RandomAccessFile(f.toFile, "r")
+        try {
+          val idxBytes = new Array[Byte](idxLen)
+          raf.seek(if (sh.indexAtEnd) raf.length() - idxLen else 0L)
+          raf.readFully(idxBytes)
+          val entries = parseShardIndex(idxBytes, sh, zm, f.toString)
+          for {
+            gcz <- math.max(scz * nIz, (z0 / iz).toInt) to
+              math.min(math.min((scz + 1) * nIz - 1, ivm.ncz - 1), ((z1 - 1) / iz).toInt)
+            gcy <- math.max(scy * nIy, (y0 / iy).toInt) to
+              math.min(math.min((scy + 1) * nIy - 1, ivm.ncy - 1), ((y1 - 1) / iy).toInt)
+            gcx <- math.max(scx * nIx, (x0 / ix).toInt) to
+              math.min(math.min((scx + 1) * nIx - 1, ivm.ncx - 1), ((x1 - 1) / ix).toInt)
+          } {
+            val cell = ((gcz - scz * nIz) * nIy + (gcy - scy * nIy)) * nIx + (gcx - scx * nIx)
+            innerRead += 1
+            if (entries(cell * 2) != Missing) bytesRead += entries(cell * 2 + 1)
+          }
+        } finally raf.close()
+      }
+    }
+    val Seq(nscz, nscy, nscx) = zm.gridShape
+    ShardBoxProbe(shards, nscz * nscy * nscx,
+      innerRead, ivm.ncz * ivm.ncy * ivm.ncx, bytesRead, fileBytes)
+  }
 
   def pointLookupSharded(path: String, z: Long, y: Long, x: Long): ShardProbe = {
     val dir = Paths.get(path).toAbsolutePath
