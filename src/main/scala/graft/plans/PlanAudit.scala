@@ -335,6 +335,10 @@ object PlanAudit {
     "doc_warc_extract" -> 2,
     // WET sibling: same member-range shape
     "doc_wet_extract" -> 2,
+    // WET export roundtrip: the export's partition-choosing repartition
+    // + the read-back's output sort — record framing itself is
+    // foreachPartition I/O, no extra exchange
+    "doc_wet_roundtrip" -> 2,
     // crawl-intake batch face: span repartition, fingerprint dedup
     // window, (hour, source) rollup, output sort — a 5th exchange would
     // mean extraction stopped being stateless per-row

@@ -86,6 +86,15 @@ object DocQueries {
   private def warcFixture(d: String): String = warcGen(d, wet = false)
   private def wetFixture(d: String): String = warcGen(d, wet = true)
 
+  /** One WET-export destination per JVM (files overwritten in place —
+    * partition count is fixed, so reps rewrite the same part files).
+    */
+  private lazy val wetExportDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_wetout")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   /** Merge-table size for the TRAINING-replay gate (doc_bpe_tokens):
     * mid-table for this corpus (training exhausts at ~89 merges on the
     * sf0.01 vocabulary), so the gate exercises both early high-count
@@ -1434,6 +1443,32 @@ object DocQueries {
           FROM documents WHERE doc_id % 10 = 0
         )
         SELECT url, extracted FROM pages ORDER BY url
+      """),
+    ),
+    // WET EXPORT round-trip: the curated corpus re-emitted as WET
+    // (conversion records, one gzip member each, per-partition files +
+    // sidecars — WarcSource.writeWet) and read back through the
+    // sequential multi-file path. Export is deterministic (no wall
+    // clock, no RNG), so the oracle is the page formula again: framing,
+    // membering, sidecars, and the read path must all invert the write.
+    Q(
+      "doc_wet_roundtrip",
+      (s, d) => {
+        val pages = T(s, d, "documents").select(
+          concat(lit("https://"), col("source"), lit(".example.org/doc/"), col("doc_id")).as("url"),
+          concat(lit("Doc "), col("doc_id"), lit("\n"), col("text")).as("text"))
+          .repartition(4)
+        val dir = wetExportDir
+        graft.sources.WarcSource.writeWet(pages, dir)
+        graft.sources.WarcSource.readDir(s, dir)
+          .filter(col("warc_type") === "conversion")
+          .select(col("url"), col("body").as("extracted"))
+          .orderBy(col("url"))
+      },
+      Some("""
+        SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+               'Doc ' || doc_id || chr(10) || text AS extracted
+        FROM documents ORDER BY url
       """),
     ),
     // Batch face of the STREAMING crawl intake (DocStreams.crawlIntake):

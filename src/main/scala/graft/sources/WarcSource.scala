@@ -137,6 +137,91 @@ object WarcSource {
       .toDF("warc_type", "url", "http_status", "content_type", "body", "member_offset")
   }
 
+  /** All `.warc.gz`/`.wet.gz` files of a directory as one frame — one
+    * sequential task per file (the crawl-corpus shape: parallelism =
+    * file count).
+    */
+  def readDir(spark: SparkSession, dir: String): DataFrame = {
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".warc.gz") || p.endsWith(".wet.gz"))
+      .sorted.toSeq
+    require(files.nonEmpty, s"$dir holds no .warc.gz/.wet.gz files")
+    readSequential(spark, files)
+  }
+
+  /** EXPORT a curated corpus as WET: each partition writes one
+    * `part-<id>.wet.gz` of 'conversion' records (one gzip member per
+    * record, ISO 28500 framing, text/plain payloads) plus the
+    * member-offset sidecar — the form a curation pipeline hands back to
+    * the crawl ecosystem. Executors write independently; file count =
+    * partition count (repartition upstream to choose it). Rows:
+    * (url STRING, text STRING).
+    */
+  def writeWet(pages: DataFrame, dir: String): Unit = {
+    val out = Paths.get(dir).toAbsolutePath
+    Files.createDirectories(out)
+    val outStr = out.toString
+    pages.select("url", "text").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+      var pos = 0L
+      val offsets = Seq.newBuilder[Long]
+      val f = Paths.get(outStr, f"part-$pid%05d.wet.gz")
+      val fos = Files.newOutputStream(f)
+      try {
+        def member(bytes: Array[Byte]): Unit = {
+          val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+          val gz = new java.util.zip.GZIPOutputStream(bos, 1 << 16)
+          gz.write(bytes)
+          gz.close()
+          val blob = bos.toByteArray
+          offsets += pos
+          fos.write(blob)
+          pos += blob.length
+        }
+        def record(warcType: String, headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+          val sb = new StringBuilder("WARC/1.0\r\n")
+          sb.append("WARC-Type: ").append(warcType).append("\r\n")
+          headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+          sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+          val head = sb.toString.getBytes(StandardCharsets.UTF_8)
+          val all = new Array[Byte](head.length + payload.length + 4)
+          System.arraycopy(head, 0, all, 0, head.length)
+          System.arraycopy(payload, 0, all, head.length, payload.length)
+          all(all.length - 4) = '\r'; all(all.length - 3) = '\n'
+          all(all.length - 2) = '\r'; all(all.length - 1) = '\n'
+          all
+        }
+        // deterministic metadata: a WET export is a pure function of its
+        // corpus (no wall clock, no RNG) so re-exports are byte-stable
+        val date = "2026-01-01T00:00:00Z"
+        member(record("warcinfo", Seq(
+          "WARC-Date" -> date,
+          "WARC-Record-ID" -> f"<urn:uuid:wetinfo-$pid%012d>",
+          "Content-Type" -> "application/warc-fields",
+        ), "software: graft WarcSource.writeWet\r\nformat: WARC File Format 1.0\r\n"
+          .getBytes(StandardCharsets.UTF_8)))
+        it.foreach { row =>
+          val url = row.getString(0)
+          val text = row.getString(1)
+          member(record("conversion", Seq(
+            "WARC-Date" -> date,
+            "WARC-Record-ID" -> s"<urn:uuid:wet-${java.lang.Long.toHexString(
+              org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+                url.getBytes(StandardCharsets.UTF_8),
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                url.getBytes(StandardCharsets.UTF_8).length, 42).toLong & 0xffffffffL)}>",
+            "WARC-Target-URI" -> url,
+            "Content-Type" -> "text/plain",
+          ), text.getBytes(StandardCharsets.UTF_8)))
+        }
+      } finally fos.close()
+      Files.writeString(Paths.get(outStr, f"part-$pid%05d.wet.gz.idx"),
+        offsets.result().mkString("", "\n", "\n"))
+      ()
+    }
+  }
+
   /** Member byte offsets of a `.warc.gz`, by one sequential pass that
     * parses each gzip member's header and inflates (discarding output)
     * to find its end — the sidecar bootstrap. O(file) decompression

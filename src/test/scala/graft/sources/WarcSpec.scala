@@ -67,6 +67,60 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(joined.length === 5 && joined.forall(_.getBoolean(0)))
   }
 
+  test("writeWet → readDir inverts: per-partition files + sidecars, records intact") {
+    import spark.implicits._
+    val pages = (0 until 37)
+      .map(i => (s"https://s${i % 3}.example.org/doc/$i", s"Doc $i\nbody text $i"))
+      .toDF("url", "text").repartition(3)
+    val dir = Files.createTempDirectory("graft_wetout_spec")
+    dir.toFile.deleteOnExit()
+    WarcSource.writeWet(pages, dir.toString)
+    val parts = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".wet.gz"))
+    assert(parts.length === 3) // one file per partition
+    parts.foreach(p => assert(Files.exists(Paths.get(p + ".idx"))))
+    // sidecars are honest: buildIndex reproduces them
+    parts.foreach { p =>
+      val sidecar = Files.readAllLines(Paths.get(p + ".idx"))
+        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map(_.toLong)
+      assert(WarcSource.buildIndex(p) === sidecar)
+    }
+    val back = WarcSource.readDir(spark, dir.toString)
+      .filter(col("warc_type") === "conversion")
+      .select("url", "body").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back.size === 37)
+    (0 until 37).foreach(i =>
+      assert(back(s"https://s${i % 3}.example.org/doc/$i") === s"Doc $i\nbody text $i"))
+  }
+
+  test("fuzz: bit flips and truncations parse or fail loud — never misparse silently") {
+    val bytes = Files.readAllBytes(Paths.get(warcPath))
+    val d = Files.createTempDirectory("graft_warcfuzz")
+    d.toFile.deleteOnExit()
+    val clean = WarcSource.readSequential(spark, Seq(warcPath))
+      .select("warc_type", "url").collect().length
+    val cases =
+      (1 until 8).map(k => java.util.Arrays.copyOf(bytes, bytes.length * k / 8)) ++
+        (0 until bytes.length by (bytes.length / 13)).map { i =>
+          val a = bytes.clone(); a(i) = (a(i) ^ 0x41).toByte; a
+        }
+    cases.zipWithIndex.foreach { case (c, i) =>
+      val p = d.resolve(s"f$i.warc.gz")
+      Files.write(p, c)
+      // any outcome is acceptable EXCEPT silently returning a full,
+      // plausible record set from corrupt bytes with no error: either
+      // it throws (truncation/framing/gzip), or whatever decodes is a
+      // WARC-framing-valid prefix (gzip CRCs + Content-Length framing
+      // make a silent full-count misparse practically impossible)
+      scala.util.Try(
+        WarcSource.readSequential(spark, Seq(p.toString)).collect().length
+      ) match {
+        case scala.util.Success(n) => assert(n <= clean)
+        case scala.util.Failure(_) => () // fail-loud is the expected mode
+      }
+    }
+  }
+
   test("truncated file fails loud on both paths") {
     val bytes = Files.readAllBytes(Paths.get(warcPath))
     val cut = Files.createTempDirectory("graft_warctrunc").resolve("cut.warc.gz")
