@@ -159,3 +159,38 @@ case class ByteBpeDetok(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ByteBpeDetok =
     copy(child = newChild)
 }
+
+/** The text's frozen-BPE TOKEN-ID stream (ARRAY<INT>, the LM-ready
+  * form) — ids 0..255 are the byte base vocabulary, 256+k is merge k's
+  * output (see [[graft.text.ByteBpe.vocabOf]]). The id table derives
+  * from the plan-constant model once per (deserialized) expression
+  * instance and rides codegen as a reference object.
+  */
+case class ByteBpeIds(child: Expression, model: Bpe.BpeModel)
+    extends UnaryExpression {
+
+  @transient private lazy val vocab: java.util.HashMap[String, Integer] =
+    graft.text.ByteBpe.vocabOf(model)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${GraftFunctions.ByteBpeIdsName} requires STRING, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = GraftFunctions.ByteBpeIdsName
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.text.ByteBpe.idsOf(input.asInstanceOf[UTF8String], model, vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("byteBpeModel", model, classOf[Bpe.BpeModel].getName)
+    val vocabRef = ctx.addReferenceObj("byteBpeVocab", vocab, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.ByteBpe.idsOf($c, $modelRef, $vocabRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeIds =
+    copy(child = newChild)
+}

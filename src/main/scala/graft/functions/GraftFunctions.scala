@@ -37,6 +37,7 @@ object GraftFunctions {
   val ByteBpeCountV3Name = "graft_bytebpe_count_v3"
   val ByteBpeSegmentV3Name = "graft_bytebpe_segment_v3"
   val ByteBpeDetokName = "graft_bytebpe_detok"
+  val ByteBpeIdsName = "graft_bytebpe_ids"
   val NearestCentroid2Name = "graft_nearest_centroid2"
   val ByteBpeSegmentName = "graft_bytebpe_segment"
   val HtmlExtractName = "graft_html_extract"
@@ -205,6 +206,10 @@ object GraftFunctions {
     (ByteBpeDetokName, classOf[ByteBpeDetok].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$ByteBpeDetokName takes (tokens)")
       ByteBpeDetok(children.head)
+    }),
+    (ByteBpeIdsName, classOf[ByteBpeIds].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$ByteBpeIdsName takes (text)")
+      ByteBpeIds(children.head, graft.text.ByteBpe.frozenModelV3)
     }),
     (HtmlExtractName, classOf[HtmlExtract].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$HtmlExtractName takes (html)")
@@ -454,6 +459,7 @@ object GraftFunctions {
   def byteBpeCountV3(text: Column): Column = call_function(ByteBpeCountV3Name, text)
   def byteBpeSegmentV3(text: Column): Column = call_function(ByteBpeSegmentV3Name, text)
   def byteBpeDetok(tokens: Column): Column = call_function(ByteBpeDetokName, tokens)
+  def byteBpeIds(text: Column): Column = call_function(ByteBpeIdsName, text)
 
   /** Frozen byte-level BPE token stream (mapped-space ARRAY<STRING>). */
   def byteBpeSegment(text: Column): Column = call_function(ByteBpeSegmentName, text)

@@ -367,6 +367,7 @@ object PlanAudit {
     "doc_bpe_tokens_v2" -> 1,
     "doc_bpe_tokens_v3" -> 1,
     "doc_bpe_roundtrip_v3" -> 1,
+    "doc_bpe_ids_v3" -> 1,
     // same strict-prefix budget shape as doc_token_budget: source window
     // + final rollup/sort
     "doc_token_budget_bpe" -> 2,

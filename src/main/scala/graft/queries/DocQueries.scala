@@ -1667,6 +1667,56 @@ object DocQueries {
         ORDER BY doc_id
       """),
     ),
+    // The LM-READY output: token-ID streams (ids 0..255 = byte base
+    // vocabulary, 256+k = merge k — graft_bytebpe_ids, the id table a
+    // plan constant derived from the frozen fixture, uniqueness
+    // fail-loud-checked). The oracle rebuilds the SAME id table in SQL
+    // (range(256) base ∪ the merge VALUES) and joins it against the
+    // min-rank segmentation replay — ids, segmentation, and the vocab
+    // derivation must all agree for the per-doc id sums to match.
+    Q(
+      "doc_bpe_ids_v3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.byteBpeIds(col("text")).as("ids"))
+          .select(
+            col("doc_id"),
+            size(col("ids")).cast("bigint").as("n_toks"),
+            expr("aggregate(ids, 0L, (a, x) -> a + x)").as("sum_ids"),
+            expr("array_min(ids)").cast("bigint").as("min_id"),
+            expr("array_max(ids)").cast("bigint").as("max_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${ByteBpe.oracleApplyRanked("documents")},
+        vocab AS (
+          SELECT b AS id, CASE WHEN b >= 33 AND b <= 126 THEN chr(CAST(b AS INT))
+                               ELSE chr(CAST(256 + b AS INT)) END AS tok
+          FROM range(256) t(b)
+          UNION ALL
+          SELECT 256 + rank, a || b FROM mergesv
+        ),
+        tokids AS (
+          SELECT p.doc_id, v.id
+          FROM pretok p
+          JOIN syms s USING (word), LATERAL unnest(s.sym_list) u(tok)
+          JOIN vocab v ON v.tok = u.tok
+        ),
+        per_doc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                 CAST(SUM(id) AS BIGINT) AS sum_ids,
+                 CAST(MIN(id) AS BIGINT) AS min_id,
+                 CAST(MAX(id) AS BIGINT) AS max_id
+          FROM tokids GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(p.n_toks, 0) AS n_toks,
+               COALESCE(p.sum_ids, 0) AS sum_ids, p.min_id, p.max_id
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY doc_id
+      """),
+    ),
     // Tokenizer round-trip identity: segment → detokenize reproduces the
     // corpus byte-for-byte (pre-tokens partition the byte stream, merges
     // only concatenate, unmap inverts the byte map — so the composition

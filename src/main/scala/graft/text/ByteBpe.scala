@@ -131,6 +131,53 @@ object ByteBpe {
     UTF8String.fromString(unmap(sb.toString))
   }
 
+  /** The model's token-id table — the LM-ready vocabulary: ids 0..255
+    * are the byte base symbols ([[byteChar]] order), id 256+k is merge
+    * k's output string. Well-defined only because trained tables here
+    * never emit a duplicate output string (checked fail-loud: a pair
+    * (a, bc) merging to an already-existing symbol string would make
+    * the id map ambiguous).
+    */
+  def vocabOf(model: Bpe.BpeModel): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](512 + model.merges.length * 2)
+    var b = 0
+    while (b < 256) { m.put(String.valueOf(byteChar(b)), Integer.valueOf(b)); b += 1 }
+    var k = 0
+    while (k < model.merges.length) {
+      val tok = model.merges(k)._1 + model.merges(k)._2
+      val prev = m.put(tok, Integer.valueOf(256 + k))
+      require(prev == null,
+        s"ambiguous BPE vocabulary: token '$tok' produced by merge $k already has id $prev")
+      k += 1
+    }
+    m
+  }
+
+  /** The text's frozen-BPE TOKEN-ID stream (ints, pre-token order
+    * preserved) — behind [[graft.functions.ByteBpeIds]]. Every segment
+    * symbol is in the vocabulary by construction (segments are base
+    * symbols or merge outputs); a miss fails loud.
+    */
+  def idsOf(
+      text: UTF8String,
+      model: Bpe.BpeModel,
+      vocab: java.util.HashMap[String, Integer],
+  ): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = Pat.matcher(text.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    while (m.find()) {
+      val segs = model.segment(mapBytes(m.group()))
+      var j = 0
+      while (j < segs.length) {
+        val id = vocab.get(segs(j))
+        require(id != null, s"segment '${segs(j)}' missing from the BPE vocabulary")
+        out += id.intValue()
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   // ------------------------------------------------------- frozen fixture
 
   /** The frozen merge table, loaded from the committed resource fixture
