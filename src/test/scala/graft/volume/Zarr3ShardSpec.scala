@@ -102,6 +102,33 @@ class Zarr3ShardSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Zarr3Store.pointLookupSharded(p, 10, 0, 0))
   }
 
+  test("shape sweep: shard/inner/dim combinations all round-trip (edge shards, partial cells)") {
+    import org.apache.spark.sql.functions._
+    // dims deliberately misaligned with both grids; inner always divides
+    // the shard shape, nothing else divides anything
+    for {
+      (dz, dy, dx) <- Seq((7L, 5L, 9L), (12L, 12L, 3L))
+      (shard, inner) <- Seq(((4, 4, 4), (2, 2, 2)), ((6, 2, 8), (3, 1, 4)), ((2, 6, 2), (2, 3, 1)))
+    } {
+      val vx = spark.range(dz * dy * dx).select(
+        expr(s"id div ${dy * dx}").as("z"),
+        expr(s"(id div $dx) % $dy").as("y"),
+        expr(s"id % $dx").as("x"),
+        (col("id") * 29 % 251).as("label"))
+      val v = ChunkVolume.fromVoxels(vx, dz, dy, dx, shard._1, shard._2, shard._3)
+      val p = tmp()
+      Zarr3Store.writeSharded(v, p, inner, ZstdCodec(1))
+      assert(collectVox(Zarr3Store.read(spark, p)) === collectVox(v),
+        s"dims=($dz,$dy,$dx) shard=$shard inner=$inner")
+      // spot point lookups across the grid
+      for ((z, y, x) <- Seq((0L, 0L, 0L), (dz - 1, dy - 1, dx - 1), (dz / 2, dy / 2, dx / 2))) {
+        val pr = Zarr3Store.pointLookupSharded(p, z, y, x)
+        assert(pr.label === ((z * dy + y) * dx + x) * 29 % 251,
+          s"point ($z,$y,$x) dims=($dz,$dy,$dx) shard=$shard inner=$inner")
+      }
+    }
+  }
+
   test("compactToSharded: fine-chunk store folds into shards, values intact; sharded input refused") {
     val d = Files.createTempDirectory("graft_z3cmp_spec")
     d.toFile.deleteOnExit()
