@@ -353,14 +353,23 @@ object VolumeQueries {
   /** Foreign NGFF 0.5 group written once per JVM by
     * tools/gen_ngff3_fixture.py (independent pure-stdlib encoder).
     */
-  private lazy val foreignNgff3Dir: String = {
+  private lazy val foreignNgff3Dir: String = ngff3Foreign("graft_fngff3")
+
+  /** Foreign NGFF 0.5 group with SHARDING_INDEXED levels — the
+    * independent python encoder writing the at-scale layout ((8,8,8)
+    * shards, (4,4,4) inner, crc32c index) the engine never produced.
+    */
+  private lazy val foreignNgff3ShardedDir: String =
+    ngff3Foreign("graft_fngff3sh", "--dim", "16", "--chunk", "8", "--shard-inner", "4")
+
+  private def ngff3Foreign(tag: String, args: String*): String = {
     val gen = java.nio.file.Paths.get("tools/gen_ngff3_fixture.py")
     require(java.nio.file.Files.exists(gen),
       s"fixture generator not found at ${gen.toAbsolutePath}")
-    val dir = java.nio.file.Files.createTempDirectory("graft_fngff3")
+    val dir = java.nio.file.Files.createTempDirectory(tag)
     dir.toFile.deleteOnExit()
     val out = dir.resolve("group").toString
-    val rc = scala.sys.process.Process(Seq("python3", gen.toString, out))
+    val rc = scala.sys.process.Process(Seq("python3", gen.toString, out) ++ args)
       .!(scala.sys.process.ProcessLogger(_ => ()))
     require(rc == 0, s"gen_ngff3_fixture.py exited $rc")
     out
@@ -1577,6 +1586,22 @@ object VolumeQueries {
       "vol_pyramid_v3_foreign",
       (s, _) => graft.volume.PyramidWriter
         .readLevelV3(s, foreignNgff3Dir, 1)
+        .toVoxels.orderBy("z", "y", "x"),
+      Some(s"""$voxCte
+        SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
+        FROM vox WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+        ORDER BY z, y, x
+      """),
+    ),
+    // K3 sharded interop: the SAME foreign encoder writing its levels
+    // as sharding_indexed arrays (crc32c'd index, gzip+BE inner
+    // pipeline) — a sharded NGFF layout the engine never produced,
+    // level 1 resolved through the group metadata and dispatched to the
+    // sharded reader. Same oracle.
+    Q(
+      "vol_pyramid_v3_sharded_foreign",
+      (s, _) => graft.volume.PyramidWriter
+        .readLevelV3(s, foreignNgff3ShardedDir, 1)
         .toVoxels.orderBy("z", "y", "x"),
       Some(s"""$voxCte
         SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x, label
