@@ -293,6 +293,11 @@ object PlanAudit {
     // A 3rd exchange would mean the rollup stopped riding the shard
     // partitioning or the kernel stopped being a single per-shard pass
     "doc_pack_sequences_ffd" -> 2,
+    // id-emitting GPT-style packing: ONE source window exchange (the
+    // per-sequence rollup rides the window's source partitioning) +
+    // output sort — a 3rd exchange would mean the token stream started
+    // shuffling twice
+    "doc_pack_ids_v3" -> 2,
     "doc_cap_per_source" -> 2,
     // domain cap: canonicalize + PSL-key map-side, ONE domain window
     // exchange + output sort — a 3rd exchange would mean URL

@@ -1717,6 +1717,90 @@ object DocQueries {
         ORDER BY doc_id
       """),
     ),
+    // The pipeline's END PRODUCT: GPT-style contiguous packing of the
+    // actual token-ID streams — per source, docs in doc_id order,
+    // each doc's v3 ids followed by the reserved EOS id (33024 = vocab
+    // size, the first free id), the concatenated stream sliced into
+    // 512-token sequences. Emitted as per-sequence exact-integer stats
+    // (count / id sum / first / last via min_by/max_by on stream
+    // position) so the hash pins the FULL id content and ordering of
+    // every packed sequence. The oracle rebuilds the ordered stream
+    // independently: min-rank segmentation replay → ordered per-doc
+    // token lists → vocab join → EOS interleave → the same window
+    // arithmetic.
+    Q(
+      "doc_pack_ids_v3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val eos = 33024
+        val toks = T(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            concat(graft.functions.GraftFunctions.byteBpeIds(col("text")),
+              array(lit(eos))).as("ids"))
+          .select(col("source"), col("doc_id"),
+            posexplode(col("ids")).as(Seq("ti", "id")))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("ti"))
+        toks
+          .withColumn("pos", row_number().over(w))
+          .withColumn("seq_id", expr("(pos - 1) div 512").cast("bigint"))
+          .groupBy(col("source"), col("seq_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(col("id")).cast("bigint").as("sum_ids"),
+            expr("min_by(id, pos)").cast("bigint").as("first_id"),
+            expr("max_by(id, pos)").cast("bigint").as("last_id"))
+          .orderBy(col("source"), col("seq_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${ByteBpe.oracleApplyRanked("documents")},
+        vocab AS (
+          SELECT b AS id, CASE WHEN b >= 33 AND b <= 126 THEN chr(CAST(b AS INT))
+                               ELSE chr(CAST(256 + b AS INT)) END AS tok
+          FROM range(256) t(b)
+          UNION ALL
+          SELECT 256 + rank, a || b FROM mergesv
+        ),
+        t AS (
+          SELECT doc_id, regexp_extract_all(text, '${ByteBpe.PreTokPattern}') AS words
+          FROM documents
+        ),
+        wpos AS (
+          SELECT doc_id, unnest(words) AS word,
+                 unnest(generate_series(1, len(words))) AS wp
+          FROM t
+        ),
+        stream AS (
+          SELECT doc_id, flatten(list(c.sym_list ORDER BY wpos.wp)) AS w
+          FROM wpos JOIN syms c USING (word) GROUP BY doc_id
+        ),
+        -- every doc contributes its ordered ids then one EOS; docs with
+        -- no pre-tokens contribute EOS alone
+        doc_toks AS (
+          SELECT d.doc_id, d.source, u.ti, v.id
+          FROM documents d
+          JOIN stream st ON st.doc_id = d.doc_id,
+          LATERAL (SELECT unnest(st.w) AS tok,
+                          unnest(generate_series(1, len(st.w))) AS ti) u
+          JOIN vocab v ON v.tok = u.tok
+          UNION ALL
+          SELECT d.doc_id, d.source,
+                 COALESCE(len(st.w), 0) + 1 AS ti, 33024 AS id
+          FROM documents d LEFT JOIN stream st ON st.doc_id = d.doc_id
+        ),
+        posed AS (
+          SELECT source, id,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id, ti) AS pos
+          FROM doc_toks
+        )
+        SELECT source, (pos - 1) // 512 AS seq_id,
+               COUNT(*) AS n_tokens, CAST(SUM(id) AS BIGINT) AS sum_ids,
+               CAST(arg_min(id, pos) AS BIGINT) AS first_id,
+               CAST(arg_max(id, pos) AS BIGINT) AS last_id
+        FROM posed
+        GROUP BY 1, 2 ORDER BY source, seq_id
+      """),
+    ),
     // Tokenizer round-trip identity: segment → detokenize reproduces the
     // corpus byte-for-byte (pre-tokens partition the byte stream, merges
     // only concatenate, unmap inverts the byte map — so the composition
