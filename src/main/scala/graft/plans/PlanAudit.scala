@@ -373,6 +373,8 @@ object PlanAudit {
     "doc_bpe_tokens_v3" -> 1,
     "doc_bpe_roundtrip_v3" -> 1,
     "doc_bpe_ids_v3" -> 1,
+    // tokenizer QC: one map-side-combined source rollup + output sort
+    "doc_tokenizer_qc" -> 2,
     // same strict-prefix budget shape as doc_token_budget: source window
     // + final rollup/sort
     "doc_token_budget_bpe" -> 2,

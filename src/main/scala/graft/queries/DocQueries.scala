@@ -1801,6 +1801,48 @@ object DocQueries {
         GROUP BY 1, 2 ORDER BY source, seq_id
       """),
     ),
+    // Tokenizer QC: the two health ratios every tokenizer deployment
+    // tracks per corpus slice — compression (bytes per token) and
+    // fertility (tokens per pre-token/word), in exact per-mille integer
+    // fixed point (summing doubles would be order-dependent). A
+    // vocabulary mismatch, a segmentation drift, or a corpus shift all
+    // move these first.
+    Q(
+      "doc_tokenizer_qc",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        T(s, d, "documents")
+          .select(col("source"),
+            octet_length(col("text")).cast("bigint").as("bytes"),
+            size(regexp_extract_all(col("text"), lit(ByteBpe.PreTokPattern), lit(0)))
+              .cast("bigint").as("pretoks"),
+            graft.functions.GraftFunctions.byteBpeCountV3(col("text")).as("toks"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("bytes")).as("total_bytes"),
+            sum(col("toks")).as("total_tokens"),
+            expr("(sum(bytes) * 1000) div sum(toks)").as("bytes_per_tok_e3"),
+            expr("(sum(toks) * 1000) div sum(pretoks)").as("fertility_e3"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${ByteBpe.oracleApplyRanked("documents")},
+        per AS (
+          SELECT d.doc_id, d.source,
+                 CAST(octet_length(encode(d.text)) AS BIGINT) AS bytes,
+                 COALESCE(p.n_pretokens, 0) AS pretoks,
+                 COALESCE(p.bpe_tokens, 0) AS toks
+          FROM documents d LEFT JOIN bpe_per_doc p USING (doc_id)
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(bytes) * 1000 // SUM(toks) AS BIGINT) AS bytes_per_tok_e3,
+               CAST(SUM(toks) * 1000 // SUM(pretoks) AS BIGINT) AS fertility_e3
+        FROM per GROUP BY source ORDER BY source
+      """),
+    ),
     // Tokenizer round-trip identity: segment → detokenize reproduces the
     // corpus byte-for-byte (pre-tokens partition the byte stream, merges
     // only concatenate, unmap inverts the byte map — so the composition
