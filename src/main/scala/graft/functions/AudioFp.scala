@@ -57,3 +57,46 @@ case class AudioFp64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): AudioFp64 =
     copy(child = newChild)
 }
+
+/** 64-bit video perceptual fingerprint of an AVI payload (BINARY →
+  * BIGINT, null when the container doesn't decode or holds no frames) —
+  * the video corner of the near-dup triangle: real AVI/DIB decode, then
+  * the shared 8×8 dHash grid over frame 0's exact-integer (b+g+r) luma.
+  * Same output-side nullability / codegen pattern as [[AudioFp64]].
+  */
+case class VideoFp64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${GraftFunctions.VideoFpName} requires BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = GraftFunctions.VideoFpName
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.multimodal.Multimodal.videoFp64(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("vfp")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${childGen.isNull}) {
+          java.lang.Long $boxed = graft.multimodal.Multimodal.videoFp64(${childGen.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VideoFp64 =
+    copy(child = newChild)
+}

@@ -33,6 +33,7 @@ object GraftFunctions {
   val FfdPackName = "graft_ffd_pack"
   val DHashName = "graft_dhash64"
   val AudioFpName = "graft_audio_fp64"
+  val VideoFpName = "graft_video_fp64"
   val ByteBpeCountName = "graft_bytebpe_count"
   val ByteBpeCountV3Name = "graft_bytebpe_count_v3"
   val ByteBpeSegmentV3Name = "graft_bytebpe_segment_v3"
@@ -168,6 +169,10 @@ object GraftFunctions {
     (AudioFpName, classOf[AudioFp64].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$AudioFpName takes exactly 1 argument")
       AudioFp64(children.head)
+    }),
+    (VideoFpName, classOf[VideoFp64].getName, { children: Seq[Expression] =>
+      require(children.size == 1, s"$VideoFpName takes exactly 1 argument")
+      VideoFp64(children.head)
     }),
     // the byte-level tokenizer's merge table is the COMMITTED resource
     // fixture, not a per-call literal: the builder loads it once
@@ -451,6 +456,9 @@ object GraftFunctions {
 
   /** 64-bit audio perceptual fingerprint of a WAV payload (see [[AudioFp64]]). */
   def audioFp64(payload: Column): Column = call_function(AudioFpName, payload)
+
+  /** 64-bit video perceptual fingerprint of an AVI payload (see [[VideoFp64]]). */
+  def videoFp64(payload: Column): Column = call_function(VideoFpName, payload)
 
   /** Frozen byte-level BPE token count (see [[graft.text.ByteBpe]]). */
   def byteBpeCount(text: Column): Column = call_function(ByteBpeCountName, text)

@@ -201,25 +201,90 @@ object Multimodal {
     * reproducible from the raster algebra, which is what lets the gate
     * oracle recompute it in SQL.
     */
+  /** The 8×8 luma-gradient dHash over an already-decoded gray raster —
+    * shared by the image fingerprint (JDK-decoded luma) and the video
+    * fingerprint (frame-0 BGR sum luma).
+    */
+  def dhashOfGray(w: Int, h: Int, px: Array[Int]): Long = {
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val a = px(sy * w + gx * w / 9)
+        val b = px(sy * w + (gx + 1) * w / 9)
+        if (a < b) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
   def dhash64(payload: Array[Byte]): java.lang.Long =
     decodeGray(payload) match {
       case None => null
-      case Some((w, h, px)) =>
-        var hash = 0L
-        var gy = 0
-        while (gy < 8) {
-          val sy = gy * h / 8
-          var gx = 0
-          while (gx < 8) {
-            val a = px(sy * w + gx * w / 9)
-            val b = px(sy * w + (gx + 1) * w / 9)
-            if (a < b) hash |= 1L << (gy * 8 + gx)
-            gx += 1
-          }
-          gy += 1
-        }
-        java.lang.Long.valueOf(hash)
+      case Some((w, h, px)) => java.lang.Long.valueOf(dhashOfGray(w, h, px))
     }
+
+  /** 64-bit video perceptual fingerprint: REAL AVI decode, then the
+    * dHash grid over frame 0's integer luma (b+g+r per pixel — the
+    * exact-integer luma an oracle can replay; weighted lumas would be
+    * float). Null for undecodable or frameless payloads.
+    */
+  def videoFp64(payload: Array[Byte]): java.lang.Long =
+    decodeAviRgb24(payload) match {
+      case None => null
+      case Some((w, h, _, frames)) =>
+        if (frames.isEmpty || w < 9 || h < 8) null
+        else {
+          val f0 = frames.head
+          val px = Array.tabulate(w * h)(p => f0(3 * p) + f0(3 * p + 1) + f0(3 * p + 2))
+          java.lang.Long.valueOf(dhashOfGray(w, h, px))
+        }
+    }
+
+  /** Pixel-byte formula of the video near-dup fixture (the
+    * [[nearDupPixel]] discipline on BGR bytes): an id-dependent
+    * MULTIPLIER varies the gradient wrap pattern per id, so unrelated
+    * clips separate on the dhash grid; `variant 1` rewrites only the
+    * bottom-right block of frame 0 (≤1 bit).
+    */
+  def videoNearDupByte(base: Long, variant: Int, frame: Int, i: Int): Int = {
+    val p = i / 3 // pixel index; all three BGR bytes share the formula
+    val x = p % 16
+    val y = p / 16
+    if (variant == 1 && frame == 0 && y >= 14 && x >= 12) ((base * 31) % 256).toInt
+    else ((p.toLong * (97 + 2 * base) + base * 53 + frame * 17) % 256).toInt
+  }
+
+  /** Near-dup AVI fixture: per doc a base 2-frame 16×16 clip of
+    * [[videoNearDupByte]], plus a CONTAINER re-encode at a different
+    * fps for every 5th id (identical rasters → hamming 0) and a
+    * frame-0 bottom-right tweak for every 7th id (hamming ≤ 1).
+    */
+  def syntheticNearDupAvis(docs: DataFrame): DataFrame = {
+    val (w, h, nFrames) = (16, 16, 2)
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        def frames(variant: Int): Seq[Array[Byte]] =
+          (0 until nFrames).map(f =>
+            Array.tabulate(w * h * 3)(i => videoNearDupByte(id, variant, f, i).toByte))
+        val meta = Map("format" -> "avi")
+        val out = scala.collection.mutable.ArrayBuffer(
+          Row(id, "video", encodeAviRgb24(frames(0), w, h, fps = 10), meta))
+        if (id % 5 == 0)
+          out += Row(id + 1000L, "video", encodeAviRgb24(frames(0), w, h, fps = 25), meta)
+        if (id % 7 == 0)
+          out += Row(id + 2000L, "video", encodeAviRgb24(frames(1), w, h, fps = 10), meta)
+        out
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 
   /** Pixel formula of the near-dup fixture corpus: an id-dependent
     * multiplicative sawtooth — the per-id MULTIPLIER (not just an offset)

@@ -200,6 +200,7 @@ object PlanAudit {
     "emb_ivf_pq_recall" -> ivfPrunedScanShape,
     "mm_phash_dedup" -> noAllPairsShape,
     "mm_audio_dedup" -> noAllPairsShape,
+    "mm_video_dedup" -> noAllPairsShape,
     "doc_contamination_bloom" -> bloomPrefilterShape,
   )
 

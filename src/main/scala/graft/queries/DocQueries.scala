@@ -3567,6 +3567,74 @@ object DocQueries {
         ORDER BY id_a, id_b
       """),
     ),
+    // ------------------------------------- perceptual video near-dup
+    // The third corner of the near-dup triangle (image dHash, audio WHT
+    // bands, and now video): REAL AVI/DIB decode inside the codegen'd
+    // graft_video_fp64, then the SHARED 8×8 dHash grid over frame 0's
+    // exact-integer (b+g+r) luma, hamming-banded candidates (never
+    // all-pairs, shape-pinned), exact verify. Fixture: per doc a
+    // 2-frame multiplicative-sawtooth clip, a CONTAINER re-encode at a
+    // different fps (identical rasters → hamming 0), and a frame-0
+    // bottom-right tweak (≤1 bit); unrelated clips ≥5 bits apart,
+    // probed over all pairs in MultimodalSpec. The oracle replays the
+    // raster algebra — container decode, DIB flip, luma, grid, and
+    // banding all have to be right for the hashes to meet.
+    Q(
+      "mm_video_dedup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val mm = Multimodal.syntheticNearDupAvis(
+          T(s, d, "documents").filter(col("doc_id") < 40))
+        val hashed = mm.select(
+          col("id").as("doc_id"),
+          graft.functions.GraftFunctions.videoFp64(col("payload")).as("simhash"))
+          .filter(col("simhash").isNotNull)
+        Dedup.simhashPairs(hashed, maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH clips AS (
+          SELECT doc_id AS clip, doc_id AS base, 0 AS variant
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 1000, doc_id, 0 FROM documents
+          WHERE doc_id < 40 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000, doc_id, 1 FROM documents
+          WHERE doc_id < 40 AND doc_id % 7 = 0
+        ),
+        grid AS (
+          SELECT clip, base, variant, gy.range AS gy, gx.range AS gx,
+                 CAST(gy.range * 2 AS BIGINT) AS sy,
+                 CAST(gx.range * 16 // 9 AS BIGINT) AS sxa,
+                 CAST((gx.range + 1) * 16 // 9 AS BIGINT) AS sxb
+          FROM clips, range(8) gy, range(8) gx
+        ),
+        bits AS (
+          SELECT clip, gy * 8 + gx AS b,
+                 CASE WHEN (CASE WHEN variant = 1 AND sy >= 14 AND sxa >= 12
+                                 THEN 3 * ((base * 31) % 256)
+                                 ELSE 3 * (((sy * 16 + sxa) * (97 + 2 * base) + base * 53) % 256) END)
+                         < (CASE WHEN variant = 1 AND sy >= 14 AND sxb >= 12
+                                 THEN 3 * ((base * 31) % 256)
+                                 ELSE 3 * (((sy * 16 + sxb) * (97 + 2 * base) + base * 53) % 256) END)
+                      THEN 1 ELSE 0 END AS bit
+          FROM grid
+        ),
+        hashes AS (
+          SELECT clip,
+                 CAST(SUM(CASE WHEN bit = 0 THEN 0
+                               WHEN b = 63 THEN -9223372036854775808
+                               ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END) AS BIGINT) AS h
+          FROM bits GROUP BY clip
+        )
+        SELECT a.clip AS id_a, b.clip AS id_b,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM hashes a JOIN hashes b ON a.clip < b.clip
+        WHERE bit_count(xor(a.h, b.h)) <= 3
+        ORDER BY id_a, id_b
+      """),
+    ),
     // ------------------------------------- perceptual audio near-dup
     // The audio twin of mm_phash_dedup: every WAV payload gets a 64-bit
     // Haitsma–Kalker band-energy-difference fingerprint (REAL RIFF

@@ -451,4 +451,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val short = Multimodal.encodeWavPcm16(Array.fill(100)(5), 8000)
     assert(Multimodal.audioFp64(short) == null)
   }
+
+  test("video fingerprint: twins within 3 bits, unrelated clips >= 5 bits, all pairs probed") {
+    def clip(id: Long, variant: Int, fps: Int): Array[Byte] = {
+      val frames = (0 until 2).map(f =>
+        Array.tabulate(16 * 16 * 3)(i => Multimodal.videoNearDupByte(id, variant, f, i).toByte))
+      Multimodal.encodeAviRgb24(frames, 16, 16, fps)
+    }
+    def fp(b: Array[Byte]): Long = Multimodal.videoFp64(b).longValue()
+    val clips = scala.collection.mutable.Map[Long, Long]()
+    for (id <- 0L until 40L) {
+      clips(id) = fp(clip(id, 0, 10))
+      if (id % 5 == 0) clips(id + 1000) = fp(clip(id, 0, 25)) // container re-encode
+      if (id % 7 == 0) clips(id + 2000) = fp(clip(id, 1, 10)) // frame-0 tweak
+    }
+    val ids = clips.keys.toSeq.sorted
+    for (ai <- ids.indices; bi <- (ai + 1) until ids.length) {
+      val (a, b) = (ids(ai), ids(bi))
+      val d = java.lang.Long.bitCount(clips(a) ^ clips(b))
+      if (a % 1000 == b % 1000) assert(d <= 3, s"twin pair ($a,$b) at hamming $d")
+      else assert(d >= 5, s"unrelated pair ($a,$b) at hamming $d")
+    }
+  }
+
+  test("video fingerprint: undecodable and frameless payloads are null, not faked") {
+    assert(Multimodal.videoFp64(Array[Byte](1, 2, 3)) == null)
+    // a decodable WAV is not an AVI
+    assert(Multimodal.videoFp64(Multimodal.encodeWavPcm16(Array.fill(64)(1), 8000)) == null)
+  }
 }
