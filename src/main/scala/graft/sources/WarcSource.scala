@@ -52,6 +52,10 @@ object WarcSource {
     val sorted = offsets.sorted
     require(sorted.headOption.forall(_ == 0L),
       s"$path.idx: first member offset must be 0, got ${sorted.headOption}")
+    require(sorted.forall(o => o >= 0 && o < fileLen),
+      s"$path.idx: member offsets outside the $fileLen-byte file")
+    require(sorted.distinct.size == sorted.size,
+      s"$path.idx: duplicate member offsets")
     // (offset, end) per member — ends derive from the next offset
     val spans = sorted.zip(sorted.drop(1) :+ fileLen)
     import spark.implicits._
@@ -322,6 +326,8 @@ object WarcSource {
     while (state != 4) {
       val b = in.read()
       require(b >= 0, s"$path: EOF inside a WARC header block")
+      require(head.size() < (1 << 20),
+        s"$path: WARC header block exceeds 1 MiB with no terminator — not WARC framing")
       head.write(b)
       state = (state, b) match {
         case (0, '\r') => 1
@@ -338,8 +344,8 @@ object WarcSource {
       .find(_.toLowerCase.startsWith("content-length:"))
       .map(_.split(":", 2)(1).trim.toLong)
       .getOrElse(sys.error(s"$path: WARC record without Content-Length"))
-    require(clen <= Int.MaxValue - headBytes.length - 4,
-      s"$path: WARC record of $clen bytes exceeds the single-record limit")
+    require(clen >= 0 && clen <= Int.MaxValue - headBytes.length - 4,
+      s"$path: WARC record declares a $clen-byte payload — outside the single-record limit")
     val payload = new Array[Byte](clen.toInt)
     var got = 0
     while (got < clen) {
@@ -380,6 +386,7 @@ object WarcSource {
       sys.error(s"$path: record at $off missing WARC-Type"))
     val clen = headers.get("content-length").map(_.toInt)
       .getOrElse(sys.error(s"$path: record at $off missing Content-Length"))
+    require(clen >= 0, s"$path: record at $off declares a negative Content-Length $clen")
     val payloadStart = sepIdx + 4
     require(payloadStart + clen <= bytes.length,
       s"$path: record at $off truncated (declared $clen payload bytes)")

@@ -610,7 +610,8 @@ object Zarr3Store {
               val off = e(cell * 2); val len = e(cell * 2 + 1)
               if (off == Missing) None
               else {
-                require(off >= 0 && len >= 0 && off + len <= shardBytes.get.length,
+                require(off >= 0 && len >= 0 && off + len <= shardBytes.get.length
+                    && len <= Int.MaxValue,
                   s"shard $f: inner cell $cell addresses [$off, ${off + len}) outside the file")
                 val b = new Array[Byte](len.toInt)
                 System.arraycopy(shardBytes.get, off.toInt, b, 0, len.toInt)
@@ -724,6 +725,9 @@ object Zarr3Store {
                   val off = entries(cell * 2); val len = entries(cell * 2 + 1)
                   if (off == Missing) None
                   else {
+                    require(off >= 0 && len >= 0 && len <= Int.MaxValue
+                        && off + len <= raf.length(),
+                      s"shard $f: inner cell $cell addresses [$off, ${off + len}) outside the file")
                     val b = new Array[Byte](len.toInt)
                     raf.seek(off)
                     raf.readFully(b)
@@ -844,7 +848,7 @@ object Zarr3Store {
       val entries = parseShardIndex(idxBytes, sh, zm, f.toString)
       val off = entries(cell * 2); val len = entries(cell * 2 + 1)
       val blob = if (off == Missing) None else {
-        require(off >= 0 && len >= 0 && off + len <= fileLen,
+        require(off >= 0 && len >= 0 && off + len <= fileLen && len <= Int.MaxValue,
           s"shard $f: cell $cell addresses [$off, ${off + len}) outside the file")
         val b = new Array[Byte](len.toInt)
         raf.seek(off)
