@@ -201,6 +201,7 @@ object PlanAudit {
     "mm_phash_dedup" -> noAllPairsShape,
     "mm_audio_dedup" -> noAllPairsShape,
     "mm_video_dedup" -> noAllPairsShape,
+    "mm_mixed_dedup" -> noAllPairsShape,
     "doc_contamination_bloom" -> bloomPrefilterShape,
   )
 
