@@ -1,0 +1,276 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileStatus, FileSystem, LocalFileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+import java.io.{ByteArrayOutputStream, FileNotFoundException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+
+/** Serializable Hadoop configuration for shipping the driver's filesystem
+  * config (credentials, endpoints, `spark.hadoop.*`) into executor closures.
+  *
+  * `Configuration` itself is not `java.io.Serializable`; it is a Hadoop
+  * `Writable`, so we serialize through `write`/`readFields`. Store entry
+  * points declare `implicit val fc = FioConf.of(spark)` before building
+  * executor closures — the implicit is captured lexically, so every
+  * `Fio.*` call inside the closure resolves paths with the DRIVER's
+  * filesystem configuration, not whatever happens to be on the executor's
+  * classpath.
+  */
+final class FioConf(@transient private var c: Configuration) extends Serializable {
+  def conf: Configuration = {
+    if (c == null) c = new Configuration() // driverless fallback (tests, tools)
+    c
+  }
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    c = new Configuration(false)
+    c.readFields(in)
+  }
+}
+
+object FioConf {
+  /** Driver entry: the session's Hadoop conf (includes `spark.hadoop.*`). */
+  def of(spark: SparkSession): FioConf = new FioConf(spark.sparkContext.hadoopConfiguration)
+
+  /** Low-priority default for driver-side utility calls with no session in
+    * scope (CLI tools, header parses in tests). Resolves `file://` and any
+    * scheme configured on the JVM classpath (`core-site.xml`).
+    */
+  implicit lazy val default: FioConf = new FioConf(new Configuration())
+}
+
+/** Positioned-read handle over one file — the Hadoop replacement for every
+  * `RandomAccessFile(path, "r")` the stores used to open. One instance per
+  * task; `readFully(pos, …)` maps to `FSDataInputStream.readFully`, which
+  * is a ranged GET on object stores and a pread on local/HDFS.
+  */
+final class FioRandom(private val in: FSDataInputStream, val size: Long, val path: String) {
+  def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
+    in.readFully(pos, buf, off, len)
+  def readFully(pos: Long, buf: Array[Byte]): Unit = readFully(pos, buf, 0, buf.length)
+  def readAt(pos: Long, len: Int): Array[Byte] = {
+    val b = new Array[Byte](len); readFully(pos, b, 0, len); b
+  }
+  def close(): Unit = in.close()
+}
+
+/** Positioned-WRITE handle. The Hadoop FileSystem API is append-only, so
+  * parallel pwrite sinks (BigTIFF slice write, detached NRRD raw) are a
+  * POSIX-filesystem capability, not a portable one. This handle unwraps
+  * `file://` URIs to a `FileChannel` and FAILS LOUD on any other scheme —
+  * on object storage those single-big-file sinks must target a posix
+  * scratch (`file:///…`) and upload, or use the chunked sinks (zarr,
+  * chunk store) whose writers are one-object-per-task.
+  */
+final class FioRandomWrite private[io] (private val ch: java.nio.channels.FileChannel, val path: String) {
+  def writeFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(buf, off, len)
+    var p = pos
+    while (bb.hasRemaining) p += ch.write(bb, p)
+  }
+  def writeFully(pos: Long, buf: Array[Byte]): Unit = writeFully(pos, buf, 0, buf.length)
+  def truncateTo(len: Long): Unit = { ch.truncate(len); () }
+  def force(): Unit = ch.force(false)
+  def close(): Unit = ch.close()
+}
+
+/** Filesystem facade for every custom reader/writer (MHD, zarr v2/v3,
+  * TIFF, NRRD, WARC, chunk store, pyramid). All paths are STRINGS resolved
+  * through `org.apache.hadoop.fs.FileSystem` — bare paths hit the
+  * configured default FS (local in tests), and `file://`, `hdfs://`,
+  * `s3a://`, `abfs://` URIs route to their schemes, so the same store code
+  * runs single-node and on a 1000-executor cluster.
+  *
+  * Local paths unwrap `LocalFileSystem` to its raw form: the checksummed
+  * wrapper would shed `.crc` sidecars into store directories (breaking
+  * foreign zarr/TIFF readers that list chunk files) and double-read every
+  * byte for CRC verification on the TB-scale bench paths.
+  */
+object Fio {
+
+  def resolve(path: String)(implicit fc: FioConf): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(fc.conf) match {
+      case l: LocalFileSystem => l.getRaw
+      case o => o
+    }
+    (fs, fs.makeQualified(p))
+  }
+
+  /** Qualified string form (scheme-anchored, normalized) of `path`. */
+  def qualify(path: String)(implicit fc: FioConf): String = resolve(path)._2.toString
+
+  /** Join a child name under a directory path, URI-safely. */
+  def child(dir: String, name: String): String = new HPath(dir, name).toString
+
+  def parent(path: String): String = {
+    val p = new HPath(path).getParent
+    require(p != null, s"$path has no parent directory")
+    p.toString
+  }
+
+  def fileName(path: String): String = new HPath(path).getName
+
+  def exists(path: String)(implicit fc: FioConf): Boolean = {
+    val (fs, p) = resolve(path); fs.exists(p)
+  }
+
+  def isDirectory(path: String)(implicit fc: FioConf): Boolean = {
+    val (fs, p) = resolve(path)
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: FileNotFoundException => false }
+  }
+
+  def size(path: String)(implicit fc: FioConf): Long = {
+    val (fs, p) = resolve(path); fs.getFileStatus(p).getLen
+  }
+
+  /** List a directory's immediate children. */
+  def list(path: String)(implicit fc: FioConf): Seq[FileStatus] = {
+    val (fs, p) = resolve(path); fs.listStatus(p).toSeq
+  }
+
+  def listNames(path: String)(implicit fc: FioConf): Seq[String] =
+    list(path).map(_.getPath.getName)
+
+  def mkdirs(path: String)(implicit fc: FioConf): Unit = {
+    val (fs, p) = resolve(path)
+    require(fs.mkdirs(p), s"mkdirs failed for $path")
+  }
+
+  /** `true` iff the target existed. Recursive. */
+  def delete(path: String)(implicit fc: FioConf): Boolean = {
+    val (fs, p) = resolve(path); fs.delete(p, true)
+  }
+
+  /** Directory/file rename. Atomic on POSIX filesystems and HDFS; on
+    * object stores (S3A) rename is a COPY — callers that rely on atomic
+    * publish (AtomicDir) document that caveat.
+    */
+  def rename(src: String, dst: String)(implicit fc: FioConf): Boolean = {
+    val (fs, s) = resolve(src)
+    fs.rename(s, fs.makeQualified(new HPath(dst)))
+  }
+
+  def openStream(path: String)(implicit fc: FioConf): FSDataInputStream = {
+    val (fs, p) = resolve(path); fs.open(p)
+  }
+
+  /** Positioned-read handle (replaces `new RandomAccessFile(path, "r")`). */
+  def openRandom(path: String)(implicit fc: FioConf): FioRandom = {
+    val (fs, p) = resolve(path)
+    val st = fs.getFileStatus(p)
+    new FioRandom(fs.open(p), st.getLen, path)
+  }
+
+  /** Like openRandom but `None` when the file is absent — one metadata
+    * round-trip, not exists()+open().
+    */
+  def openRandomIfExists(path: String)(implicit fc: FioConf): Option[FioRandom] = {
+    val (fs, p) = resolve(path)
+    try {
+      val st = fs.getFileStatus(p)
+      Some(new FioRandom(fs.open(p), st.getLen, path))
+    } catch { case _: FileNotFoundException => None }
+  }
+
+  /** Positioned-write handle; `file://`-scheme only (see FioRandomWrite).
+    * The scheme check precedes filesystem resolution so a non-posix URI
+    * fails with THIS named error, not a scheme-resolution stack.
+    */
+  def openRandomWrite(path: String, preallocate: Long = -1L)(implicit fc: FioConf): FioRandomWrite = {
+    val rawScheme = new HPath(path).toUri.getScheme
+    require(
+      rawScheme == null || rawScheme == "file",
+      s"$path: positioned-write sinks (BigTIFF, detached NRRD raw) need a posix " +
+        "filesystem — write to file:///scratch and upload, or use a chunked sink " +
+        "(zarr, chunk store) whose tasks each write their own object")
+    val (fs, p) = resolve(path)
+    require(
+      "file" == p.toUri.getScheme,
+      s"$path: positioned-write sinks need a posix filesystem (default FS is not file://)")
+    val parentDir = p.getParent
+    if (parentDir != null && !fs.exists(parentDir)) fs.mkdirs(parentDir)
+    val local = java.nio.file.Paths.get(p.toUri.getPath)
+    val ch = java.nio.channels.FileChannel.open(
+      local,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    if (preallocate >= 0) ch.truncate(preallocate)
+    new FioRandomWrite(ch, path)
+  }
+
+  /** Open an existing file for positioned writes without truncation
+    * (executor side of the parallel single-file sinks).
+    */
+  def openRandomRewrite(path: String)(implicit fc: FioConf): FioRandomWrite = {
+    val (_, p) = resolve(path)
+    require("file" == p.toUri.getScheme,
+      s"$path: positioned rewrite requires a posix filesystem (see openRandomWrite)")
+    val local = java.nio.file.Paths.get(p.toUri.getPath)
+    val ch = java.nio.channels.FileChannel.open(local, java.nio.file.StandardOpenOption.WRITE)
+    new FioRandomWrite(ch, path)
+  }
+
+  /** Create/overwrite, parents made as needed. */
+  def createStream(path: String)(implicit fc: FioConf): OutputStream = {
+    val (fs, p) = resolve(path)
+    fs.create(p, true)
+  }
+
+  def readAllBytes(path: String)(implicit fc: FioConf): Array[Byte] = {
+    val (fs, p) = resolve(path)
+    val st = fs.getFileStatus(p)
+    val len = st.getLen
+    require(len <= Int.MaxValue, s"$path: ${len} B exceeds a single in-memory buffer")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    buf
+  }
+
+  def readAllIfExists(path: String)(implicit fc: FioConf): Option[Array[Byte]] = {
+    val (fs, p) = resolve(path)
+    try {
+      val st = fs.getFileStatus(p)
+      val len = st.getLen
+      require(len <= Int.MaxValue, s"$path: ${len} B exceeds a single in-memory buffer")
+      val buf = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      Some(buf)
+    } catch { case _: FileNotFoundException => None }
+  }
+
+  def readString(path: String)(implicit fc: FioConf): String =
+    new String(readAllBytes(path), StandardCharsets.UTF_8)
+
+  def readStringIfExists(path: String)(implicit fc: FioConf): Option[String] =
+    readAllIfExists(path).map(new String(_, StandardCharsets.UTF_8))
+
+  def readLines(path: String)(implicit fc: FioConf): Seq[String] =
+    readString(path).split("\n", -1).toSeq.map(_.stripSuffix("\r"))
+
+  def writeBytes(path: String, bytes: Array[Byte])(implicit fc: FioConf): Unit = {
+    val out = createStream(path)
+    try out.write(bytes) finally out.close()
+  }
+
+  def writeString(path: String, s: String)(implicit fc: FioConf): Unit =
+    writeBytes(path, s.getBytes(StandardCharsets.UTF_8))
+
+  /** Drain an InputStream fully (helper for codec paths). */
+  def drain(in: InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64 * 1024)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+}

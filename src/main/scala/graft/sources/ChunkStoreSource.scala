@@ -10,9 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import java.nio.file.{Files, Paths}
+import graft.io.{Fio, FioConf}
 import java.util
-import scala.jdk.CollectionConverters._
 
 /** DataSource V2 connector for the zarr-style chunk store (S4's idiomatic
   * end state per SURVEY §2.1): `spark.read.format("graftchunks")
@@ -128,18 +127,19 @@ class ChunkStoreWriteBuilder(path: String, info: LogicalWriteInfo)
     @volatile private var staging: StoreStaging = _
 
     override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
-      val dest = Paths.get(path).toAbsolutePath.normalize
+      implicit val fc: FioConf = FioConf.of(org.apache.spark.sql.SparkSession.active)
+      val dest = Fio.qualify(path)
       graft.volume.AtomicDir.sweepLeftovers(dest)
       val appendToExisting = !doTruncate &&
-        Files.exists(dest.resolve(ChunkVolume.SidecarName))
+        Fio.exists(Fio.child(dest, ChunkVolume.SidecarName))
       staging =
         if (appendToExisting) StoreStaging.Append(dest)
         else StoreStaging.Swap(dest)
       val writeDir = staging.writeDir
-      Files.createDirectories(writeDir)
+      Fio.mkdirs(writeDir)
       val opts = info.options
       val vm =
-        if (appendToExisting) ChunkVolume.readSidecar(dest.toString)
+        if (appendToExisting) ChunkVolume.readSidecar(dest)
         else {
           def req(k: String): Long = {
             val v = opts.get(k)
@@ -155,19 +155,20 @@ class ChunkStoreWriteBuilder(path: String, info: LogicalWriteInfo)
             dz, dy, dx, cz, cy, cx,
             ((dz + cz - 1) / cz).toInt, ((dy + cy - 1) / cy).toInt, ((dx + cx - 1) / cx).toInt,
             elem, 1.0, 1.0, 1.0)
-          ChunkVolume.writeSidecar(writeDir.toString, vm0, Map("writer" -> "dsv2"))
+          ChunkVolume.writeSidecar(writeDir, vm0, Map("writer" -> "dsv2"))
           vm0
         }
       val level = Option(opts.get("level")).map(_.toInt).getOrElse(1)
-      new ChunkStoreWriterFactory(writeDir.toString, vm, level)
+      new ChunkStoreWriterFactory(writeDir, vm, level, fc)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      implicit val fc: FioConf = FioConf.of(org.apache.spark.sql.SparkSession.active)
       val entries = messages.toSeq.flatMap {
         case m: ChunkStatsMessage => m.entries
         case _ => Seq.empty
       }
-      staging.commit(dir => ChunkStore.mergeStatsIndex(dir.toString, entries))
+      staging.commit(dir => ChunkStore.mergeStatsIndex(dir, entries))
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = staging.abort()
@@ -177,11 +178,11 @@ class ChunkStoreWriteBuilder(path: String, info: LogicalWriteInfo)
 final case class ChunkStatsMessage(entries: Seq[(String, Long, Long)])
     extends WriterCommitMessage
 
-class ChunkStoreWriterFactory(dir: String, vm: VolumeMeta, level: Int)
+class ChunkStoreWriterFactory(dir: String, vm: VolumeMeta, level: Int, fc: FioConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val enc = new ChunkStore.ChunkFileEncoder(dir, vm, level)
+      private val enc = new ChunkStore.ChunkFileEncoder(dir, vm, level)(fc)
       private val stats = Seq.newBuilder[(String, Long, Long)]
 
       override def write(row: InternalRow): Unit = {
@@ -221,13 +222,14 @@ class ChunkStoreScan(path: String, filters: Array[Filter], targetBytes: Long)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = Paths.get(path)
+    implicit val fc: FioConf = FioConf.of(org.apache.spark.sql.SparkSession.active)
+    val dir = Fio.qualify(path)
     val needStats = filters.exists(_.references.toSet.intersect(ChunkStoreSource.StatCols).nonEmpty)
     // value-stat pruning: ONE read of the consolidated index when present
     // (ChunkStore.write maintains it); per-file 64-byte header peeks only
     // as the fallback for stores written by older tools.
     val statsIndex: Map[String, (Long, Long)] =
-      if (needStats) ChunkStore.readStatsIndex(dir.toAbsolutePath.toString).getOrElse(Map.empty)
+      if (needStats) ChunkStore.readStatsIndex(dir).getOrElse(Map.empty)
       else Map.empty
     // uncompressed payload size per coordinate from the sidecar geometry
     // (zero extra I/O); compressed file size as the fallback proxy for
@@ -241,10 +243,9 @@ class ChunkStoreScan(path: String, filters: Array[Filter], targetBytes: Long)
         val ny = math.min(vm.chunkY.toLong, vm.dimY - cy * vm.chunkY)
         val nx = math.min(vm.chunkX.toLong, vm.dimX - cx * vm.chunkX)
         math.max(1L, nz * ny * nx * vm.bytesPerVoxel)
-      case None => Files.size(dir.resolve(name))
+      case None => Fio.size(Fio.child(dir, name))
     }
-    val survivors = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    val survivors = Fio.listNames(dir).iterator
       .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
       .filter { name =>
         val Array(cz, cy, cx) = name.split("\\.").map(_.toLong)
@@ -253,15 +254,8 @@ class ChunkStoreScan(path: String, filters: Array[Filter], targetBytes: Long)
           val (lmin, lmax) = statsIndex.getOrElse(name, {
             // header-peek fallback — still no payload decompression
             val hdr = new Array[Byte](ChunkStore.HeaderBytes)
-            val in = Files.newInputStream(dir.resolve(name))
-            try {
-              var off = 0
-              while (off < hdr.length) {
-                val r = in.read(hdr, off, hdr.length - off)
-                require(r > 0, s"truncated header in $name")
-                off += r
-              }
-            } finally in.close()
+            val in = Fio.openStream(Fio.child(dir, name))
+            try in.readFully(0L, hdr) finally in.close()
             val h = ChunkStore.readHeader(hdr)
             (h.lmin, h.lmax)
           })
@@ -275,14 +269,14 @@ class ChunkStoreScan(path: String, filters: Array[Filter], targetBytes: Long)
         val Array(cz, cy, cx) = name.split("\\.").map(_.toLong); (cz, cy, cx)
       }
     ChunkPacking.pack(survivors.iterator, payloadBytes, targetBytes)
-      .map(g => ChunkFilesPartition(g.map(n => (dir.resolve(n).toString, n))): InputPartition)
+      .map(g => ChunkFilesPartition(g.map(n => (Fio.child(dir, n), n)), fc): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new ChunkFileReaderFactory
 }
 
-final case class ChunkFilesPartition(files: Seq[(String, String)]) extends InputPartition
+final case class ChunkFilesPartition(files: Seq[(String, String)], fc: FioConf) extends InputPartition
 
 class ChunkFileReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -295,7 +289,7 @@ class ChunkFileReaderFactory extends PartitionReaderFactory {
         if (!it.hasNext) return false
         val (file, name) = it.next()
         val Array(cz, cy, cx) = name.split("\\.").map(_.toInt)
-        val bytes = Files.readAllBytes(Paths.get(file))
+        val bytes = Fio.readAllBytes(file)(p.fc)
         val h = ChunkStore.readHeader(bytes)
         val data = new Array[Byte](h.rawLen)
         com.github.luben.zstd.Zstd.decompressByteArray(

@@ -1,7 +1,7 @@
 package graft.sources
 
+import graft.io.{Fio, FioConf}
 import graft.volume.AtomicDir
-import java.nio.file.{Files, Path, StandardCopyOption}
 
 /** Where a DSv2 chunk-store batch write (zarr, graftchunks) stages files
   * and how job commit publishes them atomically:
@@ -19,20 +19,24 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * stats-index merge) against the staged tree BEFORE a swap publishes
   * it, or against the destination AFTER an append lands its files — so
   * a store is never visible with missing store-level metadata.
+  *
+  * Paths are Hadoop-FS strings (graft.io.Fio): the same commit protocol
+  * runs on `file://` and `hdfs://`; see [[AtomicDir]] for the
+  * object-store rename caveat.
   */
 private[sources] sealed trait StoreStaging {
   /** Directory tasks (and driver-side store init) write into. */
-  def writeDir: Path
-  def commit(finalize: Path => Unit): Unit
+  def writeDir: String
+  def commit(finalize: String => Unit): Unit
   def abort(): Unit
 }
 
 private[sources] object StoreStaging {
 
   /** Overwrite / fresh store: build in a temp sibling, swap at commit. */
-  final case class Swap(dest: Path) extends StoreStaging {
-    val writeDir: Path = AtomicDir.tempSibling(dest)
-    override def commit(finalize: Path => Unit): Unit = {
+  final case class Swap(dest: String)(implicit fc: FioConf) extends StoreStaging {
+    val writeDir: String = AtomicDir.tempSibling(dest)
+    override def commit(finalize: String => Unit): Unit = {
       finalize(writeDir)
       AtomicDir.publish(writeDir, dest)
     }
@@ -43,25 +47,25 @@ private[sources] object StoreStaging {
     * `.__staging/<id>` leftovers a crashed earlier append abandoned —
     * listing O(crashed jobs) entries, never the store's chunk files.
     */
-  final case class Append(dest: Path) extends StoreStaging {
-    private val stagingRoot = dest.resolve(".__staging")
-    val writeDir: Path = {
-      if (Files.isDirectory(stagingRoot)) {
-        val it = Files.list(stagingRoot)
-        try it.forEach(p => AtomicDir.deleteInBackground(p)) finally it.close()
-      }
-      stagingRoot.resolve(java.util.UUID.randomUUID().toString.take(8))
+  final case class Append(dest: String)(implicit fc: FioConf) extends StoreStaging {
+    private val stagingRoot = Fio.child(dest, ".__staging")
+    val writeDir: String = {
+      if (Fio.isDirectory(stagingRoot))
+        Fio.listNames(stagingRoot).foreach(n => AtomicDir.deleteInBackground(Fio.child(stagingRoot, n)))
+      Fio.child(stagingRoot, java.util.UUID.randomUUID().toString.take(8))
     }
-    override def commit(finalize: Path => Unit): Unit = {
-      val it = Files.list(writeDir)
-      try it.forEach { staged =>
-        Files.move(staged, dest.resolve(staged.getFileName),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      } finally it.close()
-      Files.delete(writeDir)
+    override def commit(finalize: String => Unit): Unit = {
+      Fio.listNames(writeDir).foreach { name =>
+        val dst = Fio.child(dest, name)
+        Fio.delete(dst)
+        require(Fio.rename(Fio.child(writeDir, name), dst),
+          s"append commit: rename of $name into $dest failed")
+      }
+      Fio.delete(writeDir)
       // drop the (now usually empty) staging root; a concurrent writer's
       // live dir makes this fail harmlessly
-      try Files.delete(stagingRoot) catch { case _: java.io.IOException => () }
+      if (Fio.isDirectory(stagingRoot) && Fio.listNames(stagingRoot).isEmpty)
+        Fio.delete(stagingRoot)
       finalize(dest)
     }
     override def abort(): Unit = AtomicDir.deleteInBackground(writeDir)

@@ -1,14 +1,17 @@
 package graft.sources
 
+import graft.io.{Fio, FioConf, FioRandom}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.io.RandomAccessFile
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util.zip.{GZIPInputStream, Inflater}
 
 /** WARC/1.0 ingestion (ISO 28500 framing over the Common Crawl
   * `.warc.gz` member-per-record convention) — the intake stage of a web
   * curation pipeline, feeding HtmlExtract → quality → dedup → mix.
+  *
+  * All file access routes through the Hadoop FileSystem facade
+  * (graft.io.Fio), so the same intake runs against `file://`, `hdfs://`
+  * and object-store URIs; positioned member reads become ranged GETs.
   *
   * Scale shapes, in preference order:
   *   - WITH a member-offset sidecar (`<file>.idx`, one byte offset per
@@ -24,6 +27,9 @@ import java.util.zip.{GZIPInputStream, Inflater}
   *     thousands of files, so cluster parallelism comes from the file
   *     count). [[buildIndex]]/[[writeIndexSidecar]] bootstrap the sidecar
   *     with one such sequential pass.
+  *   - A CORPUS ([[readFiles]]/[[readDir]]): indexed files fan out by
+  *     member span, sidecar-less files run one sequential task each, in
+  *     ONE DataFrame — the multi-file snapshot shape.
   *
   * Output row per record: (warc_type, url, http_status, content_type,
   * body, member_offset). `body` is the HTTP payload body for response
@@ -35,20 +41,33 @@ object WarcSource {
     * sequential single-task otherwise.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val idx = Paths.get(path + ".idx")
-    if (Files.exists(idx)) {
-      val offsets = Files.readAllLines(idx).toArray(Array.empty[String])
-        .iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
-      readIndexed(spark, path, offsets)
-    } else readSequential(spark, Seq(path))
+    implicit val fc: FioConf = FioConf.of(spark)
+    sidecarOffsets(path) match {
+      case Some(offsets) => readIndexed(spark, path, offsets)
+      case None => readSequential(spark, Seq(path))
+    }
   }
+
+  private def sidecarOffsets(path: String)(implicit fc: FioConf): Option[Seq[Long]] =
+    Fio.readStringIfExists(path + ".idx").map { body =>
+      body.split("\n", -1).iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    }
 
   /** Indexed-split read: offsets come from the sidecar (or
     * [[buildIndex]]); each task positioned-reads and inflates only its
     * own members.
     */
   def readIndexed(spark: SparkSession, path: String, offsets: Seq[Long]): DataFrame = {
-    val fileLen = Files.size(Paths.get(path))
+    implicit val fc: FioConf = FioConf.of(spark)
+    readSpans(spark, memberSpans(path, offsets))
+  }
+
+  /** Validate a sidecar's offsets against the file and derive per-member
+    * (path, offset, end) spans (ends from the next offset).
+    */
+  private def memberSpans(path: String, offsets: Seq[Long])(
+      implicit fc: FioConf): Seq[(String, Long, Long)] = {
+    val fileLen = Fio.size(path)
     val sorted = offsets.sorted
     require(sorted.headOption.forall(_ == 0L),
       s"$path.idx: first member offset must be 0, got ${sorted.headOption}")
@@ -56,21 +75,36 @@ object WarcSource {
       s"$path.idx: member offsets outside the $fileLen-byte file")
     require(sorted.distinct.size == sorted.size,
       s"$path.idx: duplicate member offsets")
-    // (offset, end) per member — ends derive from the next offset
-    val spans = sorted.zip(sorted.drop(1) :+ fileLen)
+    sorted.zip(sorted.drop(1) :+ fileLen).map { case (off, end) => (path, off, end) }
+  }
+
+  /** Positioned-read + inflate a set of (path, off, end) member spans —
+    * the executor kernel shared by single-file and multi-file indexed
+    * reads. Tasks keep one open handle per distinct path (spans arrive
+    * grouped by file within a partition in practice).
+    */
+  private def readSpans(spark: SparkSession, spans: Seq[(String, Long, Long)]): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
     import spark.implicits._
     val df = spark.createDataset(spans)
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
-        var raf: RandomAccessFile = null
+        var raf: FioRandom = null
+        var rafPath: String = null
         Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
           if (raf != null) { raf.close(); raf = null }
         })
-        it.map { case (off, end) =>
-          if (raf == null) raf = new RandomAccessFile(path, "r")
-          val comp = new Array[Byte]((end - off).toInt)
-          raf.seek(off)
-          raf.readFully(comp)
+        it.map { case (path, off, end) =>
+          if (raf == null || rafPath != path) {
+            if (raf != null) raf.close()
+            raf = Fio.openRandom(path)
+            rafPath = path
+          }
+          // members over ~1 GiB are unconventional but legal; fail loud
+          // rather than silently wrapping the buffer size negative
+          require(end - off <= Int.MaxValue,
+            s"$path: member at $off spans ${end - off} bytes — beyond the 2 GiB single-member buffer")
+          val comp = raf.readAt(off, (end - off).toInt)
           val rec = parseRecord(inflateMember(comp, path, off), path, off)
           (rec.warcType, rec.url, rec.httpStatus, rec.contentType, rec.body, off)
         }
@@ -83,12 +117,13 @@ object WarcSource {
     * records are re-delimited from their own Content-Length framing).
     */
   def readSequential(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
     import spark.implicits._
     val df = spark.createDataset(paths)
       .repartition(math.max(1, paths.length))
       .flatMap { p =>
         val in = new GZIPInputStream(
-          new java.io.BufferedInputStream(new java.io.FileInputStream(p), 1 << 16), 1 << 16)
+          new java.io.BufferedInputStream(Fio.openStream(p), 1 << 16), 1 << 16)
         Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
           try in.close() catch { case _: java.io.IOException => () }
         })
@@ -100,6 +135,24 @@ object WarcSource {
           }
       }
     df.toDF("warc_type", "url", "http_status", "content_type", "body", "member_offset")
+  }
+
+  /** A CORPUS of `.warc.gz`/`.wet.gz` files as one DataFrame: files with
+    * a `.idx` sidecar fan out by member span (parallelism WITHIN the
+    * file), sidecar-less files run one sequential task each — so a
+    * mixed snapshot reads at the best shape each file supports, and
+    * total tasks ≥ total files.
+    */
+  def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    require(paths.nonEmpty, "readFiles: empty file list")
+    val (indexed, plain) = paths.partition(p => Fio.exists(p + ".idx"))
+    val spans = indexed.flatMap(p => memberSpans(p, sidecarOffsets(p).get))
+    val parts = Seq(
+      if (spans.nonEmpty) Some(readSpans(spark, spans)) else None,
+      if (plain.nonEmpty) Some(readSequential(spark, plain)) else None,
+    ).flatten
+    parts.reduce(_ unionAll _)
   }
 
   /** All records of one in-memory `.warc.gz` (the STREAMING intake unit:
@@ -141,16 +194,83 @@ object WarcSource {
       .toDF("warc_type", "url", "http_status", "content_type", "body", "member_offset")
   }
 
-  /** All `.warc.gz`/`.wet.gz` files of a directory as one frame — one
-    * sequential task per file (the crawl-corpus shape: parallelism =
-    * file count).
+  /** STREAMING intake over INDEXED SPLITS: one huge landed `.warc.gz`
+    * micro-batches incrementally instead of arriving as one whole-file
+    * unit. The arrival convention is the immutable-manifest shape
+    * Structured Streaming's file sources track natively: as a producer
+    * lands member ranges of `<name>.warc.gz`, it publishes
+    * `<name>.warc.gz.ranges/<seq>.idx` manifests, each line one member's
+    * `<offset> <end>` span. Manifests are append-only as FILES (each is
+    * written once and never modified), so the text file source gives
+    * exactly-once per manifest; tasks then positioned-read ONLY the
+    * members their manifests name — whole-file size never bounds
+    * micro-batch memory. [[writeRangeManifest]] publishes one manifest
+    * atomically.
+    */
+  def readStreamIndexed(spark: SparkSession, dir: String): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    spark.readStream.format("text")
+      .option("pathGlobFilter", "*.idx")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("value STRING"))
+      .load(dir + "/*.warc.gz.ranges")
+      .select(col("value"), input_file_name().as("manifest"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        var raf: FioRandom = null
+        var rafPath: String = null
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          if (raf != null) { raf.close(); raf = null }
+        })
+        it.filter(_._1.trim.nonEmpty).map { case (line, manifest) =>
+          val cut = manifest.lastIndexOf(".ranges/")
+          require(cut > 0, s"range manifest $manifest is not under a <file>.warc.gz.ranges/ directory")
+          val path = manifest.substring(0, cut)
+          val parts = line.trim.split("\\s+")
+          require(parts.length == 2,
+            s"$manifest: malformed range line '$line' (want '<offset> <end>')")
+          val (off, end) = (parts(0).toLong, parts(1).toLong)
+          require(end > off && end - off <= Int.MaxValue,
+            s"$path: manifest range [$off, $end) is empty or beyond the 2 GiB member buffer")
+          if (raf == null || rafPath != path) {
+            if (raf != null) raf.close()
+            raf = Fio.openRandom(path)
+            rafPath = path
+          }
+          val comp = raf.readAt(off, (end - off).toInt)
+          val rec = parseRecord(inflateMember(comp, path, off), path, off)
+          (rec.warcType, rec.url, rec.httpStatus, rec.contentType, rec.body, off)
+        }
+      }
+      .toDF("warc_type", "url", "http_status", "content_type", "body", "member_offset")
+  }
+
+  /** Publish one immutable range manifest for [[readStreamIndexed]]:
+    * member spans [off, end) of `warcPath`, written to a temp name and
+    * renamed into `<warcPath>.ranges/<seq>.idx` so the streaming source
+    * can never observe a half-written manifest.
+    */
+  def writeRangeManifest(warcPath: String, seq: Long, spans: Seq[(Long, Long)])(
+      implicit fc: FioConf): Unit = {
+    val dir = warcPath + ".ranges"
+    Fio.mkdirs(dir)
+    val tmp = Fio.child(dir, f".$seq%06d.idx.tmp")
+    Fio.writeString(tmp, spans.map { case (o, e) => s"$o $e" }.mkString("", "\n", "\n"))
+    val dst = Fio.child(dir, f"$seq%06d.idx")
+    require(Fio.rename(tmp, dst), s"manifest publish failed: $dst")
+  }
+
+  /** All `.warc.gz`/`.wet.gz` files of a directory as one frame, at the
+    * best shape each file supports (see [[readFiles]]).
     */
   def readDir(spark: SparkSession, dir: String): DataFrame = {
-    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+    implicit val fc: FioConf = FioConf.of(spark)
+    val files = Fio.listNames(dir)
       .filter(p => p.endsWith(".warc.gz") || p.endsWith(".wet.gz"))
-      .sorted.toSeq
+      .sorted.map(Fio.child(dir, _))
     require(files.nonEmpty, s"$dir holds no .warc.gz/.wet.gz files")
-    readSequential(spark, files)
+    readFiles(spark, files)
   }
 
   /** EXPORT a curated corpus as WET: each partition writes one
@@ -160,18 +280,30 @@ object WarcSource {
     * the crawl ecosystem. Executors write independently; file count =
     * partition count (repartition upstream to choose it). Rows:
     * (url STRING, text STRING).
+    *
+    * Task-commit discipline: each attempt writes ATTEMPT-UNIQUE hidden
+    * temp files (`.part-NNNNN.*.tmp-<attempt>`) and renames them into
+    * place only after both the data and its sidecar are fully written —
+    * so a speculative or retried attempt can never interleave bytes into
+    * a live part file, concurrent attempts resolve last-rename-wins with
+    * each rename atomic, and a failed job leaves only dot-hidden temp
+    * files that [[readDir]]'s suffix filter never picks up.
     */
   def writeWet(pages: DataFrame, dir: String): Unit = {
-    val out = Paths.get(dir).toAbsolutePath
-    Files.createDirectories(out)
-    val outStr = out.toString
+    implicit val fc: FioConf = FioConf.of(pages.sparkSession)
+    val outStr = Fio.qualify(dir)
+    Fio.mkdirs(outStr)
     pages.select("url", "text").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
-      val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+      val ctx = Option(org.apache.spark.TaskContext.get())
+      val pid = ctx.map(_.partitionId()).getOrElse(0)
+      val attempt = ctx.map(_.taskAttemptId()).getOrElse(0L)
+      val dataName = f"part-$pid%05d.wet.gz"
+      val tmpData = Fio.child(outStr, f".$dataName.tmp-$attempt")
+      val tmpIdx = Fio.child(outStr, f".$dataName.idx.tmp-$attempt")
       var pos = 0L
       val offsets = Seq.newBuilder[Long]
-      val f = Paths.get(outStr, f"part-$pid%05d.wet.gz")
-      val fos = Files.newOutputStream(f)
+      val fos = Fio.createStream(tmpData)
       try {
         def member(bytes: Array[Byte]): Unit = {
           val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
@@ -220,8 +352,15 @@ object WarcSource {
           ), text.getBytes(StandardCharsets.UTF_8)))
         }
       } finally fos.close()
-      Files.writeString(Paths.get(outStr, f"part-$pid%05d.wet.gz.idx"),
-        offsets.result().mkString("", "\n", "\n"))
+      Fio.writeString(tmpIdx, offsets.result().mkString("", "\n", "\n"))
+      // commit: data first, then the sidecar that describes it — each an
+      // atomic rename; a reader never sees a sidecar without its data
+      val dstData = Fio.child(outStr, dataName)
+      val dstIdx = Fio.child(outStr, dataName + ".idx")
+      Fio.delete(dstData)
+      require(Fio.rename(tmpData, dstData), s"writeWet: commit rename failed for $dstData")
+      Fio.delete(dstIdx)
+      require(Fio.rename(tmpIdx, dstIdx), s"writeWet: commit rename failed for $dstIdx")
       ()
     }
   }
@@ -231,10 +370,10 @@ object WarcSource {
     * to find its end — the sidecar bootstrap. O(file) decompression
     * once, after which every read splits.
     */
-  def buildIndex(path: String): Seq[Long] = {
-    val raf = new RandomAccessFile(path, "r")
+  def buildIndex(path: String)(implicit fc: FioConf): Seq[Long] = {
+    val raf = Fio.openRandom(path)
     try {
-      val len = raf.length()
+      val len = raf.size
       val offsets = Seq.newBuilder[Long]
       var pos = 0L
       while (pos < len) {
@@ -245,9 +384,8 @@ object WarcSource {
     } finally raf.close()
   }
 
-  def writeIndexSidecar(path: String): Unit =
-    Files.writeString(Paths.get(path + ".idx"),
-      buildIndex(path).mkString("", "\n", "\n"))
+  def writeIndexSidecar(path: String)(implicit fc: FioConf): Unit =
+    Fio.writeString(path + ".idx", buildIndex(path).mkString("", "\n", "\n"))
 
   // ------------------------------------------------------------------
 
@@ -256,23 +394,33 @@ object WarcSource {
 
   /** End offset (exclusive) of the gzip member starting at `pos`:
     * header parse (FEXTRA/FNAME/FCOMMENT/FHCRC per RFC 1952) + inflate
-    * to stream end + the 8-byte CRC/ISIZE trailer.
+    * to stream end + the 8-byte CRC/ISIZE trailer. Header-field scans
+    * are BOUNDED by the probe window, so a malformed or hostile header
+    * fails with a named error instead of an array overrun.
     */
-  private def memberEnd(raf: RandomAccessFile, pos: Long, len: Long, path: String): Long = {
-    raf.seek(pos)
-    val head = new Array[Byte](math.min(1 << 16, len - pos).toInt)
-    raf.readFully(head)
+  private def memberEnd(raf: FioRandom, pos: Long, len: Long, path: String): Long = {
+    val head = raf.readAt(pos, math.min(1L << 16, len - pos).toInt)
     require(head.length >= 10 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
       s"$path: no gzip magic at member offset $pos")
     require(head(2) == 8, s"$path: unsupported gzip method ${head(2)} at $pos")
     val flg = head(3) & 0xff
-    var h = 10
-    if ((flg & 4) != 0) { // FEXTRA
-      val xlen = (head(h) & 0xff) | ((head(h + 1) & 0xff) << 8); h += 2 + xlen
+    def at(i: Int): Int = {
+      require(i < head.length,
+        s"$path: gzip member header at offset $pos overruns the ${head.length}-byte probe " +
+          "window — header fields exceed 64 KiB or the framing is corrupt")
+      head(i) & 0xff
     }
-    if ((flg & 8) != 0) { while (head(h) != 0) h += 1; h += 1 } // FNAME
-    if ((flg & 16) != 0) { while (head(h) != 0) h += 1; h += 1 } // FCOMMENT
-    if ((flg & 2) != 0) h += 2 // FHCRC
+    var h = 10
+    if ((flg & 4) != 0) { // FEXTRA: xlen validated against the window
+      val xlen = at(h) | (at(h + 1) << 8)
+      h += 2 + xlen
+      require(h <= head.length,
+        s"$path: gzip FEXTRA of $xlen bytes at offset $pos overruns the probe window")
+    }
+    if ((flg & 8) != 0) { while (at(h) != 0) h += 1; h += 1 } // FNAME
+    if ((flg & 16) != 0) { while (at(h) != 0) h += 1; h += 1 } // FCOMMENT
+    if ((flg & 2) != 0) { h += 2; require(h <= head.length, s"$path: gzip FHCRC at $pos overruns the probe window") }
+    require(h < head.length, s"$path: gzip member at $pos has a header but no deflate data in the probe window")
     val inf = new Inflater(true)
     val out = new Array[Byte](1 << 16)
     inf.setInput(head, h, head.length - h)
@@ -280,10 +428,9 @@ object WarcSource {
     val chunk = new Array[Byte](1 << 16)
     while (!inf.finished()) {
       if (inf.needsInput()) {
-        raf.seek(pos + fed)
         val want = math.min(chunk.length.toLong, len - (pos + fed)).toInt
         require(want > 0, s"$path: truncated gzip member at offset $pos")
-        raf.readFully(chunk, 0, want)
+        raf.readFully(pos + fed, chunk, 0, want)
         inf.setInput(chunk, 0, want)
         fed += want
       }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.io.{Fio, FioConf}
 import graft.volume.{AtomicDir, Chunk, UpscaleCli, VolumeMeta, ZarrStore}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -10,7 +11,6 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import java.nio.file.{Files, Paths}
 import java.util
 
 /** DataSource V2 connector for spec-compliant zarr v2 array directories:
@@ -158,17 +158,18 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
     override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
       // driver-side init: pick the staging layout, then resolve-or-create
       // the array metadata so every task sees a consistent geometry
-      val dest = Paths.get(path).toAbsolutePath.normalize
+      implicit val fc: FioConf = FioConf.of(org.apache.spark.sql.SparkSession.active)
+      val dest = Fio.qualify(path)
       AtomicDir.sweepLeftovers(dest)
-      val appendToExisting = !doTruncate && Files.exists(dest.resolve(".zarray"))
+      val appendToExisting = !doTruncate && Fio.exists(Fio.child(dest, ".zarray"))
       staging =
         if (appendToExisting) StoreStaging.Append(dest)
         else StoreStaging.Swap(dest)
       val writeDir = staging.writeDir
-      Files.createDirectories(writeDir)
+      Fio.mkdirs(writeDir)
       val opts = info.options
       val (zm, vm) =
-        if (appendToExisting) ZarrStore.readMeta(dest.toString)
+        if (appendToExisting) ZarrStore.readMeta(dest)
         else {
           def req(k: String): Long = {
             val v = opts.get(k)
@@ -185,7 +186,7 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
             dz, dy, dx, cz, cy, cx,
             ((dz + cz - 1) / cz).toInt, ((dy + cy - 1) / cy).toInt, ((dx + cx - 1) / cx).toInt,
             elem, 1.0, 1.0, 1.0)
-          ZarrStore.initArray(writeDir.toString, vm0, codec)
+          ZarrStore.initArray(writeDir, vm0, codec)
         }
       // a parsed blosc codec carries no typesize (that lives per chunk
       // header on read) — the writer needs it for the shuffle transforms
@@ -193,7 +194,7 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
         case b: ZarrStore.BloscCodec => b.withTypesize(vm.bytesPerVoxel)
         case c => c
       }
-      new ZarrWriterFactory(writeDir.toString, writeCodec, vm)
+      new ZarrWriterFactory(writeDir, writeCodec, vm, fc)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -202,7 +203,7 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-class ZarrWriterFactory(dir: String, codec: ZarrStore.Codec, vm: VolumeMeta)
+class ZarrWriterFactory(dir: String, codec: ZarrStore.Codec, vm: VolumeMeta, fc: FioConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -212,7 +213,7 @@ class ZarrWriterFactory(dir: String, codec: ZarrStore.Codec, vm: VolumeMeta)
           row.getLong(3), row.getLong(4), row.getLong(5),
           row.getInt(6), row.getInt(7), row.getInt(8),
           row.getBinary(9))
-        ZarrStore.encodeChunkFile(c, dir, vm, codec)
+        ZarrStore.encodeChunkFile(c, dir, vm, codec)(fc)
       }
       override def commit(): WriterCommitMessage = new WriterCommitMessage {}
       override def abort(): Unit = ()
@@ -240,8 +241,9 @@ class ZarrScan(path: String, filters: Array[Filter], targetBytes: Long)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    implicit val fc: FioConf = FioConf.of(org.apache.spark.sql.SparkSession.active)
     val (zm, vm) = ZarrStore.readMeta(path) // the ONLY planning I/O
-    val pathStr = Paths.get(path).toAbsolutePath.toString
+    val pathStr = Fio.qualify(path)
     // prune per chunk (zero I/O — the grid is a pure function of the
     // metadata), then pack surviving coordinates to the byte target using
     // the uncompressed payload size (what the task must hold in memory)
@@ -260,7 +262,7 @@ class ZarrScan(path: String, filters: Array[Filter], targetBytes: Long)
       nz * ny * nx * bpv
     }
     ChunkPacking.pack(coords, payloadBytes, targetBytes)
-      .map(g => ZarrChunksPartition(pathStr, zm, vm, g): InputPartition)
+      .map(g => ZarrChunksPartition(pathStr, zm, vm, g, fc): InputPartition)
       .toArray
   }
 
@@ -269,7 +271,7 @@ class ZarrScan(path: String, filters: Array[Filter], targetBytes: Long)
 
 final case class ZarrChunksPartition(
     dir: String, zm: ZarrStore.ZarrMeta, vm: VolumeMeta,
-    coords: Seq[(Int, Int, Int)]) extends InputPartition
+    coords: Seq[(Int, Int, Int)], fc: FioConf) extends InputPartition
 
 class ZarrReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -282,8 +284,7 @@ class ZarrReaderFactory extends PartitionReaderFactory {
         if (!it.hasNext) return false
         val (cz, cy, cx) = it.next()
         val sep = p.zm.dimSeparator
-        val f = Paths.get(p.dir, s"$cz$sep$cy$sep$cx")
-        val bytes = if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
+        val bytes = Fio.readAllIfExists(Fio.child(p.dir, s"$cz$sep$cy$sep$cx"))(p.fc)
         val c = ZarrStore.decodeChunk(bytes, p.zm, p.vm, cz, cy, cx)
         row = new GenericInternalRow(Array[Any](
           c.cz, c.cy, c.cx, c.z0, c.y0, c.x0, c.nz, c.ny, c.nx, c.data))

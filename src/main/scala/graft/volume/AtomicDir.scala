@@ -1,6 +1,7 @@
 package graft.volume
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import graft.io.{Fio, FioConf}
+
 import java.util.UUID
 import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicLong
@@ -21,17 +22,24 @@ import java.util.concurrent.atomic.AtomicLong
   *    (`<store>.__tmp-<id>`) while readers keep seeing the old store;
   *  - publish = at most two metadata-only renames (existing store aside
   *    to `<store>.__trash-<id>`, temp into place) — atomic on POSIX
-  *    filesystems, so a concurrent reader sees the OLD store or the NEW
-  *    one, never a mixture, and a job failure before publish leaves the
-  *    old store untouched;
+  *    filesystems and HDFS, so a concurrent reader sees the OLD store or
+  *    the NEW one, never a mixture, and a job failure before publish
+  *    leaves the old store untouched;
   *  - the retired tree is deleted on a background daemon thread, and
   *    temp/trash leftovers from crashed processes are swept
   *    opportunistically by the next write to the same destination, so no
   *    job ever blocks on an O(files) delete.
   *
+  * Paths resolve through the Hadoop FileSystem API (graft.io.Fio), so the
+  * same publish protocol runs on `file://` and `hdfs://`. CAVEAT — object
+  * stores: S3A "rename" is a server-side copy, O(bytes) and non-atomic,
+  * so on `s3a://` this protocol degrades to eventual-publish without the
+  * atomicity guarantee; production object-store deployments should point
+  * stores at a posix/HDFS tier or accept the copy cost (the Hadoop
+  * S3A committer literature documents the same tradeoff).
+  *
   * Concurrent writers to the SAME destination are undefined (as in the
-  * reference); sibling renames assume a POSIX-rename filesystem (local
-  * disk, NFS, Lustre — what the reference targets too).
+  * reference).
   */
 object AtomicDir {
 
@@ -42,65 +50,68 @@ object AtomicDir {
   })
   private val inFlight = new AtomicLong(0)
 
-  private def sibling(dest: Path, tag: String): Path = {
-    val d = dest.toAbsolutePath.normalize
-    d.resolveSibling(d.getFileName.toString + tag + UUID.randomUUID().toString.take(8))
+  private def sibling(dest: String, tag: String)(implicit fc: FioConf): String = {
+    val d = Fio.qualify(dest)
+    Fio.child(Fio.parent(d), Fio.fileName(d) + tag + UUID.randomUUID().toString.take(8))
   }
 
   /** A fresh hidden sibling to stage a new store tree in. */
-  def tempSibling(dest: Path): Path = sibling(dest, ".__tmp-")
+  def tempSibling(dest: String)(implicit fc: FioConf): String = sibling(dest, ".__tmp-")
 
   /** Publish `tmp` at `dest`: rename any existing `dest` aside, move
     * `tmp` into place, retire the old tree in the background. If the
     * final move fails the old store is restored, so a failed publish is
     * a no-op.
     */
-  def publish(tmp: Path, dest: Path): Unit = {
-    val d = dest.toAbsolutePath.normalize
+  def publish(tmp: String, dest: String)(implicit fc: FioConf): Unit = {
+    val d = Fio.qualify(dest)
     val retired =
-      if (Files.exists(d)) { val t = sibling(d, ".__trash-"); Files.move(d, t); Some(t) }
-      else None
-    try Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: Throwable =>
-        retired.foreach(t => if (!Files.exists(d)) Files.move(t, d))
-        throw e
+      if (Fio.exists(d)) {
+        val t = sibling(d, ".__trash-")
+        require(Fio.rename(d, t), s"publish: could not retire existing $d")
+        Some(t)
+      } else None
+    val ok =
+      try Fio.rename(tmp, d)
+      catch {
+        case e: Throwable =>
+          retired.foreach(t => if (!Fio.exists(d)) Fio.rename(t, d))
+          throw e
+      }
+    if (!ok) {
+      retired.foreach(t => if (!Fio.exists(d)) Fio.rename(t, d))
+      throw new java.io.IOException(s"publish: rename $tmp -> $d failed")
     }
-    retired.foreach(deleteInBackground)
+    retired.foreach(deleteInBackground(_))
   }
 
   /** Queue a recursive delete on the daemon sweeper (never blocks the
     * caller on O(files) work).
     */
-  def deleteInBackground(dir: Path): Unit = {
+  def deleteInBackground(dir: String)(implicit fc: FioConf): Unit = {
     inFlight.incrementAndGet()
     sweeper.execute { () =>
-      try deleteRecursively(dir)
+      try Fio.delete(dir)
       catch { case _: Throwable => () } // leftover is re-swept by the next write
       finally inFlight.decrementAndGet()
     }
   }
 
-  def deleteRecursively(dir: Path): Unit =
-    if (Files.exists(dir))
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
+  def deleteRecursively(dir: String)(implicit fc: FioConf): Unit = { Fio.delete(dir); () }
 
   /** Sweep crash leftovers (`<dest>.__tmp-*`, `<dest>.__trash-*`) into
     * background deletes. Lists only `dest`'s parent — O(siblings), not
     * O(chunk files).
     */
-  def sweepLeftovers(dest: Path): Unit = {
-    val d = dest.toAbsolutePath.normalize
-    val parent = d.getParent
-    if (parent != null && Files.isDirectory(parent)) {
-      val base = d.getFileName.toString
-      val it = Files.list(parent)
-      try it.forEach { p =>
-        val n = p.getFileName.toString
+  def sweepLeftovers(dest: String)(implicit fc: FioConf): Unit = {
+    val d = Fio.qualify(dest)
+    val parent = Fio.parent(d)
+    if (Fio.isDirectory(parent)) {
+      val base = Fio.fileName(d)
+      Fio.listNames(parent).foreach { n =>
         if (n.startsWith(base + ".__tmp-") || n.startsWith(base + ".__trash-"))
-          deleteInBackground(p)
-      } finally it.close()
+          deleteInBackground(Fio.child(parent, n))
+      }
     }
   }
 

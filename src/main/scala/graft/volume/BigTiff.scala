@@ -1,9 +1,8 @@
 package graft.volume
 
+import graft.io.{Fio, FioConf}
 import org.apache.spark.sql.SparkSession
-import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 
 /** BigTIFF multi-page slice export/import (K5 sink + S5 scan, reference
   * anno_upsampling.py:112–118 `TiffWriter(..., bigtiff=True)` writing one
@@ -52,21 +51,21 @@ object BigTiff {
     val nTags = 10
     val ifdSize = 8 + nTags * 20 + 8
 
-    Files.deleteIfExists(Paths.get(path))
-    val f = new RandomAccessFile(path, "rw")
+    implicit val fc: FioConf = FioConf.of(vol.chunks.sparkSession)
+    Fio.delete(path)
+    // full size up front: unwritten gaps read as zeros (background)
+    val f = Fio.openRandomWrite(path, preallocate = firstIfd + m.dimZ * ifdSize)
     try {
-      // full size up front: unwritten gaps read as zeros (background)
-      f.setLength(firstIfd + m.dimZ * ifdSize)
       val header = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
       header.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0).putLong(firstIfd)
-      f.write(header.array())
+      f.writeFully(0L, header.array())
 
       // IFD chain, one per page — every strip offset is computable
       val buf = ByteBuffer.allocate(ifdSize).order(ByteOrder.LITTLE_ENDIAN)
       def entry(b: ByteBuffer, tag: Int, tpe: Int, value: Long): Unit = {
         b.putShort(tag.toShort).putShort(tpe.toShort).putLong(1L).putLong(value)
       }
-      f.seek(firstIfd)
+      var ifdPos = firstIfd
       for (z <- 0 until m.dimZ.toInt) {
         buf.clear()
         buf.putLong(nTags.toLong)
@@ -82,7 +81,8 @@ object BigTiff {
         entry(buf, TagSampleFormat, TypeShort, sampleFormat.toLong)
         val next = if (z == m.dimZ - 1) 0L else firstIfd + (z + 1).toLong * ifdSize
         buf.putLong(next)
-        f.write(buf.array())
+        f.writeFully(ifdPos, buf.array())
+        ifdPos += ifdSize
       }
     } finally f.close()
 
@@ -90,25 +90,22 @@ object BigTiff {
     // every other chunk's, so tasks write concurrently with no
     // coordination. Full-width chunks (x0=0, nx=dimX) write one
     // contiguous run per chunk-slice; others write per row.
-    val pathStr = Paths.get(path).toAbsolutePath.toString
+    val pathStr = Fio.qualify(path)
     vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(pathStr), java.nio.file.StandardOpenOption.WRITE)
+      val ch = Fio.openRandomRewrite(pathStr)
       try {
         it.foreach { c =>
           var zl = 0
           while (zl < c.nz) {
             val slicePos = dataStart + (c.z0 + zl) * sliceBytes
             if (c.x0 == 0 && c.nx == dimX) {
-              val run = ByteBuffer.wrap(c.data, zl * c.ny * c.nx * bpp, c.ny * c.nx * bpp)
-              var p = slicePos + c.y0 * dimX * bpp
-              while (run.hasRemaining) p += ch.write(run, p)
+              ch.writeFully(slicePos + c.y0 * dimX * bpp,
+                c.data, zl * c.ny * c.nx * bpp, c.ny * c.nx * bpp)
             } else {
               var y = 0
               while (y < c.ny) {
-                val row = ByteBuffer.wrap(c.data, ((zl * c.ny + y) * c.nx) * bpp, c.nx * bpp)
-                var p = slicePos + ((c.y0 + y) * dimX + c.x0) * bpp
-                while (row.hasRemaining) p += ch.write(row, p)
+                ch.writeFully(slicePos + ((c.y0 + y) * dimX + c.x0) * bpp,
+                  c.data, ((zl * c.ny + y) * c.nx) * bpp, c.nx * bpp)
                 y += 1
               }
             }

@@ -1,8 +1,8 @@
 package graft.volume
 
+import graft.io.{Fio, FioConf}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import com.github.luben.zstd.Zstd
-import java.nio.file.{Files, Paths}
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Zarr-style chunked directory store (K1/K2): one compressed file per
@@ -52,13 +52,14 @@ object ChunkStore {
     */
   def write(vol: ChunkVolume, path: String, level: Int = 1,
       extraProvenance: Map[String, String] = Map.empty): Unit = {
-    val dest = Paths.get(path).toAbsolutePath.normalize
+    implicit val fc: FioConf = FioConf.of(vol.chunks.sparkSession)
+    val dest = Fio.qualify(path)
     AtomicDir.sweepLeftovers(dest)
     val dir = AtomicDir.tempSibling(dest)
-    Files.createDirectories(dir)
+    Fio.mkdirs(dir)
     try {
-      appendChunks(vol.chunks, dir.toString, vol.meta, level)
-      ChunkVolume.writeSidecar(dir.toString, vol.meta, extraProvenance)
+      appendChunks(vol.chunks, dir, vol.meta, level)
+      ChunkVolume.writeSidecar(dir, vol.meta, extraProvenance)
     } catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
     AtomicDir.publish(dir, dest)
   }
@@ -77,7 +78,8 @@ object ChunkStore {
     * the GC) and returns the chunk's (name, lmin, lmax) stats entry.
     * Shared by [[appendChunks]] and the DSv2 write path.
     */
-  private[graft] final class ChunkFileEncoder(pathStr: String, meta: VolumeMeta, level: Int) {
+  private[graft] final class ChunkFileEncoder(pathStr: String, meta: VolumeMeta, level: Int)(
+      implicit fc: FioConf) extends Serializable {
     private val bpp = meta.bytesPerVoxel
     private val unsigned = meta.isUnsigned
     private val integral = !meta.isFloating
@@ -105,15 +107,16 @@ object ChunkStore {
       buf.putLong(c.z0).putLong(c.y0).putLong(c.x0)
         .putInt(c.nz).putInt(c.ny).putInt(c.nx).putInt(c.data.length)
         .putLong(lmin).putLong(lmax)
-      val out = Files.newOutputStream(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"))
+      val out = Fio.createStream(Fio.child(pathStr, s"${c.cz}.${c.cy}.${c.cx}"))
       try { out.write(buf.array()); out.write(dst, 0, n) } finally out.close()
       (s"${c.cz}.${c.cy}.${c.cx}", lmin, lmax)
     }
   }
 
   def appendChunks(chunks: Dataset[Chunk], path: String, meta: VolumeMeta, level: Int = 1): Unit = {
-    val pathStr = Paths.get(path).toAbsolutePath.toString
-    Files.createDirectories(Paths.get(pathStr))
+    implicit val fc: FioConf = FioConf.of(chunks.sparkSession)
+    val pathStr = Fio.qualify(path)
+    Fio.mkdirs(pathStr)
     import chunks.sparkSession.implicits._
     val stats = chunks.mapPartitions { (it: Iterator[Chunk]) =>
       val enc = new ChunkFileEncoder(pathStr, meta, level)
@@ -125,41 +128,39 @@ object ChunkStore {
   /** Merge (name, lmin, lmax) entries into the stats index atomically
     * (re-appended coords take the newest entry).
     */
-  private[graft] def mergeStatsIndex(pathStr: String, entries: Seq[(String, Long, Long)]): Unit = {
+  private[graft] def mergeStatsIndex(pathStr: String, entries: Seq[(String, Long, Long)])(
+      implicit fc: FioConf): Unit = {
     val merged = readStatsIndex(pathStr).getOrElse(Map.empty) ++
       entries.map { case (n, lo, hi) => n -> (lo, hi) }
-    val tmp = Paths.get(pathStr, StatsIndexName + ".tmp")
+    val tmp = Fio.child(pathStr, StatsIndexName + ".tmp")
     val body = merged.toSeq.sorted
       .map { case (n, (lo, hi)) => s"$n $lo $hi" }
       .mkString("GRAFT_STATS 1\n", "\n", "\n")
-    Files.writeString(tmp, body)
-    Files.move(tmp, Paths.get(pathStr, StatsIndexName),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Fio.writeString(tmp, body)
+    val dst = Fio.child(pathStr, StatsIndexName)
+    Fio.delete(dst)
+    require(Fio.rename(tmp, dst), s"stats-index rename failed at $pathStr")
   }
 
   /** The consolidated stats index, if present: name -> (lmin, lmax). */
-  def readStatsIndex(pathStr: String): Option[Map[String, (Long, Long)]] = {
-    val p = Paths.get(pathStr, StatsIndexName)
-    if (!Files.exists(p)) return None
-    val lines = Files.readAllLines(p)
-    if (lines.isEmpty || lines.get(0) != "GRAFT_STATS 1") return None
-    import scala.jdk.CollectionConverters._
-    Some(lines.asScala.drop(1).filter(_.nonEmpty).map { line =>
+  def readStatsIndex(pathStr: String)(implicit fc: FioConf): Option[Map[String, (Long, Long)]] = {
+    val body = Fio.readStringIfExists(Fio.child(pathStr, StatsIndexName))
+    if (body.isEmpty) return None
+    val lines = body.get.split("\n", -1).toSeq
+    if (lines.isEmpty || lines.head != "GRAFT_STATS 1") return None
+    Some(lines.drop(1).filter(_.nonEmpty).map { line =>
       val Array(n, lo, hi) = line.split(" ")
       n -> (lo.toLong, hi.toLong)
     }.toMap)
   }
 
-  private[volume] def chunkFileNames(pathStr: String): Seq[String] =
-    Files.list(Paths.get(pathStr)).toArray.map(_.toString)
-      .map(p => Paths.get(p).getFileName.toString)
+  private[volume] def chunkFileNames(pathStr: String)(implicit fc: FioConf): Seq[String] =
+    Fio.listNames(pathStr)
       .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
-      .toSeq
 
-  private[volume] def decodeFile(pathStr: String, name: String): Chunk = {
+  private[volume] def decodeFile(pathStr: String, name: String)(implicit fc: FioConf): Chunk = {
     val Array(cz, cy, cx) = name.split("\\.").map(_.toInt)
-    val bytes = Files.readAllBytes(Paths.get(pathStr, name))
+    val bytes = Fio.readAllBytes(Fio.child(pathStr, name))
     val h = readHeader(bytes)
     val data = new Array[Byte](h.rawLen)
     Zstd.decompressByteArray(data, 0, h.rawLen, bytes, HeaderBytes, bytes.length - HeaderBytes)
@@ -167,8 +168,9 @@ object ChunkStore {
   }
 
   def read(spark: SparkSession, path: String): ChunkVolume = {
+    implicit val fc: FioConf = FioConf.of(spark)
     val meta = ChunkVolume.readSidecar(path)
-    val pathStr = Paths.get(path).toAbsolutePath.toString
+    val pathStr = Fio.qualify(path)
     val names = chunkFileNames(pathStr)
     import spark.implicits._
     val chunks = spark.createDataset(names).repartition(spark.sparkContext.defaultParallelism)
@@ -184,11 +186,12 @@ object ChunkStore {
     * store).
     */
   def findLabel(spark: SparkSession, path: String, label: Long): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
     val meta = ChunkVolume.readSidecar(path)
     require(!meta.isFloating, "findLabel requires an integral element type")
     val bpp = meta.bytesPerVoxel
     val unsigned = meta.isUnsigned
-    val pathStr = Paths.get(path).toAbsolutePath.toString
+    val pathStr = Fio.qualify(path)
     import spark.implicits._
     val candidateNames = readStatsIndex(pathStr) match {
       case Some(idx) =>
@@ -203,15 +206,8 @@ object ChunkStore {
       .mapPartitions { it =>
         val hdr = new Array[Byte](HeaderBytes)
         it.filter { name =>
-          val in = Files.newInputStream(Paths.get(pathStr, name))
-          try {
-            var off = 0
-            while (off < HeaderBytes) {
-              val r = in.read(hdr, off, HeaderBytes - off)
-              require(r > 0, s"truncated header in $name")
-              off += r
-            }
-          } finally in.close()
+          val in = Fio.openStream(Fio.child(pathStr, name))
+          try in.readFully(0L, hdr) finally in.close()
           val h = readHeader(hdr)
           h.lmin <= label && label <= h.lmax
         }

@@ -1,8 +1,8 @@
 package graft.volume
 
+import graft.io.{Fio, FioConf}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** One dense sub-block of a chunked volume. `data` is a packed C-order
   * (z,y,x) little-endian byte block of nz·ny·nx elements.
@@ -776,8 +776,9 @@ object ChunkVolume {
       case c => c.toString
     } + "\""
 
-  def writeSidecar(path: String, meta: VolumeMeta, extra: Map[String, String]): Unit = {
-    Files.createDirectories(Paths.get(path))
+  def writeSidecar(path: String, meta: VolumeMeta, extra: Map[String, String])(
+      implicit fc: FioConf): Unit = {
+    Fio.mkdirs(path)
     val fields = Seq(
       "dimZ" -> meta.dimZ.toString, "dimY" -> meta.dimY.toString, "dimX" -> meta.dimX.toString,
       "chunkZ" -> meta.chunkZ.toString, "chunkY" -> meta.chunkY.toString, "chunkX" -> meta.chunkX.toString,
@@ -787,11 +788,11 @@ object ChunkVolume {
       Seq(s"  ${jsonStr("elementType")}: ${jsonStr(meta.elementType)}") ++
       extra.toSeq.sortBy(_._1).map { case (k, v) => s"  ${jsonStr(k)}: ${jsonStr(v)}" }
     val json = fields.mkString("{\n", ",\n", "\n}\n")
-    Files.writeString(Paths.get(path, SidecarName), json)
+    Fio.writeString(Fio.child(path, SidecarName), json)
   }
 
-  def readSidecar(path: String): VolumeMeta = {
-    val json = Files.readString(Paths.get(path, SidecarName))
+  def readSidecar(path: String)(implicit fc: FioConf): VolumeMeta = {
+    val json = Fio.readString(Fio.child(path, SidecarName))
     def num(k: String): String = {
       val m = ("\"" + k + "\"\\s*:\\s*([-0-9.Ee+]+)").r.findFirstMatchIn(json)
       m.getOrElse(throw new IllegalArgumentException(s"sidecar missing $k")).group(1)

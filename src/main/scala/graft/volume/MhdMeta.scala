@@ -1,7 +1,6 @@
 package graft.volume
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import graft.io.{Fio, FioConf}
 
 /** Parsed MHD (MetaImage) header.
   *
@@ -36,7 +35,7 @@ final case class MhdMeta(
   /** True for the unsigned integer types (widened on decode). */
   def isUnsigned: Boolean = elementType.startsWith("MET_U")
 
-  def rawPath: String = Paths.get(mhdDir).resolve(dataFile).toString
+  def rawPath: String = Fio.child(mhdDir, dataFile)
 
   def nVoxels: Long = dimX * dimY * dimZ
 
@@ -61,10 +60,10 @@ object MhdMeta {
     "MET_DOUBLE" -> 8,
   )
 
-  def parse(mhdPath: String): MhdMeta = {
-    val path = Paths.get(mhdPath)
+  def parse(mhdPath: String)(implicit fc: FioConf): MhdMeta = {
+    val path = Fio.qualify(mhdPath)
     val fields = scala.collection.mutable.Map[String, String]()
-    Files.readAllLines(path).asScala.foreach { line =>
+    Fio.readLines(path).foreach { line =>
       val i = line.indexOf('=')
       if (i >= 0) {
         fields(line.take(i).trim) = line.drop(i + 1).trim
@@ -93,7 +92,7 @@ object MhdMeta {
       spacingXyz = (spacing(0), spacing(1), spacing(2)),
       byteOrderMsb = msb,
       dataFile = fields("ElementDataFile"),
-      mhdDir = Option(path.getParent).map(_.toString).getOrElse("."),
+      mhdDir = Fio.parent(path),
     )
   }
 }

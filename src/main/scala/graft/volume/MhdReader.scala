@@ -1,8 +1,7 @@
 package graft.volume
 
+import graft.io.{Fio, FioConf, FioRandom}
 import org.apache.spark.sql.SparkSession
-import java.io.RandomAccessFile
-import java.nio.ByteBuffer
 
 /** Chunked, out-of-core MHD+RAW reader (S1/S2/S3).
   *
@@ -21,7 +20,7 @@ import java.nio.ByteBuffer
 object MhdReader {
 
   def read(spark: SparkSession, mhdPath: String, targetChunkMb: Int = 128): ChunkVolume = {
-    val mhd = MhdMeta.parse(mhdPath)
+    val mhd = MhdMeta.parse(mhdPath)(FioConf.of(spark))
     val (cz, cy, cx) = ChunkPlanner.chooseChunks(mhd.shapeZyx, mhd.bytesPerVoxel, targetChunkMb)
     read(spark, mhd, cz, cy, cx)
   }
@@ -36,6 +35,7 @@ object MhdReader {
       elementType = mhd.elementType,
       spacingX = mhd.spacingXyz._1, spacingY = mhd.spacingXyz._2, spacingZ = mhd.spacingXyz._3)
 
+    implicit val fc: FioConf = FioConf.of(spark)
     val rawPath = mhd.rawPath
     val msb = mhd.byteOrderMsb
     val bpp = meta.bytesPerVoxel
@@ -45,11 +45,11 @@ object MhdReader {
 
     import spark.implicits._
     val chunks = spark.range(nChunks).mapPartitions { ids =>
-      // one open channel per task, positioned reads per chunk row-run
-      var raf: RandomAccessFile = null
-      def channel() = {
-        if (raf == null) raf = new RandomAccessFile(rawPath, "r")
-        raf.getChannel
+      // one open stream per task, positioned reads per chunk row-run
+      var raf: FioRandom = null
+      def handle() = {
+        if (raf == null) raf = Fio.openRandom(rawPath)
+        raf
       }
       val it = ids.map { id =>
         val cz = (id / (ncy.toLong * ncx)).toInt
@@ -60,20 +60,14 @@ object MhdReader {
         val ny = math.min(chunkY.toLong, dimY - y0).toInt
         val nx = math.min(chunkX.toLong, dimX - x0).toInt
         val data = new Array[Byte](nz * ny * nx * bpp)
-        val ch = channel()
+        val ch = handle()
         val rowBytes = nx * bpp
         var z = 0
         while (z < nz) {
           var y = 0
           while (y < ny) {
             val srcOff = (((z0 + z) * dimY + (y0 + y)) * dimX + x0) * bpp
-            val buf = ByteBuffer.wrap(data, (z * ny + y) * rowBytes, rowBytes)
-            var pos = srcOff
-            while (buf.hasRemaining) {
-              val n = ch.read(buf, pos)
-              require(n >= 0, s"unexpected EOF in $rawPath at offset $pos")
-              pos += n
-            }
+            ch.readFully(srcOff, data, (z * ny + y) * rowBytes, rowBytes)
             y += 1
           }
           z += 1

@@ -1,10 +1,9 @@
 package graft.volume
 
+import graft.io.{Fio, FioConf, FioRandom}
 import org.apache.spark.sql.SparkSession
-import java.io.{BufferedInputStream, FileInputStream, RandomAccessFile}
-import java.nio.ByteBuffer
+import java.io.BufferedInputStream
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util.zip.GZIPInputStream
 
 /** NRRD scan/write (teem.sourceforge.net/nrrd/format.html) — the other
@@ -88,8 +87,8 @@ object NrrdStore {
     * `line skip`, `data file`, `block size`), which would silently
     * corrupt the payload addressing if ignored.
     */
-  def parseHeader(path: String): NrrdMeta = {
-    val in = new BufferedInputStream(new FileInputStream(path))
+  def parseHeader(path: String)(implicit fc: FioConf): NrrdMeta = {
+    val in = new BufferedInputStream(Fio.openStream(path))
     try {
       val sb = new StringBuilder
       var offset = 0L
@@ -156,7 +155,7 @@ object NrrdStore {
   }
 
   def read(spark: SparkSession, path: String, targetChunkMb: Int = 128): ChunkVolume = {
-    val n = parseHeader(path)
+    val n = parseHeader(path)(FioConf.of(spark))
     val (cz, cy, cx) = ChunkPlanner.chooseChunks(
       (n.dimZ, n.dimY, n.dimX), n.bytesPerVoxel, targetChunkMb)
     read(spark, n, cz, cy, cx)
@@ -178,21 +177,22 @@ object NrrdStore {
     * by the header length (the S1/S3 scale path).
     */
   private def readRaw(spark: SparkSession, n: NrrdMeta, meta: VolumeMeta): ChunkVolume = {
+    implicit val fc: FioConf = FioConf.of(spark)
     val (path, base, msb, bpp) = (n.path, n.dataOffset, n.bigEndian, meta.bytesPerVoxel)
     val (dimZ, dimY, dimX) = (meta.dimZ, meta.dimY, meta.dimX)
     val (ncz, ncy, ncx) = (meta.ncz, meta.ncy, meta.ncx)
     val (chunkZ, chunkY, chunkX) = (meta.chunkZ, meta.chunkY, meta.chunkX)
     import spark.implicits._
     val chunks = spark.range(ncz.toLong * ncy * ncx).mapPartitions { ids =>
-      var raf: RandomAccessFile = null
+      var raf: FioRandom = null
       // close unconditionally at task end: hasNext-exhaustion alone would
       // leak the handle on a partially consumed scan (.limit, task abort)
       Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
         if (raf != null) { raf.close(); raf = null }
       })
-      def channel() = {
-        if (raf == null) raf = new RandomAccessFile(path, "r")
-        raf.getChannel
+      def handle() = {
+        if (raf == null) raf = Fio.openRandom(path)
+        raf
       }
       val it = ids.map { id =>
         val cz = (id / (ncy.toLong * ncx)).toInt
@@ -203,20 +203,14 @@ object NrrdStore {
         val ny = math.min(chunkY.toLong, dimY - y0).toInt
         val nx = math.min(chunkX.toLong, dimX - x0).toInt
         val data = new Array[Byte](nz * ny * nx * bpp)
-        val ch = channel()
+        val ch = handle()
         val rowBytes = nx * bpp
         var z = 0
         while (z < nz) {
           var y = 0
           while (y < ny) {
             val srcOff = base + (((z0 + z) * dimY + (y0 + y)) * dimX + x0) * bpp
-            val buf = ByteBuffer.wrap(data, (z * ny + y) * rowBytes, rowBytes)
-            var pos = srcOff
-            while (buf.hasRemaining) {
-              val r = ch.read(buf, pos)
-              require(r >= 0, s"unexpected EOF in $path at offset $pos")
-              pos += r
-            }
+            ch.readFully(srcOff, data, (z * ny + y) * rowBytes, rowBytes)
             y += 1
           }
           z += 1
@@ -241,6 +235,7 @@ object NrrdStore {
     * format's inherent ceiling (see scaladoc above).
     */
   private def readGzip(spark: SparkSession, n: NrrdMeta, meta: VolumeMeta): ChunkVolume = {
+    implicit val fc: FioConf = FioConf.of(spark)
     val (path, base, msb, bpp) = (n.path, n.dataOffset, n.bigEndian, meta.bytesPerVoxel)
     val (dimZ, dimY, dimX) = (meta.dimZ, meta.dimY, meta.dimX)
     val (ncy, ncx) = (meta.ncy, meta.ncx)
@@ -251,13 +246,8 @@ object NrrdStore {
     // iterator so an empty partition can never duplicate the decode
     val chunks = spark.range(0, 1, 1, numPartitions = 1).mapPartitions { ids =>
       if (ids.isEmpty) Iterator.empty[Chunk] else {
-      val fin = new FileInputStream(path)
-      var skipped = 0L
-      while (skipped < base) {
-        val s = fin.skip(base - skipped)
-        require(s > 0, s"$path: cannot skip to data offset $base")
-        skipped += s
-      }
+      val fin = Fio.openStream(path)
+      fin.seek(base) // FSDataInputStream positioned seek to the payload
       val gz = new GZIPInputStream(new BufferedInputStream(fin), 1 << 16)
       // close unconditionally at task end — the last-slab close below only
       // fires when the iterator fully drains (.limit / abort would leak)
@@ -318,28 +308,24 @@ object NrrdStore {
          |""".stripMargin + "\n"
     val headerBytes = header.getBytes(StandardCharsets.US_ASCII)
     val base = headerBytes.length.toLong
-    Files.deleteIfExists(Paths.get(path))
-    val f = new RandomAccessFile(path, "rw")
-    try {
-      // full size up front: unwritten gaps read as zeros (background)
-      f.setLength(base + m.nVoxels * bpp)
-      f.write(headerBytes)
-    } finally f.close()
+    implicit val fc: FioConf = FioConf.of(vol.chunks.sparkSession)
+    Fio.delete(path)
+    val f = Fio.openRandomWrite(path, preallocate = base + m.nVoxels * bpp)
+    // full size up front: unwritten gaps read as zeros (background)
+    try f.writeFully(0L, headerBytes) finally f.close()
 
     val (dimY, dimX) = (m.dimY, m.dimX)
-    val pathStr = Paths.get(path).toAbsolutePath.toString
+    val pathStr = Fio.qualify(path)
     vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(pathStr), java.nio.file.StandardOpenOption.WRITE)
+      val ch = Fio.openRandomRewrite(pathStr)
       try {
         it.foreach { c =>
           var zl = 0
           while (zl < c.nz) {
             var y = 0
             while (y < c.ny) {
-              val row = ByteBuffer.wrap(c.data, ((zl * c.ny + y) * c.nx) * bpp, c.nx * bpp)
-              var p = base + (((c.z0 + zl) * dimY + (c.y0 + y)) * dimX + c.x0) * bpp
-              while (row.hasRemaining) p += ch.write(row, p)
+              val p = base + (((c.z0 + zl) * dimY + (c.y0 + y)) * dimX + c.x0) * bpp
+              ch.writeFully(p, c.data, ((zl * c.ny + y) * c.nx) * bpp, c.nx * bpp)
               y += 1
             }
             zl += 1

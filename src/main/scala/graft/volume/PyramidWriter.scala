@@ -1,6 +1,6 @@
 package graft.volume
 
-import java.nio.file.{Files, Paths}
+import graft.io.{Fio, FioConf}
 
 /** Multiscale pyramid sink (K3) + OME-style `multiscales` metadata.
   *
@@ -56,15 +56,16 @@ object PyramidWriter {
   def write(vol: ChunkVolume, levels: Int, path: String, upscaleFactor: Int = 1,
       codec: ZarrStore.Codec = ZarrStore.ZstdCodec()): Unit = {
     val pyr = vol.pyramid(levels)
+    implicit val fc: FioConf = FioConf.of(vol.chunks.sparkSession)
     // overwrite semantics like the reference's rmtree, but atomic and
     // without an O(files) driver delete: stage the whole group in a temp
     // sibling, publish with O(1) renames at the end (see AtomicDir)
-    val dest = Paths.get(path).toAbsolutePath.normalize
+    val dest = Fio.qualify(path)
     AtomicDir.sweepLeftovers(dest)
     val dir = AtomicDir.tempSibling(dest)
-    val stage = dir.toString
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve(".zgroup"), "{\n    \"zarr_format\": 2\n}")
+    val stage = dir
+    Fio.mkdirs(dir)
+    Fio.writeString(Fio.child(dir, ".zgroup"), "{\n    \"zarr_format\": 2\n}")
     // one chunk tuple for every level (reference: create_dataset(...,
     // chunks=chunks) per level): decimation halves per-chunk extents on
     // the global lattice (non-uniform grid), so re-block each level to the
@@ -80,7 +81,7 @@ object PyramidWriter {
             math.min(bx.toLong, level.meta.dimX).toInt)
         ZarrStore.write(uniform, s"$stage/$i", codec)
       }
-      Files.writeString(Paths.get(stage, ".zattrs"), multiscalesJson(vol.meta, upscaleFactor, levels))
+      Fio.writeString(Fio.child(stage, ".zattrs"), multiscalesJson(vol.meta, upscaleFactor, levels))
       writeConsolidatedMetadata(stage, levels)
       ChunkVolume.writeSidecar(stage, vol.meta, Map(
         "pyramid_levels" -> levels.toString,
@@ -96,23 +97,22 @@ object PyramidWriter {
     * the difference between 2 + 2·levels metadata GETs (with listing) and
     * ONE — the standard convention for cloud-hosted OME-Zarr.
     */
-  private def writeConsolidatedMetadata(path: String, levels: Int): Unit = {
+  private def writeConsolidatedMetadata(path: String, levels: Int)(implicit fc: FioConf): Unit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val dir = Paths.get(path)
     val docs = scala.collection.mutable.LinkedHashMap[String, JValue]()
-    def add(key: String, file: java.nio.file.Path): Unit =
-      if (Files.exists(file)) docs(key) = JsonMethods.parse(Files.readString(file))
-    add(".zgroup", dir.resolve(".zgroup"))
-    add(".zattrs", dir.resolve(".zattrs"))
+    def add(key: String, file: String): Unit =
+      Fio.readStringIfExists(file).foreach(body => docs(key) = JsonMethods.parse(body))
+    add(".zgroup", Fio.child(path, ".zgroup"))
+    add(".zattrs", Fio.child(path, ".zattrs"))
     for (i <- 0 until levels) {
-      add(s"$i/.zarray", Paths.get(path, i.toString, ".zarray"))
-      add(s"$i/.zattrs", Paths.get(path, i.toString, ".zattrs"))
+      add(s"$i/.zarray", Fio.child(path, s"$i/.zarray"))
+      add(s"$i/.zattrs", Fio.child(path, s"$i/.zattrs"))
     }
     val consolidated = JObject(
       "metadata" -> JObject(docs.toList: _*),
       "zarr_consolidated_format" -> JInt(1))
-    Files.writeString(dir.resolve(".zmetadata"),
+    Fio.writeString(Fio.child(path, ".zmetadata"),
       JsonMethods.pretty(JsonMethods.render(consolidated)))
   }
 
@@ -133,25 +133,25 @@ object PyramidWriter {
     * loudly on a missing group, a non-v2 group, or attrs without
     * multiscales — never guesses level directories from listings.
     */
-  def openGroup(path: String): PyramidGroup = {
+  def openGroup(path: String)(implicit fc: FioConf): PyramidGroup = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val dir = Paths.get(path)
-    require(Files.isDirectory(dir), s"$path: not a directory (no zarr group here)")
-    val zmeta = dir.resolve(".zmetadata")
+    require(Fio.isDirectory(path), s"$path: not a directory (no zarr group here)")
+    val zmeta = Fio.readStringIfExists(Fio.child(path, ".zmetadata"))
     val (groupDoc, attrsDoc): (JValue, JValue) =
-      if (Files.exists(zmeta)) {
-        val c = JsonMethods.parse(Files.readString(zmeta))
-        require((c \ "zarr_consolidated_format") == JInt(1),
-          s"$path/.zmetadata: unsupported zarr_consolidated_format (want 1)")
-        val docs = c \ "metadata"
-        (docs \ ".zgroup", docs \ ".zattrs")
-      } else {
-        val zgroup = dir.resolve(".zgroup")
-        val zattrs = dir.resolve(".zattrs")
-        require(Files.exists(zgroup), s"$path: no .zmetadata and no .zgroup — not a zarr group")
-        require(Files.exists(zattrs), s"$path: group has no .zattrs (no multiscales metadata)")
-        (JsonMethods.parse(Files.readString(zgroup)), JsonMethods.parse(Files.readString(zattrs)))
+      zmeta match {
+        case Some(body) =>
+          val c = JsonMethods.parse(body)
+          require((c \ "zarr_consolidated_format") == JInt(1),
+            s"$path/.zmetadata: unsupported zarr_consolidated_format (want 1)")
+          val docs = c \ "metadata"
+          (docs \ ".zgroup", docs \ ".zattrs")
+        case None =>
+          val zgroup = Fio.readStringIfExists(Fio.child(path, ".zgroup"))
+          val zattrs = Fio.readStringIfExists(Fio.child(path, ".zattrs"))
+          require(zgroup.nonEmpty, s"$path: no .zmetadata and no .zgroup — not a zarr group")
+          require(zattrs.nonEmpty, s"$path: group has no .zattrs (no multiscales metadata)")
+          (JsonMethods.parse(zgroup.get), JsonMethods.parse(zattrs.get))
       }
     require((groupDoc \ "zarr_format") == JInt(2),
       s"$path: zarr_format ${JsonMethods.compact(JsonMethods.render(groupDoc \ "zarr_format"))} (want 2)")
@@ -204,7 +204,7 @@ object PyramidWriter {
     val g = openGroup(path)
     require(level >= 0 && level < g.levels,
       s"$path: level $level out of range — multiscales declares ${g.levels} levels")
-    ZarrStore.read(spark, Paths.get(path).resolve(g.levelPaths(level)).toString)
+    ZarrStore.read(spark, Fio.child(path, g.levelPaths(level)))
   }
 
   // ------------------------------------------------------ NGFF 0.5 (v3)
@@ -256,11 +256,12 @@ object PyramidWriter {
       codec: ZarrStore.Codec = ZarrStore.ZstdCodec(),
       shardInner: Option[(Int, Int, Int)] = None): Unit = {
     val pyr = vol.pyramid(levels)
-    val dest = Paths.get(path).toAbsolutePath.normalize
+    implicit val fc: FioConf = FioConf.of(vol.chunks.sparkSession)
+    val dest = Fio.qualify(path)
     AtomicDir.sweepLeftovers(dest)
     val dir = AtomicDir.tempSibling(dest)
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve("zarr.json"),
+    Fio.mkdirs(dir)
+    Fio.writeString(Fio.child(dir, "zarr.json"),
       ngff05GroupJson(vol.meta, upscaleFactor, levels))
     val (bz, by, bx) = (vol.meta.chunkZ, vol.meta.chunkY, vol.meta.chunkX)
     try {
@@ -277,9 +278,9 @@ object PyramidWriter {
           // stay one inner chunk; the level's uniform chunk shape must
           // be a multiple of the inner shape (writeSharded fails loud)
           case Some(inner) =>
-            Zarr3Store.writeSharded(uniform, dir.resolve(i.toString).toString, inner, codec)
+            Zarr3Store.writeSharded(uniform, Fio.child(dir, i.toString), inner, codec)
           case None =>
-            Zarr3Store.write(uniform, dir.resolve(i.toString).toString, codec)
+            Zarr3Store.write(uniform, Fio.child(dir, i.toString), codec)
         }
       }
     } catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
@@ -290,13 +291,12 @@ object PyramidWriter {
     * `attributes.ome.version == 0.5`, multiscales under `attributes.ome`.
     * Fails loudly on v2 groups (use [[openGroup]]) or missing ome attrs.
     */
-  def openGroupV3(path: String): PyramidGroup = {
+  def openGroupV3(path: String)(implicit fc: FioConf): PyramidGroup = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val dir = Paths.get(path)
-    val doc = dir.resolve("zarr.json")
-    require(Files.exists(doc), s"$path: no zarr.json — not a zarr v3 group")
-    val v = JsonMethods.parse(Files.readString(doc))
+    val doc = Fio.readStringIfExists(Fio.child(path, "zarr.json"))
+    require(doc.nonEmpty, s"$path: no zarr.json — not a zarr v3 group")
+    val v = JsonMethods.parse(doc.get)
     require((v \ "zarr_format") == JInt(3), s"$path: not a zarr v3 document")
     require((v \ "node_type") == JString("group"), s"$path: not a group node")
     val ome = v \ "attributes" \ "ome"
@@ -342,6 +342,6 @@ object PyramidWriter {
     val g = openGroupV3(path)
     require(level >= 0 && level < g.levels,
       s"$path: level $level out of range — multiscales declares ${g.levels} levels")
-    Zarr3Store.read(spark, Paths.get(path).resolve(g.levelPaths(level)).toString)
+    Zarr3Store.read(spark, Fio.child(path, g.levelPaths(level)))
   }
 }

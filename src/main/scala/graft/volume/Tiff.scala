@@ -1,7 +1,7 @@
 package graft.volume
 
+import graft.io.{Fio, FioConf, FioRandom}
 import org.apache.spark.sql.SparkSession
-import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.Inflater
 
@@ -61,16 +61,13 @@ object Tiff {
   /** Parse the IFD chain with positioned reads — strip DATA is never
     * touched on the driver.
     */
-  def parseMeta(path: String): TiffMeta = {
-    val f = new RandomAccessFile(path, "r")
+  def parseMeta(path: String)(implicit fc: FioConf): TiffMeta = {
+    val f = Fio.openRandom(path)
     try {
-      def readAt(pos: Long, n: Int): ByteBuffer = {
-        val a = new Array[Byte](n)
-        f.seek(pos); f.readFully(a)
-        ByteBuffer.wrap(a) // order set after we know the header
-      }
+      def readAt(pos: Long, n: Int): ByteBuffer =
+        ByteBuffer.wrap(f.readAt(pos, n)) // order set after we know the header
       val head = new Array[Byte](16)
-      f.seek(0); f.readFully(head)
+      f.readFully(0L, head)
       val bigEndian = (head(0), head(1)) match {
         case ('I', 'I') => false
         case ('M', 'M') => true
@@ -269,21 +266,21 @@ object Tiff {
     * the way the reference's legacy path feeds `tifffile.imread` output
     * into the same pipeline (anno_upsampling.py:33).
     */
-  def mhdMeta(path: String): MhdMeta = {
+  def mhdMeta(path: String)(implicit fc: FioConf): MhdMeta = {
     val tm = parseMeta(path)
     require(tm.pages.nonEmpty, s"no pages in $path")
     val p0 = tm.pages.head
     require(tm.pages.forall(p => p.width == p0.width && p.height == p0.height &&
         p.bits == p0.bits && p.sampleFormat == p0.sampleFormat),
       s"$path: pages disagree on shape/dtype")
-    val abs = java.nio.file.Paths.get(path).toAbsolutePath
+    val abs = Fio.qualify(path)
     MhdMeta(
       dimX = p0.width.toLong, dimY = p0.height.toLong, dimZ = tm.pages.length.toLong,
       elementType = elementTypeOf(p0.bits, p0.sampleFormat),
       spacingXyz = (1.0, 1.0, 1.0),
       byteOrderMsb = tm.bigEndian,
-      dataFile = abs.getFileName.toString,
-      mhdDir = Option(abs.getParent).map(_.toString).getOrElse("."))
+      dataFile = Fio.fileName(abs),
+      mhdDir = Fio.parent(abs))
   }
 
   /** Decompress one strip to exactly `expected` bytes. */
@@ -444,6 +441,7 @@ object Tiff {
     */
   def read(spark: SparkSession, path: String,
       spacing: (Double, Double, Double) = (1.0, 1.0, 1.0)): ChunkVolume = {
+    implicit val fc: FioConf = FioConf.of(spark)
     val tm = parseMeta(path)
     require(tm.pages.nonEmpty, s"no pages in $path")
     val p0 = tm.pages.head
@@ -468,9 +466,9 @@ object Tiff {
     val sliceBytes = (h.toLong * w.toLong * bpp).toInt
     import spark.implicits._
     val chunks = spark.range(pages.length.toLong).mapPartitions { ids =>
-      var raf: RandomAccessFile = null
+      var raf: FioRandom = null
       val it = ids.map { z =>
-        if (raf == null) raf = new RandomAccessFile(path, "r")
+        if (raf == null) raf = Fio.openRandom(path)
         val pg = pages(z.toInt)
         val data = new Array[Byte](sliceBytes)
         if (pg.tiled) {
@@ -480,9 +478,7 @@ object Tiff {
           val tileBytes = pg.tileWidth * pg.tileLength * bpp
           var t = 0
           while (t < pg.chunkOffsets.length) {
-            val raw = new Array[Byte](pg.chunkBytes(t).toInt)
-            raf.seek(pg.chunkOffsets(t))
-            raf.readFully(raw)
+            val raw = raf.readAt(pg.chunkOffsets(t), pg.chunkBytes(t).toInt)
             val decoded = decodeChunk(raw, tileBytes, pg.compression)
             if (pg.predictor == 2)
               undoPredictor(decoded, pg.tileLength, pg.tileWidth, bpp, bigEndian)
@@ -505,9 +501,7 @@ object Tiff {
           while (strip < pg.chunkOffsets.length) {
             val stripRows = math.min(pg.rowsPerStrip, pg.height - rowsDone)
             val expect = stripRows * pg.width * bpp
-            val raw = new Array[Byte](pg.chunkBytes(strip).toInt)
-            raf.seek(pg.chunkOffsets(strip))
-            raf.readFully(raw)
+            val raw = raf.readAt(pg.chunkOffsets(strip), pg.chunkBytes(strip).toInt)
             val decoded = decodeChunk(raw, expect, pg.compression)
             if (pg.predictor == 2)
               undoPredictor(decoded, stripRows, pg.width, bpp, bigEndian)

@@ -18,10 +18,12 @@ import org.apache.spark.sql.SparkSession
   */
 object VolumeTools {
 
-  private def readStore(spark: SparkSession, path: String): ChunkVolume =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, ".zarray")))
+  private def readStore(spark: SparkSession, path: String): ChunkVolume = {
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    if (graft.io.Fio.exists(graft.io.Fio.child(path, ".zarray")))
       ZarrStore.read(spark, path)
     else ChunkStore.read(spark, path)
+  }
 
   def loadTest(spark: SparkSession, mhdPath: String, z: Long, y: Long, x: Long): Seq[String] = {
     val meta = MhdMeta.parse(mhdPath)

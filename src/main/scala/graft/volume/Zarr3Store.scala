@@ -1,10 +1,10 @@
 package graft.volume
 
+import graft.io.{Fio, FioConf}
 import graft.volume.ZarrStore.{BloscCodec, Codec, GzipCodec, Raw, ZarrMeta, ZstdCodec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import java.nio.file.{Files, Paths}
 
 /** Zarr v3 scan/write (zarr-specs v3.0 — the current spec, the one
   * OME-NGFF 0.5 targets): `zarr.json` metadata document, named
@@ -323,21 +323,22 @@ object Zarr3Store {
       path: String,
       codec: Codec = ZstdCodec(),
       extraAttrs: Map[String, String] = Map.empty): Unit = {
-    val dest = Paths.get(path).toAbsolutePath.normalize
+    implicit val fc: FioConf = FioConf.of(vol.chunks.sparkSession)
+    val dest = Fio.qualify(path)
     AtomicDir.sweepLeftovers(dest)
     val dir = AtomicDir.tempSibling(dest)
-    Files.createDirectories(dir)
+    Fio.mkdirs(dir)
     val zm = metaOf(vol.meta, codec)
-    Files.writeString(dir.resolve("zarr.json"), zarrJson(zm, extraAttrs))
-    val pathStr = dir.toString
+    Fio.writeString(Fio.child(dir, "zarr.json"), zarrJson(zm, extraAttrs))
+    val pathStr = dir
     val meta = vol.meta
     val effCodec = zm.codec
     try {
       vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
         it.foreach { c =>
-          val f = Paths.get(pathStr, "c", c.cz.toString, c.cy.toString, c.cx.toString)
-          Files.createDirectories(f.getParent)
-          Files.write(f, ZarrStore.encodeChunkBytes(c, meta, effCodec))
+          // FileSystem.create makes parents, so the c/z/y/ tree needs no mkdirs
+          Fio.writeBytes(Fio.child(pathStr, s"c/${c.cz}/${c.cy}/${c.cx}"),
+            ZarrStore.encodeChunkBytes(c, meta, effCodec))
         }
       }
     } catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
@@ -354,18 +355,18 @@ object Zarr3Store {
       path: String,
       meta: VolumeMeta,
       codec: Codec = ZstdCodec()): Unit = {
-    val dir = Paths.get(path).toAbsolutePath
-    Files.createDirectories(dir)
+    implicit val fc: FioConf = FioConf.of(chunks.sparkSession)
+    val dir = Fio.qualify(path)
+    Fio.mkdirs(dir)
     val zm = metaOf(meta, codec)
-    val doc = dir.resolve("zarr.json")
-    if (!Files.exists(doc)) Files.writeString(doc, zarrJson(zm))
-    val pathStr = dir.toString
+    val doc = Fio.child(dir, "zarr.json")
+    if (!Fio.exists(doc)) Fio.writeString(doc, zarrJson(zm))
+    val pathStr = dir
     val effCodec = zm.codec
     chunks.foreachPartition { (it: Iterator[Chunk]) =>
       it.foreach { c =>
-        val f = Paths.get(pathStr, "c", c.cz.toString, c.cy.toString, c.cx.toString)
-        Files.createDirectories(f.getParent)
-        Files.write(f, ZarrStore.encodeChunkBytes(c, meta, effCodec))
+        Fio.writeBytes(Fio.child(pathStr, s"c/${c.cz}/${c.cy}/${c.cx}"),
+          ZarrStore.encodeChunkBytes(c, meta, effCodec))
       }
     }
   }
@@ -376,10 +377,11 @@ object Zarr3Store {
     * configured separator).
     */
   def read(spark: SparkSession, path: String): ChunkVolume = {
-    val dir = Paths.get(path).toAbsolutePath
-    val (zm0, sharding) = parseZarrJsonAny(Files.readString(dir.resolve("zarr.json")))
+    implicit val fc: FioConf = FioConf.of(spark)
+    val dir = Fio.qualify(path)
+    val (zm0, sharding) = parseZarrJsonAny(Fio.readString(Fio.child(dir, "zarr.json")))
     sharding match {
-      case Some(sh) => return readSharded(spark, dir.toString, zm0, sh)
+      case Some(sh) => return readSharded(spark, dir, zm0, sh)
       case None => ()
     }
     val zm = zm0
@@ -388,7 +390,7 @@ object Zarr3Store {
     val Seq(ncz0, ncy0, ncx0) = zm.gridShape
     val vm = VolumeMeta(dz, dy, dx, cz, cy, cx, ncz0, ncy0, ncx0, zm.elementType,
       spacingX = 1.0, spacingY = 1.0, spacingZ = 1.0)
-    val pathStr = dir.toString
+    val pathStr = dir
     val sep = zm.dimSeparator
     val (ncy, ncx) = (vm.ncy, vm.ncx)
     import spark.implicits._
@@ -401,8 +403,7 @@ object Zarr3Store {
         val icy = ((idx / ncx) % ncy).toInt
         val icx = (idx % ncx).toInt
         // default chunk key encoding: "c" <sep> z <sep> y <sep> x
-        val f = Paths.get(pathStr, (Seq("c", icz, icy, icx).mkString(sep)).split('/').toSeq: _*)
-        val bytes = if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
+        val bytes = Fio.readAllIfExists(Fio.child(pathStr, Seq("c", icz, icy, icx).mkString(sep)))
         ZarrStore.decodeChunk(bytes, zm, vm, icz, icy, icx)
       }
     ChunkVolume(chunks, vm)
@@ -546,18 +547,18 @@ object Zarr3Store {
     val sh = ShardingMeta(inner, indexCrc32c = true, indexAtEnd = indexAtEnd)
     val zm = metaOf(m, codec)
     val ivm = innerVm(zm, sh)
-    val dest = Paths.get(path).toAbsolutePath.normalize
+    implicit val fc: FioConf = FioConf.of(vol.chunks.sparkSession)
+    val dest = Fio.qualify(path)
     AtomicDir.sweepLeftovers(dest)
     val dir = AtomicDir.tempSibling(dest)
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve("zarr.json"), shardedZarrJson(zm, sh, extraAttrs))
-    val pathStr = dir.toString
+    Fio.mkdirs(dir)
+    Fio.writeString(Fio.child(dir, "zarr.json"), shardedZarrJson(zm, sh, extraAttrs))
+    val pathStr = dir
     try {
       vol.chunks.foreachPartition { (it: Iterator[Chunk]) =>
         it.foreach { c =>
-          val f = Paths.get(pathStr, "c", c.cz.toString, c.cy.toString, c.cx.toString)
-          Files.createDirectories(f.getParent)
-          Files.write(f, encodeShard(c, zm, sh, ivm))
+          Fio.writeBytes(Fio.child(pathStr, s"c/${c.cz}/${c.cy}/${c.cx}"),
+            encodeShard(c, zm, sh, ivm))
         }
       }
     } catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
@@ -572,7 +573,8 @@ object Zarr3Store {
     * unsharded.
     */
   private def readSharded(
-      spark: SparkSession, pathStr: String, zm: ZarrMeta, sh: ShardingMeta): ChunkVolume = {
+      spark: SparkSession, pathStr: String, zm: ZarrMeta, sh: ShardingMeta)(
+      implicit fc: FioConf): ChunkVolume = {
     val ivm = innerVm(zm, sh)
     val Seq(nIz, nIy, nIx) = sh.innerGridPerShard(zm.chunks)
     val Seq(nscz0, nscy0, nscx0) = zm.gridShape
@@ -587,16 +589,15 @@ object Zarr3Store {
         val scz = (idx / (nscy.toLong * nscx)).toInt
         val scy = ((idx / nscx) % nscy).toInt
         val scx = (idx % nscx).toInt
-        val f = Paths.get(pathStr,
-          (Seq("c", scz, scy, scx).mkString(sep)).split('/').toSeq: _*)
-        val shardBytes = if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
+        val f = Fio.child(pathStr, Seq("c", scz, scy, scx).mkString(sep))
+        val shardBytes = Fio.readAllIfExists(f)
         val idxLen = sh.indexLen(zm.chunks)
         val entries = shardBytes.map { b =>
           require(b.length >= idxLen,
             s"shard $f: ${b.length} bytes is shorter than its $idxLen-byte index")
           val idxBytes = new Array[Byte](idxLen)
           System.arraycopy(b, if (sh.indexAtEnd) b.length - idxLen else 0, idxBytes, 0, idxLen)
-          parseShardIndex(idxBytes, sh, zm, f.toString)
+          parseShardIndex(idxBytes, sh, zm, f)
         }
         // inner ZarrMeta drives decodeChunk: inner chunk shape + inner codec
         val izm = ZarrMeta(zm.shape, sh.innerChunks, zm.dtype, zm.codec, zm.fillValue, sep)
@@ -641,8 +642,9 @@ object Zarr3Store {
       innerShape: (Int, Int, Int),
       codec: Codec = ZstdCodec(),
       extraAttrs: Map[String, String] = Map.empty): Unit = {
+    implicit val fc: FioConf = FioConf.of(spark)
     val (zm, sharding) = parseZarrJsonAny(
-      Files.readString(Paths.get(srcPath).toAbsolutePath.resolve("zarr.json")))
+      Fio.readString(Fio.child(Fio.qualify(srcPath), "zarr.json")))
     require(sharding.isEmpty, s"$srcPath is already sharded — nothing to compact")
     val vol = read(spark, srcPath)
     writeSharded(
@@ -670,14 +672,15 @@ object Zarr3Store {
       spark: SparkSession, path: String,
       z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): DataFrame = {
     require(z0 < z1 && y0 < y1 && x0 < x1, s"empty ROI [$z0,$z1)×[$y0,$y1)×[$x0,$x1)")
-    val dir = Paths.get(path).toAbsolutePath
-    val (zm, shOpt) = parseZarrJsonAny(Files.readString(dir.resolve("zarr.json")))
+    implicit val fc: FioConf = FioConf.of(spark)
+    val dir = Fio.qualify(path)
+    val (zm, shOpt) = parseZarrJsonAny(Fio.readString(Fio.child(dir, "zarr.json")))
     val sh = shOpt.getOrElse(throw new IllegalArgumentException(
       s"$path is not a sharded array — use Zarr3Store.read + cropVoxels"))
     val ivm = innerVm(zm, sh)
     val Seq(nIz, nIy, nIx) = sh.innerGridPerShard(zm.chunks)
     val Seq(sz, sy, sx) = zm.chunks
-    val dirStr = dir.toString
+    val dirStr = dir
     val sep = zm.dimSeparator
     val bpp = zm.bpp
     val unsigned = ivm.isUnsigned
@@ -692,7 +695,7 @@ object Zarr3Store {
     spark.createDataset(shardCoords)
       .repartition(math.min(shardCoords.size, spark.sparkContext.defaultParallelism))
       .flatMap { case (scz, scy, scx) =>
-        val f = Paths.get(dirStr, (Seq("c", scz, scy, scx).mkString(sep)).split('/').toSeq: _*)
+        val f = Fio.child(dirStr, Seq("c", scz, scy, scx).mkString(sep))
         val Seq(iz, iy, ix) = sh.innerChunks
         // intersecting inner cells of this shard, bounded to the array grid
         val cells = for {
@@ -705,17 +708,15 @@ object Zarr3Store {
         } yield (gcz, gcy, gcx)
         if (cells.isEmpty) Iterator.empty
         else {
-          val raf: java.io.RandomAccessFile =
-            if (Files.exists(f)) new java.io.RandomAccessFile(f.toFile, "r") else null
+          val raf: graft.io.FioRandom = Fio.openRandomIfExists(f).orNull
           try {
             val entries =
               if (raf == null) null
               else {
                 val idxLen = sh.indexLen(zm.chunks)
                 val idxBytes = new Array[Byte](idxLen)
-                raf.seek(if (sh.indexAtEnd) raf.length() - idxLen else 0L)
-                raf.readFully(idxBytes)
-                parseShardIndex(idxBytes, sh, zm, f.toString)
+                raf.readFully(if (sh.indexAtEnd) raf.size - idxLen else 0L, idxBytes)
+                parseShardIndex(idxBytes, sh, zm, f)
               }
             cells.iterator.flatMap { case (gcz, gcy, gcx) =>
               val cell = ((gcz - scz * nIz) * nIy + (gcy - scy * nIy)) * nIx + (gcx - scx * nIx)
@@ -726,12 +727,9 @@ object Zarr3Store {
                   if (off == Missing) None
                   else {
                     require(off >= 0 && len >= 0 && len <= Int.MaxValue
-                        && off + len <= raf.length(),
+                        && off + len <= raf.size,
                       s"shard $f: inner cell $cell addresses [$off, ${off + len}) outside the file")
-                    val b = new Array[Byte](len.toInt)
-                    raf.seek(off)
-                    raf.readFully(b)
-                    Some(b)
+                    Some(raf.readAt(off, len.toInt))
                   }
                 }
               val c = ZarrStore.decodeChunk(blob, izm, ivm, gcz, gcy, gcx)
@@ -766,9 +764,10 @@ object Zarr3Store {
 
   def boxProbeSharded(
       path: String,
-      z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): ShardBoxProbe = {
-    val dir = Paths.get(path).toAbsolutePath
-    val (zm, shOpt) = parseZarrJsonAny(Files.readString(dir.resolve("zarr.json")))
+      z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long)(
+      implicit fc: FioConf): ShardBoxProbe = {
+    val dir = Fio.qualify(path)
+    val (zm, shOpt) = parseZarrJsonAny(Fio.readString(Fio.child(dir, "zarr.json")))
     val sh = shOpt.getOrElse(throw new IllegalArgumentException(s"$path is not sharded"))
     val ivm = innerVm(zm, sh)
     val Seq(nIz, nIy, nIx) = sh.innerGridPerShard(zm.chunks)
@@ -784,18 +783,16 @@ object Zarr3Store {
       scy <- (y0 / sy).toInt to ((y1 - 1) / sy).toInt
       scx <- (x0 / sx).toInt to ((x1 - 1) / sx).toInt
     } {
-      val f = Paths.get(dir.toString, (Seq("c", scz, scy, scx).mkString(sep)).split('/').toSeq: _*)
+      val f = Fio.child(dir, Seq("c", scz, scy, scx).mkString(sep))
       shards += 1
-      if (Files.exists(f)) {
-        fileBytes += Files.size(f)
+      Fio.openRandomIfExists(f).foreach { raf =>
+        fileBytes += raf.size
         val idxLen = sh.indexLen(zm.chunks)
         bytesRead += idxLen
-        val raf = new java.io.RandomAccessFile(f.toFile, "r")
         try {
           val idxBytes = new Array[Byte](idxLen)
-          raf.seek(if (sh.indexAtEnd) raf.length() - idxLen else 0L)
-          raf.readFully(idxBytes)
-          val entries = parseShardIndex(idxBytes, sh, zm, f.toString)
+          raf.readFully(if (sh.indexAtEnd) raf.size - idxLen else 0L, idxBytes)
+          val entries = parseShardIndex(idxBytes, sh, zm, f)
           for {
             gcz <- math.max(scz * nIz, (z0 / iz).toInt) to
               math.min(math.min((scz + 1) * nIz - 1, ivm.ncz - 1), ((z1 - 1) / iz).toInt)
@@ -816,9 +813,10 @@ object Zarr3Store {
       innerRead, ivm.ncz * ivm.ncy * ivm.ncx, bytesRead, fileBytes)
   }
 
-  def pointLookupSharded(path: String, z: Long, y: Long, x: Long): ShardProbe = {
-    val dir = Paths.get(path).toAbsolutePath
-    val (zm, shOpt) = parseZarrJsonAny(Files.readString(dir.resolve("zarr.json")))
+  def pointLookupSharded(path: String, z: Long, y: Long, x: Long)(
+      implicit fc: FioConf): ShardProbe = {
+    val dir = Fio.qualify(path)
+    val (zm, shOpt) = parseZarrJsonAny(Fio.readString(Fio.child(dir, "zarr.json")))
     val sh = shOpt.getOrElse(throw new IllegalArgumentException(
       s"$path is not a sharded array — use Zarr3Store.read"))
     require(z >= 0 && y >= 0 && x >= 0
@@ -831,29 +829,26 @@ object Zarr3Store {
     val (lz, ly, lx) = (((z % sz) / iz).toInt, ((y % sy) / iy).toInt, ((x % sx) / ix).toInt)
     val cell = (lz * nIy + ly) * nIx + lx
     val sep = zm.dimSeparator
-    val f = Paths.get(dir.toString, (Seq("c", scz, scy, scx).mkString(sep)).split('/').toSeq: _*)
+    val f = Fio.child(dir, Seq("c", scz, scy, scx).mkString(sep))
     val ivm = innerVm(zm, sh)
     val izm = ZarrMeta(zm.shape, sh.innerChunks, zm.dtype, zm.codec, zm.fillValue, sep)
     val (gcz, gcy, gcx) = (scz * nIz + lz, scy * nIy + ly, scx * nIx + lx)
-    if (!Files.exists(f))
+    val rafOpt = Fio.openRandomIfExists(f)
+    if (rafOpt.isEmpty)
       return ShardProbe(zm.fillValue, shardsOpened = 0, bytesRead = 0L, fileBytes = 0L)
-    val raf = new java.io.RandomAccessFile(f.toFile, "r")
+    val raf = rafOpt.get
     try {
-      val fileLen = raf.length()
+      val fileLen = raf.size
       val idxLen = sh.indexLen(zm.chunks)
       require(fileLen >= idxLen, s"shard $f shorter than its index")
       val idxBytes = new Array[Byte](idxLen)
-      raf.seek(if (sh.indexAtEnd) fileLen - idxLen else 0L)
-      raf.readFully(idxBytes)
-      val entries = parseShardIndex(idxBytes, sh, zm, f.toString)
+      raf.readFully(if (sh.indexAtEnd) fileLen - idxLen else 0L, idxBytes)
+      val entries = parseShardIndex(idxBytes, sh, zm, f)
       val off = entries(cell * 2); val len = entries(cell * 2 + 1)
       val blob = if (off == Missing) None else {
         require(off >= 0 && len >= 0 && off + len <= fileLen && len <= Int.MaxValue,
           s"shard $f: cell $cell addresses [$off, ${off + len}) outside the file")
-        val b = new Array[Byte](len.toInt)
-        raf.seek(off)
-        raf.readFully(b)
-        Some(b)
+        Some(raf.readAt(off, len.toInt))
       }
       val inner = ZarrStore.decodeChunk(blob, izm, ivm, gcz, gcy, gcx)
       val bpp = zm.bpp

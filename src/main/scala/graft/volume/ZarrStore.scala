@@ -1,10 +1,10 @@
 package graft.volume
 
+import graft.io.{Fio, FioConf}
 import org.apache.spark.sql.SparkSession
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import java.io.ByteArrayOutputStream
-import java.nio.file.{Files, Paths}
 import java.util.zip.{Deflater, Inflater}
 
 /** Spec-compliant Zarr v2 DirectoryStore — the reference's actual on-disk
@@ -621,12 +621,13 @@ object ZarrStore {
     */
   def write(vol: ChunkVolume, path: String, codec: Codec = ZstdCodec(),
       extraAttrs: Map[String, String] = Map.empty): Unit = {
-    val dest = Paths.get(path).toAbsolutePath.normalize
+    implicit val fc: FioConf = FioConf.of(vol.chunks.sparkSession)
+    val dest = Fio.qualify(path)
     AtomicDir.sweepLeftovers(dest)
     val dir = AtomicDir.tempSibling(dest)
-    Files.createDirectories(dir)
+    Fio.mkdirs(dir)
     val zm = metaOf(vol.meta, codec)
-    Files.writeString(dir.resolve(".zarray"), zarrayJson(zm))
+    Fio.writeString(Fio.child(dir, ".zarray"), zarrayJson(zm))
     // .zattrs: spacing + provenance (user attrs per the spec; zarr/dask
     // readers ignore unknown keys). Spacing is stored (x,y,z) like MHD's
     // ElementSpacing so round-trips preserve the header convention.
@@ -634,11 +635,11 @@ object ZarrStore {
       "graft:spacing" -> s"[${vol.meta.spacingX}, ${vol.meta.spacingY}, ${vol.meta.spacingZ}]",
       "graft:elementType" -> ChunkVolume.jsonStr(vol.meta.elementType),
     ) ++ extraAttrs.map { case (k, v) => k -> ChunkVolume.jsonStr(v) }
-    Files.writeString(dir.resolve(".zattrs"),
+    Fio.writeString(Fio.child(dir, ".zattrs"),
       attrs.toSeq.sortBy(_._1)
         .map { case (k, v) => s"    ${ChunkVolume.jsonStr(k)}: $v" }
         .mkString("{\n", ",\n", "\n}"))
-    try writeChunkFiles(vol.chunks, dir.toString, vol.meta, zm.codec)
+    try writeChunkFiles(vol.chunks, dir, vol.meta, zm.codec)
     catch { case e: Throwable => AtomicDir.deleteInBackground(dir); throw e }
     AtomicDir.publish(dir, dest)
   }
@@ -654,12 +655,13 @@ object ZarrStore {
       path: String,
       meta: VolumeMeta,
       codec: Codec = ZstdCodec()): Unit = {
-    val dir = Paths.get(path).toAbsolutePath
-    Files.createDirectories(dir)
+    implicit val fc: FioConf = FioConf.of(chunks.sparkSession)
+    val dir = Fio.qualify(path)
+    Fio.mkdirs(dir)
     val zm = metaOf(meta, codec)
-    val zarrayPath = dir.resolve(".zarray")
-    if (!Files.exists(zarrayPath)) Files.writeString(zarrayPath, zarrayJson(zm))
-    writeChunkFiles(chunks, dir.toString, meta, zm.codec)
+    val zarrayPath = Fio.child(dir, ".zarray")
+    if (!Fio.exists(zarrayPath)) Fio.writeString(zarrayPath, zarrayJson(zm))
+    writeChunkFiles(chunks, dir, meta, zm.codec)
   }
 
   /** Validate, pad, and compress ONE chunk to its zarr file bytes WITHOUT
@@ -695,8 +697,8 @@ object ZarrStore {
     * kernel shared by the Dataset writer and the DSv2 write path.
     */
   private[graft] def encodeChunkFile(
-      c: Chunk, pathStr: String, meta: VolumeMeta, codec: Codec): Unit =
-    Files.write(Paths.get(pathStr, s"${c.cz}.${c.cy}.${c.cx}"), encodeChunkBytes(c, meta, codec))
+      c: Chunk, pathStr: String, meta: VolumeMeta, codec: Codec)(implicit fc: FioConf): Unit =
+    Fio.writeBytes(Fio.child(pathStr, s"${c.cz}.${c.cy}.${c.cx}"), encodeChunkBytes(c, meta, codec))
 
   /** Create an array directory with its `.zarray` only (no chunks yet) —
     * the driver-side step of the DSv2 write path; executors then land
@@ -704,12 +706,13 @@ object ZarrStore {
     * metadata. No-op (returning the EXISTING metadata) if the array is
     * already initialized.
     */
-  private[graft] def initArray(path: String, meta: VolumeMeta, codec: Codec): (ZarrMeta, VolumeMeta) = {
-    val dir = Paths.get(path).toAbsolutePath
-    Files.createDirectories(dir)
-    val zarrayPath = dir.resolve(".zarray")
-    if (!Files.exists(zarrayPath))
-      Files.writeString(zarrayPath, zarrayJson(metaOf(meta, codec)))
+  private[graft] def initArray(path: String, meta: VolumeMeta, codec: Codec)(
+      implicit fc: FioConf): (ZarrMeta, VolumeMeta) = {
+    val dir = Fio.qualify(path)
+    Fio.mkdirs(dir)
+    val zarrayPath = Fio.child(dir, ".zarray")
+    if (!Fio.exists(zarrayPath))
+      Fio.writeString(zarrayPath, zarrayJson(metaOf(meta, codec)))
     readMeta(path)
   }
 
@@ -717,25 +720,23 @@ object ZarrStore {
       chunks: org.apache.spark.sql.Dataset[Chunk],
       pathStr: String,
       meta: VolumeMeta,
-      codec: Codec): Unit =
+      codec: Codec)(implicit fc: FioConf): Unit =
     chunks.foreachPartition { (it: Iterator[Chunk]) =>
       it.foreach(c => encodeChunkFile(c, pathStr, meta, codec))
     }
 
   /** Read `.zarray` (+ spacing attr if present) into engine metadata. */
-  def readMeta(path: String): (ZarrMeta, VolumeMeta) = {
-    val dir = Paths.get(path).toAbsolutePath
-    val zm = parseZarray(Files.readString(dir.resolve(".zarray")))
+  def readMeta(path: String)(implicit fc: FioConf): (ZarrMeta, VolumeMeta) = {
+    val dir = Fio.qualify(path)
+    val zm = parseZarray(Fio.readString(Fio.child(dir, ".zarray")))
     val spacing = {
-      val attrsPath = dir.resolve(".zattrs")
       val re = """"graft:spacing"\s*:\s*\[([^\]]*)\]""".r
-      if (Files.exists(attrsPath))
-        re.findFirstMatchIn(Files.readString(attrsPath))
-          .map(_.group(1).split(",").map(_.trim.toDouble))
-          .filter(_.length == 3)
-          .map(a => (a(0), a(1), a(2)))
-          .getOrElse((1.0, 1.0, 1.0))
-      else (1.0, 1.0, 1.0)
+      Fio.readStringIfExists(Fio.child(dir, ".zattrs"))
+        .flatMap(re.findFirstMatchIn(_))
+        .map(_.group(1).split(",").map(_.trim.toDouble))
+        .filter(_.length == 3)
+        .map(a => (a(0), a(1), a(2)))
+        .getOrElse((1.0, 1.0, 1.0))
     }
     val Seq(dz, dy, dx) = zm.shape
     val Seq(cz, cy, cx) = zm.chunks
@@ -785,8 +786,9 @@ object ZarrStore {
     * files decode as fill_value per the spec.
     */
   def read(spark: SparkSession, path: String): ChunkVolume = {
+    implicit val fc: FioConf = FioConf.of(spark)
     val (zm, vm) = readMeta(path)
-    val pathStr = Paths.get(path).toAbsolutePath.toString
+    val pathStr = Fio.qualify(path)
     val sep = zm.dimSeparator
     val (ncy, ncx) = (vm.ncy, vm.ncx)
     import spark.implicits._
@@ -798,8 +800,7 @@ object ZarrStore {
         val cz = (idx / (ncy.toLong * ncx)).toInt
         val cy = ((idx / ncx) % ncy).toInt
         val cx = (idx % ncx).toInt
-        val f = Paths.get(pathStr, s"$cz$sep$cy$sep$cx")
-        val bytes = if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
+        val bytes = Fio.readAllIfExists(Fio.child(pathStr, s"$cz$sep$cy$sep$cx"))
         decodeChunk(bytes, zm, vm, cz, cy, cx)
       }
     ChunkVolume(chunks, vm)

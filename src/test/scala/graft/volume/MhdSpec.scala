@@ -31,7 +31,10 @@ class MhdSpec extends AnyFunSuite {
     assert(m.elementType === "MET_UINT" && m.bytesPerVoxel === 4)
     assert(!m.byteOrderMsb && m.isUnsigned && !m.isFloating)
     assert(m.spacingXyz === ((25.0, 25.0, 25.0)))
-    assert(m.rawPath === dir.resolve("fixture_annotation.raw").toString)
+    // the Hadoop-FS port anchors sibling resolution on the (possibly
+    // scheme-qualified) .mhd directory; a bare local path stays bare or
+    // gains a file: scheme, and either form must name the same file
+    assert(m.rawPath.stripPrefix("file:") === dir.resolve("fixture_annotation.raw").toString)
   }
 
   test("parse: comma-separated dims, MSB true, default spacing") {
