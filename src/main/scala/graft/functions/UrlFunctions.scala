@@ -34,8 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UrlOps {
 
+  // unambiguous tracking params only: a bare `ref` is a legitimate query
+  // key on content sites/APIs, so stripping it would collapse distinct URLs
   private val TrackingParams: Set[String] =
-    Set("fbclid", "gclid", "msclkid", "ref", "ref_src")
+    Set("fbclid", "gclid", "msclkid", "ref_src")
 
   private def isTracking(name: String): Boolean = {
     val n = name.toLowerCase
@@ -156,14 +158,32 @@ object UrlOps {
     if (exception > 0) exception - 1 else best
   }
 
+  /** IDN hosts (raw UTF-8 labels) fold to their ASCII punycode (xn--) form
+    * so both spellings key to the same registrable domain; PSL rules match
+    * over ASCII labels. Unconvertible input passes through unchanged (the
+    * canonicalize don't-destroy-keys rule).
+    */
+  private def toAsciiHost(host: String): String =
+    if (host.forall(_ < 128)) host
+    else try java.net.IDN.toASCII(host) catch { case _: IllegalArgumentException => host }
+
   def registrableDomain(url: UTF8String): UTF8String = {
     val raw = url.toString.trim
     val p = parse(raw)
     val host0 =
       if (p != null) p(2)
-      else if (raw.nonEmpty && !raw.contains('/') && raw.contains('.')) raw // bare host
+      else if (raw.nonEmpty && !raw.contains('/') && raw.contains('.')) {
+        // a bare host may still carry a :port — strip it before the PSL
+        // walk so the port never embeds in the last label
+        if (raw.startsWith("[")) raw
+        else {
+          val ci = raw.lastIndexOf(':')
+          if (ci >= 0 && raw.substring(ci + 1).forall(_.isDigit)) raw.substring(0, ci)
+          else raw
+        }
+      }
       else return null
-    val host = host0.toLowerCase.stripSuffix(".")
+    val host = toAsciiHost(host0.toLowerCase.stripSuffix("."))
     if (host.startsWith("[") || isIpv4(host)) return UTF8String.fromString(host)
     val labels = host.split('.')
     if (labels.length < 2 || labels.exists(_.isEmpty)) return null

@@ -186,7 +186,30 @@ object PlanAudit {
     * PlanAuditSpec and emitted measured-vs-pinned into the bench JSON
     * (`shape_pins` / `shape_pins_ok`) like the exchange counts.
     */
+  /** Multi-file WARC intake must keep BOTH branches of the mixed corpus
+    * read (indexed-split fan-out + sequential per-file tasks) and fan
+    * the intake out to at least as many tasks as the fixture has files
+    * (3): evidence is the round-robin repartition exchanges the two
+    * branches plant — their partition counts ARE the intake task
+    * counts. A single-branch plan (a shard silently dropped or the
+    * union collapsed) or a parallelism collapse below the file count
+    * fails the artifact.
+    */
+  def warcMultiIntakeShape(df: DataFrame): Shape = {
+    val parts = nodes(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] =>
+        e.outputPartitioning.numPartitions
+    }
+    val branches = parts.length
+    val tasks = parts.sum
+    Shape(branches >= 2 && tasks >= 3,
+      s"intake_branches=$branches intake_tasks=$tasks")
+  }
+
   val pinnedShapes: Map[String, DataFrame => Shape] = Map(
+    "doc_warc_multifile" -> warcMultiIntakeShape,
     "vol_zarr3_sharded_point" -> shardedPointShape,
     "vol_zarr3_sharded_box" -> shardedBoxShape,
     "doc_dedup_corpus" -> broadcastAntiShape,

@@ -8,7 +8,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Mixing
 import graft.similarity.Ann
 import graft.streaming.EventStreams
-import graft.text.{Bpe, ByteBpe, TextAnalysis}
+import graft.text.{Bpe, ByteBpe, QualityTrainer, TextAnalysis}
 
 /** Training-data-pipeline queries over the `documents` and `embeddings`
   * tables: deduplication (exact, MinHash+LSH, SimHash, token Jaccard),
@@ -85,6 +85,27 @@ object DocQueries {
     })
   private def warcFixture(d: String): String = warcGen(d, wet = false)
   private def wetFixture(d: String): String = warcGen(d, wet = true)
+
+  /** Multi-file crawl snapshot: THREE foreign `.warc.gz` shards
+    * (doc_id % 3) of the same corpus, shard 1 deliberately WITHOUT its
+    * `.idx` sidecar — so the directory intake must mix indexed-split
+    * reads (parallelism within the file) and sequential per-file tasks
+    * over one corpus. Returns the directory.
+    */
+  private def warcMultiFixture(d: String): String =
+    warcCache.computeIfAbsent(s"$d#multi", { _ =>
+      val gen = java.nio.file.Paths.get("tools/gen_warc_fixture.py")
+      require(java.nio.file.Files.exists(gen),
+        s"fixture generator not found at ${gen.toAbsolutePath}")
+      val out = java.nio.file.Files.createTempDirectory("graft_warcmulti")
+      out.toFile.deleteOnExit()
+      val p = out.resolve("crawl.warc.gz").toString
+      val cmd = Seq("python3", gen.toString, p, d, "--shards", "3")
+      val rc = scala.sys.process.Process(cmd)
+        .!(scala.sys.process.ProcessLogger(_ => ()))
+      require(rc == 0, s"gen_warc_fixture.py --shards 3 exited $rc")
+      out.toString
+    })
 
   /** One WET-export destination per JVM (files overwritten in place —
     * partition count is fixed, so reps rewrite the same part files).
@@ -336,6 +357,60 @@ object DocQueries {
                  CAST(list_sum(list_transform(range(1, 65), i -> (q.q[i] - c2.c[i]) * (q.q[i] - c2.c[i]))) AS BIGINT) AS d2
           FROM q CROSS JOIN c2
         )"""
+
+  /** DuckDB replay of QualityTrainer.train over the documents table —
+    * 256 buckets, 3 full-batch GD iterations, LrDen 16, ending at
+    * `m_final` = (id, y, margin) under the final weights. Generated
+    * iteration-by-iteration so the oracle unrolls EXACTLY the training
+    * loop: forward margins (m_i), hard-sigmoid errors (e_i), per-bucket
+    * gradient sums (gb_i), truncating-div updates (w_i, b_i). DuckDB
+    * `//` and Spark `div`/JVM `/` all truncate toward zero — the
+    * div-parity the whole fixed-point contract rides on.
+    */
+  private val gdReplayCtes: String = {
+    val header = """
+        rows AS (SELECT doc_id AS id, text AS txt FROM documents),
+        tok AS (SELECT id, unnest(string_split(txt, ' ')) AS tok FROM rows),
+        feat AS (SELECT DISTINCT id,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS b FROM tok),
+        stats AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                         CAST(MAX(c) AS BIGINT) AS top
+                  FROM (SELECT id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+                  GROUP BY 1),
+        lab AS (SELECT id, CAST(n_tokens >= 10 AND top * 5 <= n_tokens AS BIGINT) AS y
+                FROM stats),
+        den AS (SELECT COUNT(*) * 16 AS den FROM lab),
+        m1 AS (SELECT id, y, CAST(0 AS BIGINT) AS margin FROM lab)"""
+    val iters = (1 to 3).map { i =>
+      val e =
+        s"""e$i AS (SELECT id, CAST(LEAST(1000000, GREATEST(0, margin // 4 + 500000))
+                      - y * 1000000 AS BIGINT) AS err FROM m$i)"""
+      val gb =
+        s"""gb$i AS (SELECT f.b, CAST(SUM(e.err) AS BIGINT) AS g
+                     FROM feat f JOIN e$i e USING (id) GROUP BY 1)"""
+      val w =
+        if (i == 1)
+          "w1 AS (SELECT b, CAST(-(g // (SELECT den FROM den)) AS BIGINT) AS w FROM gb1)"
+        else
+          s"""w$i AS (SELECT p.b, CAST(p.w - (g.g // (SELECT den FROM den)) AS BIGINT) AS w
+                      FROM w${i - 1} p JOIN gb$i g USING (b))"""
+      val b =
+        if (i == 1)
+          """b1 AS (SELECT CAST(-(CAST(SUM(err) AS BIGINT) // (SELECT den FROM den))
+                      AS BIGINT) AS w FROM e1)"""
+        else
+          s"""b$i AS (SELECT CAST((SELECT w FROM b${i - 1})
+                        - (CAST(SUM(err) AS BIGINT) // (SELECT den FROM den))
+                        AS BIGINT) AS w FROM e$i)"""
+      val m =
+        s"""m${i + 1} AS (SELECT l.id, l.y,
+                   CAST((SELECT w FROM b$i) + SUM(w.w) AS BIGINT) AS margin
+                 FROM lab l JOIN feat f USING (id) JOIN w$i w USING (b)
+                 GROUP BY 1, 2)"""
+      Seq(e, gb, w, b, m).mkString(",\n        ")
+    }
+    (header +: iters).mkString(",\n        ") + ",\n        m_final AS (SELECT * FROM m4)"
+  }
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
@@ -1419,6 +1494,39 @@ object DocQueries {
         SELECT url, extracted FROM pages ORDER BY url
       """),
     ),
+    // MULTI-FILE corpus intake: a crawl snapshot is tens of thousands of
+    // .warc.gz files, not one — this gate reads a 3-shard foreign
+    // snapshot (doc_id % 3) through the directory entry point, with
+    // shard 1 deliberately sidecar-less: indexed files fan out BY MEMBER
+    // SPAN, plain files run one sequential task each, and the union is
+    // ONE DataFrame covering the whole corpus exactly once. The oracle
+    // is the same full-corpus page formula as doc_warc_extract, so a
+    // shard dropped, double-read, or mis-merged fails the hash; the
+    // bench shape pin (warcMultiIntakeShape) holds the parallelism
+    // evidence — both intake branches present, intake tasks >= files.
+    Q(
+      "doc_warc_multifile",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.sources.WarcSource.readDir(s, warcMultiFixture(d))
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            graft.functions.GraftFunctions.htmlExtract(col("body")).as("extracted"))
+          .orderBy(col("url"))
+      },
+      Some("""
+        WITH pages AS (
+          SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+                 'Doc ' || doc_id || chr(10) || text AS extracted
+          FROM documents
+          UNION ALL
+          SELECT 'https://mirror.' || source || '.example.org/doc/' || doc_id,
+                 'Doc ' || doc_id || chr(10) || text
+          FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT url, extracted FROM pages ORDER BY url
+      """),
+    ),
     // The WET sibling: Common Crawl ships each WARC's extracted text as
     // 'conversion' records with text/plain payloads — the intake most
     // training pipelines actually start from. Same member framing, same
@@ -2222,9 +2330,15 @@ object DocQueries {
       "doc_domain_caps",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        // two IDN arms: the raw-UTF-8 ccTLD (中国) and its published
+        // punycode spelling (xn--fiqs8s) must key to the SAME registrable
+        // domain — graft_reg_domain folds UTF-8 labels to ASCII (IDNA)
+        // before the PSL walk, so both spellings of a crawl host dedupe
+        // to one cap bucket
         val tld = expr(
-          "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' " +
-            "WHEN 2 THEN 'io' ELSE 'org' END")
+          "CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' " +
+            "WHEN 2 THEN 'io' WHEN 3 THEN 'org' WHEN 4 THEN '中国' " +
+            "ELSE 'xn--fiqs8s' END")
         val raw = concat(
           lit("HTTPS://"), upper(col("source")), lit(".News.Example."), upper(tld),
           lit(":443/doc/"), col("doc_id"),
@@ -2242,11 +2356,13 @@ object DocQueries {
           SELECT doc_id,
                  'https://' || source || '.news.example.' || tld || '/doc/' || doc_id
                    || '?id=' || doc_id AS url,
-                 'example.' || tld AS domain
+                 CASE WHEN tld IN ('中国', 'xn--fiqs8s') THEN 'example.xn--fiqs8s'
+                      ELSE 'example.' || tld END AS domain
           FROM (
             SELECT doc_id, source,
-                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-                        WHEN 2 THEN 'io' ELSE 'org' END AS tld
+                   CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                        WHEN 2 THEN 'io' WHEN 3 THEN 'org' WHEN 4 THEN '中国'
+                        ELSE 'xn--fiqs8s' END AS tld
             FROM documents)
           WHERE tld <> 'org'
         ), ranked AS (
@@ -4089,6 +4205,38 @@ object DocQueries {
                (sum_w_e3 * 1000) // n_tokens AS score_e6,
                CAST(((sum_w_e3 * 1000) // n_tokens) >= 0 AS BIGINT) AS quality_pass
         FROM scored ORDER BY doc_id
+      """),
+    ),
+    // DISTRIBUTED TRAINING for the model-based filter — the half of the
+    // CCNet/RefinedWeb stage the frozen doc_quality_model table left
+    // open: 3 full-batch GD steps of a logistic-shaped linear model
+    // (hard-sigmoid, exact int64 fixed-point — QualityTrainer's
+    // cross-engine contract) over the hashed feature space, bootstrap
+    // labels from the deterministic length+repetition heuristic. The
+    // oracle REPLAYS EVERY GD STEP in SQL (the emb_kmeans replay
+    // discipline): forward margins, hard-sigmoid errors, per-bucket
+    // gradient sums, truncating-div weight updates — three times — then
+    // re-derives every doc's final margin. Nothing is shared but the
+    // corpus: a wrong gradient, a wrong clamp, or a div/floor mismatch
+    // anywhere in 3×(forward+backward) breaks the hash. Scale shape:
+    // per iteration ONE ≤257-group hash aggregate (map-side combined);
+    // only the weight vector reaches the driver.
+    Q(
+      "doc_quality_train",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val model = QualityTrainer.train(docs, buckets = 256, iters = 3)
+        QualityTrainer.score(docs, model)
+          .join(QualityTrainer.labels(docs), "doc_id")
+          .select(col("doc_id"), col("y"), col("margin_e6"), col("p_e6"), col("pred_pass"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $gdReplayCtes
+        SELECT id AS doc_id, y, margin AS margin_e6,
+               CAST(LEAST(1000000, GREATEST(0, margin // 4 + 500000)) AS BIGINT) AS p_e6,
+               CAST(margin >= 0 AS BIGINT) AS pred_pass
+        FROM m_final ORDER BY doc_id
       """),
     ),
   )

@@ -281,8 +281,14 @@ object Bpe {
       while (best == null && !heap.isEmpty) {
         val e = heap.poll()
         val p = (e._2, e._3)
-        val live = counts.get(p)
-        if (live != null && live == e._1 && live >= minPairCount) best = p
+        // containsKey before get: the map's value type is primitive
+        // scala.Long, so a bare get on an absent key null-unboxes to 0L and
+        // a `!= null` guard is vacuous — dead pairs with a stale heap count
+        // of 0 would resurrect under minPairCount=0
+        if (counts.containsKey(p)) {
+          val live = counts.get(p)
+          if (live == e._1 && live >= minPairCount) best = p
+        }
       }
       if (best == null) exhausted = true
       else {

@@ -74,6 +74,31 @@ class UrlSpec extends AnyFunSuite with SparkSpec {
     assert(dom("not a url") === null)
   }
 
+  test("canonicalize: bare `ref` is a legitimate query param, not tracking") {
+    assert(canon("https://e.com/p?ref=homepage&id=2") ===
+      "https://e.com/p?ref=homepage&id=2")
+    // ref_src and utm_* are still unambiguous tracking params
+    assert(canon("https://e.com/p?ref_src=twsrc&utm_medium=x&id=2") ===
+      "https://e.com/p?id=2")
+  }
+
+  test("registrable domain: bare host with a port strips the port before the PSL walk") {
+    assert(dom("www.example.com:8080") === "example.com")
+    assert(dom("example.co.uk:443") === "example.co.uk")
+    // a trailing :segment that is NOT numeric is not a port — pass-through semantics
+    assert(dom("example.com:notaport") === "example.com:notaport")
+  }
+
+  test("registrable domain: IDN hosts fold UTF-8 and punycode spellings to one key") {
+    // 中国 is published on the PSL as xn--fiqs8s: both spellings must key identically
+    assert(dom("https://news.example.中国/x") === "example.xn--fiqs8s")
+    assert(dom("https://news.example.xn--fiqs8s/x") === "example.xn--fiqs8s")
+    assert(dom("https://NEWS.Example.中国/x") === "example.xn--fiqs8s")
+    // an IDN label ABOVE the suffix also folds (bücher -> xn--bcher-kva)
+    assert(dom("https://www.bücher.de/kat") === "xn--bcher-kva.de")
+    assert(dom("https://www.xn--bcher-kva.de/kat") === "xn--bcher-kva.de")
+  }
+
   test("codegen parity: the registered SQL functions agree with the direct kernels") {
     GraftFunctions.register(spark)
     import spark.implicits._

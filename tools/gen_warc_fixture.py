@@ -64,6 +64,12 @@ def main():
     ap.add_argument("sfdir")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--wet", action="store_true")
+    # multi-file crawl snapshot: shard docs by doc_id % N into
+    # out.replace('.warc.gz', f'_{k}.warc.gz'); shard 1 (if present) gets
+    # NO .idx sidecar, so readers must mix indexed-split and sequential
+    # paths over one corpus — the shape a real snapshot has when some
+    # files lack a cdx index
+    ap.add_argument("--shards", type=int, default=1)
     a = ap.parse_args()
 
     import duckdb  # driver-side only; the Scala engine never imports this
@@ -73,11 +79,16 @@ def main():
         f"'{a.sfdir}/documents.parquet' ORDER BY doc_id{lim}").fetchall()
 
     date = "2026-01-01T00:00:00Z"
-    members = [record("warcinfo", {
-        "WARC-Date": date,
-        "WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-000000000000>",
-        "Content-Type": "application/warc-fields",
-    }, b"software: gen_warc_fixture.py\r\nformat: WARC File Format 1.0\r\n")]
+
+    def warcinfo(k):
+        return record("warcinfo", {
+            "WARC-Date": date,
+            "WARC-Record-ID": f"<urn:uuid:00000000-0000-0000-0000-{k:012d}>",
+            "Content-Type": "application/warc-fields",
+        }, b"software: gen_warc_fixture.py\r\nformat: WARC File Format 1.0\r\n")
+
+    shard_members = [[warcinfo(k)] for k in range(a.shards)]
+    members = shard_members[0]  # single-shard callers see the old behavior
 
     def response(doc_id, url, text, uuid_prefix):
         html = page_html(doc_id, text)
@@ -101,6 +112,7 @@ def main():
 
     make = conversion if a.wet else response
     for doc_id, source, text in rows:
+        members = shard_members[doc_id % a.shards]
         url = f"https://{source}.example.org/doc/{doc_id}"
         if doc_id == 0 and not a.wet:  # one request record: readers must filter by type
             members.append(record("request", {
@@ -115,18 +127,25 @@ def main():
                 doc_id, f"https://mirror.{source}.example.org/doc/{doc_id}",
                 text, "mirr"))
 
-    offsets, pos, blobs = [], 0, []
-    for m in members:
-        blob = gzip.compress(m, 6)
-        offsets.append(pos)
-        pos += len(blob)
-        blobs.append(blob)
-    with open(a.out, "wb") as f:
-        for b in blobs:
-            f.write(b)
-    with open(a.out + ".idx", "w") as f:
-        f.write("\n".join(str(o) for o in offsets) + "\n")
-    print(f"wrote {len(members)} records, {pos} bytes", file=sys.stderr)
+    n_rec, n_bytes = 0, 0
+    for k, members in enumerate(shard_members):
+        out = a.out if a.shards == 1 else a.out.replace(".warc.gz", f"_{k}.warc.gz") \
+            .replace(".wet.gz", f"_{k}.wet.gz")
+        offsets, pos, blobs = [], 0, []
+        for m in members:
+            blob = gzip.compress(m, 6)
+            offsets.append(pos)
+            pos += len(blob)
+            blobs.append(blob)
+        with open(out, "wb") as f:
+            for b in blobs:
+                f.write(b)
+        if not (a.shards > 1 and k == 1):  # shard 1 stays sidecar-less
+            with open(out + ".idx", "w") as f:
+                f.write("\n".join(str(o) for o in offsets) + "\n")
+        n_rec += len(members)
+        n_bytes += pos
+    print(f"wrote {n_rec} records, {n_bytes} bytes", file=sys.stderr)
 
 
 if __name__ == "__main__":
