@@ -158,6 +158,25 @@ object Fio {
     fs.rename(s, fs.makeQualified(new HPath(dst)))
   }
 
+  /** Rename that atomically replaces an existing destination (POSIX/HDFS
+    * semantics via `FileContext` + `Rename.OVERWRITE`) — no delete-then-
+    * rename window where a concurrent reader sees the target missing and
+    * decodes a fill value. Falls back to delete+rename only if the scheme
+    * has no FileContext binding (some custom Hadoop FS impls).
+    */
+  def renameOverwrite(src: String, dst: String)(implicit fc: FioConf): Unit = {
+    val (fs, s) = resolve(src)
+    val d = fs.makeQualified(new HPath(dst))
+    try {
+      val ctx = org.apache.hadoop.fs.FileContext.getFileContext(s.toUri, fc.conf)
+      ctx.rename(s, d, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(d, true)
+        require(fs.rename(s, d), s"renameOverwrite fallback failed: $src -> $dst")
+    }
+  }
+
   def openStream(path: String)(implicit fc: FioConf): FSDataInputStream = {
     val (fs, p) = resolve(path); fs.open(p)
   }
@@ -202,7 +221,13 @@ object Fio {
       local,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
-    if (preallocate >= 0) ch.truncate(preallocate)
+    if (preallocate >= 0) {
+      // truncate only shrinks; to guarantee "full size up front, unwritten
+      // gaps read as zeros" we must also extend when the file is shorter.
+      if (ch.size > preallocate) ch.truncate(preallocate)
+      else if (ch.size < preallocate && preallocate > 0)
+        ch.write(java.nio.ByteBuffer.allocate(1), preallocate - 1)
+    }
     new FioRandomWrite(ch, path)
   }
 

@@ -197,9 +197,14 @@ object PlanAudit {
     */
   def warcMultiIntakeShape(df: DataFrame): Shape = {
     val parts = nodes(df.queryExecution.executedPlan).collect {
+      // The sequential branch with a single sidecar-less shard plans its
+      // repartition(1) as SinglePartition, not RoundRobinPartitioning(1) —
+      // count both so a one-file branch still registers as a branch.
       case e: ShuffleExchangeLike
         if e.outputPartitioning.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] =>
+          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] ||
+          e.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition =>
         e.outputPartitioning.numPartitions
     }
     val branches = parts.length

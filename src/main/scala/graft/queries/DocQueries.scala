@@ -373,7 +373,7 @@ object DocQueries {
         tok AS (SELECT id, unnest(string_split(txt, ' ')) AS tok FROM rows),
         feat AS (SELECT DISTINCT id,
                    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS b FROM tok),
-        stats AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        stats AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                          CAST(MAX(c) AS BIGINT) AS top
                   FROM (SELECT id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
                   GROUP BY 1),
@@ -4237,6 +4237,47 @@ object DocQueries {
                CAST(LEAST(1000000, GREATEST(0, margin // 4 + 500000)) AS BIGINT) AS p_e6,
                CAST(margin >= 0 AS BIGINT) AS pred_pass
         FROM m_final ORDER BY doc_id
+      """),
+    ),
+    // TRAIN → SCORE → FILTER COMPOSED end-to-end: the model-based filter
+    // a real curation pipeline runs — QualityTrainer.train's 3 GD steps
+    // produce the frozen weights, score applies them corpus-wide, the
+    // pred_pass gate keeps margin >= 0 docs, and a per-source census
+    // summarizes what survived. The oracle replays ALL of it: the full
+    // 3-iteration training (gdReplayCtes), the final margins, the
+    // filter, and the census — a wrong update in ANY of the 3×(forward+
+    // backward) steps changes which docs pass and breaks the hash.
+    // Scale shape: training is K ≤257-group scans (no corpus shuffle);
+    // apply+filter is a narrow map; the census is ONE small hash agg.
+    Q(
+      "doc_pipeline_curate_v4",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val model = QualityTrainer.train(docs, buckets = 256, iters = 3)
+        QualityTrainer.score(docs, model)
+          .filter(col("pred_pass") === 1)
+          .join(docs.select(col("doc_id"), col("source"), col("text")), "doc_id")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("bigint")).as("total_tokens"),
+            sum(col("margin_e6")).as("sum_margin_e6"),
+            min(col("doc_id")).as("first_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH $gdReplayCtes,
+        kept AS (
+          SELECT m.id, m.margin, d.source,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n
+          FROM m_final m JOIN documents d ON m.id = d.doc_id
+          WHERE m.margin >= 0
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(margin) AS BIGINT) AS sum_margin_e6,
+               MIN(id) AS first_kept
+        FROM kept GROUP BY source ORDER BY source
       """),
     ),
   )

@@ -56,10 +56,7 @@ private[sources] object StoreStaging {
     }
     override def commit(finalize: String => Unit): Unit = {
       Fio.listNames(writeDir).foreach { name =>
-        val dst = Fio.child(dest, name)
-        Fio.delete(dst)
-        require(Fio.rename(Fio.child(writeDir, name), dst),
-          s"append commit: rename of $name into $dest failed")
+        Fio.renameOverwrite(Fio.child(writeDir, name), Fio.child(dest, name))
       }
       Fio.delete(writeDir)
       // drop the (now usually empty) staging root; a concurrent writer's

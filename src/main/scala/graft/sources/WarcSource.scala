@@ -357,10 +357,8 @@ object WarcSource {
       // atomic rename; a reader never sees a sidecar without its data
       val dstData = Fio.child(outStr, dataName)
       val dstIdx = Fio.child(outStr, dataName + ".idx")
-      Fio.delete(dstData)
-      require(Fio.rename(tmpData, dstData), s"writeWet: commit rename failed for $dstData")
-      Fio.delete(dstIdx)
-      require(Fio.rename(tmpIdx, dstIdx), s"writeWet: commit rename failed for $dstIdx")
+      Fio.renameOverwrite(tmpData, dstData)
+      Fio.renameOverwrite(tmpIdx, dstIdx)
       ()
     }
   }

@@ -60,7 +60,7 @@ object QualityTrainer {
   /** Distinct md5 feature buckets of the space-split tokens. */
   private def bucketsCol(textCol: String, buckets: Int): Column =
     array_distinct(transform(split(col(textCol), " "),
-      t => conv(substr(md5(t), 1, 8), 16, 10).cast("long") % buckets))
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets))
 
   /** (doc_id, y) with the deterministic bootstrap label. */
   def labels(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -73,15 +73,30 @@ object QualityTrainer {
         .cast("bigint").as("y"))
   }
 
+  /** Above this many buckets the weight table becomes ONE array-typed
+    * literal (`typedlit`) instead of an `array(lit, lit, …)` of
+    * per-bucket expression nodes: a 65536-ary CreateArray is a codegen
+    * hazard (method-size blowup / compile fallback), while a single
+    * `Literal(ArrayData)` is a constant reference regardless of width.
+    */
+  private[text] val LiteralWeightMax = 4096
+
+  /** The frozen weight table as an indexable array column. Both forms are
+    * value-identical (property-pinned by QualityTrainerSpec); only the
+    * plan representation differs.
+    */
+  private[text] def weightArray(wE6: Array[Long], forceLiteralForm: Boolean = false): Column =
+    if (forceLiteralForm || wE6.length <= LiteralWeightMax)
+      array(wE6.map(lit(_)).toIndexedSeq: _*)
+    else typedlit(wE6.toIndexedSeq)
+
   /** Margin in e6 units over a buckets-array column, for a frozen weight
     * vector (bias + array literal indexed by bucket) — a NARROW
     * codegen'd projection, the exact apply-side shape modelScore uses.
     */
-  private def marginE6(bkts: Column, biasE6: Long, wE6: Array[Long]): Column = {
-    val arr = array(wE6.map(lit(_)).toIndexedSeq: _*)
+  private[text] def marginE6(bkts: Column, biasE6: Long, wE6: Array[Long]): Column =
     aggregate(bkts, lit(biasE6),
-      (acc, b) => acc + element_at(arr, (b + 1).cast("int")))
-  }
+      (acc, b) => acc + element_at(weightArray(wE6), (b + 1).cast("int")))
 
   /** Hard-sigmoid in e6 units over a NAMED margin column (the `div`
     * keeps the truncating integer semantics the oracle replays).

@@ -137,9 +137,7 @@ object ChunkStore {
       .map { case (n, (lo, hi)) => s"$n $lo $hi" }
       .mkString("GRAFT_STATS 1\n", "\n", "\n")
     Fio.writeString(tmp, body)
-    val dst = Fio.child(pathStr, StatsIndexName)
-    Fio.delete(dst)
-    require(Fio.rename(tmp, dst), s"stats-index rename failed at $pathStr")
+    Fio.renameOverwrite(tmp, Fio.child(pathStr, StatsIndexName))
   }
 
   /** The consolidated stats index, if present: name -> (lmin, lmax). */
