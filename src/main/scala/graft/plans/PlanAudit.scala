@@ -89,29 +89,29 @@ object PlanAudit {
       case f: FileSourceScanExec
           if f.relation.partitionSchema.fieldNames.contains("list_id") => f
     }
-    scans match {
-      case Seq(f) =>
-        val selected = f.selectedPartitions.partitionCount
-        val total = f.relation.location.listFiles(Nil, Nil).length
-        // the probed-list count, read off the partition filter itself
-        // (the query builds it with isin over the collected probe set)
-        val inSetSizes = f.partitionFilters.flatMap(_.collect {
-          case in: org.apache.spark.sql.catalyst.expressions.In =>
-            in.list.collect { case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value }.distinct.size
-          case s: org.apache.spark.sql.catalyst.expressions.InSet => s.hset.size
-        })
-        inSetSizes match {
-          case Seq(expected) =>
-            Shape(
-              f.partitionFilters.nonEmpty && selected == expected && expected <= total,
-              s"selected=$selected expected=$expected total=$total part_filters=${f.partitionFilters.size}")
-          case other =>
-            Shape(ok = false,
-              s"expected exactly 1 IN-set partition filter, found ${other.size} (selected=$selected total=$total)")
-        }
-      case other =>
-        Shape(ok = false, s"expected exactly 1 list_id-partitioned scan, found ${other.size}")
+    // a gate that uses the probe result twice (e.g. recall + a
+    // deleted-absent audit over the same top-k) plans the pruned scan
+    // twice — EVERY list scan must prune, however many there are
+    if (scans.isEmpty) return Shape(ok = false, "no list_id-partitioned scan in plan")
+    val per = scans.map { f =>
+      val selected = f.selectedPartitions.partitionCount
+      val total = f.relation.location.listFiles(Nil, Nil).length
+      // the probed-list count, read off the partition filter itself
+      // (the query builds it with isin over the collected probe set)
+      val inSetSizes = f.partitionFilters.flatMap(_.collect {
+        case in: org.apache.spark.sql.catalyst.expressions.In =>
+          in.list.collect { case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value }.distinct.size
+        case s: org.apache.spark.sql.catalyst.expressions.InSet => s.hset.size
+      })
+      inSetSizes match {
+        case Seq(expected) =>
+          (f.partitionFilters.nonEmpty && selected == expected && expected <= total,
+            s"selected=$selected expected=$expected total=$total")
+        case other =>
+          (false, s"filters=${other.size} selected=$selected total=$total")
+      }
     }
+    Shape(per.forall(_._1), s"scans=${scans.size} " + per.map(_._2).mkString("; "))
   }
 
   /** Candidate generation must stay BANDED: no Cartesian product and no
@@ -220,6 +220,7 @@ object PlanAudit {
     "doc_dedup_corpus" -> broadcastAntiShape,
     "doc_dedup_best" -> broadcastAntiShape,
     "emb_ivf_persisted" -> ivfPrunedScanShape,
+    "emb_ivf_compacted" -> ivfPrunedScanShape,
     "emb_ivf_sq8_recall" -> ivfPrunedScanShape,
     // the PQ index shares the pruned-scan contract: probes must prune
     // the list_id-partitioned lists scan to the probed IN-set (the

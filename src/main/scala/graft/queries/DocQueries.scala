@@ -2763,6 +2763,55 @@ object DocQueries {
         FROM embeddings WHERE vec_id < 10 ORDER BY query_id
       """),
     ),
+    // --------------------------- IVF COMPACTION + TOMBSTONE DELETE
+    // The rest of the index lifecycle: after build + append, DELETE a
+    // known id set (Ann.deleteFromIvfIndex — O(deletes) tombstone
+    // parquet, no list rewrite) and COMPACT (Ann.compactIvfIndex —
+    // tombstones folded in, appended small files merged to ONE file per
+    // list under the FROZEN quantizer, swap-by-rename publish). The
+    // gate then queries the compacted index and asserts, per query:
+    // the same 0.4 recall floor vs exact brute force over the LIVE
+    // corpus (compaction lost nothing), and that no deleted id ever
+    // surfaces as a neighbor (deletes are really gone, not just
+    // demoted). Shape-pinned to the same partition-pruned lists scan
+    // as every other index gate — compaction must not break pruning.
+    Q(
+      "emb_ivf_compacted",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val idx = sys.props("java.io.tmpdir") + "/graft_ivf_cmp/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Ann.inputFingerprint(emb)
+        val deletedPred = col("vec_id") % 17 === 3
+        if (!new java.io.File(s"$idx/_COMPACTED").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(idx))
+          Ann.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), dim = 64, nLists = 16, path = idx)
+          Ann.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), path = idx)
+          Ann.deleteFromIvfIndex(emb.filter(deletedPred).select(col("vec_id")), idx)
+          Ann.compactIvfIndex(s, idx)
+          new java.io.File(s"$idx/_COMPACTED").createNewFile()
+        }
+        val queries = emb.filter(col("vec_id") < 10 && col("vec_id") % 17 =!= 3)
+        val approx = Ann.ivfTopKFromIndex(s, idx, queries, k = 5, nProbe = 8)
+        val live = emb.filter(col("vec_id") % 17 =!= 3)
+        Ann.recallVsExact(
+          Ann.bruteForceTopK(queries, live, k = 5), approx, k = 5, recallFloor = 0.4)
+          .join(
+            approx.groupBy(col("query_id"))
+              .agg((sum((col("neighbor_id") % 17 === 3).cast("int")) === 0)
+                .as("deleted_absent")),
+            "query_id")
+          .select(col("query_id"), col("recall_floor_met"), col("deleted_absent"))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        SELECT vec_id AS query_id, true AS recall_floor_met, true AS deleted_absent
+        FROM embeddings WHERE vec_id < 10 AND vec_id % 17 <> 3 ORDER BY query_id
+      """),
+    ),
     // ------------------------------- SQ8-quantized persisted IVF index
     // The storage-scale variant of emb_ivf_persisted: list rows carry
     // one-byte-per-component SQ8 codes (+ per-vector lo/hi and the

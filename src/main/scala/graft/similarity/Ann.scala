@@ -757,11 +757,79 @@ object Ann {
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
   }
 
+  /** TOMBSTONE DELETE for a persisted IVF index: the ids land as an
+    * append-only parquet under `path/tombstones` — O(deletes) I/O, no
+    * touch of the hive-partitioned lists (at 100 TB a delete must never
+    * rewrite list files). Probe scans honor tombstones immediately via a
+    * broadcast anti-join (the tombstone set is small by construction —
+    * compaction folds it into the lists and clears it before it isn't).
+    * Idempotent: deleting an id twice, or an id the index never held, is
+    * harmless (the anti-join doesn't care).
+    */
+  def deleteFromIvfIndex(
+      ids: DataFrame,
+      path: String,
+      idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  /** The live tombstone set, if any delete has ever landed. */
+  private def tombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    if (graft.io.Fio.exists(s"$path/tombstones/_SUCCESS"))
+      Some(spark.read.parquet(s"$path/tombstones").select(col("id")))
+    else None
+  }
+
+  /** Drop tombstoned rows from a lists frame (broadcast anti-join; no-op
+    * when no delete has ever landed — the common case plans scan-only).
+    */
+  private def dropTombstoned(lists: DataFrame, path: String): DataFrame =
+    tombstones(lists.sparkSession, path) match {
+      case Some(t) => lists.join(broadcast(t), Seq("id"), "left_anti")
+      case None => lists
+    }
+
+  /** COMPACT a persisted IVF index: fold the tombstones into the lists
+    * and merge the small files shard appends accumulate into ONE file
+    * per list — the maintenance pass a long-lived 100 TB index needs
+    * (every append lands ≥1 file per touched list; a thousand appends
+    * make probe scans open thousands of small files). The quantizer is
+    * FROZEN: assignments are read off the stored `list_id` hive column,
+    * never recomputed, so compaction is one shuffle keyed on list_id —
+    * corpus-linear I/O, no distance math, no driver materialization.
+    * Publish is swap-by-rename (write beside, retire, rename in), so a
+    * crash leaves either the old lists or the new — never a mix; the
+    * tombstone set is cleared only after the swapped-in lists exclude it.
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val live = dropTombstoned(spark.read.parquet(s"$path/lists"), path)
+    val tmp = s"$path/lists_compacting"
+    graft.io.Fio.delete(tmp) // a crashed earlier compaction's leftovers
+    // hash-repartition on the hive key: each list's rows converge on one
+    // task, so partitionBy emits exactly one file per list directory
+    live.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    val retired = s"$path/lists_retired"
+    graft.io.Fio.delete(retired)
+    require(graft.io.Fio.rename(s"$path/lists", retired),
+      s"ivf compact: could not retire $path/lists")
+    require(graft.io.Fio.rename(tmp, s"$path/lists"),
+      s"ivf compact: could not publish compacted lists at $path")
+    graft.io.Fio.delete(retired)
+    graft.io.Fio.delete(s"$path/tombstones")
+  }
+
   /** ANN top-k against a [[buildIvfIndex]]-persisted index. The probed
     * list ids collect to the driver (bounded by |queries|·nProbe ints) and
     * become a partition-pruning filter on the lists scan — only probed
     * list directories are read. Produces exactly [[ivfTopK]]'s output for
-    * the same parameters (same kernels, same tie-breaks).
+    * the same parameters (same kernels, same tie-breaks). Tombstoned ids
+    * (deleteFromIvfIndex) are anti-joined out; after compaction the
+    * anti-join disappears from the plan entirely.
     */
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -782,8 +850,9 @@ object Ann {
       .withColumn("list_id", explode(GraftFunctions.probeLists(col("qe"), centroids, nProbe)))
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+    val lists = dropTombstoned(
+      spark.read.parquet(s"$path/lists")
+        .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*)), path)
       .select(col("list_id"), col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     probes.join(lists, Seq("list_id"))

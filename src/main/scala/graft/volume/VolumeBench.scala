@@ -99,6 +99,24 @@ object VolumeBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Same flow into the NGFF-0.5 flagship sink: a zarr v3 SHARDED array
+    * (sharding_indexed, crc32c index) — shard grid = the upscaled chunk
+    * grid (same file count as the v2 sink), 4 inner chunks per shard,
+    * the same blosc-zstd-5 byte-shuffle codec as the v2 ×15 headline for
+    * an apples-to-apples sink comparison. Zero shuffle: each task
+    * assembles and lands its own shards.
+    */
+  def upscaleZarr3s(spark: SparkSession, mhdPath: String, s: Int, outDir: String): Double = {
+    val meta = MhdMeta.parse(mhdPath)
+    val t0 = System.nanoTime()
+    val vol = MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt)
+    Zarr3Store.writeSharded(vol.upscale(s), outDir,
+      innerShape = (8, meta.dimY.toInt / 2, meta.dimX.toInt / 2),
+      codec = ZarrStore.BloscCodec("zstd", 5, shuffle = 1),
+      extraAttrs = Map("source" -> mhdPath, "scale" -> s.toString))
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Consume a volume's chunks on the executors without any sink — the
     * probe that isolates scan / kernel cost from write cost.
     */
@@ -320,8 +338,11 @@ object VolumeBench {
           (() => upscale(spark, mhd, 15, s"$workDir/out_x15")),
         "vol_atlas_upscale_x15_zarr" ->
           (() => upscaleZarr(spark, mhd, 15, s"$workDir/out_x15_zarr")),
+        // the NGFF-0.5 sharded flagship sink under the same TB-scale load
+        "vol_atlas_upscale_x15_zarr3s" ->
+          (() => upscaleZarr3s(spark, mhd, 15, s"$workDir/out_x15_zarr3s")),
         // sink-free codec probe, interleaved with the sinks it explains so
-        // an ambient-I/O window hits all three equally
+        // an ambient-I/O window hits all four equally
         "vol_atlas_x15_stage_encode" ->
           (() => encodeStageTime(spark, mhd, 15)),
       ), midProbe)

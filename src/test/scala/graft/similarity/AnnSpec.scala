@@ -234,4 +234,56 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       .select(col("neighbor_id")).collect().map(_.getLong(0))
     assert(topk.exists(_ % 2 === 1), "appended (odd) vectors never surfaced in search")
   }
+
+  test("delete + compact: tombstones honored pre-compaction, folded in by compaction, files merged") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    Ann.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), dim = 64, nLists = 16, path = idx)
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), path = idx)
+    val centroidsBefore = Ann.loadIvfCentroids(spark, idx)
+    val rowsBefore = spark.read.parquet(s"$idx/lists").count()
+    val deleted = emb.filter(col("vec_id") % 7 === 2).select(col("vec_id"))
+    val nDeleted = deleted.count()
+    assert(nDeleted > 0)
+    Ann.deleteFromIvfIndex(deleted, idx)
+
+    // BEFORE compaction: tombstones already filter the probe scan
+    val preFull = Ann.ivfTopKFromIndex(spark, idx, emb.filter(qf), k, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(preFull.nonEmpty && preFull.forall(_._2 % 7 != 2),
+      "tombstoned id surfaced before compaction")
+    // ...and the lists themselves are untouched (O(deletes) delete)
+    assert(spark.read.parquet(s"$idx/lists").count() === rowsBefore)
+
+    Ann.compactIvfIndex(spark, idx)
+    // tombstoned rows are physically gone and the tombstone set cleared
+    val after = spark.read.parquet(s"$idx/lists")
+    assert(after.count() === rowsBefore - nDeleted)
+    assert(after.filter(col("id") % 7 === 2).count() === 0L)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    // the quantizer is untouched (frozen-table contract survives compact)
+    val centroidsAfter = Ann.loadIvfCentroids(spark, idx)
+    centroidsBefore.zip(centroidsAfter).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // build+append left >=2 files in touched lists; compaction merges to 1
+    val listDirs = new java.io.File(s"$idx/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(listDirs.nonEmpty)
+    listDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"${d.getName}: ${parts.length} files after compaction")
+    }
+    // search parity: compacted output == the tombstone-filtered output
+    // the same index gave BEFORE compaction (same kernels, same
+    // tie-breaks, same live rows — only the layout moved)
+    val postTopk = Ann.ivfTopKFromIndex(spark, idx, emb.filter(qf), k, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(postTopk === preFull)
+    // deleting an id twice / an unknown id is harmless (idempotence)
+    Ann.deleteFromIvfIndex(deleted.limit(3), idx)
+    Ann.deleteFromIvfIndex(spark.range(900000, 900005).select(col("id").as("vec_id")), idx)
+    assert(Ann.ivfTopKFromIndex(spark, idx, emb.filter(qf), k, nProbe = 16)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet === postTopk.map(_._2).toSet)
+  }
 }
