@@ -282,9 +282,41 @@ object Fio {
   def readLines(path: String)(implicit fc: FioConf): Seq[String] =
     readString(path).split("\n", -1).toSeq.map(_.stripSuffix("\r"))
 
+  /** Memoized "this directory exists" set for the local whole-file write
+    * fast path — store writers land hundreds of thousands of chunk files
+    * into a few thousand directories, so the per-file parent check must
+    * be a map hit, not a filesystem walk. Bounded: cleared if it ever
+    * grows past ~1M entries (pathological many-directory workloads).
+    */
+  private val knownLocalDirs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Whole-file write — THE chunk-sink hot path (zarr v2/v3 chunks and
+    * shards, chunk-store frames: ~192k files per TB at the bench shapes).
+    * On `file://` the generic `FileSystem.create` pays a parent-mkdirs
+    * walk plus stream/permission scaffolding PER FILE — measured ~45 s of
+    * pure overhead on the 1.04 TB ×15 zarr sink (r16, sink stage 3.6 s →
+    * 49.3 s after the Hadoop port) — so local writes go through plain
+    * java.io with a memoized parent check. Every other scheme keeps the
+    * Hadoop stream (object stores have no directory tree to walk; their
+    * per-object latency dwarfs the wrapper cost anyway).
+    */
   def writeBytes(path: String, bytes: Array[Byte])(implicit fc: FioConf): Unit = {
-    val out = createStream(path)
-    try out.write(bytes) finally out.close()
+    val (fs, p) = resolve(path)
+    if ("file" == p.toUri.getScheme) {
+      val f = new java.io.File(p.toUri.getPath)
+      val parent = f.getParentFile
+      if (parent != null && !knownLocalDirs.containsKey(parent.getPath)) {
+        if (!parent.isDirectory && !parent.mkdirs() && !parent.isDirectory)
+          throw new java.io.IOException(s"mkdirs failed for ${parent.getPath}")
+        if (knownLocalDirs.size > (1 << 20)) knownLocalDirs.clear()
+        knownLocalDirs.put(parent.getPath, java.lang.Boolean.TRUE)
+      }
+      val out = new java.io.FileOutputStream(f)
+      try out.write(bytes) finally out.close()
+    } else {
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
   }
 
   def writeString(path: String, s: String)(implicit fc: FioConf): Unit =

@@ -84,6 +84,30 @@ object DocQueries {
       p
     })
   private def warcFixture(d: String): String = warcGen(d, wet = false)
+
+  /** Range-manifest arrival fixture for the INDEXED STREAMING intake: the
+    * corpus WARC copied beside TWO immutable `.ranges/<seq>.idx`
+    * manifests that together cover every member span — the
+    * "huge landed file published incrementally" convention
+    * [[graft.sources.WarcSource.readStreamIndexed]] consumes. Returns
+    * the directory the stream watches.
+    */
+  private def warcManifestFixture(d: String): String =
+    warcCache.computeIfAbsent(s"$d#manifest", { _ =>
+      implicit val fc: graft.io.FioConf = graft.io.FioConf.default
+      val src = warcFixture(d)
+      val out = java.nio.file.Files.createTempDirectory("graft_warcmanifest")
+      out.toFile.deleteOnExit()
+      val warc = out.resolve("crawl.warc.gz").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(src), java.nio.file.Paths.get(warc))
+      val offsets = graft.sources.WarcSource.buildIndex(warc)
+      val spans = offsets.zip(offsets.drop(1) :+ graft.io.Fio.size(warc))
+      val (a, b) = spans.splitAt(spans.length / 2)
+      graft.sources.WarcSource.writeRangeManifest(warc, 0L, a)
+      graft.sources.WarcSource.writeRangeManifest(warc, 1L, b)
+      out.toString
+    })
   private def wetFixture(d: String): String = warcGen(d, wet = true)
 
   /** Multi-file crawl snapshot: THREE foreign `.warc.gz` shards
@@ -1476,6 +1500,45 @@ object DocQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         graft.sources.WarcSource.read(s, warcFixture(d))
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            graft.functions.GraftFunctions.htmlExtract(col("body")).as("extracted"))
+          .orderBy(col("url"))
+      },
+      Some("""
+        WITH pages AS (
+          SELECT 'https://' || source || '.example.org/doc/' || doc_id AS url,
+                 'Doc ' || doc_id || chr(10) || text AS extracted
+          FROM documents
+          UNION ALL
+          SELECT 'https://mirror.' || source || '.example.org/doc/' || doc_id,
+                 'Doc ' || doc_id || chr(10) || text
+          FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT url, extracted FROM pages ORDER BY url
+      """),
+    ),
+    // INDEXED-STREAMING intake over range manifests: the corpus WARC
+    // consumed through WarcSource.readStreamIndexed — a real streaming
+    // query over the immutable `.ranges/<seq>.idx` manifest files (two
+    // of them, covering every member), drained to a memory sink. The
+    // micro-batch tasks positioned-read ONLY the members their
+    // manifests name (whole-file size never bounds batch memory); the
+    // drained output must hash-match the same page-formula oracle as
+    // the batch intake. Staged-arrival incrementality and fail-loud
+    // malformed manifests are WarcStreamIndexedSpec's half of the
+    // contract.
+    Q(
+      "doc_warc_stream_manifest",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val dir = warcManifestFixture(d)
+        val qn = "warc_manifest_" + java.util.UUID.randomUUID().toString.take(8)
+        val q = graft.sources.WarcSource.readStreamIndexed(s, dir)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn)
           .filter(col("warc_type") === "response")
           .select(col("url"),
             graft.functions.GraftFunctions.htmlExtract(col("body")).as("extracted"))

@@ -626,8 +626,9 @@ object Ann {
       .drop("qe")
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+    val lists = dropTombstoned(
+      spark.read.parquet(s"$path/lists")
+        .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*)), path)
       .select(col("list_id"), col("id").as("neighbor_id"), col("code"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     val adcTopK = probes.join(lists, Seq("list_id"))
@@ -686,8 +687,9 @@ object Ann {
       .withColumn("list_id", explode(GraftFunctions.probeLists(col("qe"), centroids, nProbe)))
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+    val lists = dropTombstoned(
+      spark.read.parquet(s"$path/lists")
+        .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*)), path)
       .select(col("list_id"), col("id").as("neighbor_id"),
         col("code"), col("lo"), col("hi"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -802,6 +804,11 @@ object Ann {
     * Publish is swap-by-rename (write beside, retire, rename in), so a
     * crash leaves either the old lists or the new — never a mix; the
     * tombstone set is cleared only after the swapped-in lists exclude it.
+    *
+    * Layout-agnostic: the pass never reads a vector column, only the
+    * hive key — so it compacts float (`id,e,nrm`), SQ8
+    * (`id,code,lo,hi,nrm`) and PQ lists identically, and all three
+    * probe paths honor the same tombstone set before compaction.
     */
   def compactIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {

@@ -286,4 +286,26 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(Ann.ivfTopKFromIndex(spark, idx, emb.filter(qf), k, nProbe = 16)
       .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet === postTopk.map(_._2).toSet)
   }
+
+  test("SQ8 index honors tombstones and compacts under the same lifecycle") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_sq8_compact").toString
+    Ann.buildIvfIndexSq8(emb, dim = 64, nLists = 16, path = idx)
+    val rowsBefore = spark.read.parquet(s"$idx/lists").count()
+    Ann.deleteFromIvfIndex(emb.filter(col("vec_id") % 11 === 5).select(col("vec_id")), idx)
+    // pre-compaction: the SQ8 probe path anti-joins the tombstones too
+    val pre = Ann.ivfTopKFromIndexSq8(spark, idx, emb.filter(qf), k, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pre.nonEmpty && pre.forall(_._2 % 11 != 5))
+    // compaction is layout-agnostic: SQ8 code rows survive bit-for-bit
+    Ann.compactIvfIndex(spark, idx)
+    val after = spark.read.parquet(s"$idx/lists")
+    assert(after.count() === rowsBefore - emb.filter(col("vec_id") % 11 === 5).count())
+    assert(after.filter(col("id") % 11 === 5).count() === 0L)
+    val post = Ann.ivfTopKFromIndexSq8(spark, idx, emb.filter(qf), k, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(post === pre)
+  }
 }
