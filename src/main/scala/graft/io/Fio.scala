@@ -244,9 +244,26 @@ object Fio {
   }
 
   /** Create/overwrite, parents made as needed. */
+  /** Create-or-overwrite output stream. On `file://` this is a plain
+    * java.io stream with a memoized parent-directory check — see
+    * [[writeBytes]] for the measured rationale; `FileSystem.create`'s
+    * per-file mkdirs walk and stream scaffolding cost ~45 s across the
+    * ×15 sink's 192k chunk files. All other schemes take the Hadoop
+    * stream.
+    */
   def createStream(path: String)(implicit fc: FioConf): OutputStream = {
     val (fs, p) = resolve(path)
-    fs.create(p, true)
+    if ("file" == p.toUri.getScheme) {
+      val f = new java.io.File(p.toUri.getPath)
+      val parent = f.getParentFile
+      if (parent != null && !knownLocalDirs.containsKey(parent.getPath)) {
+        if (!parent.isDirectory && !parent.mkdirs() && !parent.isDirectory)
+          throw new java.io.IOException(s"mkdirs failed for ${parent.getPath}")
+        if (knownLocalDirs.size > (1 << 20)) knownLocalDirs.clear()
+        knownLocalDirs.put(parent.getPath, java.lang.Boolean.TRUE)
+      }
+      new java.io.FileOutputStream(f)
+    } else fs.create(p, true)
   }
 
   def readAllBytes(path: String)(implicit fc: FioConf): Array[Byte] = {
@@ -295,28 +312,15 @@ object Fio {
     * On `file://` the generic `FileSystem.create` pays a parent-mkdirs
     * walk plus stream/permission scaffolding PER FILE — measured ~45 s of
     * pure overhead on the 1.04 TB ×15 zarr sink (r16, sink stage 3.6 s →
-    * 49.3 s after the Hadoop port) — so local writes go through plain
-    * java.io with a memoized parent check. Every other scheme keeps the
-    * Hadoop stream (object stores have no directory tree to walk; their
-    * per-object latency dwarfs the wrapper cost anyway).
+    * 49.3 s after the Hadoop port; back to ≈0 with the fast path) — so
+    * [[createStream]] routes local writes through plain java.io with a
+    * memoized parent check. Every other scheme keeps the Hadoop stream
+    * (object stores have no directory tree to walk; their per-object
+    * latency dwarfs the wrapper cost anyway).
     */
   def writeBytes(path: String, bytes: Array[Byte])(implicit fc: FioConf): Unit = {
-    val (fs, p) = resolve(path)
-    if ("file" == p.toUri.getScheme) {
-      val f = new java.io.File(p.toUri.getPath)
-      val parent = f.getParentFile
-      if (parent != null && !knownLocalDirs.containsKey(parent.getPath)) {
-        if (!parent.isDirectory && !parent.mkdirs() && !parent.isDirectory)
-          throw new java.io.IOException(s"mkdirs failed for ${parent.getPath}")
-        if (knownLocalDirs.size > (1 << 20)) knownLocalDirs.clear()
-        knownLocalDirs.put(parent.getPath, java.lang.Boolean.TRUE)
-      }
-      val out = new java.io.FileOutputStream(f)
-      try out.write(bytes) finally out.close()
-    } else {
-      val out = fs.create(p, true)
-      try out.write(bytes) finally out.close()
-    }
+    val out = createStream(path)
+    try out.write(bytes) finally out.close()
   }
 
   def writeString(path: String, s: String)(implicit fc: FioConf): Unit =
