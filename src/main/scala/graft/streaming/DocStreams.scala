@@ -107,4 +107,34 @@ object DocStreams {
         sum(col("n_tokens")).as("total_tokens"),
       )
   }
+
+  /** MODEL-FILTERED streaming curation: the trained quality classifier
+    * ([[graft.text.QualityTrainer]]) applied to an incremental feed. The
+    * frozen weights ride the plan as constants — the scoring filter is
+    * STATELESS (no lookup join, no state store, any feed rate), so the
+    * only stateful operator is the windowed intake rollup (spec pins
+    * stateOperators == 1). This is the production shape: train on a
+    * snapshot (K bounded scans), freeze, and let every subsequent shard
+    * stream through the gate — exactly the frozen-BPE/IVF-quantizer
+    * lifecycle applied to the model-based filter. The batch face is the
+    * same plan minus the watermark; `doc_stream_model_curate` gates it
+    * against a full train+apply+window SQL replay.
+    */
+  def modelCurate(
+      docs: DataFrame,
+      model: graft.text.QualityTrainer.TrainedModel,
+      horizon: String = "2 hours"): DataFrame = {
+    val scored = withIngestTime(docs)
+      .withColumn("margin_e6", graft.text.QualityTrainer.marginCol(model))
+      .filter(col("margin_e6") >= 0)
+    val src =
+      if (scored.isStreaming) scored.withWatermark("ingest_ts", horizon)
+      else scored
+    src
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("margin_e6")).as("sum_margin_e6"),
+      )
+  }
 }

@@ -149,6 +149,15 @@ object QualityTrainer {
     } finally { feats.unpersist(); () }
   }
 
+  /** The trained model's margin as a COLUMN over a text column — the
+    * frozen weights enter the plan as constants, so the same expression
+    * scores a batch frame or an unbounded stream (stateless, no join, no
+    * lookup I/O): the train-once / apply-forever face streaming curation
+    * composes.
+    */
+  def marginCol(model: TrainedModel, textCol: String = "text"): Column =
+    marginE6(bucketsCol(textCol, model.buckets), model.biasE6, model.weightsE6)
+
   /** Score `docs` with a trained model: margin, hard-sigmoid probability,
     * and the pass flag (p >= 1/2 ⇔ margin >= 0) — the apply side a
     * curation pipeline composes after training.

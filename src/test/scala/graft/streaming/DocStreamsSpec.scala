@@ -112,4 +112,59 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(query.lastProgress.stateOperators.size === 2)
     } finally query.stop()
   }
+
+  test("modelCurate: frozen trained weights filter the stream; stream == batch; ONE stateful op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train once on a snapshot: clean docs (low repetition, >= 10 tokens)
+    // vs spammy repeats — the deterministic bootstrap labels separate them
+    val snapshot = (0L until 80L).map { i =>
+      val text =
+        if (i % 2 == 0) Seq.fill(12)("junk").mkString(" ") // repetition: y=0
+        else s"alpha beta gamma delta eps$i zeta eta theta iota kappa w${i % 9} v${i % 5}"
+      (i, text, s"s${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    val model = graft.text.QualityTrainer.train(snapshot, buckets = 256, iters = 3)
+
+    val input = MemoryStream[StreamDoc]
+    val query = DocStreams.modelCurate(input.toDF(), model)
+      .select(
+        col("window.start").cast("long").as("window_s"),
+        col("source"), col("n_docs"), col("sum_margin_e6"))
+      .writeStream.format("memory").queryName("model_curate_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the feed re-uses snapshot-like rows: ids pick the hour windows
+      def doc(i: Long, src: String) = StreamDoc(i,
+        if (i % 2 == 0) Seq.fill(12)("junk").mkString(" ")
+        else s"alpha beta gamma delta eps$i zeta eta theta iota kappa w${i % 9} v${i % 5}",
+        src)
+      val wave1 = (0L until 40L).map(i => doc(i, s"s${i % 2}"))
+      val wave2 = (40L until 80L).map(i => doc(i, s"s${i % 2}")) ++
+        Seq(doc(400, "s3"), doc(401, "s3")) // 400 min → watermark ≈ 4.6 h
+      input.addData(wave1: _*)
+      query.processAllAvailable()
+      input.addData(wave2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("model_curate_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty)
+      // batch face over the same feed, finalized windows only
+      val feed = (wave1 ++ wave2).toDF()
+      val batch = DocStreams.modelCurate(feed, model)
+        .select(
+          col("window.start").cast("long").as("window_s"),
+          col("source"), col("n_docs"), col("sum_margin_e6"))
+        .filter(col("window_s") < 2 * 3600)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      // the model really filters: fewer kept docs than fed in the
+      // finalized window range (the junk arm must lose rows), and some kept
+      val kept = streamed.toSeq.map(_._3).sum
+      assert(kept > 0 && kept < 80)
+      // scoring is STATELESS — only the window rollup holds state
+      assert(query.lastProgress.stateOperators.size === 1)
+    } finally query.stop()
+  }
 }
