@@ -4351,6 +4351,38 @@ object DocQueries {
         FROM m_final ORDER BY doc_id
       """),
     ),
+    // TRAIN-ONCE / APPLY-ON-STREAM: the trained classifier's weights as
+    // plan constants filtering an incremental feed, rolled up into
+    // hourly intake windows (DocStreams.modelCurate — stateless scoring,
+    // ONE stateful operator; DocStreamsSpec proves stream==batch over a
+    // two-wave MemoryStream arrival). This is the batch face; the
+    // oracle replays the full 3-iteration training AND the windowed
+    // apply — the margin threshold decides which docs enter which
+    // window's census, so a one-unit training divergence moves rows
+    // across the filter and breaks the hash.
+    Q(
+      "doc_stream_model_curate",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val model = QualityTrainer.train(docs, buckets = 256, iters = 3)
+        graft.streaming.DocStreams.modelCurate(docs, model)
+          .select(
+            col("window.start").cast("long").as("window_s"),
+            col("source"), col("n_docs"), col("sum_margin_e6"))
+          .orderBy(col("window_s"), col("source"))
+      },
+      Some(s"""
+        WITH $gdReplayCtes,
+        kept AS (
+          SELECT m.id, m.margin, d.source
+          FROM m_final m JOIN documents d ON m.id = d.doc_id
+          WHERE m.margin >= 0
+        )
+        SELECT (id // 60) * 3600 AS window_s, source,
+               COUNT(*) AS n_docs, CAST(SUM(margin) AS BIGINT) AS sum_margin_e6
+        FROM kept GROUP BY 1, 2 ORDER BY window_s, source
+      """),
+    ),
     // TRAIN → SCORE → FILTER COMPOSED end-to-end: the model-based filter
     // a real curation pipeline runs — QualityTrainer.train's 3 GD steps
     // produce the frozen weights, score applies them corpus-wide, the
@@ -4390,6 +4422,64 @@ object DocQueries {
                CAST(SUM(margin) AS BIGINT) AS sum_margin_e6,
                MIN(id) AS first_kept
         FROM kept GROUP BY source ORDER BY source
+      """),
+    ),
+    // SEEDED GLOBAL SHUFFLE: full per-document (shard, pos) assignment —
+    // the training-shard placement is a pure function of (seed, doc_id),
+    // so the oracle recomputes the ENTIRE assignment from scratch and a
+    // single misplaced document breaks the hash. Scale shape: hash-mod
+    // shard (no global sort anywhere) + per-shard window — ONE exchange,
+    // per-task state = one shard (see CorpusShuffle).
+    Q(
+      "doc_shuffle_assign",
+      (s, d) =>
+        graft.operators.CorpusShuffle.assign(T(s, d, "documents"), 8, "r16seed")
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy(col("shard"), col("pos")),
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, md5('r16seed:' || doc_id) AS k FROM documents
+        ), sh AS (
+          SELECT doc_id, k, CAST('0x' || substr(k, 1, 8) AS BIGINT) % 8 AS shard
+          FROM keyed
+        )
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+        FROM sh ORDER BY shard, pos
+      """),
+    ),
+    // SHARD MANIFEST + decorrelation evidence: per-shard doc/token totals
+    // (balls-in-bins balance, measured not asserted) and `same_src_adj` —
+    // adjacent same-source pairs in the shard's read order, the quantity
+    // the seeded shuffle exists to drive down from the crawl's
+    // source-contiguous ordering. nShards rows total: a bounded
+    // driver-facing summary, never the corpus.
+    Q(
+      "doc_shuffle_shards",
+      (s, d) =>
+        graft.operators.CorpusShuffle.manifest(
+          T(s, d, "documents"), 8, "r16seed",
+          size(split(col("text"), " ")).cast("bigint")),
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                 md5('r16seed:' || doc_id) AS k
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, source, toks, k,
+                 CAST('0x' || substr(k, 1, 8) AS BIGINT) % 8 AS shard
+          FROM keyed
+        ), ordered AS (
+          SELECT shard, source, toks, k,
+                 LAG(source) OVER (PARTITION BY shard ORDER BY k, doc_id) AS prev_src
+          FROM sh
+        )
+        SELECT shard, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(CASE WHEN prev_src = source THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS same_src_adj,
+               MIN(k) AS first_key, MAX(k) AS last_key
+        FROM ordered GROUP BY 1 ORDER BY shard
       """),
     ),
   )
