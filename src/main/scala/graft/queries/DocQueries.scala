@@ -4424,6 +4424,52 @@ object DocQueries {
         FROM kept GROUP BY source ORDER BY source
       """),
     ),
+    // STREAMING NEAR-DUP GATE, batch face: banded md5-minhash LSH dedup
+    // with the parallel min-id-owns-the-bucket rule — the exact semantics
+    // DocStreams.nearDupGate holds on an unbounded feed with O(buckets-
+    // in-horizon) TTL'd state (DocStreamsSpec pins stream==batch over a
+    // two-wave arrival and stateOperators == 2). Corpus carries injected
+    // exact copies (identical text ⇒ identical fps in every band ⇒ the
+    // copy loses all its buckets to the base doc), and the oracle
+    // recomputes all 6 minhash chains + band fps + ownership from
+    // scratch, so a single hash/ownership divergence moves a verdict.
+    Q(
+      "doc_stream_neardup",
+      (s, d) => {
+        val base = T(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+        val copies = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("source"), col("text"))
+        graft.streaming.DocStreams.nearDupGate(base.unionByName(copies))
+          .select(
+            col("window.start").cast("long").as("window_s"),
+            col("doc_id"), col("is_dup"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 10 = 0
+        ), toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM corpus
+        ), fps AS (
+          SELECT doc_id, b.band,
+                 md5(list_aggregate(list_transform(ts,
+                       t -> md5((b.band * 2) || ':' || t)), 'min')
+                     || '|' ||
+                     list_aggregate(list_transform(ts,
+                       t -> md5((b.band * 2 + 1) || ':' || t)), 'min')) AS fp
+          FROM toks CROSS JOIN (SELECT unnest(range(3)) AS band) b
+        ), owners AS (
+          SELECT band, fp, MIN(doc_id) AS owner FROM fps GROUP BY 1, 2
+        )
+        SELECT (f.doc_id // 60) * 3600 AS window_s, f.doc_id,
+               CAST(MAX(CASE WHEN o.owner <> f.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS is_dup
+        FROM fps f JOIN owners o USING (band, fp)
+        GROUP BY 1, 2 ORDER BY f.doc_id
+      """),
+    ),
     // SEEDED GLOBAL SHUFFLE: full per-document (shard, pos) assignment —
     // the training-shard placement is a pure function of (seed, doc_id),
     // so the oracle recomputes the ENTIRE assignment from scratch and a

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface over the documents schema: corpus
   * curation as an incremental feed. A 100 TB/day training-data pipeline
@@ -136,5 +138,138 @@ object DocStreams {
         count(lit(1)).as("n_docs"),
         sum(col("margin_e6")).as("sum_margin_e6"),
       )
+  }
+
+  /** One row per (band, fp) LSH bucket hit of one document. */
+  case class BandHit(band: Int, fp: String, doc_id: Long, ingest_ts: java.sql.Timestamp)
+
+  /** Per-band verdict emitted by the bucket-claim processor. */
+  case class BandVerdict(doc_id: Long, ingest_ts: java.sql.Timestamp, band_dup: Int)
+
+  /** transformWithState processor for one LSH bucket: state is the last
+    * claim's event time (one long per live bucket); a hit is a duplicate
+    * iff the bucket was already claimed. An event-time timer at
+    * last-claim + horizon clears the state, so live state is bounded by
+    * the number of distinct buckets inside the horizon however long the
+    * feed runs — the dedup-within-horizon contract, enforced with the
+    * engine's own watermark clock rather than a wall-clock TTL.
+    */
+  class BucketClaimProcessor(horizonMs: Long)
+      extends StatefulProcessor[(Int, String), BandHit, BandVerdict] {
+    @transient private var lastClaim: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastClaim = getHandle.getValueState[Long]("lastClaim", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Int, String),
+        rows: Iterator[BandHit],
+        timerValues: TimerValues): Iterator[BandVerdict] = {
+      // doc-id order within the batch ⇒ min id claims first, matching the
+      // batch face's min-id-owns-the-bucket rule under id-ordered arrival
+      val sorted = rows.toSeq.sortBy(_.doc_id)
+      val out = sorted.map { h =>
+        val dup = lastClaim.exists()
+        lastClaim.update(h.ingest_ts.getTime)
+        BandVerdict(h.doc_id, h.ingest_ts, if (dup) 1 else 0)
+      }
+      // exactly one live TTL timer per bucket: re-arm at the newest claim
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+      sorted.lastOption.foreach(h => getHandle.registerTimer(h.ingest_ts.getTime + horizonMs))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: (Int, String),
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[BandVerdict] = {
+      lastClaim.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Banded-minhash fingerprints in the md5 hash family — the
+    * engine-portable twin of [[graft.functions.GraftFunctions.minhashSig]]'s
+    * xxhash64 signatures (the same twin discipline as
+    * doc_dup_spans_rolling): h_i(t) = md5(i ":" t), minhash_i = the min
+    * over the document's tokens, and band b's fingerprint is the md5 of
+    * its `rowsPerBand` concatenated minhashes. Two documents share a
+    * band fp iff they agree on all of that band's minhashes — the
+    * classic (bands, rows) S-curve — and the whole computation is a
+    * stateless per-row kernel DuckDB replays verbatim.
+    */
+  def bandFps(textCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map { j =>
+        val i = b * rowsPerBand + j
+        array_min(transform(split(textCol, " "),
+          t => md5(concat(lit(s"$i:"), t).cast("binary"))))
+      }: _*).cast("binary"))
+    }: _*)
+
+  /** STREAMING NEAR-DUP GATE: banded-minhash dedup over an incremental
+    * feed. Semantics (identical on both faces): a document is a
+    * duplicate iff ANY of its band buckets was touched by a
+    * lower-id/earlier document — i.e. it is kept iff it is the first
+    * arrival in EVERY one of its buckets. That is the parallel
+    * "min-id-owns-the-bucket" rule, so the batch face is two hash
+    * aggregates (bucket → min id, then doc → any-lost-bucket) with no
+    * iteration, and the DuckDB oracle replays it exactly.
+    *
+    * Streaming shape: explode each doc into its `bands` bucket hits,
+    * then ONE `transformWithState` keyed by (band, fp)
+    * ([[BucketClaimProcessor]]: one long of state per live bucket,
+    * event-time timer TTL) — dedup-within-horizon, the production
+    * contract for an unbounded crawl (state is O(distinct buckets inside
+    * the watermark horizon), never O(stream)). Within a micro-batch the
+    * group's hits process in doc-id order, so id-ordered arrival makes
+    * the stream bit-equal to the batch face (the spec's two-wave pin).
+    * transformWithState re-declares `ingest_ts` as the output's event
+    * time, which is what legalizes the downstream per-(window, doc)
+    * rollup ORing the per-band verdicts — the second and last stateful
+    * operator (the older flatMapGroupsWithState cannot chain into an
+    * aggregation at all: the global-watermark correctness check rejects
+    * it). Verdicts finalize as the watermark passes (Append mode).
+    * Requires the RocksDB state store provider, the transformWithState
+    * backend.
+    *
+    * Scale: the bucket keys hash-partition across the cluster (no hot
+    * driver state), each state entry is one long + one timer, and the
+    * horizon bounds total state however long the feed runs. The
+    * fingerprint kernel is the only per-token cost; bands·rows md5 calls
+    * per token, all codegen'd.
+    */
+  def nearDupGate(
+      docs: DataFrame,
+      bands: Int = 3,
+      rowsPerBand: Int = 2,
+      horizonMinutes: Int = 120): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizon = s"$horizonMinutes minutes"
+    val hits = withIngestTime(docs)
+      .select(
+        col("doc_id"), col("ingest_ts"),
+        posexplode(bandFps(col("text"), bands, rowsPerBand)).as(Seq("band", "fp")))
+    if (docs.isStreaming) {
+      val verdicts = hits
+        .withWatermark("ingest_ts", horizon)
+        .select(col("band"), col("fp"), col("doc_id"), col("ingest_ts"))
+        .as[BandHit]
+        .groupByKey(h => (h.band, h.fp))
+        .transformWithState(
+          new BucketClaimProcessor(horizonMinutes * 60000L),
+          "ingest_ts",
+          OutputMode.Append())
+      verdicts
+        .groupBy(window(col("ingest_ts"), "1 hour"), col("doc_id"))
+        .agg(max(col("band_dup")).cast("bigint").as("is_dup"))
+    } else {
+      val owners = hits.groupBy(col("band"), col("fp"))
+        .agg(min(col("doc_id")).as("owner"))
+      hits.join(owners, Seq("band", "fp"))
+        .groupBy(window(col("ingest_ts"), "1 hour"), col("doc_id"))
+        .agg(max((col("owner") =!= col("doc_id")).cast("bigint")).as("is_dup"))
+    }
   }
 }

@@ -167,4 +167,59 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(query.lastProgress.stateOperators.size === 1)
     } finally query.stop()
   }
+
+  test("nearDupGate: banded LSH dedup on a stream == batch face; cross- and in-batch dups; 2 stateful ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // disjoint token sets per base text — distinct docs can only collide
+    // if two independent md5 minhash chains coincide (never, here), so
+    // every is_dup verdict below is structural, not probabilistic
+    def txt(i: Long) = (0 until 8).map(j => s"w${i}x$j").mkString(" ")
+    val wave1 = (1L to 10L).map(i => StreamDoc(i, txt(i), "s1"))
+    val wave2 = Seq(
+      StreamDoc(11, txt(40), "s2"),
+      StreamDoc(15, txt(2), "s2"),  // exact copy of wave-1 doc 2: cross-batch dup
+      StreamDoc(16, txt(40), "s2"), // exact copy of doc 11, SAME batch: in-batch dup
+      StreamDoc(17, txt(50), "s2"),
+      StreamDoc(400, txt(60), "s3"), // 400 min → watermark 280 min: hour-0 finalizes
+      StreamDoc(401, txt(61), "s3"))
+
+    val input = MemoryStream[StreamDoc]
+    // transformWithState runs on the RocksDB state store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val query = DocStreams.nearDupGate(input.toDF())
+      .select(col("window.start").cast("long").as("window_s"), col("doc_id"), col("is_dup"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(wave1: _*)
+      query.processAllAvailable()
+      input.addData(wave2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch face over the same feed, hour-0 (the only finalized window)
+      val batch = DocStreams.nearDupGate((wave1 ++ wave2).toDF())
+        .select(col("window.start").cast("long").as("window_s"), col("doc_id"), col("is_dup"))
+        .filter(col("window_s") === 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      val verdict = streamed.map(t => t._2 -> t._3).toMap
+      assert(verdict(2L) === 0L, "original survives")
+      assert(verdict(15L) === 1L, "cross-batch exact copy flagged from bucket state")
+      assert(verdict(11L) === 0L && verdict(16L) === 1L, "in-batch copy: min id owns the bucket")
+      assert((1L to 10L).forall(verdict(_) === 0L), "disjoint-token docs never collide")
+      // one transformWithState (bucket claims) + one window rollup
+      assert(query.lastProgress.stateOperators.size === 2)
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
