@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.{call_function, lit, typedLit}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Column-level entry points for graft's custom Catalyst expressions.
   *
@@ -31,6 +31,7 @@ object GraftFunctions {
   val WindowFpsName = "graft_window_fps"
   val WindowFps128Name = "graft_window_fps128"
   val FfdPackName = "graft_ffd_pack"
+  val MmrSelectName = "graft_mmr_select"
   val DHashName = "graft_dhash64"
   val AudioFpName = "graft_audio_fp64"
   val VideoFpName = "graft_video_fp64"
@@ -161,6 +162,20 @@ object GraftFunctions {
           s"$FfdPackName seqLen must be an integer literal, got $other")
       }
       FfdPack(children.head, cap)
+    }),
+    (MmrSelectName, classOf[MmrSelect].getName, { children: Seq[Expression] =>
+      require(children.size == 3, s"$MmrSelectName takes (items, k, lam)")
+      val k = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$MmrSelectName k must be an integer literal, got $other")
+      }
+      val lam = children(2) match {
+        case Literal(v: Double, DoubleType) => v
+        case other => throw new IllegalArgumentException(
+          s"$MmrSelectName lam must be a double literal, got $other")
+      }
+      MmrSelect(children.head, k, lam)
     }),
     (DHashName, classOf[DHash64].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$DHashName takes exactly 1 argument")
@@ -413,6 +428,12 @@ object GraftFunctions {
   /** Per-shard first-fit-decreasing bin assignment (see [[FfdPack]]). */
   def ffdPack(items: Column, seqLen: Int): Column =
     call_function(FfdPackName, items, lit(seqLen))
+
+  /** Greedy MMR diversified top-k over one query's candidates (see
+    * [[MmrSelect]]).
+    */
+  def mmrSelect(items: Column, k: Int, lam: Double): Column =
+    call_function(MmrSelectName, items, lit(k), lit(lam))
 
   /** PQ code bytes (m per vector) of an ARRAY<DOUBLE> vector; the
     * codebook (row s*ksub+c = subspace s's centroid c) is a plan constant.

@@ -436,6 +436,64 @@ object DocQueries {
     (header +: iters).mkString(",\n        ") + ",\n        m_final AS (SELECT * FROM m4)"
   }
 
+  /** Unrolled-CTE DuckDB replay of the greedy MMR selection (λ = 0.5):
+    * `cand` is the exact cosine top-`nCand` per query (vec_id < 10) with
+    * embeddings, `pair` the within-candidate-set pairwise cosines, and
+    * each step r picks argmax of `0.5·simq − 0.5·max sim(c, picked)`
+    * (ties → smaller id) — the same arithmetic, visit order, and
+    * tie-break as [[graft.functions.MmrKernel.select]].
+    */
+  private def mmrReplayCtes(nCand: Int, k: Int): String = {
+    val header = s"""
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id, ce,
+                 list_inner_product(qe, ce)
+                   / (SQRT(list_inner_product(qe, qe)) * SQRT(list_inner_product(ce, ce))) AS cos_sim
+          FROM q, c WHERE query_id <> neighbor_id),
+        cand AS (
+          SELECT query_id, neighbor_id, cos_sim, ce FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+            FROM scored) WHERE rk <= $nCand),
+        pair AS (
+          SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+                 list_inner_product(a.ce, b.ce)
+                   / (SQRT(list_inner_product(a.ce, a.ce)) * SQRT(list_inner_product(b.ce, b.ce))) AS sim
+          FROM cand a JOIN cand b
+            ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+        sel1 AS (
+          SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank,
+                 0.5 * cos_sim - 0.5 * 0.0 AS score
+          FROM (SELECT query_id, neighbor_id, cos_sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY 0.5 * cos_sim - 0.5 * 0.0 DESC, neighbor_id) AS rn
+                FROM cand) WHERE rn = 1)"""
+    val steps = (2 to k).map { r =>
+      s"""cand$r AS (
+          SELECT s.query_id, s.neighbor_id, s.cos_sim, MAX(p.sim) AS maxs
+          FROM cand s
+          JOIN pair p ON p.query_id = s.query_id AND p.ia = s.neighbor_id
+          JOIN sel${r - 1} x ON x.query_id = p.query_id AND x.neighbor_id = p.ib
+          WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} y
+                            WHERE y.query_id = s.query_id
+                              AND y.neighbor_id = s.neighbor_id)
+          GROUP BY 1, 2, 3),
+        pk$r AS (
+          SELECT query_id, neighbor_id, CAST($r AS BIGINT) AS mmr_rank,
+                 0.5 * cos_sim - 0.5 * maxs AS score
+          FROM (SELECT query_id, neighbor_id, cos_sim, maxs,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY 0.5 * cos_sim - 0.5 * maxs DESC, neighbor_id) AS rn
+                FROM cand$r) WHERE rn = 1),
+        sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pk$r)"""
+    }
+    (header +: steps).mkString(",\n        ")
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     // One hash-partitioned aggregate; only (hash, id) shuffles at scale.
@@ -2711,6 +2769,29 @@ object DocQueries {
       Some("""
         SELECT vec_id AS query_id, true AS recall_floor_met
         FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+      """),
+    ),
+    // ------------------------------------------- similarity: MMR rerank
+    // Diversity-aware rerank after retrieval: greedy Maximal-Marginal-
+    // Relevance over each query's exact top-20, k=8 picks at λ=0.5 (equal
+    // relevance/diversity weight — 0.5 and 1−0.5 are both exact doubles,
+    // so the score arithmetic replays bit-identically). The oracle
+    // unrolls all 8 greedy steps as chained CTEs (the gdReplayCtes
+    // discipline): every pairwise cosine, running max-to-picked, argmax,
+    // and tie-break is recomputed from scratch in DuckDB — one divergent
+    // pick anywhere reorders the tail and breaks the hash.
+    Q(
+      "emb_mmr_rerank",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val cands = Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 20)
+        Ann.mmrRerank(cands, emb, k = 8, lam = 0.5)
+          .orderBy(col("query_id"), col("mmr_rank"))
+      },
+      Some(s"""
+        WITH ${mmrReplayCtes(nCand = 20, k = 8)}
+        SELECT query_id, neighbor_id, mmr_rank, score AS mmr_score
+        FROM sel8 ORDER BY query_id, mmr_rank
       """),
     ),
     // --------------------------------------------- similarity: IVF recall

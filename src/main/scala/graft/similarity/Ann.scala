@@ -67,6 +67,45 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
   }
 
+  /** MMR-diversified rerank over a retrieval's candidate lists: takes the
+    * (query_id, neighbor_id, cos_sim) output of ANY top-N path —
+    * [[bruteForceTopK]] at audit scale, [[ivfTopKFromIndex]] / [[lshTopK]]
+    * at corpus scale — picks each candidate's embedding back up from the
+    * corpus, and runs the greedy Maximal-Marginal-Relevance selection
+    * ([[graft.functions.MmrSelect]]) per query: k picks maximizing
+    * `lam·sim(q,c) − (1−lam)·max sim(c, picked)`, the standard
+    * diversity-aware cut a curation pipeline applies so a near-dup-heavy
+    * neighborhood doesn't fill the whole result list.
+    *
+    * Scale shape: the candidate set (queries·N rows) broadcasts into the
+    * corpus scan for the embedding pickup — no shuffle of the corpus —
+    * then ONE hash aggregate collects each query's ≤N candidates and the
+    * whole selection runs as one codegen'd kernel call per query,
+    * embarrassingly parallel across queries. Per-task state is N
+    * candidate vectors, never the corpus.
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      lam: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val withEmb = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("ce"))
+      .join(broadcast(candidates.select(col("query_id"), col("neighbor_id"), col("cos_sim"))),
+        "neighbor_id")
+    withEmb
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("cos_sim"), col("ce"))).as("cands"))
+      .select(col("query_id"),
+        explode(graft.functions.GraftFunctions.mmrSelect(col("cands"), k, lam)).as("m"))
+      .select(col("query_id"), col("m.neighbor_id").as("neighbor_id"),
+        col("m.mmr_rank").as("mmr_rank"), col("m.mmr_score").as("mmr_score"))
+  }
+
   /** Random-hyperplane LSH bucket id (nPlanes sign bits). Plane p's j-th
     * component is ±1 from a splitmix64 stream keyed by (seed, p·dim+j) —
     * the native codegen'd [[graft.functions.LshBucket]] kernel (the
