@@ -265,9 +265,13 @@ object DocStreams {
         .groupBy(window(col("ingest_ts"), "1 hour"), col("doc_id"))
         .agg(max(col("band_dup")).cast("bigint").as("is_dup"))
     } else {
-      val owners = hits.groupBy(col("band"), col("fp"))
-        .agg(min(col("doc_id")).as("owner"))
-      hits.join(owners, Seq("band", "fp"))
+      // bucket owner via a window-min, not a self-join: the fingerprint
+      // kernel runs ONCE and the plan is one (band, fp) exchange + the
+      // final doc rollup — at corpus scale the join form would recompute
+      // every minhash chain on both sides of a shuffle join
+      val w = Window.partitionBy(col("band"), col("fp"))
+      hits
+        .withColumn("owner", min(col("doc_id")).over(w))
         .groupBy(window(col("ingest_ts"), "1 hour"), col("doc_id"))
         .agg(max((col("owner") =!= col("doc_id")).cast("bigint")).as("is_dup"))
     }
