@@ -391,12 +391,12 @@ object DocQueries {
     * `//` and Spark `div`/JVM `/` all truncate toward zero — the
     * div-parity the whole fixed-point contract rides on.
     */
-  private val gdReplayCtes: String = {
-    val header = """
+  private def gdReplayCtes(buckets: Int = 256, gdIters: Int = 3): String = {
+    val header = s"""
         rows AS (SELECT doc_id AS id, text AS txt FROM documents),
         tok AS (SELECT id, unnest(string_split(txt, ' ')) AS tok FROM rows),
         feat AS (SELECT DISTINCT id,
-                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS b FROM tok),
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $buckets AS b FROM tok),
         stats AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                          CAST(MAX(c) AS BIGINT) AS top
                   FROM (SELECT id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
@@ -405,7 +405,7 @@ object DocQueries {
                 FROM stats),
         den AS (SELECT COUNT(*) * 16 AS den FROM lab),
         m1 AS (SELECT id, y, CAST(0 AS BIGINT) AS margin FROM lab)"""
-    val iters = (1 to 3).map { i =>
+    val iters = (1 to gdIters).map { i =>
       val e =
         s"""e$i AS (SELECT id, CAST(LEAST(1000000, GREATEST(0, margin // 4 + 500000))
                       - y * 1000000 AS BIGINT) AS err FROM m$i)"""
@@ -433,7 +433,8 @@ object DocQueries {
                  GROUP BY 1, 2)"""
       Seq(e, gb, w, b, m).mkString(",\n        ")
     }
-    (header +: iters).mkString(",\n        ") + ",\n        m_final AS (SELECT * FROM m4)"
+    (header +: iters).mkString(",\n        ") +
+      s",\n        m_final AS (SELECT * FROM m${gdIters + 1})"
   }
 
   /** Unrolled-CTE DuckDB replay of the greedy MMR selection (λ = 0.5):
@@ -4425,9 +4426,32 @@ object DocQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH $gdReplayCtes
+        WITH ${gdReplayCtes()}
         SELECT id AS doc_id, y, margin AS margin_e6,
                CAST(LEAST(1000000, GREATEST(0, margin // 4 + 500000)) AS BIGINT) AS p_e6,
+               CAST(margin >= 0 AS BIGINT) AS pred_pass
+        FROM m_final ORDER BY doc_id
+      """),
+    ),
+    // WIDE-BUCKET TRAINING (typedlit weight path): identical pipeline at
+    // buckets = 8192, past LiteralWeightMax — the weight table enters the
+    // plan as ONE array-typed literal instead of an 8192-ary CreateArray
+    // (a codegen hazard at production widths; QualityTrainerSpec pins the
+    // two forms value-equal, THIS gate proves the wide form end-to-end
+    // against the full 2-iteration DuckDB replay at 8192 buckets).
+    Q(
+      "doc_quality_train_wide",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val model = QualityTrainer.train(docs, buckets = 8192, iters = 2)
+        QualityTrainer.score(docs, model)
+          .join(QualityTrainer.labels(docs), "doc_id")
+          .select(col("doc_id"), col("y"), col("margin_e6"), col("pred_pass"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${gdReplayCtes(buckets = 8192, gdIters = 2)}
+        SELECT id AS doc_id, y, margin AS margin_e6,
                CAST(margin >= 0 AS BIGINT) AS pred_pass
         FROM m_final ORDER BY doc_id
       """),
@@ -4453,7 +4477,7 @@ object DocQueries {
           .orderBy(col("window_s"), col("source"))
       },
       Some(s"""
-        WITH $gdReplayCtes,
+        WITH ${gdReplayCtes()},
         kept AS (
           SELECT m.id, m.margin, d.source
           FROM m_final m JOIN documents d ON m.id = d.doc_id
@@ -4491,7 +4515,7 @@ object DocQueries {
           .orderBy(col("source"))
       },
       Some(s"""
-        WITH $gdReplayCtes,
+        WITH ${gdReplayCtes()},
         kept AS (
           SELECT m.id, m.margin, d.source,
                  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n
