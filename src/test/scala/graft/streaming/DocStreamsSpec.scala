@@ -222,4 +222,54 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("nearDupGate: bucket-claim state survives a query RESTART from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def txt(i: Long) = (0 until 8).map(j => s"r${i}x$j").mkString(" ")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val input = MemoryStream[StreamDoc]
+    def start() = DocStreams.nearDupGate(input.toDF())
+      .select(col("doc_id"), col("is_dup"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => out.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      input.addData((1L to 10L).map(i => StreamDoc(i, txt(i), "s1")): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // RESTART: the copy of doc 2 arrives only after the new query took
+    // over — its dup verdict can come only from RECOVERED bucket state
+    val q2 = start()
+    try {
+      input.addData(
+        StreamDoc(15, txt(2), "s2"),
+        StreamDoc(16, txt(70), "s2"),
+        StreamDoc(400, txt(60), "s3"), // advances watermark → finalize hour 0
+        StreamDoc(401, txt(61), "s3"))
+      q2.processAllAvailable()
+      val verdict = out.iterator().asInstanceOf[java.util.Iterator[(Long, Long)]]
+      val m = scala.jdk.CollectionConverters.IteratorHasAsScala(verdict).asScala.toMap
+      assert(m(15L) === 1L, "cross-restart copy flagged from recovered RocksDB state")
+      assert(m(2L) === 0L && m(16L) === 0L)
+      assert((1L to 10L).forall(m(_) === 0L))
+    } finally {
+      q2.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
