@@ -271,6 +271,24 @@ object PlanAudit {
     */
   val pinnedExchanges: Map[String, Int] = Map(
     "q22_bucketed_colocated_join" -> 2,
+    // seeded shuffle: ONE shard hash exchange feeds the per-shard window
+    // (no global sort in the operator); the 2nd is the output orderBy
+    "doc_shuffle_assign" -> 2,
+    // same single shard exchange + the manifest's nShards-group agg
+    "doc_shuffle_shards" -> 2,
+    // banded near-dup batch face: (band, fp) window-min exchange + the
+    // per-(window, doc) rollup + output sort — a 4th would mean the
+    // owner computation regressed to the self-join form
+    "doc_stream_neardup" -> 3,
+    // rerank: per-query rank window + candidate collect agg + output
+    // sort; the corpus-side embedding pickup must stay broadcast (a 4th
+    // exchange = the corpus started shuffling for the join)
+    "emb_mmr_rerank" -> 3,
+    // wide typedlit scorer is map-only like doc_quality_model; the 1 is
+    // the output sort
+    "doc_quality_train_wide" -> 1,
+    // frozen-weight scoring is stateless/map-only; window rollup + sort
+    "doc_stream_model_curate" -> 2,
     // hashing-trick linear scorer is map-only; the 1 is the output sort
     "doc_quality_model" -> 1,
     // k-means final assignment is a narrow plan-constant projection; the
