@@ -228,6 +228,10 @@ object PlanAudit {
     // "exactly 1 partitioned scan" clause still bites)
     "emb_ivf_pq_recall" -> ivfPrunedScanShape,
     "mm_phash_dedup" -> noAllPairsShape,
+    // streaming gate's batch face: window-min ownership, never a
+    // candidate-pair join — a cartesian/BNLJ here would mean the
+    // verify stage regressed to all-pairs
+    "mm_stream_neardup" -> noAllPairsShape,
     "mm_audio_dedup" -> noAllPairsShape,
     "mm_video_dedup" -> noAllPairsShape,
     "mm_mixed_dedup" -> noAllPairsShape,
@@ -280,6 +284,11 @@ object PlanAudit {
     // per-(window, doc) rollup + output sort — a 4th would mean the
     // owner computation regressed to the self-join form
     "doc_stream_neardup" -> 3,
+    // image twin of doc_stream_neardup: (band, fp) window-min exchange
+    // (owner id + full hash ride the same window) + per-(window, doc)
+    // rollup + output sort — a 4th would mean the hamming verify
+    // stopped riding the band window and re-shuffled or re-joined
+    "mm_stream_neardup" -> 3,
     // rerank: per-query rank window + candidate collect agg + output
     // sort; the corpus-side embedding pickup must stay broadcast (a 4th
     // exchange = the corpus started shuffling for the join)

@@ -437,6 +437,51 @@ object DocQueries {
       s",\n        m_final AS (SELECT * FROM m${gdIters + 1})"
   }
 
+  /** DuckDB replay of the near-dup image fixture's dHash algebra
+    * (shared by mm_phash_dedup and mm_stream_neardup): `imgs` mirrors
+    * [[graft.multimodal.Multimodal.syntheticNearDupImages]] (base PNG +
+    * raster-identical BMP at id+1000 for every 5th + bottom-right tweak
+    * at id+2000 for every 7th), `grid`/`bits` re-derive the 8×8
+    * luma-gradient NN sampling from [[Multimodal.nearDupPixel]]'s pixel
+    * formula, and `hashes` assembles the signed 64-bit fingerprints.
+    */
+  private val dhashAlgebraCtes: String = """imgs AS (
+          SELECT doc_id AS img, doc_id AS base, 0 AS variant
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 1000, doc_id, 0 FROM documents
+          WHERE doc_id < 40 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000, doc_id, 1 FROM documents
+          WHERE doc_id < 40 AND doc_id % 7 = 0
+        ),
+        grid AS (
+          SELECT img, base, variant,
+                 gy.range AS gy, gx.range AS gx,
+                 CAST(gy.range * 2 AS BIGINT) AS sy,
+                 CAST(gx.range * 16 // 9 AS BIGINT) AS sxa,
+                 CAST((gx.range + 1) * 16 // 9 AS BIGINT) AS sxb
+          FROM imgs, range(8) gy, range(8) gx
+        ),
+        bits AS (
+          SELECT img, gy * 8 + gx AS b,
+                 CASE WHEN (CASE WHEN variant = 1 AND sy >= 14 AND sxa >= 12
+                                 THEN (base * 31) % 256
+                                 ELSE ((sy * 16 + sxa) * (97 + 2 * base) + base * 53) % 256 END)
+                         < (CASE WHEN variant = 1 AND sy >= 14 AND sxb >= 12
+                                 THEN (base * 31) % 256
+                                 ELSE ((sy * 16 + sxb) * (97 + 2 * base) + base * 53) % 256 END)
+                      THEN 1 ELSE 0 END AS bit
+          FROM grid
+        ),
+        hashes AS (
+          SELECT img,
+                 CAST(SUM(CASE WHEN bit = 0 THEN 0
+                               WHEN b = 63 THEN -9223372036854775808
+                               ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END) AS BIGINT) AS h
+          FROM bits GROUP BY img
+        )"""
+
   /** Unrolled-CTE DuckDB replay of the greedy MMR selection (λ = 0.5):
     * `cand` is the exact cosine top-`nCand` per query (vec_id < 10) with
     * embeddings, `pair` the within-candidate-set pairwise cosines, and
@@ -3833,48 +3878,54 @@ object DocQueries {
         Dedup.simhashPairs(hashed, maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""
-        WITH imgs AS (
-          SELECT doc_id AS img, doc_id AS base, 0 AS variant
-          FROM documents WHERE doc_id < 40
-          UNION ALL
-          SELECT doc_id + 1000, doc_id, 0 FROM documents
-          WHERE doc_id < 40 AND doc_id % 5 = 0
-          UNION ALL
-          SELECT doc_id + 2000, doc_id, 1 FROM documents
-          WHERE doc_id < 40 AND doc_id % 7 = 0
-        ),
-        grid AS (
-          SELECT img, base, variant,
-                 gy.range AS gy, gx.range AS gx,
-                 CAST(gy.range * 2 AS BIGINT) AS sy,
-                 CAST(gx.range * 16 // 9 AS BIGINT) AS sxa,
-                 CAST((gx.range + 1) * 16 // 9 AS BIGINT) AS sxb
-          FROM imgs, range(8) gy, range(8) gx
-        ),
-        bits AS (
-          SELECT img, gy * 8 + gx AS b,
-                 CASE WHEN (CASE WHEN variant = 1 AND sy >= 14 AND sxa >= 12
-                                 THEN (base * 31) % 256
-                                 ELSE ((sy * 16 + sxa) * (97 + 2 * base) + base * 53) % 256 END)
-                         < (CASE WHEN variant = 1 AND sy >= 14 AND sxb >= 12
-                                 THEN (base * 31) % 256
-                                 ELSE ((sy * 16 + sxb) * (97 + 2 * base) + base * 53) % 256 END)
-                      THEN 1 ELSE 0 END AS bit
-          FROM grid
-        ),
-        hashes AS (
-          SELECT img,
-                 CAST(SUM(CASE WHEN bit = 0 THEN 0
-                               WHEN b = 63 THEN -9223372036854775808
-                               ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END) AS BIGINT) AS h
-          FROM bits GROUP BY img
-        )
+      Some(s"""
+        WITH $dhashAlgebraCtes
         SELECT a.img AS id_a, b.img AS id_b,
                CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         FROM hashes a JOIN hashes b ON a.img < b.img
         WHERE bit_count(xor(a.h, b.h)) <= 3
         ORDER BY id_a, id_b
+      """),
+    ),
+    // --------------------------- STREAMING image near-dup gate, batch face
+    // MediaStreams.imageNearDupGate: the mm_phash_dedup pipeline as a
+    // bounded-state stream — dHash quarters are the LSH bands, each
+    // bucket's transformWithState owner keeps its FULL hash so arriving
+    // payloads are hamming-VERIFIED in the stateful operator, not just
+    // bucket-matched (MediaStreamsSpec pins stream==batch and 2 stateful
+    // ops). This batch face computes the same min-id-owner + exact
+    // verify via window-min/min_by, and the oracle replays decode →
+    // raster algebra → hashes → quarter banding → owner → hamming
+    // verify → windowed verdicts, end to end in SQL.
+    Q(
+      "mm_stream_neardup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val mm = Multimodal.syntheticNearDupImages(
+          T(s, d, "documents").filter(col("doc_id") < 40), w = 16, h = 16)
+        graft.streaming.MediaStreams.imageNearDupGate(mm)
+          .select(
+            col("window.start").cast("long").as("window_s"),
+            col("doc_id"), col("is_dup"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $dhashAlgebraCtes,
+        bands AS (
+          SELECT img, b.range AS band,
+                 (h >> CAST(b.range * 16 AS INT)) & 65535 AS fp, h
+          FROM hashes, range(4) b
+        ),
+        owners AS (
+          SELECT band, fp, MIN(img) AS owner_id, arg_min(h, img) AS owner_h
+          FROM bands GROUP BY 1, 2
+        )
+        SELECT (x.img // 60) * 3600 AS window_s, x.img AS doc_id,
+               CAST(MAX(CASE WHEN o.owner_id < x.img
+                              AND bit_count(xor(x.h, o.owner_h)) <= 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS is_dup
+        FROM bands x JOIN owners o USING (band, fp)
+        GROUP BY 1, 2 ORDER BY doc_id
       """),
     ),
     // ------------------------------------- perceptual video near-dup
