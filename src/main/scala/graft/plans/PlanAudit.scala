@@ -232,6 +232,7 @@ object PlanAudit {
     // candidate-pair join — a cartesian/BNLJ here would mean the
     // verify stage regressed to all-pairs
     "mm_stream_neardup" -> noAllPairsShape,
+    "mm_stream_mixed" -> noAllPairsShape,
     "mm_audio_dedup" -> noAllPairsShape,
     "mm_video_dedup" -> noAllPairsShape,
     "mm_mixed_dedup" -> noAllPairsShape,
@@ -289,6 +290,10 @@ object PlanAudit {
     // rollup + output sort — a 4th would mean the hamming verify
     // stopped riding the band window and re-shuffled or re-joined
     "mm_stream_neardup" -> 3,
+    // mixed-modality twin: the 3-way fixture union is narrow (RDD-backed
+    // branches concatenate) and modality banding is map-side, so the
+    // same 3 — band window + rollup + sort
+    "mm_stream_mixed" -> 3,
     // rerank: per-query rank window + candidate collect agg + output
     // sort; the corpus-side embedding pickup must stay broadcast (a 4th
     // exchange = the corpus started shuffling for the join)

@@ -382,6 +382,134 @@ object DocQueries {
           FROM q CROSS JOIN c2
         )"""
 
+  /** The three fingerprint families of the mixed-modality fixture,
+    * replayed from their raster/spectral algebra (shared by
+    * mm_mixed_dedup and mm_stream_mixed): `img_*` re-derives the 8×8
+    * luma-gradient dHash, `aud_*` the Walsh–Hadamard band-sign
+    * fingerprint, `vid_*` the frame-0 luma dHash (3× the image gradient
+    * — sign-identical by construction, which is why modality-disjoint
+    * banding matters downstream).
+    */
+  private val mixedFpsCtes: String = """img_imgs AS (
+          SELECT doc_id AS img, doc_id AS base, 0 AS variant
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 1000, doc_id, 0 FROM documents
+          WHERE doc_id < 40 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000, doc_id, 1 FROM documents
+          WHERE doc_id < 40 AND doc_id % 7 = 0
+        ),
+        img_grid AS (
+          SELECT img, base, variant,
+                 gy.range AS gy, gx.range AS gx,
+                 CAST(gy.range * 2 AS BIGINT) AS sy,
+                 CAST(gx.range * 16 // 9 AS BIGINT) AS sxa,
+                 CAST((gx.range + 1) * 16 // 9 AS BIGINT) AS sxb
+          FROM img_imgs, range(8) gy, range(8) gx
+        ),
+        img_bits AS (
+          SELECT img, gy * 8 + gx AS b,
+                 CASE WHEN (CASE WHEN variant = 1 AND sy >= 14 AND sxa >= 12
+                                 THEN (base * 31) % 256
+                                 ELSE ((sy * 16 + sxa) * (97 + 2 * base) + base * 53) % 256 END)
+                         < (CASE WHEN variant = 1 AND sy >= 14 AND sxb >= 12
+                                 THEN (base * 31) % 256
+                                 ELSE ((sy * 16 + sxb) * (97 + 2 * base) + base * 53) % 256 END)
+                      THEN 1 ELSE 0 END AS bit
+          FROM img_grid
+        ),
+        img_hashes AS (
+          SELECT img,
+                 CAST(SUM(CASE WHEN bit = 0 THEN 0
+                               WHEN b = 63 THEN -9223372036854775808
+                               ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END) AS BIGINT) AS h
+          FROM img_bits GROUP BY img
+        ),
+        img_fps AS (SELECT img AS clip, h FROM img_hashes),
+        aud_clips AS (
+          SELECT doc_id AS clip, doc_id AS base, 0 AS pert
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 1000, doc_id, 1 FROM documents
+          WHERE doc_id < 40 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000, doc_id, 2 FROM documents
+          WHERE doc_id < 40 AND doc_id % 7 = 0
+        ),
+        aud_samp AS (
+          SELECT clip, t.range AS i,
+                 (((t.range * (base * 64 + 17) + 29) * (t.range * (base * 64 + 17) + 29)
+                     % 816929) % 4096 - 2048)
+                   * CASE WHEN pert = 1 THEN 2 ELSE 1 END
+                 + CASE WHEN pert = 2 AND t.range BETWEEN 128 AND 191
+                        THEN (t.range * 7) % 401 - 200 ELSE 0 END AS v
+          FROM aud_clips, range(576) t
+        ),
+        aud_wht AS (
+          SELECT s.clip, s.i // 64 AS f, k.range AS k,
+                 CAST(SUM(CASE WHEN bit_count((s.i % 64) & k.range) % 2 = 0
+                               THEN s.v ELSE -s.v END) AS BIGINT) AS h
+          FROM aud_samp s, range(1, 64) k
+          GROUP BY 1, 2, 3
+        ),
+        aud_bands AS (
+          SELECT clip, f, (k - 1) // 7 AS b, CAST(SUM(ABS(h)) AS BIGINT) AS e
+          FROM aud_wht GROUP BY 1, 2, 3
+        ),
+        aud_bits AS (
+          SELECT c.clip, (c.f - 1) * 8 + c.b AS idx,
+                 CASE WHEN (c.e - cn.e) - (p.e - pn.e) > 0 THEN 1 ELSE 0 END AS bit
+          FROM aud_bands c
+          JOIN aud_bands cn ON cn.clip = c.clip AND cn.f = c.f AND cn.b = c.b + 1
+          JOIN aud_bands p  ON p.clip = c.clip AND p.f = c.f - 1 AND p.b = c.b
+          JOIN aud_bands pn ON pn.clip = c.clip AND pn.f = c.f - 1 AND pn.b = c.b + 1
+          WHERE c.f >= 1 AND c.b <= 7
+        ),
+        aud_fps AS (
+          SELECT clip,
+                 CAST(SUM(CASE WHEN bit = 0 THEN 0
+                               WHEN idx = 63 THEN -9223372036854775808
+                               ELSE CAST(1 AS BIGINT) << CAST(idx AS INT) END) AS BIGINT) AS h
+          FROM aud_bits GROUP BY clip
+        ),
+        vid_clips AS (
+          SELECT doc_id AS clip, doc_id AS base, 0 AS variant
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 1000, doc_id, 0 FROM documents
+          WHERE doc_id < 40 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000, doc_id, 1 FROM documents
+          WHERE doc_id < 40 AND doc_id % 7 = 0
+        ),
+        vid_grid AS (
+          SELECT clip, base, variant, gy.range AS gy, gx.range AS gx,
+                 CAST(gy.range * 2 AS BIGINT) AS sy,
+                 CAST(gx.range * 16 // 9 AS BIGINT) AS sxa,
+                 CAST((gx.range + 1) * 16 // 9 AS BIGINT) AS sxb
+          FROM vid_clips, range(8) gy, range(8) gx
+        ),
+        vid_bits AS (
+          SELECT clip, gy * 8 + gx AS b,
+                 CASE WHEN (CASE WHEN variant = 1 AND sy >= 14 AND sxa >= 12
+                                 THEN 3 * ((base * 31) % 256)
+                                 ELSE 3 * (((sy * 16 + sxa) * (97 + 2 * base) + base * 53) % 256) END)
+                         < (CASE WHEN variant = 1 AND sy >= 14 AND sxb >= 12
+                                 THEN 3 * ((base * 31) % 256)
+                                 ELSE 3 * (((sy * 16 + sxb) * (97 + 2 * base) + base * 53) % 256) END)
+                      THEN 1 ELSE 0 END AS bit
+          FROM vid_grid
+        ),
+        vid_hashes AS (
+          SELECT clip,
+                 CAST(SUM(CASE WHEN bit = 0 THEN 0
+                               WHEN b = 63 THEN -9223372036854775808
+                               ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END) AS BIGINT) AS h
+          FROM vid_bits GROUP BY clip
+        ),
+        vid_fps AS (SELECT clip, h FROM vid_hashes)"""
+
   /** DuckDB replay of QualityTrainer.train over the documents table —
     * 256 buckets, 3 full-batch GD iterations, LrDen 16, ending at
     * `m_final` = (id, y, margin) under the final weights. Generated
@@ -4112,126 +4240,8 @@ object DocQueries {
           .select(col("modality"), col("id_a"), col("id_b"), col("hamming"))
           .orderBy(col("modality"), col("id_a"), col("id_b"))
       },
-      Some("""
-        WITH img_imgs AS (
-          SELECT doc_id AS img, doc_id AS base, 0 AS variant
-          FROM documents WHERE doc_id < 40
-          UNION ALL
-          SELECT doc_id + 1000, doc_id, 0 FROM documents
-          WHERE doc_id < 40 AND doc_id % 5 = 0
-          UNION ALL
-          SELECT doc_id + 2000, doc_id, 1 FROM documents
-          WHERE doc_id < 40 AND doc_id % 7 = 0
-        ),
-        img_grid AS (
-          SELECT img, base, variant,
-                 gy.range AS gy, gx.range AS gx,
-                 CAST(gy.range * 2 AS BIGINT) AS sy,
-                 CAST(gx.range * 16 // 9 AS BIGINT) AS sxa,
-                 CAST((gx.range + 1) * 16 // 9 AS BIGINT) AS sxb
-          FROM img_imgs, range(8) gy, range(8) gx
-        ),
-        img_bits AS (
-          SELECT img, gy * 8 + gx AS b,
-                 CASE WHEN (CASE WHEN variant = 1 AND sy >= 14 AND sxa >= 12
-                                 THEN (base * 31) % 256
-                                 ELSE ((sy * 16 + sxa) * (97 + 2 * base) + base * 53) % 256 END)
-                         < (CASE WHEN variant = 1 AND sy >= 14 AND sxb >= 12
-                                 THEN (base * 31) % 256
-                                 ELSE ((sy * 16 + sxb) * (97 + 2 * base) + base * 53) % 256 END)
-                      THEN 1 ELSE 0 END AS bit
-          FROM img_grid
-        ),
-        img_hashes AS (
-          SELECT img,
-                 CAST(SUM(CASE WHEN bit = 0 THEN 0
-                               WHEN b = 63 THEN -9223372036854775808
-                               ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END) AS BIGINT) AS h
-          FROM img_bits GROUP BY img
-        ),
-        img_fps AS (SELECT img AS clip, h FROM img_hashes),
-        aud_clips AS (
-          SELECT doc_id AS clip, doc_id AS base, 0 AS pert
-          FROM documents WHERE doc_id < 40
-          UNION ALL
-          SELECT doc_id + 1000, doc_id, 1 FROM documents
-          WHERE doc_id < 40 AND doc_id % 5 = 0
-          UNION ALL
-          SELECT doc_id + 2000, doc_id, 2 FROM documents
-          WHERE doc_id < 40 AND doc_id % 7 = 0
-        ),
-        aud_samp AS (
-          SELECT clip, t.range AS i,
-                 (((t.range * (base * 64 + 17) + 29) * (t.range * (base * 64 + 17) + 29)
-                     % 816929) % 4096 - 2048)
-                   * CASE WHEN pert = 1 THEN 2 ELSE 1 END
-                 + CASE WHEN pert = 2 AND t.range BETWEEN 128 AND 191
-                        THEN (t.range * 7) % 401 - 200 ELSE 0 END AS v
-          FROM aud_clips, range(576) t
-        ),
-        aud_wht AS (
-          SELECT s.clip, s.i // 64 AS f, k.range AS k,
-                 CAST(SUM(CASE WHEN bit_count((s.i % 64) & k.range) % 2 = 0
-                               THEN s.v ELSE -s.v END) AS BIGINT) AS h
-          FROM aud_samp s, range(1, 64) k
-          GROUP BY 1, 2, 3
-        ),
-        aud_bands AS (
-          SELECT clip, f, (k - 1) // 7 AS b, CAST(SUM(ABS(h)) AS BIGINT) AS e
-          FROM aud_wht GROUP BY 1, 2, 3
-        ),
-        aud_bits AS (
-          SELECT c.clip, (c.f - 1) * 8 + c.b AS idx,
-                 CASE WHEN (c.e - cn.e) - (p.e - pn.e) > 0 THEN 1 ELSE 0 END AS bit
-          FROM aud_bands c
-          JOIN aud_bands cn ON cn.clip = c.clip AND cn.f = c.f AND cn.b = c.b + 1
-          JOIN aud_bands p  ON p.clip = c.clip AND p.f = c.f - 1 AND p.b = c.b
-          JOIN aud_bands pn ON pn.clip = c.clip AND pn.f = c.f - 1 AND pn.b = c.b + 1
-          WHERE c.f >= 1 AND c.b <= 7
-        ),
-        aud_fps AS (
-          SELECT clip,
-                 CAST(SUM(CASE WHEN bit = 0 THEN 0
-                               WHEN idx = 63 THEN -9223372036854775808
-                               ELSE CAST(1 AS BIGINT) << CAST(idx AS INT) END) AS BIGINT) AS h
-          FROM aud_bits GROUP BY clip
-        ),
-        vid_clips AS (
-          SELECT doc_id AS clip, doc_id AS base, 0 AS variant
-          FROM documents WHERE doc_id < 40
-          UNION ALL
-          SELECT doc_id + 1000, doc_id, 0 FROM documents
-          WHERE doc_id < 40 AND doc_id % 5 = 0
-          UNION ALL
-          SELECT doc_id + 2000, doc_id, 1 FROM documents
-          WHERE doc_id < 40 AND doc_id % 7 = 0
-        ),
-        vid_grid AS (
-          SELECT clip, base, variant, gy.range AS gy, gx.range AS gx,
-                 CAST(gy.range * 2 AS BIGINT) AS sy,
-                 CAST(gx.range * 16 // 9 AS BIGINT) AS sxa,
-                 CAST((gx.range + 1) * 16 // 9 AS BIGINT) AS sxb
-          FROM vid_clips, range(8) gy, range(8) gx
-        ),
-        vid_bits AS (
-          SELECT clip, gy * 8 + gx AS b,
-                 CASE WHEN (CASE WHEN variant = 1 AND sy >= 14 AND sxa >= 12
-                                 THEN 3 * ((base * 31) % 256)
-                                 ELSE 3 * (((sy * 16 + sxa) * (97 + 2 * base) + base * 53) % 256) END)
-                         < (CASE WHEN variant = 1 AND sy >= 14 AND sxb >= 12
-                                 THEN 3 * ((base * 31) % 256)
-                                 ELSE 3 * (((sy * 16 + sxb) * (97 + 2 * base) + base * 53) % 256) END)
-                      THEN 1 ELSE 0 END AS bit
-          FROM vid_grid
-        ),
-        vid_hashes AS (
-          SELECT clip,
-                 CAST(SUM(CASE WHEN bit = 0 THEN 0
-                               WHEN b = 63 THEN -9223372036854775808
-                               ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END) AS BIGINT) AS h
-          FROM vid_bits GROUP BY clip
-        ),
-        vid_fps AS (SELECT clip, h FROM vid_hashes),
+      Some(s"""
+        WITH $mixedFpsCtes,
         allfps AS (
           SELECT 'image' AS modality, clip, h FROM img_fps
           UNION ALL SELECT 'audio', clip + 10000, h FROM aud_fps
@@ -4242,6 +4252,66 @@ object DocQueries {
         FROM allfps a JOIN allfps b ON a.modality = b.modality AND a.clip < b.clip
         WHERE bit_count(xor(a.h, b.h)) <= 3
         ORDER BY a.modality, id_a, id_b
+      """),
+    ),
+    // --------------------- STREAMING mixed-modality near-dup, batch face
+    // MediaStreams.mixedNearDupGate: mm_mixed_dedup as a bounded-state
+    // stream — ONE feed of images + WAVs + AVIs, each fingerprinted by
+    // its modality's codegen'd kernel, deduped in ONE transformWithState
+    // whose band key carries modality*4 so fingerprint spaces never
+    // share a bucket (cross-modality hamming is structurally impossible,
+    // not post-filtered — the video frame-0 dHash is sign-identical to
+    // the image dHash for the same base, so this matters). Each bucket
+    // owner keeps its full hash for the exact hamming verify
+    // (MediaStreamsSpec pins stream==batch across modalities). The batch
+    // face replays min-id ownership via window-min/min_by; the oracle
+    // re-derives all three fingerprint families from their raster /
+    // spectral algebra, bands them modality-disjoint, and replays owner
+    // -> hamming verify -> windowed verdicts end to end in SQL.
+    Q(
+      "mm_stream_mixed",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs40 = T(s, d, "documents").filter(col("doc_id") < 40)
+        val feed = Multimodal.syntheticNearDupImages(docs40, w = 16, h = 16)
+          .unionByName(Multimodal.syntheticNearDupWavs(docs40)
+            .withColumn("id", col("id") + 10000L))
+          .unionByName(Multimodal.syntheticNearDupAvis(docs40)
+            .withColumn("id", col("id") + 20000L))
+          .select(col("id"), col("modality"), col("payload"))
+        graft.streaming.MediaStreams.mixedNearDupGate(feed)
+          .select(
+            col("window.start").cast("long").as("window_s"),
+            expr("CASE CAST(doc_id div 10000 AS INT) WHEN 0 THEN 'image'" +
+              " WHEN 1 THEN 'audio' ELSE 'video' END").as("modality"),
+            col("doc_id"), col("is_dup"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $mixedFpsCtes,
+        allfps AS (
+          SELECT 0 AS kidx, clip, h FROM img_fps
+          UNION ALL SELECT 1, clip + 10000, h FROM aud_fps
+          UNION ALL SELECT 2, clip + 20000, h FROM vid_fps
+        ),
+        qb AS (
+          SELECT kidx * 4 + b.range AS band,
+                 (h >> CAST(b.range * 16 AS INT)) & 65535 AS fp, clip, h
+          FROM allfps, range(4) b
+        ),
+        owners AS (
+          SELECT band, fp, MIN(clip) AS owner_id, arg_min(h, clip) AS owner_h
+          FROM qb GROUP BY 1, 2
+        )
+        SELECT (x.clip // 60) * 3600 AS window_s,
+               CASE x.clip // 10000 WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               x.clip AS doc_id,
+               CAST(MAX(CASE WHEN o.owner_id < x.clip
+                              AND bit_count(xor(x.h, o.owner_h)) <= 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS is_dup
+        FROM qb x JOIN owners o USING (band, fp)
+        GROUP BY 1, 2, 3 ORDER BY doc_id
       """),
     ),
     // --------------------------------------- end-to-end corpus curation
