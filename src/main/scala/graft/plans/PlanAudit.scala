@@ -213,7 +213,33 @@ object PlanAudit {
       s"intake_branches=$branches intake_tasks=$tasks")
   }
 
+  /** The z-order layout must SKIP FILES: cluster a synthetic 2-D table
+    * (100k rows, 32 files), probe a ~1.2%-area box through the manifest,
+    * and demand (a) few files touched, (b) strictly fewer than total,
+    * (c) row-exact results vs the direct filter — measured evidence from
+    * the operator's own skip probe, the same below-the-plan discipline
+    * as [[shardedPointShape]] (vanilla Spark file pruning can't see
+    * min/max stats, so the skip lives in the reader's file list).
+    */
+  def zorderSkipShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_zshape_probe").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    graft.operators.ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, out)
+    val (pruned, probe) = graft.operators.ZOrder.prunedRead(
+      spark, out, Seq(("x", 50L, 80L), ("y", 100L, 140L)))
+    val rows = pruned.count()
+    val direct = src.filter(col("x").between(50, 80) && col("y").between(100, 140)).count()
+    Shape(
+      probe.filesSelected <= 12 && probe.filesSelected < probe.filesTotal && rows == direct,
+      s"files=${probe.filesSelected}/${probe.filesTotal} rows=$rows direct=$direct")
+  }
+
   val pinnedShapes: Map[String, DataFrame => Shape] = Map(
+    "q24_zorder_keys" -> zorderSkipShape,
     "doc_warc_multifile" -> warcMultiIntakeShape,
     "vol_zarr3_sharded_point" -> shardedPointShape,
     "vol_zarr3_sharded_box" -> shardedBoxShape,
@@ -345,6 +371,11 @@ object PlanAudit {
     "ev_anomaly_hours" -> 3,
     // per-customer cents agg + global ntile over the aggregated table
     "q23_revenue_deciles" -> 2,
+    // z-order keys: the min/max agg's single-partition merge (broadcast
+    // back as a 1-row dim — the broadcast itself doesn't shuffle) +
+    // output sort; a 3rd exchange would mean the key projection
+    // stopped being map-side
+    "q24_zorder_keys" -> 2,
     "doc_repetition" -> 1,
     "ev_funnel" -> 2,
     "ev_retention" -> 3,

@@ -676,5 +676,58 @@ object RelationalQueries {
         FROM tiled GROUP BY 1 ORDER BY decile
       """),
     ),
+    // Z-ORDER layout keys (operators/ZOrder): the Morton interleave of
+    // (l_partkey, l_suppkey), each lane min/max-normalized to 16 bits by
+    // exact integer algebra — the clustering key behind the file-skipping
+    // layout (ZOrder.cluster + prunedRead; file-level skip evidence is
+    // the q24 shape pin's measured probe). The key is pure closed-form
+    // bit algebra, so the oracle replays normalization + magic-mask
+    // spreading + interleave bit-exactly in SQL. One min/max agg pass is
+    // broadcast back as a 1-row dimension (no driver collect in the
+    // lineage): 2 exchanges — the agg's single-partition merge + the
+    // output sort.
+    Q(
+      "q24_zorder_keys",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        graft.operators.ZOrder.withZKey(li, Seq("l_partkey", "l_suppkey"), bits = 16)
+          .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+            col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH mm AS (
+          SELECT CAST(MIN(l_partkey) AS BIGINT) pmin, CAST(MAX(l_partkey) AS BIGINT) pmax,
+                 CAST(MIN(l_suppkey) AS BIGINT) smin, CAST(MAX(l_suppkey) AS BIGINT) smax
+          FROM lineitem
+        ), lanes AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 CASE WHEN pmax = pmin THEN 0
+                      ELSE (CAST(l_partkey AS BIGINT) - pmin) * 65535 // (pmax - pmin) END AS a,
+                 CASE WHEN smax = smin THEN 0
+                      ELSE (CAST(l_suppkey AS BIGINT) - smin) * 65535 // (smax - smin) END AS b
+          FROM lineitem, mm
+        ), s1 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+          FROM lanes
+        ), s2 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+          FROM s1
+        ), s3 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+          FROM s3
+        )
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
+        FROM s4
+        ORDER BY zkey, l_orderkey, l_linenumber
+      """),
+    ),
   )
 }

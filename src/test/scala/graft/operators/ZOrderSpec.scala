@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: interleave algebra, key normalization, and the
+  * end-to-end cluster → manifest → file-skipping read path.
+  */
+class ZOrderSpec extends AnyFunSuite with SparkSpec {
+
+  test("interleave2 magic spreading == generic bit loop, distributed over random lanes") {
+    import spark.implicits._
+    val lanes = spark.range(4096).select(
+      pmod(hash(col("id")), lit(65536)).cast("long").as("a"),
+      pmod(hash(col("id") * 31 + 7), lit(65536)).cast("long").as("b"))
+    val diff = lanes.select(
+      ZOrder.interleave2(col("a"), col("b")).as("m"),
+      ZOrder.interleaveN(Seq(col("a"), col("b")), 16).as("g"))
+      .filter(col("m") =!= col("g")).count()
+    assert(diff === 0L)
+    // spot-check the algebra against a hand-computed Morton pair
+    val one = lanes.sparkSession.range(1).select(
+      ZOrder.interleave2(lit(0b1011L), lit(0b0110L)).as("z")).head().getLong(0)
+    // a=1011 -> bits 0,1,3 at even positions; b=0110 -> bits 1,2 at odd
+    assert(one === (1L | (1L << 2) | (1L << 6) | (1L << 3) | (1L << 5)))
+  }
+
+  test("withZKey: exact integer bucketing; constant and null lanes bucket to 0") {
+    import spark.implicits._
+    val df = Seq((0L, 10L), (50L, 10L), (100L, 10L)).toDF("x", "c")
+      .unionByName(Seq((Option.empty[Long], Option(10L))).toDF("x", "c"))
+    val keyed = ZOrder.withZKey(df, Seq("x", "c"), bits = 16)
+      .orderBy(col("x").asc_nulls_first).select("zkey").as[Long].collect()
+    // c is constant -> lane 0; z = spread(bucket(x)): null->0, 0->0,
+    // 50->32767, 100->65535
+    def spreadRef(v: Long): Long =
+      (0 until 16).map(i => ((v >> i) & 1L) << (2 * i)).reduce(_ | _)
+    assert(keyed(0) === 0L && keyed(1) === 0L)
+    assert(keyed(2) === spreadRef(32767L))
+    assert(keyed(3) === spreadRef(65535L))
+  }
+
+  test("cluster -> manifest -> prunedRead: box reads few files, row-exact vs direct filter") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val src = spark.range(100000).select(
+      col("id"),
+      (col("id") % 317).as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, out)
+
+    val (pruned, probe) = ZOrder.prunedRead(spark, out, Seq(("x", 50L, 80L), ("y", 100L, 140L)))
+    assert(probe.filesTotal === 32)
+    assert(probe.filesSelected < probe.filesTotal,
+      s"no skipping: ${probe.filesSelected}/${probe.filesTotal}")
+    assert(probe.filesSelected <= 12, s"weak locality: ${probe.filesSelected}/32 files for a ~1.2% box")
+
+    val got = pruned.select("id").as[Long].collect().sorted
+    val want = src.filter(col("x").between(50, 80) && col("y").between(100, 140))
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+
+    // an out-of-domain box selects zero files and still returns a typed,
+    // empty result
+    val (none, noneProbe) = ZOrder.prunedRead(spark, out, Seq(("x", 1000L, 2000L)))
+    assert(noneProbe.filesSelected === 0 && none.count() === 0L)
+  }
+}
