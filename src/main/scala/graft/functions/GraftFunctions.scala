@@ -23,6 +23,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val NearestCentroidName = "graft_nearest_centroid"
   val ProbeListsName = "graft_probe_lists"
+  val ProbeLists2Name = "graft_probe_lists2"
   val NfcName = "graft_nfc"
   val SigAgreeName = "graft_sig_agree"
   val MaxTermCountName = "graft_max_term_count"
@@ -109,6 +110,21 @@ object GraftFunctions {
           s"$ProbeListsName nProbe must be an integer literal, got $other")
       }
       ProbeLists(children.head, matrixLit(children(1), ProbeListsName), n)
+    }),
+    (ProbeLists2Name, classOf[ProbeLists2].getName, { children: Seq[Expression] =>
+      require(children.size == 7,
+        s"$ProbeLists2Name takes (vec, coarse, fine, start, len, nCells, nPerCell)")
+      def intArrayLit(e: Expression, what: String): Array[Int] = {
+        require(e.foldable, s"$ProbeLists2Name $what must be a foldable literal, got $e")
+        e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+      }
+      ProbeLists2(children.head,
+        matrixLit(children(1), ProbeLists2Name),
+        matrixLit(children(2), ProbeLists2Name),
+        intArrayLit(children(3), "start"),
+        intArrayLit(children(4), "len"),
+        intLitOf(children(5), ProbeLists2Name, "nCells"),
+        intLitOf(children(6), ProbeLists2Name, "nPerCell"))
     }),
     (NfcName, classOf[NfcNormalize].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$NfcName takes exactly 1 argument")
@@ -389,6 +405,23 @@ object GraftFunctions {
   /** The nProbe nearest centroid indices, (distance, index)-ordered. */
   def probeLists(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     call_function(ProbeListsName, vec, typedLit(centroids.map(_.toSeq).toSeq), lit(nProbe))
+
+  /** Two-level IVF probe: global fine list ids of the `nPerCell` nearest
+    * lists inside each of the `nCells` nearest coarse cells (see
+    * [[ProbeLists2]]); the quantizer rides as plan constants.
+    */
+  def probeLists2(
+      vec: Column,
+      coarse: Array[Array[Double]],
+      fine: Array[Array[Double]],
+      start: Array[Int],
+      len: Array[Int],
+      nCells: Int,
+      nPerCell: Int,
+  ): Column =
+    call_function(ProbeLists2Name, vec,
+      typedLit(coarse.map(_.toSeq).toSeq), typedLit(fine.map(_.toSeq).toSeq),
+      typedLit(start.toSeq), typedLit(len.toSeq), lit(nCells), lit(nPerCell))
 
   /** Unicode NFC canonical normalization (DuckDB `nfc_normalize` twin). */
   def nfc(c: Column): Column = call_function(NfcName, c)

@@ -376,6 +376,37 @@ object VectorKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** TWO-LEVEL probe (the query twin of [[nearestCentroid2]]): the
+    * `nCells` nearest coarse cells in (distance, index) order, and
+    * within each, the `nPerCell` nearest fine lists of that cell's
+    * slice as GLOBAL list ids. Per-query routing cost is kCoarse +
+    * Σ len(probed cells) distances instead of the flat kTotal — the
+    * same ~2·√k economics the assignment side gets.
+    */
+  def probeLists2(
+      vec: ArrayData,
+      coarse: Array[Array[Double]],
+      fine: Array[Array[Double]],
+      start: Array[Int],
+      len: Array[Int],
+      nCells: Int,
+      nPerCell: Int,
+  ): ArrayData = {
+    val cells = probeLists(vec, coarse, nCells).toIntArray()
+    val out = new scala.collection.mutable.ArrayBuffer[Int](cells.length * nPerCell)
+    var i = 0
+    while (i < cells.length) {
+      val c = cells(i)
+      val s = start(c)
+      val slice = java.util.Arrays.copyOfRange(fine, s, s + len(c))
+      val local = probeLists(vec, slice, nPerCell).toIntArray()
+      var j = 0
+      while (j < local.length) { out += s + local(j); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 object SketchesLsh {
@@ -563,6 +594,51 @@ case class ProbeLists(child: Expression, centroids: Array[Array[Double]], nProbe
   }
 
   override protected def withNewChildInternal(newChild: Expression): ProbeLists =
+    copy(child = newChild)
+}
+
+/** TWO-LEVEL IVF probe (see [[VectorKernels.probeLists2]]): global fine
+  * list ids of the `nPerCell` nearest lists inside each of the `nCells`
+  * nearest coarse cells. Quantizer rides as plan constants, same as
+  * [[NearestCentroid2]].
+  */
+case class ProbeLists2(
+    child: Expression,
+    coarse: Array[Array[Double]],
+    fine: Array[Array[Double]],
+    start: Array[Int],
+    len: Array[Int],
+    nCells: Int,
+    nPerCell: Int,
+) extends UnaryExpression {
+  require(coarse.nonEmpty && fine.nonEmpty, "centroid matrices must be non-empty")
+  require(start.length == coarse.length && len.length == coarse.length,
+    "per-cell tables must match the coarse matrix")
+  require(nCells >= 1 && nPerCell >= 1, s"nCells/nPerCell must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_probe_lists2 requires ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_probe_lists2"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.probeLists2(input.asInstanceOf[ArrayData], coarse, fine, start, len, nCells, nPerCell)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val fRef = ctx.addReferenceObj("fine", fine, "double[][]")
+    val sRef = ctx.addReferenceObj("start", start, "int[]")
+    val lRef = ctx.addReferenceObj("len", len, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.VectorKernels.probeLists2($c, $cRef, $fRef, $sRef, $lRef, $nCells, $nPerCell);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeLists2 =
     copy(child = newChild)
 }
 

@@ -246,6 +246,9 @@ object PlanAudit {
     "doc_dedup_corpus" -> broadcastAntiShape,
     "doc_dedup_best" -> broadcastAntiShape,
     "emb_ivf_persisted" -> ivfPrunedScanShape,
+    // two-level routing must not change WHAT is scanned: same
+    // list_id-partition-pruned lists scan as the flat index
+    "emb_ivf_2level" -> ivfPrunedScanShape,
     "emb_ivf_compacted" -> ivfPrunedScanShape,
     "emb_ivf_sq8_recall" -> ivfPrunedScanShape,
     // the PQ index shares the pruned-scan contract: probes must prune

@@ -3131,6 +3131,41 @@ object DocQueries {
       """),
     ),
     // ------------------------------- SQ8-quantized persisted IVF index
+    // ----------------------- TWO-LEVEL (IVF-in-IVF) persisted index
+    // The ROUTING-scale variant: flat assignment is n·kTotal·dim flops
+    // — quadratic in n once nLists grows proportionally (the SemDeDup
+    // contract) — so past ~1e5 lists production indexes put ~√kTotal
+    // coarse cells in front of per-cell fine lists sized by MEASURED
+    // cell population (Ann.buildIvfIndexTwoLevel). Assignment and
+    // query routing both drop to ~2·√kTotal distances (codegen'd
+    // graft_nearest_centroid2 / graft_probe_lists2 kernels, quantizer
+    // as plan constants). The stored layout keeps GLOBAL fine list ids,
+    // so the partition-pruned scan, kernels, and tie-breaks are the
+    // flat index's, unchanged — and the gate holds the same recall
+    // floor vs exact brute force, shape-pinned to the same pruned scan
+    // (probing 3 cells x 4 lists — the same recall/cost dial as the
+    // appended gate's probe-8; small-corpus cells are few and coarse, so
+    // the cell dial sits one notch wider than the flat probe count).
+    Q(
+      "emb_ivf_2level",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val idx = sys.props("java.io.tmpdir") + "/graft_ivf_2l/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Ann.inputFingerprint(emb)
+        if (!new java.io.File(s"$idx/lists/_SUCCESS").exists())
+          Ann.buildIvfIndexTwoLevel(emb, dim = 64, kTotal = 16, path = idx,
+            targetPerList = math.max(1L, emb.count() / 16L))
+        Ann.recallVsExact(
+          Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5),
+          Ann.ivfTopKFromIndex2(s, idx, emb.filter(col("vec_id") < 10),
+            k = 5, nCells = 3, nPerCell = 4),
+          k = 5, recallFloor = 0.4)
+      },
+      Some("""
+        SELECT vec_id AS query_id, true AS recall_floor_met
+        FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+      """),
+    ),
     // The storage-scale variant of emb_ivf_persisted: list rows carry
     // one-byte-per-component SQ8 codes (+ per-vector lo/hi and the
     // dequantized norm) — 8× smaller than the ARRAY<DOUBLE> lists, the

@@ -492,6 +492,110 @@ object Ann {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
 
+  /** Build a TWO-LEVEL (IVF-in-IVF) index on disk — the production
+    * shape once proportional nLists makes flat assignment quadratic
+    * (n·kTotal·dim flops; see Dedup.semanticNLists): ~√kTotal coarse
+    * cells route each vector to a cell, then to one of the cell's
+    * MEASURED-population-sized fine lists, so per-vector assignment is
+    * ~2·√kTotal distances and per-query routing is kCoarse +
+    * Σ len(probed cells) ([[graft.functions.ProbeLists2]]).
+    *
+    * On-disk layout is a strict SUPERSET of [[buildIvfIndex]]'s:
+    *
+    *   coarse/     (cell_id, centroid, start, len) parquet — kCoarse rows
+    *   centroids/  (list_id, centroid) — the GLOBAL fine lists, so the
+    *               flat probe/append/delete/compact machinery still
+    *               works on a two-level index unchanged
+    *   lists/      (id, e, nrm) parquet, partitionBy(list_id)
+    *
+    * Same write order discipline: coarse + centroids first, lists (the
+    * `_SUCCESS` reuse gate) LAST.
+    */
+  def buildIvfIndexTwoLevel(
+      emb: DataFrame,
+      dim: Int,
+      kTotal: Int,
+      path: String,
+      targetPerList: Long = 512L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Unit = {
+    import graft.functions.GraftFunctions
+    val spark = emb.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val q = trainTwoLevel(emb, dim, kTotal, targetPerList, idCol = idCol, vecCol = vecCol)
+    q.coarse.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, q.start(i), q.len(i)) }
+      .toDF("cell_id", "centroid", "start", "len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    q.fine.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    emb.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("list_id",
+        GraftFunctions.nearestCentroid2(col("e"), q.coarse, q.fine, q.start, q.len))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Load the two-level routing tables of a [[buildIvfIndexTwoLevel]]
+    * index: (coarse matrix, fine matrix, start, len).
+    */
+  def loadTwoLevel(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], Array[Array[Double]], Array[Int], Array[Int]) = {
+    val rows = spark.read.parquet(s"$path/coarse").orderBy(col("cell_id"))
+      .select(col("centroid"), col("start"), col("len")).collect()
+    (rows.map(_.getSeq[Double](0).toArray),
+      loadIvfCentroids(spark, path),
+      rows.map(_.getInt(1)),
+      rows.map(_.getInt(2)))
+  }
+
+  /** Query a persisted TWO-LEVEL index: route each query through the
+    * coarse cells ([[graft.functions.GraftFunctions.probeLists2]] — the
+    * probed set is the `nPerCell` nearest fine lists inside each of the
+    * `nCells` nearest cells), then the identical partition-pruned lists
+    * scan + exact-cosine rank as the flat [[ivfTopKFromIndex]] — the
+    * two levels change WHO gets probed, never how candidates score.
+    * Tombstones honored the same way.
+    */
+  def ivfTopKFromIndex2(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 2,
+      nPerCell: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val (coarse, fine, start, len) = loadTwoLevel(spark, path)
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(vecCol).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+      .withColumn("list_id",
+        explode(GraftFunctions.probeLists2(col("qe"), coarse, fine, start, len, nCells, nPerCell)))
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = dropTombstoned(
+      spark.read.parquet(s"$path/lists")
+        .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*)), path)
+      .select(col("list_id"), col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(lists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+
   /** Build the SQ8-QUANTIZED IVF index on disk: same layout and same
     * quantizer as [[buildIvfIndex]], but each list row stores the vector
     * as one-byte-per-component SQ8 codes plus its (lo, hi) range and the

@@ -114,6 +114,43 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(stored.map(_.toSeq).toSeq === trained.map(_.toSeq).toSeq)
   }
 
+  test("two-level IVF: probe kernel == reference, disk assignment == recomputation, recall floor") {
+    import graft.functions.GraftFunctions
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf2-spec").toString
+    val n = emb.count()
+    Ann.buildIvfIndexTwoLevel(emb, dim = 64, kTotal = 16, path = idx,
+      targetPerList = math.max(1L, n / 16L))
+    val (coarse, fine, start, len) = Ann.loadTwoLevel(spark, idx)
+    assert(start.zip(len).map { case (s, l) => s + l }.max === fine.length)
+
+    // probeLists2 == a driver-side reference over the loaded quantizer
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qs = emb.filter(qf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("probed", GraftFunctions.probeLists2(col("e"), coarse, fine, start, len, 2, 4))
+      .collect()
+    qs.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val cells = coarse.indices.sortBy(c => (l2(v, coarse(c)), c)).take(2)
+      val want = cells.flatMap { c =>
+        (0 until len(c)).sortBy(i => (l2(v, fine(start(c) + i)), i)).take(4).map(start(c) + _)
+      }
+      assert(r.getSeq[Int](2) === want, s"probe mismatch for query ${r.getLong(0)}")
+    }
+
+    // disk assignment == independent two-level recomputation
+    val stored = spark.read.parquet(s"$idx/lists")
+      .select(col("id"), col("list_id"),
+        GraftFunctions.nearestCentroid2(col("e"), coarse, fine, start, len).as("re"))
+    assert(stored.filter(col("list_id") =!= col("re")).count() === 0L)
+
+    // end-to-end recall floor through the persisted two-level probe
+    val topk = Ann.ivfTopKFromIndex2(spark, idx, emb.filter(qf), k, nCells = 2, nPerCell = 4)
+    val rec = Ann.recallVsExact(Ann.bruteForceTopK(emb.filter(qf), emb, k), topk, k, 0.4)
+    assert(rec.filter(!col("recall_floor_met")).count() === 0L)
+  }
+
   test("SQ8 quantization: per-component error bounded by half a step; constant vectors exact") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
