@@ -115,6 +115,35 @@ object ZOrder {
   /** Per-file column stats row of the skipping manifest. */
   case class ZStat(file: String, column: String, min_v: Long, max_v: Long)
 
+  /** Frozen lane bounds of a layout (one row per clustered column). */
+  case class ZBound(column: String, min_v: Long, max_v: Long)
+
+  /** Append the z-order key using FROZEN lane bounds (the append-time
+    * twin of the IVF index's frozen quantizer: re-deriving bounds per
+    * batch would re-bucket the world and invalidate every stored key).
+    * Values outside the frozen range clamp to the edge buckets — their
+    * files simply carry wider envelopes until the next [[compact]]
+    * retrains the bounds.
+    */
+  private def withZKeyFrozen(
+      df: DataFrame,
+      cols: Seq[String],
+      bounds: Map[String, (Long, Long)],
+      bits: Int,
+      keyCol: String): DataFrame = {
+    val lanes = cols.map { c =>
+      val (mn, mx) = bounds(c)
+      val x = col(c).cast("long")
+      if (mx == mn) lit(0L)
+      else when(x.isNull, lit(0L)).otherwise(
+        least(lit(laneMax(bits)), greatest(lit(0L),
+          expr(s"((CAST(`$c` AS BIGINT) - ${mn}L) * ${laneMax(bits)}L) div ${mx - mn}L"))))
+    }
+    val z = if (cols.length == 2 && bits == 16) interleave2(lanes(0), lanes(1))
+            else interleaveN(lanes, bits)
+    df.withColumn(keyCol, z)
+  }
+
   /** Z-cluster `df` on `cols` into `nFiles` parquet files under `out`,
     * then build the `_zmanifest` skipping index with one DISTRIBUTED
     * parquet-footer scan over the written files (metadata-only — no data
@@ -134,11 +163,79 @@ object ZOrder {
       .sortWithinPartitions(col(keyCol))
       .write.mode("overwrite").parquet(out)
     implicit val fc: FioConf = FioConf.of(spark)
-    val files = Fio.listNames(out).filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+    writeManifest(spark, out, dataFiles(out), cols, "overwrite")
+  }
+
+  private def dataFiles(out: String)(implicit fc: FioConf): Seq[String] =
+    Fio.listNames(out).filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
       .map(Fio.child(out, _))
+
+  /** APPEND a batch to an existing layout WITHOUT re-clustering the
+    * world — the layout-maintenance twin of the IVF index's frozen
+    * quantizer: lane bounds are derived from the EXISTING manifest
+    * (per-column global min/max over file envelopes), so stored keys
+    * stay valid; out-of-range values clamp to edge buckets and merely
+    * widen the new files' envelopes. The batch is range-sorted within
+    * itself into `nFiles` files; skipping stays row-exact throughout
+    * (manifest intersection is a superset guarantee), it just degrades
+    * toward the appended files until [[compact]] re-clusters.
+    * NOT idempotent (append twice = rows twice) — callers own the
+    * applied-batch bookkeeping, as with `appendToIvfIndex`.
+    */
+  def append(
+      df: DataFrame,
+      cols: Seq[String],
+      out: String,
+      nFiles: Int = 1,
+      bits: Int = 16,
+      keyCol: String = "zkey"): Unit = {
+    val spark = df.sparkSession
+    implicit val fc: FioConf = FioConf.of(spark)
+    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+      .select(col("column"), col("min_v"), col("max_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bounds = cols.map { c =>
+      val rows = manifest.filter(_._1 == c)
+      require(rows.nonEmpty, s"no manifest stats for lane column $c under $out")
+      c -> (rows.map(_._2).min, rows.map(_._3).max)
+    }.toMap
+    val before = dataFiles(out).toSet
+    withZKeyFrozen(df, cols, bounds, bits, keyCol)
+      .repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("append").parquet(out)
+    val added = dataFiles(out).filterNot(before)
+    writeManifest(spark, out, added, cols, "append")
+  }
+
+  /** COMPACT a layout that accumulated appends: one full re-cluster of
+    * the live rows into `nFiles` fresh files under `dest`, lane bounds
+    * retrained from the current data (a compaction IS a rebuild —
+    * exactly the IVF compaction contract). Out-of-place: the caller
+    * owns the publish/swap of `dest` over the old layout.
+    */
+  def compact(
+      spark: SparkSession,
+      in: String,
+      dest: String,
+      cols: Seq[String],
+      nFiles: Int,
+      bits: Int = 16,
+      keyCol: String = "zkey"): Unit =
+    cluster(spark.read.parquet(in).drop(keyCol), cols, nFiles, dest, bits, keyCol)
+
+  /** Distributed parquet-footer stats scan over `files` → `_zmanifest`
+    * rows for `cols`, written with the given save mode.
+    */
+  private def writeManifest(
+      spark: SparkSession,
+      out: String,
+      files: Seq[String],
+      cols: Seq[String],
+      mode: String)(implicit fc: FioConf): Unit = {
     import spark.implicits._
     val want = cols
-    spark.createDataset(files).repartition(math.min(files.size, 32))
+    spark.createDataset(files).repartition(math.max(1, math.min(files.size, 32)))
       .mapPartitions { paths =>
         val conf = fc.conf
         paths.flatMap { p =>
@@ -171,7 +268,7 @@ object ZOrder {
       }
       .toDF()
       .coalesce(1)
-      .write.mode("overwrite").parquet(Fio.child(out, "_zmanifest"))
+      .write.mode(mode).parquet(Fio.child(out, "_zmanifest"))
   }
 
   /** File-skipping evidence of one [[prunedRead]]. */
@@ -190,6 +287,7 @@ object ZOrder {
       out: String,
       box: Seq[(String, Long, Long)]): (DataFrame, ZPruneProbe) = {
     val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+      .select(col("file"), col("column"), col("min_v"), col("max_v"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val total = manifest.map(_._1).distinct.length

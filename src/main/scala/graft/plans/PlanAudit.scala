@@ -238,8 +238,43 @@ object PlanAudit {
       s"files=${probe.filesSelected}/${probe.filesTotal} rows=$rows direct=$direct")
   }
 
+  /** The z-order LIFECYCLE must keep skipping row-exact through an
+    * append (frozen bounds, superset-guarantee skipping) and RESTORE
+    * locality after compaction — the same synthetic probe as
+    * [[zorderSkipShape]], driven through cluster-half → append-half →
+    * compact, with the compacted layout held to the fresh layout's
+    * skip bound.
+    */
+  def zorderLifecycleShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val tmp = System.getProperty("java.io.tmpdir")
+    val out = new java.io.File(tmp, "graft_zlife_probe").getAbsolutePath
+    val dest = new java.io.File(tmp, "graft_zlife_probe_c").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    val box = Seq(("x", 50L, 80L), ("y", 100L, 140L))
+    graft.operators.ZOrder.cluster(
+      src.filter(col("id") % 2 === 0), Seq("x", "y"), nFiles = 16, out)
+    graft.operators.ZOrder.append(
+      src.filter(col("id") % 2 === 1), Seq("x", "y"), out, nFiles = 4)
+    val (appended, ap) = graft.operators.ZOrder.prunedRead(spark, out, box)
+    graft.operators.ZOrder.compact(spark, out, dest, Seq("x", "y"), nFiles = 32)
+    val (compacted, cp) = graft.operators.ZOrder.prunedRead(spark, dest, box)
+    val direct = src.filter(col("x").between(50, 80) && col("y").between(100, 140)).count()
+    val aRows = appended.count()
+    val cRows = compacted.count()
+    Shape(
+      aRows == direct && cRows == direct
+        && ap.filesTotal == 20 && cp.filesSelected <= 12 && cp.filesTotal == 32,
+      s"append_files=${ap.filesSelected}/${ap.filesTotal} " +
+        s"compact_files=${cp.filesSelected}/${cp.filesTotal} " +
+        s"rows=$aRows/$cRows direct=$direct")
+  }
+
   val pinnedShapes: Map[String, DataFrame => Shape] = Map(
     "q24_zorder_keys" -> zorderSkipShape,
+    "q25_zorder_lifecycle" -> zorderLifecycleShape,
     "doc_warc_multifile" -> warcMultiIntakeShape,
     "vol_zarr3_sharded_point" -> shardedPointShape,
     "vol_zarr3_sharded_box" -> shardedBoxShape,
@@ -379,6 +414,11 @@ object PlanAudit {
     // output sort; a 3rd exchange would mean the key projection
     // stopped being map-side
     "q24_zorder_keys" -> 2,
+    // lifecycle gate reads STORED keys off the compacted layout: the 1
+    // is the output sort — a 2nd exchange would mean the key stopped
+    // being served from the layout and got recomputed with a fresh
+    // min/max pass
+    "q25_zorder_lifecycle" -> 1,
     "doc_repetition" -> 1,
     "ev_funnel" -> 2,
     "ev_retention" -> 3,

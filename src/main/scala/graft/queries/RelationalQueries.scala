@@ -21,6 +21,47 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** DuckDB replay of the canonical z-order key algebra over lineitem
+    * (min/max lane normalization + magic-mask spreading + interleave) —
+    * shared by q24_zorder_keys and q25_zorder_lifecycle: the lifecycle
+    * gate's REBUILD CONTRACT is that cluster-half + append-half +
+    * compact reproduces exactly the keys a fresh single-shot clustering
+    * (= this algebra) would assign.
+    */
+  private val zorderKeysOracle: String = """
+        WITH mm AS (
+          SELECT CAST(MIN(l_partkey) AS BIGINT) pmin, CAST(MAX(l_partkey) AS BIGINT) pmax,
+                 CAST(MIN(l_suppkey) AS BIGINT) smin, CAST(MAX(l_suppkey) AS BIGINT) smax
+          FROM lineitem
+        ), lanes AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 CASE WHEN pmax = pmin THEN 0
+                      ELSE (CAST(l_partkey AS BIGINT) - pmin) * 65535 // (pmax - pmin) END AS a,
+                 CASE WHEN smax = smin THEN 0
+                      ELSE (CAST(l_suppkey AS BIGINT) - smin) * 65535 // (smax - smin) END AS b
+          FROM lineitem, mm
+        ), s1 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+          FROM lanes
+        ), s2 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+          FROM s1
+        ), s3 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+          FROM s3
+        )
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
+        FROM s4
+        ORDER BY zkey, l_orderkey, l_linenumber
+      """
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------- q1
     // TPC-H Q1 pricing summary: single scan, partial+final hash agg.
@@ -695,39 +736,51 @@ object RelationalQueries {
             col("zkey"))
           .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       },
-      Some("""
-        WITH mm AS (
-          SELECT CAST(MIN(l_partkey) AS BIGINT) pmin, CAST(MAX(l_partkey) AS BIGINT) pmax,
-                 CAST(MIN(l_suppkey) AS BIGINT) smin, CAST(MAX(l_suppkey) AS BIGINT) smax
-          FROM lineitem
-        ), lanes AS (
-          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-                 CASE WHEN pmax = pmin THEN 0
-                      ELSE (CAST(l_partkey AS BIGINT) - pmin) * 65535 // (pmax - pmin) END AS a,
-                 CASE WHEN smax = smin THEN 0
-                      ELSE (CAST(l_suppkey AS BIGINT) - smin) * 65535 // (smax - smin) END AS b
-          FROM lineitem, mm
-        ), s1 AS (
-          SELECT l_orderkey, l_linenumber,
-                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
-          FROM lanes
-        ), s2 AS (
-          SELECT l_orderkey, l_linenumber,
-                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
-          FROM s1
-        ), s3 AS (
-          SELECT l_orderkey, l_linenumber,
-                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
-          FROM s2
-        ), s4 AS (
-          SELECT l_orderkey, l_linenumber,
-                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
-          FROM s3
-        )
-        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
-        FROM s4
-        ORDER BY zkey, l_orderkey, l_linenumber
-      """),
+      Some(zorderKeysOracle),
+    ),
+    // Z-ORDER LAYOUT LIFECYCLE (operators/ZOrder append/compact): build
+    // the layout on the even-orderkey half, APPEND the odd half through
+    // FROZEN lane bounds (derived from the existing manifest — the same
+    // frozen-quantizer discipline as the IVF index: re-deriving bounds
+    // per batch would re-bucket the world), then COMPACT into a fresh
+    // full re-cluster with retrained bounds. The gate reads the
+    // compacted layout's STORED keys back and the oracle is the
+    // canonical single-shot key algebra over the whole table — i.e.
+    // the rebuild contract (cluster half + append half + compact ==
+    // one fresh clustering) is what the hash verifies, row for row.
+    // Lifecycle shape evidence (skip quality restored post-compact)
+    // rides as the q25 shape pin's measured probe. 1 exchange: the
+    // output sort over the already-laid-out files.
+    Q(
+      "q25_zorder_lifecycle",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = T(s, d, "lineitem")
+        val root = sys.props("java.io.tmpdir") + "/graft_zlife/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        val lanes = Seq("l_partkey", "l_suppkey")
+        if (!new java.io.File(s"$root/_COMPACTED").exists()) {
+          // a partial lifecycle without the marker rebuilds from scratch
+          // — append is not idempotent
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.cluster(li.filter(col("l_orderkey") % 2 === 0), lanes, nFiles = 8,
+            out = s"$root/base")
+          ZOrder.append(li.filter(col("l_orderkey") % 2 === 1), lanes,
+            out = s"$root/base", nFiles = 2)
+          ZOrder.compact(s, s"$root/base", s"$root/compacted", lanes, nFiles = 8)
+          new java.io.File(s"$root/_COMPACTED").createNewFile()
+        }
+        s.read.parquet(s"$root/compacted")
+          .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+            col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zorderKeysOracle),
     ),
   )
 }

@@ -66,4 +66,42 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     val (none, noneProbe) = ZOrder.prunedRead(spark, out, Seq(("x", 1000L, 2000L)))
     assert(noneProbe.filesSelected === 0 && none.count() === 0L)
   }
+
+  test("lifecycle: append under frozen bounds stays row-exact; compact restores locality") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zlife").toString
+    val src = spark.range(100000).select(
+      col("id"),
+      (col("id") % 317).as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    val box = Seq(("x", 50L, 80L), ("y", 100L, 140L))
+    val want = src.filter(col("x").between(50, 80) && col("y").between(100, 140))
+      .select("id").as[Long].collect().sorted
+
+    // build on the even half, append the odd half through frozen bounds
+    ZOrder.cluster(src.filter(col("id") % 2 === 0), Seq("x", "y"), nFiles = 16, out)
+    ZOrder.append(src.filter(col("id") % 2 === 1), Seq("x", "y"), out, nFiles = 4)
+    val (afterAppend, appendProbe) = ZOrder.prunedRead(spark, out, box)
+    assert(appendProbe.filesTotal === 20, "manifest covers the appended files")
+    assert(afterAppend.select("id").as[Long].collect().sorted.sameElements(want),
+      "append keeps skipping row-exact")
+
+    // compact: full re-cluster, retrained bounds, locality restored
+    val dest = java.nio.file.Files.createTempDirectory("graft-zlife-c").toString
+    ZOrder.compact(spark, out, dest, Seq("x", "y"), nFiles = 32)
+    val (afterCompact, compactProbe) = ZOrder.prunedRead(spark, dest, box)
+    assert(compactProbe.filesTotal === 32)
+    assert(compactProbe.filesSelected <= 12,
+      s"compaction must restore locality: ${compactProbe.filesSelected}/32")
+    assert(afterCompact.select("id").as[Long].collect().sorted.sameElements(want))
+
+    // compacted keys equal a fresh single-shot clustering's keys (the
+    // rebuild contract: compaction of an appended layout == cluster of
+    // the union)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-zlife-f").toString
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, fresh)
+    val a = spark.read.parquet(dest).select("id", "zkey").as[(Long, Long)].collect().sortBy(_._1)
+    val b = spark.read.parquet(fresh).select("id", "zkey").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }
