@@ -77,6 +77,86 @@ object ZOrder {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** 2-D HILBERT curve distance of two `bits`-wide lanes — the
+    * locality-tighter alternative to Morton interleave: consecutive
+    * Hilbert positions are always grid-adjacent (Morton jumps at
+    * quadrant boundaries), so per-file boxes are squarer and a box
+    * probe touches fewer files at the same file count. The classic
+    * xy2d rotation loop as plain CASE algebra on (x, y, d). This
+    * single-Column form nests each stage inside the next (tree size
+    * ~3^bits), so it is only for SMALL bits (specs, ad-hoc grids);
+    * the layout path uses [[withHilbertKey]] — the same algebra, one
+    * named-column projection PER STAGE (linear plan size, each stage a
+    * CTE-shaped Project exactly mirroring the oracle's replay).
+    */
+  def hilbertKey2(a: Column, b: Column, bits: Int = 16): Column = {
+    var x = a
+    var y = b
+    var d: Column = lit(0L)
+    var i = bits - 1
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = shiftright(x, i).bitwiseAND(lit(1L))
+      val ry = shiftright(y, i).bitwiseAND(lit(1L))
+      d = d + lit(s * s) * (rx * 3).bitwiseXOR(ry)
+      // rotate: if ry == 0 { if rx == 1 reflect; swap(x, y) }
+      val nx = when(ry === 0L, when(rx === 1L, lit(s - 1) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0L, when(rx === 1L, lit(s - 1) - x).otherwise(x)).otherwise(y)
+      x = nx
+      y = ny
+      i -= 1
+    }
+    d
+  }
+
+  /** Staged Hilbert key: one `withColumns` projection per bit level —
+    * (x, y, d) carried as named columns, so plan size is LINEAR in
+    * `bits` (the nested single-Column form is ~3^bits and breaks the
+    * analyzer at 16), and CollapseProject cannot re-nest it because
+    * each stage reuses its inputs more than once. Stage-for-stage
+    * identical to the generated CTE chain the q26 oracle replays.
+    */
+  private def withHilbertKey(
+      df: DataFrame,
+      xLane: Column,
+      yLane: Column,
+      bits: Int,
+      keyCol: String): DataFrame = {
+    var cur = df
+      .withColumn("__hx", xLane)
+      .withColumn("__hy", yLane)
+      .withColumn(keyCol, lit(0L))
+    var i = bits - 1
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = shiftright(col("__hx"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("__hy"), i).bitwiseAND(lit(1L))
+      cur = cur.withColumns(Map(
+        keyCol -> (col(keyCol) + lit(s * s) * (rx * 3).bitwiseXOR(ry)),
+        "__hx" -> when(ry === 0L,
+          when(rx === 1L, lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")),
+        "__hy" -> when(ry === 0L,
+          when(rx === 1L, lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy"))))
+      i -= 1
+    }
+    cur.drop("__hx", "__hy")
+  }
+
+  /** Space-filling-curve key of normalized lanes: Morton interleave
+    * (N-dim) or the 2-D Hilbert distance.
+    */
+  private def curveKey(lanes: Seq[Column], bits: Int, curve: String): Column = curve match {
+    case "hilbert" =>
+      require(lanes.length == 2, "the hilbert curve key is 2-D")
+      hilbertKey2(lanes(0), lanes(1), bits)
+    case "morton" =>
+      if (lanes.length == 2 && bits == 16) interleave2(lanes(0), lanes(1))
+      else interleaveN(lanes, bits)
+    case other => throw new IllegalArgumentException(s"unknown curve '$other'")
+  }
+
   /** Append the z-order key of `cols` as `keyCol`. One agg pass computes
     * each column's (min, max); the 1-row result is broadcast-joined back
     * so the key is a single lazy plan. Bucketing is exact integer
@@ -89,7 +169,8 @@ object ZOrder {
       df: DataFrame,
       cols: Seq[String],
       bits: Int = 16,
-      keyCol: String = "zkey"): DataFrame = {
+      keyCol: String = "zkey",
+      curve: String = "morton"): DataFrame = {
     require(cols.nonEmpty && bits >= 1 && bits <= 16, "1..16 bit lanes")
     val mm = df.agg(
       min(col(cols.head)).cast("long").as(s"__zmin_${cols.head}"),
@@ -105,11 +186,13 @@ object ZOrder {
         .otherwise(expr(s"((CAST(`$c` AS BIGINT) - `__zmin_$c`) * ${laneMax(bits)}L)" +
           s" div (`__zmax_$c` - `__zmin_$c`)"))
     }
-    val z = if (cols.length == 2 && bits == 16) interleave2(lanes(0), lanes(1))
-            else interleaveN(lanes, bits)
-    df.crossJoin(broadcast(mm))
-      .withColumn(keyCol, z)
-      .drop(cols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")): _*)
+    val joined = df.crossJoin(broadcast(mm))
+    val keyed =
+      if (curve == "hilbert") {
+        require(cols.length == 2, "the hilbert curve key is 2-D")
+        withHilbertKey(joined, lanes(0), lanes(1), bits, keyCol)
+      } else joined.withColumn(keyCol, curveKey(lanes, bits, curve))
+    keyed.drop(cols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")): _*)
   }
 
   /** Per-file column stats row of the skipping manifest. */
@@ -130,7 +213,8 @@ object ZOrder {
       cols: Seq[String],
       bounds: Map[String, (Long, Long)],
       bits: Int,
-      keyCol: String): DataFrame = {
+      keyCol: String,
+      curve: String): DataFrame = {
     val lanes = cols.map { c =>
       val (mn, mx) = bounds(c)
       val x = col(c).cast("long")
@@ -139,9 +223,10 @@ object ZOrder {
         least(lit(laneMax(bits)), greatest(lit(0L),
           expr(s"((CAST(`$c` AS BIGINT) - ${mn}L) * ${laneMax(bits)}L) div ${mx - mn}L"))))
     }
-    val z = if (cols.length == 2 && bits == 16) interleave2(lanes(0), lanes(1))
-            else interleaveN(lanes, bits)
-    df.withColumn(keyCol, z)
+    if (curve == "hilbert") {
+      require(cols.length == 2, "the hilbert curve key is 2-D")
+      withHilbertKey(df, lanes(0), lanes(1), bits, keyCol)
+    } else df.withColumn(keyCol, curveKey(lanes, bits, curve))
   }
 
   /** Z-cluster `df` on `cols` into `nFiles` parquet files under `out`,
@@ -156,9 +241,10 @@ object ZOrder {
       nFiles: Int,
       out: String,
       bits: Int = 16,
-      keyCol: String = "zkey"): Unit = {
+      keyCol: String = "zkey",
+      curve: String = "morton"): Unit = {
     val spark = df.sparkSession
-    withZKey(df, cols, bits, keyCol)
+    withZKey(df, cols, bits, keyCol, curve)
       .repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(col(keyCol))
       .write.mode("overwrite").parquet(out)
@@ -188,7 +274,8 @@ object ZOrder {
       out: String,
       nFiles: Int = 1,
       bits: Int = 16,
-      keyCol: String = "zkey"): Unit = {
+      keyCol: String = "zkey",
+      curve: String = "morton"): Unit = {
     val spark = df.sparkSession
     implicit val fc: FioConf = FioConf.of(spark)
     val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
@@ -200,7 +287,7 @@ object ZOrder {
       c -> (rows.map(_._2).min, rows.map(_._3).max)
     }.toMap
     val before = dataFiles(out).toSet
-    withZKeyFrozen(df, cols, bounds, bits, keyCol)
+    withZKeyFrozen(df, cols, bounds, bits, keyCol, curve)
       .repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(col(keyCol))
       .write.mode("append").parquet(out)
@@ -221,8 +308,9 @@ object ZOrder {
       cols: Seq[String],
       nFiles: Int,
       bits: Int = 16,
-      keyCol: String = "zkey"): Unit =
-    cluster(spark.read.parquet(in).drop(keyCol), cols, nFiles, dest, bits, keyCol)
+      keyCol: String = "zkey",
+      curve: String = "morton"): Unit =
+    cluster(spark.read.parquet(in).drop(keyCol), cols, nFiles, dest, bits, keyCol, curve)
 
   /** Distributed parquet-footer stats scan over `files` → `_zmanifest`
     * rows for `cols`, written with the given save mode.

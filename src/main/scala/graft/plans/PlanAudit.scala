@@ -272,9 +272,39 @@ object PlanAudit {
         s"rows=$aRows/$cRows direct=$direct")
   }
 
+  /** Hilbert must skip about as few files as Morton on the identical
+    * synthetic probe (its defining locality edge: consecutive curve
+    * positions are always grid-adjacent, so per-file boxes are squarer)
+    * — both layouts built fresh, both measured, compared head to head
+    * with a one-file margin: repartitionByRange SAMPLES its boundaries
+    * (no fixed seed), so either layout's file cuts jitter by ±1 file
+    * across builds; the margin absorbs exactly that, while a locality
+    * regression (quadrant-jump key math) shows up as several files.
+    */
+  def hilbertSkipShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val tmp = System.getProperty("java.io.tmpdir")
+    val outM = new java.io.File(tmp, "graft_zshape_probe").getAbsolutePath
+    val outH = new java.io.File(tmp, "graft_zshape_probe_h").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    val box = Seq(("x", 50L, 80L), ("y", 100L, 140L))
+    graft.operators.ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, outM)
+    graft.operators.ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, outH, curve = "hilbert")
+    val (mDf, m) = graft.operators.ZOrder.prunedRead(spark, outM, box)
+    val (hDf, h) = graft.operators.ZOrder.prunedRead(spark, outH, box)
+    val (mRows, hRows) = (mDf.count(), hDf.count())
+    Shape(
+      h.filesSelected <= m.filesSelected + 1 && h.filesSelected <= 12
+        && h.filesSelected < h.filesTotal && hRows == mRows,
+      s"hilbert=${h.filesSelected}/${h.filesTotal} morton=${m.filesSelected}/${m.filesTotal} rows=$hRows")
+  }
+
   val pinnedShapes: Map[String, DataFrame => Shape] = Map(
     "q24_zorder_keys" -> zorderSkipShape,
     "q25_zorder_lifecycle" -> zorderLifecycleShape,
+    "q26_hilbert_keys" -> hilbertSkipShape,
     "doc_warc_multifile" -> warcMultiIntakeShape,
     "vol_zarr3_sharded_point" -> shardedPointShape,
     "vol_zarr3_sharded_box" -> shardedBoxShape,
@@ -419,6 +449,8 @@ object PlanAudit {
     // being served from the layout and got recomputed with a fresh
     // min/max pass
     "q25_zorder_lifecycle" -> 1,
+    // hilbert keys: same shape as q24 — min/max agg merge + output sort
+    "q26_hilbert_keys" -> 2,
     "doc_repetition" -> 1,
     "ev_funnel" -> 2,
     "ev_retention" -> 3,

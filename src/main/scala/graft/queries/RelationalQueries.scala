@@ -21,15 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
-  /** DuckDB replay of the canonical z-order key algebra over lineitem
-    * (min/max lane normalization + magic-mask spreading + interleave) —
-    * shared by q24_zorder_keys and q25_zorder_lifecycle: the lifecycle
-    * gate's REBUILD CONTRACT is that cluster-half + append-half +
-    * compact reproduces exactly the keys a fresh single-shot clustering
-    * (= this algebra) would assign.
+  /** Shared lane-normalization prefix of the space-filling-curve
+    * oracles: exact integer (min, max) bucketing of (l_partkey,
+    * l_suppkey) to 16-bit lanes `a`, `b`.
     */
-  private val zorderKeysOracle: String = """
-        WITH mm AS (
+  private val curveLaneCtes: String = """mm AS (
           SELECT CAST(MIN(l_partkey) AS BIGINT) pmin, CAST(MAX(l_partkey) AS BIGINT) pmax,
                  CAST(MIN(l_suppkey) AS BIGINT) smin, CAST(MAX(l_suppkey) AS BIGINT) smax
           FROM lineitem
@@ -40,7 +36,17 @@ object RelationalQueries {
                  CASE WHEN smax = smin THEN 0
                       ELSE (CAST(l_suppkey AS BIGINT) - smin) * 65535 // (smax - smin) END AS b
           FROM lineitem, mm
-        ), s1 AS (
+        )"""
+
+  /** DuckDB replay of the canonical z-order key algebra over lineitem
+    * (lane normalization + magic-mask spreading + interleave) — shared
+    * by q24_zorder_keys and q25_zorder_lifecycle: the lifecycle gate's
+    * REBUILD CONTRACT is that cluster-half + append-half + compact
+    * reproduces exactly the keys a fresh single-shot clustering
+    * (= this algebra) would assign.
+    */
+  private val zorderKeysOracle: String = s"""
+        WITH $curveLaneCtes, s1 AS (
           SELECT l_orderkey, l_linenumber,
                  ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
           FROM lanes
@@ -61,6 +67,36 @@ object RelationalQueries {
         FROM s4
         ORDER BY zkey, l_orderkey, l_linenumber
       """
+
+  /** The q26 oracle: the SAME unrolled Hilbert xy2d rotation stages the
+    * Spark side executes (ZOrder.hilbertKey2 is deliberately closed-form
+    * Column algebra so this replay is stage-for-stage identical), as 16
+    * generated chained CTEs over the shared lanes.
+    */
+  private def hilbertKeysOracle: String = {
+    val stages = (15 to 0 by -1).zipWithIndex.map { case (i, idx) =>
+      val sBit = 1L << i
+      val prev = if (idx == 0) "lanes" else s"h${idx - 1}"
+      val (xc, yc) = if (idx == 0) ("a", "b") else ("x", "y")
+      val dc = if (idx == 0) "CAST(0 AS BIGINT)" else "d"
+      s"""h$idx AS (
+          SELECT l_orderkey, l_linenumber,
+                 $dc + ${sBit * sBit} * xor(3 * (($xc >> $i) & 1), ($yc >> $i) & 1) AS d,
+                 CASE WHEN (($yc >> $i) & 1) = 0
+                      THEN CASE WHEN (($xc >> $i) & 1) = 1 THEN ${sBit - 1} - $yc ELSE $yc END
+                      ELSE $xc END AS x,
+                 CASE WHEN (($yc >> $i) & 1) = 0
+                      THEN CASE WHEN (($xc >> $i) & 1) = 1 THEN ${sBit - 1} - $xc ELSE $xc END
+                      ELSE $yc END AS y
+          FROM $prev)"""
+    }.mkString(", ")
+    s"""
+        WITH $curveLaneCtes, $stages
+        SELECT l_orderkey, l_linenumber, d AS hkey
+        FROM h15
+        ORDER BY hkey, l_orderkey, l_linenumber
+      """
+  }
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------- q1
@@ -781,6 +817,28 @@ object RelationalQueries {
           .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some(zorderKeysOracle),
+    ),
+    // HILBERT curve keys (ZOrder.hilbertKey2): the locality-tighter
+    // space-filling curve over the same (l_partkey, l_suppkey) lanes —
+    // consecutive Hilbert positions are always grid-adjacent where
+    // Morton jumps at quadrant boundaries, so the same box probe
+    // touches fewer files at the same file count (the q26 shape pin
+    // measures hilbert <= morton on the identical synthetic probe).
+    // The key is the classic xy2d rotation loop UNROLLED into 16
+    // stages of plain CASE algebra — one codegen'd projection, no
+    // custom expression — and the oracle replays the IDENTICAL stages
+    // as generated chained CTEs. Same 2-exchange plan as q24.
+    Q(
+      "q26_hilbert_keys",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        graft.operators.ZOrder.withZKey(li, Seq("l_partkey", "l_suppkey"), bits = 16,
+            keyCol = "hkey", curve = "hilbert")
+          .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+            col("hkey"))
+          .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(hilbertKeysOracle),
     ),
   )
 }

@@ -67,6 +67,40 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(noneProbe.filesSelected === 0 && none.count() === 0L)
   }
 
+  test("hilbertKey2 IS a Hilbert curve: bijective and unit-step adjacent on the full grid") {
+    import spark.implicits._
+    // bits=4: the whole 16x16 grid, every consecutive pair of curve
+    // positions must be grid-adjacent (|dx|+|dy| == 1) — the defining
+    // locality property, orientation-agnostic
+    val cells = spark.range(256).select(
+      (col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
+      .select(col("x"), col("y"), ZOrder.hilbertKey2(col("x"), col("y"), bits = 4).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).sortBy(_._1)
+    assert(cells.map(_._1).toSeq === (0L until 256L).toSeq, "bijective onto 0..255")
+    val nonAdjacent = cells.sliding(2).count { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(nonAdjacent === 0, "every curve step moves to a grid neighbor")
+  }
+
+  test("hilbert clustering skips as few files as morton (one-file sampling margin) on the same box") {
+    val outM = java.nio.file.Files.createTempDirectory("graft-zh-m").toString
+    val outH = java.nio.file.Files.createTempDirectory("graft-zh-h").toString
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    val box = Seq(("x", 50L, 80L), ("y", 100L, 140L))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, outM)
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, outH, curve = "hilbert")
+    val (mDf, m) = ZOrder.prunedRead(spark, outM, box)
+    val (hDf, h) = ZOrder.prunedRead(spark, outH, box)
+    // one-file margin: repartitionByRange samples boundaries (unseeded),
+    // so file cuts jitter by +-1 across builds
+    assert(h.filesSelected <= m.filesSelected + 1,
+      s"hilbert ${h.filesSelected} vs morton ${m.filesSelected}")
+    assert(h.filesSelected <= 12 && h.filesSelected < h.filesTotal)
+    assert(hDf.count() === mDf.count())
+  }
+
   test("lifecycle: append under frozen bounds stays row-exact; compact restores locality") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zlife").toString
