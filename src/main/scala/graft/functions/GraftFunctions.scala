@@ -24,6 +24,7 @@ object GraftFunctions {
   val NearestCentroidName = "graft_nearest_centroid"
   val ProbeListsName = "graft_probe_lists"
   val ProbeLists2Name = "graft_probe_lists2"
+  val HilbertKey2Name = "graft_hilbert_key2"
   val NfcName = "graft_nfc"
   val SigAgreeName = "graft_sig_agree"
   val MaxTermCountName = "graft_max_term_count"
@@ -125,6 +126,11 @@ object GraftFunctions {
         intArrayLit(children(4), "len"),
         intLitOf(children(5), ProbeLists2Name, "nCells"),
         intLitOf(children(6), ProbeLists2Name, "nPerCell"))
+    }),
+    (HilbertKey2Name, classOf[HilbertKey2Expr].getName, { children: Seq[Expression] =>
+      require(children.size == 3, s"$HilbertKey2Name takes (x, y, bits)")
+      HilbertKey2Expr(children.head, children(1),
+        intLitOf(children(2), HilbertKey2Name, "bits"))
     }),
     (NfcName, classOf[NfcNormalize].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$NfcName takes exactly 1 argument")
@@ -422,6 +428,12 @@ object GraftFunctions {
     call_function(ProbeLists2Name, vec,
       typedLit(coarse.map(_.toSeq).toSeq), typedLit(fine.map(_.toSeq).toSeq),
       typedLit(start.toSeq), typedLit(len.toSeq), lit(nCells), lit(nPerCell))
+
+  /** 2-D Hilbert curve distance of two BIGINT lanes (codegen'd kernel;
+    * see [[HilbertKey2Expr]]).
+    */
+  def hilbertKey2(x: Column, y: Column, bits: Int): Column =
+    call_function(HilbertKey2Name, x, y, lit(bits))
 
   /** Unicode NFC canonical normalization (DuckDB `nfc_normalize` twin). */
   def nfc(c: Column): Column = call_function(NfcName, c)

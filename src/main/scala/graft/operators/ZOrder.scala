@@ -112,11 +112,13 @@ object ZOrder {
   /** Staged Hilbert key: one `withColumns` projection per bit level —
     * (x, y, d) carried as named columns, so plan size is LINEAR in
     * `bits` (the nested single-Column form is ~3^bits and breaks the
-    * analyzer at 16), and CollapseProject cannot re-nest it because
-    * each stage reuses its inputs more than once. Stage-for-stage
-    * identical to the generated CTE chain the q26 oracle replays.
+    * analyzer at 16). Stage-for-stage identical to the generated CTE
+    * chain the q26 oracle replays — kept as the SPEC CROSS-CHECK form
+    * (pinned equal to the codegen'd kernel the layout path uses: a
+    * 16-level CASE-projection tree measured ~13× slower than the
+    * kernel on the r16 bench).
     */
-  private def withHilbertKey(
+  def withHilbertKey(
       df: DataFrame,
       xLane: Column,
       yLane: Column,
@@ -190,7 +192,9 @@ object ZOrder {
     val keyed =
       if (curve == "hilbert") {
         require(cols.length == 2, "the hilbert curve key is 2-D")
-        withHilbertKey(joined, lanes(0), lanes(1), bits, keyCol)
+        graft.functions.GraftFunctions.register(df.sparkSession)
+        joined.withColumn(keyCol,
+          graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))
       } else joined.withColumn(keyCol, curveKey(lanes, bits, curve))
     keyed.drop(cols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")): _*)
   }
@@ -225,7 +229,9 @@ object ZOrder {
     }
     if (curve == "hilbert") {
       require(cols.length == 2, "the hilbert curve key is 2-D")
-      withHilbertKey(df, lanes(0), lanes(1), bits, keyCol)
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      df.withColumn(keyCol,
+        graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))
     } else df.withColumn(keyCol, curveKey(lanes, bits, curve))
   }
 

@@ -83,6 +83,29 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(nonAdjacent === 0, "every curve step moves to a grid neighbor")
   }
 
+  test("hilbert kernel == staged Column algebra == nested Column algebra") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // bits=16 over random lanes: the codegen'd kernel (layout path) vs
+    // the staged withColumns form (the oracle's stage-for-stage CTE
+    // mirror); bits=4 additionally vs the nested single-Column form
+    val lanes = spark.range(4096).select(
+      pmod(hash(col("id")), lit(65536)).cast("long").as("a"),
+      pmod(hash(col("id") * 31 + 7), lit(65536)).cast("long").as("b"))
+    // compare via collect, NOT a filter: pushing a predicate down
+    // through the 16 staged projections alias-substitutes it at every
+    // stage (~3^16 expression blowup — the exact hazard that makes the
+    // kernel the layout path)
+    val staged = ZOrder.withHilbertKey(lanes, col("a"), col("b"), bits = 16, keyCol = "s")
+      .withColumn("k", GraftFunctions.hilbertKey2(col("a"), col("b"), bits = 16))
+      .select("s", "k").collect()
+    assert(staged.forall(r => r.getLong(0) == r.getLong(1)))
+    val small = lanes.select((col("a") % 16).as("a"), (col("b") % 16).as("b"))
+      .withColumn("n", ZOrder.hilbertKey2(col("a"), col("b"), bits = 4))
+      .withColumn("k", GraftFunctions.hilbertKey2(col("a"), col("b"), bits = 4))
+    assert(small.filter(col("n") =!= col("k")).count() === 0L)
+  }
+
   test("hilbert clustering skips as few files as morton (one-file sampling margin) on the same box") {
     val outM = java.nio.file.Files.createTempDirectory("graft-zh-m").toString
     val outH = java.nio.file.Files.createTempDirectory("graft-zh-h").toString
