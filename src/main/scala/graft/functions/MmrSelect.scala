@@ -69,11 +69,16 @@ object MmrKernel {
       }
       picked(best) = true
       out(r) = new GenericInternalRow(Array[Any](ids(best), (r + 1).toLong, bestScore))
-      // fold the new pick into every survivor's max-sim
+      // fold the new pick into every survivor's max-sim; a zero-norm
+      // embedding (all-zero vector) has no direction, so its cosine is
+      // defined as 0.0 — an unguarded 0/0 would be NaN, and one NaN in a
+      // running max poisons every later score (selection would silently
+      // degrade to id order)
       var j = 0
       while (j < n) {
         if (!picked(j)) {
-          val s = dot(embs(j), embs(best)) / (norms(j) * norms(best))
+          val den = norms(j) * norms(best)
+          val s = if (den == 0.0) 0.0 else dot(embs(j), embs(best)) / den
           if (r == 0 || s > maxs(j)) maxs(j) = s
         }
         j += 1

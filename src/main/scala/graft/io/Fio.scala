@@ -243,26 +243,37 @@ object Fio {
     new FioRandomWrite(ch, path)
   }
 
-  /** Create/overwrite, parents made as needed. */
   /** Create-or-overwrite output stream. On `file://` this is a plain
     * java.io stream with a memoized parent-directory check — see
     * [[writeBytes]] for the measured rationale; `FileSystem.create`'s
     * per-file mkdirs walk and stream scaffolding cost ~45 s across the
-    * ×15 sink's 192k chunk files. All other schemes take the Hadoop
-    * stream.
+    * ×15 sink's 192k chunk files. The memo is advisory: if a memoized
+    * parent was deleted externally since the last write, the open fails,
+    * the stale entry is evicted, the directory is recreated, and the
+    * open retries once — matching the Hadoop path's always-mkdirs
+    * behavior without its per-file cost. All other schemes take the
+    * Hadoop stream.
     */
   def createStream(path: String)(implicit fc: FioConf): OutputStream = {
     val (fs, p) = resolve(path)
     if ("file" == p.toUri.getScheme) {
       val f = new java.io.File(p.toUri.getPath)
       val parent = f.getParentFile
-      if (parent != null && !knownLocalDirs.containsKey(parent.getPath)) {
-        if (!parent.isDirectory && !parent.mkdirs() && !parent.isDirectory)
-          throw new java.io.IOException(s"mkdirs failed for ${parent.getPath}")
-        if (knownLocalDirs.size > (1 << 20)) knownLocalDirs.clear()
-        knownLocalDirs.put(parent.getPath, java.lang.Boolean.TRUE)
+      def ensureParent(): Unit =
+        if (parent != null && !knownLocalDirs.containsKey(parent.getPath)) {
+          if (!parent.isDirectory && !parent.mkdirs() && !parent.isDirectory)
+            throw new java.io.IOException(s"mkdirs failed for ${parent.getPath}")
+          if (knownLocalDirs.size > (1 << 20)) knownLocalDirs.clear()
+          knownLocalDirs.put(parent.getPath, java.lang.Boolean.TRUE)
+        }
+      ensureParent()
+      try new java.io.FileOutputStream(f)
+      catch {
+        case _: java.io.FileNotFoundException if parent != null =>
+          knownLocalDirs.remove(parent.getPath)
+          ensureParent()
+          new java.io.FileOutputStream(f)
       }
-      new java.io.FileOutputStream(f)
     } else fs.create(p, true)
   }
 

@@ -824,10 +824,11 @@ object RelationalQueries {
     // Morton jumps at quadrant boundaries, so the same box probe
     // touches fewer files at the same file count (the q26 shape pin
     // measures hilbert <= morton on the identical synthetic probe).
-    // The key is the classic xy2d rotation loop UNROLLED into 16
-    // stages of plain CASE algebra — one codegen'd projection, no
-    // custom expression — and the oracle replays the IDENTICAL stages
-    // as generated chained CTEs. Same 2-exchange plan as q24.
+    // The key runs the codegen'd graft_hilbert_key2 Catalyst kernel
+    // (HilbertKey2Expr — the classic xy2d rotation loop as one tight
+    // doGenCode loop; ZOrderSpec pins it equal to the staged CASE-
+    // algebra form, which the oracle replays as 16 generated chained
+    // CTEs). Same 2-exchange plan as q24.
     Q(
       "q26_hilbert_keys",
       (s, d) => {

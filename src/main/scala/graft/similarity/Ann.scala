@@ -584,7 +584,7 @@ object Ann {
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = dropTombstoned(
-      spark.read.parquet(s"$path/lists")
+      spark.read.parquet(listsDir(spark, path))
         .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*)), path)
       .select(col("list_id"), col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -770,7 +770,7 @@ object Ann {
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = dropTombstoned(
-      spark.read.parquet(s"$path/lists")
+      spark.read.parquet(listsDir(spark, path))
         .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*)), path)
       .select(col("list_id"), col("id").as("neighbor_id"), col("code"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -831,7 +831,7 @@ object Ann {
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = dropTombstoned(
-      spark.read.parquet(s"$path/lists")
+      spark.read.parquet(listsDir(spark, path))
         .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*)), path)
       .select(col("list_id"), col("id").as("neighbor_id"),
         col("code"), col("lo"), col("hi"), col("nrm").as("cn"))
@@ -899,7 +899,7 @@ object Ann {
     shard.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
       .withColumn("nrm", norm(col("e")))
       .withColumn("list_id", GraftFunctions.nearestCentroid(col("e"), centroids))
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+      .write.mode("append").partitionBy("list_id").parquet(listsDir(spark, path))
   }
 
   /** TOMBSTONE DELETE for a persisted IVF index: the ids land as an
@@ -917,6 +917,38 @@ object Ann {
       idCol: String = "vec_id"): Unit =
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  /** Self-heal a compaction publish that crashed mid-swap, then return
+    * the lists directory. [[compactIvfIndex]]'s publish is two renames,
+    * and a crash between them leaves NO `lists` directory. If the
+    * compacted candidate completed (`lists_compacting/_SUCCESS`
+    * present), roll FORWARD — publish it and clear the retired dir and
+    * the tombstones, finishing the crashed compaction; otherwise roll
+    * BACK to `lists_retired`. Every lists reader and appender resolves
+    * the directory through here, so a crashed publish heals on the next
+    * touch of the index (compaction remains a single-writer maintenance
+    * window — a probe racing the swap itself can still observe the gap,
+    * see the compactIvfIndex doc).
+    */
+  private def listsDir(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val lists = s"$path/lists"
+    if (!graft.io.Fio.exists(lists)) {
+      val tmp = s"$path/lists_compacting"
+      val retired = s"$path/lists_retired"
+      if (graft.io.Fio.exists(s"$tmp/_SUCCESS")) {
+        require(graft.io.Fio.rename(tmp, lists),
+          s"ivf recover: could not roll the completed compaction forward at $path")
+        graft.io.Fio.delete(retired)
+        graft.io.Fio.delete(s"$path/tombstones")
+      } else if (graft.io.Fio.exists(retired)) {
+        require(graft.io.Fio.rename(retired, lists),
+          s"ivf recover: could not roll back to the retired lists at $path")
+        graft.io.Fio.delete(tmp)
+      }
+    }
+    lists
+  }
 
   /** The live tombstone set, if any delete has ever landed. */
   private def tombstones(
@@ -944,9 +976,16 @@ object Ann {
     * FROZEN: assignments are read off the stored `list_id` hive column,
     * never recomputed, so compaction is one shuffle keyed on list_id —
     * corpus-linear I/O, no distance math, no driver materialization.
-    * Publish is swap-by-rename (write beside, retire, rename in), so a
-    * crash leaves either the old lists or the new — never a mix; the
-    * tombstone set is cleared only after the swapped-in lists exclude it.
+    * Publish is swap-by-rename (write beside, retire, rename in). A
+    * crash never leaves a MIX of old and new list files, but the swap is
+    * two renames, so a crash between them leaves no lists directory at
+    * all — [[listsDir]] heals that window on the next touch of the
+    * index (roll forward if the candidate completed, roll back to the
+    * retired lists otherwise). Compaction is a single-writer maintenance
+    * operation: a probe planned concurrently with the swap itself can
+    * still observe the gap, so run it from the index's maintenance owner,
+    * not alongside live probes. The tombstone set is cleared only after
+    * the swapped-in lists exclude it.
     *
     * Layout-agnostic: the pass never reads a vector column, only the
     * hive key — so it compacts float (`id,e,nrm`), SQ8
@@ -956,7 +995,7 @@ object Ann {
   def compactIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
-    val live = dropTombstoned(spark.read.parquet(s"$path/lists"), path)
+    val live = dropTombstoned(spark.read.parquet(listsDir(spark, path)), path)
     val tmp = s"$path/lists_compacting"
     graft.io.Fio.delete(tmp) // a crashed earlier compaction's leftovers
     // hash-repartition on the hive key: each list's rows converge on one
@@ -1001,7 +1040,7 @@ object Ann {
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = dropTombstoned(
-      spark.read.parquet(s"$path/lists")
+      spark.read.parquet(listsDir(spark, path))
         .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*)), path)
       .select(col("list_id"), col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))

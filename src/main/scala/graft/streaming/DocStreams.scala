@@ -17,11 +17,18 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
 object DocStreams {
 
   /** Deterministic ingest event time for the harness corpus (it carries
-    * no timestamp): epoch + doc_id minutes, so the corpus spans several
-    * hourly windows. A real deployment uses its feed's ingestion time.
+    * no timestamp): epoch + doc_id minutes + 1 s, so the corpus spans
+    * several hourly windows. The +1 s keeps doc 0 STRICTLY after the
+    * initial watermark (epoch = 0): a row whose event time equals the
+    * watermark is dropped as late by within-watermark dedup and never
+    * reaches [[BucketClaimProcessor]] (its buckets would go unclaimed and
+    * later copies would pass as originals) — the same guard as
+    * MediaStreams.idMinutes. Hour-window math is unaffected: 60·id is a
+    * multiple of 60, so 60·id + 1 never crosses an hour boundary. A real
+    * deployment uses its feed's ingestion time.
     */
   def withIngestTime(docs: DataFrame): DataFrame =
-    docs.withColumn("ingest_ts", timestamp_seconds(col("doc_id") * 60))
+    docs.withColumn("ingest_ts", timestamp_seconds(col("doc_id") * 60 + 1))
 
   /** Streaming corpus curation: exactly-once exact dedup + stateless
     * quality gating + per-(hour window, source) intake rollup.

@@ -79,6 +79,24 @@ class MmrSelectSpec extends AnyFunSuite with SparkSpec {
     assert(run(cands.take(4), 10, 0.5).map(_._2) === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("a zero-norm candidate does not poison the running max with NaN") {
+    // the all-zero vector has no direction: its cosine to anything is
+    // defined as 0.0. Unguarded, 0/0 = NaN would enter maxs once the
+    // zero vector is picked (or compared against), every later score
+    // would be NaN, and selection would silently degrade to id order.
+    val cands = Seq(
+      (1L, 0.9, Array(1.0, 0.0)),   // picked first (relevance)
+      (2L, 0.8, Array(0.0, 0.0)),   // zero vector: sim 0 to everything
+      (3L, 0.3, Array(0.95, 0.05)), // near-dup of pick 1: must be demoted
+      (4L, 0.25, Array(0.0, 1.0)))  // orthogonal to pick 1
+    val got = run(cands, k = 4, lam = 0.5)
+    assert(got.forall(t => !t._3.isNaN), "no NaN scores")
+    // zero vector scores lam·0.8 − (1−lam)·0 = 0.40 > any alternative
+    // second pick; then the orthogonal 4 (0.125) beats the near-dup 3
+    // (0.15 − 0.5·~0.999 < 0)
+    assert(got.map(_._1) === Seq(1L, 2L, 4L, 3L))
+  }
+
   test("kernel agrees with the naive recompute-from-scratch reference") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 5) {

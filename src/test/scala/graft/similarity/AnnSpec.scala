@@ -324,6 +324,46 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet === postTopk.map(_._2).toSet)
   }
 
+  test("compaction crash window heals on next touch: roll back and roll forward") {
+    import org.apache.spark.sql.functions.col
+    def topk(idx: String) = Ann.ivfTopKFromIndex(spark, idx, emb.filter(qf), k, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // ROLL BACK: crash after retiring the old lists, before the candidate
+    // completed — no lists dir, an INCOMPLETE lists_compacting (no
+    // _SUCCESS), the old lists under lists_retired. The next probe must
+    // restore the retired lists and discard the partial candidate.
+    val idx1 = java.nio.file.Files.createTempDirectory("graft_ivf_crash_rb").toString
+    Ann.buildIvfIndex(emb, dim = 64, nLists = 16, path = idx1)
+    val expected1 = topk(idx1)
+    assert(new java.io.File(s"$idx1/lists").renameTo(new java.io.File(s"$idx1/lists_retired")))
+    val partial = new java.io.File(s"$idx1/lists_compacting")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    assert(topk(idx1) === expected1, "probe after roll-back recovery diverged")
+    assert(new java.io.File(s"$idx1/lists").isDirectory)
+    assert(!new java.io.File(s"$idx1/lists_retired").exists())
+    assert(!new java.io.File(s"$idx1/lists_compacting").exists())
+
+    // ROLL FORWARD: crash between the two publish renames with a COMPLETE
+    // candidate (_SUCCESS present) — the next probe finishes the crashed
+    // compaction: publishes the candidate, drops the retired dir, clears
+    // the tombstones (harmless unknown-id tombstones stand in for a folded
+    // set: a candidate produced by a real compaction excludes its ids).
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivf_crash_rf").toString
+    Ann.buildIvfIndex(emb, dim = 64, nLists = 16, path = idx2)
+    val expected2 = topk(idx2)
+    Ann.deleteFromIvfIndex(spark.range(900000, 900003).select(col("id").as("vec_id")), idx2)
+    assert(new java.io.File(s"$idx2/lists").renameTo(new java.io.File(s"$idx2/lists_compacting")))
+    assert(new java.io.File(s"$idx2/lists_retired").mkdirs())
+    assert(topk(idx2) === expected2, "probe after roll-forward recovery diverged")
+    assert(new java.io.File(s"$idx2/lists").isDirectory)
+    assert(!new java.io.File(s"$idx2/lists_retired").exists())
+    assert(!new java.io.File(s"$idx2/lists_compacting").exists())
+    assert(!new java.io.File(s"$idx2/tombstones").exists(), "tombstones cleared by roll-forward")
+  }
+
   test("SQ8 index honors tombstones and compacts under the same lifecycle") {
     import org.apache.spark.sql.functions.col
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_sq8_compact").toString

@@ -175,9 +175,14 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     // if two independent md5 minhash chains coincide (never, here), so
     // every is_dup verdict below is structural, not probabilistic
     def txt(i: Long) = (0 until 8).map(j => s"w${i}x$j").mkString(" ")
-    val wave1 = (1L to 10L).map(i => StreamDoc(i, txt(i), "s1"))
+    // doc 0 rides wave 1 deliberately: its event time is epoch + 1 s —
+    // withIngestTime's +1 s offset keeps it strictly after the initial
+    // watermark (0), so its bucket claims are NOT dropped as late and a
+    // later copy (doc 14) is flagged like any other
+    val wave1 = (0L to 10L).map(i => StreamDoc(i, txt(i), "s1"))
     val wave2 = Seq(
       StreamDoc(11, txt(40), "s2"),
+      StreamDoc(14, txt(0), "s2"),  // exact copy of wave-1 doc 0: the epoch-edge dup
       StreamDoc(15, txt(2), "s2"),  // exact copy of wave-1 doc 2: cross-batch dup
       StreamDoc(16, txt(40), "s2"), // exact copy of doc 11, SAME batch: in-batch dup
       StreamDoc(17, txt(50), "s2"),
@@ -209,9 +214,10 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(streamed === batch)
       val verdict = streamed.map(t => t._2 -> t._3).toMap
       assert(verdict(2L) === 0L, "original survives")
+      assert(verdict(14L) === 1L, "copy of doc 0 flagged: the epoch row's claims were not dropped as late")
       assert(verdict(15L) === 1L, "cross-batch exact copy flagged from bucket state")
       assert(verdict(11L) === 0L && verdict(16L) === 1L, "in-batch copy: min id owns the bucket")
-      assert((1L to 10L).forall(verdict(_) === 0L), "disjoint-token docs never collide")
+      assert((0L to 10L).forall(verdict(_) === 0L), "disjoint-token docs never collide")
       // one transformWithState (bucket claims) + one window rollup
       assert(query.lastProgress.stateOperators.size === 2)
     } finally {
