@@ -199,6 +199,192 @@ object ZOrder {
     keyed.drop(cols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")): _*)
   }
 
+  // ------------------------------------------------------------------
+  // QUANTILE (equi-depth) lanes: the skew-robust alternative to linear
+  // (min,max) bucketing. Linear lanes degrade under heavy value skew —
+  // most rows land in a few buckets, per-file envelopes on the skewed
+  // column widen, and the skip bound collapses (the caveat stated in
+  // the object doc). Quantile lanes bucket by the empirical CDF
+  // instead: bucket(v) = floor(#rows-with-value-<-v · B / n), so every
+  // bucket holds ~n/B rows REGARDLESS of the value distribution and
+  // per-file envelopes stay tight. The rule is exact integer algebra
+  // over the per-VALUE histogram (one map-side-combined groupBy; the
+  // CDF window runs over DISTINCT values — bounded by lane cardinality,
+  // the standard equi-depth histogram build — never over rows). For
+  // unbounded-cardinality lanes at 100 TB, compute the B-1 boundaries
+  // with approx_percentile instead and feed them through the same
+  // frozen-boundary path appendQuantile uses; the gate path stays exact
+  // so the DuckDB oracle replays it bit-for-bit.
+  // ------------------------------------------------------------------
+
+  /** Per-distinct-value equi-depth bucket map of one column:
+    * (`__qv` value, `__qb` bucket), bucket = (rows-before · B) / n by
+    * exact integer division — always in [0, B-1] since rows-before ≤
+    * n-1. Nulls are excluded (rows with null bucket to 0 at key time).
+    */
+  private def quantileBucketMap(df: DataFrame, c: String, buckets: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("__qv"))
+    val all = Window.partitionBy()
+    df.filter(col(c).isNotNull)
+      .groupBy(col(c).cast("long").as("__qv"))
+      .agg(count(lit(1)).as("__qc"))
+      .withColumn("__cum", sum(col("__qc")).over(ord))
+      .withColumn("__n", sum(col("__qc")).over(all))
+      .select(col("__qv"),
+        expr(s"((__cum - __qc) * ${buckets}L) div __n").as("__qb"))
+  }
+
+  /** Append the QUANTILE z-order key of `cols` as `keyCol`: each lane is
+    * the column's equi-depth bucket ([[quantileBucketMap]] — a
+    * cardinality-bounded broadcast dimension joined back onto the rows),
+    * interleaved exactly like [[withZKey]]'s linear lanes. Default 8-bit
+    * lanes (256 equi-depth buckets per column) — plenty of resolution
+    * for file-level skipping at any file count while keeping the frozen
+    * boundary table ([[clusterQuantile]]'s `_zqbounds`) tiny.
+    */
+  def withZKeyQuantile(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 8,
+      keyCol: String = "zkey",
+      curve: String = "morton"): DataFrame = {
+    require(cols.nonEmpty && bits >= 1 && bits <= 16, "1..16 bit lanes")
+    val buckets = 1L << bits
+    var cur = df
+    val lanes = cols.map { c =>
+      val bm = quantileBucketMap(df, c, buckets)
+        .withColumnRenamed("__qv", s"__qv_$c")
+        .withColumnRenamed("__qb", s"__qb_$c")
+      cur = cur.join(broadcast(bm), cur(c).cast("long") === bm(s"__qv_$c"), "left")
+      coalesce(col(s"__qb_$c"), lit(0L))
+    }
+    val keyed =
+      if (curve == "hilbert") {
+        require(cols.length == 2, "the hilbert curve key is 2-D")
+        graft.functions.GraftFunctions.register(df.sparkSession)
+        cur.withColumn(keyCol,
+          graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))
+      } else cur.withColumn(keyCol, curveKey(lanes, bits, curve))
+    keyed.drop(cols.flatMap(c => Seq(s"__qv_$c", s"__qb_$c")): _*)
+  }
+
+  /** One frozen quantile-lane boundary: `boundary` is the smallest value
+    * assigned to `bucket` (only non-empty buckets are stored).
+    */
+  case class ZQBound(column: String, bucket: Long, boundary: Long)
+
+  /** QUANTILE-cluster `df` on `cols` into `nFiles` files under `out` —
+    * [[cluster]]'s skew-robust twin. Besides the `_zmanifest` skipping
+    * index (same raw-column min/max stats, same [[prunedRead]]), the
+    * layout persists `_zqbounds`: each lane's per-bucket minimum value,
+    * the FROZEN boundary table [[appendQuantile]] buckets future batches
+    * through (re-deriving the CDF per batch would re-bucket the world —
+    * the same frozen-quantizer discipline as [[append]]'s (min,max)
+    * bounds and the IVF index's centroid table).
+    */
+  def clusterQuantile(
+      df: DataFrame,
+      cols: Seq[String],
+      nFiles: Int,
+      out: String,
+      bits: Int = 8,
+      keyCol: String = "zkey",
+      curve: String = "morton"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    withZKeyQuantile(df, cols, bits, keyCol, curve)
+      .repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(out)
+    implicit val fc: FioConf = FioConf.of(spark)
+    writeManifest(spark, out, dataFiles(out), cols, "overwrite")
+    val buckets = 1L << bits
+    cols.map { c =>
+      quantileBucketMap(df, c, buckets)
+        .groupBy(col("__qb").as("bucket"))
+        .agg(min(col("__qv")).as("boundary"))
+        .select(lit(c).as("column"), col("bucket"), col("boundary"))
+    }.reduce(_.unionAll(_))
+      .as[ZQBound]
+      .coalesce(1)
+      .write.mode("overwrite").parquet(Fio.child(out, "_zqbounds"))
+  }
+
+  /** Bucket `x` through a FROZEN boundary table: the largest stored
+    * bucket whose boundary ≤ x (0 below all boundaries — the edge-bucket
+    * clamp). For every value SEEN at cluster time this reproduces the
+    * CDF bucket exactly: all values of a higher non-empty bucket are
+    * strictly greater (the CDF is monotone in value), so their stored
+    * minima are too. One codegen'd `aggregate` scan over a ≤2^bits
+    * sorted literal array per row.
+    */
+  private def frozenQuantileLane(x: Column, bounds: Seq[(Long, Long)]): Column = {
+    val sorted = bounds.sortBy(_._2)
+    val arr = array(sorted.map { case (k, v) =>
+      struct(lit(v).as("v"), lit(k).as("k"))
+    }: _*)
+    val xl = x.cast("long")
+    when(xl.isNull, lit(0L)).otherwise(
+      aggregate(arr, lit(0L),
+        (acc, s) => when(s.getField("v") <= xl, s.getField("k")).otherwise(acc)))
+  }
+
+  /** APPEND a batch to a [[clusterQuantile]] layout through its FROZEN
+    * `_zqbounds` boundaries — stored keys stay valid, seen values
+    * reproduce their cluster-time buckets exactly, unseen values land in
+    * the nearest boundary's bucket (out-of-range clamps to the edge).
+    * Same manifest-append and non-idempotence contract as [[append]];
+    * [[compactQuantile]] retrains the boundaries.
+    */
+  def appendQuantile(
+      df: DataFrame,
+      cols: Seq[String],
+      out: String,
+      nFiles: Int = 1,
+      bits: Int = 8,
+      keyCol: String = "zkey",
+      curve: String = "morton"): Unit = {
+    val spark = df.sparkSession
+    implicit val fc: FioConf = FioConf.of(spark)
+    val stored = spark.read.parquet(Fio.child(out, "_zqbounds"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lanes = cols.map { c =>
+      val rows = stored.filter(_._1 == c).map(t => (t._2, t._3)).toSeq
+      require(rows.nonEmpty, s"no _zqbounds boundaries for lane column $c under $out")
+      frozenQuantileLane(col(c), rows)
+    }
+    val keyed =
+      if (curve == "hilbert") {
+        require(cols.length == 2, "the hilbert curve key is 2-D")
+        graft.functions.GraftFunctions.register(spark)
+        df.withColumn(keyCol,
+          graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))
+      } else df.withColumn(keyCol, curveKey(lanes, bits, curve))
+    val before = dataFiles(out).toSet
+    keyed
+      .repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("append").parquet(out)
+    val added = dataFiles(out).filterNot(before)
+    writeManifest(spark, out, added, cols, "append")
+  }
+
+  /** COMPACT a quantile layout: full re-cluster with RETRAINED CDF
+    * boundaries — [[compact]]'s equi-depth twin.
+    */
+  def compactQuantile(
+      spark: SparkSession,
+      in: String,
+      dest: String,
+      cols: Seq[String],
+      nFiles: Int,
+      bits: Int = 8,
+      keyCol: String = "zkey",
+      curve: String = "morton"): Unit =
+    clusterQuantile(
+      spark.read.parquet(in).drop(keyCol), cols, nFiles, dest, bits, keyCol, curve)
+
   /** Per-file column stats row of the skipping manifest. */
   case class ZStat(file: String, column: String, min_v: Long, max_v: Long)
 

@@ -301,8 +301,49 @@ object PlanAudit {
       s"hilbert=${h.filesSelected}/${h.filesTotal} morton=${m.filesSelected}/${m.filesTotal} rows=$hRows")
   }
 
+  /** Quantile (equi-depth) lanes must convert the skew failure mode into
+    * a kept bound, measured head to head: the same deliberately skewed
+    * corpus (x = 2^(id mod 20) — 60 % of rows in the bottom sliver of the
+    * linear value range) is clustered BOTH ways and probed on one x
+    * value. Linear lanes must measurably LOSE the bound (the z-key
+    * degenerates to a y-sort, the probe touches ~every file) while
+    * quantile lanes keep it, both row-exact. The pin then re-appends the
+    * corpus through the FROZEN `_zqbounds` boundary table and demands
+    * every id carry exactly one distinct key across its two copies —
+    * frozen-boundary append parity, below the plan like every skip probe.
+    */
+  def zorderQuantileSkewShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, countDistinct, expr, lit}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val outL = new java.io.File(tmp, "graft_zq_linear").getAbsolutePath
+    val outQ = new java.io.File(tmp, "graft_zq_quantile").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    graft.operators.ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, outL)
+    graft.operators.ZOrder.clusterQuantile(src, Seq("x", "y"), nFiles = 32, outQ)
+    val box = Seq(("x", 32L, 32L))
+    val (lDf, l) = graft.operators.ZOrder.prunedRead(spark, outL, box)
+    val (qDf, q) = graft.operators.ZOrder.prunedRead(spark, outQ, box)
+    val direct = src.filter(col("x") === 32).count()
+    val (lRows, qRows) = (lDf.count(), qDf.count())
+    graft.operators.ZOrder.appendQuantile(src, Seq("x", "y"), outQ, nFiles = 4)
+    val parityBad = spark.read.parquet(outQ).groupBy("id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        countDistinct(col("zkey")).as("nk"))
+      .filter(col("n") =!= 2 || col("nk") =!= 1).count()
+    Shape(
+      q.filesSelected <= 12 && l.filesSelected >= 20 && q.filesSelected * 2 <= l.filesSelected
+        && lRows == direct && qRows == direct && parityBad == 0,
+      s"quantile=${q.filesSelected}/${q.filesTotal} linear=${l.filesSelected}/${l.filesTotal} " +
+        s"rows=$qRows/$lRows direct=$direct append_parity_bad=$parityBad")
+  }
+
   val pinnedShapes: Map[String, DataFrame => Shape] = Map(
     "q24_zorder_keys" -> zorderSkipShape,
+    "q27_zorder_quantile" -> zorderQuantileSkewShape,
     "q25_zorder_lifecycle" -> zorderLifecycleShape,
     "q26_hilbert_keys" -> hilbertSkipShape,
     "doc_warc_multifile" -> warcMultiIntakeShape,
@@ -451,6 +492,11 @@ object PlanAudit {
     "q25_zorder_lifecycle" -> 1,
     // hilbert keys: same shape as q24 — min/max agg merge + output sort
     "q26_hilbert_keys" -> 2,
+    // quantile keys: per lane, the equi-depth bucket map costs one
+    // value-histogram agg + one (distinct-values-only) CDF window sort —
+    // 2 lanes x 2 + the output sort. The maps broadcast back; the fact
+    // rows never shuffle.
+    "q27_zorder_quantile" -> 5,
     "doc_repetition" -> 1,
     "ev_funnel" -> 2,
     "ev_retention" -> 3,

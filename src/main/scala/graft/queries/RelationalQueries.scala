@@ -98,6 +98,57 @@ object RelationalQueries {
       """
   }
 
+  /** The q27 oracle: equi-depth (quantile) lane bucketing over a
+    * DELIBERATELY skewed column — bucket(v) = (rows-before·256) div n
+    * over the per-value histogram, exactly the integer CDF algebra
+    * [[graft.operators.ZOrder.withZKeyQuantile]] executes (histogram →
+    * ordered cumulative sum → broadcast bucket map), then the same
+    * magic-mask Morton spreading as q24. The skewed lane is
+    * 2^(l_orderkey mod 20): under LINEAR (min,max) bucketing 12 of its
+    * 20 values collapse into the bottom two of 256 buckets (60 % of all
+    * rows); the CDF spreads them evenly — the skip-bound evidence rides
+    * as the q27 shape pin's measured linear-vs-quantile probe.
+    */
+  private val zorderQuantileOracle: String = {
+    def cdf(h: String) =
+      s"SELECT v, ((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS b FROM $h"
+    s"""
+        WITH base AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
+                 CAST(l_suppkey AS BIGINT) AS yv
+          FROM lineitem
+        ), nn AS (SELECT COUNT(*) AS n FROM base),
+        hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cx AS (${cdf("hx")}),
+        hy AS (SELECT yv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cy AS (${cdf("hy")}),
+        lanes AS (
+          SELECT base.l_orderkey, base.l_linenumber, cx.b AS a, cy.b AS b
+          FROM base JOIN cx ON base.xv = cx.v JOIN cy ON base.yv = cy.v
+        ), s1 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+          FROM lanes
+        ), s2 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+          FROM s1
+        ), s3 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+          FROM s3
+        )
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS qkey
+        FROM s4
+        ORDER BY qkey, l_orderkey, l_linenumber
+      """
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------- q1
     // TPC-H Q1 pricing summary: single scan, partial+final hash agg.
@@ -840,6 +891,34 @@ object RelationalQueries {
           .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some(hilbertKeysOracle),
+    ),
+    // QUANTILE (equi-depth) z-order lanes (ZOrder.withZKeyQuantile): the
+    // skew-robust layout key. The x lane is deliberately skewed —
+    // 2^(l_orderkey mod 20) puts 60 % of rows into the bottom two of 256
+    // LINEAR buckets, collapsing per-file envelopes; the equi-depth CDF
+    // bucketing spreads every value by its rank mass instead, so the
+    // same box probe keeps its skip bound (the q27 shape pin measures
+    // linear-vs-quantile head to head on the skewed synthetic corpus,
+    // plus frozen-boundary append parity). The whole key is exact
+    // integer algebra — per-value histogram, ordered cumulative sum
+    // (over DISTINCT values only: lane-cardinality-bounded, broadcast
+    // back as a bucket dimension), magic-mask Morton spreading — which
+    // the oracle replays bit-for-bit.
+    Q(
+      "q27_zorder_quantile",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"))
+        graft.operators.ZOrder.withZKeyQuantile(skewed, Seq("xv", "yv"), bits = 8,
+            keyCol = "qkey")
+          .select(col("l_orderkey"), col("l_linenumber"), col("qkey"))
+          .orderBy(col("qkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zorderQuantileOracle),
     ),
   )
 }

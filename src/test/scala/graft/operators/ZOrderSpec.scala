@@ -67,6 +67,63 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(noneProbe.filesSelected === 0 && none.count() === 0L)
   }
 
+  test("quantile lanes: equi-depth CDF buckets; skewed column keeps the skip bound linear loses") {
+    import spark.implicits._
+    // x = 2^(id mod 20): 12 of 20 values collapse into the bottom sliver
+    // of a LINEAR value range (60 % of rows), so the z-key degenerates to
+    // a y-sort and an x probe must touch ~every file. Equi-depth buckets
+    // spread each value by rank mass instead.
+    val src = spark.range(100000).select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    val outL = java.nio.file.Files.createTempDirectory("graft-zq-lin").toString
+    val outQ = java.nio.file.Files.createTempDirectory("graft-zq-q").toString
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, outL)
+    ZOrder.clusterQuantile(src, Seq("x", "y"), nFiles = 32, outQ)
+    val box = Seq(("x", 32L, 32L))
+    val (lDf, l) = ZOrder.prunedRead(spark, outL, box)
+    val (qDf, q) = ZOrder.prunedRead(spark, outQ, box)
+    val direct = src.filter(col("x") === 32).count()
+    assert(lDf.count() === direct && qDf.count() === direct, "skipping must stay row-exact")
+    assert(l.filesSelected >= 20,
+      s"expected linear lanes to LOSE the bound under skew: ${l.filesSelected}/${l.filesTotal}")
+    // <= 12 is the house bound every skip pin holds layouts to; a single-
+    // value probe through a 2-D curve touches O(sqrt(files)) blocks, and
+    // the 2x headroom over that is the only slack granted
+    assert(q.filesSelected <= 12 && q.filesSelected * 2 <= l.filesSelected,
+      s"quantile lanes must keep the bound: ${q.filesSelected}/${q.filesTotal} vs linear ${l.filesSelected}")
+  }
+
+  test("quantile append: frozen boundaries reproduce cluster-time keys; unseen values clamp") {
+    import spark.implicits._
+    val src = spark.range(50000).select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    val out = java.nio.file.Files.createTempDirectory("graft-zq-app").toString
+    ZOrder.clusterQuantile(src, Seq("x", "y"), nFiles = 8, out)
+    // re-append the SAME rows through the frozen boundary table: every
+    // seen value must reproduce its cluster-time bucket, hence every id
+    // must carry exactly one distinct zkey across its two copies
+    ZOrder.appendQuantile(src, Seq("x", "y"), out, nFiles = 2)
+    val byId = spark.read.parquet(out).groupBy("id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("zkey")).as("nk"))
+    assert(byId.filter(col("n") =!= 2).count() === 0L, "each row appended exactly once")
+    assert(byId.filter(col("nk") =!= 1).count() === 0L,
+      "frozen-boundary key diverged from the cluster-time key for a seen value")
+    // skipping stays row-exact over the appended layout
+    val (df2, p2) = ZOrder.prunedRead(spark, out, Seq(("x", 32L, 32L)))
+    assert(df2.count() === 2 * src.filter(col("x") === 32).count())
+    assert(p2.filesTotal === 10)
+    // unseen out-of-range values clamp to the edge bucket and stay findable
+    val far = spark.range(100).select(
+      (col("id") + 900000).as("id"), lit(1L << 25).as("x"), (col("id") % 331).as("y"))
+    ZOrder.appendQuantile(far, Seq("x", "y"), out, nFiles = 1)
+    val (df3, _) = ZOrder.prunedRead(spark, out, Seq(("x", 1L << 25, 1L << 25)))
+    assert(df3.count() === 100L)
+  }
+
   test("hilbertKey2 IS a Hilbert curve: bijective and unit-step adjacent on the full grid") {
     import spark.implicits._
     // bits=4: the whole 16x16 grid, every consecutive pair of curve
