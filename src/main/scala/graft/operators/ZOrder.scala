@@ -668,6 +668,63 @@ object ZOrder {
         stats.find(_._2 == c).forall { case (_, _, mn, mx) => mx >= lo && mn <= hi }
       } => f
     }.toSeq.sorted
+    readKeep(spark, out, keep, box, total)
+  }
+
+  /** [[prunedRead]]'s CATALOG-SCALE face: the same box intersection
+    * evaluated as a DataFrame anti-join over the manifest — a file
+    * survives iff NO stat row of a boxed column violates the box
+    * (`max < lo || min > hi`), the contrapositive of the driver path's
+    * per-file forall (a file with no stats for a boxed column passes
+    * there and has no violating row here). The O(files·cols) manifest
+    * never materializes on the driver; only the SURVIVING file list
+    * collects (it must — `spark.read.parquet` takes paths). File lists
+    * are identical to the driver path by construction, and ZOrderSpec
+    * proves it probe for probe, empty selection included.
+    */
+  def prunedReadDistributed(
+      spark: SparkSession,
+      out: String,
+      box: Seq[(String, Long, Long)]): (DataFrame, ZPruneProbe) = {
+    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+    val files = manifest.select(col("file")).distinct()
+    val violates = box.map { case (c, lo, hi) =>
+      col("column") === c && (col("max_v") < lo || col("min_v") > hi)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val keep = files
+      .join(manifest.filter(violates).select(col("file")).distinct(), Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSeq.sorted
+    readKeep(spark, out, keep, box, files.count().toInt)
+  }
+
+  /** Threshold-selected pruning read: small layouts take [[prunedRead]]'s
+    * one-collect driver intersection (no Spark jobs for the decision —
+    * one directory listing), layouts past `distributedThreshold` data
+    * files take [[prunedReadDistributed]]'s semi-join. The default
+    * (100k files ≈ a few-MB manifest per clustered column) marks where
+    * collecting O(files·cols) stat rows to the driver stops being free;
+    * an Iceberg/Delta-sized catalog (millions of files) always lands on
+    * the distributed path.
+    */
+  def prunedReadAuto(
+      spark: SparkSession,
+      out: String,
+      box: Seq[(String, Long, Long)],
+      distributedThreshold: Int = 100000): (DataFrame, ZPruneProbe) = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    if (dataFiles(out).size > distributedThreshold) prunedReadDistributed(spark, out, box)
+    else prunedRead(spark, out, box)
+  }
+
+  /** Shared tail of the pruning reads: hand the surviving paths to the
+    * parquet reader and re-apply the box as a row-exact residual.
+    */
+  private def readKeep(
+      spark: SparkSession,
+      out: String,
+      keep: Seq[String],
+      box: Seq[(String, Long, Long)],
+      total: Int): (DataFrame, ZPruneProbe) = {
     val base =
       if (keep.isEmpty) {
         // empty selection: keep the schema by reading the layout dir with

@@ -67,6 +67,31 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(noneProbe.filesSelected === 0 && none.count() === 0L)
   }
 
+  test("prunedReadDistributed: identical file lists to the driver path, probe for probe") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zdist").toString
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, out)
+    val probes = Seq(
+      Seq(("x", 50L, 80L), ("y", 100L, 140L)), // the house box
+      Seq(("x", 0L, 316L)),                    // full domain: no skipping
+      Seq(("y", 0L, 0L)),                      // one y value
+      Seq(("x", 1000L, 2000L)))                // out of domain: empty selection
+    probes.foreach { box =>
+      val (dDf, d) = ZOrder.prunedRead(spark, out, box)
+      val (sDf, s) = ZOrder.prunedReadDistributed(spark, out, box)
+      assert(s.filesSelected === d.filesSelected && s.filesTotal === d.filesTotal, box.toString)
+      if (d.filesSelected > 0)
+        assert(sDf.inputFiles.sorted.toSeq === dDf.inputFiles.sorted.toSeq, box.toString)
+      assert(sDf.count() === dDf.count(), box.toString)
+    }
+    // the auto selector takes the driver path below the threshold and the
+    // distributed path above it — same result either way
+    val (aDf, a) = ZOrder.prunedReadAuto(spark, out, probes.head)
+    val (bDf, b) = ZOrder.prunedReadAuto(spark, out, probes.head, distributedThreshold = 1)
+    assert(a === b && aDf.count() === bDf.count())
+  }
+
   test("quantile lanes: equi-depth CDF buckets; skewed column keeps the skip bound linear loses") {
     import spark.implicits._
     // x = 2^(id mod 20): 12 of 20 values collapse into the bottom sliver
