@@ -206,9 +206,31 @@ object Bench {
           graft.dedup.Dedup.tokenJaccardPairsPrefix(docs, threshold = 0.7).count())
         if (nCount != nPrefix)
           errors("jaccard_crossover") = s"strategy outputs diverged: $nCount vs $nPrefix pairs"
+        // the COST-BASED chooser, measured against both fixed strategies:
+        // its stats-pass verdict must match the measured winner on BOTH
+        // regimes — this large-vocab Zipf corpus (prefix wins) and the
+        // dense harness corpus the gates run on (count wins) — or the
+        // bench flags it as an error, not a silent mis-choice
+        val (tAuto, nAuto) = med3(
+          graft.dedup.Dedup.tokenJaccardPairsAuto(docs, threshold = 0.7).count())
+        if (nAuto != nCount)
+          errors("jaccard_crossover_auto") = s"auto output diverged: $nAuto vs $nCount pairs"
+        val zipfStats = graft.dedup.Dedup.jaccardStrategyStats(docs, threshold = 0.7)
+        val zipfMeasuredPrefixWins = tPrefix < tCount
+        if (zipfStats.preferPrefix != zipfMeasuredPrefixWins)
+          errors("jaccard_chooser_zipf") =
+            s"chooser preferPrefix=${zipfStats.preferPrefix} but measured prefix=$tPrefix count=$tCount"
+        docProbes("jaccard_auto_zipf_picked_prefix") = if (zipfStats.preferPrefix) 1.0 else 0.0
+        val denseStats = graft.dedup.Dedup.jaccardStrategyStats(
+          spark.read.parquet(s"$sfDir/documents.parquet"), threshold = 0.5)
+        docProbes("jaccard_auto_dense_picked_prefix") = if (denseStats.preferPrefix) 1.0 else 0.0
+        if (denseStats.preferPrefix)
+          errors("jaccard_chooser_dense") =
+            "chooser preferPrefix=true on the dense harness corpus (measured loser, r12: 16.1 s vs 2.8 s)"
         Seq(
           "jaccard_crossover_largevocab_count" -> tCount,
-          "jaccard_crossover_largevocab_prefix" -> tPrefix)
+          "jaccard_crossover_largevocab_prefix" -> tPrefix,
+          "jaccard_crossover_largevocab_auto" -> tAuto)
       } catch {
         case e: Throwable =>
           errors("jaccard_crossover") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

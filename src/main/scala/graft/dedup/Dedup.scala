@@ -783,6 +783,114 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard_raw").as("jaccard"))
   }
 
+  /** The crossover variables of the two exact-Jaccard strategies (the
+    * ones PLANS.md names: distinct-term count and df concentration),
+    * reduced to the decision that matters — each strategy's estimated
+    * CANDIDATE-PAIR volume:
+    *
+    *  - `countPathPairs` is exact: the count-based posting join emits
+    *    Σ_term C(min(df, maxTermDf), 2) co-occurrence rows.
+    *  - `prefixPathPairs` is an estimate: a doc's prefix indexes its
+    *    n − ⌈t·n⌉ + 1 RAREST terms, so the total prefix-posting quota is
+    *    filled from the df-ascending end of the vocabulary and pairs are
+    *    summed there. Dense tiny vocabularies have no rare end — the
+    *    quota lands on huge postings and the estimate (correctly)
+    *    explodes; large Zipf vocabularies absorb the quota in df ≤ 3
+    *    terms and the estimate collapses.
+    */
+  case class JaccardStrategyStats(
+      nDocs: Long,
+      nPostings: Long,
+      vocab: Long,
+      countPathPairs: Double,
+      prefixPathPairs: Double) {
+    /** The chooser's verdict. Candidate volumes are weighted by
+      * per-candidate cost: a count-path candidate is one counted
+      * co-occurrence row through a groupBy, while a prefix-path candidate
+      * pays a pair dedup plus two joins shipping FULL token arrays plus
+      * an exact array_intersect — roughly an order of magnitude per row
+      * (the r12 measurement: prefix lost 4-16x on the dense corpus at
+      * comparable candidate counts, won 9.5x on the Zipf corpus where
+      * its volume collapses 100-1000x). The 8x weight sits safely inside
+      * both measured regimes, so the verdict flips only on a genuine
+      * volume collapse, never on estimate noise.
+      */
+    def preferPrefix: Boolean = prefixPathPairs * 8 < countPathPairs
+  }
+
+  /** ONE cheap stats pass measuring [[JaccardStrategyStats]]: a sizes
+    * aggregate plus the per-(block, term) df HISTOGRAM-OF-HISTOGRAM —
+    * the same tokenize + df exchange both strategies pay as their first
+    * stage, collected as (df, n_terms) rows (bounded by distinct df
+    * values, never by vocabulary). At 100 TB run it on a sampled
+    * fraction — both pair-volume estimates scale by sample² and the
+    * comparison is scale-free.
+    */
+  def jaccardStrategyStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      blockCol: String = "source",
+      threshold: Double = 0.5,
+      maxTermDf: Int = 1000,
+  ): JaccardStrategyStats = {
+    val base = docs.select(col(idCol), col(blockCol), tokenSet(textCol).as("toks"))
+    val sz = base.select(size(col("toks")).cast("long").as("n"))
+      .agg(
+        count(lit(1)).as("d"),
+        sum(col("n")).as("post"),
+        sum(col("n") - ceil(col("n") * threshold).cast("long") + 1L).as("pref"))
+      .head()
+    val (nDocs, nPost, nPref) = (sz.getLong(0), sz.getLong(1), sz.getLong(2))
+    val hist = base.select(col(blockCol), explode(col("toks")).as("term"))
+      .groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_terms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val vocab = hist.map(_._2).sum
+    val countPairs = hist.map { case (df, nt) =>
+      val d = math.min(df, maxTermDf.toLong).toDouble
+      nt.toDouble * d * (d - 1) / 2
+    }.sum
+    var remaining = nPref.toDouble
+    var prefixPairs = 0.0
+    hist.foreach { case (df, nt) =>
+      if (remaining > 0) {
+        val mass = df.toDouble * nt
+        val used = math.min(mass, remaining)
+        // fractional terms at this df level actually receiving postings
+        prefixPairs += (used / df) * df.toDouble * (df - 1) / 2
+        remaining -= used
+      }
+    }
+    JaccardStrategyStats(nDocs, nPost, vocab, countPairs, prefixPairs)
+  }
+
+  /** COST-BASED exact-Jaccard: one [[jaccardStrategyStats]] pass picks
+    * the strategy with the smaller estimated candidate volume, then runs
+    * it — [[tokenJaccardPairsPrefix]] when rare prefix terms make
+    * candidate buckets tiny (realistic large vocabularies),
+    * [[tokenJaccardPairs]] on dense vocabularies where nothing is rare.
+    * Output is identical either way (both strategies are hash-gated
+    * against the same oracle every round; doc_jaccard_pairs_auto rides
+    * it too), so the chooser can only change COST, never results —
+    * except that only the count path carries the `maxTermDf` skew cap
+    * (the prefix path is lossless and needs none).
+    */
+  def tokenJaccardPairsAuto(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      blockCol: String = "source",
+      threshold: Double = 0.5,
+      maxTermDf: Int = 1000,
+  ): DataFrame = {
+    val stats = jaccardStrategyStats(docs, idCol, textCol, blockCol, threshold, maxTermDf)
+    if (stats.preferPrefix)
+      tokenJaccardPairsPrefix(docs, idCol, textCol, blockCol, threshold)
+    else
+      tokenJaccardPairs(docs, idCol, textCol, blockCol, threshold, maxTermDf = maxTermDf)
+  }
+
   /** Embedding near-duplicate pairs via the LSH scale path: candidates are
     * vector pairs sharing any hash table's random-hyperplane bucket
     * ([[graft.similarity.Ann.lshBuckets]]), then exact cosine verification

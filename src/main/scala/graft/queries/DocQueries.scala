@@ -886,6 +886,21 @@ object DocQueries {
           .orderBy(col("doc_a"), col("doc_b")),
       Some(jaccardPairsOracle),
     ),
+    // The COST-BASED chooser over the two strategies above: one cheap
+    // stats pass (sizes agg + df histogram-of-histogram) estimates each
+    // strategy's candidate-pair volume and runs the smaller one — the
+    // count path on this dense tiny vocabulary (DedupSpec pins the
+    // verdict on both regimes; the bench times the chooser against both
+    // measured strategies on the large-vocab Zipf corpus too). Gated
+    // against the IDENTICAL oracle as both fixed-strategy gates: the
+    // chooser can change cost, never results.
+    Q(
+      "doc_jaccard_pairs_auto",
+      (s, d) =>
+        Dedup.tokenJaccardPairsAuto(T(s, d, "documents"), threshold = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(jaccardPairsOracle),
+    ),
     // ----------------------------------------- skew-adversarial Jaccard
     // The capped paths under DELIBERATE skew (the benign harness corpus
     // never fires the guards): every doc gains a universal 'stopterm',

@@ -133,6 +133,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tokenJaccardPairsAuto: chooser picks count on dense, prefix on large-vocab; same output") {
+    import spark.implicits._
+    // DENSE regime: a 31-term vocabulary shared by 400 docs — every term's
+    // df is huge, the prefix quota lands on enormous postings, and the
+    // chooser must estimate prefix's candidate volume as the larger one
+    val vocabDense = (0 until 31).map(i => s"w$i")
+    val dense = (0L until 400L).map { i =>
+      (i, (0 until 12).map(j => vocabDense(((i * 7 + j * 3) % 31).toInt)).distinct.mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val denseStats = Dedup.jaccardStrategyStats(dense, threshold = 0.5)
+    assert(!denseStats.preferPrefix,
+      s"dense corpus must pick the count path: $denseStats")
+    // LARGE-VOCAB regime: 400 docs over 20k terms, Zipf-ish via the bench
+    // corpus formula — most terms are rare, the prefix quota is absorbed
+    // at df <= 3, and prefix must win the estimate
+    val zipf = spark.range(400).select(
+      col("id").as("doc_id"),
+      lit("s").as("source"),
+      array_join(
+        transform(sequence(lit(0), lit(29)), j =>
+          concat(lit("t"), floor(exp(
+            (pmod(((col("id") * 30 + j) * 2654435761L), lit(1048576L))
+              .cast("double") / 1048576.0) * math.log(20000.0))).cast("long"))),
+        " ").as("text"))
+    val zipfStats = Dedup.jaccardStrategyStats(zipf, threshold = 0.7)
+    assert(zipfStats.preferPrefix,
+      s"large-vocab Zipf corpus must pick the prefix path: $zipfStats")
+    // whichever side the chooser takes, output is the fixed strategies'
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(norm(Dedup.tokenJaccardPairsAuto(dense, threshold = 0.5)) ===
+      norm(Dedup.tokenJaccardPairs(dense, threshold = 0.5)))
+    assert(norm(Dedup.tokenJaccardPairsAuto(zipf, threshold = 0.7)) ===
+      norm(Dedup.tokenJaccardPairsPrefix(zipf, threshold = 0.7)))
+  }
+
   test("incremental rule: drop iff an EARLIER direct near-dup exists (vs CC's transitive min-rep)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
