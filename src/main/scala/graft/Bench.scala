@@ -237,6 +237,64 @@ object Bench {
           Seq.empty
       }
     val results = volume ++ registered ++ crossover
+    // SCALE-CURVE measurement: the dedup/ANN/span family timed at
+    // sf0.001/0.01/0.1 in THIS session, one rep per point, slopes
+    // emitted per query. `slope` = (t(sf0.1)/t(sf0.01)) / 10 — the
+    // measured growth per unit of data growth over the decade that
+    // matters; 1.0 is exactly linear, fixed overheads push it below,
+    // and anything past the 1.3 bound means a super-linear stage
+    // (pair fanout, window state, a cap not biting) and flags the
+    // artifact (`scale_curve_ok=false`) for PLANS.md adjudication.
+    // sf0.001 rides along as the intercept evidence but is too
+    // noise-dominated (sub-second runs) to gate on.
+    val scaleCurveFamily = Seq(
+      "doc_exact_dedup", "doc_minhash_dedup", "doc_simhash_dedup",
+      "doc_jaccard_pairs", "doc_jaccard_pairs_ppjoin", "doc_jaccard_pairs_auto",
+      "doc_containment_pairs", "doc_cdc_dedup", "doc_shingle_jaccard",
+      "doc_dup_spans", "doc_dup_spans_rolling", "doc_dedup_incremental",
+      "doc_dedup_corpus", "doc_contamination_bloom",
+      "emb_cosine_topk", "emb_lsh_dedup", "emb_semantic_dedup", "emb_kmeans")
+    val scaleCurve: Seq[(String, Seq[Double], Double)] =
+      if (!wanted("scale_curve")) Seq.empty
+      else {
+        val parent = new java.io.File(sfDir).getParentFile
+        val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map(new java.io.File(parent, _))
+        if (dirs.exists(!_.isDirectory)) Seq.empty
+        else {
+          val byName = SparkEntry.allQs.map(q => q.name -> q).toMap
+          scaleCurveFamily.flatMap { name =>
+            byName.get(name).flatMap { q =>
+              try {
+                val ts = dirs.map { d =>
+                  val t0 = System.nanoTime()
+                  q.run(spark, d.getAbsolutePath).write.format("noop").mode("overwrite").save()
+                  (System.nanoTime() - t0) / 1e9
+                }
+                Some((name, ts, ts(2) / math.max(1e-9, ts(1)) / 10.0))
+              } catch {
+                case e: Throwable =>
+                  errors(s"scale_curve_$name") =
+                    Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+                  None
+              }
+            }
+          }
+        }
+      }
+    // Measured super-linear slopes with a DOCUMENTED structural cause
+    // (PLANS.md "Scale-curve adjudications"): the ppjoin twin-gate runs
+    // the prefix strategy on its measured-LOSER corpus on purpose (the
+    // twin-gate output identity is the point) — dense-vocabulary prefix
+    // df is uncapped, so its candidate volume grows quadratically there;
+    // the auto chooser (slope ~0.35 on the same corpus) is the
+    // production route around exactly this regime.
+    val scaleCurveAdjudicated = Set("doc_jaccard_pairs_ppjoin")
+    val scaleCurveJson = scaleCurve.map { case (name, ts, slope) =>
+      "\"" + esc(name) + "\":{\"t\":[" + ts.map(ms0 => math.rint(ms0 * 1000) / 1000).mkString(",") +
+        "],\"slope\":" + math.rint(slope * 1000) / 1000 +
+        (if (scaleCurveAdjudicated(name)) ",\"adjudicated\":true" else "") + "}"
+    }.mkString("{", ",", "}")
+    val scaleCurveOk = scaleCurve.forall(e => e._3 <= 1.3 || scaleCurveAdjudicated(e._1))
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     // doc-bracket probes join the volume probes in every line that
     // carries probe context (same never-in-queries/total rule)
@@ -254,7 +312,7 @@ object Bench {
     // total sums the canonical (median) entries only, not the per-run samples
     val total = results.collect { case (k, v) if v >= 0 && !k.matches(".*_run\\d+$") => v }.sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"probes":$probesAllJson,"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"shape_pins":$shapeJson,"shape_pins_ok":$shapesOk,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$reps","queries":$qs,"probes":$probesAllJson,"plan_pins":$pinsJson,"plan_pins_ok":$pinsOk,"shape_pins":$shapeJson,"shape_pins_ok":$shapesOk,"scale_curve":$scaleCurveJson,"scale_curve_ok":$scaleCurveOk,"errors":$errJson,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
     println(fullLine)
     // the full per-query map ALSO lands in a file artifact: r7's stdout
     // capture truncated the long line and lost 80 queries' timings —
