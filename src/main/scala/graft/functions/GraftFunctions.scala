@@ -25,6 +25,7 @@ object GraftFunctions {
   val ProbeListsName = "graft_probe_lists"
   val ProbeLists2Name = "graft_probe_lists2"
   val HilbertKey2Name = "graft_hilbert_key2"
+  val HilbertKey3Name = "graft_hilbert_key3"
   val NfcName = "graft_nfc"
   val SigAgreeName = "graft_sig_agree"
   val MaxTermCountName = "graft_max_term_count"
@@ -131,6 +132,11 @@ object GraftFunctions {
       require(children.size == 3, s"$HilbertKey2Name takes (x, y, bits)")
       HilbertKey2Expr(children.head, children(1),
         intLitOf(children(2), HilbertKey2Name, "bits"))
+    }),
+    (HilbertKey3Name, classOf[HilbertKey3Expr].getName, { children: Seq[Expression] =>
+      require(children.size == 4, s"$HilbertKey3Name takes (x, y, z, bits)")
+      HilbertKey3Expr(children.head, children(1), children(2),
+        intLitOf(children(3), HilbertKey3Name, "bits"))
     }),
     (NfcName, classOf[NfcNormalize].getName, { children: Seq[Expression] =>
       require(children.size == 1, s"$NfcName takes exactly 1 argument")
@@ -434,6 +440,12 @@ object GraftFunctions {
     */
   def hilbertKey2(x: Column, y: Column, bits: Int): Column =
     call_function(HilbertKey2Name, x, y, lit(bits))
+
+  /** 3-D Hilbert curve distance of three BIGINT lanes (codegen'd
+    * Skilling kernel; see [[HilbertKey3Expr]]).
+    */
+  def hilbertKey3(x: Column, y: Column, z: Column, bits: Int): Column =
+    call_function(HilbertKey3Name, x, y, z, lit(bits))
 
   /** Unicode NFC canonical normalization (DuckDB `nfc_normalize` twin). */
   def nfc(c: Column): Column = call_function(NfcName, c)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -61,6 +61,86 @@ object HilbertKey2Expr {
         y = ny
       }
       i -= 1
+    }
+    d
+  }
+}
+
+/** 3-D Hilbert curve distance of three `bits`-wide integer lanes — the
+  * codegen'd kernel form of Skilling's transpose algorithm
+  * ([[graft.operators.ZOrder.withHilbert3Key]] is the staged Column
+  * twin, kept for the oracle's stage-for-stage CTE replay and
+  * spec-pinned equal to this kernel; the LAYOUT path uses the kernel
+  * for the same reason the 2-D path does — a (bits−1)·3-level
+  * CASE-projection tree is codegen-hostile).
+  */
+case class HilbertKey3Expr(
+    first: Expression, second: Expression, third: Expression, bits: Int)
+    extends TernaryExpression {
+  require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_hilbert_key3 requires (BIGINT, BIGINT, BIGINT), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert_key3"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    HilbertKey3Expr.d(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.HilbertKey3Expr.d($a, $b, $c, $bits);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): HilbertKey3Expr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object HilbertKey3Expr {
+  /** Skilling AxesToTranspose (inverse undo → Gray encode → trailing
+    * correction) followed by the transpose interleave — ZOrderSpec
+    * proves bijectivity + unit-step adjacency on the full 3-D grid and
+    * pins this kernel equal to the staged algebra and to the pure
+    * reference.
+    */
+  def d(x0: Long, y0: Long, z0: Long, bits: Int): Long = {
+    var a = x0
+    var b = y0
+    var c = z0
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      if ((a & q) != 0) a ^= p // exchanging X0 with itself: invert only
+      if ((b & q) != 0) a ^= p
+      else { val t = (a ^ b) & p; a ^= t; b ^= t }
+      if ((c & q) != 0) a ^= p
+      else { val t = (a ^ c) & p; a ^= t; c ^= t }
+      q >>= 1
+    }
+    b ^= a
+    c ^= b
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      if ((c & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    a ^= t
+    b ^= t
+    c ^= t
+    var d = 0L
+    var i = 0
+    while (i < bits) {
+      d |= ((a >> i) & 1L) << (3 * i + 2)
+      d |= ((b >> i) & 1L) << (3 * i + 1)
+      d |= ((c >> i) & 1L) << (3 * i)
+      i += 1
     }
     d
   }

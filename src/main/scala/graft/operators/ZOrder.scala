@@ -152,8 +152,12 @@ object ZOrder {
     * as one named-column projection per sub-step so plan size stays
     * LINEAR in `bits` (the same staging discipline as
     * [[withHilbertKey]]; a nested single-Column form would explode).
-    * Three phases, each plain integer CASE/XOR algebra the DuckDB
-    * oracle replays as generated chained CTEs:
+    * Kept as the SPEC CROSS-CHECK / oracle-mirror form — the layout
+    * path runs the codegen'd graft_hilbert_key3 kernel
+    * ([[graft.functions.HilbertKey3Expr]]), spec-pinned equal, for the
+    * same reason the 2-D path does. Three phases, each plain integer
+    * CASE/XOR algebra the DuckDB oracle replays as generated chained
+    * CTEs:
     *
     *  1. inverse-undo: for Q = 2^(bits-1) down to 2, sequentially
     *     exchange/invert the low bits of (X0, Xi) — (bits-1)·3 staged
@@ -273,9 +277,11 @@ object ZOrder {
     }
     val joined = df.crossJoin(broadcast(mm))
     val keyed =
-      if (curve == "hilbert" && cols.length == 3)
-        withHilbert3Key(joined, lanes, bits, keyCol)
-      else if (curve == "hilbert") {
+      if (curve == "hilbert" && cols.length == 3) {
+        graft.functions.GraftFunctions.register(joined.sparkSession)
+        joined.withColumn(keyCol,
+          graft.functions.GraftFunctions.hilbertKey3(lanes(0), lanes(1), lanes(2), bits))
+      } else if (curve == "hilbert") {
         require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
         graft.functions.GraftFunctions.register(df.sparkSession)
         joined.withColumn(keyCol,
@@ -345,9 +351,11 @@ object ZOrder {
       coalesce(col(s"__qb_$c"), lit(0L))
     }
     val keyed =
-      if (curve == "hilbert" && cols.length == 3)
-        withHilbert3Key(cur, lanes, bits, keyCol)
-      else if (curve == "hilbert") {
+      if (curve == "hilbert" && cols.length == 3) {
+        graft.functions.GraftFunctions.register(cur.sparkSession)
+        cur.withColumn(keyCol,
+          graft.functions.GraftFunctions.hilbertKey3(lanes(0), lanes(1), lanes(2), bits))
+      } else if (curve == "hilbert") {
         require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
         graft.functions.GraftFunctions.register(df.sparkSession)
         cur.withColumn(keyCol,
@@ -442,9 +450,11 @@ object ZOrder {
       frozenQuantileLane(col(c), rows)
     }
     val keyed =
-      if (curve == "hilbert" && cols.length == 3)
-        withHilbert3Key(df, lanes, bits, keyCol)
-      else if (curve == "hilbert") {
+      if (curve == "hilbert" && cols.length == 3) {
+        graft.functions.GraftFunctions.register(df.sparkSession)
+        df.withColumn(keyCol,
+          graft.functions.GraftFunctions.hilbertKey3(lanes(0), lanes(1), lanes(2), bits))
+      } else if (curve == "hilbert") {
         require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
         graft.functions.GraftFunctions.register(spark)
         df.withColumn(keyCol,
@@ -502,9 +512,11 @@ object ZOrder {
         least(lit(laneMax(bits)), greatest(lit(0L),
           expr(s"((CAST(`$c` AS BIGINT) - ${mn}L) * ${laneMax(bits)}L) div ${mx - mn}L"))))
     }
-    if (curve == "hilbert" && cols.length == 3)
-      withHilbert3Key(df, lanes, bits, keyCol)
-    else if (curve == "hilbert") {
+    if (curve == "hilbert" && cols.length == 3) {
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      df.withColumn(keyCol,
+        graft.functions.GraftFunctions.hilbertKey3(lanes(0), lanes(1), lanes(2), bits))
+    } else if (curve == "hilbert") {
       require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
       graft.functions.GraftFunctions.register(df.sparkSession)
       df.withColumn(keyCol,

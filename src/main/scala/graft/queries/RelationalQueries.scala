@@ -1047,9 +1047,10 @@ object RelationalQueries {
     // + unit-step adjacency on the full 8^3 grid and pins the staged
     // algebra to an independent pure-Scala reference; the q29 shape pin
     // measures hilbert <= morton on the identical 3-D box probe). The
-    // (bits-1)*3 exchange/invert stages + Gray encode + trailing
-    // correction are named-column projections the oracle replays as
-    // generated chained CTEs, stage for stage.
+    // gate runs the codegen'd graft_hilbert_key3 kernel (pinned equal
+    // to the staged (bits-1)*3 exchange/invert + Gray + trailing-
+    // correction projections, which the oracle replays as generated
+    // chained CTEs, stage for stage).
     Q(
       "q29_hilbert3_keys",
       (s, d) => {

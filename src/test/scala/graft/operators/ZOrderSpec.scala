@@ -219,6 +219,13 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     probes.foreach { case (x, y, z) =>
       assert(gotBig((x, y, z)) === ref(x, y, z, 8), s"($x,$y,$z)")
     }
+    // the codegen'd kernel (what the layout path executes) is pinned
+    // equal to the staged algebra and the reference on the same probes
+    graft.functions.GraftFunctions.register(spark)
+    val kernelBig = big.select(col("x"), col("y"), col("z"),
+        graft.functions.GraftFunctions.hilbertKey3(col("x"), col("y"), col("z"), 8).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(kernelBig === gotBig, "graft_hilbert_key3 kernel != staged Skilling algebra")
   }
 
   test("hilbert kernel == staged Column algebra == nested Column algebra") {
