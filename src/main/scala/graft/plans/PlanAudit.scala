@@ -366,6 +366,49 @@ object PlanAudit {
       s"files=${probe.filesSelected}/${probe.filesTotal} rows=$rows direct=$direct")
   }
 
+  /** The quantile × 3-D-Hilbert COMPOSITION must keep the skew story in
+    * 3-D: the same deliberately skewed corpus pattern as
+    * [[zorderQuantileSkewShape]] (x = 2^(id mod 20)) plus two well-spread
+    * lanes, clustered as a hilbert3 layout BOTH ways. The one-value probe
+    * on x must measurably lose the bound under linear lanes (60 % of rows
+    * share the bottom sliver of the value range, so the x lane carries no
+    * information and the probe touches ~every file) and keep it under
+    * quantile lanes, both row-exact; then the frozen `_zqbounds` append
+    * parity check rides on top, through the hilbert3 kernel path.
+    */
+  def quantileHilbert3SkewShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, countDistinct, expr, lit}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val outL = new java.io.File(tmp, "graft_zq3_linear").getAbsolutePath
+    val outQ = new java.io.File(tmp, "graft_zq3_quantile").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 103).as("y"),
+      ((col("id") * 104729) % 97).as("z"))
+    graft.operators.ZOrder.cluster(
+      src, Seq("x", "y", "z"), nFiles = 32, outL, bits = 8, curve = "hilbert")
+    graft.operators.ZOrder.clusterQuantile(
+      src, Seq("x", "y", "z"), nFiles = 32, outQ, bits = 8, curve = "hilbert")
+    val box = Seq(("x", 32L, 32L))
+    val (lDf, l) = graft.operators.ZOrder.prunedRead(spark, outL, box)
+    val (qDf, q) = graft.operators.ZOrder.prunedRead(spark, outQ, box)
+    val direct = src.filter(col("x") === 32).count()
+    val (lRows, qRows) = (lDf.count(), qDf.count())
+    graft.operators.ZOrder.appendQuantile(
+      src, Seq("x", "y", "z"), outQ, nFiles = 4, bits = 8, curve = "hilbert")
+    val parityBad = spark.read.parquet(outQ).groupBy("id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        countDistinct(col("zkey")).as("nk"))
+      .filter(col("n") =!= 2 || col("nk") =!= 1).count()
+    Shape(
+      q.filesSelected <= 16 && l.filesSelected >= 20 && q.filesSelected * 2 <= l.filesSelected
+        && lRows == direct && qRows == direct && parityBad == 0,
+      s"quantile_h3=${q.filesSelected}/${q.filesTotal} linear_h3=${l.filesSelected}/${l.filesTotal} " +
+        s"rows=$qRows/$lRows direct=$direct append_parity_bad=$parityBad")
+  }
+
   /** 3-D Hilbert must skip about as few files as 3-D Morton on the
     * identical synthetic probe — the same head-to-head-with-sampling-
     * margin discipline as [[hilbertSkipShape]], one dimension up.
@@ -397,6 +440,7 @@ object PlanAudit {
     "q27_zorder_quantile" -> zorderQuantileSkewShape,
     "q28_morton3_keys" -> zorder3SkipShape,
     "q29_hilbert3_keys" -> hilbert3SkipShape,
+    "q30_hilbert3_quantile" -> quantileHilbert3SkewShape,
     "q25_zorder_lifecycle" -> zorderLifecycleShape,
     "q26_hilbert_keys" -> hilbertSkipShape,
     "doc_warc_multifile" -> warcMultiIntakeShape,
@@ -550,6 +594,9 @@ object PlanAudit {
     // 2 lanes x 2 + the output sort. The maps broadcast back; the fact
     // rows never shuffle.
     "q27_zorder_quantile" -> 5,
+    // the 3-lane quantile-hilbert composition: 3 lanes x 2 + the output
+    // sort; the key itself is one codegen'd kernel projection
+    "q30_hilbert3_quantile" -> 7,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

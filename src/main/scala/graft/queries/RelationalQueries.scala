@@ -187,14 +187,17 @@ object RelationalQueries {
       """
   }
 
-  /** The q29 oracle: Skilling's 3-D Hilbert transform over the shared
-    * 8-bit lanes, generated stage-for-stage from the SAME loop structure
-    * [[graft.operators.ZOrder.withHilbert3Key]] executes — (bits-1)·3
+  /** Skilling's 3-D Hilbert transform as generated chained CTEs over a
+    * `lanes3` CTE with columns (l_orderkey, l_linenumber, a, b, c) —
+    * stage-for-stage the SAME loop structure
+    * [[graft.operators.ZOrder.withHilbert3Key]] executes: (bits-1)·3
     * inverse-undo CTEs (exchange/invert the low bits of (a, lane_i)),
     * one Gray-encode CTE, the trailing-correction fold, and the
-    * transpose interleave (bit q of word i at 3q + 2 - i).
+    * transpose interleave (bit q of word i at 3q + 2 - i). Shared by the
+    * q29 (linear lanes) and q30 (quantile lanes) oracles — only the lane
+    * normalization prefix differs.
     */
-  private def hilbert3KeysOracle: String = {
+  private def hilbert3StagesSql(laneCtes: String, keyAlias: String): String = {
     val bits = 8
     val stages = scala.collection.mutable.ArrayBuffer[String]()
     var prev = "lanes3"
@@ -242,11 +245,47 @@ object RelationalQueries {
       s"(((b >> $q) & 1) << ${3 * q + 1})",
       s"(((c >> $q) & 1) << ${3 * q})"))
     s"""
-        WITH $curve3LaneCtes, ${stages.mkString(", ")}
-        SELECT l_orderkey, l_linenumber, (${terms.mkString(" | ")}) AS hkey3
+        WITH $laneCtes, ${stages.mkString(", ")}
+        SELECT l_orderkey, l_linenumber, (${terms.mkString(" | ")}) AS $keyAlias
         FROM gf
-        ORDER BY hkey3, l_orderkey, l_linenumber
+        ORDER BY $keyAlias, l_orderkey, l_linenumber
       """
+  }
+
+  /** The q29 oracle: Skilling's staged transform over the shared LINEAR
+    * (min, max) 8-bit lanes.
+    */
+  private def hilbert3KeysOracle: String = hilbert3StagesSql(curve3LaneCtes, "hkey3")
+
+  /** The q30 oracle: the SAME staged Skilling transform over QUANTILE
+    * (equi-depth) lanes — the q27 CDF bucketing algebra extended to three
+    * columns (skewed xv = 2^(l_orderkey mod 20), yv = l_suppkey,
+    * wv = l_quantity), feeding the shared `lanes3` contract. This is the
+    * full composition the layout family ships at 100 TB: skew-robust
+    * lane normalization under the locality-tightest curve.
+    */
+  private def hilbert3QuantileOracle: String = {
+    def cdf(h: String) =
+      s"SELECT v, ((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS b FROM $h"
+    val laneCtes = s"""base AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
+                 CAST(l_suppkey AS BIGINT) AS yv,
+                 CAST(l_quantity AS BIGINT) AS wv
+          FROM lineitem
+        ), nn AS (SELECT COUNT(*) AS n FROM base),
+        hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cx AS (${cdf("hx")}),
+        hy AS (SELECT yv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cy AS (${cdf("hy")}),
+        hw AS (SELECT wv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cw AS (${cdf("hw")}),
+        lanes3 AS (
+          SELECT base.l_orderkey, base.l_linenumber, cx.b AS a, cy.b AS b, cw.b AS c
+          FROM base JOIN cx ON base.xv = cx.v JOIN cy ON base.yv = cy.v
+                    JOIN cw ON base.wv = cw.v
+        )"""
+    hilbert3StagesSql(laneCtes, "qh3key")
   }
 
   val all: Seq[Q] = Seq(
@@ -1062,6 +1101,38 @@ object RelationalQueries {
           .orderBy(col("hkey3"), col("l_orderkey"), col("l_linenumber"))
       },
       Some(hilbert3KeysOracle),
+    ),
+    // QUANTILE lanes × 3-D HILBERT (ZOrder.withZKeyQuantile at N=3,
+    // curve=hilbert): the full composition of the layout family's two
+    // r17 upgrades — equi-depth CDF bucketing makes every lane
+    // skew-robust (the x lane is deliberately skewed: 2^(l_orderkey mod
+    // 20) collapses 60 % of rows into the bottom sliver of a LINEAR
+    // range), and Skilling's 3-D Hilbert keeps per-file boxes squarer
+    // than Morton on the bucketed grid. The key runs the codegen'd
+    // graft_hilbert_key3 kernel over three broadcast bucket-map joins;
+    // the oracle replays the CDF algebra (per-value histogram → ordered
+    // cumulative sum over DISTINCT values) and the staged Skilling
+    // transform as generated chained CTEs, bit for bit. The q30 shape
+    // pin measures the composition end to end: a skewed one-value probe
+    // on a quantile-hilbert3 LAYOUT keeps its skip bound where the
+    // linear-hilbert3 layout measurably loses it, plus frozen-boundary
+    // append parity through `_zqbounds`.
+    Q(
+      "q30_hilbert3_quantile",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"),
+          col("l_quantity").cast("bigint").as("wv"))
+        graft.operators.ZOrder.withZKeyQuantile(skewed, Seq("xv", "yv", "wv"), bits = 8,
+            keyCol = "qh3key", curve = "hilbert")
+          .select(col("l_orderkey"), col("l_linenumber"), col("qh3key"))
+          .orderBy(col("qh3key"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(hilbert3QuantileOracle),
     ),
   )
 }

@@ -228,6 +228,41 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(kernelBig === gotBig, "graft_hilbert_key3 kernel != staged Skilling algebra")
   }
 
+  test("quantile lanes x hilbert3: composed key == independent CDF-bucket + kernel computation") {
+    import spark.implicits._
+    // the q30 composition end to end on a small skewed corpus: equi-depth
+    // CDF bucketing of three lanes feeding the 3-D Hilbert kernel. The
+    // expected keys are computed INDEPENDENTLY: exact integer CDF over
+    // the collected per-value histograms + the pure-Scala kernel function
+    // (itself pinned to the staged algebra and the Skilling reference in
+    // the tests above) — so this pins the bucket-map joins and lane
+    // plumbing, the part the composition adds.
+    val rows = (0 until 5000).map { i =>
+      (i.toLong, 1L << (i % 20), (i.toLong * 7919) % 103, (i.toLong * 104729) % 97)
+    }
+    val df = rows.toDF("id", "x", "y", "w")
+    val got = ZOrder.withZKeyQuantile(df, Seq("x", "y", "w"), bits = 8,
+        keyCol = "k", curve = "hilbert")
+      .select("id", "k").as[(Long, Long)].collect().toMap
+    def cdfBuckets(vs: Seq[Long]): Map[Long, Long] = {
+      val n = vs.size.toLong
+      val hist = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      var before = 0L
+      hist.map { case (v, c) =>
+        val b = before * 256L / n
+        before += c
+        v -> b
+      }.toMap
+    }
+    val bx = cdfBuckets(rows.map(_._2))
+    val by = cdfBuckets(rows.map(_._3))
+    val bw = cdfBuckets(rows.map(_._4))
+    rows.foreach { case (id, x, y, w) =>
+      val want = graft.functions.HilbertKey3Expr.d(bx(x), by(y), bw(w), 8)
+      assert(got(id) === want, s"id=$id ($x,$y,$w) buckets=(${bx(x)},${by(y)},${bw(w)})")
+    }
+  }
+
   test("hilbert kernel == staged Column algebra == nested Column algebra") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
