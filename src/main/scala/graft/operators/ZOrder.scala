@@ -728,6 +728,94 @@ object ZOrder {
     else prunedRead(spark, out, box)
   }
 
+  // ------------------------------------------------------------------
+  // BLOOM sidecar: file skipping for POINT predicates on columns the
+  // curve does NOT cluster. The `_zmanifest` min/max envelopes only
+  // prune on clustered columns — a high-cardinality lookup key
+  // (doc_id, orderkey) laid out by OTHER columns spans ~the full key
+  // range in every file, so envelope pruning keeps everything. A
+  // per-(file, column) Bloom filter prunes by MEMBERSHIP instead:
+  // false positives only ever ADD files (the residual filter keeps
+  // results row-exact — the same superset guarantee as the manifest),
+  // false negatives are impossible. This is the Iceberg puffin /
+  // parquet column-bloom idea lifted to the layout's own sidecar so
+  // one tiny table answers "which files can contain key K" without
+  // touching a single data footer. Build: ONE distributed pass over
+  // the layout grouped by source file (map-side partial blooms,
+  // OR-merged — Spark's own runtime-filter aggregate). Probe: the
+  // membership test runs IN Spark over the sidecar rows (O(files)
+  // distributed, the >100k-file catalog shape by construction); only
+  // the surviving file list collects, as it must — the reader takes
+  // paths.
+  // ------------------------------------------------------------------
+
+  /** Build the `_zbloom` sidecar for `cols`: one row per (data file,
+    * column) holding a Bloom filter of the column's xxhash64'd values.
+    * `numBits` defaults to 16 bits/key at `estimatedItems` keys per
+    * file (~fpp 4e-4) — at 100 TB size it to the real per-file key
+    * count; the sidecar stays O(files · numBits/8) bytes, far below
+    * the data it indexes.
+    */
+  def writeBloomSidecar(
+      spark: SparkSession,
+      out: String,
+      cols: Seq[String],
+      estimatedItems: Long = 100000L,
+      numBits: Long = 1600000L): Unit = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.parquet(out)
+    cols.map { c =>
+      df.select(substring_index(input_file_name(), "/", -1).as("file"),
+          xxhash64(col(c).cast("long")).as("__h"))
+        .groupBy(col("file"))
+        .agg(graft.functions.GraftFunctions.bloomAgg(col("__h"), estimatedItems, numBits)
+          .as("bloom"))
+        .select(col("file"), lit(c).as("column"), col("bloom"))
+    }.reduce(_.unionAll(_))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(Fio.child(out, "_zbloom"))
+  }
+
+  /** Point-predicate pruned read through the `_zbloom` sidecar: keep a
+    * file iff its Bloom filter might contain ANY of `values` (hashed
+    * exactly as at build time — xxhash64 at Spark's default seed), read
+    * only those paths, and re-apply `column IN values` as the row-exact
+    * residual. Returns the skip evidence alongside — on a layout
+    * clustered by OTHER columns the `_zmanifest` envelopes cannot prune
+    * this predicate at all, so the probe's filesSelected/filesTotal gap
+    * is pure Bloom win. The membership test is a UDF deliberately: it
+    * runs once per SIDECAR row (per file — O(files), never per data
+    * row), and `might_contain`'s codegen'd form only accepts a constant
+    * filter, not a filter column; deserialize-and-test per file is the
+    * same work Iceberg's puffin reader does per manifest entry.
+    */
+  def prunedReadPoint(
+      spark: SparkSession,
+      out: String,
+      column: String,
+      values: Seq[Long]): (DataFrame, ZPruneProbe) = {
+    require(values.nonEmpty, "prunedReadPoint needs at least one probe value")
+    implicit val fc: FioConf = FioConf.of(spark)
+    // xxhash64(CAST(v AS BIGINT)) at the SQL function's default seed —
+    // bit-identical to the build side's hash column
+    val probeHashes = values.map(v =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L))
+    val mightAny = udf { bytes: Array[Byte] =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+      probeHashes.exists(bf.mightContainLong)
+    }
+    val bl = spark.read.parquet(Fio.child(out, "_zbloom"))
+      .filter(col("column") === column)
+    val keep = bl.filter(mightAny(col("bloom"))).select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    val total = dataFiles(out).size
+    val base =
+      if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+      else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+    (base.filter(col(column).isin(values: _*)), ZPruneProbe(keep.length, total))
+  }
+
   /** Shared tail of the pruning reads: hand the surviving paths to the
     * parquet reader and re-apply the box as a row-exact residual.
     */

@@ -409,6 +409,39 @@ object PlanAudit {
         s"rows=$qRows/$lRows direct=$direct append_parity_bad=$parityBad")
   }
 
+  /** The Bloom sidecar must prune files on a point predicate the curve
+    * does NOT cluster — measured against the envelope path on the same
+    * layout: a unique-key lookup through `_zmanifest` min/max keeps
+    * EVERY file (the layout is clustered by other columns, so each
+    * file spans ~the full key range — and the manifest carries no
+    * stats for the key at all), while the `_zbloom` membership test
+    * keeps only the files that can contain the probed keys plus Bloom
+    * false positives (≤6 of 32 at the sidecar's default 16 bits/key),
+    * row-exact against the direct filter.
+    */
+  def bloomSkipShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_zbloom_probe").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    graft.operators.ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, out)
+    graft.operators.ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    val keys = Seq(123L, 45678L, 99999L)
+    val (bDf, b) = graft.operators.ZOrder.prunedReadPoint(spark, out, "id", keys)
+    // the envelope path on the same predicate: no id stats in the
+    // manifest, so every file survives — the gap is pure Bloom win
+    val (_, m) = graft.operators.ZOrder.prunedRead(spark, out, Seq(("id", 123L, 123L)))
+    val rows = bDf.count()
+    val direct = src.filter(col("id").isin(keys: _*)).count()
+    Shape(
+      b.filesSelected <= 6 && b.filesSelected < b.filesTotal
+        && m.filesSelected == m.filesTotal && rows == direct && rows == keys.length,
+      s"bloom=${b.filesSelected}/${b.filesTotal} envelope=${m.filesSelected}/${m.filesTotal} " +
+        s"rows=$rows direct=$direct")
+  }
+
   /** 3-D Hilbert must skip about as few files as 3-D Morton on the
     * identical synthetic probe — the same head-to-head-with-sampling-
     * margin discipline as [[hilbertSkipShape]], one dimension up.
@@ -441,6 +474,7 @@ object PlanAudit {
     "q28_morton3_keys" -> zorder3SkipShape,
     "q29_hilbert3_keys" -> hilbert3SkipShape,
     "q30_hilbert3_quantile" -> quantileHilbert3SkewShape,
+    "q31_bloom_skipping" -> bloomSkipShape,
     "q25_zorder_lifecycle" -> zorderLifecycleShape,
     "q26_hilbert_keys" -> hilbertSkipShape,
     "doc_warc_multifile" -> warcMultiIntakeShape,
@@ -597,6 +631,10 @@ object PlanAudit {
     // the 3-lane quantile-hilbert composition: 3 lanes x 2 + the output
     // sort; the key itself is one codegen'd kernel projection
     "q30_hilbert3_quantile" -> 7,
+    // bloom-pruned point read: the surviving-file scan + residual IN is
+    // map-only; the 1 is the output sort (sidecar probe jobs are
+    // separate, bounded by the file count)
+    "q31_bloom_skipping" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

@@ -288,6 +288,23 @@ object RelationalQueries {
     hilbert3StagesSql(laneCtes, "qh3key")
   }
 
+  /** The q31 oracle: the pruned-point read is row-exact BY CONTRACT
+    * (Bloom skipping is a superset guarantee — false positives only add
+    * files, the residual IN re-filters), so the oracle is the plain
+    * point lookup over the whole table. The Bloom EVIDENCE (files
+    * skipped, min/max envelopes powerless on the unclustered key) rides
+    * as the q31 shape pin, which measures both pruning paths head to
+    * head.
+    */
+  private val bloomSkippingOracle: String = """
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_partkey, l_suppkey
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 5)
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+      """
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------- q1
     // TPC-H Q1 pricing summary: single scan, partial+final hash agg.
@@ -1133,6 +1150,50 @@ object RelationalQueries {
           .orderBy(col("qh3key"), col("l_orderkey"), col("l_linenumber"))
       },
       Some(hilbert3QuantileOracle),
+    ),
+    // BLOOM-SIDECAR file skipping (ZOrder.writeBloomSidecar /
+    // prunedReadPoint): point predicates on a column the curve does NOT
+    // cluster. The layout is z-ordered by (l_partkey, l_suppkey), so
+    // every file spans ~the full l_orderkey range and `_zmanifest`
+    // min/max envelopes prune NOTHING for an orderkey lookup; the
+    // per-(file, column) Bloom sidecar prunes by membership instead
+    // (false positives only add files — the residual IN keeps the
+    // result row-exact, which is exactly what the oracle hashes).
+    // Probe keys are the 5 smallest distinct orderkeys, derived from
+    // the data so the gate is scale-factor-agnostic (a bounded
+    // 5-value collect, replayed by the oracle's IN-subquery). The q31
+    // shape pin measures bloom-vs-envelope head to head: envelopes
+    // keep 32/32 files on the unclustered key, the Bloom keeps <=6.
+    Q(
+      "q31_bloom_skipping",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = T(s, d, "lineitem")
+        val root = sys.props("java.io.tmpdir") + "/graft_zbloom/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        if (!new java.io.File(s"$root/_BLOOMED").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), nFiles = 32,
+            out = s"$root/base")
+          ZOrder.writeBloomSidecar(s, s"$root/base", Seq("l_orderkey"))
+          new java.io.File(s"$root/_BLOOMED").createNewFile()
+        }
+        val probes = li.select(col("l_orderkey")).distinct()
+          .orderBy(col("l_orderkey")).limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        val (dfp, _) = ZOrder.prunedReadPoint(s, s"$root/base", "l_orderkey", probes)
+        dfp.select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+          // the synthetic lineitem has duplicate (orderkey, linenumber)
+          // pairs — the sort must be total for the hash compare
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      },
+      Some(bloomSkippingOracle),
     ),
   )
 }

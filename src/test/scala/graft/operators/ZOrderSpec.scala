@@ -263,6 +263,32 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bloom sidecar: point skipping on an unclustered key, row-exact, no false negatives") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zbloom").toString
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, out)
+    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    // present keys: every matching row comes back (false negatives are
+    // impossible), few files touched
+    val keys = Seq(0L, 31337L, 99999L)
+    val (hit, p) = ZOrder.prunedReadPoint(spark, out, "id", keys)
+    val got = hit.select("id").as[Long].collect().sorted
+    assert(got.toSeq === keys.sorted, "bloom skipping dropped a present key")
+    assert(p.filesSelected < p.filesTotal && p.filesSelected <= 6,
+      s"no bloom win: ${p.filesSelected}/${p.filesTotal}")
+    // the envelope path cannot prune this predicate at all — the
+    // manifest has no id stats, so every file survives
+    val (_, env) = ZOrder.prunedRead(spark, out, Seq(("id", 31337L, 31337L)))
+    assert(env.filesSelected === env.filesTotal)
+    // absent keys: zero rows regardless of bloom false positives (the
+    // residual IN is the row-exact layer)
+    val (miss, mp) = ZOrder.prunedReadPoint(spark, out, "id", Seq(400000L, 500000L))
+    assert(miss.count() === 0L)
+    assert(mp.filesSelected <= 2, s"absent keys selected ${mp.filesSelected} files (fpp blowout)")
+  }
+
   test("hilbert kernel == staged Column algebra == nested Column algebra") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
