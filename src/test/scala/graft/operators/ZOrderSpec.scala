@@ -263,6 +263,55 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming ingest: foreachBatch appendQuantile keeps skipping row-exact batch over batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // continuous ingestion into a clustered layout — the Delta/Iceberg
+    // "stream into an OPTIMIZE'd table" shape: boundaries are trained
+    // ONCE at bootstrap (frozen `_zqbounds`), every micro-batch lands
+    // through them via foreachBatch, and the skipping contract must
+    // hold row-exact at EVERY point between batches (manifest
+    // intersection is a superset guarantee; appended files merely widen
+    // envelopes until compaction).
+    val out = java.nio.file.Files.createTempDirectory("graft-zstream").toString
+    def shaped(ids: org.apache.spark.sql.DataFrame) = ids.select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(spark.range(20000).toDF("id")), Seq("x", "y"),
+      nFiles = 8, out)
+    val input = MemoryStream[Long]
+    val query = input.toDF().withColumnRenamed("value", "id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        ZOrder.appendQuantile(shaped(batch), Seq("x", "y"), out, nFiles = 1)
+        ()
+      }
+      .start()
+    try {
+      def probeExact(upTo: Long): Unit = {
+        val (df, p) = ZOrder.prunedRead(spark, out, Seq(("x", 32L, 32L)))
+        // x == 32 <=> id % 20 == 5
+        val want = (0L until upTo).count(_ % 20 == 5).toLong
+        assert(df.count() === want, s"mid-stream skipping lost rows at upTo=$upTo")
+        assert(p.filesSelected < p.filesTotal, "no skipping mid-stream")
+      }
+      input.addData(20000L until 25000L: _*)
+      query.processAllAvailable()
+      probeExact(25000L)
+      input.addData(25000L until 30000L: _*)
+      query.processAllAvailable()
+      probeExact(30000L)
+      // every id landed exactly once, with exactly one key (frozen
+      // boundaries: batch-time buckets == cluster-time buckets)
+      val byId = spark.read.parquet(out).groupBy("id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("zkey")).as("nk"))
+      assert(byId.filter(col("n") =!= 1 || col("nk") =!= 1).count() === 0L)
+    } finally query.stop()
+  }
+
   test("bloom sidecar: point skipping on an unclustered key, row-exact, no false negatives") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zbloom").toString
