@@ -635,6 +635,9 @@ object PlanAudit {
     // map-only; the 1 is the output sort (sidecar probe jobs are
     // separate, bounded by the file count)
     "q31_bloom_skipping" -> 1,
+    // frozen-clamp gate reads STORED layout keys: the 1 is the output
+    // sort (cluster/append jobs are one-time, marker-cached)
+    "q32_zquantile_frozen_clamp" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

@@ -288,6 +288,69 @@ object RelationalQueries {
     hilbert3StagesSql(laneCtes, "qh3key")
   }
 
+  /** The q32 oracle: the quantile layout's FROZEN-BOUNDARY semantics,
+    * clamp included. The layout clusters the EVEN-orderkey half (CDF
+    * trained there, `_zqbounds` frozen) and appends the ODD half through
+    * the frozen boundaries. The skewed lane makes the append adversarial
+    * by construction: odd orderkeys produce xv = 2^(odd residue) —
+    * values NEVER seen at cluster time — so every appended xv exercises
+    * the clamp rule (largest stored bucket whose boundary ≤ v, 0 below
+    * all). The oracle replays that rule UNIFORMLY: for seen values the
+    * frozen rule reproduces the CDF bucket exactly (boundaries are
+    * per-bucket minima and the CDF is monotone in value), so one
+    * value-level non-equi join (distinct values × ≤256 boundaries —
+    * tiny) keys the whole table, then the q24 magic-mask spreading.
+    */
+  private val zquantileFrozenClampOracle: String = {
+    def cdf(h: String) =
+      s"SELECT v, ((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS b FROM $h"
+    def frozen(vals: String, bnd: String) =
+      s"SELECT $vals.v, COALESCE(MAX($bnd.b), 0) AS b FROM $vals " +
+        s"LEFT JOIN $bnd ON $bnd.mn <= $vals.v GROUP BY $vals.v"
+    s"""
+        WITH base AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
+                 CAST(l_suppkey AS BIGINT) AS yv
+          FROM lineitem
+        ), seed AS (SELECT * FROM base WHERE l_orderkey % 2 = 0),
+        nn AS (SELECT COUNT(*) AS n FROM seed),
+        hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM seed GROUP BY 1),
+        cx AS (${cdf("hx")}),
+        hy AS (SELECT yv AS v, COUNT(*) AS cnt FROM seed GROUP BY 1),
+        cy AS (${cdf("hy")}),
+        bndx AS (SELECT b, MIN(v) AS mn FROM cx GROUP BY b),
+        bndy AS (SELECT b, MIN(v) AS mn FROM cy GROUP BY b),
+        valx AS (SELECT DISTINCT xv AS v FROM base),
+        valy AS (SELECT DISTINCT yv AS v FROM base),
+        fx AS (${frozen("valx", "bndx")}),
+        fy AS (${frozen("valy", "bndy")}),
+        lanes AS (
+          SELECT base.l_orderkey, base.l_linenumber, fx.b AS a, fy.b AS b
+          FROM base JOIN fx ON base.xv = fx.v JOIN fy ON base.yv = fy.v
+        ), s1 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+          FROM lanes
+        ), s2 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+          FROM s1
+        ), s3 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+          FROM s3
+        )
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
+        FROM s4
+        ORDER BY zkey, l_orderkey, l_linenumber
+      """
+  }
+
   /** The q31 oracle: the pruned-point read is row-exact BY CONTRACT
     * (Bloom skipping is a superset guarantee — false positives only add
     * files, the residual IN re-filters), so the oracle is the plain
@@ -1194,6 +1257,51 @@ object RelationalQueries {
           .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       },
       Some(bloomSkippingOracle),
+    ),
+    // FROZEN-BOUNDARY CLAMP semantics (ZOrder.clusterQuantile +
+    // appendQuantile): the quantile layout's append-time contract,
+    // hash-pinned END TO END including the clamp for values never seen
+    // at cluster time. The CDF trains on the EVEN-orderkey half; the
+    // ODD half appends through the frozen `_zqbounds` — and because the
+    // skewed lane is 2^(l_orderkey mod 20), every appended xv is a
+    // 2^(odd residue) the seed never saw, so each one lands by the
+    // clamp rule (largest frozen boundary ≤ v). The gate reads the
+    // STORED keys back; the oracle replays the frozen rule uniformly
+    // (for seen values it coincides with the CDF bucket — boundaries
+    // are per-bucket minima, the CDF is monotone), via a tiny
+    // value-level non-equi join. Complements q25 (linear-lane rebuild
+    // contract) and q27 (seen-value append parity): this is the
+    // UNSEEN-value leg of the lifecycle.
+    Q(
+      "q32_zquantile_frozen_clamp",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"))
+        val root = sys.props("java.io.tmpdir") + "/graft_zqclamp/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        if (!new java.io.File(s"$root/_APPENDED").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.clusterQuantile(skewed.filter(col("l_orderkey") % 2 === 0),
+            Seq("xv", "yv"), nFiles = 8, out = s"$root/base", bits = 8)
+          ZOrder.appendQuantile(skewed.filter(col("l_orderkey") % 2 === 1),
+            Seq("xv", "yv"), out = s"$root/base", nFiles = 2, bits = 8)
+          new java.io.File(s"$root/_APPENDED").createNewFile()
+        }
+        s.read.parquet(s"$root/base")
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zquantileFrozenClampOracle),
     ),
   )
 }
