@@ -816,6 +816,45 @@ object ZOrder {
     (base.filter(col(column).isin(values: _*)), ZPruneProbe(keep.length, total))
   }
 
+  /** COMBINED pruning: a conjunctive box on clustered columns AND a
+    * point predicate on an unclustered key — the realistic lookup shape
+    * ("rows for key K inside range R") — each pruned by its own index
+    * and the surviving file sets INTERSECTED before a single read. Both
+    * prunings are superset guarantees independently, so their
+    * intersection is too; both residuals re-apply row-exact semantics.
+    */
+  def prunedReadBoxPoint(
+      spark: SparkSession,
+      out: String,
+      box: Seq[(String, Long, Long)],
+      column: String,
+      values: Seq[Long]): (DataFrame, ZPruneProbe) = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    require(values.nonEmpty, "prunedReadBoxPoint needs at least one probe value")
+    val probeHashes = values.map(v =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L))
+    val mightAny = udf { bytes: Array[Byte] =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+      probeHashes.exists(bf.mightContainLong)
+    }
+    val bloomKeep = spark.read.parquet(Fio.child(out, "_zbloom"))
+      .filter(col("column") === column)
+      .filter(mightAny(col("bloom"))).select(col("file"))
+      .collect().map(_.getString(0)).toSet
+    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+      .select(col("file"), col("column"), col("min_v"), col("max_v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = manifest.map(_._1).distinct.length
+    val keep = manifest.groupBy(_._1).collect {
+      case (f, stats) if bloomKeep(f) && box.forall { case (c, lo, hi) =>
+        stats.find(_._2 == c).forall { case (_, _, mn, mx) => mx >= lo && mn <= hi }
+      } => f
+    }.toSeq.sorted
+    val (df, probe) = readKeep(spark, out, keep, box, total)
+    (df.filter(col(column).isin(values: _*)), probe)
+  }
+
   /** Shared tail of the pruning reads: hand the surviving paths to the
     * parquet reader and re-apply the box as a row-exact residual.
     */

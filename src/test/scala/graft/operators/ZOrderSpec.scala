@@ -338,6 +338,30 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(mp.filesSelected <= 2, s"absent keys selected ${mp.filesSelected} files (fpp blowout)")
   }
 
+  test("combined box+point pruning: intersection of both indexes, row-exact, tighter than either") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zboxpt").toString
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, out)
+    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    // "rows for these keys inside this box": id 16050 has x=16050%317=200
+    // (in box), y=(16050*7919)%331 — include a second key outside the box
+    // to prove the residual filters it even when its file survives
+    val box = Seq(("x", 150L, 250L))
+    val keys = Seq(16050L, 16051L, 3L)
+    val (df, p) = ZOrder.prunedReadBoxPoint(spark, out, box, "id", keys)
+    val direct = src.filter(col("x").between(150, 250) && col("id").isin(keys: _*))
+    val got = df.select("id").as[Long].collect().sorted.toSeq
+    val want = direct.select("id").as[Long].collect().sorted.toSeq
+    assert(got === want, "combined pruning diverged from the direct filter")
+    // the intersection must be at least as tight as each index alone
+    val (_, boxOnly) = ZOrder.prunedRead(spark, out, box)
+    val (_, ptOnly) = ZOrder.prunedReadPoint(spark, out, "id", keys)
+    assert(p.filesSelected <= math.min(boxOnly.filesSelected, ptOnly.filesSelected))
+    assert(p.filesSelected < p.filesTotal)
+  }
+
   test("hilbert kernel == staged Column algebra == nested Column algebra") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
