@@ -797,23 +797,42 @@ object ZOrder {
       values: Seq[Long]): (DataFrame, ZPruneProbe) = {
     require(values.nonEmpty, "prunedReadPoint needs at least one probe value")
     implicit val fc: FioConf = FioConf.of(spark)
-    // xxhash64(CAST(v AS BIGINT)) at the SQL function's default seed —
-    // bit-identical to the build side's hash column
+    val all = dataFiles(out).map(f => new org.apache.hadoop.fs.Path(f).getName)
+    val (hit, indexed) = bloomSurvivors(spark, out, column, values)
+    // SUPERSET guarantee over sidecar coverage: a data file with NO
+    // bloom row for this column (appended after the sidecar was built,
+    // or an unindexed column) must always be KEPT — dropping it would
+    // be a false negative, the one failure mode membership pruning must
+    // never have. Rebuild the sidecar after appends to restore pruning.
+    val keep = (hit ++ all.filterNot(indexed)).distinct.sorted
+    val base =
+      if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+      else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+    (base.filter(col(column).isin(values: _*)), ZPruneProbe(keep.length, all.size))
+  }
+
+  /** Sidecar probe shared by the point reads: (files whose bloom might
+    * contain any probed value, the set of files the sidecar covers for
+    * `column`). Hashes exactly as the build side (xxhash64 of the
+    * long-cast value at the SQL function's default seed).
+    */
+  private def bloomSurvivors(
+      spark: SparkSession,
+      out: String,
+      column: String,
+      values: Seq[Long])(implicit fc: FioConf): (Seq[String], Set[String]) = {
     val probeHashes = values.map(v =>
       org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L))
     val mightAny = udf { bytes: Array[Byte] =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
       probeHashes.exists(bf.mightContainLong)
     }
-    val bl = spark.read.parquet(Fio.child(out, "_zbloom"))
+    val rows = spark.read.parquet(Fio.child(out, "_zbloom"))
       .filter(col("column") === column)
-    val keep = bl.filter(mightAny(col("bloom"))).select(col("file"))
-      .collect().map(_.getString(0)).toSeq.sorted
-    val total = dataFiles(out).size
-    val base =
-      if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
-      else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
-    (base.filter(col(column).isin(values: _*)), ZPruneProbe(keep.length, total))
+      .select(col("file"), mightAny(col("bloom")).as("hit"))
+      .collect()
+    (rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq,
+      rows.map(_.getString(0)).toSet)
   }
 
   /** COMBINED pruning: a conjunctive box on clustered columns AND a
@@ -831,23 +850,17 @@ object ZOrder {
       values: Seq[Long]): (DataFrame, ZPruneProbe) = {
     implicit val fc: FioConf = FioConf.of(spark)
     require(values.nonEmpty, "prunedReadBoxPoint needs at least one probe value")
-    val probeHashes = values.map(v =>
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L))
-    val mightAny = udf { bytes: Array[Byte] =>
-      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
-      probeHashes.exists(bf.mightContainLong)
-    }
-    val bloomKeep = spark.read.parquet(Fio.child(out, "_zbloom"))
-      .filter(col("column") === column)
-      .filter(mightAny(col("bloom"))).select(col("file"))
-      .collect().map(_.getString(0)).toSet
+    val (hit, indexed) = bloomSurvivors(spark, out, column, values)
+    // same coverage rule as prunedReadPoint: a file the sidecar does
+    // not cover is never bloom-pruned (superset guarantee)
+    val bloomKeep = hit.toSet
     val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
       .select(col("file"), col("column"), col("min_v"), col("max_v"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val total = manifest.map(_._1).distinct.length
     val keep = manifest.groupBy(_._1).collect {
-      case (f, stats) if bloomKeep(f) && box.forall { case (c, lo, hi) =>
+      case (f, stats) if (bloomKeep(f) || !indexed(f)) && box.forall { case (c, lo, hi) =>
         stats.find(_._2 == c).forall { case (_, _, mn, mx) => mx >= lo && mn <= hi }
       } => f
     }.toSeq.sorted

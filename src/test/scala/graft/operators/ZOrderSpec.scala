@@ -336,6 +336,20 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     val (miss, mp) = ZOrder.prunedReadPoint(spark, out, "id", Seq(400000L, 500000L))
     assert(miss.count() === 0L)
     assert(mp.filesSelected <= 2, s"absent keys selected ${mp.filesSelected} files (fpp blowout)")
+    // COVERAGE rule: a file appended AFTER the sidecar was built has no
+    // bloom row — it must always be KEPT (bloom-pruning it would be a
+    // false negative), so a key living only there still comes back
+    ZOrder.append(
+      spark.range(1).select(lit(700000L).as("id"), lit(100L).as("x"), lit(100L).as("y")),
+      Seq("x", "y"), out, nFiles = 1)
+    val (late, lp) = ZOrder.prunedReadPoint(spark, out, "id", Seq(700000L))
+    assert(late.count() === 1L, "un-bloomed appended file was wrongly pruned")
+    assert(lp.filesTotal === 33 && lp.filesSelected >= 1)
+    // rebuilding the sidecar restores pruning over the appended file too
+    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    val (late2, lp2) = ZOrder.prunedReadPoint(spark, out, "id", Seq(700000L))
+    assert(late2.count() === 1L)
+    assert(lp2.filesSelected <= 2, s"rebuilt sidecar still keeps ${lp2.filesSelected} files")
   }
 
   test("combined box+point pruning: intersection of both indexes, row-exact, tighter than either") {
