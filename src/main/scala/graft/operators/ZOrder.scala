@@ -750,11 +750,13 @@ object ZOrder {
   // ------------------------------------------------------------------
 
   /** Build the `_zbloom` sidecar for `cols`: one row per (data file,
-    * column) holding a Bloom filter of the column's xxhash64'd values.
-    * `numBits` defaults to 16 bits/key at `estimatedItems` keys per
-    * file (~fpp 4e-4) — at 100 TB size it to the real per-file key
-    * count; the sidecar stays O(files · numBits/8) bytes, far below
-    * the data it indexes.
+    * column) holding a Bloom filter of the column's xxhash64'd values —
+    * the RAW column value (any hashable type: integral keys, string
+    * URLs/fingerprints), hashed by the engine's own xxhash64 so the
+    * probe side can reproduce it for any literal. `numBits` defaults to
+    * 16 bits/key at `estimatedItems` keys per file (~fpp 4e-4) — at
+    * 100 TB size it to the real per-file key count; the sidecar stays
+    * O(files · numBits/8) bytes, far below the data it indexes.
     */
   def writeBloomSidecar(
       spark: SparkSession,
@@ -767,7 +769,7 @@ object ZOrder {
     val df = spark.read.parquet(out)
     cols.map { c =>
       df.select(substring_index(input_file_name(), "/", -1).as("file"),
-          xxhash64(col(c).cast("long")).as("__h"))
+          xxhash64(col(c)).as("__h"))
         .groupBy(col("file"))
         .agg(graft.functions.GraftFunctions.bloomAgg(col("__h"), estimatedItems, numBits)
           .as("bloom"))
@@ -794,7 +796,7 @@ object ZOrder {
       spark: SparkSession,
       out: String,
       column: String,
-      values: Seq[Long]): (DataFrame, ZPruneProbe) = {
+      values: Seq[Any]): (DataFrame, ZPruneProbe) = {
     require(values.nonEmpty, "prunedReadPoint needs at least one probe value")
     implicit val fc: FioConf = FioConf.of(spark)
     val all = dataFiles(out).map(f => new org.apache.hadoop.fs.Path(f).getName)
@@ -813,16 +815,24 @@ object ZOrder {
 
   /** Sidecar probe shared by the point reads: (files whose bloom might
     * contain any probed value, the set of files the sidecar covers for
-    * `column`). Hashes exactly as the build side (xxhash64 of the
-    * long-cast value at the SQL function's default seed).
+    * `column`). Hash parity with the build side is guaranteed by
+    * construction: each probe literal is CAST to the column's actual
+    * type and hashed by the same xxhash64 expression, evaluated once on
+    * a 1-row local relation (xxhash64 is type-sensitive — a long
+    * literal probed against an int column would silently never match).
     */
   private def bloomSurvivors(
       spark: SparkSession,
       out: String,
       column: String,
-      values: Seq[Long])(implicit fc: FioConf): (Seq[String], Set[String]) = {
-    val probeHashes = values.map(v =>
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L))
+      values: Seq[Any])(implicit fc: FioConf): (Seq[String], Set[String]) = {
+    val colType = spark.read.parquet(out).schema
+      .find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"no column $column under $out"))
+      .dataType
+    val probeHashes = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v).cast(colType))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
     val mightAny = udf { bytes: Array[Byte] =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
       probeHashes.exists(bf.mightContainLong)
@@ -847,7 +857,7 @@ object ZOrder {
       out: String,
       box: Seq[(String, Long, Long)],
       column: String,
-      values: Seq[Long]): (DataFrame, ZPruneProbe) = {
+      values: Seq[Any]): (DataFrame, ZPruneProbe) = {
     implicit val fc: FioConf = FioConf.of(spark)
     require(values.nonEmpty, "prunedReadBoxPoint needs at least one probe value")
     val (hit, indexed) = bloomSurvivors(spark, out, column, values)

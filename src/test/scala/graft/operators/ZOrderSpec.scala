@@ -352,6 +352,28 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(lp2.filesSelected <= 2, s"rebuilt sidecar still keeps ${lp2.filesSelected} files")
   }
 
+  test("bloom sidecar on a STRING key: url-style lookups prune and stay row-exact") {
+    import spark.implicits._
+    // the common dedup shape: the lookup key is a string (URL, content
+    // fingerprint), not an integral — build hashes the RAW column, the
+    // probe casts each literal to the column's type and hashes with the
+    // same engine expression, so parity holds for any hashable type
+    val out = java.nio.file.Files.createTempDirectory("graft-zbloom-str").toString
+    val src = spark.range(50000).select(
+      concat(lit("https://host-"), (col("id") % 97).cast("string"),
+        lit("/doc/"), col("id").cast("string")).as("url"),
+      (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 16, out)
+    ZOrder.writeBloomSidecar(spark, out, Seq("url"))
+    val keys = Seq("https://host-5/doc/2042", "https://host-13/doc/401")
+    val (hit, p) = ZOrder.prunedReadPoint(spark, out, "url", keys)
+    assert(hit.select("url").as[String].collect().sorted.toSeq === keys.sorted)
+    assert(p.filesSelected < p.filesTotal && p.filesSelected <= 4,
+      s"no bloom win on strings: ${p.filesSelected}/${p.filesTotal}")
+    val (miss, _) = ZOrder.prunedReadPoint(spark, out, "url", Seq("https://host-1/doc/999999"))
+    assert(miss.count() === 0L)
+  }
+
   test("combined box+point pruning: intersection of both indexes, row-exact, tighter than either") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zboxpt").toString
