@@ -779,6 +779,49 @@ object ZOrder {
       .write.mode("overwrite").parquet(Fio.child(out, "_zbloom"))
   }
 
+  /** INCREMENTALLY extend the `_zbloom` sidecar: build bloom rows for
+    * exactly the data files the sidecar does not yet cover (appended
+    * since the last build) and append them — the lifecycle completion
+    * of the coverage rule: un-covered files are read unpruned until
+    * this runs, never wrongly skipped, and this restores pruning
+    * without re-hashing the whole layout. Idempotent (a second run
+    * builds nothing). Returns the number of files newly covered.
+    */
+  def updateBloomSidecar(
+      spark: SparkSession,
+      out: String,
+      cols: Seq[String],
+      estimatedItems: Long = 100000L,
+      numBits: Long = 1600000L): Int = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val sidecar = Fio.child(out, "_zbloom")
+    val covered: Map[String, Set[String]] =
+      spark.read.parquet(sidecar).select(col("column"), col("file"))
+        .collect().groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getString(1)).toSet).toMap
+    val files = dataFiles(out)
+    val byName = files.map(f => new org.apache.hadoop.fs.Path(f).getName -> f).toMap
+    var newlyCovered = Set.empty[String]
+    val parts = cols.flatMap { c =>
+      val missing = byName.keySet -- covered.getOrElse(c, Set.empty)
+      if (missing.isEmpty) None
+      else {
+        newlyCovered ++= missing
+        val df = spark.read.parquet(missing.toSeq.sorted.map(byName): _*)
+        Some(df.select(substring_index(input_file_name(), "/", -1).as("file"),
+            xxhash64(col(c)).as("__h"))
+          .groupBy(col("file"))
+          .agg(graft.functions.GraftFunctions.bloomAgg(col("__h"), estimatedItems, numBits)
+            .as("bloom"))
+          .select(col("file"), lit(c).as("column"), col("bloom")))
+      }
+    }
+    if (parts.nonEmpty)
+      parts.reduce(_.unionAll(_)).coalesce(1).write.mode("append").parquet(sidecar)
+    newlyCovered.size
+  }
+
   /** Point-predicate pruned read through the `_zbloom` sidecar: keep a
     * file iff its Bloom filter might contain ANY of `values` (hashed
     * exactly as at build time — xxhash64 at Spark's default seed), read

@@ -345,11 +345,17 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     val (late, lp) = ZOrder.prunedReadPoint(spark, out, "id", Seq(700000L))
     assert(late.count() === 1L, "un-bloomed appended file was wrongly pruned")
     assert(lp.filesTotal === 33 && lp.filesSelected >= 1)
-    // rebuilding the sidecar restores pruning over the appended file too
-    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    // the INCREMENTAL update builds blooms for exactly the uncovered
+    // file and restores pruning without re-hashing the layout
+    assert(ZOrder.updateBloomSidecar(spark, out, Seq("id")) === 1)
     val (late2, lp2) = ZOrder.prunedReadPoint(spark, out, "id", Seq(700000L))
     assert(late2.count() === 1L)
-    assert(lp2.filesSelected <= 2, s"rebuilt sidecar still keeps ${lp2.filesSelected} files")
+    assert(lp2.filesSelected <= 2, s"updated sidecar still keeps ${lp2.filesSelected} files")
+    // a present pre-append key still prunes through the merged sidecar
+    val (again, ap) = ZOrder.prunedReadPoint(spark, out, "id", Seq(31337L))
+    assert(again.count() === 1L && ap.filesSelected <= 6)
+    // idempotent: nothing left to cover
+    assert(ZOrder.updateBloomSidecar(spark, out, Seq("id")) === 0)
   }
 
   test("bloom sidecar on a STRING key: url-style lookups prune and stay row-exact") {
