@@ -891,6 +891,140 @@ object Dedup {
       tokenJaccardPairs(docs, idCol, textCol, blockCol, threshold, maxTermDf = maxTermDf)
   }
 
+  /** Exact token-set CONTAINMENT ≥ threshold via PREFIX-FILTERED candidate
+    * generation — the asymmetric adaptation of [[tokenJaccardPairsPrefix]].
+    * Containment(A ⊑ B) = |A∩B|/|A| ≥ t needs overlap α = ⌈t·|A|⌉, which
+    * depends ONLY on the sub side's size, so the prefix theorem applies
+    * one-sidedly: order each doc's tokens by in-block rarity (df asc,
+    * term asc — a total order); if no token among A's first
+    * |A| − ⌈t·|A|⌉ + 1 were in A∩B, all α overlap tokens would have to fit
+    * in the remaining α − 1 positions. So PROBE only the sub prefix, but
+    * INDEX the sup side in full (a sup has no partner-independent prefix:
+    * a 1-token sub needs overlap 1 anywhere in B). Lossless — identical
+    * output to [[tokenContainmentPairs]], which additionally carries the
+    * `maxTermDf` dense-term machinery the prefix path doesn't need.
+    *
+    * A size filter prunes candidates before the array-shipping verify
+    * join: c ≤ min(n_sub, n_sup), so n_sup ≥ ⌈t·n_sub⌉ is necessary —
+    * on the half-copy corpus this alone halves the directed candidates.
+    *
+    * Scale shape: candidates per term = (prefix postings) × (full df).
+    * On Zipf vocabularies prefixes fill from the rare end, where full df
+    * is also tiny, so candidate volume collapses; on dense tiny
+    * vocabularies nothing is rare and the count path wins — the same
+    * crossover the Jaccard twins measure, decided per-corpus by
+    * [[tokenContainmentPairsAuto]].
+    */
+  def tokenContainmentPairsPrefix(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      blockCol: String = "source",
+      threshold: Double = 0.9,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col(idCol), col(blockCol),
+      array_sort(tokenSet(textCol)).as("toks"),
+    ).withColumn("n", size(col("toks")).cast("long"))
+    val tok = toks.select(col(idCol), col(blockCol), col("n"), explode(col("toks")).as("term"))
+    val termDf = tok.groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("term"))
+    val probe = tok
+      .join(termDf, Seq(blockCol, "term"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col(blockCol), col("term"), col(idCol).as("doc_sub"), col("n").as("n_sub"))
+    val index = tok.select(col(blockCol), col("term"), col(idCol).as("doc_sup"), col("n").as("n_sup"))
+    val cands = probe.join(index, Seq(blockCol, "term"))
+      .filter(col("doc_sub") =!= col("doc_sup"))
+      .filter(col("n_sup") >= ceil(col("n_sub") * threshold))
+      .select(col("doc_sub"), col("doc_sup"))
+      .dropDuplicates("doc_sub", "doc_sup")
+    cands
+      .join(toks.select(col(idCol).as("doc_sub"), col("toks").as("toks_a"), col("n").as("na")), Seq("doc_sub"))
+      .join(toks.select(col(idCol).as("doc_sup"), col("toks").as("toks_b")), Seq("doc_sup"))
+      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("containment", col("c") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_sub"), col("doc_sup"), col("containment"))
+  }
+
+  /** ONE cheap stats pass estimating each containment strategy's
+    * candidate volume — [[jaccardStrategyStats]]' sibling, same
+    * df-histogram-of-histogram exchange, different volume algebra:
+    *
+    *  - count path (shared [[pairIntersections]] frame): exact —
+    *    Σ_term C(min(df, cap), 2) co-occurrence rows (direction
+    *    duplication happens after aggregation and is free).
+    *  - prefix path: prefix-posting mass fills from the df-ascending end
+    *    (the sub prefix length n − ⌈t·n⌉ + 1 is the SAME formula as
+    *    Jaccard's, so the quota is the same `pref` aggregate); each
+    *    prefix posting at a term of full df joins df − 1 index rows.
+    *
+    * Reuses [[JaccardStrategyStats]] (identical fields and the same 8×
+    * per-candidate cost weight: a prefix candidate pays dedup + two
+    * verify joins + an exact intersect vs one counted co-occurrence row).
+    */
+  def containmentStrategyStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      blockCol: String = "source",
+      threshold: Double = 0.9,
+      maxTermDf: Int = 1000,
+  ): JaccardStrategyStats = {
+    val base = docs.select(col(idCol), col(blockCol), tokenSet(textCol).as("toks"))
+    val sz = base.select(size(col("toks")).cast("long").as("n"))
+      .agg(
+        count(lit(1)).as("d"),
+        sum(col("n")).as("post"),
+        sum(col("n") - ceil(col("n") * threshold).cast("long") + 1L).as("pref"))
+      .head()
+    val (nDocs, nPost, nPref) = (sz.getLong(0), sz.getLong(1), sz.getLong(2))
+    val hist = base.select(col(blockCol), explode(col("toks")).as("term"))
+      .groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_terms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val vocab = hist.map(_._2).sum
+    val countPairs = hist.map { case (df, nt) =>
+      val d = math.min(df, maxTermDf.toLong).toDouble
+      nt.toDouble * d * (d - 1) / 2
+    }.sum
+    var remaining = nPref.toDouble
+    var prefixPairs = 0.0
+    hist.foreach { case (df, nt) =>
+      if (remaining > 0) {
+        val mass = df.toDouble * nt
+        val used = math.min(mass, remaining)
+        prefixPairs += used * (df - 1).toDouble
+        remaining -= used
+      }
+    }
+    JaccardStrategyStats(nDocs, nPost, vocab, countPairs, prefixPairs)
+  }
+
+  /** COST-BASED exact containment — [[tokenJaccardPairsAuto]]'s sibling:
+    * one [[containmentStrategyStats]] pass picks the smaller estimated
+    * candidate volume, then runs that strategy. Both strategies are
+    * hash-gated against the identical oracle every round, so the chooser
+    * can change cost, never results.
+    */
+  def tokenContainmentPairsAuto(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      blockCol: String = "source",
+      threshold: Double = 0.9,
+      maxTermDf: Int = 1000,
+  ): DataFrame = {
+    val stats = containmentStrategyStats(docs, idCol, textCol, blockCol, threshold, maxTermDf)
+    if (stats.preferPrefix)
+      tokenContainmentPairsPrefix(docs, idCol, textCol, blockCol, threshold)
+    else
+      tokenContainmentPairs(docs, idCol, textCol, blockCol, threshold, maxTermDf)
+  }
+
   /** Embedding near-duplicate pairs via the LSH scale path: candidates are
     * vector pairs sharing any hash table's random-hyperplane bucket
     * ([[graft.similarity.Ann.lshBuckets]]), then exact cosine verification

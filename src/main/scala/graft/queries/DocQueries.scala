@@ -3354,50 +3354,40 @@ object DocQueries {
     // exactly in SQL.
     Q(
       "doc_containment_pairs",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val halves = docs.select(
-          (col("doc_id") + lit(2 * DupOffset)).as("doc_id"),
-          expr("array_join(slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2), ' ')").as("text"),
-          col("source"))
-        Dedup.tokenContainmentPairs(
-          docs.select(col("doc_id"), col("text"), col("source")).unionByName(halves),
-          threshold = 0.9)
-          .orderBy(col("doc_sub"), col("doc_sup"))
-      },
-      Some(s"""
-        WITH corpus AS (
-          SELECT doc_id, text, source FROM documents
-          UNION ALL
-          SELECT doc_id + ${2 * DupOffset},
-                 array_to_string(list_slice(string_split(text, ' '), 1,
-                   (len(string_split(text, ' ')) + 1) // 2), ' ') AS text,
-                 source
-          FROM documents
-        ), toks AS (
-          SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS term
-          FROM corpus
-        ), sizes AS (
-          SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n
-          FROM corpus
-        ), pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
-          FROM toks a JOIN toks b
-            ON a.source = b.source AND a.term = b.term AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ), directed AS (
-          SELECT p.doc_a AS doc_sub, p.doc_b AS doc_sup,
-                 CAST(p.c AS DOUBLE) / sa.n AS containment
-          FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
-          UNION ALL
-          SELECT p.doc_b AS doc_sub, p.doc_a AS doc_sup,
-                 CAST(p.c AS DOUBLE) / sb.n AS containment
-          FROM pairs p JOIN sizes sb ON p.doc_b = sb.doc_id
-        )
-        SELECT doc_sub, doc_sup, containment FROM directed
-        WHERE containment >= 0.9
-        ORDER BY doc_sub, doc_sup
-      """),
+      (s, d) =>
+        Dedup.tokenContainmentPairs(containmentCorpus(s, d), threshold = 0.9)
+          .orderBy(col("doc_sub"), col("doc_sup")),
+      Some(containmentPairsOracle),
+    ),
+    // The PREFIX-FILTERED containment twin, gated against the IDENTICAL
+    // oracle — the asymmetric mirror of the doc_jaccard_pairs/ppjoin
+    // pattern: the sub side probes only its n − ⌈t·n⌉ + 1 rarest tokens
+    // (the prefix theorem applies one-sidedly because the required
+    // overlap ⌈t·n_sub⌉ depends only on the sub's size), the sup side
+    // indexes in full, and a n_sup ≥ ⌈t·n_sub⌉ size filter prunes before
+    // the array-shipping verify join. Lossless — same pairs every round,
+    // so neither strategy can silently rot.
+    Q(
+      "doc_containment_pairs_prefix",
+      (s, d) =>
+        Dedup.tokenContainmentPairsPrefix(containmentCorpus(s, d), threshold = 0.9)
+          .orderBy(col("doc_sub"), col("doc_sup")),
+      Some(containmentPairsOracle),
+    ),
+    // The COST-BASED chooser over the two containment strategies: one
+    // cheap stats pass (sizes agg + df histogram-of-histogram) estimates
+    // each strategy's candidate volume — Σ C(min(df,cap),2) counted
+    // co-occurrences vs prefix-mass × (df−1) index probes — and runs the
+    // smaller one. Gated against the IDENTICAL oracle as both fixed
+    // strategies: the chooser can change cost, never results. The bench
+    // checks its verdict against the measured winner on both crossover
+    // corpora (containment_auto_*_picked probes).
+    Q(
+      "doc_containment_pairs_auto",
+      (s, d) =>
+        Dedup.tokenContainmentPairsAuto(containmentCorpus(s, d), threshold = 0.9)
+          .orderBy(col("doc_sub"), col("doc_sup")),
+      Some(containmentPairsOracle),
     ),
     // The round's curation stages COMPOSED end-to-end: model-based
     // quality filter (hashed linear scorer ≥ 0) → exact dedup

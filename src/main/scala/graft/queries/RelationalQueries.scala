@@ -111,7 +111,7 @@ object RelationalQueries {
     */
   private val zorderQuantileOracle: String = {
     def cdf(h: String) =
-      s"SELECT v, ((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS b FROM $h"
+      s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
     s"""
         WITH base AS (
           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -266,7 +266,7 @@ object RelationalQueries {
     */
   private def hilbert3QuantileOracle: String = {
     def cdf(h: String) =
-      s"SELECT v, ((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS b FROM $h"
+      s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
     val laneCtes = s"""base AS (
           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                  (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
@@ -303,7 +303,7 @@ object RelationalQueries {
     */
   private val zquantileFrozenClampOracle: String = {
     def cdf(h: String) =
-      s"SELECT v, ((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS b FROM $h"
+      s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
     def frozen(vals: String, bnd: String) =
       s"SELECT $vals.v, COALESCE(MAX($bnd.b), 0) AS b FROM $vals " +
         s"LEFT JOIN $bnd ON $bnd.mn <= $vals.v GROUP BY $vals.v"

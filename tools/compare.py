@@ -25,9 +25,32 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def dtype_kind(dt) -> str:
+    """Coarse dtype class that changes how values render in the driver's
+    hasher: int vs float vs bool vs everything-else. DuckDB HUGEINT (any
+    windowed SUM of BIGINT) lands in pandas as float64 and hashes
+    differently from Spark's int64 EVEN WHEN THE VALUES ARE EQUAL — the
+    r4 ev_sessions and r17 q27/q30/q32 failure class. Hashing the kind
+    makes the local gate fail exactly where the driver would."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "obj"
+
+
 def values_hash(df: pd.DataFrame) -> str:
     import hashlib
     h = hashlib.sha256()
+    # Per-column dtype kinds participate in the hash: a float64 column of
+    # integral values is NOT equal to an int64 column under the driver.
+    for c in df.columns:
+        h.update(dtype_kind(df[c].dtype).encode())
+        h.update(b",")
+    h.update(b"\n")
     for _, row in df.iterrows():
         for v in row:
             if isinstance(v, float):
@@ -68,6 +91,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+            n_fail += 1
+            continue
+        kinds_s = [dtype_kind(s[c].dtype) for c in s.columns]
+        kinds_o = [dtype_kind(o[c].dtype) for c in o.columns]
+        if kinds_s != kinds_o:
+            diffs = [f"{c}: spark {ks} vs oracle {ko}"
+                     for c, ks, ko in zip(s.columns, kinds_s, kinds_o) if ks != ko]
+            print(f"FAIL {name}: dtype kind mismatch — {'; '.join(diffs)}")
             n_fail += 1
             continue
         hs, ho = values_hash(s), values_hash(o)
