@@ -236,7 +236,80 @@ object Bench {
           errors("jaccard_crossover") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           Seq.empty
       }
-    val results = volume ++ registered ++ crossover
+    // CONTAINMENT strategy-crossover measurement — the asymmetric mirror
+    // of the jaccard block: the same large-vocab Zipf corpus, timed for
+    // the count path, the one-sided prefix path, and the chooser. The
+    // r18 calibration (PLANS.md): prefix wins EVERY measured containment
+    // regime at t=0.9 (gate corpus 1.09 vs 1.37 s sf0.01, 6.4 vs 8.9 s
+    // sf0.1, Zipf 1.1 vs 6.3 s) because the probe prefix is ~n/10 tokens
+    // and the n_sup size filter prunes the verify join; the count path's
+    // regime is LOW thresholds on dense vocabularies (probe prefix ~n/2).
+    val containmentCrossover: Seq[(String, Double)] =
+      if (!wanted("containment_crossover")) Seq.empty
+      else try {
+        import org.apache.spark.sql.functions._
+        val nDocs = 4000
+        val docLen = 30
+        val vocab = 30000
+        val docs = spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          lit("src").as("source"),
+          array_join(
+            transform(sequence(lit(0), lit(docLen - 1)), j =>
+              concat(lit("t"), floor(exp(
+                (pmod(((col("id") * docLen + j) * 2654435761L), lit(1048576L))
+                  .cast("double") / 1048576.0) * math.log(vocab.toDouble))).cast("long"))),
+            " ").as("text"))
+          .localCheckpoint(true)
+        def time(body: => Long): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val rows = body
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        def med3(body: => Long): (Double, Long) = {
+          val samples = (1 to reps).map(_ => time(body))
+          (graft.volume.VolumeBench.median(samples.map(_._1)), samples.head._2)
+        }
+        val (tCount, nCount) = med3(
+          graft.dedup.Dedup.tokenContainmentPairs(docs, threshold = 0.9).count())
+        val (tPrefix, nPrefix) = med3(
+          graft.dedup.Dedup.tokenContainmentPairsPrefix(docs, threshold = 0.9).count())
+        if (nCount != nPrefix)
+          errors("containment_crossover") = s"strategy outputs diverged: $nCount vs $nPrefix pairs"
+        val (tAuto, nAuto) = med3(
+          graft.dedup.Dedup.tokenContainmentPairsAuto(docs, threshold = 0.9).count())
+        if (nAuto != nCount)
+          errors("containment_crossover_auto") = s"auto output diverged: $nAuto vs $nCount pairs"
+        val zipfStats = graft.dedup.Dedup.containmentStrategyStats(docs, threshold = 0.9)
+        val zipfMeasuredPrefixWins = tPrefix < tCount
+        if (zipfStats.preferPrefix != zipfMeasuredPrefixWins)
+          errors("containment_chooser_zipf") =
+            s"chooser preferPrefix=${zipfStats.preferPrefix} but measured prefix=$tPrefix count=$tCount"
+        docProbes("containment_auto_zipf_picked_prefix") = if (zipfStats.preferPrefix) 1.0 else 0.0
+        // the GATE corpus (documents + prefix-half copies): the chooser
+        // must pick prefix — the measured winner at every sf (r18:
+        // sf0.01 1.09 vs 1.37 s, sf0.1 6.4 vs 8.9 s)
+        val base = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"))
+        val gate = base.unionByName(base.select(
+          (col("doc_id") + lit(2000000L)).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2), ' ')").as("text"),
+          col("source")))
+        val gateStats = graft.dedup.Dedup.containmentStrategyStats(gate, threshold = 0.9)
+        docProbes("containment_auto_gate_picked_prefix") = if (gateStats.preferPrefix) 1.0 else 0.0
+        if (!gateStats.preferPrefix)
+          errors("containment_chooser_gate") =
+            "chooser preferPrefix=false on the gate corpus (measured loser, r18: 8.9 s vs 6.4 s at sf0.1)"
+        Seq(
+          "containment_crossover_largevocab_count" -> tCount,
+          "containment_crossover_largevocab_prefix" -> tPrefix,
+          "containment_crossover_largevocab_auto" -> tAuto)
+      } catch {
+        case e: Throwable =>
+          errors("containment_crossover") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          Seq.empty
+      }
+    val results = volume ++ registered ++ crossover ++ containmentCrossover
     // SCALE-CURVE measurement: the dedup/ANN/span family timed at
     // sf0.001/0.01/0.1 in THIS session, min-of-2 reps per point, slopes
     // emitted per query. `slope` = (t(sf0.1)/t(sf0.01)) / 10 — the
@@ -250,7 +323,8 @@ object Bench {
     val scaleCurveFamily = Seq(
       "doc_exact_dedup", "doc_minhash_dedup", "doc_simhash_dedup",
       "doc_jaccard_pairs", "doc_jaccard_pairs_ppjoin", "doc_jaccard_pairs_auto",
-      "doc_containment_pairs", "doc_cdc_dedup", "doc_shingle_jaccard",
+      "doc_containment_pairs", "doc_containment_pairs_prefix",
+      "doc_containment_pairs_auto", "doc_cdc_dedup", "doc_shingle_jaccard",
       "doc_dup_spans", "doc_dup_spans_rolling", "doc_dedup_incremental",
       "doc_dedup_corpus", "doc_contamination_bloom",
       "emb_cosine_topk", "emb_lsh_dedup", "emb_semantic_dedup", "emb_kmeans",

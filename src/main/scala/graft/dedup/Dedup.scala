@@ -789,7 +789,10 @@ object Dedup {
     * CANDIDATE-PAIR volume:
     *
     *  - `countPathPairs` is exact: the count-based posting join emits
-    *    Σ_term C(min(df, maxTermDf), 2) co-occurrence rows.
+    *    Σ_{df ≤ maxTermDf} C(df, 2) co-occurrence rows — over-cap terms
+    *    are EXCLUDED from candidate generation entirely (the dense-term
+    *    list only corrects intersection counts of pairs already found),
+    *    so they contribute zero, not C(cap, 2).
     *  - `prefixPathPairs` is an estimate: a doc's prefix indexes its
     *    n − ⌈t·n⌉ + 1 RAREST terms, so the total prefix-posting quota is
     *    filled from the df-ascending end of the vocabulary and pairs are
@@ -803,19 +806,22 @@ object Dedup {
       nPostings: Long,
       vocab: Long,
       countPathPairs: Double,
-      prefixPathPairs: Double) {
+      prefixPathPairs: Double,
+      costWeight: Double = 8.0) {
     /** The chooser's verdict. Candidate volumes are weighted by
       * per-candidate cost: a count-path candidate is one counted
       * co-occurrence row through a groupBy, while a prefix-path candidate
-      * pays a pair dedup plus two joins shipping FULL token arrays plus
-      * an exact array_intersect — roughly an order of magnitude per row
-      * (the r12 measurement: prefix lost 4-16x on the dense corpus at
-      * comparable candidate counts, won 9.5x on the Zipf corpus where
-      * its volume collapses 100-1000x). The 8x weight sits safely inside
-      * both measured regimes, so the verdict flips only on a genuine
-      * volume collapse, never on estimate noise.
+      * pays a pair dedup plus joins shipping FULL token arrays plus
+      * an exact array_intersect (the r12 measurement: prefix lost 4-16x
+      * on the dense corpus at comparable candidate counts, won 9.5x on
+      * the Zipf corpus where its volume collapses 100-1000x). The weight
+      * sits safely inside all measured regimes — 8x for the symmetric
+      * Jaccard verify join (two array-shipping joins), 3x for
+      * containment (one-sided probe, n_sup size filter pre-pruning; the
+      * r18 calibration: regimes demand w ∈ [2.6, 4.3]) — so the verdict
+      * flips only on a genuine volume collapse, never on estimate noise.
       */
-    def preferPrefix: Boolean = prefixPathPairs * 8 < countPathPairs
+    def preferPrefix: Boolean = prefixPathPairs * costWeight < countPathPairs
   }
 
   /** ONE cheap stats pass measuring [[JaccardStrategyStats]]: a sizes
@@ -848,8 +854,8 @@ object Dedup {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val vocab = hist.map(_._2).sum
     val countPairs = hist.map { case (df, nt) =>
-      val d = math.min(df, maxTermDf.toLong).toDouble
-      nt.toDouble * d * (d - 1) / 2
+      // over-cap terms generate ZERO candidates (excluded, not truncated)
+      if (df > maxTermDf) 0.0 else nt.toDouble * df * (df - 1) / 2
     }.sum
     var remaining = nPref.toDouble
     var prefixPairs = 0.0
@@ -955,16 +961,20 @@ object Dedup {
     * df-histogram-of-histogram exchange, different volume algebra:
     *
     *  - count path (shared [[pairIntersections]] frame): exact —
-    *    Σ_term C(min(df, cap), 2) co-occurrence rows (direction
-    *    duplication happens after aggregation and is free).
+    *    Σ_{df ≤ cap} C(df, 2) co-occurrence rows (over-cap terms are
+    *    excluded from candidates entirely; direction duplication happens
+    *    after aggregation and is free).
     *  - prefix path: prefix-posting mass fills from the df-ascending end
     *    (the sub prefix length n − ⌈t·n⌉ + 1 is the SAME formula as
     *    Jaccard's, so the quota is the same `pref` aggregate); each
     *    prefix posting at a term of full df joins df − 1 index rows.
     *
-    * Reuses [[JaccardStrategyStats]] (identical fields and the same 8×
-    * per-candidate cost weight: a prefix candidate pays dedup + two
-    * verify joins + an exact intersect vs one counted co-occurrence row).
+    * Reuses [[JaccardStrategyStats]] with costWeight = 3 — containment's
+    * prefix candidates are cheaper than Jaccard's (one-sided probe and
+    * the n_sup ≥ ⌈t·n_sub⌉ size filter prunes before the array-shipping
+    * verify join). r18 calibration across five measured regimes (gate
+    * corpus sf0.01/sf0.1, Zipf, dense-vocab t=0.5/0.9): every regime's
+    * measured winner is reproduced by any w ∈ [2.6, 4.3].
     */
   def containmentStrategyStats(
       docs: DataFrame,
@@ -988,8 +998,8 @@ object Dedup {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val vocab = hist.map(_._2).sum
     val countPairs = hist.map { case (df, nt) =>
-      val d = math.min(df, maxTermDf.toLong).toDouble
-      nt.toDouble * d * (d - 1) / 2
+      // over-cap terms generate ZERO candidates (excluded, not truncated)
+      if (df > maxTermDf) 0.0 else nt.toDouble * df * (df - 1) / 2
     }.sum
     var remaining = nPref.toDouble
     var prefixPairs = 0.0
@@ -1001,7 +1011,7 @@ object Dedup {
         remaining -= used
       }
     }
-    JaccardStrategyStats(nDocs, nPost, vocab, countPairs, prefixPairs)
+    JaccardStrategyStats(nDocs, nPost, vocab, countPairs, prefixPairs, costWeight = 3.0)
   }
 
   /** COST-BASED exact containment — [[tokenJaccardPairsAuto]]'s sibling:

@@ -341,6 +341,78 @@ object PlanAudit {
         s"rows=$qRows/$lRows direct=$direct append_parity_bad=$parityBad")
   }
 
+  /** The QUANTILE lifecycle must restore the skew-robust skip bound
+    * post-compaction — [[zorderLifecycleShape]]'s equi-depth twin on the
+    * deliberately skewed corpus: clusterQuantile the even half (CDF
+    * trained there), appendQuantile the odd half through FROZEN
+    * boundaries (probes stay row-exact mid-lifecycle — appended files
+    * merely widen envelopes), then compactQuantile with RETRAINED
+    * boundaries and demand the full quantile skip bound back (≤14/32,
+    * the [[zorderQuantileSkewShape]] bound) — all probes row-exact.
+    */
+  def zquantileLifecycleShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, expr}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val out = new java.io.File(tmp, "graft_zqlife_probe").getAbsolutePath
+    val dest = new java.io.File(tmp, "graft_zqlife_probe_c").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    val box = Seq(("x", 32L, 32L))
+    graft.operators.ZOrder.clusterQuantile(
+      src.filter(col("id") % 2 === 0), Seq("x", "y"), nFiles = 16, out)
+    graft.operators.ZOrder.appendQuantile(
+      src.filter(col("id") % 2 === 1), Seq("x", "y"), out, nFiles = 4)
+    val (appended, ap) = graft.operators.ZOrder.prunedRead(spark, out, box)
+    graft.operators.ZOrder.compactQuantile(spark, out, dest, Seq("x", "y"), nFiles = 32)
+    val (compacted, cp) = graft.operators.ZOrder.prunedRead(spark, dest, box)
+    val direct = src.filter(col("x") === 32).count()
+    val aRows = appended.count()
+    val cRows = compacted.count()
+    Shape(
+      aRows == direct && cRows == direct
+        && ap.filesTotal == 20 && cp.filesTotal == 32 && cp.filesSelected <= 14,
+      s"append_files=${ap.filesSelected}/${ap.filesTotal} " +
+        s"compact_files=${cp.filesSelected}/${cp.filesTotal} " +
+        s"rows=$aRows/$cRows direct=$direct")
+  }
+
+  /** Streaming quantile ingest must keep skipping row-exact BETWEEN
+    * batches — the q34 contract below the plan: bootstrap a frozen-
+    * boundary layout on the even half, land the odd half in sequential
+    * appendQuantile batches (the foreachBatch unit of work), and probe
+    * the layout after EVERY batch: row-exact at each point, and the
+    * probe must never lose the superset guarantee or the skip win on
+    * the final layout.
+    */
+  def zquantileStreamShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, expr}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val out = new java.io.File(tmp, "graft_zqstream_probe").getAbsolutePath
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    graft.operators.ZOrder.clusterQuantile(shaped(0, 50000), Seq("x", "y"),
+      nFiles = 16, out)
+    val batches = Seq((50000L, 66000L), (66000L, 83000L), (83000L, 100000L))
+    val box = Seq(("x", 32L, 32L))
+    var exact = true
+    val details = new scala.collection.mutable.ArrayBuffer[String]
+    batches.foreach { case (lo, hi) =>
+      graft.operators.ZOrder.appendQuantile(shaped(lo, hi), Seq("x", "y"), out, nFiles = 1)
+      val (got, p) = graft.operators.ZOrder.prunedRead(spark, out, box)
+      val want = (0L until hi).count(_ % 20 == 5).toLong // x == 32 <=> id % 20 == 5
+      val rows = got.count()
+      exact &&= rows == want && p.filesSelected < p.filesTotal
+      details += s"${p.filesSelected}/${p.filesTotal}:$rows/$want"
+    }
+    Shape(exact, s"per_batch=${details.mkString(" ")}")
+  }
+
   /** The 3-column Morton layout must skip files on a 3-D box probe:
     * cluster a synthetic 3-D table (100k rows, 32 files, three coprime
     * value lanes), probe a ~2%-volume box through the manifest on ALL
@@ -476,6 +548,8 @@ object PlanAudit {
     "q30_hilbert3_quantile" -> quantileHilbert3SkewShape,
     "q31_bloom_skipping" -> bloomSkipShape,
     "q25_zorder_lifecycle" -> zorderLifecycleShape,
+    "q33_zquantile_lifecycle" -> zquantileLifecycleShape,
+    "q34_zquantile_stream" -> zquantileStreamShape,
     "q26_hilbert_keys" -> hilbertSkipShape,
     "doc_warc_multifile" -> warcMultiIntakeShape,
     "vol_zarr3_sharded_point" -> shardedPointShape,
@@ -638,6 +712,13 @@ object PlanAudit {
     // frozen-clamp gate reads STORED layout keys: the 1 is the output
     // sort (cluster/append jobs are one-time, marker-cached)
     "q32_zquantile_frozen_clamp" -> 1,
+    // quantile lifecycle gate reads STORED keys off the compacted
+    // layout: 1 = the output sort, same contract as q25
+    "q33_zquantile_lifecycle" -> 1,
+    // streaming-ingest gate reads the STORED streamed layout: 1 = the
+    // output sort (bootstrap + micro-batch jobs are one-time,
+    // marker-cached)
+    "q34_zquantile_stream" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

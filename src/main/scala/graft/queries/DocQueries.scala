@@ -297,6 +297,59 @@ object DocQueries {
         ORDER BY doc_a, doc_b
       """
 
+  /** The containment-gate corpus: every document plus a prefix-half copy
+    * (offset by 2·DupOffset) — each half's token set is contained in its
+    * original with containment exactly 1. Shared by the three containment
+    * gates so all strategies run on identical input.
+    */
+  private def containmentCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val halves = docs.select(
+      (col("doc_id") + lit(2 * DupOffset)).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2), ' ')").as("text"),
+      col("source"))
+    docs.select(col("doc_id"), col("text"), col("source")).unionByName(halves)
+  }
+
+  /** Shared oracle for the containment strategies (count-based postings,
+    * prefix-filtered, and the cost-based chooser): exact |A∩B|/|A| over
+    * every co-occurring in-block directed pair — output identity between
+    * the strategies is part of what the gates prove.
+    */
+  private lazy val containmentPairsOracle = s"""
+        WITH corpus AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + ${2 * DupOffset},
+                 array_to_string(list_slice(string_split(text, ' '), 1,
+                   (len(string_split(text, ' ')) + 1) // 2), ' ') AS text,
+                 source
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS term
+          FROM corpus
+        ), sizes AS (
+          SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n
+          FROM corpus
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks a JOIN toks b
+            ON a.source = b.source AND a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), directed AS (
+          SELECT p.doc_a AS doc_sub, p.doc_b AS doc_sup,
+                 CAST(p.c AS DOUBLE) / sa.n AS containment
+          FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+          UNION ALL
+          SELECT p.doc_b AS doc_sub, p.doc_a AS doc_sup,
+                 CAST(p.c AS DOUBLE) / sb.n AS containment
+          FROM pairs p JOIN sizes sb ON p.doc_b = sb.doc_id
+        )
+        SELECT doc_sub, doc_sup, containment FROM directed
+        WHERE containment >= 0.9
+        ORDER BY doc_sub, doc_sup
+      """
+
   /** Shared oracle for the two span-fingerprint strategies (md5-per-window
     * and the O(n) Rabin-Karp rolling form): per-doc window/dup-window
     * counts are fingerprint-agnostic, so both must match this exactly —

@@ -1303,5 +1303,116 @@ object RelationalQueries {
       },
       Some(zquantileFrozenClampOracle),
     ),
+    // QUANTILE-LANE LAYOUT LIFECYCLE — q25's rebuild contract proven for
+    // the skew-robust path users should actually pick: clusterQuantile
+    // on the even-orderkey half (CDF trained there, `_zqbounds` frozen),
+    // appendQuantile the odd half through the frozen boundaries (every
+    // appended xv is a NEVER-SEEN value exercising the clamp, as in
+    // q32), then compactQuantile into a fresh full re-cluster with
+    // RETRAINED equi-depth boundaries. The gate reads the compacted
+    // layout's STORED keys back and the oracle is the canonical
+    // single-shot quantile algebra over the whole table (q27's oracle,
+    // verbatim) — i.e. cluster half + frozen append + compact == one
+    // fresh quantile clustering, row for row. 1 exchange: the output
+    // sort over the already-laid-out files.
+    Q(
+      "q33_zquantile_lifecycle",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"))
+        val root = sys.props("java.io.tmpdir") + "/graft_zqlife/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        if (!new java.io.File(s"$root/_COMPACTED").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.clusterQuantile(skewed.filter(col("l_orderkey") % 2 === 0),
+            Seq("xv", "yv"), nFiles = 8, out = s"$root/base", bits = 8)
+          ZOrder.appendQuantile(skewed.filter(col("l_orderkey") % 2 === 1),
+            Seq("xv", "yv"), out = s"$root/base", nFiles = 2, bits = 8)
+          ZOrder.compactQuantile(s, s"$root/base", s"$root/compacted",
+            Seq("xv", "yv"), nFiles = 8, bits = 8)
+          new java.io.File(s"$root/_COMPACTED").createNewFile()
+        }
+        s.read.parquet(s"$root/compacted")
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey").as("qkey"))
+          .orderBy(col("qkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zorderQuantileOracle),
+    ),
+    // STREAMING layout ingest — the Delta/Iceberg "stream into an
+    // OPTIMIZE'd table" shape as a driver gate: boundaries are trained
+    // ONCE at bootstrap (clusterQuantile on the even-orderkey half,
+    // `_zqbounds` frozen), then the odd half arrives as a MemoryStream
+    // in four deterministic micro-batches, each landing through
+    // foreachBatch → appendQuantile. Frozen boundaries make the result
+    // BATCH-SIZE-INVARIANT — four micro-batches produce byte-identical
+    // keys to q32's one-shot append — so the oracle is q32's frozen-
+    // clamp algebra over the full arrival set, verbatim, and the hash
+    // proves stream == batch row for row. (ZOrderSpec additionally pins
+    // mid-stream skipping row-exactness between batches; the collect
+    // feeding MemoryStream is gate fixture plumbing, not engine path.)
+    Q(
+      "q34_zquantile_stream",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"))
+        val root = sys.props("java.io.tmpdir") + "/graft_zqstream/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        if (!new java.io.File(s"$root/_STREAMED").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.clusterQuantile(skewed.filter(col("l_orderkey") % 2 === 0),
+            Seq("xv", "yv"), nFiles = 8, out = s"$root/base", bits = 8)
+          import s.implicits._
+          implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+          val input = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Long, Long, Long)]
+          val query = input.toDF()
+            .select(col("_1").as("l_orderkey"), col("_2").as("l_linenumber"),
+              col("_3").as("xv"), col("_4").as("yv"))
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              ZOrder.appendQuantile(batch, Seq("xv", "yv"), out = s"$root/base",
+                nFiles = 1, bits = 8)
+              ()
+            }
+            .start()
+          try {
+            val odd = skewed.filter(col("l_orderkey") % 2 === 1)
+              .orderBy(col("l_orderkey"), col("l_linenumber"))
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            odd.grouped(math.max(1, (odd.length + 3) / 4)).foreach { chunk =>
+              input.addData(chunk.toSeq: _*)
+              query.processAllAvailable()
+            }
+          } finally query.stop()
+          new java.io.File(s"$root/_STREAMED").createNewFile()
+        }
+        s.read.parquet(s"$root/base")
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zquantileFrozenClampOracle),
+    ),
   )
 }

@@ -123,6 +123,58 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(j.isEmpty)
   }
 
+  test("tokenContainmentPairsPrefix: one-sided prefix filtering is lossless (same output)") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_sub", "doc_sup", "containment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.5, 0.8, 0.9)) {
+      assert(norm(Dedup.tokenContainmentPairsPrefix(docs, threshold = t)) ===
+        norm(Dedup.tokenContainmentPairs(docs, threshold = t)), s"threshold $t")
+    }
+  }
+
+  test("tokenContainmentPairsAuto: chooser verdicts per regime; output matches the picked strategy") {
+    import spark.implicits._
+    // DENSE regime under the df cap (every term df ≈ 145 ≤ cap, so the
+    // count path is exact): prefix's probe×full-index volume exceeds 3×
+    // the counted co-occurrences at a LOW threshold, where probe
+    // prefixes are half the doc
+    val vocabDense = (0 until 31).map(i => s"w$i")
+    val dense = (0L until 400L).map { i =>
+      (i, (0 until 12).map(j => vocabDense(((i * 7 + j * 3) % 31).toInt)).distinct.mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val denseStats = Dedup.containmentStrategyStats(dense, threshold = 0.5)
+    assert(!denseStats.preferPrefix,
+      s"dense low-threshold corpus must pick the count path: $denseStats")
+    // LARGE-VOCAB Zipf regime: rare probe prefixes joining rare full
+    // postings — candidate volume collapses, prefix must win
+    val zipf = spark.range(400).select(
+      col("id").as("doc_id"),
+      lit("s").as("source"),
+      array_join(
+        transform(sequence(lit(0), lit(29)), j =>
+          concat(lit("t"), floor(exp(
+            (pmod(((col("id") * 30 + j) * 2654435761L), lit(1048576L))
+              .cast("double") / 1048576.0) * math.log(20000.0))).cast("long"))),
+        " ").as("text"))
+    val zipfStats = Dedup.containmentStrategyStats(zipf, threshold = 0.9)
+    assert(zipfStats.preferPrefix,
+      s"large-vocab Zipf corpus must pick the prefix path: $zipfStats")
+    // count-path estimate is what the code emits: over-cap terms are
+    // EXCLUDED (zero candidates), not truncated to C(cap, 2)
+    val allOverCap = Dedup.containmentStrategyStats(dense, threshold = 0.5, maxTermDf = 10)
+    assert(allOverCap.countPathPairs === 0.0,
+      s"df>cap terms must contribute zero count-path candidates: $allOverCap")
+    // whichever side the chooser takes, output is the fixed strategies'
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_sub", "doc_sup", "containment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(norm(Dedup.tokenContainmentPairsAuto(dense, threshold = 0.5)) ===
+      norm(Dedup.tokenContainmentPairs(dense, threshold = 0.5)))
+    assert(norm(Dedup.tokenContainmentPairsAuto(zipf, threshold = 0.9)) ===
+      norm(Dedup.tokenContainmentPairsPrefix(zipf, threshold = 0.9)))
+  }
+
   test("tokenJaccardPairsPrefix: prefix filtering is lossless (same output)") {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b", "jaccard").collect()
