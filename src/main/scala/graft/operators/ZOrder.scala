@@ -796,15 +796,26 @@ object ZOrder {
     implicit val fc: FioConf = FioConf.of(spark)
     graft.functions.GraftFunctions.register(spark)
     val sidecar = Fio.child(out, "_zbloom")
-    val covered: Map[String, Set[String]] =
-      spark.read.parquet(sidecar).select(col("column"), col("file"))
-        .collect().groupBy(_.getString(0)).view
-        .mapValues(_.map(_.getString(1)).toSet).toMap
     val files = dataFiles(out)
+    // first call on an un-indexed layout: build, don't throw — update
+    // must be safe to call unconditionally in an ingest loop
+    if (!Fio.exists(sidecar)) {
+      writeBloomSidecar(spark, out, cols, estimatedItems, numBits)
+      return files.size
+    }
     val byName = files.map(f => new org.apache.hadoop.fs.Path(f).getName -> f).toMap
+    // covered-file diff as a distributed ANTI-JOIN: the sidecar side
+    // (O(files·cols) rows in a >100k-file catalog) never materializes on
+    // the driver — only the MISSING names collect, O(appended-since-
+    // last-build) by construction
+    import spark.implicits._
+    val universe = byName.keySet.toSeq.toDF("file")
+    val side = spark.read.parquet(sidecar).select(col("column"), col("file"))
     var newlyCovered = Set.empty[String]
     val parts = cols.flatMap { c =>
-      val missing = byName.keySet -- covered.getOrElse(c, Set.empty)
+      val missing = universe
+        .join(side.filter(col("column") === c).select(col("file")), Seq("file"), "left_anti")
+        .collect().map(_.getString(0)).toSet
       if (missing.isEmpty) None
       else {
         newlyCovered ++= missing
@@ -888,6 +899,72 @@ object ZOrder {
       rows.map(_.getString(0)).toSet)
   }
 
+  /** [[prunedReadPoint]]'s CATALOG-SCALE face — the [[prunedReadDistributed]]
+    * pattern applied to the Bloom probe: [[bloomSurvivors]] collects one
+    * (file, hit) boolean per sidecar row, which is O(files) driver rows;
+    * past ~100k files even that stops being free. Here membership testing
+    * AND the coverage rule evaluate in Spark — survivors come from a
+    * distributed filter over the sidecar, uncovered files from an
+    * anti-join of the listing against the sidecar's file set — so only
+    * the KEPT paths collect (it must — the reader takes paths): O(hits +
+    * appended-since-last-build), not O(catalog). File lists are identical
+    * to the driver path by construction (same hashes, same filters, same
+    * coverage rule); ZOrderSpec proves it probe for probe.
+    */
+  def prunedReadPointDistributed(
+      spark: SparkSession,
+      out: String,
+      column: String,
+      values: Seq[Any]): (DataFrame, ZPruneProbe) = {
+    require(values.nonEmpty, "prunedReadPointDistributed needs at least one probe value")
+    implicit val fc: FioConf = FioConf.of(spark)
+    val colType = spark.read.parquet(out).schema
+      .find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"no column $column under $out"))
+      .dataType
+    val probeHashes = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v).cast(colType))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val mightAny = udf { bytes: Array[Byte] =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+      probeHashes.exists(bf.mightContainLong)
+    }
+    val all = dataFiles(out).map(f => new org.apache.hadoop.fs.Path(f).getName)
+    val side = spark.read.parquet(Fio.child(out, "_zbloom"))
+      .filter(col("column") === column)
+    val hits = side.filter(mightAny(col("bloom")))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    // coverage rule, distributed: files the sidecar does not cover are
+    // never bloom-pruned (superset guarantee) — anti-join keeps the
+    // sidecar side un-collected
+    import spark.implicits._
+    val uncovered = all.toDF("file")
+      .join(side.select(col("file")), Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
+    val keep = (hits ++ uncovered).distinct.sorted
+    val base =
+      if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+      else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+    (base.filter(col(column).isin(values: _*)), ZPruneProbe(keep.length, all.size))
+  }
+
+  /** Threshold-selected point read — [[prunedReadAuto]]'s Bloom twin:
+    * small catalogs take [[prunedReadPoint]]'s one-collect probe (one
+    * boolean per file), catalogs past `distributedThreshold` data files
+    * take [[prunedReadPointDistributed]]'s in-Spark membership pass.
+    */
+  def prunedReadPointAuto(
+      spark: SparkSession,
+      out: String,
+      column: String,
+      values: Seq[Any],
+      distributedThreshold: Int = 100000): (DataFrame, ZPruneProbe) = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    if (dataFiles(out).size > distributedThreshold)
+      prunedReadPointDistributed(spark, out, column, values)
+    else prunedReadPoint(spark, out, column, values)
+  }
+
   /** COMBINED pruning: a conjunctive box on clustered columns AND a
     * point predicate on an unclustered key — the realistic lookup shape
     * ("rows for key K inside range R") — each pruned by its own index
@@ -907,17 +984,24 @@ object ZOrder {
     // same coverage rule as prunedReadPoint: a file the sidecar does
     // not cover is never bloom-pruned (superset guarantee)
     val bloomKeep = hit.toSet
+    val all = dataFiles(out).map(f => new org.apache.hadoop.fs.Path(f).getName)
     val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
       .select(col("file"), col("column"), col("min_v"), col("max_v"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    val total = manifest.map(_._1).distinct.length
-    val keep = manifest.groupBy(_._1).collect {
-      case (f, stats) if (bloomKeep(f) || !indexed(f)) && box.forall { case (c, lo, hi) =>
-        stats.find(_._2 == c).forall { case (_, _, mn, mx) => mx >= lo && mn <= hi }
-      } => f
-    }.toSeq.sorted
-    val (df, probe) = readKeep(spark, out, keep, box, total)
+    val byFile = manifest.groupBy(_._1)
+    // the file UNIVERSE is the directory listing, not the manifest: a
+    // data file with zero manifest rows (all-null clustered columns, or
+    // written outside cluster/append) is envelope-UNPRUNABLE — dropping
+    // it would be a false negative. It stays bloom-prunable when the
+    // sidecar covers it; both prunings remain superset guarantees.
+    val keep = all.filter { f =>
+      (bloomKeep(f) || !indexed(f)) &&
+        byFile.get(f).forall(stats => box.forall { case (c, lo, hi) =>
+          stats.find(_._2 == c).forall { case (_, _, mn, mx) => mx >= lo && mn <= hi }
+        })
+    }.sorted
+    val (df, probe) = readKeep(spark, out, keep, box, all.size)
     (df.filter(col(column).isin(values: _*)), probe)
   }
 

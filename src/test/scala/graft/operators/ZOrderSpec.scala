@@ -404,6 +404,78 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(p.filesSelected < p.filesTotal)
   }
 
+  test("prunedReadPointDistributed: identical file lists to the driver path, probe for probe") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zptdist").toString
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 32, out)
+    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    // a file appended AFTER the sidecar was built: uncovered — BOTH
+    // paths' coverage rule must keep it unconditionally
+    ZOrder.append(spark.range(100000, 101000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y")),
+      Seq("x", "y"), out, nFiles = 1)
+    val probes = Seq(
+      Seq(0L, 31337L, 99999L), // present, covered files
+      Seq(100500L),            // present only in the uncovered appended file
+      Seq(400000L, 500000L))   // absent everywhere
+    probes.foreach { keys =>
+      val (dDf, d) = ZOrder.prunedReadPoint(spark, out, "id", keys)
+      val (sDf, s) = ZOrder.prunedReadPointDistributed(spark, out, "id", keys)
+      assert(s.filesSelected === d.filesSelected && s.filesTotal === d.filesTotal, keys.toString)
+      if (d.filesSelected > 0)
+        assert(sDf.inputFiles.sorted.toSeq === dDf.inputFiles.sorted.toSeq, keys.toString)
+      assert(sDf.select("id").as[Long].collect().sorted.toSeq ===
+        dDf.select("id").as[Long].collect().sorted.toSeq, keys.toString)
+    }
+    // auto selector: driver path below the threshold, distributed above —
+    // same probe either way
+    val (aDf, a) = ZOrder.prunedReadPointAuto(spark, out, "id", probes.head)
+    val (bDf, b) = ZOrder.prunedReadPointAuto(spark, out, "id", probes.head,
+      distributedThreshold = 1)
+    assert(a === b && aDf.count() === bDf.count())
+  }
+
+  test("prunedReadBoxPoint: a data file with no manifest rows is never silently dropped") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zorphan").toString
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 16, out)
+    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    // an ORPHAN file written outside cluster/append: zero manifest rows,
+    // zero sidecar rows — envelope-unprunable AND bloom-uncovered, so
+    // the superset guarantee must keep it in every combined probe
+    spark.range(200000, 200010).select(
+      col("id"), lit(200L).as("x"), lit(120L).as("y"))
+      .coalesce(1).write.mode("append").parquet(out)
+    val box = Seq(("x", 150L, 250L))
+    val keys = Seq(200005L, 16050L)
+    val (df, p) = ZOrder.prunedReadBoxPoint(spark, out, box, "id", keys)
+    val got = df.select("id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(16050L, 200005L),
+      s"orphan-file row lost by combined pruning: $got")
+    // the probe's universe is the listing, orphan included
+    assert(p.filesTotal === 17, s"filesTotal=${p.filesTotal}")
+    assert(p.filesSelected < p.filesTotal)
+  }
+
+  test("updateBloomSidecar: first call on an un-indexed layout builds instead of throwing") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zbloomfb").toString
+    val src = spark.range(50000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 8, out)
+    // no writeBloomSidecar first — update must fall back to a full build
+    assert(ZOrder.updateBloomSidecar(spark, out, Seq("id")) === 8)
+    val (hit, p) = ZOrder.prunedReadPoint(spark, out, "id", Seq(31337L))
+    assert(hit.select("id").as[Long].collect().toSeq === Seq(31337L))
+    assert(p.filesSelected < p.filesTotal)
+    // idempotent from here on
+    assert(ZOrder.updateBloomSidecar(spark, out, Seq("id")) === 0)
+  }
+
   test("hilbert kernel == staged Column algebra == nested Column algebra") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
