@@ -1005,6 +1005,77 @@ object ZOrder {
     (df.filter(col(column).isin(values: _*)), probe)
   }
 
+  /** [[prunedReadBoxPoint]]'s CATALOG-SCALE face — both index passes
+    * evaluated in Spark and INTERSECTED there, completing the
+    * distributed-pruning matrix (box: [[prunedReadDistributed]], point:
+    * [[prunedReadPointDistributed]], combined: this). The box leg is the
+    * manifest anti-join (a file survives iff no stat row violates the
+    * box); the point leg is the sidecar membership filter plus the
+    * coverage anti-join; their intersection collects only the FINAL keep
+    * list: O(selected + appended-since-last-build), never O(catalog).
+    * File lists are identical to the driver path by construction;
+    * ZOrderSpec proves it probe for probe, orphan files included.
+    */
+  def prunedReadBoxPointDistributed(
+      spark: SparkSession,
+      out: String,
+      box: Seq[(String, Long, Long)],
+      column: String,
+      values: Seq[Any]): (DataFrame, ZPruneProbe) = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    require(values.nonEmpty, "prunedReadBoxPointDistributed needs at least one probe value")
+    val colType = spark.read.parquet(out).schema
+      .find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"no column $column under $out"))
+      .dataType
+    val probeHashes = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v).cast(colType))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val mightAny = udf { bytes: Array[Byte] =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+      probeHashes.exists(bf.mightContainLong)
+    }
+    import spark.implicits._
+    val all = dataFiles(out).map(f => new org.apache.hadoop.fs.Path(f).getName)
+    val universe = all.toDF("file")
+    // box leg: a file is DROPPED iff some stat row of a boxed column
+    // violates the box — files without manifest rows have no violating
+    // row and survive (the superset rule for orphans)
+    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+    val violates = box.map { case (c, lo, hi) =>
+      col("column") === c && (col("max_v") < lo || col("min_v") > hi)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val boxKeep = universe
+      .join(manifest.filter(violates).select(col("file")).distinct(), Seq("file"), "left_anti")
+    // point leg: bloom hits ∪ files the sidecar does not cover
+    val side = spark.read.parquet(Fio.child(out, "_zbloom"))
+      .filter(col("column") === column)
+    val bloomHits = side.filter(mightAny(col("bloom"))).select(col("file"))
+    val uncovered = universe.join(side.select(col("file")), Seq("file"), "left_anti")
+    val pointKeep = bloomHits.unionByName(uncovered).distinct()
+    val keep = boxKeep.join(pointKeep, Seq("file"), "left_semi")
+      .collect().map(_.getString(0)).toSeq.sorted
+    val (df, probe) = readKeep(spark, out, keep, box, all.size)
+    (df.filter(col(column).isin(values: _*)), probe)
+  }
+
+  /** Threshold-selected combined read — the auto face of the pruning
+    * matrix's third cell: same 100k-file default as [[prunedReadAuto]]
+    * and [[prunedReadPointAuto]].
+    */
+  def prunedReadBoxPointAuto(
+      spark: SparkSession,
+      out: String,
+      box: Seq[(String, Long, Long)],
+      column: String,
+      values: Seq[Any],
+      distributedThreshold: Int = 100000): (DataFrame, ZPruneProbe) = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    if (dataFiles(out).size > distributedThreshold)
+      prunedReadBoxPointDistributed(spark, out, box, column, values)
+    else prunedReadBoxPoint(spark, out, box, column, values)
+  }
+
   /** Shared tail of the pruning reads: hand the surviving paths to the
     * parquet reader and re-apply the box as a row-exact residual.
     */

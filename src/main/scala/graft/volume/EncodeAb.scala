@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** One-off codec A/B for the ×15 encode stage (scan+kernel+compress, no
   * file I/O): quantifies the blosc-zstd clevel knob and the lz4 escape
-  * hatch against the reference-parity default (zstd-5, byte shuffle).
+  * hatch against the headline codec (r18: zstd-3 adopted after this
+  * A/B plus full-sink reps — PLANS.md "×15 zarr codec"; zstd-5 remains
+  * the reference-parity level for the `--compressor zstd-bit`/`lz4`
+  * CLI flags).
   * Variants are interleaved per rep so an ambient window hits all four
   * equally. Results land in PLANS.md; this main is scratch tooling.
   */

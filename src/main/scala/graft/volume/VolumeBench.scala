@@ -90,7 +90,7 @@ object VolumeBench {
     * shuffling would dominate).
     */
   def upscaleZarr(spark: SparkSession, mhdPath: String, s: Int, outDir: String,
-      shuffle: Int = 1, cname: String = "zstd", clevel: Int = 5): Double = {
+      shuffle: Int = 1, cname: String = "zstd", clevel: Int = 3): Double = {
     val meta = MhdMeta.parse(mhdPath)
     val t0 = System.nanoTime()
     val vol = MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt)
@@ -102,7 +102,7 @@ object VolumeBench {
   /** Same flow into the NGFF-0.5 flagship sink: a zarr v3 SHARDED array
     * (sharding_indexed, crc32c index) — shard grid = the upscaled chunk
     * grid (same file count as the v2 sink), 4 inner chunks per shard,
-    * the same blosc-zstd-5 byte-shuffle codec as the v2 ×15 headline for
+    * the same blosc-zstd-3 byte-shuffle codec as the v2 ×15 headline for
     * an apples-to-apples sink comparison. Zero shuffle: each task
     * assembles and lands its own shards.
     */
@@ -112,7 +112,7 @@ object VolumeBench {
     val vol = MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt)
     Zarr3Store.writeSharded(vol.upscale(s), outDir,
       innerShape = (8, meta.dimY.toInt / 2, meta.dimX.toInt / 2),
-      codec = ZarrStore.BloscCodec("zstd", 5, shuffle = 1),
+      codec = ZarrStore.BloscCodec("zstd", 3, shuffle = 1),
       extraAttrs = Map("source" -> mhdPath, "scale" -> s.toString))
     (System.nanoTime() - t0) / 1e9
   }
@@ -134,7 +134,7 @@ object VolumeBench {
     * `codec` defaults to the headline sink's exact configuration.
     */
   def encodeStageTime(spark: SparkSession, mhdPath: String, s: Int,
-      codec: ZarrStore.Codec = ZarrStore.BloscCodec("zstd", 5, shuffle = 1)): Double = {
+      codec: ZarrStore.Codec = ZarrStore.BloscCodec("zstd", 3, shuffle = 1)): Double = {
     val meta = MhdMeta.parse(mhdPath)
     val t0 = System.nanoTime()
     val vol = MhdReader.read(spark, meta, chunkZ = 8, chunkY = meta.dimY.toInt, chunkX = meta.dimX.toInt)
@@ -303,7 +303,9 @@ object VolumeBench {
       "vol_atlas_upscale_x2_zarr" ->
         (() => upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr")),
       "vol_atlas_upscale_x2_zarr_bit" ->
-        (() => upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr_bit", shuffle = 2)),
+        // clevel 5 explicit: this rep reproduces the reference CLI's
+        // exact Blosc(zstd, 5, BITSHUFFLE) output, not the r18 default
+        (() => upscaleZarr(spark, mhd, 2, s"$workDir/out_x2_zarr_bit", shuffle = 2, clevel = 5)),
       // sink-free codec probes for BOTH ×2 zarr variants, interleaved with
       // the sinks they explain (r11: the zarr_bit headline measured 11.05 s
       // on a 37%-slower disk with no per-stage evidence in the artifact —

@@ -287,9 +287,15 @@ object ZarrStore {
     * byte shuffle otherwise (resolved against typesize at write time).
     * All shuffle modes are cross-validated against an independent
     * numpy/python implementation (ZarrInteropSpec, ZarrStoreSpec).
+    *
+    * Default clevel is 3 (r18 A/B on the ×15 headline: zstd-3 beat
+    * zstd-5 on every paired rep — medians 95.0 vs 107.7 s — at
+    * equal-or-smaller output, 1.1 vs 1.2 GB; PLANS.md "×15 zarr codec").
+    * The reference-parity CLI flags (`lz4`, `zstd-bit`) pass clevel 5
+    * explicitly, reproducing upscale_streaming.py:103–108 byte-for-byte.
     */
   final case class BloscCodec(
-      cname: String = "zstd", clevel: Int = 5, shuffle: Int = 0, typesize: Int = 1)
+      cname: String = "zstd", clevel: Int = 3, shuffle: Int = 0, typesize: Int = 1)
       extends Codec {
     require(shuffle >= -1 && shuffle <= 2,
       s"blosc shuffle mode $shuffle unsupported (-1=auto, 0=none, 1=byte, 2=bit)")

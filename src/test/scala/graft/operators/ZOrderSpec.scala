@@ -461,6 +461,39 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(p.filesSelected < p.filesTotal)
   }
 
+  test("prunedReadBoxPointDistributed: identical file lists to the driver path, orphans included") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zbpdist").toString
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 16, out)
+    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    // orphan: no manifest rows, no sidecar rows — both paths must keep it
+    spark.range(200000, 200010).select(
+      col("id"), lit(200L).as("x"), lit(120L).as("y"))
+      .coalesce(1).write.mode("append").parquet(out)
+    val probes = Seq(
+      (Seq(("x", 150L, 250L)), Seq[Any](16050L, 200005L, 3L)),
+      (Seq(("x", 0L, 316L)), Seq[Any](31337L)),       // full-domain box
+      (Seq(("x", 1000L, 2000L)), Seq[Any](31337L)))   // out-of-domain box
+    probes.foreach { case (box, keys) =>
+      val (dDf, d) = ZOrder.prunedReadBoxPoint(spark, out, box, "id", keys)
+      val (sDf, s) = ZOrder.prunedReadBoxPointDistributed(spark, out, box, "id", keys)
+      assert(s.filesSelected === d.filesSelected && s.filesTotal === d.filesTotal,
+        s"$box $keys: ${s.filesSelected}/${s.filesTotal} vs ${d.filesSelected}/${d.filesTotal}")
+      if (d.filesSelected > 0)
+        assert(sDf.inputFiles.sorted.toSeq === dDf.inputFiles.sorted.toSeq, s"$box $keys")
+      assert(sDf.select("id").as[Long].collect().sorted.toSeq ===
+        dDf.select("id").as[Long].collect().sorted.toSeq, s"$box $keys")
+    }
+    // auto face: driver path below the threshold, distributed above
+    val (box, keys) = probes.head
+    val (aDf, a) = ZOrder.prunedReadBoxPointAuto(spark, out, box, "id", keys)
+    val (bDf, b) = ZOrder.prunedReadBoxPointAuto(spark, out, box, "id", keys,
+      distributedThreshold = 1)
+    assert(a === b && aDf.count() === bDf.count())
+  }
+
   test("updateBloomSidecar: first call on an un-indexed layout builds instead of throwing") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zbloomfb").toString
