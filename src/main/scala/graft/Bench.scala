@@ -251,7 +251,9 @@ object Bench {
         docProbes("jaccard_auto_dense_picked_prefix") = if (denseStats.preferPrefix) 1.0 else 0.0
         if (denseStats.preferPrefix)
           errors("jaccard_chooser_dense") =
-            "chooser preferPrefix=true on the dense harness corpus (measured loser, r12: 16.1 s vs 2.8 s)"
+            "chooser preferPrefix=true on the dense harness corpus (count's regime; " +
+              "r18 post-shuffle-hash the two measure a near-tie there — 2.43 vs 2.35 s " +
+              "at sf0.1 — so either runs fine, but the estimate flipping signals drift)"
         Seq(
           "jaccard_crossover_largevocab_count" -> tCount,
           "jaccard_crossover_largevocab_prefix" -> tPrefix,
@@ -473,12 +475,12 @@ object Bench {
         }
       }
     // Measured super-linear slopes with a DOCUMENTED structural cause
-    // (PLANS.md "Scale-curve adjudications"): the ppjoin twin-gate runs
-    // the prefix strategy on its measured-LOSER corpus on purpose (the
-    // twin-gate output identity is the point) — dense-vocabulary prefix
-    // df is uncapped, so its candidate volume grows quadratically there;
-    // the auto chooser (slope ~0.35 on the same corpus) is the
-    // production route around exactly this regime. doc_containment_pairs
+    // (PLANS.md "Scale-curve adjudications"): the ppjoin mark is r18-
+    // HISTORICAL — most of its old 3.36 slope was the broadcast verify-
+    // join plan shape (PLANS.md "Verify-join plan shape"), fixed by the
+    // shuffle-hash hints (17.5 s → ~3.3 s at sf0.1); the mark stays only
+    // as a safety valve for its uncapped dense-df candidate window.
+    // doc_containment_pairs
     // is the count path's own quadratic WINDOW on the same dense corpus:
     // candidate volume is Σ C(min(df,1000), 2) and the measured df is
     // still far below the cap at gate scale (maxdf 24 → 214 across the

@@ -757,10 +757,16 @@ object Dedup {
       terms: Column = null, // defaults to the distinct-token set of textCol
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tokenize ONCE (the same eager checkpoint as pairIntersections):
+    // `toks` feeds four consumers — the prefix explode, the df exchange,
+    // and both verify joins — and without the checkpoint the shingle/
+    // tokenize pipeline re-runs per consumer (r18: the un-checkpointed
+    // form measured 21.5 s vs 6.4 s at sf0.1 on the containment twin)
     val toks = docs.select(
       col(idCol), col(blockCol),
       array_sort(Option(terms).getOrElse(tokenSet(textCol))).as("toks"),
     ).withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
     val tok = toks.select(col(idCol), col(blockCol), col("n"), explode(col("toks")).as("term"))
     val termDf = tok.groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("term"))
@@ -774,9 +780,15 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // shuffle-hash verify joins — same rationale as the containment twin:
+    // never broadcast the corpus-sized token-array frame, and keep an
+    // exchange boundary below downstream sorts (whose range-partition
+    // sampling would otherwise re-execute the joins)
     cands
-      .join(toks.select(col(idCol).as("doc_a"), col("toks").as("toks_a"), col("n").as("na")), Seq("doc_a"))
-      .join(toks.select(col(idCol).as("doc_b"), col("toks").as("toks_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(toks.select(col(idCol).as("doc_a"), col("toks").as("toks_a"), col("n").as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(toks.select(col(idCol).as("doc_b"), col("toks").as("toks_b"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard_raw") >= threshold)
@@ -929,10 +941,15 @@ object Dedup {
       threshold: Double = 0.9,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tokenize ONCE (the pairIntersections discipline): `toks` feeds the
+    // probe explode, the full index, the df exchange, and both verify
+    // joins — un-checkpointed, the tokenize pipeline re-runs per
+    // consumer (measured 21.5 s vs 6.4 s at sf0.1 on the gate corpus)
     val toks = docs.select(
       col(idCol), col(blockCol),
       array_sort(tokenSet(textCol)).as("toks"),
     ).withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
     val tok = toks.select(col(idCol), col(blockCol), col("n"), explode(col("toks")).as("term"))
     val termDf = tok.groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col(idCol)).orderBy(col("df"), col("term"))
@@ -947,9 +964,18 @@ object Dedup {
       .filter(col("n_sup") >= ceil(col("n_sub") * threshold))
       .select(col("doc_sub"), col("doc_sup"))
       .dropDuplicates("doc_sub", "doc_sup")
+    // SHUFFLE_HASH on the verify joins, deliberately: the token-array
+    // frame is the corpus itself — broadcasting it is exactly the
+    // don't-do at 100 TB, and the broadcast form also leaves no exchange
+    // boundary below a downstream sort, whose range-partition SAMPLING
+    // pass then re-executes both verify joins (r18 measurement at
+    // sf0.1: broadcast 14.6 s sorted / 5.9 s counted vs shuffle-hash
+    // 3.7 s / 2.4 s — the hinted form wins standalone too).
     cands
-      .join(toks.select(col(idCol).as("doc_sub"), col("toks").as("toks_a"), col("n").as("na")), Seq("doc_sub"))
-      .join(toks.select(col(idCol).as("doc_sup"), col("toks").as("toks_b")), Seq("doc_sup"))
+      .join(toks.select(col(idCol).as("doc_sub"), col("toks").as("toks_a"), col("n").as("na"))
+        .hint("shuffle_hash"), Seq("doc_sub"))
+      .join(toks.select(col(idCol).as("doc_sup"), col("toks").as("toks_b"))
+        .hint("shuffle_hash"), Seq("doc_sup"))
       .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("containment", col("c") / col("na"))
       .filter(col("containment") >= threshold)
