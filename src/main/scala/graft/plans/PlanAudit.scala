@@ -612,7 +612,14 @@ object PlanAudit {
     *     sf0.001/sf0.1 because the checkpointed base plans as an
     *     ExistingRDD with default stats at every scale.
     *   - doc_jaccard_pairs_ppjoin: term-df agg, prefix rarity window,
-    *     candidate-pair dedup agg, verify-join side, output sort.
+    *     candidate-pair dedup agg, output sort, plus the verify joins'
+    *     FOUR sides (cands + toks, twice) — r18 pinned them
+    *     shuffle-hash deliberately: broadcasting the token-array frame
+    *     is the corpus itself, and the broadcast form left no exchange
+    *     boundary under the output sort, whose range-partition sampling
+    *     re-executed both verify joins (PLANS.md "Verify-join plan
+    *     shape": 16.3 → 3.26 s at sf0.1). 8 total; dropping back to 5
+    *     would mean the hints stopped taking and the broadcast is back.
     */
   val pinnedExchanges: Map[String, Int] = Map(
     "q22_bucketed_colocated_join" -> 2,
@@ -752,7 +759,15 @@ object PlanAudit {
     "doc_minhash_dedup" -> 2,
     "doc_simhash_dedup" -> 2,
     "doc_jaccard_pairs" -> 8,
-    "doc_jaccard_pairs_ppjoin" -> 5,
+    "doc_jaccard_pairs_ppjoin" -> 8,
+    // containment prefix twin: df agg, rarity window, candidate dedup,
+    // verify-join shuffle-hash sides, output sort — the one-sided probe
+    // shares the index explode, so 6 where ppjoin plans 8
+    "doc_containment_pairs_prefix" -> 6,
+    // the chooser picks prefix on the gate corpus at every sf (bench
+    // errors if that verdict ever flips), so the auto face pins to the
+    // same 6 — a change here means the chooser re-routed the gate
+    "doc_containment_pairs_auto" -> 6,
     // skew-adversarial twin: same builder, same 8 (the df cap changes
     // WHICH rows flow, never the plan shape)
     "doc_jaccard_skewed" -> 8,

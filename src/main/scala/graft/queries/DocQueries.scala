@@ -3608,7 +3608,9 @@ object DocQueries {
         val corpus = docs.select(col("doc_id"), col("text"), col("source")).unionByName(halves)
         val sizes = corpus.select(col("doc_id"),
           size(array_distinct(split(col("text"), " "))).cast("long").as("n"))
-        val drop = Dedup.tokenContainmentPairs(corpus, threshold = 0.9)
+        // the ACTION rides the chooser — the production entry point —
+        // so the curation path exercises the same route users run
+        val drop = Dedup.tokenContainmentPairsAuto(corpus, threshold = 0.9)
           .join(sizes.select(col("doc_id").as("doc_sub"), col("n").as("n_sub")), Seq("doc_sub"))
           .join(sizes.select(col("doc_id").as("doc_sup"), col("n").as("n_sup")), Seq("doc_sup"))
           .filter(col("n_sup") > col("n_sub")
