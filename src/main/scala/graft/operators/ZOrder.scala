@@ -442,24 +442,7 @@ object ZOrder {
       curve: String = "morton"): Unit = {
     val spark = df.sparkSession
     implicit val fc: FioConf = FioConf.of(spark)
-    val stored = spark.read.parquet(Fio.child(out, "_zqbounds"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val lanes = cols.map { c =>
-      val rows = stored.filter(_._1 == c).map(t => (t._2, t._3)).toSeq
-      require(rows.nonEmpty, s"no _zqbounds boundaries for lane column $c under $out")
-      frozenQuantileLane(col(c), rows)
-    }
-    val keyed =
-      if (curve == "hilbert" && cols.length == 3) {
-        graft.functions.GraftFunctions.register(df.sparkSession)
-        df.withColumn(keyCol,
-          graft.functions.GraftFunctions.hilbertKey3(lanes(0), lanes(1), lanes(2), bits))
-      } else if (curve == "hilbert") {
-        require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
-        graft.functions.GraftFunctions.register(spark)
-        df.withColumn(keyCol,
-          graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))
-      } else df.withColumn(keyCol, curveKey(lanes, bits, curve))
+    val keyed = frozenQuantileKeyed(df, cols, out, bits, keyCol, curve)
     val before = dataFiles(out).toSet
     keyed
       .repartitionByRange(nFiles, col(keyCol))
@@ -467,6 +450,120 @@ object ZOrder {
       .write.mode("append").parquet(out)
     val added = dataFiles(out).filterNot(before)
     writeManifest(spark, out, added, cols, "append")
+  }
+
+  /** Key `df` through a layout's FROZEN `_zqbounds` boundary table —
+    * the shared keying of [[appendQuantile]] and [[appendQuantileOnce]].
+    */
+  private def frozenQuantileKeyed(
+      df: DataFrame,
+      cols: Seq[String],
+      out: String,
+      bits: Int,
+      keyCol: String,
+      curve: String)(implicit fc: FioConf): DataFrame = {
+    val spark = df.sparkSession
+    val stored = spark.read.parquet(Fio.child(out, "_zqbounds"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lanes = cols.map { c =>
+      val rows = stored.filter(_._1 == c).map(t => (t._2, t._3)).toSeq
+      require(rows.nonEmpty, s"no _zqbounds boundaries for lane column $c under $out")
+      frozenQuantileLane(col(c), rows)
+    }
+    if (curve == "hilbert" && cols.length == 3) {
+      graft.functions.GraftFunctions.register(spark)
+      df.withColumn(keyCol,
+        graft.functions.GraftFunctions.hilbertKey3(lanes(0), lanes(1), lanes(2), bits))
+    } else if (curve == "hilbert") {
+      require(cols.length == 2, "the hilbert curve key is 2-D or 3-D")
+      graft.functions.GraftFunctions.register(spark)
+      df.withColumn(keyCol,
+        graft.functions.GraftFunctions.hilbertKey2(lanes(0), lanes(1), bits))
+    } else df.withColumn(keyCol, curveKey(lanes, bits, curve))
+  }
+
+  /** EXACTLY-ONCE [[appendQuantile]] for streaming foreachBatch sinks:
+    * Structured Streaming replays a micro-batch (same `batchId`) after
+    * any failure between the sink call and the checkpoint commit, and a
+    * bare append would duplicate every replayed row — the failure mode
+    * Delta/Iceberg solve with transactional ids. Same solution here,
+    * with the layout's own primitives:
+    *
+    *  1. a `_zbatches/<batchId>` MARKER short-circuits a batch that
+    *     fully published (the common replay);
+    *  2. the batch's files carry DETERMINISTIC names (`zb<id>-<k>`), so
+    *     a replay of a PARTIALLY published batch first deletes that
+    *     batch's files and their `_zmanifest`/`_zbloom` sidecar rows,
+    *     then re-stages — overwrite-in-place, never add-alongside
+    *     (repartitionByRange samples its boundaries, so per-file
+    *     contents can differ across attempts; stale sidecar rows for a
+    *     replaced file would be false-negative risks and are purged);
+    *  3. data files rename in from a staging dir, the manifest rows
+    *     append, and the marker writes LAST — its existence is the
+    *     commit point. Every crash window replays to the same final
+    *     state (spec-covered: full replay, partial-publish replay).
+    *
+    * Returns the number of files published (0 on a short-circuited
+    * replay). The non-idempotent [[appendQuantile]] stays the batch
+    * entry point; this is the streaming sink's.
+    */
+  def appendQuantileOnce(
+      df: DataFrame,
+      cols: Seq[String],
+      out: String,
+      batchId: Long,
+      nFiles: Int = 1,
+      bits: Int = 8,
+      keyCol: String = "zkey",
+      curve: String = "morton"): Int = {
+    val spark = df.sparkSession
+    implicit val fc: FioConf = FioConf.of(spark)
+    val batchesDir = Fio.child(out, "_zbatches")
+    val marker = Fio.child(batchesDir, batchId.toString)
+    if (Fio.exists(marker)) return 0
+    val prefix = s"zb$batchId-"
+    // partial prior publish: purge this batch's files + sidecar rows
+    val stale = dataFiles(out).map(p => new org.apache.hadoop.fs.Path(p).getName)
+      .filter(_.startsWith(prefix))
+    if (stale.nonEmpty) {
+      stale.foreach(n => Fio.delete(Fio.child(out, n)))
+      rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), stale.toSet)
+      if (Fio.exists(Fio.child(out, "_zbloom")))
+        rewriteSidecarExcluding(spark, Fio.child(out, "_zbloom"), stale.toSet)
+    }
+    val staging = Fio.child(out, s"_staging_batch_$batchId")
+    Fio.delete(staging)
+    frozenQuantileKeyed(df, cols, out, bits, keyCol, curve)
+      .repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(staging)
+    val staged = Fio.listNames(staging).filter(_.endsWith(".parquet")).sorted
+    val published = staged.zipWithIndex.map { case (n, i) =>
+      val dst = s"$prefix$i.parquet"
+      require(Fio.rename(Fio.child(staging, n), Fio.child(out, dst)),
+        s"publish rename failed for $dst under $out")
+      dst
+    }
+    writeManifest(spark, out, published.map(Fio.child(out, _)), cols, "append")
+    Fio.delete(staging)
+    Fio.mkdirs(batchesDir)
+    Fio.writeString(marker, published.mkString("\n"))
+    published.size
+  }
+
+  /** Rewrite a (file, ...) sidecar parquet dir EXCLUDING rows of the
+    * given file names — the purge step of [[appendQuantileOnce]]'s
+    * partial-replay cleanup. Sidecars are O(files) rows; materialize
+    * the survivors eagerly before overwriting the dir being read.
+    */
+  private def rewriteSidecarExcluding(
+      spark: SparkSession,
+      sidecarDir: String,
+      names: Set[String]): Unit = {
+    val kept = spark.read.parquet(sidecarDir)
+      .filter(!col("file").isin(names.toSeq: _*))
+      .localCheckpoint(true)
+    kept.coalesce(1).write.mode("overwrite").parquet(sidecarDir)
   }
 
   /** COMPACT a quantile layout: full re-cluster with RETRAINED CDF

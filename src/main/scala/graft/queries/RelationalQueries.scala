@@ -1390,9 +1390,12 @@ object RelationalQueries {
               col("_3").as("xv"), col("_4").as("yv"))
             .writeStream
             .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                _: Long) =>
-              ZOrder.appendQuantile(batch, Seq("xv", "yv"), out = s"$root/base",
-                nFiles = 1, bits = 8)
+                batchId: Long) =>
+              // the EXACTLY-ONCE sink — the production foreachBatch entry
+              // point (replay-safe via the _zbatches marker + deterministic
+              // file names; both crash windows spec-covered in ZOrderSpec)
+              ZOrder.appendQuantileOnce(batch, Seq("xv", "yv"), out = s"$root/base",
+                batchId = batchId, nFiles = 1, bits = 8)
               ()
             }
             .start()

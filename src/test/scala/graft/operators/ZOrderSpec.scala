@@ -312,6 +312,47 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("appendQuantileOnce: exactly-once across foreachBatch replays, both crash windows") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zonce").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    def assertExact(upTo: Long): Unit = {
+      // global exactly-once: every id exactly once, one key each
+      val byId = spark.read.parquet(out).groupBy("id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("zkey")).as("nk"))
+      assert(byId.filter(col("n") =!= 1 || col("nk") =!= 1).count() === 0L)
+      assert(spark.read.parquet(out).count() === upTo)
+      // skipping stays row-exact (manifest superset rule over the batch files)
+      val (df, p) = ZOrder.prunedRead(spark, out, Seq(("x", 32L, 32L)))
+      assert(df.count() === (0L until upTo).count(_ % 20 == 5).toLong)
+      assert(p.filesSelected < p.filesTotal)
+      // the manifest carries no duplicate (file, column) rows
+      val dupManifest = spark.read.parquet(s"$out/_zmanifest")
+        .groupBy("file", "column").count().filter(col("count") > 1).count()
+      assert(dupManifest === 0L)
+    }
+    // window 1 — the common replay: marker exists, second call no-ops
+    assert(ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0) > 0)
+    assert(ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0) === 0)
+    assertExact(25000)
+    // window 2 — crash between publish and marker: delete the marker to
+    // simulate it, replay must purge the batch's files + sidecar rows
+    // and republish, never duplicate
+    assert(ZOrder.appendQuantileOnce(shaped(25000, 30000), Seq("x", "y"), out, batchId = 1) > 0)
+    graft.io.Fio.delete(s"$out/_zbatches/1")(graft.io.FioConf.of(spark))
+    assert(ZOrder.appendQuantileOnce(shaped(25000, 30000), Seq("x", "y"), out, batchId = 1) > 0)
+    assertExact(30000)
+    // the bloom coverage rule still holds after the purge path touched
+    // the sidecar: a key only in batch files (uncovered) is always kept
+    val (hit, _) = ZOrder.prunedReadPoint(spark, out, "id", Seq(29999L, 7L))
+    assert(hit.select("id").as[Long].collect().sorted.toSeq === Seq(7L, 29999L))
+  }
+
   test("bloom sidecar: point skipping on an unclustered key, row-exact, no false negatives") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zbloom").toString
