@@ -353,6 +353,53 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(hit.select("id").as[Long].collect().sorted.toSeq === Seq(7L, 29999L))
   }
 
+  test("appendQuantileOnce: stream RESTART from checkpoint lands every batch exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the full production shape: a checkpointed foreachBatch query is
+    // STOPPED and a new query takes over from the checkpoint — batchIds
+    // continue, any uncommitted batch replays, and the exactly-once sink
+    // must land every row once regardless of where the handover fell
+    val out = java.nio.file.Files.createTempDirectory("graft-zrestart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-zrestart-ckpt").toString
+    def shaped(ids: org.apache.spark.sql.DataFrame) = ids.select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(spark.range(20000).toDF("id")), Seq("x", "y"),
+      nFiles = 8, out)
+    val input = MemoryStream[Long]
+    def start() = input.toDF().withColumnRenamed("value", "id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        ZOrder.appendQuantileOnce(shaped(batch), Seq("x", "y"), out,
+          batchId = batchId, nFiles = 1)
+        ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      input.addData(20000L until 25000L: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(25000L until 30000L: _*)
+      q2.processAllAvailable()
+      val byId = spark.read.parquet(out).groupBy("id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("zkey")).as("nk"))
+      assert(byId.filter(col("n") =!= 1 || col("nk") =!= 1).count() === 0L,
+        "restart duplicated or dropped rows")
+      assert(spark.read.parquet(out).count() === 30000L)
+      val (df, p) = ZOrder.prunedRead(spark, out, Seq(("x", 32L, 32L)))
+      assert(df.count() === (0L until 30000L).count(_ % 20 == 5).toLong)
+      assert(p.filesSelected < p.filesTotal)
+    } finally q2.stop()
+  }
+
   test("bloom sidecar: point skipping on an unclustered key, row-exact, no false negatives") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zbloom").toString
