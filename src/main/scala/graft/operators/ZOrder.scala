@@ -516,8 +516,54 @@ object ZOrder {
       bits: Int = 8,
       keyCol: String = "zkey",
       curve: String = "morton"): Int = {
+    implicit val fc: FioConf = FioConf.of(df.sparkSession)
+    publishBatchOnce(df.sparkSession, out, batchId, cols, nFiles, keyCol)(
+      frozenQuantileKeyed(df, cols, out, bits, keyCol, curve))
+  }
+
+  /** EXACTLY-ONCE [[append]] — [[appendQuantileOnce]]'s linear-lane twin
+    * for streaming into a [[cluster]]ed (min, max-bucketed) layout: same
+    * replay problem, same marker + deterministic-names + purge solution,
+    * frozen lane bounds derived from the existing manifest as in
+    * [[append]].
+    */
+  def appendOnce(
+      df: DataFrame,
+      cols: Seq[String],
+      out: String,
+      batchId: Long,
+      nFiles: Int = 1,
+      bits: Int = 16,
+      keyCol: String = "zkey",
+      curve: String = "morton"): Int = {
     val spark = df.sparkSession
     implicit val fc: FioConf = FioConf.of(spark)
+    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+      .select(col("column"), col("min_v"), col("max_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bounds = cols.map { c =>
+      val rows = manifest.filter(_._1 == c)
+      require(rows.nonEmpty, s"no manifest stats for lane column $c under $out")
+      c -> (rows.map(_._2).min, rows.map(_._3).max)
+    }.toMap
+    publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol)(
+      withZKeyFrozen(df, cols, bounds, bits, keyCol, curve))
+  }
+
+  /** The shared exactly-once publish of the `*Once` appends: marker
+    * short-circuit → purge any partial prior publish of this batch
+    * (files + `_zmanifest`/`_zbloom` sidecar rows) → stage `keyed` →
+    * rename in under deterministic `zb<id>-<k>` names → manifest append
+    * → marker LAST (the commit point). `keyed` is by-name: a
+    * short-circuited replay never computes the keying.
+    */
+  private def publishBatchOnce(
+      spark: SparkSession,
+      out: String,
+      batchId: Long,
+      cols: Seq[String],
+      nFiles: Int,
+      keyCol: String)(keyed: => DataFrame)(implicit fc: FioConf): Int = {
     val batchesDir = Fio.child(out, "_zbatches")
     val marker = Fio.child(batchesDir, batchId.toString)
     if (Fio.exists(marker)) return 0
@@ -533,7 +579,7 @@ object ZOrder {
     }
     val staging = Fio.child(out, s"_staging_batch_$batchId")
     Fio.delete(staging)
-    frozenQuantileKeyed(df, cols, out, bits, keyCol, curve)
+    keyed
       .repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(col(keyCol))
       .write.mode("overwrite").parquet(staging)

@@ -353,6 +353,26 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(hit.select("id").as[Long].collect().sorted.toSeq === Seq(7L, 29999L))
   }
 
+  test("appendOnce: the linear-lane twin is exactly-once across replays too") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zlinonce").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    assert(ZOrder.appendOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0) > 0)
+    assert(ZOrder.appendOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0) === 0)
+    graft.io.Fio.delete(s"$out/_zbatches/0")(graft.io.FioConf.of(spark))
+    assert(ZOrder.appendOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0) > 0)
+    val byId = spark.read.parquet(out).groupBy("id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("zkey")).as("nk"))
+    assert(byId.filter(col("n") =!= 1 || col("nk") =!= 1).count() === 0L)
+    assert(spark.read.parquet(out).count() === 25000L)
+    val (df, p) = ZOrder.prunedRead(spark, out, Seq(("x", 50L, 80L)))
+    assert(df.count() ===
+      (0L until 25000L).count(i => { val x = i % 317; x >= 50 && x <= 80 }).toLong)
+    assert(p.filesSelected < p.filesTotal)
+  }
+
   test("appendQuantileOnce: stream RESTART from checkpoint lands every batch exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
