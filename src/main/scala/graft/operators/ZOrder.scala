@@ -576,6 +576,11 @@ object ZOrder {
       rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), stale.toSet)
       if (Fio.exists(Fio.child(out, "_zbloom")))
         rewriteSidecarExcluding(spark, Fio.child(out, "_zbloom"), stale.toSet)
+      // positional tombstones against a replaced file would delete
+      // arbitrary OTHER rows after the rewrite (row_index is physical) —
+      // and the batch they targeted never committed, so they die with it
+      if (Fio.exists(Fio.child(out, "_zdeletes")))
+        rewriteSidecarExcluding(spark, Fio.child(out, "_zdeletes"), stale.toSet)
     }
     val staging = Fio.child(out, s"_staging_batch_$batchId")
     Fio.delete(staging)
@@ -613,7 +618,10 @@ object ZOrder {
   }
 
   /** COMPACT a quantile layout: full re-cluster with RETRAINED CDF
-    * boundaries — [[compact]]'s equi-depth twin.
+    * boundaries — [[compact]]'s equi-depth twin. Reads through
+    * [[readWithDeletes]], so `_zdeletes` tombstones are applied
+    * PHYSICALLY: only survivors land in `dest` (which carries no
+    * sidecar), and the CDF retrains on survivors too.
     */
   def compactQuantile(
       spark: SparkSession,
@@ -625,7 +633,183 @@ object ZOrder {
       keyCol: String = "zkey",
       curve: String = "morton"): Unit =
     clusterQuantile(
-      spark.read.parquet(in).drop(keyCol), cols, nFiles, dest, bits, keyCol, curve)
+      readWithDeletes(spark, in).drop(keyCol), cols, nFiles, dest, bits, keyCol, curve)
+
+  // ------------------------------------------------------------------
+  // ROW-LEVEL DELETES — positional deletion vectors, the Iceberg-v2 /
+  // Delta-DV shape on vanilla parquet. A delete never rewrites data:
+  // it appends (file, pos) tombstones to a `_zdeletes` sidecar, where
+  // `pos` is the physical row position Spark exposes as
+  // `_metadata.row_index` (stable per file, independent of which other
+  // files a scan touches). Reads subtract tombstones with one
+  // (file, pos) anti-join — O(deleted) sidecar rows, broadcast by AQE
+  // while small, shuffled on the composite key at scale (the exact
+  // merge shape of an Iceberg positional-delete read). Compaction
+  // applies tombstones physically and the fresh layout carries none.
+  // ------------------------------------------------------------------
+
+  /** One positional tombstone: row `pos` of data file `file` is dead. */
+  case class ZDelete(file: String, pos: Long)
+
+  /** The two `_metadata`-derived tombstone key columns of a scan: the
+    * data file's base name (sidecars key files by base name) and the
+    * physical row position within it.
+    */
+  private def tombstoneKeys(scan: DataFrame): DataFrame = scan
+    .withColumn("__zd_file",
+      element_at(split(col("_metadata.file_path"), "/"), -1))
+    .withColumn("__zd_pos", col("_metadata.row_index"))
+
+  /** DELETE the rows of a layout matching `predicate` — by tombstone,
+    * never by rewrite: one pushdown-friendly scan finds the matches and
+    * their (file, row_index) positions append to `_zdeletes`. Returns
+    * the number of tombstones written. Re-deleting an already-dead row
+    * appends a duplicate tombstone — harmless (the read-side anti-join
+    * is idempotent) and reclaimed at the next compaction, so deletes
+    * compose without read-modify-write coordination. File skipping is
+    * untouched: envelopes stay a superset after row removal by
+    * definition, so `_zmanifest`/`_zbloom` stay valid as-is.
+    */
+  def deleteWhere(spark: SparkSession, out: String, predicate: Column): Long = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    import spark.implicits._
+    val sidecar = Fio.child(out, "_zdeletes")
+    val before: Set[String] =
+      if (Fio.exists(sidecar)) Fio.listNames(sidecar).filter(_.endsWith(".parquet")).toSet
+      else Set.empty
+    tombstoneKeys(spark.read.parquet(out))
+      .filter(predicate)
+      .select(col("__zd_file").as("file"), col("__zd_pos").as("pos"))
+      .as[ZDelete]
+      .write.mode("append").parquet(sidecar)
+    val added = Fio.listNames(sidecar).filter(_.endsWith(".parquet")).filterNot(before)
+    if (added.isEmpty) 0L
+    else spark.read.parquet(added.map(Fio.child(sidecar, _)): _*).count()
+  }
+
+  /** Subtract `_zdeletes` tombstones from a scan of `paths`: tag each
+    * row with its (file, pos) key from `_metadata` and anti-join the
+    * sidecar. Plain equi-keys, so Spark picks broadcast-anti while the
+    * tombstone set is small and a shuffled hash-anti at scale.
+    */
+  private def withDeletesApplied(
+      spark: SparkSession,
+      out: String,
+      paths: Seq[String]): DataFrame = {
+    val dels = spark.read.parquet(Fio.child(out, "_zdeletes"))
+    val tagged = tombstoneKeys(spark.read.parquet(paths: _*))
+    tagged.join(dels,
+        tagged("__zd_file") === dels("file") && tagged("__zd_pos") === dels("pos"),
+        "left_anti")
+      .drop("__zd_file", "__zd_pos")
+  }
+
+  /** Read a layout with its `_zdeletes` tombstones subtracted — the
+    * current-state read every delete-aware consumer should use (the
+    * pruning faces apply the same merge via [[scanKeep]], so EVERY
+    * `prunedRead*` over a deleted layout stays row-exact too). Without
+    * a sidecar this is a plain dir scan, plan-identical to before.
+    */
+  def readWithDeletes(spark: SparkSession, out: String): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    if (Fio.exists(Fio.child(out, "_zdeletes")))
+      withDeletesApplied(spark, out, dataFiles(out))
+    else spark.read.parquet(out)
+  }
+
+  /** Shared base scan of every pruning read: the surviving file NAMES
+    * go to the parquet reader, minus tombstones if the layout carries a
+    * `_zdeletes` sidecar — so deletes compose with box, point, and
+    * combined pruning for free. Empty keep reads the dir under an
+    * always-false residual to preserve the schema.
+    */
+  private def scanKeep(spark: SparkSession, out: String, keep: Seq[String]): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+    else if (Fio.exists(Fio.child(out, "_zdeletes")))
+      withDeletesApplied(spark, out, keep.map(Fio.child(out, _)))
+    else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // SNAPSHOTS over the exactly-once batch markers. A layout's commit
+  // history IS its `_zbatches` dir: the bootstrap cluster (plus any
+  // non-*Once appends) is the base snapshot, and each marker id is one
+  // committed increment, so "the table as of batch N" is a pure file
+  // selection — no log replay, no data movement. Granularity is the
+  // exactly-once batch; tombstones carry no version, so snapshot reads
+  // return the PRE-delete state by contract (documented, not implied).
+  // ------------------------------------------------------------------
+
+  /** Marker ids committed under `out`, i.e. the layout's snapshot ids. */
+  def committedBatches(out: String)(implicit fc: FioConf): Set[String] = {
+    val dir = Fio.child(out, "_zbatches")
+    if (Fio.exists(dir)) Fio.listNames(dir).toSet else Set.empty
+  }
+
+  /** TIME-TRAVEL read: the base snapshot plus every COMMITTED batch with
+    * id ≤ `upToBatch` (`-1` = base only). Files of a batch whose marker
+    * never landed are excluded — a crashed publish is invisible at every
+    * snapshot, which is the exactly-once contract read-side.
+    */
+  def readAsOfBatch(spark: SparkSession, out: String, upToBatch: Long): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    val marked = committedBatches(out)
+    val keep = dataFiles(out).filter { p =>
+      val n = new org.apache.hadoop.fs.Path(p).getName
+      batchIdOf(n) match {
+        case None => true // bootstrap / non-batch append: base snapshot
+        case Some(id) => marked.contains(id) && id.toLong <= upToBatch
+      }
+    }
+    if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+    else spark.read.parquet(keep: _*)
+  }
+
+  /** The CURRENT committed snapshot: every marked batch, no uncommitted
+    * files. A plain dir read sees a crashed batch's files in the window
+    * between the crash and its replay (or [[vacuum]]); this read never
+    * does — use it wherever a concurrent writer may be publishing.
+    */
+  def readCommitted(spark: SparkSession, out: String): DataFrame =
+    readAsOfBatch(spark, out, Long.MaxValue)
+
+  /** The batch id encoded in an exactly-once data file name
+    * (`zb<id>-<k>.parquet`), or None for bootstrap/plain-append files.
+    */
+  private def batchIdOf(name: String): Option[String] =
+    if (!name.startsWith("zb")) None
+    else {
+      val id = name.stripPrefix("zb").takeWhile(_ != '-')
+      if (id.nonEmpty && id.forall(_.isDigit)) Some(id) else None
+    }
+
+  /** GARBAGE-COLLECT a layout: drop `_staging_batch_*` leftovers and the
+    * data files of batches whose commit marker never landed (a publish
+    * that crashed and was never replayed), plus their sidecar rows.
+    * Returns the names removed. Safe by the commit protocol: everything
+    * vacuumed is invisible to [[readCommitted]]/[[readAsOfBatch]]
+    * already, so committed reads are byte-identical before and after —
+    * vacuum only reconciles the DIR-scan view with the committed view.
+    */
+  def vacuum(spark: SparkSession, out: String): Seq[String] = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    val staging = Fio.listNames(out).filter(_.startsWith("_staging_batch_"))
+    staging.foreach(n => Fio.delete(Fio.child(out, n)))
+    val marked = committedBatches(out)
+    val orphans = dataFiles(out)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      .filter(n => batchIdOf(n).exists(id => !marked.contains(id)))
+    if (orphans.nonEmpty) {
+      orphans.foreach(n => Fio.delete(Fio.child(out, n)))
+      rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), orphans.toSet)
+      Seq("_zbloom", "_zdeletes").foreach { sc =>
+        if (Fio.exists(Fio.child(out, sc)))
+          rewriteSidecarExcluding(spark, Fio.child(out, sc), orphans.toSet)
+      }
+    }
+    staging ++ orphans
+  }
 
   /** Per-file column stats row of the skipping manifest. */
   case class ZStat(file: String, column: String, min_v: Long, max_v: Long)
@@ -737,7 +921,8 @@ object ZOrder {
     * the live rows into `nFiles` fresh files under `dest`, lane bounds
     * retrained from the current data (a compaction IS a rebuild —
     * exactly the IVF compaction contract). Out-of-place: the caller
-    * owns the publish/swap of `dest` over the old layout.
+    * owns the publish/swap of `dest` over the old layout. Reads through
+    * [[readWithDeletes]]: tombstones apply physically, `dest` is clean.
     */
   def compact(
       spark: SparkSession,
@@ -748,7 +933,7 @@ object ZOrder {
       bits: Int = 16,
       keyCol: String = "zkey",
       curve: String = "morton"): Unit =
-    cluster(spark.read.parquet(in).drop(keyCol), cols, nFiles, dest, bits, keyCol, curve)
+    cluster(readWithDeletes(spark, in).drop(keyCol), cols, nFiles, dest, bits, keyCol, curve)
 
   /** Distributed parquet-footer stats scan over `files` → `_zmanifest`
     * rows for `cols`, written with the given save mode.
@@ -1004,9 +1189,7 @@ object ZOrder {
     // be a false negative, the one failure mode membership pruning must
     // never have. Rebuild the sidecar after appends to restore pruning.
     val keep = (hit ++ all.filterNot(indexed)).distinct.sorted
-    val base =
-      if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
-      else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+    val base = scanKeep(spark, out, keep)
     (base.filter(col(column).isin(values: _*)), ZPruneProbe(keep.length, all.size))
   }
 
@@ -1085,9 +1268,7 @@ object ZOrder {
       .join(side.select(col("file")), Seq("file"), "left_anti")
       .collect().map(_.getString(0)).toSeq
     val keep = (hits ++ uncovered).distinct.sorted
-    val base =
-      if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
-      else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+    val base = scanKeep(spark, out, keep)
     (base.filter(col(column).isin(values: _*)), ZPruneProbe(keep.length, all.size))
   }
 
@@ -1220,7 +1401,9 @@ object ZOrder {
   }
 
   /** Shared tail of the pruning reads: hand the surviving paths to the
-    * parquet reader and re-apply the box as a row-exact residual.
+    * parquet reader, subtract `_zdeletes` tombstones if the layout has
+    * any (every pruning face is delete-aware for free), and re-apply
+    * the box as a row-exact residual.
     */
   private def readKeep(
       spark: SparkSession,
@@ -1228,12 +1411,7 @@ object ZOrder {
       keep: Seq[String],
       box: Seq[(String, Long, Long)],
       total: Int): (DataFrame, ZPruneProbe) = {
-    val base =
-      if (keep.isEmpty) {
-        // empty selection: keep the schema by reading the layout dir with
-        // an always-false residual (planner prunes to a LocalRelation)
-        spark.read.parquet(out).filter(lit(false))
-      } else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+    val base = scanKeep(spark, out, keep)
     val filtered = box.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }

@@ -540,7 +540,113 @@ object PlanAudit {
       s"hilbert3=${h.filesSelected}/${h.filesTotal} morton3=${m.filesSelected}/${m.filesTotal} rows=$hRows")
   }
 
+  /** Row-level deletes must be tombstones, not rewrites: after
+    * deleteWhere, (1) the data files still hold every original row,
+    * (2) the delete-merged read and a PRUNED read both return exactly
+    * the survivors (the anti-join composes with file skipping), and
+    * (3) a dead key probed through the Bloom sidecar returns nothing
+    * while a live one returns itself.
+    */
+  def zdeleteShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_zdel_probe").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    graft.operators.ZOrder.cluster(src, Seq("x", "y"), nFiles = 16, out)
+    graft.operators.ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    val tombs = graft.operators.ZOrder.deleteWhere(spark, out, col("id") % 3 === 0)
+    val raw = spark.read.parquet(out).count()
+    val live = graft.operators.ZOrder.readWithDeletes(spark, out).count()
+    val (boxDf, p) = graft.operators.ZOrder.prunedRead(spark, out, Seq(("x", 50L, 80L)))
+    val boxRows = boxDf.count()
+    val boxWant = src.filter(col("x").between(50, 80) && col("id") % 3 =!= 0).count()
+    val (pt, _) = graft.operators.ZOrder.prunedReadPoint(spark, out, "id", Seq(9L, 10L))
+    val ptIds = pt.select("id").collect().map(_.getLong(0)).toSeq
+    Shape(
+      raw == 100000L && tombs == 33334L && live == 66666L
+        && boxRows == boxWant && p.filesSelected < p.filesTotal
+        && ptIds == Seq(10L),
+      s"raw=$raw tombstones=$tombs live=$live box=$boxRows/$boxWant " +
+        s"files=${p.filesSelected}/${p.filesTotal} point=${ptIds.mkString(",")}")
+  }
+
+  /** Compaction must apply tombstones PHYSICALLY: the fresh layout
+    * holds survivors only, carries no `_zdeletes`, and keeps the skip
+    * bound — a compacted deleted layout is indistinguishable from a
+    * fresh clustering of the survivor set.
+    */
+  def zdeleteCompactShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val tmp = System.getProperty("java.io.tmpdir")
+    val out = new java.io.File(tmp, "graft_zdelcomp_probe").getAbsolutePath
+    val dest = new java.io.File(tmp, "graft_zdelcomp_probe_out").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    graft.operators.ZOrder.cluster(src, Seq("x", "y"), nFiles = 16, out)
+    graft.operators.ZOrder.deleteWhere(spark, out, col("id") % 3 === 0)
+    graft.operators.ZOrder.compact(spark, out, dest, Seq("x", "y"), nFiles = 16)
+    val rows = spark.read.parquet(dest).count()
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val noSidecar = !graft.io.Fio.exists(s"$dest/_zdeletes")
+    val (boxDf, p) = graft.operators.ZOrder.prunedRead(spark, dest, Seq(("x", 50L, 80L)))
+    val boxRows = boxDf.count()
+    val boxWant = src.filter(col("x").between(50, 80) && col("id") % 3 =!= 0).count()
+    Shape(
+      rows == 66666L && noSidecar && boxRows == boxWant
+        && p.filesSelected < p.filesTotal,
+      s"rows=$rows no_sidecar=$noSidecar box=$boxRows/$boxWant " +
+        s"files=${p.filesSelected}/${p.filesTotal}")
+  }
+
+  /** Snapshot reads must select exactly the committed prefix, a crashed
+    * (unmarked) publish must be invisible to EVERY snapshot, and vacuum
+    * must reconcile the naive dir view with the committed view without
+    * touching committed bytes.
+    */
+  def zasofVacuumShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_zasof_probe").getAbsolutePath
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    graft.operators.ZOrder.clusterQuantile(shaped(0, 50000), Seq("x", "y"),
+      nFiles = 16, out)
+    graft.operators.ZOrder.appendQuantileOnce(shaped(50000, 60000), Seq("x", "y"),
+      out, batchId = 0)
+    graft.operators.ZOrder.appendQuantileOnce(shaped(60000, 70000), Seq("x", "y"),
+      out, batchId = 1)
+    graft.operators.ZOrder.appendQuantileOnce(shaped(70000, 80000), Seq("x", "y"),
+      out, batchId = 2)
+    // crashed publish: files + manifest rows landed, marker never did
+    graft.operators.ZOrder.appendQuantileOnce(shaped(80000, 81000), Seq("x", "y"),
+      out, batchId = 3)
+    graft.io.Fio.delete(s"$out/_zbatches/3")(graft.io.FioConf.of(spark))
+    val base = graft.operators.ZOrder.readAsOfBatch(spark, out, -1L).count()
+    val asOf0 = graft.operators.ZOrder.readAsOfBatch(spark, out, 0L).count()
+    val asOf1 = graft.operators.ZOrder.readAsOfBatch(spark, out, 1L).count()
+    val committed = graft.operators.ZOrder.readCommitted(spark, out).count()
+    val dirBefore = spark.read.parquet(out).count()
+    val removed = graft.operators.ZOrder.vacuum(spark, out)
+    val dirAfter = spark.read.parquet(out).count()
+    val committedAfter = graft.operators.ZOrder.readCommitted(spark, out).count()
+    Shape(
+      base == 50000L && asOf0 == 60000L && asOf1 == 70000L && committed == 80000L
+        && dirBefore == 81000L && removed.nonEmpty && dirAfter == 80000L
+        && committedAfter == 80000L,
+      s"base=$base asof0=$asOf0 asof1=$asOf1 committed=$committed " +
+        s"dir=$dirBefore->$dirAfter vacuumed=${removed.size}")
+  }
+
   val pinnedShapes: Map[String, DataFrame => Shape] = Map(
+    "q35_zdelete_read" -> zdeleteShape,
+    "q36_zdelete_compact" -> zdeleteCompactShape,
+    "q37_zquantile_asof" -> zasofVacuumShape,
     "q24_zorder_keys" -> zorderSkipShape,
     "q27_zorder_quantile" -> zorderQuantileSkewShape,
     "q28_morton3_keys" -> zorder3SkipShape,
@@ -726,6 +832,18 @@ object PlanAudit {
     // output sort (bootstrap + micro-batch jobs are one-time,
     // marker-cached)
     "q34_zquantile_stream" -> 1,
+    // delete-merged read: the `_zdeletes` tombstone set is tiny next to
+    // the data, so the (file, pos) anti-join must BROADCAST — the 1 is
+    // the output sort; a 2nd/3rd exchange would mean the merge started
+    // shuffling the fact rows on the tombstone key
+    "q35_zdelete_read" -> 1,
+    // compacted layout reads STORED keys: 1 = the output sort, same
+    // contract as q25/q33 (the compaction job is one-time, marker-cached)
+    "q36_zdelete_compact" -> 1,
+    // snapshot read is a pure file selection off the marker dir: 1 =
+    // the output sort — any more would mean time travel stopped being
+    // metadata-only
+    "q37_zquantile_asof" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

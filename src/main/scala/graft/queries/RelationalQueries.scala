@@ -109,7 +109,17 @@ object RelationalQueries {
     * rows); the CDF spreads them evenly — the skip-bound evidence rides
     * as the q27 shape pin's measured linear-vs-quantile probe.
     */
-  private val zorderQuantileOracle: String = {
+  private val zorderQuantileOracle: String = zorderQuantileOracleSql("", "", "qkey")
+
+  /** The shared q27/q33/q35/q36 oracle builder — the equi-depth CDF
+    * algebra over the skewed (xv, yv) lanes, parameterized for the
+    * delete gates: `baseWhere` filters the TRAINING set (q36: the CDF
+    * retrains on delete survivors at compaction), `outputWhere` filters
+    * only the OUTPUT (q35: tombstones hide rows but the stored keys
+    * were trained on everything), `outKey` names the key column.
+    */
+  private def zorderQuantileOracleSql(
+      baseWhere: String, outputWhere: String, outKey: String): String = {
     def cdf(h: String) =
       s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
     s"""
@@ -117,7 +127,7 @@ object RelationalQueries {
           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                  (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
                  CAST(l_suppkey AS BIGINT) AS yv
-          FROM lineitem
+          FROM lineitem $baseWhere
         ), nn AS (SELECT COUNT(*) AS n FROM base),
         hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
         cx AS (${cdf("hx")}),
@@ -143,9 +153,9 @@ object RelationalQueries {
                  ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
           FROM s3
         )
-        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS qkey
-        FROM s4
-        ORDER BY qkey, l_orderkey, l_linenumber
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS $outKey
+        FROM s4 $outputWhere
+        ORDER BY $outKey, l_orderkey, l_linenumber
       """
   }
 
@@ -314,6 +324,81 @@ object RelationalQueries {
                  CAST(l_suppkey AS BIGINT) AS yv
           FROM lineitem
         ), seed AS (SELECT * FROM base WHERE l_orderkey % 2 = 0),
+        nn AS (SELECT COUNT(*) AS n FROM seed),
+        hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM seed GROUP BY 1),
+        cx AS (${cdf("hx")}),
+        hy AS (SELECT yv AS v, COUNT(*) AS cnt FROM seed GROUP BY 1),
+        cy AS (${cdf("hy")}),
+        bndx AS (SELECT b, MIN(v) AS mn FROM cx GROUP BY b),
+        bndy AS (SELECT b, MIN(v) AS mn FROM cy GROUP BY b),
+        valx AS (SELECT DISTINCT xv AS v FROM base),
+        valy AS (SELECT DISTINCT yv AS v FROM base),
+        fx AS (${frozen("valx", "bndx")}),
+        fy AS (${frozen("valy", "bndy")}),
+        lanes AS (
+          SELECT base.l_orderkey, base.l_linenumber, fx.b AS a, fy.b AS b
+          FROM base JOIN fx ON base.xv = fx.v JOIN fy ON base.yv = fy.v
+        ), s1 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+          FROM lanes
+        ), s2 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+          FROM s1
+        ), s3 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+          FROM s3
+        )
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
+        FROM s4
+        ORDER BY zkey, l_orderkey, l_linenumber
+      """
+  }
+
+  /** The q37 oracle: SNAPSHOT (time-travel) semantics over the
+    * exactly-once batch markers. The layout clusters the EVEN-orderkey
+    * half; the ODD half lands as four `appendQuantileOnce` batches in a
+    * deterministic TOTAL order (sorted by every column, so the prefix
+    * multiset is engine-independent even across duplicate rows), and
+    * the gate reads `readAsOfBatch(..., 1)` — the base snapshot plus
+    * batches 0 and 1, i.e. the first 2·ceil(n/4) odd rows. The oracle
+    * is q32's frozen-clamp algebra restricted to exactly that arrival
+    * prefix: CDF trained on the seed, the frozen boundary rule applied
+    * uniformly over seed ∪ prefix. Batches 2 and 3 exist in the dir and
+    * MUST NOT appear — the hash pins that snapshot selection is exact,
+    * not merely a subset.
+    */
+  private val zquantileAsOfOracle: String = {
+    def cdf(h: String) =
+      s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
+    def frozen(vals: String, bnd: String) =
+      s"SELECT $vals.v, COALESCE(MAX($bnd.b), 0) AS b FROM $vals " +
+        s"LEFT JOIN $bnd ON $bnd.mn <= $vals.v GROUP BY $vals.v"
+    s"""
+        WITH allr AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
+                 CAST(l_suppkey AS BIGINT) AS yv
+          FROM lineitem
+        ),
+        oddp AS (
+          SELECT l_orderkey, l_linenumber, xv, yv,
+                 ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, xv, yv) AS rn
+          FROM allr WHERE l_orderkey % 2 = 1
+        ), oddn AS (SELECT COUNT(*) AS c FROM oddp),
+        base AS (
+          SELECT l_orderkey, l_linenumber, xv, yv FROM allr WHERE l_orderkey % 2 = 0
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, xv, yv FROM oddp
+          WHERE rn <= 2 * (((SELECT c FROM oddn) + 3) // 4)
+        ),
+        seed AS (SELECT * FROM allr WHERE l_orderkey % 2 = 0),
         nn AS (SELECT COUNT(*) AS n FROM seed),
         hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM seed GROUP BY 1),
         cx AS (${cdf("hx")}),
@@ -1417,5 +1502,139 @@ object RelationalQueries {
       },
       Some(zquantileFrozenClampOracle),
     ),
+    // ROW-LEVEL DELETE, read-side merge (ZOrder.deleteWhere +
+    // readWithDeletes): the Iceberg-v2/Delta-DV shape on vanilla
+    // parquet. The whole skewed corpus is quantile-clustered, then
+    // every l_orderkey % 5 == 2 row is tombstoned — no data file is
+    // rewritten; `_zdeletes` records (file, _metadata.row_index)
+    // positions and the read subtracts them with one (file, pos)
+    // anti-join. The stored keys were trained on EVERYTHING (deletes
+    // happen after clustering), so the oracle replays the full-table
+    // CDF algebra and filters only the OUTPUT — the hash pins that the
+    // positional anti-join removes exactly the predicate's rows, no
+    // more, no fewer, across every file. The q35 shape pin proves the
+    // compositions: pruned reads on the tombstoned layout stay
+    // row-exact, and the data files are untouched.
+    Q(
+      "q35_zdelete_read",
+      (s, d) => {
+        val root = zdeleteFixture(s, d)
+        graft.operators.ZOrder.readWithDeletes(s, s"$root/base")
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zorderQuantileOracleSql("", "WHERE l_orderkey % 5 <> 2", "zkey")),
+    ),
+    // ROW-LEVEL DELETE, applied physically (ZOrder.compactQuantile over
+    // a tombstoned layout): compaction reads through the delete merge,
+    // so only survivors land in the fresh layout — which carries no
+    // sidecar — and the equi-depth CDF RETRAINS on survivors. The
+    // oracle is therefore the same quantile algebra with the filter
+    // applied BEFORE the histogram (q35's oracle filters after):
+    // the q35/q36 hash PAIR pins both delete semantics — merge-at-read
+    // preserves stored keys, compaction re-derives them.
+    Q(
+      "q36_zdelete_compact",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val root = zdeleteFixture(s, d)
+        if (!new java.io.File(s"$root/_COMPACTED").exists()) {
+          ZOrder.compactQuantile(s, s"$root/base", s"$root/compacted",
+            Seq("xv", "yv"), nFiles = 8, bits = 8)
+          new java.io.File(s"$root/_COMPACTED").createNewFile()
+        }
+        s.read.parquet(s"$root/compacted")
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zorderQuantileOracleSql("WHERE l_orderkey % 5 <> 2", "", "zkey")),
+    ),
+    // SNAPSHOT / TIME-TRAVEL read (ZOrder.readAsOfBatch): the layout's
+    // commit history IS its `_zbatches` marker dir, so "the table as of
+    // batch N" is a pure file selection — no log replay. The fixture
+    // clusters the even half and lands the odd half as FOUR
+    // appendQuantileOnce batches in a deterministic total order; the
+    // gate reads as-of batch 1 (seed + first two batches) while
+    // batches 2 and 3 sit committed in the same dir. The oracle
+    // replays the frozen-clamp algebra over exactly that arrival
+    // prefix (ROW_NUMBER over the same total order), so the hash pins
+    // snapshot selection both ways: everything ≤ the snapshot, nothing
+    // after it. The q37 shape pin adds the crashed-publish story:
+    // an unmarked batch is invisible to every snapshot and vacuum
+    // reconciles the dir view without touching committed bytes.
+    Q(
+      "q37_zquantile_asof",
+      (s, d) => {
+        import graft.operators.ZOrder
+        import s.implicits._
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"))
+        val root = sys.props("java.io.tmpdir") + "/graft_zqasof/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        if (!new java.io.File(s"$root/_ASOF").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.clusterQuantile(skewed.filter(col("l_orderkey") % 2 === 0),
+            Seq("xv", "yv"), nFiles = 8, out = s"$root/base", bits = 8)
+          // four batches over a TOTAL order (every column a sort key, so
+          // the prefix multiset is engine-independent across duplicates)
+          val odd = skewed.filter(col("l_orderkey") % 2 === 1)
+            .orderBy(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          val chunk = math.max(1, (odd.length + 3) / 4)
+          odd.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+            ZOrder.appendQuantileOnce(
+              rows.toSeq.toDF("l_orderkey", "l_linenumber", "xv", "yv"),
+              Seq("xv", "yv"), out = s"$root/base", batchId = i.toLong,
+              nFiles = 1, bits = 8)
+          }
+          new java.io.File(s"$root/_ASOF").createNewFile()
+        }
+        ZOrder.readAsOfBatch(s, s"$root/base", 1L)
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zquantileAsOfOracle),
+    ),
   )
+
+  /** Shared fixture of the q35/q36 delete gates: the q27 skewed corpus
+    * quantile-clustered WHOLE (CDF trained on every row), then every
+    * l_orderkey % 5 == 2 row tombstoned through [[graft.operators
+    * .ZOrder.deleteWhere]] — built once per (dir, input fingerprint),
+    * like the other layout fixtures.
+    */
+  private def zdeleteFixture(s: SparkSession, d: String): String = {
+    val li = T(s, d, "lineitem")
+    val skewed = li.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("bigint").as("l_linenumber"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+      col("l_suppkey").cast("bigint").as("yv"))
+    val root = sys.props("java.io.tmpdir") + "/graft_zdelete/" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.similarity.Ann.inputFingerprint(li)
+    if (!new java.io.File(s"$root/_DELETED").exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      graft.operators.ZOrder.clusterQuantile(skewed, Seq("xv", "yv"),
+        nFiles = 8, out = s"$root/base", bits = 8)
+      graft.operators.ZOrder.deleteWhere(s, s"$root/base",
+        col("l_orderkey") % 5 === 2)
+      new java.io.File(s"$root/_DELETED").createNewFile()
+    }
+    root
+  }
 }

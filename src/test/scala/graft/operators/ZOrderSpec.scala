@@ -420,6 +420,132 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     } finally q2.stop()
   }
 
+  test("deleteWhere: tombstones subtract exactly the matched rows; re-delete is idempotent") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zdel").toString
+    val src = spark.range(30000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(src, Seq("x", "y"), nFiles = 8, out)
+    val n1 = ZOrder.deleteWhere(spark, out, col("id") % 7 === 3)
+    assert(n1 === (0L until 30000L).count(_ % 7 == 3).toLong)
+    val got = ZOrder.readWithDeletes(spark, out).select("id").as[Long].collect().sorted
+    val want = (0L until 30000L).filter(_ % 7 != 3)
+    assert(got.toSeq === want)
+    // overlapping re-delete: duplicate tombstones, read unchanged
+    val n2 = ZOrder.deleteWhere(spark, out, col("id") % 14 === 3)
+    assert(n2 > 0) // positions re-tombstoned (the rows are already dead)
+    assert(ZOrder.readWithDeletes(spark, out).count() === want.size.toLong)
+    // a second predicate layers on top
+    ZOrder.deleteWhere(spark, out, col("id") < 100)
+    val want2 = want.filter(_ >= 100)
+    assert(ZOrder.readWithDeletes(spark, out)
+      .select("id").as[Long].collect().sorted.toSeq === want2)
+    // data files untouched: deletes never rewrite
+    assert(spark.read.parquet(out).count() === 30000L)
+  }
+
+  test("deletes compose with pruning: every pruned read face subtracts tombstones row-exactly") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zdelprune").toString
+    val src = spark.range(30000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.cluster(src, Seq("x", "y"), nFiles = 16, out)
+    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    ZOrder.deleteWhere(spark, out, col("id") % 3 === 0)
+    val survivors = (0L until 30000L).filterNot(_ % 3 == 0)
+    // box pruning still skips files and returns exactly the live rows
+    val (boxDf, p) = ZOrder.prunedRead(spark, out, Seq(("x", 50L, 80L)))
+    assert(p.filesSelected < p.filesTotal)
+    assert(boxDf.select("id").as[Long].collect().sorted.toSeq ===
+      survivors.filter(i => { val x = i % 317; x >= 50 && x <= 80 }))
+    // bloom point pruning: a dead key returns nothing, a live one itself
+    val (pt, _) = ZOrder.prunedReadPoint(spark, out, "id", Seq(9L, 10L))
+    assert(pt.select("id").as[Long].collect().toSeq === Seq(10L))
+  }
+
+  test("compactQuantile applies tombstones physically: dest holds survivors only, no sidecar") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zdelcomp").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft-zdelcomp-out").toString
+    val src = spark.range(30000).select(
+      col("id"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 20 AS INT))").as("x"),
+      ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(src, Seq("x", "y"), nFiles = 8, out)
+    ZOrder.deleteWhere(spark, out, col("id") % 5 === 2)
+    ZOrder.compactQuantile(spark, out, dest, Seq("x", "y"), nFiles = 8)
+    val survivors = (0L until 30000L).filterNot(_ % 5 == 2)
+    assert(spark.read.parquet(dest).select("id").as[Long].collect().sorted.toSeq === survivors)
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    assert(!graft.io.Fio.exists(s"$dest/_zdeletes"))
+    // retrained CDF == a fresh clustering of the survivor set: same keys
+    val fresh = java.nio.file.Files.createTempDirectory("graft-zdelcomp-fresh").toString
+    ZOrder.clusterQuantile(src.filter(col("id") % 5 =!= 2), Seq("x", "y"), nFiles = 8, fresh)
+    val a = spark.read.parquet(dest).select("id", "zkey").as[(Long, Long)].collect().sorted
+    val b = spark.read.parquet(fresh).select("id", "zkey").as[(Long, Long)].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("exactly-once replay purges tombstones of replaced files (stale positions never survive)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zdelonce").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    assert(ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0) > 0)
+    // tombstone rows that live in batch-0 files AND one seed row
+    ZOrder.deleteWhere(spark, out, col("id") === 22222L || col("id") === 5L)
+    assert(ZOrder.readWithDeletes(spark, out).count() === 24998L)
+    // publish-then-crash window: marker gone, replay rewrites the files.
+    // row_index positions against the old files are meaningless now —
+    // the replay must purge them; the batch they targeted never
+    // committed, so its deletes die with it. The SEED tombstone stays.
+    graft.io.Fio.delete(s"$out/_zbatches/0")(graft.io.FioConf.of(spark))
+    assert(ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0) > 0)
+    val ids = ZOrder.readWithDeletes(spark, out).select("id").as[Long].collect().sorted
+    assert(ids.length === 24999)
+    assert(!ids.contains(5L) && ids.contains(22222L))
+  }
+
+  test("readAsOfBatch/readCommitted/vacuum: snapshots are exact, crashed publishes invisible") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zasof").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    ZOrder.appendQuantileOnce(shaped(20000, 23000), Seq("x", "y"), out, batchId = 0)
+    ZOrder.appendQuantileOnce(shaped(23000, 26000), Seq("x", "y"), out, batchId = 1)
+    ZOrder.appendQuantileOnce(shaped(26000, 30000), Seq("x", "y"), out, batchId = 2)
+    // crashed publish: files + manifest rows landed, marker never did
+    ZOrder.appendQuantileOnce(shaped(30000, 31000), Seq("x", "y"), out, batchId = 3)
+    graft.io.Fio.delete(s"$out/_zbatches/3")(graft.io.FioConf.of(spark))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted.toSeq
+    assert(ids(ZOrder.readAsOfBatch(spark, out, -1L)) === (0L until 20000L))
+    assert(ids(ZOrder.readAsOfBatch(spark, out, 0L)) === (0L until 23000L))
+    assert(ids(ZOrder.readAsOfBatch(spark, out, 1L)) === (0L until 26000L))
+    // the crashed batch is invisible to every committed view...
+    assert(ids(ZOrder.readAsOfBatch(spark, out, 3L)) === (0L until 30000L))
+    assert(ids(ZOrder.readCommitted(spark, out)) === (0L until 30000L))
+    // ...but a naive dir scan DOES see it — the window vacuum closes
+    assert(spark.read.parquet(out).count() === 31000L)
+    val removed = ZOrder.vacuum(spark, out)
+    assert(removed.nonEmpty)
+    assert(ids(spark.read.parquet(out)) === (0L until 30000L))
+    // committed reads byte-identical across the vacuum; sidecars consistent
+    assert(ids(ZOrder.readCommitted(spark, out)) === (0L until 30000L))
+    val manifestFiles = spark.read.parquet(s"$out/_zmanifest")
+      .select("file").distinct().as[String].collect().toSet
+    assert(manifestFiles.forall(n => !n.startsWith("zb3-")))
+    // vacuum is idempotent
+    assert(ZOrder.vacuum(spark, out).isEmpty)
+    // skipping still row-exact on the committed layout
+    val (df, p) = ZOrder.prunedRead(spark, out, Seq(("x", 50L, 80L)))
+    assert(df.count() ===
+      (0L until 30000L).count(i => { val x = i % 317; x >= 50 && x <= 80 }).toLong)
+    assert(p.filesSelected < p.filesTotal)
+  }
+
   test("bloom sidecar: point skipping on an unclustered key, row-exact, no false negatives") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zbloom").toString
