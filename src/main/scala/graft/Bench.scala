@@ -434,7 +434,11 @@ object Bench {
       // single-sf medians can't expose
       "doc_pipeline_curate_v4", "doc_quality_train", "doc_tfidf_topk",
       "doc_shuffle_shards", "doc_lang_id",
-      "ev_sessions_twophase", "ev_funnel", "ev_rolling_wau")
+      "ev_sessions_twophase", "ev_funnel", "ev_rolling_wau",
+      // r18 lakehouse faces: the tombstone anti-join merge is the scale
+      // shape to watch (fixtures are marker-cached, so the min-of-2
+      // times the warm read path, not the one-time layout build)
+      "q35_zdelete_read", "q38_zmerge_upsert")
     val scaleCurve: Seq[(String, Seq[Double], Double)] =
       if (!wanted("scale_curve")) Seq.empty
       else {

@@ -670,21 +670,87 @@ object ZOrder {
     * untouched: envelopes stay a superset after row removal by
     * definition, so `_zmanifest`/`_zbloom` stay valid as-is.
     */
-  def deleteWhere(spark: SparkSession, out: String, predicate: Column): Long = {
+  def deleteWhere(spark: SparkSession, out: String, predicate: Column): Long =
+    appendTombstones(spark, out,
+      tombstoneKeys(spark.read.parquet(out)).filter(predicate))
+
+  /** DELETE the rows of a layout whose `keys` columns match a row of
+    * `source` — the find-the-old-versions half of a MERGE, as a
+    * distributed semi-join (never an IN-list collect: the key set is
+    * whatever `source` is, a million-row update batch included).
+    * `excludeFilePrefix` skips data files by name — [[mergeInto]] uses
+    * it to keep the just-appended batch out of its own tombstone scan.
+    */
+  def deleteMatching(
+      spark: SparkSession,
+      out: String,
+      source: DataFrame,
+      keys: Seq[String],
+      excludeFilePrefix: Option[String] = None): Long = {
+    val scan = tombstoneKeys(spark.read.parquet(out))
+    val scoped = excludeFilePrefix
+      .map(p => scan.filter(!col("__zd_file").startsWith(p)))
+      .getOrElse(scan)
+    appendTombstones(spark, out,
+      scoped.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi"))
+  }
+
+  /** Shared tombstone-writing tail of [[deleteWhere]]/[[deleteMatching]]:
+    * append the (file, pos) keys of `matched` to `_zdeletes` and return
+    * how many landed (counted off the newly written sidecar files — one
+    * data scan total, no re-evaluation of the predicate).
+    */
+  private def appendTombstones(
+      spark: SparkSession, out: String, matched: DataFrame): Long = {
     implicit val fc: FioConf = FioConf.of(spark)
     import spark.implicits._
     val sidecar = Fio.child(out, "_zdeletes")
     val before: Set[String] =
       if (Fio.exists(sidecar)) Fio.listNames(sidecar).filter(_.endsWith(".parquet")).toSet
       else Set.empty
-    tombstoneKeys(spark.read.parquet(out))
-      .filter(predicate)
+    matched
       .select(col("__zd_file").as("file"), col("__zd_pos").as("pos"))
       .as[ZDelete]
       .write.mode("append").parquet(sidecar)
     val added = Fio.listNames(sidecar).filter(_.endsWith(".parquet")).filterNot(before)
     if (added.isEmpty) 0L
     else spark.read.parquet(added.map(Fio.child(sidecar, _)): _*).count()
+  }
+
+  /** MERGE (upsert) `source` into a quantile layout: every source row
+    * is appended through the frozen `_zqbounds` and every EXISTING row
+    * matching a source row's `keys` is tombstoned — merge-on-read, no
+    * data file rewritten, the Delta MERGE / Iceberg upsert shape on the
+    * layout's own primitives. REPLAY-IDEMPOTENT by construction, in
+    * foreachBatch order of operations:
+    *
+    *  1. append FIRST via [[appendQuantileOnce]] (marker-committed;
+    *     a replay short-circuits);
+    *  2. tombstone old versions SECOND via [[deleteMatching]], with the
+    *     new batch's own files excluded by name (the new versions match
+    *     their own keys and must survive).
+    *
+    * A crash between 1 and 2 replays to: append no-ops (marker), the
+    * tombstone scan re-runs — and re-tombstoning an already-dead row is
+    * read-idempotent, so the final state is identical for every crash
+    * point. Returns (tombstones written, files published).
+    */
+  def mergeInto(
+      spark: SparkSession,
+      out: String,
+      source: DataFrame,
+      keys: Seq[String],
+      cols: Seq[String],
+      batchId: Long,
+      nFiles: Int = 1,
+      bits: Int = 8,
+      keyCol: String = "zkey",
+      curve: String = "morton"): (Long, Int) = {
+    val published = appendQuantileOnce(
+      source, cols, out, batchId, nFiles, bits, keyCol, curve)
+    val tombs = deleteMatching(spark, out, source, keys,
+      excludeFilePrefix = Some(s"zb$batchId-"))
+    (tombs, published)
   }
 
   /** Subtract `_zdeletes` tombstones from a scan of `paths`: tag each

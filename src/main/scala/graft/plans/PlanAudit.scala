@@ -601,6 +601,49 @@ object PlanAudit {
         s"files=${p.filesSelected}/${p.filesTotal}")
   }
 
+  /** MERGE must be merge-on-read and replay-idempotent: after the
+    * upsert (and after a full replay of the SAME batch id) the live
+    * view holds every key exactly once with the updated values, while
+    * the raw dir still holds both generations — no data file was
+    * rewritten. The crash-window replay (marker deleted) must converge
+    * to the same state.
+    */
+  def zmergeShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_zmerge_probe").getAbsolutePath
+    val src = spark.range(100000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    graft.operators.ZOrder.clusterQuantile(src, Seq("x", "y"), nFiles = 16, out)
+    val updates = src.filter(col("id") % 10 === 0)
+      .withColumn("y", col("y") + 1000)
+      .select(col("id"), col("x"), col("y"))
+    def state(): (Long, Long, Long, Long) = {
+      val live = graft.operators.ZOrder.readWithDeletes(spark, out)
+      (live.count(),
+        live.groupBy("id").count().filter(col("count") =!= 1).count(),
+        live.filter(col("id") % 10 === 0 && col("y") < 1000).count(),
+        spark.read.parquet(out).count())
+    }
+    graft.operators.ZOrder.mergeInto(spark, out, updates,
+      keys = Seq("id"), cols = Seq("x", "y"), batchId = 0L)
+    val first = state()
+    // full replay of the same batch id must be a no-op
+    graft.operators.ZOrder.mergeInto(spark, out, updates,
+      keys = Seq("id"), cols = Seq("x", "y"), batchId = 0L)
+    val replay = state()
+    // crash window: marker gone, the replay republishes and converges
+    graft.io.Fio.delete(s"$out/_zbatches/0")(graft.io.FioConf.of(spark))
+    graft.operators.ZOrder.mergeInto(spark, out, updates,
+      keys = Seq("id"), cols = Seq("x", "y"), batchId = 0L)
+    val crash = state()
+    val want = (100000L, 0L, 0L, 110000L)
+    Shape(
+      first == want && replay == want && crash == want,
+      s"live/dupkeys/stale/raw first=$first replay=$replay crash=$crash")
+  }
+
   /** Snapshot reads must select exactly the committed prefix, a crashed
     * (unmarked) publish must be invisible to EVERY snapshot, and vacuum
     * must reconcile the naive dir view with the committed view without
@@ -647,6 +690,7 @@ object PlanAudit {
     "q35_zdelete_read" -> zdeleteShape,
     "q36_zdelete_compact" -> zdeleteCompactShape,
     "q37_zquantile_asof" -> zasofVacuumShape,
+    "q38_zmerge_upsert" -> zmergeShape,
     "q24_zorder_keys" -> zorderSkipShape,
     "q27_zorder_quantile" -> zorderQuantileSkewShape,
     "q28_morton3_keys" -> zorder3SkipShape,
@@ -844,6 +888,9 @@ object PlanAudit {
     // the output sort — any more would mean time travel stopped being
     // metadata-only
     "q37_zquantile_asof" -> 1,
+    // merged read = delete-merged read: broadcast tombstone anti-join
+    // + the output sort, same contract as q35
+    "q38_zmerge_upsert" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

@@ -436,6 +436,75 @@ object RelationalQueries {
       """
   }
 
+  /** The q38 oracle: MERGE (upsert) semantics over the quantile layout.
+    * The layout clusters the WHOLE skewed corpus (CDF trained on every
+    * row, `_zqbounds` frozen), then a source batch of UPDATED rows —
+    * every l_orderkey % 7 == 1 row with yv shifted by +7 — merges in:
+    * old versions tombstoned by (l_orderkey, l_linenumber) key match,
+    * new versions appended through the frozen boundaries. The merged
+    * multiset is therefore base-minus-matched ∪ updated, survivors
+    * keep their stored CDF keys, and appended rows key by the frozen
+    * rule (for a seen yv+7 it coincides with the CDF bucket; an unseen
+    * one exercises the clamp) — so the oracle applies the frozen rule
+    * UNIFORMLY over the merged set, boundaries trained on the original
+    * full table, exactly the q32 skeleton with seed = everything.
+    */
+  private val zmergeUpsertOracle: String = {
+    def cdf(h: String) =
+      s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
+    def frozen(vals: String, bnd: String) =
+      s"SELECT $vals.v, COALESCE(MAX($bnd.b), 0) AS b FROM $vals " +
+        s"LEFT JOIN $bnd ON $bnd.mn <= $vals.v GROUP BY $vals.v"
+    s"""
+        WITH base AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
+                 CAST(l_suppkey AS BIGINT) AS yv
+          FROM lineitem
+        ),
+        merged AS (
+          SELECT l_orderkey, l_linenumber, xv, yv FROM base WHERE l_orderkey % 7 <> 1
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, xv, yv + 7 AS yv FROM base
+          WHERE l_orderkey % 7 = 1
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM base),
+        hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cx AS (${cdf("hx")}),
+        hy AS (SELECT yv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cy AS (${cdf("hy")}),
+        bndx AS (SELECT b, MIN(v) AS mn FROM cx GROUP BY b),
+        bndy AS (SELECT b, MIN(v) AS mn FROM cy GROUP BY b),
+        valx AS (SELECT DISTINCT xv AS v FROM merged),
+        valy AS (SELECT DISTINCT yv AS v FROM merged),
+        fx AS (${frozen("valx", "bndx")}),
+        fy AS (${frozen("valy", "bndy")}),
+        lanes AS (
+          SELECT merged.l_orderkey, merged.l_linenumber, fx.b AS a, fy.b AS b
+          FROM merged JOIN fx ON merged.xv = fx.v JOIN fy ON merged.yv = fy.v
+        ), s1 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+          FROM lanes
+        ), s2 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+          FROM s1
+        ), s3 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+          FROM s3
+        )
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
+        FROM s4
+        ORDER BY zkey, l_orderkey, l_linenumber
+      """
+  }
+
   /** The q31 oracle: the pruned-point read is row-exact BY CONTRACT
     * (Bloom skipping is a superset guarantee — false positives only add
     * files, the residual IN re-filters), so the oracle is the plain
@@ -1604,6 +1673,54 @@ object RelationalQueries {
           .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some(zquantileAsOfOracle),
+    ),
+    // MERGE / UPSERT, merge-on-read (ZOrder.mergeInto): the Delta
+    // MERGE / Iceberg upsert shape on the layout's own primitives —
+    // updated rows append through the frozen `_zqbounds` EXACTLY-ONCE
+    // (appendQuantileOnce, marker-committed), then the old versions
+    // tombstone by a distributed (l_orderkey, l_linenumber) semi-join
+    // with the new batch's files excluded by name, so the whole merge
+    // is replay-idempotent (append short-circuits, re-tombstoning a
+    // dead row is a no-op at read). No data file is rewritten. The
+    // oracle replays the merged multiset (base minus matched ∪
+    // updated) through the frozen-boundary rule trained on the
+    // original table — survivors must keep their stored keys, updates
+    // must key exactly as a frozen append would. The q38 shape pin
+    // measures replay idempotence end to end, crash window included.
+    Q(
+      "q38_zmerge_upsert",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"))
+        val root = sys.props("java.io.tmpdir") + "/graft_zmerge/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        if (!new java.io.File(s"$root/_MERGED").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.clusterQuantile(skewed, Seq("xv", "yv"),
+            nFiles = 8, out = s"$root/base", bits = 8)
+          val source = skewed.filter(col("l_orderkey") % 7 === 1)
+            .withColumn("yv", col("yv") + 7)
+            .select(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
+          ZOrder.mergeInto(s, s"$root/base", source,
+            keys = Seq("l_orderkey", "l_linenumber"), cols = Seq("xv", "yv"),
+            batchId = 0L, nFiles = 2, bits = 8)
+          new java.io.File(s"$root/_MERGED").createNewFile()
+        }
+        ZOrder.readWithDeletes(s, s"$root/base")
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zmergeUpsertOracle),
     ),
   )
 

@@ -507,6 +507,56 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(!ids.contains(5L) && ids.contains(22222L))
   }
 
+  test("mergeInto: upsert is replay-idempotent across both crash windows, old versions die") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zmerge").toString
+    val src = spark.range(20000).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(src, Seq("x", "y"), nFiles = 8, out)
+    val updates = src.filter(col("id") % 10 === 0)
+      .withColumn("y", col("y") + 1000)
+      .select(col("id"), col("x"), col("y"))
+    def assertMerged(): Unit = {
+      val live = ZOrder.readWithDeletes(spark, out)
+      assert(live.count() === 20000L)
+      // every id exactly once; updated rows carry the new y
+      assert(live.groupBy("id").count().filter(col("count") =!= 1).count() === 0L)
+      val got = live.filter(col("id") % 10 === 0).select(col("id"), col("y"))
+        .as[(Long, Long)].collect().sorted
+      val want = (0L until 20000L by 10).map(i => (i, (i * 7919) % 331 + 1000L))
+      assert(got.toSeq === want)
+      // old versions are tombstoned, not rewritten: the raw dir still
+      // holds both generations
+      assert(spark.read.parquet(out).count() === 22000L)
+    }
+    val (tombs, files) = ZOrder.mergeInto(spark, out, updates,
+      keys = Seq("id"), cols = Seq("x", "y"), batchId = 0L)
+    assert(tombs === 2000L && files > 0)
+    assertMerged()
+    // window 1 — full replay: append short-circuits on the marker, the
+    // tombstone pass re-runs (duplicates are read-idempotent)
+    val (_, files2) = ZOrder.mergeInto(spark, out, updates,
+      keys = Seq("id"), cols = Seq("x", "y"), batchId = 0L)
+    assert(files2 === 0)
+    assertMerged()
+    // window 2 — crash between publish and marker: replay purges and
+    // republishes the batch files; tombstones on OLD files survive the
+    // purge (those files are immutable), the state converges again
+    graft.io.Fio.delete(s"$out/_zbatches/0")(graft.io.FioConf.of(spark))
+    val (_, files3) = ZOrder.mergeInto(spark, out, updates,
+      keys = Seq("id"), cols = Seq("x", "y"), batchId = 0L)
+    assert(files3 > 0)
+    assertMerged()
+    // a second merge batch layers on top (update the same keys again)
+    val updates2 = updates.withColumn("y", col("y") + 1000)
+    ZOrder.mergeInto(spark, out, updates2,
+      keys = Seq("id"), cols = Seq("x", "y"), batchId = 1L)
+    val y2 = ZOrder.readWithDeletes(spark, out).filter(col("id") === 40)
+      .select("y").as[Long].collect().toSeq
+    assert(y2 === Seq((40L * 7919) % 331 + 2000L))
+    assert(ZOrder.readWithDeletes(spark, out).count() === 20000L)
+  }
+
   test("readAsOfBatch/readCommitted/vacuum: snapshots are exact, crashed publishes invisible") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zasof").toString
