@@ -648,8 +648,17 @@ object ZOrder {
   // applies tombstones physically and the fresh layout carries none.
   // ------------------------------------------------------------------
 
-  /** One positional tombstone: row `pos` of data file `file` is dead. */
-  case class ZDelete(file: String, pos: Long)
+  /** One positional tombstone: row `pos` of data file `file` is dead.
+    * `batch` is the snapshot the delete was issued against — the
+    * layout's max committed batch id at delete time (−1 before any
+    * batch) — so snapshot reads can include exactly the tombstones
+    * that existed in a version's lineage ([[readAsOfBatch]]'s
+    * `applyDeletes`). A [[mergeInto]] stamps its tombstones with the
+    * merge's OWN batch id (the append commits first), which makes
+    * upserts fully snapshot-consistent: as-of the merge both halves
+    * are visible, as-of one version earlier neither is.
+    */
+  case class ZDelete(file: String, pos: Long, batch: Long)
 
   /** The two `_metadata`-derived tombstone key columns of a scan: the
     * data file's base name (sidecars key files by base name) and the
@@ -705,11 +714,13 @@ object ZOrder {
     implicit val fc: FioConf = FioConf.of(spark)
     import spark.implicits._
     val sidecar = Fio.child(out, "_zdeletes")
+    val stamp = committedBatches(out).map(_.toLong).foldLeft(-1L)(math.max)
     val before: Set[String] =
       if (Fio.exists(sidecar)) Fio.listNames(sidecar).filter(_.endsWith(".parquet")).toSet
       else Set.empty
     matched
-      .select(col("__zd_file").as("file"), col("__zd_pos").as("pos"))
+      .select(col("__zd_file").as("file"), col("__zd_pos").as("pos"),
+        lit(stamp).as("batch"))
       .as[ZDelete]
       .write.mode("append").parquet(sidecar)
     val added = Fio.listNames(sidecar).filter(_.endsWith(".parquet")).filterNot(before)
@@ -761,9 +772,16 @@ object ZOrder {
   private def withDeletesApplied(
       spark: SparkSession,
       out: String,
-      paths: Seq[String]): DataFrame = {
-    val dels = spark.read.parquet(Fio.child(out, "_zdeletes"))
-    val tagged = tombstoneKeys(spark.read.parquet(paths: _*))
+      paths: Seq[String]): DataFrame =
+    subtractTombstones(spark.read.parquet(paths: _*),
+      spark.read.parquet(Fio.child(out, "_zdeletes")))
+
+  /** The tombstone merge itself: tag `scan` with its (file, pos) keys
+    * and anti-join `dels` on them (any extra sidecar columns — the
+    * version stamp — ride along harmlessly).
+    */
+  private def subtractTombstones(scan: DataFrame, dels: DataFrame): DataFrame = {
+    val tagged = tombstoneKeys(scan)
     tagged.join(dels,
         tagged("__zd_file") === dels("file") && tagged("__zd_pos") === dels("pos"),
         "left_anti")
@@ -803,8 +821,9 @@ object ZOrder {
   // non-*Once appends) is the base snapshot, and each marker id is one
   // committed increment, so "the table as of batch N" is a pure file
   // selection — no log replay, no data movement. Granularity is the
-  // exactly-once batch; tombstones carry no version, so snapshot reads
-  // return the PRE-delete state by contract (documented, not implied).
+  // exactly-once batch; tombstones are version-stamped with the batch
+  // they were issued against, so snapshot reads return the pre-delete
+  // state by default and the delete-aware lineage view on request.
   // ------------------------------------------------------------------
 
   /** Marker ids committed under `out`, i.e. the layout's snapshot ids. */
@@ -817,8 +836,21 @@ object ZOrder {
     * id ≤ `upToBatch` (`-1` = base only). Files of a batch whose marker
     * never landed are excluded — a crashed publish is invisible at every
     * snapshot, which is the exactly-once contract read-side.
+    *
+    * By default tombstones are NOT applied (the pre-delete state).
+    * `applyDeletes = true` subtracts exactly the tombstones whose
+    * version stamp is ≤ `upToBatch` — i.e. the row deletions that were
+    * part of this version's lineage: a delete is attributed to the
+    * snapshot it was issued against, and a [[mergeInto]]'s tombstones
+    * carry the merge's own batch id, so an upsert is atomic in version
+    * space (as-of the merge: new rows, no old ones; one version
+    * earlier: old rows, no new ones).
     */
-  def readAsOfBatch(spark: SparkSession, out: String, upToBatch: Long): DataFrame = {
+  def readAsOfBatch(
+      spark: SparkSession,
+      out: String,
+      upToBatch: Long,
+      applyDeletes: Boolean = false): DataFrame = {
     implicit val fc: FioConf = FioConf.of(spark)
     val marked = committedBatches(out)
     val keep = dataFiles(out).filter { p =>
@@ -828,7 +860,11 @@ object ZOrder {
         case Some(id) => marked.contains(id) && id.toLong <= upToBatch
       }
     }
+    val sidecar = Fio.child(out, "_zdeletes")
     if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+    else if (applyDeletes && Fio.exists(sidecar))
+      subtractTombstones(spark.read.parquet(keep: _*),
+        spark.read.parquet(sidecar).filter(col("batch") <= upToBatch))
     else spark.read.parquet(keep: _*)
   }
 
@@ -836,9 +872,14 @@ object ZOrder {
     * files. A plain dir read sees a crashed batch's files in the window
     * between the crash and its replay (or [[vacuum]]); this read never
     * does — use it wherever a concurrent writer may be publishing.
+    * `applyDeletes = true` additionally subtracts every tombstone —
+    * the crash-consistent twin of [[readWithDeletes]].
     */
-  def readCommitted(spark: SparkSession, out: String): DataFrame =
-    readAsOfBatch(spark, out, Long.MaxValue)
+  def readCommitted(
+      spark: SparkSession,
+      out: String,
+      applyDeletes: Boolean = false): DataFrame =
+    readAsOfBatch(spark, out, Long.MaxValue, applyDeletes)
 
   /** The batch id encoded in an exactly-once data file name
     * (`zb<id>-<k>.parquet`), or None for bootstrap/plain-append files.

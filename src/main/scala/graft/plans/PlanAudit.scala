@@ -644,6 +644,41 @@ object PlanAudit {
       s"live/dupkeys/stale/raw first=$first replay=$replay crash=$crash")
   }
 
+  /** Delete-aware snapshots must see exactly their version's lineage:
+    * tombstones stamped after the snapshot are invisible, earlier ones
+    * apply, the default read stays pre-delete, and a merge's tombstones
+    * ride its own batch id (version-atomic upsert).
+    */
+  def zasofDeleteShape(df: DataFrame): Shape = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_zasofdel_probe").getAbsolutePath
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    graft.operators.ZOrder.clusterQuantile(shaped(0, 50000), Seq("x", "y"),
+      nFiles = 16, out)
+    graft.operators.ZOrder.appendQuantileOnce(shaped(50000, 60000), Seq("x", "y"),
+      out, batchId = 0)
+    graft.operators.ZOrder.deleteWhere(spark, out, col("id") % 9 === 4)
+    graft.operators.ZOrder.appendQuantileOnce(shaped(60000, 70000), Seq("x", "y"),
+      out, batchId = 1)
+    graft.operators.ZOrder.deleteWhere(spark, out, col("id") % 9 === 7)
+    val preDelete = graft.operators.ZOrder.readAsOfBatch(spark, out, 0L).count()
+    val v0 = graft.operators.ZOrder.readAsOfBatch(spark, out, 0L,
+      applyDeletes = true).count()
+    val v1 = graft.operators.ZOrder.readAsOfBatch(spark, out, 1L,
+      applyDeletes = true).count()
+    val current = graft.operators.ZOrder.readWithDeletes(spark, out).count()
+    // each delete generation covers only the rows that existed when it
+    // was issued: the version-0 delete never saw batch 1
+    val w0 = (0L until 60000L).count(_ % 9 != 4).toLong
+    val w1 = (0L until 70000L).count(i => !(i % 9 == 4 && i < 60000) && i % 9 != 7).toLong
+    Shape(
+      preDelete == 60000L && v0 == w0 && v1 == w1 && current == w1,
+      s"pre=$preDelete v0=$v0/$w0 v1=$v1/$w1 current=$current")
+  }
+
   /** Snapshot reads must select exactly the committed prefix, a crashed
     * (unmarked) publish must be invisible to EVERY snapshot, and vacuum
     * must reconcile the naive dir view with the committed view without
@@ -691,6 +726,7 @@ object PlanAudit {
     "q36_zdelete_compact" -> zdeleteCompactShape,
     "q37_zquantile_asof" -> zasofVacuumShape,
     "q38_zmerge_upsert" -> zmergeShape,
+    "q39_zasof_deletes" -> zasofDeleteShape,
     "q24_zorder_keys" -> zorderSkipShape,
     "q27_zorder_quantile" -> zorderQuantileSkewShape,
     "q28_morton3_keys" -> zorder3SkipShape,
@@ -891,6 +927,9 @@ object PlanAudit {
     // merged read = delete-merged read: broadcast tombstone anti-join
     // + the output sort, same contract as q35
     "q38_zmerge_upsert" -> 1,
+    // delete-aware snapshot: file selection + version-filtered
+    // broadcast tombstone anti-join + the output sort
+    "q39_zasof_deletes" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

@@ -374,7 +374,16 @@ object RelationalQueries {
     * MUST NOT appear — the hash pins that snapshot selection is exact,
     * not merely a subset.
     */
-  private val zquantileAsOfOracle: String = {
+  private val zquantileAsOfOracle: String =
+    zquantileAsOfOracleSql("2 * (((SELECT c FROM oddn) + 3) // 4)", "")
+
+  /** The shared q37/q39 oracle builder: the frozen-clamp algebra over
+    * the seed plus a deterministic odd-arrival PREFIX (`prefixExpr`
+    * rows of the total order — q37: two of four batches; q39: one of
+    * two), with `outputWhere` filtering only the OUTPUT (q39: the
+    * version-0 tombstones hide rows, keys stay as stored).
+    */
+  private def zquantileAsOfOracleSql(prefixExpr: String, outputWhere: String): String = {
     def cdf(h: String) =
       s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
     def frozen(vals: String, bnd: String) =
@@ -396,7 +405,7 @@ object RelationalQueries {
           SELECT l_orderkey, l_linenumber, xv, yv FROM allr WHERE l_orderkey % 2 = 0
           UNION ALL
           SELECT l_orderkey, l_linenumber, xv, yv FROM oddp
-          WHERE rn <= 2 * (((SELECT c FROM oddn) + 3) // 4)
+          WHERE rn <= $prefixExpr
         ),
         seed AS (SELECT * FROM allr WHERE l_orderkey % 2 = 0),
         nn AS (SELECT COUNT(*) AS n FROM seed),
@@ -431,7 +440,7 @@ object RelationalQueries {
           FROM s3
         )
         SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
-        FROM s4
+        FROM s4 $outputWhere
         ORDER BY zkey, l_orderkey, l_linenumber
       """
   }
@@ -1721,6 +1730,65 @@ object RelationalQueries {
           .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some(zmergeUpsertOracle),
+    ),
+    // DELETE-AWARE TIME TRAVEL (ZOrder.readAsOfBatch applyDeletes):
+    // tombstones are version-stamped with the max committed batch at
+    // delete time, so a snapshot read can include exactly the row
+    // deletions that belong to that version's lineage. The fixture
+    // interleaves commits and deletes — cluster the even half, commit
+    // the odd half's first arrival batch, DELETE l_orderkey % 9 == 4
+    // (stamped version 0), commit batch 1, DELETE % 9 == 7 (stamped
+    // version 1) — and the gate reads as-of version 0 with deletes:
+    // seed + batch 0, minus ONLY the version-0 tombstones. The later
+    // batch, its files, and the version-1 tombstones must all be
+    // invisible; the stored keys are untouched by deletion — so the
+    // oracle is q37's arrival-prefix algebra (prefix = one of two
+    // batches) with the version-0 predicate filtering only the output.
+    Q(
+      "q39_zasof_deletes",
+      (s, d) => {
+        import graft.operators.ZOrder
+        import s.implicits._
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"))
+        val root = sys.props("java.io.tmpdir") + "/graft_zasofdel/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        if (!new java.io.File(s"$root/_BUILT").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.clusterQuantile(skewed.filter(col("l_orderkey") % 2 === 0),
+            Seq("xv", "yv"), nFiles = 8, out = s"$root/base", bits = 8)
+          val odd = skewed.filter(col("l_orderkey") % 2 === 1)
+            .orderBy(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          val chunk = math.max(1, (odd.length + 1) / 2)
+          odd.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+            ZOrder.appendQuantileOnce(
+              rows.toSeq.toDF("l_orderkey", "l_linenumber", "xv", "yv"),
+              Seq("xv", "yv"), out = s"$root/base", batchId = i.toLong,
+              nFiles = 1, bits = 8)
+            // a delete lands on top of each committed version: stamped
+            // with the version it was issued against (i)
+            ZOrder.deleteWhere(s, s"$root/base",
+              col("l_orderkey") % 9 === (if (i == 0) 4 else 7))
+          }
+          new java.io.File(s"$root/_BUILT").createNewFile()
+        }
+        ZOrder.readAsOfBatch(s, s"$root/base", 0L, applyDeletes = true)
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zquantileAsOfOracleSql("(((SELECT c FROM oddn) + 1) // 2)",
+        "WHERE l_orderkey % 9 <> 4")),
     ),
   )
 

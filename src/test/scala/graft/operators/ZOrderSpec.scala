@@ -596,6 +596,48 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(p.filesSelected < p.filesTotal)
   }
 
+  test("versioned tombstones: delete-aware snapshots see exactly their lineage; merges are version-atomic") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zasofdel").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0)
+    ZOrder.deleteWhere(spark, out, col("id") % 9 === 4) // stamped version 0
+    ZOrder.appendQuantileOnce(shaped(25000, 30000), Seq("x", "y"), out, batchId = 1)
+    ZOrder.deleteWhere(spark, out, col("id") % 9 === 7) // stamped version 1
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted.toSeq
+    // pre-delete snapshots unchanged by default
+    assert(ids(ZOrder.readAsOfBatch(spark, out, 0L)) === (0L until 25000L))
+    // version 0 lineage: batch-0 files minus ONLY the version-0 deletes
+    assert(ids(ZOrder.readAsOfBatch(spark, out, 0L, applyDeletes = true)) ===
+      (0L until 25000L).filterNot(_ % 9 == 4))
+    // version 1 lineage: both delete generations apply — each to the
+    // rows that EXISTED when it was issued (the version-0 delete never
+    // saw batch 1, so batch-1 rows with id % 9 == 4 survive)
+    assert(ids(ZOrder.readAsOfBatch(spark, out, 1L, applyDeletes = true)) ===
+      (0L until 30000L).filterNot(i => (i % 9 == 4 && i < 25000) || i % 9 == 7))
+    assert(ids(ZOrder.readCommitted(spark, out, applyDeletes = true)) ===
+      ids(ZOrder.readWithDeletes(spark, out)))
+    // a MERGE is atomic in version space: its tombstones carry the
+    // merge's own batch id, so as-of the merge the update is complete
+    // and one version earlier it never happened
+    val updates = shaped(0, 20000).filter(col("id") % 50 === 0)
+      .withColumn("y", col("y") + 5000).select(col("id"), col("x"), col("y"))
+    ZOrder.mergeInto(spark, out, updates, keys = Seq("id"), cols = Seq("x", "y"),
+      batchId = 2L)
+    val pre = ZOrder.readAsOfBatch(spark, out, 1L, applyDeletes = true)
+    val post = ZOrder.readAsOfBatch(spark, out, 2L, applyDeletes = true)
+    // scope to the UPDATED keys (id < 20000): later-batch rows that
+    // happen to share the id % 50 residue were never merge targets
+    assert(pre.filter(col("id") % 50 === 0 && col("id") < 20000
+      && col("y") >= 5000).count() === 0L)
+    assert(post.filter(col("id") % 50 === 0 && col("id") < 20000
+      && col("y") < 5000).count() === 0L)
+    assert(post.groupBy("id").count().filter(col("count") =!= 1).count() === 0L)
+  }
+
   test("bloom sidecar: point skipping on an unclustered key, row-exact, no false negatives") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zbloom").toString
