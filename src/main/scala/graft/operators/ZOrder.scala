@@ -1103,11 +1103,38 @@ object ZOrder {
   def prunedRead(
       spark: SparkSession,
       out: String,
+      box: Seq[(String, Long, Long)]): (DataFrame, ZPruneProbe) =
+    prunedReadAdmitting(spark, out, box, _ => true)
+
+  /** [[prunedRead]] over the COMMITTED snapshot only: manifest rows of
+    * uncommitted batch files (a crashed publish awaiting replay or
+    * [[vacuum]]) are ignored, closing the phantom-row window for
+    * pruned reads the way [[readCommitted]] closes it for plain reads
+    * — use it wherever a concurrent writer may be mid-publish.
+    */
+  def prunedReadCommitted(
+      spark: SparkSession,
+      out: String,
       box: Seq[(String, Long, Long)]): (DataFrame, ZPruneProbe) = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    val marked = committedBatches(out)
+    prunedReadAdmitting(spark, out, box, f => batchIdOf(f).forall(marked.contains))
+  }
+
+  /** Shared driver-path box pruning: the manifest intersection over the
+    * files `admit` allows (the probe's `filesTotal` counts admitted
+    * files, so skip evidence stays comparable snapshot to snapshot).
+    */
+  private def prunedReadAdmitting(
+      spark: SparkSession,
+      out: String,
+      box: Seq[(String, Long, Long)],
+      admit: String => Boolean): (DataFrame, ZPruneProbe) = {
     val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
       .select(col("file"), col("column"), col("min_v"), col("max_v"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .filter(t => admit(t._1))
     val total = manifest.map(_._1).distinct.length
     val byFile = manifest.groupBy(_._1)
     val keep = byFile.collect {

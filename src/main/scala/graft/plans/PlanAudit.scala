@@ -373,7 +373,14 @@ object PlanAudit {
     val cRows = compacted.count()
     Shape(
       aRows == direct && cRows == direct
-        && ap.filesTotal == 20 && cp.filesTotal == 32 && cp.filesSelected <= 14,
+        // ≤16 of 32, not the ≤14 seen on most runs: repartitionByRange
+        // boundaries come from a time-seeded sample (XORShiftRandom in
+        // RangePartitioner.sketch), so the per-file value spans drift a
+        // file or two run to run — the bound pins the STRUCTURAL claim
+        // (quantile lanes keep the one-value probe under half the
+        // layout where the linear twin measures 30–31/32) with the
+        // sampling margin the other curve probes already carry
+        && ap.filesTotal == 20 && cp.filesTotal == 32 && cp.filesSelected <= 16,
       s"append_files=${ap.filesSelected}/${ap.filesTotal} " +
         s"compact_files=${cp.filesSelected}/${cp.filesTotal} " +
         s"rows=$aRows/$cRows direct=$direct")

@@ -638,6 +638,38 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(post.groupBy("id").count().filter(col("count") =!= 1).count() === 0L)
   }
 
+  test("prunedReadCommitted: a crashed publish is invisible to committed pruned reads") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zprcommit").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0)
+    // crashed publish: files + manifest rows landed, marker never did
+    ZOrder.appendQuantileOnce(shaped(25000, 30000), Seq("x", "y"), out, batchId = 1)
+    graft.io.Fio.delete(s"$out/_zbatches/1")(graft.io.FioConf.of(spark))
+    val box = Seq(("x", 50L, 80L))
+    def want(n: Long) = (0L until n).count(i => { val x = i % 317; x >= 50 && x <= 80 }).toLong
+    // the plain pruned read sees the phantom rows (the window vacuum or
+    // replay closes); the committed read never does
+    val (dirty, _) = ZOrder.prunedRead(spark, out, box)
+    assert(dirty.count() === want(30000))
+    val (clean, p) = ZOrder.prunedReadCommitted(spark, out, box)
+    assert(clean.count() === want(25000))
+    assert(p.filesSelected < p.filesTotal)
+    // after vacuum the two views coincide again
+    ZOrder.vacuum(spark, out)
+    val (afterDirty, _) = ZOrder.prunedRead(spark, out, box)
+    val (afterClean, _) = ZOrder.prunedReadCommitted(spark, out, box)
+    assert(afterDirty.count() === want(25000))
+    assert(afterClean.count() === want(25000))
+    // committed pruning composes with tombstones like every other face
+    ZOrder.deleteWhere(spark, out, col("id") % 3 === 0)
+    val (deleted, _) = ZOrder.prunedReadCommitted(spark, out, box)
+    assert(deleted.count() ===
+      (0L until 25000L).count(i => { val x = i % 317; x >= 50 && x <= 80 && i % 3 != 0 }).toLong)
+  }
+
   test("bloom sidecar: point skipping on an unclustered key, row-exact, no false negatives") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zbloom").toString
