@@ -918,6 +918,42 @@ object ZOrder {
     staging ++ orphans
   }
 
+  /** One table-level column statistic of [[analyzeLayout]]. */
+  case class ZColStat(col_name: String, n_rows: Long, n_nulls: Long, ndv: Long)
+
+  /** ANALYZE a layout: ONE map-side-combined agg pass over the LIVE
+    * table (tombstones subtracted) computes per-column row count, null
+    * count, and an HLL++ NDV estimate, persisted as the `_zstats`
+    * sidecar — the CBO-food face of the layout family (Delta ANALYZE /
+    * Iceberg column stats). O(cols) output rows; the only exchange is
+    * the single-partition partial-agg merge, so the pass costs one
+    * scan at any table size. NDV rides the sketch (relative error
+    * `rsd`) because exact distinct per column would add an Expand +
+    * full shuffle per column at 100 TB — the same trade `ev_hll_users`
+    * gates for events. Returns the stats as a DataFrame; re-analyzing
+    * overwrites (stats describe a snapshot, staleness is the caller's
+    * contract exactly as with `_zbloom`).
+    */
+  def analyzeLayout(
+      spark: SparkSession,
+      out: String,
+      cols: Seq[String],
+      rsd: Double = 0.02): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    import spark.implicits._
+    val live = readWithDeletes(spark, out)
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      approx_count_distinct(col(c), rsd).as(s"__ndv_$c")))
+    val r = live.agg(count(lit(1)).as("__rows"), aggs: _*).head()
+    val rows = r.getAs[Long]("__rows")
+    val stats = cols.map(c =>
+      ZColStat(c, rows, rows - r.getAs[Long](s"__nn_$c"), r.getAs[Long](s"__ndv_$c")))
+    val df = spark.createDataset(stats).toDF()
+    df.coalesce(1).write.mode("overwrite").parquet(Fio.child(out, "_zstats"))
+    df
+  }
+
   /** Per-file column stats row of the skipping manifest. */
   case class ZStat(file: String, column: String, min_v: Long, max_v: Long)
 

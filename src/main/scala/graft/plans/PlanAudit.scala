@@ -937,6 +937,11 @@ object PlanAudit {
     // delete-aware snapshot: file selection + version-filtered
     // broadcast tombstone anti-join + the output sort
     "q39_zasof_deletes" -> 1,
+    // ANALYZE gate: the sketch pass and the exact-distinct check both
+    // run eagerly inside the gate builder (their results are plan
+    // constants); the RETURNED plan is the tiny broadcast stats join +
+    // the 4-row output sort = 1
+    "q40_zanalyze" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

@@ -1731,6 +1731,60 @@ object RelationalQueries {
       },
       Some(zmergeUpsertOracle),
     ),
+    // ANALYZE / table statistics (ZOrder.analyzeLayout): the CBO-food
+    // face — one map-side-combined agg pass over the LIVE table
+    // (tombstones subtracted: the fixture is q35's deleted layout, so
+    // the stats MUST describe survivors, not raw files) computes
+    // per-column rows / nulls / HLL++ NDV into a `_zstats` sidecar.
+    // Exact NDV per column would add an Expand + full shuffle each at
+    // 100 TB; the sketch rides at rsd 0.02 and the gate checks it the
+    // ev_hll_users way: the Spark side emits the EXACT distinct count
+    // plus a ±5% containment boolean for the sketch, the oracle emits
+    // the exact count and `true` — so the hash pins live-row/null
+    // exactness and the sketch's error bound at once.
+    Q(
+      "q40_zanalyze",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val root = zdeleteFixture(s, d)
+        val statCols = Seq("l_orderkey", "l_linenumber", "xv", "yv")
+        val stats = ZOrder.analyzeLayout(s, s"$root/base", statCols)
+        val live = ZOrder.readWithDeletes(s, s"$root/base")
+        val exact = live.agg(
+          countDistinct(col(statCols.head)).as(s"__ex_${statCols.head}"),
+          statCols.tail.map(c => countDistinct(col(c)).as(s"__ex_$c")): _*).head()
+        val ex = statCols.map(c => (c, exact.getAs[Long](s"__ex_$c"))).toMap
+        import s.implicits._
+        val exactDf = ex.toSeq.toDF("col_name", "n_distinct")
+        stats.join(exactDf, "col_name")
+          .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+            (abs(col("ndv") - col("n_distinct")) <= col("n_distinct") * 0.05)
+              .as("ndv_within_5pct"))
+          .orderBy(col("col_name"))
+      },
+      Some("""
+        WITH live AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
+                 CAST(l_suppkey AS BIGINT) AS yv
+          FROM lineitem WHERE l_orderkey % 5 <> 2
+        )
+        SELECT 'l_linenumber' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(l_linenumber) AS n_nulls,
+               COUNT(DISTINCT l_linenumber) AS n_distinct, true AS ndv_within_5pct
+        FROM live
+        UNION ALL
+        SELECT 'l_orderkey', COUNT(*), COUNT(*) - COUNT(l_orderkey),
+               COUNT(DISTINCT l_orderkey), true FROM live
+        UNION ALL
+        SELECT 'xv', COUNT(*), COUNT(*) - COUNT(xv),
+               COUNT(DISTINCT xv), true FROM live
+        UNION ALL
+        SELECT 'yv', COUNT(*), COUNT(*) - COUNT(yv),
+               COUNT(DISTINCT yv), true FROM live
+        ORDER BY col_name
+      """),
+    ),
     // DELETE-AWARE TIME TRAVEL (ZOrder.readAsOfBatch applyDeletes):
     // tombstones are version-stamped with the max committed batch at
     // delete time, so a snapshot read can include exactly the row

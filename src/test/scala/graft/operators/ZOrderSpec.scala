@@ -638,6 +638,58 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(post.groupBy("id").count().filter(col("count") =!= 1).count() === 0L)
   }
 
+  test("analyzeLayout: live-table stats with exact rows/nulls and bounded-error NDV") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zstats").toString
+    val src = spark.range(30000).select(
+      col("id"),
+      (col("id") % 317).as("x"),
+      // a genuinely nullable column: every 4th row null
+      when(col("id") % 4 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(src, Seq("x"), nFiles = 8, out)
+    ZOrder.deleteWhere(spark, out, col("id") % 3 === 0)
+    val stats = ZOrder.analyzeLayout(spark, out, Seq("id", "x", "y"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val liveIds = (0L until 30000L).filterNot(_ % 3 == 0)
+    val rows = liveIds.size.toLong
+    assert(stats("id")._1 === rows && stats("x")._1 === rows && stats("y")._1 === rows)
+    assert(stats("id")._2 === 0L && stats("x")._2 === 0L)
+    assert(stats("y")._2 === liveIds.count(_ % 4 == 0).toLong)
+    def within(est: Long, exact: Long) = math.abs(est - exact) <= exact * 0.05
+    assert(within(stats("id")._3, rows))
+    assert(within(stats("x")._3, 317L))
+    assert(within(stats("y")._3, liveIds.filterNot(_ % 4 == 0).map(i => (i * 7919) % 331).distinct.size.toLong))
+    // the sidecar persisted and a re-analyze overwrites it cleanly
+    assert(spark.read.parquet(s"$out/_zstats").count() === 3L)
+    ZOrder.analyzeLayout(spark, out, Seq("id"))
+    assert(spark.read.parquet(s"$out/_zstats").count() === 1L)
+  }
+
+  test("publishBatchOnce: replaying one writer's batch never touches another batch's files") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-ztwow").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    // two writers' batches land (distinct ids — the multi-writer shape)
+    ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 10)
+    ZOrder.appendQuantileOnce(shaped(25000, 30000), Seq("x", "y"), out, batchId = 11)
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val b11Before = graft.io.Fio.listNames(out).filter(_.startsWith("zb11-")).sorted
+    // writer 10 crashed post-publish: its replay purges ONLY zb10-*
+    graft.io.Fio.delete(s"$out/_zbatches/10")
+    ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 10)
+    assert(graft.io.Fio.listNames(out).filter(_.startsWith("zb11-")).sorted === b11Before)
+    val byId = spark.read.parquet(out).groupBy("id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("zkey")).as("nk"))
+    assert(byId.filter(col("n") =!= 1 || col("nk") =!= 1).count() === 0L)
+    assert(spark.read.parquet(out).count() === 30000L)
+    val dupManifest = spark.read.parquet(s"$out/_zmanifest")
+      .groupBy("file", "column").count().filter(col("count") > 1).count()
+    assert(dupManifest === 0L)
+  }
+
   test("prunedReadCommitted: a crashed publish is invisible to committed pruned reads") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zprcommit").toString
