@@ -16,5 +16,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
     }
     ext.injectOptimizerRule(session => graft.plans.SizeGuardRule(session))
+    // SQL surface for the lakehouse verbs: SELECT/VERSION AS OF/DELETE
+    // FROM/MERGE INTO over `zlayout.`/path`` tables (see ZLayoutSqlRule)
+    ext.injectResolutionRule(session => graft.plans.ZLayoutSqlRule(session))
   }
 }

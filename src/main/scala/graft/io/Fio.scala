@@ -177,6 +177,41 @@ object Fio {
     }
   }
 
+  /** File modification time in epoch millis. */
+  def mtime(path: String)(implicit fc: FioConf): Long = {
+    val (fs, p) = resolve(path); fs.getFileStatus(p).getModificationTime
+  }
+
+  /** CREATE-IF-ABSENT atomic file write — the compare-and-swap primitive
+    * of the layout commit protocol: exactly one concurrent caller
+    * succeeds, every other returns false (never overwrites). On
+    * `file://` this is `Files.createFile` (an atomic O_CREAT|O_EXCL);
+    * on HDFS `create(overwrite = false)` is atomic at the NameNode.
+    * Object-store caveat stated, not hidden: S3A's create is
+    * check-then-write, so true CAS there needs a conditional-put layer
+    * (S3 If-None-Match) or a coordination service — the same caveat
+    * Delta documents for its log commits.
+    */
+  def createExclusive(path: String, content: String)(implicit fc: FioConf): Boolean = {
+    val (fs, p) = resolve(path)
+    if ("file" == p.toUri.getScheme) {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        val parent = local.getParent
+        if (parent != null) java.nio.file.Files.createDirectories(parent)
+        java.nio.file.Files.createFile(local) // atomic O_CREAT|O_EXCL
+        java.nio.file.Files.write(local, content.getBytes(StandardCharsets.UTF_8))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException if fs.exists(p) => false }
+    }
+  }
+
   def openStream(path: String)(implicit fc: FioConf): FSDataInputStream = {
     val (fs, p) = resolve(path); fs.open(p)
   }

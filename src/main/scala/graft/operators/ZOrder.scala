@@ -387,13 +387,26 @@ object ZOrder {
       keyCol: String = "zkey",
       curve: String = "morton"): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     withZKeyQuantile(df, cols, bits, keyCol, curve)
       .repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(col(keyCol))
       .write.mode("overwrite").parquet(out)
     implicit val fc: FioConf = FioConf.of(spark)
     writeManifest(spark, out, dataFiles(out), cols, "overwrite")
+    writeQuantileBounds(df, cols, bits, out)
+    writeMeta(out, cols, bits, keyCol, curve)
+  }
+
+  /** Persist the layout's frozen equi-depth boundary table `_zqbounds`
+    * (per lane: each non-empty bucket's minimum value) — shared by
+    * [[clusterQuantile]] (bootstrap training) and
+    * [[compactQuantileCommitted]] (retraining on compaction survivors).
+    */
+  private def writeQuantileBounds(
+      df: DataFrame, cols: Seq[String], bits: Int, out: String)(
+      implicit fc: FioConf): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val buckets = 1L << bits
     cols.map { c =>
       quantileBucketMap(df, c, buckets)
@@ -404,6 +417,34 @@ object ZOrder {
       .as[ZQBound]
       .coalesce(1)
       .write.mode("overwrite").parquet(Fio.child(out, "_zqbounds"))
+  }
+
+  /** Persist the layout's own parameters as a tiny `_zmeta` properties
+    * sidecar (clustered columns, lane bits, curve, key column) — what a
+    * catalog entry would hold. Lets path-only entry points (the SQL
+    * verbs, maintenance jobs) recover how the table was built instead
+    * of requiring every caller to re-thread constructor arguments.
+    */
+  private def writeMeta(
+      out: String, cols: Seq[String], bits: Int, keyCol: String, curve: String)(
+      implicit fc: FioConf): Unit =
+    Fio.writeString(Fio.child(out, "_zmeta"),
+      s"cols=${cols.mkString(",")}\nbits=$bits\nkeyCol=$keyCol\ncurve=$curve\n")
+
+  /** Read back a layout's `_zmeta` parameters: (cols, bits, keyCol,
+    * curve). Fails loud by path when the sidecar is missing (layouts
+    * written before the sidecar existed: re-cluster or pass parameters
+    * explicitly through the Scala API).
+    */
+  def readMeta(out: String)(implicit fc: FioConf): (Seq[String], Int, String, String) = {
+    val text = Fio.readStringIfExists(Fio.child(out, "_zmeta")).getOrElse(
+      throw new IllegalStateException(
+        s"$out has no _zmeta sidecar — not a graft layout (or one written " +
+          "before _zmeta; pass parameters explicitly through the Scala API)"))
+    val kv = text.split("\n").filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+    }.toMap
+    (kv("cols").split(",").toSeq, kv("bits").toInt, kv("keyCol"), kv("curve"))
   }
 
   /** Bucket `x` through a FROZEN boundary table: the largest stored
@@ -515,9 +556,11 @@ object ZOrder {
       nFiles: Int = 1,
       bits: Int = 8,
       keyCol: String = "zkey",
-      curve: String = "morton"): Int = {
+      curve: String = "morton",
+      staleLockMs: Long = defaultStaleLockMs): Int = {
     implicit val fc: FioConf = FioConf.of(df.sparkSession)
-    publishBatchOnce(df.sparkSession, out, batchId, cols, nFiles, keyCol)(
+    publishBatchOnce(df.sparkSession, out, batchId, cols, nFiles, keyCol,
+      staleLockMs = staleLockMs)(
       frozenQuantileKeyed(df, cols, out, bits, keyCol, curve))
   }
 
@@ -550,12 +593,38 @@ object ZOrder {
       withZKeyFrozen(df, cols, bounds, bits, keyCol, curve))
   }
 
-  /** The shared exactly-once publish of the `*Once` appends: marker
-    * short-circuit → purge any partial prior publish of this batch
-    * (files + `_zmanifest`/`_zbloom` sidecar rows) → stage `keyed` →
-    * rename in under deterministic `zb<id>-<k>` names → manifest append
-    * → marker LAST (the commit point). `keyed` is by-name: a
-    * short-circuited replay never computes the keying.
+  // appendOnce keeps the default stale-lock window; concurrent-writer
+  // tuning goes through appendQuantileOnce/compactQuantileCommitted
+  // (the streaming/maintenance entry points).
+
+  /** The shared exactly-once publish of the `*Once` appends and
+    * [[compactQuantileCommitted]]: marker short-circuit → writer lock →
+    * purge any partial prior publish of this batch (files +
+    * `_zmanifest`/`_zbloom` sidecar rows) → stage `keyed` → rename in
+    * under deterministic `zb<id>-<k>` names → manifest append →
+    * `beforeCommit` hook → marker LAST (the commit point, an ATOMIC
+    * create-if-absent). `keyed` is by-name: a short-circuited replay
+    * never computes the keying.
+    *
+    * Writer isolation, three layers:
+    *
+    *  1. MONOTONIC-REPLAY GUARD: a batch id at or below the max
+    *     committed id is refused (unless already committed — that
+    *     replay short-circuits first). Replaying an OLDER uncommitted
+    *     batch after later commits would purge the later merges'
+    *     tombstones against this batch's files and never re-issue them
+    *     — the foreachBatch contract is that only the LATEST batch
+    *     replays, and this guard enforces it instead of assuming it.
+    *  2. INFLIGHT LOCK: `_zbatches/<id>.inflight` is acquired by atomic
+    *     create-if-absent before any file is touched, so two live
+    *     writers that picked the same batch id cannot interleave purge
+    *     and rename (the loser fails DETERMINISTICALLY with
+    *     [[GraftConcurrentWriteException]], its staging untouched). A
+    *     lock older than `staleLockMs` is a crashed writer's leftover
+    *     and is taken over — the crash-replay path stays exactly-once;
+    *     a replay arriving within the window fails retryably instead.
+    *  3. ATOMIC COMMIT: the marker itself is create-if-absent, so even
+    *     a takeover race ends with exactly one committer.
     */
   private def publishBatchOnce(
       spark: SparkSession,
@@ -563,43 +632,96 @@ object ZOrder {
       batchId: Long,
       cols: Seq[String],
       nFiles: Int,
-      keyCol: String)(keyed: => DataFrame)(implicit fc: FioConf): Int = {
+      keyCol: String,
+      staleLockMs: Long = defaultStaleLockMs,
+      compaction: Boolean = false,
+      beforeCommit: () => Unit = () => ())(keyed: => DataFrame)(
+      implicit fc: FioConf): Int = {
     val batchesDir = Fio.child(out, "_zbatches")
     val marker = Fio.child(batchesDir, batchId.toString)
     if (Fio.exists(marker)) return 0
-    val prefix = s"zb$batchId-"
-    // partial prior publish: purge this batch's files + sidecar rows
-    val stale = dataFiles(out).map(p => new org.apache.hadoop.fs.Path(p).getName)
-      .filter(_.startsWith(prefix))
-    if (stale.nonEmpty) {
-      stale.foreach(n => Fio.delete(Fio.child(out, n)))
-      rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), stale.toSet)
-      if (Fio.exists(Fio.child(out, "_zbloom")))
-        rewriteSidecarExcluding(spark, Fio.child(out, "_zbloom"), stale.toSet)
-      // positional tombstones against a replaced file would delete
-      // arbitrary OTHER rows after the rewrite (row_index is physical) —
-      // and the batch they targeted never committed, so they die with it
-      if (Fio.exists(Fio.child(out, "_zdeletes")))
-        rewriteSidecarExcluding(spark, Fio.child(out, "_zdeletes"), stale.toSet)
-    }
-    val staging = Fio.child(out, s"_staging_batch_$batchId")
-    Fio.delete(staging)
-    keyed
-      .repartitionByRange(nFiles, col(keyCol))
-      .sortWithinPartitions(col(keyCol))
-      .write.mode("overwrite").parquet(staging)
-    val staged = Fio.listNames(staging).filter(_.endsWith(".parquet")).sorted
-    val published = staged.zipWithIndex.map { case (n, i) =>
-      val dst = s"$prefix$i.parquet"
-      require(Fio.rename(Fio.child(staging, n), Fio.child(out, dst)),
-        s"publish rename failed for $dst under $out")
-      dst
-    }
-    writeManifest(spark, out, published.map(Fio.child(out, _)), cols, "append")
-    Fio.delete(staging)
+    val ceiling = maxCommitted(out)
+    require(batchId > ceiling,
+      s"batch $batchId under $out is not newer than the max committed batch " +
+        s"$ceiling: replaying an older uncommitted batch after later commits " +
+        "would purge the later batches' delete lineage against its files — " +
+        "only the latest batch may replay (the foreachBatch contract)")
     Fio.mkdirs(batchesDir)
-    Fio.writeString(marker, published.mkString("\n"))
-    published.size
+    val lock = Fio.child(batchesDir, s"$batchId.inflight")
+    acquireWriterLock(lock, staleLockMs)
+    try {
+      val prefix = s"zb$batchId-"
+      // partial prior publish: purge this batch's files + sidecar rows
+      val stale = dataFiles(out).map(p => new org.apache.hadoop.fs.Path(p).getName)
+        .filter(_.startsWith(prefix))
+      if (stale.nonEmpty) {
+        stale.foreach(n => Fio.delete(Fio.child(out, n)))
+        rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), stale.toSet)
+        if (Fio.exists(Fio.child(out, "_zbloom")))
+          rewriteSidecarExcluding(spark, Fio.child(out, "_zbloom"), stale.toSet)
+        // positional tombstones against a replaced file would delete
+        // arbitrary OTHER rows after the rewrite (row_index is physical) —
+        // and the batch they targeted never committed, so they die with it
+        if (Fio.exists(Fio.child(out, "_zdeletes")))
+          rewriteSidecarExcluding(spark, Fio.child(out, "_zdeletes"), stale.toSet)
+      }
+      // crashed-attempt staging leftovers of THIS batch (any writer nonce)
+      Fio.listNames(out).filter(_.startsWith(s"_staging_batch_${batchId}_"))
+        .foreach(n => Fio.delete(Fio.child(out, n)))
+      val staging = Fio.child(out,
+        s"_staging_batch_${batchId}_${java.util.UUID.randomUUID().toString.take(8)}")
+      keyed
+        .repartitionByRange(nFiles, col(keyCol))
+        .sortWithinPartitions(col(keyCol))
+        .write.mode("overwrite").parquet(staging)
+      val staged = Fio.listNames(staging).filter(_.endsWith(".parquet")).sorted
+      val published = staged.zipWithIndex.map { case (n, i) =>
+        val dst = s"$prefix$i.parquet"
+        require(Fio.rename(Fio.child(staging, n), Fio.child(out, dst)),
+          s"publish rename failed for $dst under $out")
+        dst
+      }
+      writeManifest(spark, out, published.map(Fio.child(out, _)), cols, "append")
+      Fio.delete(staging)
+      beforeCommit()
+      // the tag precedes the marker so a committed compaction is never
+      // momentarily mistaken for a plain batch; a tag without a marker
+      // is an uncommitted compaction — invisible, like any crashed batch
+      if (compaction)
+        Fio.writeString(Fio.child(batchesDir, s"$batchId.compact"), "")
+      require(Fio.createExclusive(marker, published.mkString("\n")),
+        s"commit marker for batch $batchId under $out appeared mid-publish: " +
+          "a concurrent writer won a stale-lock takeover race — this attempt's " +
+          "files were superseded; treat as lost and do not retry this id")
+      published.size
+    } finally Fio.delete(lock)
+  }
+
+  /** Stale-lock window of the writer lock: how long an `<id>.inflight`
+    * file blocks a second writer before it is presumed crashed and taken
+    * over. One minute covers any live writer's purge+stage+rename gap
+    * (the data write itself happens INSIDE the lock but staging is
+    * per-writer — contention is only on the tiny rename/sidecar span);
+    * crash replays that restart faster than this fail retryably with a
+    * named exception rather than corrupting a live writer's publish.
+    */
+  val defaultStaleLockMs: Long = 60000L
+
+  private def acquireWriterLock(lock: String, staleLockMs: Long)(
+      implicit fc: FioConf): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString
+    if (Fio.createExclusive(lock, nonce)) return
+    val age = try System.currentTimeMillis() - Fio.mtime(lock)
+    catch { case _: java.io.FileNotFoundException => Long.MaxValue } // released just now
+    if (age < staleLockMs)
+      throw new GraftConcurrentWriteException(
+        s"$lock is held by a live concurrent writer (age ${age} ms < " +
+          s"stale window $staleLockMs ms) — two writers chose the same batch id; " +
+          "the loser must not publish (retry only if the holder crashed)")
+    Fio.delete(lock)
+    if (!Fio.createExclusive(lock, nonce))
+      throw new GraftConcurrentWriteException(
+        s"$lock: lost the stale-lock takeover race to another writer")
   }
 
   /** Rewrite a (file, ...) sidecar parquet dir EXCLUDING rows of the
@@ -634,6 +756,109 @@ object ZOrder {
       curve: String = "morton"): Unit =
     clusterQuantile(
       readWithDeletes(spark, in).drop(keyCol), cols, nFiles, dest, bits, keyCol, curve)
+
+  /** COMPACT a quantile layout IN PLACE as a COMMITTED operation —
+    * [[compactQuantile]] writes a fresh dir the caller must swap in,
+    * which a live table can't do under concurrent readers and which
+    * kills the snapshot history. This face makes compaction just
+    * another commit in the `_zbatches` lineage (the Delta/Iceberg
+    * rewrite-is-a-commit discipline), on the layout's own primitives:
+    *
+    *  1. the current committed snapshot's SURVIVORS (tombstones applied
+    *     physically) re-cluster through a RETRAINED equi-depth CDF and
+    *     publish through [[publishBatchOnce]] under `zb<batchId>-*`
+    *     names — exactly-once, crash-replayable, writer-locked;
+    *  2. `_zqbounds` is overwritten with the retrained boundaries just
+    *     before the marker (future appends bucket through them; a crash
+    *     replays the whole publish, bounds included);
+    *  3. the batch commits with an `<id>.compact` tag, which
+    *     [[readAsOfBatch]]'s snapshot rule resolves as FOLDING the base
+    *     cluster and every earlier batch into this output.
+    *
+    * Nothing is deleted: reads as of any pre-compaction version still
+    * see the old lineage byte-for-byte (its files, markers, and
+    * version-stamped tombstones all remain until [[expireSnapshots]]),
+    * while [[readCommitted]] and later as-of reads see only the
+    * compacted files plus post-compaction batches. A reader holding
+    * either view across the commit never observes a torn state: the
+    * keep-set flips atomically with the marker. `batchId` must exceed
+    * the max committed id (the publish guard enforces it). Returns the
+    * number of compacted files published (0 on a replay of an already
+    * committed compaction).
+    */
+  def compactQuantileCommitted(
+      spark: SparkSession,
+      out: String,
+      cols: Seq[String],
+      nFiles: Int,
+      batchId: Long,
+      bits: Int = 8,
+      keyCol: String = "zkey",
+      curve: String = "morton",
+      staleLockMs: Long = defaultStaleLockMs): Int = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    // survivors of the CURRENT committed snapshot, deletes applied
+    // physically; localCheckpoint pins the multiset so the staging
+    // write, the CDF retrain, and the boundary table all see the same
+    // rows even as this very publish starts renaming files in. Lazy:
+    // a short-circuited replay (marker present) never pays the scan.
+    lazy val live = readCommitted(spark, out, applyDeletes = true)
+      .drop(keyCol).localCheckpoint(true)
+    publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol,
+      staleLockMs = staleLockMs, compaction = true,
+      beforeCommit = () => writeQuantileBounds(live, cols, bits, out))(
+      withZKeyQuantile(live, cols, bits, keyCol, curve))
+  }
+
+  /** EXPIRE the snapshot history a committed compaction superseded:
+    * physically drop the base cluster's files and every committed batch
+    * (markers, `.compact` tags, data files, manifest/bloom rows, and
+    * version-stamped tombstones) below the LATEST committed compaction
+    * ≤ `upToBatch`, then record that compaction id as the expiry floor
+    * — [[readAsOfBatch]] below the floor FAILS LOUD by version number
+    * instead of silently returning partial history. Time travel without
+    * retention is unbounded storage at ingest rates; this is the
+    * `expireSnapshots` half of the Iceberg contract (vacuum reconciles
+    * crashed writes; expiry reclaims superseded lineage). Committed
+    * CURRENT reads are byte-identical across expiry by construction:
+    * the keep set at ≥ floor never references a dropped file. Returns
+    * the removed file names. No-op (empty) when no committed compaction
+    * ≤ `upToBatch` exists — only lineage a compaction FOLDED may be
+    * dropped, never the live tail.
+    */
+  def expireSnapshots(
+      spark: SparkSession,
+      out: String,
+      upToBatch: Long = Long.MaxValue): Seq[String] = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    val cStar = compactionIds(out).filter(_ <= upToBatch).foldLeft(-1L)(math.max)
+    if (cStar < 0) return Nil
+    val marked = committedBatches(out)
+    val victims = dataFiles(out)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      .filter { n =>
+        batchIdOf(n) match {
+          case None => true // base cluster: folded into the compaction
+          case Some(id) => id.toLong < cStar // committed → folded; orphan → dead
+        }
+      }
+    if (victims.nonEmpty) {
+      victims.foreach(n => Fio.delete(Fio.child(out, n)))
+      rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), victims.toSet)
+      Seq("_zbloom", "_zdeletes").foreach { sc =>
+        if (Fio.exists(Fio.child(out, sc)))
+          rewriteSidecarExcluding(spark, Fio.child(out, sc), victims.toSet)
+      }
+    }
+    val batchesDir = Fio.child(out, "_zbatches")
+    marked.filter(_.toLong < cStar).foreach { id =>
+      Fio.delete(Fio.child(batchesDir, id))
+      Fio.delete(Fio.child(batchesDir, s"$id.compact"))
+    }
+    val floor = math.max(cStar, expiryFloor(out))
+    Fio.writeString(Fio.child(batchesDir, "_zexpire"), floor.toString)
+    victims
+  }
 
   // ------------------------------------------------------------------
   // ROW-LEVEL DELETES — positional deletion vectors, the Iceberg-v2 /
@@ -681,7 +906,23 @@ object ZOrder {
     */
   def deleteWhere(spark: SparkSession, out: String, predicate: Column): Long =
     appendTombstones(spark, out,
-      tombstoneKeys(spark.read.parquet(out)).filter(predicate))
+      tombstoneKeys(committedScan(spark, out)).filter(predicate))
+
+  /** The delete verbs' base scan: the COMMITTED file view, not the raw
+    * dir. A delete issued in the window between a crashed publish and
+    * its replay must not tombstone the unmarked batch's files — the
+    * replay purges those tombstones with the files and republishes the
+    * rows, silently losing that slice of the user's delete. Scoping the
+    * scan to committed files (exactly what the read side shows) closes
+    * the window: uncommitted rows are invisible to deletes because they
+    * are invisible, full stop.
+    */
+  private def committedScan(spark: SparkSession, out: String): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    val keep = snapshotKeepNames(out, Long.MaxValue)
+    if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+    else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+  }
 
   /** DELETE the rows of a layout whose `keys` columns match a row of
     * `source` — the find-the-old-versions half of a MERGE, as a
@@ -695,26 +936,36 @@ object ZOrder {
       out: String,
       source: DataFrame,
       keys: Seq[String],
-      excludeFilePrefix: Option[String] = None): Long = {
-    val scan = tombstoneKeys(spark.read.parquet(out))
+      excludeFilePrefix: Option[String] = None,
+      stamp: Option[Long] = None): Long = {
+    val scan = tombstoneKeys(committedScan(spark, out))
     val scoped = excludeFilePrefix
       .map(p => scan.filter(!col("__zd_file").startsWith(p)))
       .getOrElse(scan)
     appendTombstones(spark, out,
-      scoped.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi"))
+      scoped.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi"),
+      stamp)
   }
 
   /** Shared tombstone-writing tail of [[deleteWhere]]/[[deleteMatching]]:
     * append the (file, pos) keys of `matched` to `_zdeletes` and return
     * how many landed (counted off the newly written sidecar files — one
-    * data scan total, no re-evaluation of the predicate).
+    * data scan total, no re-evaluation of the predicate). The version
+    * stamp defaults to the layout's max committed batch (the snapshot a
+    * standalone delete is issued against); [[mergeInto]] OVERRIDES it
+    * with its own batch id — stamping with the observed max would break
+    * version-atomic upserts the moment batch ids are not the maximum
+    * (readAsOfBatch(mergeId − 1) would then hide the merge's tombstones
+    * correctly, but a merge stamped with someone else's later id would
+    * show BOTH row versions at its own snapshot).
     */
   private def appendTombstones(
-      spark: SparkSession, out: String, matched: DataFrame): Long = {
+      spark: SparkSession, out: String, matched: DataFrame,
+      stampOverride: Option[Long] = None): Long = {
     implicit val fc: FioConf = FioConf.of(spark)
     import spark.implicits._
     val sidecar = Fio.child(out, "_zdeletes")
-    val stamp = committedBatches(out).map(_.toLong).foldLeft(-1L)(math.max)
+    val stamp = stampOverride.getOrElse(maxCommitted(out))
     val before: Set[String] =
       if (Fio.exists(sidecar)) Fio.listNames(sidecar).filter(_.endsWith(".parquet")).toSet
       else Set.empty
@@ -760,7 +1011,10 @@ object ZOrder {
     val published = appendQuantileOnce(
       source, cols, out, batchId, nFiles, bits, keyCol, curve)
     val tombs = deleteMatching(spark, out, source, keys,
-      excludeFilePrefix = Some(s"zb$batchId-"))
+      excludeFilePrefix = Some(s"zb$batchId-"),
+      // the merge's OWN id, not the observed max: both halves of the
+      // upsert must flip at exactly this version (see appendTombstones)
+      stamp = Some(batchId))
     (tombs, published)
   }
 
@@ -796,7 +1050,11 @@ object ZOrder {
     */
   def readWithDeletes(spark: SparkSession, out: String): DataFrame = {
     implicit val fc: FioConf = FioConf.of(spark)
-    if (Fio.exists(Fio.child(out, "_zdeletes")))
+    // once a compaction is in the lineage, the raw dir holds BOTH the
+    // folded files and their compacted replacement — only the committed
+    // view is the current state (dir-scan semantics would double-read)
+    if (compactionIds(out).nonEmpty) readCommitted(spark, out, applyDeletes = true)
+    else if (Fio.exists(Fio.child(out, "_zdeletes")))
       withDeletesApplied(spark, out, dataFiles(out))
     else spark.read.parquet(out)
   }
@@ -826,10 +1084,80 @@ object ZOrder {
   // state by default and the delete-aware lineage view on request.
   // ------------------------------------------------------------------
 
-  /** Marker ids committed under `out`, i.e. the layout's snapshot ids. */
+  /** Marker ids committed under `out`, i.e. the layout's snapshot ids.
+    * Only all-digit names are markers — the dir also carries `.compact`
+    * tags, `.inflight` writer locks, and the `_zexpire` floor.
+    */
   def committedBatches(out: String)(implicit fc: FioConf): Set[String] = {
     val dir = Fio.child(out, "_zbatches")
-    if (Fio.exists(dir)) Fio.listNames(dir).toSet else Set.empty
+    if (Fio.exists(dir))
+      Fio.listNames(dir).filter(n => n.nonEmpty && n.forall(_.isDigit)).toSet
+    else Set.empty
+  }
+
+  /** Largest committed batch id (−1 before any commit). */
+  private def maxCommitted(out: String)(implicit fc: FioConf): Long =
+    committedBatches(out).map(_.toLong).foldLeft(-1L)(math.max)
+
+  /** Ids of committed COMPACTION batches: a compaction commits like any
+    * exactly-once batch (files + marker) plus an `<id>.compact` tag
+    * written just before its marker, so lineage resolution needs one
+    * dir listing, not O(batches) marker reads. A tag without its marker
+    * is an uncommitted compaction — invisible, like any crashed batch.
+    */
+  private def compactionIds(out: String)(implicit fc: FioConf): Set[Long] = {
+    val dir = Fio.child(out, "_zbatches")
+    if (!Fio.exists(dir)) return Set.empty
+    val names = Fio.listNames(dir)
+    val marked = names.filter(n => n.nonEmpty && n.forall(_.isDigit)).toSet
+    names.filter(_.endsWith(".compact"))
+      .map(_.stripSuffix(".compact"))
+      .filter(marked.contains)
+      .map(_.toLong)
+      .toSet
+  }
+
+  /** Expiry floor: the compaction id below which [[expireSnapshots]] has
+    * physically dropped the lineage (−1 = nothing expired). Reads at
+    * `upTo` < floor must FAIL LOUD — their files are gone, and an empty
+    * result would silently misreport history as absence of data.
+    */
+  private def expiryFloor(out: String)(implicit fc: FioConf): Long =
+    Fio.readStringIfExists(Fio.child(out, "_zbatches/_zexpire"))
+      .map(_.trim.toLong).getOrElse(-1L)
+
+  /** The snapshot-resolution rule shared by every committed read and the
+    * delete scans: which data-file NAMES are live as of `upToBatch`.
+    * A committed compaction `c` FOLDS everything before it — the base
+    * cluster and every batch with id < c — into its own output, so:
+    *
+    *  - with a latest compaction c ≤ upTo: keep c's files plus committed
+    *    batches c < id ≤ upTo (base files are superseded);
+    *  - with no compaction ≤ upTo: keep base files plus committed
+    *    batches ≤ upTo (the pre-compaction lineage, still on disk until
+    *    [[expireSnapshots]] — time travel across compaction).
+    *
+    * Uncommitted batch files are invisible at every snapshot.
+    */
+  private def snapshotKeepNames(out: String, upToBatch: Long)(
+      implicit fc: FioConf): Seq[String] = {
+    val floor = expiryFloor(out)
+    if (upToBatch < floor)
+      throw new IllegalStateException(
+        s"snapshot $upToBatch of $out is expired: lineage below compaction " +
+          s"$floor was dropped by expireSnapshots — earliest readable version is $floor")
+    val marked = committedBatches(out)
+    val cStar = compactionIds(out).filter(_ <= upToBatch)
+      .foldLeft(-1L)(math.max)
+    dataFiles(out)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      .filter { n =>
+        batchIdOf(n) match {
+          case None => cStar < 0
+          case Some(id) =>
+            marked.contains(id) && id.toLong <= upToBatch && id.toLong >= cStar
+        }
+      }
   }
 
   /** TIME-TRAVEL read: the base snapshot plus every COMMITTED batch with
@@ -852,17 +1180,14 @@ object ZOrder {
       upToBatch: Long,
       applyDeletes: Boolean = false): DataFrame = {
     implicit val fc: FioConf = FioConf.of(spark)
-    val marked = committedBatches(out)
-    val keep = dataFiles(out).filter { p =>
-      val n = new org.apache.hadoop.fs.Path(p).getName
-      batchIdOf(n) match {
-        case None => true // bootstrap / non-batch append: base snapshot
-        case Some(id) => marked.contains(id) && id.toLong <= upToBatch
-      }
-    }
+    val keep = snapshotKeepNames(out, upToBatch).map(Fio.child(out, _))
     val sidecar = Fio.child(out, "_zdeletes")
     if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
     else if (applyDeletes && Fio.exists(sidecar))
+      // tombstones stamped ≤ upTo: the deletions in this version's
+      // lineage. Stamps against files a compaction folded away anti-join
+      // against nothing (file names are unique per batch) — compaction
+      // applied them physically, so the merge stays exact either way.
       subtractTombstones(spark.read.parquet(keep: _*),
         spark.read.parquet(sidecar).filter(col("batch") <= upToBatch))
     else spark.read.parquet(keep: _*)
@@ -899,14 +1224,33 @@ object ZOrder {
     * already, so committed reads are byte-identical before and after —
     * vacuum only reconciles the DIR-scan view with the committed view.
     */
-  def vacuum(spark: SparkSession, out: String): Seq[String] = {
+  def vacuum(
+      spark: SparkSession,
+      out: String,
+      staleLockMs: Long = defaultStaleLockMs): Seq[String] = {
     implicit val fc: FioConf = FioConf.of(spark)
-    val staging = Fio.listNames(out).filter(_.startsWith("_staging_batch_"))
+    // a batch whose writer lock is LIVE is a publish in flight, not a
+    // crashed one — deleting its renamed-in files would leave the
+    // writer's imminent marker pointing at nothing. The same stale
+    // window as the lock protocol separates the two cases; batches with
+    // no lock at all (pre-lock crashes, manual writes) stay vacuumable.
+    val batchesDir = Fio.child(out, "_zbatches")
+    val inflight: Set[String] =
+      if (!Fio.exists(batchesDir)) Set.empty
+      else Fio.listNames(batchesDir).filter(_.endsWith(".inflight")).filter { n =>
+        val age = try System.currentTimeMillis() - Fio.mtime(Fio.child(batchesDir, n))
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        age < staleLockMs
+      }.map(_.stripSuffix(".inflight")).toSet
+    val staging = Fio.listNames(out).filter { n =>
+      n.startsWith("_staging_batch_") &&
+        !inflight.contains(n.stripPrefix("_staging_batch_").takeWhile(_.isDigit))
+    }
     staging.foreach(n => Fio.delete(Fio.child(out, n)))
     val marked = committedBatches(out)
     val orphans = dataFiles(out)
       .map(p => new org.apache.hadoop.fs.Path(p).getName)
-      .filter(n => batchIdOf(n).exists(id => !marked.contains(id)))
+      .filter(n => batchIdOf(n).exists(id => !marked.contains(id) && !inflight.contains(id)))
     if (orphans.nonEmpty) {
       orphans.foreach(n => Fio.delete(Fio.child(out, n)))
       rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), orphans.toSet)
@@ -1015,6 +1359,7 @@ object ZOrder {
       .write.mode("overwrite").parquet(out)
     implicit val fc: FioConf = FioConf.of(spark)
     writeManifest(spark, out, dataFiles(out), cols, "overwrite")
+    writeMeta(out, cols, bits, keyCol, curve)
   }
 
   private def dataFiles(out: String)(implicit fc: FioConf): Seq[String] =
@@ -1153,8 +1498,12 @@ object ZOrder {
       out: String,
       box: Seq[(String, Long, Long)]): (DataFrame, ZPruneProbe) = {
     implicit val fc: FioConf = FioConf.of(spark)
-    val marked = committedBatches(out)
-    prunedReadAdmitting(spark, out, box, f => batchIdOf(f).forall(marked.contains))
+    // the full snapshot rule, not just marker membership: after a
+    // committed compaction the folded files still sit in the dir (time
+    // travel) and their manifest rows still exist — admitting them
+    // would double-read every pre-compaction row
+    val live = snapshotKeepNames(out, Long.MaxValue).toSet
+    prunedReadAdmitting(spark, out, box, live.contains)
   }
 
   /** Shared driver-path box pruning: the manifest intersection over the
@@ -1588,3 +1937,10 @@ object ZOrder {
     (filtered, ZPruneProbe(keep.length, total))
   }
 }
+
+/** Thrown when a second live writer contends for the same batch id —
+  * the losing publisher of the layout's optimistic-concurrency
+  * protocol. Deterministic and fail-fast: nothing of the loser's
+  * attempt reached the table dir.
+  */
+class GraftConcurrentWriteException(msg: String) extends RuntimeException(msg)

