@@ -852,18 +852,54 @@ object Dedup {
       threshold: Double = 0.5,
       maxTermDf: Int = 1000,
   ): JaccardStrategyStats = {
-    val base = docs.select(col(idCol), col(blockCol), tokenSet(textCol).as("toks"))
-    val sz = base.select(size(col("toks")).cast("long").as("n"))
-      .agg(
-        count(lit(1)).as("d"),
-        sum(col("n")).as("post"),
-        sum(col("n") - ceil(col("n") * threshold).cast("long") + 1L).as("pref"))
-      .head()
-    val (nDocs, nPost, nPref) = (sz.getLong(0), sz.getLong(1), sz.getLong(2))
-    val hist = base.select(col(blockCol), explode(col("toks")).as("term"))
+    val (sizeHist, dfHist) = tokenHists(docs, textCol, blockCol)
+    statsFromHists(sizeHist, dfHist, threshold, maxTermDf, containment = false)
+  }
+
+  /** The two bounded histograms every strategy decision derives from:
+    * the DOC-SIZE histogram (distinct token-set sizes → doc count) and
+    * the per-(block, term) DF histogram-of-histogram (df → term count).
+    * Bounded by distinct sizes / distinct df values, never by corpus or
+    * vocabulary — the same exchange both strategies pay as their first
+    * stage. These are ALSO exactly what [[analyzeTokenStats]] persists:
+    * any threshold/cap's strategy stats are pure driver-side algebra
+    * over them, which is what makes the ANALYZE sidecar
+    * threshold-independent CBO food rather than a cached decision.
+    */
+  private def tokenHists(
+      docs: DataFrame, textCol: String, blockCol: String):
+      (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val base = docs.select(col(blockCol), tokenSet(textCol).as("toks"))
+    val sizeHist = base.select(size(col("toks")).cast("long").as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dfHist = base.select(col(blockCol), explode(col("toks")).as("term"))
       .groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
       .groupBy(col("df")).agg(count(lit(1)).as("n_terms"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    (sizeHist, dfHist)
+  }
+
+  /** The shared strategy-stats algebra over the two histograms — one
+    * implementation whether the histograms came from a live data pass
+    * ([[jaccardStrategyStats]]/[[containmentStrategyStats]]) or from
+    * the persisted `_zstats_tokens` sidecar
+    * ([[strategyStatsFromAnalyzed]]), so the two routes CANNOT drift:
+    * same ceil algebra for the prefix quota, same over-cap exclusion,
+    * same df-ascending prefix fill.
+    */
+  private def statsFromHists(
+      sizeHist: Seq[(Long, Long)],
+      dfHist: Seq[(Long, Long)],
+      threshold: Double,
+      maxTermDf: Int,
+      containment: Boolean): JaccardStrategyStats = {
+    val nDocs = sizeHist.map(_._2).sum
+    val nPost = sizeHist.map { case (n, c) => n * c }.sum
+    val nPref = sizeHist.map { case (n, c) =>
+      (n - math.ceil(n * threshold).toLong + 1L) * c
+    }.sum
+    val hist = dfHist.sortBy(_._1)
     val vocab = hist.map(_._2).sum
     val countPairs = hist.map { case (df, nt) =>
       // over-cap terms generate ZERO candidates (excluded, not truncated)
@@ -875,12 +911,63 @@ object Dedup {
       if (remaining > 0) {
         val mass = df.toDouble * nt
         val used = math.min(mass, remaining)
-        // fractional terms at this df level actually receiving postings
-        prefixPairs += (used / df) * df.toDouble * (df - 1) / 2
+        // containment probes one-sidedly (each prefix posting joins the
+        // FULL df − 1 index rows); Jaccard's two-sided prefix join emits
+        // each candidate pair once per co-occurring prefix term
+        prefixPairs += (if (containment) used * (df - 1).toDouble
+                        else (used / df) * df.toDouble * (df - 1) / 2)
         remaining -= used
       }
     }
-    JaccardStrategyStats(nDocs, nPost, vocab, countPairs, prefixPairs)
+    JaccardStrategyStats(nDocs, nPost, vocab, countPairs, prefixPairs,
+      costWeight = if (containment) 3.0 else 8.0)
+  }
+
+  /** ANALYZE for token dedup — the doc-corpus face of the layout
+    * family's `_zstats` ANALYZE verb: persist the two bounded histograms
+    * ([[tokenHists]]) as a tiny `kind/k/v` parquet sidecar, so every
+    * subsequent [[tokenJaccardPairsAuto]]/[[tokenContainmentPairsAuto]]
+    * call can make its strategy decision from STORED statistics (pure
+    * driver algebra, zero Spark jobs) instead of re-paying the
+    * tokenize + df exchange per call. Threshold-independent by
+    * construction: the sidecar stores the histograms, not a verdict.
+    * Staleness is the caller's contract, exactly as with `_zbloom` and
+    * `_zstats` — and the chooser is only ever a COST decision, so stale
+    * stats can mis-pick a strategy's speed, never its results (both
+    * strategies are hash-gated against the same oracle every round).
+    */
+  def analyzeTokenStats(
+      docs: DataFrame,
+      statsDir: String,
+      textCol: String = "text",
+      blockCol: String = "source"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (sizeHist, dfHist) = tokenHists(docs, textCol, blockCol)
+    (sizeHist.map { case (k, v) => ("size", k, v) } ++
+      dfHist.map { case (k, v) => ("df", k, v) })
+      .toDF("kind", "k", "v")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsDir)
+  }
+
+  /** Strategy stats from a persisted [[analyzeTokenStats]] sidecar —
+    * the consume side of the ANALYZE verb. One tiny parquet read
+    * (O(distinct sizes + distinct dfs) rows), then the same
+    * [[statsFromHists]] algebra as the live pass.
+    */
+  def strategyStatsFromAnalyzed(
+      spark: org.apache.spark.sql.SparkSession,
+      statsDir: String,
+      threshold: Double,
+      maxTermDf: Int = 1000,
+      containment: Boolean = false): JaccardStrategyStats = {
+    val rows = spark.read.parquet(statsDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    statsFromHists(
+      rows.filter(_._1 == "size").map(t => (t._2, t._3)).toSeq,
+      rows.filter(_._1 == "df").map(t => (t._2, t._3)).toSeq,
+      threshold, maxTermDf, containment)
   }
 
   /** COST-BASED exact-Jaccard: one [[jaccardStrategyStats]] pass picks
@@ -901,8 +988,18 @@ object Dedup {
       blockCol: String = "source",
       threshold: Double = 0.5,
       maxTermDf: Int = 1000,
+      statsDir: Option[String] = None,
   ): DataFrame = {
-    val stats = jaccardStrategyStats(docs, idCol, textCol, blockCol, threshold, maxTermDf)
+    // persisted ANALYZE stats, when present, replace the per-call stats
+    // pass (one tiny sidecar read instead of a tokenize + df exchange);
+    // absent-or-missing falls back to the live pass, so the sidecar is
+    // an accelerator, never a requirement
+    val stats = statsDir
+      .filter(dir => graft.io.Fio.exists(dir)(graft.io.FioConf.of(docs.sparkSession)))
+      .map(dir => strategyStatsFromAnalyzed(
+        docs.sparkSession, dir, threshold, maxTermDf, containment = false))
+      .getOrElse(
+        jaccardStrategyStats(docs, idCol, textCol, blockCol, threshold, maxTermDf))
     if (stats.preferPrefix)
       tokenJaccardPairsPrefix(docs, idCol, textCol, blockCol, threshold)
     else
@@ -1010,34 +1107,8 @@ object Dedup {
       threshold: Double = 0.9,
       maxTermDf: Int = 1000,
   ): JaccardStrategyStats = {
-    val base = docs.select(col(idCol), col(blockCol), tokenSet(textCol).as("toks"))
-    val sz = base.select(size(col("toks")).cast("long").as("n"))
-      .agg(
-        count(lit(1)).as("d"),
-        sum(col("n")).as("post"),
-        sum(col("n") - ceil(col("n") * threshold).cast("long") + 1L).as("pref"))
-      .head()
-    val (nDocs, nPost, nPref) = (sz.getLong(0), sz.getLong(1), sz.getLong(2))
-    val hist = base.select(col(blockCol), explode(col("toks")).as("term"))
-      .groupBy(col(blockCol), col("term")).agg(count(lit(1)).as("df"))
-      .groupBy(col("df")).agg(count(lit(1)).as("n_terms"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val vocab = hist.map(_._2).sum
-    val countPairs = hist.map { case (df, nt) =>
-      // over-cap terms generate ZERO candidates (excluded, not truncated)
-      if (df > maxTermDf) 0.0 else nt.toDouble * df * (df - 1) / 2
-    }.sum
-    var remaining = nPref.toDouble
-    var prefixPairs = 0.0
-    hist.foreach { case (df, nt) =>
-      if (remaining > 0) {
-        val mass = df.toDouble * nt
-        val used = math.min(mass, remaining)
-        prefixPairs += used * (df - 1).toDouble
-        remaining -= used
-      }
-    }
-    JaccardStrategyStats(nDocs, nPost, vocab, countPairs, prefixPairs, costWeight = 3.0)
+    val (sizeHist, dfHist) = tokenHists(docs, textCol, blockCol)
+    statsFromHists(sizeHist, dfHist, threshold, maxTermDf, containment = true)
   }
 
   /** COST-BASED exact containment — [[tokenJaccardPairsAuto]]'s sibling:
@@ -1053,8 +1124,15 @@ object Dedup {
       blockCol: String = "source",
       threshold: Double = 0.9,
       maxTermDf: Int = 1000,
+      statsDir: Option[String] = None,
   ): DataFrame = {
-    val stats = containmentStrategyStats(docs, idCol, textCol, blockCol, threshold, maxTermDf)
+    // same persisted-ANALYZE fast path as tokenJaccardPairsAuto
+    val stats = statsDir
+      .filter(dir => graft.io.Fio.exists(dir)(graft.io.FioConf.of(docs.sparkSession)))
+      .map(dir => strategyStatsFromAnalyzed(
+        docs.sparkSession, dir, threshold, maxTermDf, containment = true))
+      .getOrElse(
+        containmentStrategyStats(docs, idCol, textCol, blockCol, threshold, maxTermDf))
     if (stats.preferPrefix)
       tokenContainmentPairsPrefix(docs, idCol, textCol, blockCol, threshold)
     else

@@ -954,6 +954,29 @@ object DocQueries {
           .orderBy(col("doc_a"), col("doc_b")),
       Some(jaccardPairsOracle),
     ),
+    // The chooser fed from PERSISTED ANALYZE statistics: one
+    // analyzeTokenStats pass writes the two bounded histograms
+    // (doc-size, per-(block,term)-df) as a sidecar, and the auto
+    // chooser's decision is then pure driver algebra over the stored
+    // rows — zero Spark jobs before the chosen strategy runs (the
+    // "consume the CBO food" half of the ANALYZE verb). Same oracle as
+    // every other Jaccard face: stats can change the plan, never the
+    // rows. The bench pins decision parity between the stored-stats and
+    // live-pass routes on BOTH crossover corpora.
+    Q(
+      "doc_jaccard_pairs_stats",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val statsDir = sys.props("java.io.tmpdir") + "/graft_jacstats/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(docs)
+        if (!new java.io.File(s"$statsDir/_SUCCESS").exists())
+          Dedup.analyzeTokenStats(docs, statsDir)
+        Dedup.tokenJaccardPairsAuto(docs, threshold = 0.5, statsDir = Some(statsDir))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(jaccardPairsOracle),
+    ),
     // ----------------------------------------- skew-adversarial Jaccard
     // The capped paths under DELIBERATE skew (the benign harness corpus
     // never fires the guards): every doc gains a universal 'stopterm',
@@ -3440,6 +3463,23 @@ object DocQueries {
       (s, d) =>
         Dedup.tokenContainmentPairsAuto(containmentCorpus(s, d), threshold = 0.9)
           .orderBy(col("doc_sub"), col("doc_sup")),
+      Some(containmentPairsOracle),
+    ),
+    // The containment chooser from PERSISTED ANALYZE statistics — the
+    // doc_jaccard_pairs_stats pattern on the containment corpus: stored
+    // histograms replace the per-call stats pass, identical oracle.
+    Q(
+      "doc_containment_pairs_stats",
+      (s, d) => {
+        val docs = containmentCorpus(s, d)
+        val statsDir = sys.props("java.io.tmpdir") + "/graft_constats/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(docs)
+        if (!new java.io.File(s"$statsDir/_SUCCESS").exists())
+          Dedup.analyzeTokenStats(docs, statsDir)
+        Dedup.tokenContainmentPairsAuto(docs, threshold = 0.9, statsDir = Some(statsDir))
+          .orderBy(col("doc_sub"), col("doc_sup"))
+      },
       Some(containmentPairsOracle),
     ),
     // The round's curation stages COMPOSED end-to-end: model-based

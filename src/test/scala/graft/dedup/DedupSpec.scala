@@ -173,6 +173,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       norm(Dedup.tokenContainmentPairs(dense, threshold = 0.5)))
     assert(norm(Dedup.tokenContainmentPairsAuto(zipf, threshold = 0.9)) ===
       norm(Dedup.tokenContainmentPairsPrefix(zipf, threshold = 0.9)))
+
+    // PERSISTED ANALYZE stats drive the identical decisions: the stored
+    // histograms reproduce the live pass field-for-field on both
+    // regimes (same statsFromHists algebra by construction — this pins
+    // the persist/reload round-trip), the decision FLIP between corpora
+    // is driven entirely by stored stats, and the auto output is
+    // unchanged. Thresholds not used at analyze time work too: the
+    // sidecar stores histograms, not a verdict.
+    val denseDir = java.nio.file.Files.createTempDirectory("graft-tokstats-d").toString
+    val zipfDir = java.nio.file.Files.createTempDirectory("graft-tokstats-z").toString
+    Dedup.analyzeTokenStats(dense, denseDir)
+    Dedup.analyzeTokenStats(zipf, zipfDir)
+    val denseStored = Dedup.strategyStatsFromAnalyzed(
+      spark, denseDir, threshold = 0.5, containment = true)
+    val zipfStored = Dedup.strategyStatsFromAnalyzed(
+      spark, zipfDir, threshold = 0.9, containment = true)
+    assert(denseStored === denseStats, "stored == live, dense corpus")
+    assert(zipfStored === zipfStats, "stored == live, zipf corpus")
+    assert(!denseStored.preferPrefix && zipfStored.preferPrefix,
+      "the decision flip between corpora must be reproducible from stored stats alone")
+    assert(norm(Dedup.tokenContainmentPairsAuto(dense, threshold = 0.5,
+      statsDir = Some(denseDir))) ===
+      norm(Dedup.tokenContainmentPairs(dense, threshold = 0.5)))
+    assert(norm(Dedup.tokenContainmentPairsAuto(zipf, threshold = 0.9,
+      statsDir = Some(zipfDir))) ===
+      norm(Dedup.tokenContainmentPairsPrefix(zipf, threshold = 0.9)))
+    // an absent sidecar falls back to the live pass instead of failing
+    assert(norm(Dedup.tokenContainmentPairsAuto(dense, threshold = 0.5,
+      statsDir = Some(denseDir + "_missing"))) ===
+      norm(Dedup.tokenContainmentPairs(dense, threshold = 0.5)))
+    // the jaccard face consumes the same sidecar (shared histograms)
+    val jStored = Dedup.strategyStatsFromAnalyzed(
+      spark, denseDir, threshold = 0.5, containment = false)
+    assert(jStored === Dedup.jaccardStrategyStats(dense, threshold = 0.5))
   }
 
   test("tokenJaccardPairsPrefix: prefix filtering is lossless (same output)") {
