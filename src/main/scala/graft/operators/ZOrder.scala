@@ -1067,10 +1067,22 @@ object ZOrder {
     */
   private def scanKeep(spark: SparkSession, out: String, keep: Seq[String]): DataFrame = {
     implicit val fc: FioConf = FioConf.of(spark)
-    if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+    // once a compaction is committed, the dir holds both the folded
+    // files and their replacement — every pruning face must serve the
+    // committed snapshot or it would double-read pre-compaction rows.
+    // (Non-compacted layouts keep dir-scan semantics: the documented
+    // phantom window between a crashed publish and its replay, closed
+    // by the *Committed faces / vacuum.)
+    val live =
+      if (compactionIds(out).isEmpty) keep
+      else {
+        val snap = snapshotKeepNames(out, Long.MaxValue).toSet
+        keep.filter(snap.contains)
+      }
+    if (live.isEmpty) spark.read.parquet(out).filter(lit(false))
     else if (Fio.exists(Fio.child(out, "_zdeletes")))
-      withDeletesApplied(spark, out, keep.map(Fio.child(out, _)))
-    else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+      withDeletesApplied(spark, out, live.map(Fio.child(out, _)))
+    else spark.read.parquet(live.map(Fio.child(out, _)): _*)
   }
 
   // ------------------------------------------------------------------

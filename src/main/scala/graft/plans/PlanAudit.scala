@@ -942,6 +942,27 @@ object PlanAudit {
     // constants); the RETURNED plan is the tiny broadcast stats join +
     // the 4-row output sort = 1
     "q40_zanalyze" -> 1,
+    // committed in-place compaction, CURRENT view: the snapshot keep
+    // set resolves through the compaction marker (metadata), then the
+    // same broadcast tombstone anti-join + output sort as q35 = 1.
+    // More exchanges would mean compaction resolution started costing
+    // data movement instead of a dir listing.
+    "q41_zcompact_commit" -> 1,
+    // as-of read ACROSS the compaction: the pre-compaction lineage is a
+    // pure file selection + version-filtered broadcast anti-join — time
+    // travel stays metadata-only even with a compaction in the dir
+    "q42_zcompact_asof" -> 1,
+    // post-expiry committed read: identical plan to q41 off the
+    // reclaimed dir (expiry changes what exists, never the plan)
+    "q43_zexpire_read" -> 1,
+    // the SQL twins must plan EXACTLY like their Scala originals — the
+    // resolution rule substitutes the same analyzed subtree, so any
+    // extra exchange means the SQL surface stopped being a pure alias
+    "q44_zdelete_sql" -> 1,
+    "q45_zmerge_sql" -> 1,
+    "q46_zasof_sql" -> 1,
+    // streaming MERGE reads the same merged layout shape as q38
+    "q47_zmerge_stream" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,
@@ -984,6 +1005,11 @@ object PlanAudit {
     // errors if that verdict ever flips), so the auto face pins to the
     // same 6 — a change here means the chooser re-routed the gate
     "doc_containment_pairs_auto" -> 6,
+    // the persisted-ANALYZE faces must route exactly like the live
+    // autos (stats change WHERE the decision comes from, never the
+    // chosen plan): containment → prefix's 6, jaccard → count's 8
+    "doc_containment_pairs_stats" -> 6,
+    "doc_jaccard_pairs_stats" -> 8,
     // skew-adversarial twin: same builder, same 8 (the df cap changes
     // WHICH rows flow, never the plan shape)
     "doc_jaccard_skewed" -> 8,

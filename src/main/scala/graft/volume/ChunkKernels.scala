@@ -207,6 +207,24 @@ object ChunkKernels {
       bz: Int, by: Int, bx: Int, bnz: Int, bny: Int, bnx: Int,
   ): Array[Byte] = {
     val out = new Array[Byte](bnz * bny * bnx * bpp)
+    extractBoxInto(data, ny, nx, bpp, bz, by, bx, bnz, bny, bnx, out)
+    out
+  }
+
+  /** [[extractBox]] into a CALLER-OWNED buffer (must be exactly the box
+    * size) — the hot-loop form: a sink cutting a TB-scale volume into
+    * sub-chunks (the zarr3 sharded writer's inner cells) would otherwise
+    * allocate AND zero-fill one fresh array per cell, and the JVM's
+    * mandatory zeroing of `new Array` is a full extra write pass over
+    * the entire volume. Every byte of `out` is overwritten.
+    */
+  def extractBoxInto(
+      data: Array[Byte], ny: Int, nx: Int, bpp: Int,
+      bz: Int, by: Int, bx: Int, bnz: Int, bny: Int, bnx: Int,
+      out: Array[Byte],
+  ): Unit = {
+    require(out.length == bnz * bny * bnx * bpp,
+      s"extractBoxInto buffer ${out.length} != box ${bnz * bny * bnx * bpp}")
     var z = 0
     while (z < bnz) {
       var y = 0
@@ -219,7 +237,6 @@ object ChunkKernels {
       }
       z += 1
     }
-    out
   }
 
   /** Place a (bnz,bny,bnx) block into a (nz,ny,nx) chunk at local offset

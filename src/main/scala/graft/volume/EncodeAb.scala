@@ -22,6 +22,22 @@ object EncodeAb {
     spark.sparkContext.setLogLevel("WARN")
     val mhd = VolumeBench.ensureFixture("/tmp/graft_volbench")
     VolumeBench.stageTimes(spark, mhd, 15) // untimed JIT warmup
+    if (args.contains("sharded")) {
+      // SINK A/B for the zarr3 sharded writer vs the plain v2 sink
+      // (r19 verdict item: shave the 102.9 vs 94.3 s sharded gap) —
+      // full ×15 sinks, interleaved per rep, same codec
+      val reps = sys.env.getOrElse("SPARK_GRAFT_AB_REPS", "2").toInt
+      for (rep <- 1 to reps) {
+        AtomicDir.awaitQuiescent()
+        val tz = VolumeBench.upscaleZarr(spark, mhd, 15, "/tmp/graft_volbench/ab_zarr")
+        println(s"SINK_AB variant=zarr rep=$rep sec=$tz")
+        AtomicDir.awaitQuiescent()
+        val ts = VolumeBench.upscaleZarr3s(spark, mhd, 15, "/tmp/graft_volbench/ab_zarr3s")
+        println(s"SINK_AB variant=zarr3s rep=$rep sec=$ts")
+      }
+      spark.stop()
+      return
+    }
     val variants = Seq(
       "zstd5" -> ZarrStore.BloscCodec("zstd", 5, shuffle = 1),
       "zstd3" -> ZarrStore.BloscCodec("zstd", 3, shuffle = 1),

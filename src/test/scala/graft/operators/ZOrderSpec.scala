@@ -1095,6 +1095,14 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     // boundary table now reflects survivor training, i.e. it differs
     // from what the original even-half training wrote
     assert(spark.read.parquet(s"$out/_zqbounds").count() > 0)
+    // the POINT pruning face serves the committed snapshot too — bloom
+    // rows for folded files exist (the sidecar indexes the dir) but the
+    // shared scanKeep filters them out, so no pre-compaction row is
+    // double-read and the deleted id stays deleted
+    ZOrder.writeBloomSidecar(spark, out, Seq("id"))
+    val (pointDf, _) = ZOrder.prunedReadPoint(spark, out, "id", Seq(8L, 9L, 25L))
+    assert(pointDf.select("id").as[Long].collect().sorted.sameElements(Array(9L, 25L)),
+      "8 is tombstone-deleted; 9 and 25 survive exactly once each")
   }
 
   test("expireSnapshots: reclaims folded lineage; current reads identical; expired versions fail by name") {
