@@ -598,6 +598,70 @@ object RelationalQueries {
       """
   }
 
+  /** The q47 oracle: STREAMING MERGE over a KEYED update set — the q38
+    * skeleton with the update stream deduplicated to one row per
+    * (l_orderkey, l_linenumber) (MAX(yv)+7 — the CDC contract; see the
+    * gate comment: the base table has genuine duplicate keys, and the
+    * gate pins that the upsert replaces ALL old copies of a matched
+    * key with exactly one new version, batch-split-invariantly).
+    */
+  private val zmergeStreamOracle: String = {
+    def cdf(h: String) =
+      s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
+    def frozen(vals: String, bnd: String) =
+      s"SELECT $vals.v, COALESCE(MAX($bnd.b), 0) AS b FROM $vals " +
+        s"LEFT JOIN $bnd ON $bnd.mn <= $vals.v GROUP BY $vals.v"
+    s"""
+        WITH base AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
+                 CAST(l_suppkey AS BIGINT) AS yv
+          FROM lineitem
+        ),
+        merged AS (
+          SELECT l_orderkey, l_linenumber, xv, yv FROM base WHERE l_orderkey % 7 <> 1
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, MAX(xv) AS xv, MAX(yv) + 7 AS yv
+          FROM base WHERE l_orderkey % 7 = 1
+          GROUP BY l_orderkey, l_linenumber
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM base),
+        hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cx AS (${cdf("hx")}),
+        hy AS (SELECT yv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cy AS (${cdf("hy")}),
+        bndx AS (SELECT b, MIN(v) AS mn FROM cx GROUP BY b),
+        bndy AS (SELECT b, MIN(v) AS mn FROM cy GROUP BY b),
+        valx AS (SELECT DISTINCT xv AS v FROM merged),
+        valy AS (SELECT DISTINCT yv AS v FROM merged),
+        fx AS (${frozen("valx", "bndx")}),
+        fy AS (${frozen("valy", "bndy")}),
+        lanes AS (
+          SELECT merged.l_orderkey, merged.l_linenumber, fx.b AS a, fy.b AS b
+          FROM merged JOIN fx ON merged.xv = fx.v JOIN fy ON merged.yv = fy.v
+        ), s1 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+          FROM lanes
+        ), s2 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+          FROM s1
+        ), s3 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+          FROM s3
+        )
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
+        FROM s4
+        ORDER BY zkey, l_orderkey, l_linenumber
+      """
+  }
+
   /** The q31 oracle: the pruned-point read is row-exact BY CONTRACT
     * (Bloom skipping is a superset guarantee — false positives only add
     * files, the residual IN re-filters), so the oracle is the plain
@@ -2008,10 +2072,17 @@ object RelationalQueries {
     // continue, any uncommitted batch replays, and mergeInto is
     // replay-idempotent by construction — append short-circuits on its
     // marker, re-tombstoning a dead row is a read-side no-op). The
-    // final table state is batch-split-invariant: base minus all
-    // matched ∪ all updates through the frozen boundaries — exactly
-    // q38's oracle over the full arrival set, so the hash proves
-    // streamed MERGE == one-shot MERGE row for row.
+    // update stream is KEYED — one row per (l_orderkey, l_linenumber),
+    // the CDC contract (the base table carries genuine duplicate keys,
+    // so the gate pins that an upsert replaces ALL old copies of a
+    // matched key with exactly one new version; an UNkeyed stream
+    // would make the result depend on where the batch split fell —
+    // a later batch legitimately supersedes an earlier batch's same-key
+    // row, which is upsert semantics, not a bug, but it isn't
+    // batch-split-invariant and so can't be one-shot-oracled). With
+    // unique keys the final state IS batch-split-invariant: base minus
+    // all matched copies ∪ one update per key through the frozen
+    // boundaries — the q38 skeleton with a keyed update set.
     Q(
       "q47_zmerge_stream",
       (s, d) => {
@@ -2052,8 +2123,9 @@ object RelationalQueries {
             }
             .start()
           val updates = skewed.filter(col("l_orderkey") % 7 === 1)
-            .withColumn("yv", col("yv") + 7)
-            .orderBy(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
+            .groupBy(col("l_orderkey"), col("l_linenumber"))
+            .agg(max(col("xv")).as("xv"), (max(col("yv")) + 7).as("yv"))
+            .orderBy(col("l_orderkey"), col("l_linenumber"))
             .collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
           val halves = updates.grouped(math.max(1, (updates.length + 1) / 2)).toSeq
@@ -2076,7 +2148,7 @@ object RelationalQueries {
           .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
           .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       },
-      Some(zmergeUpsertOracle),
+      Some(zmergeStreamOracle),
     ),
   )
 
