@@ -1007,15 +1007,31 @@ object ZOrder {
       nFiles: Int = 1,
       bits: Int = 8,
       keyCol: String = "zkey",
-      curve: String = "morton"): (Long, Int) = {
-    val published = appendQuantileOnce(
-      source, cols, out, batchId, nFiles, bits, keyCol, curve)
-    val tombs = deleteMatching(spark, out, source, keys,
-      excludeFilePrefix = Some(s"zb$batchId-"),
-      // the merge's OWN id, not the observed max: both halves of the
-      // upsert must flip at exactly this version (see appendTombstones)
-      stamp = Some(batchId))
-    (tombs, published)
+      curve: String = "morton",
+      staleLockMs: Long = defaultStaleLockMs): (Long, Int) = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    // TABLE-LEVEL merge serialization: two concurrent merges with
+    // overlapping keys and DIFFERENT batch ids could each tombstone the
+    // other's freshly appended versions (each excludes only its OWN
+    // files by name) — a lost update neither per-batch lock prevents.
+    // One `merge.inflight` lock spans both phases, so merges serialize
+    // per table (the Delta one-commit-at-a-time discipline); the loser
+    // fails deterministically, a crashed merge's lock ages out on the
+    // same stale window and its replay re-runs both phases (append
+    // short-circuits, re-tombstoning is read-idempotent).
+    Fio.mkdirs(Fio.child(out, "_zbatches"))
+    val lock = Fio.child(out, "_zbatches/merge.inflight")
+    acquireWriterLock(lock, staleLockMs)
+    try {
+      val published = appendQuantileOnce(
+        source, cols, out, batchId, nFiles, bits, keyCol, curve, staleLockMs)
+      val tombs = deleteMatching(spark, out, source, keys,
+        excludeFilePrefix = Some(s"zb$batchId-"),
+        // the merge's OWN id, not the observed max: both halves of the
+        // upsert must flip at exactly this version (see appendTombstones)
+        stamp = Some(batchId))
+      (tombs, published)
+    } finally Fio.delete(lock)
   }
 
   /** Subtract `_zdeletes` tombstones from a scan of `paths`: tag each

@@ -963,6 +963,9 @@ object PlanAudit {
     "q46_zasof_sql" -> 1,
     // streaming MERGE reads the same merged layout shape as q38
     "q47_zmerge_stream" -> 1,
+    // SQL-INSERT-built history read as-of via SQL: pure file selection
+    // + output sort, q37's contract through the DML surface
+    "q48_zinsert_sql" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

@@ -5,7 +5,7 @@ import graft.operators.ZOrder
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.expr
@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.LongType
   *    that version's lineage are applied);
   *  - `DELETE FROM zlayout.`/path` WHERE p`           → positional
   *    tombstones ([[ZOrder.deleteWhere]]); returns `deleted_rows`;
+  *  - `INSERT INTO zlayout.`/path` <query>`           → exactly-once
+  *    batch append through the frozen boundaries
+  *    ([[ZOrder.appendQuantileOnce]] at the next batch id); returns
+  *    (`batch_id`, `inserted_files`);
   *  - `MERGE INTO zlayout.`/path` t USING src s ON t.k = s.k [AND …]
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
   *    → merge-on-read upsert ([[ZOrder.mergeInto]]) with the layout's
@@ -101,6 +105,13 @@ case class ZLayoutSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         requireUpsertShape(m)
         GraftMergeCommand(
           layoutPath(m.targetTable).get, m.sourceTable, equiKeys(m.mergeCondition))
+      case i: InsertIntoStatement if layoutPath(i.table).isDefined =>
+        require(!i.overwrite && i.partitionSpec.isEmpty,
+          "INSERT into zlayout supports only plain `INSERT INTO zlayout.`path` " +
+            "<query>` — the layout appends exactly-once batches (use MERGE for " +
+            "upserts, DELETE + compaction for replacement; INSERT OVERWRITE and " +
+            "partition specs have no layout meaning and are refused)")
+        GraftAppendCommand(layoutPath(i.table).get, i.query)
       case t: RelationTimeTravel if layoutPath(t.relation).isDefined =>
         val version = t.version.getOrElse(throw new IllegalArgumentException(
           "zlayout time travel is by VERSION AS OF <batch id> (commit ids are " +
@@ -125,6 +136,33 @@ case class GraftDeleteCommand(path: String, conditionSql: String)
     Seq(AttributeReference("deleted_rows", LongType)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(ZOrder.deleteWhere(session, path, expr(conditionSql))))
+}
+
+/** `INSERT INTO zlayout.`path` <query>` lowered to an exactly-once
+  * batch append ([[ZOrder.appendQuantileOnce]]): rows key through the
+  * layout's frozen `_zqbounds`, publish under the next batch id after
+  * the max committed, and land atomically behind a commit marker —
+  * an INSERT is one snapshot, visible to committed reads only after
+  * its marker, time-travelable by its id. Parameters come from
+  * `_zmeta`; the source query is analyzed at execution. Returns
+  * (`batch_id`, `inserted_files`).
+  */
+case class GraftAppendCommand(path: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("batch_id", LongType)(),
+    AttributeReference("inserted_files", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    implicit val fc: FioConf = FioConf.of(session)
+    val src = org.apache.spark.sql.GraftSqlBridge.ofRows(session, source)
+    val (cols, bits, keyCol, curve) = ZOrder.readMeta(path)
+    val batchId = ZOrder.committedBatches(path).map(_.toLong)
+      .foldLeft(-1L)(math.max) + 1L
+    val files = ZOrder.appendQuantileOnce(
+      src, cols, path, batchId, nFiles = 1, bits = bits,
+      keyCol = keyCol, curve = curve)
+    Seq(Row(batchId, files.toLong))
+  }
 }
 
 /** `MERGE INTO zlayout.`path` … UPDATE SET * / INSERT *` lowered to the

@@ -2150,6 +2150,53 @@ object RelationalQueries {
       },
       Some(zmergeStreamOracle),
     ),
+    // SQL SURFACE, INSERT twin: q37's four-batch arrival history driven
+    // through `INSERT INTO zlayout.`path` <query>` — each INSERT is one
+    // exactly-once committed batch at the next id (frozen-boundary
+    // keying, marker-atomic), so the SQL-built table's VERSION AS OF 1
+    // must reproduce q37's exact hash: same arrival prefix, same
+    // snapshot selection, built entirely from SQL statements.
+    Q(
+      "q48_zinsert_sql",
+      (s, d) => {
+        import graft.operators.ZOrder
+        import s.implicits._
+        val li = T(s, d, "lineitem")
+        val skewed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+          col("l_suppkey").cast("bigint").as("yv"))
+        val root = sys.props("java.io.tmpdir") + "/graft_zinssql/" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.similarity.Ann.inputFingerprint(li)
+        if (!new java.io.File(s"$root/_BUILT").exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(root))
+          ZOrder.clusterQuantile(skewed.filter(col("l_orderkey") % 2 === 0),
+            Seq("xv", "yv"), nFiles = 8, out = s"$root/base", bits = 8)
+          val odd = skewed.filter(col("l_orderkey") % 2 === 1)
+            .orderBy(col("l_orderkey"), col("l_linenumber"), col("xv"), col("yv"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          val chunk = math.max(1, (odd.length + 3) / 4)
+          odd.grouped(chunk).foreach { rows =>
+            rows.toSeq.toDF("l_orderkey", "l_linenumber", "xv", "yv")
+              .createOrReplaceTempView("graft_zins_batch")
+            s.sql(s"INSERT INTO zlayout.`$root/base` SELECT * FROM graft_zins_batch")
+          }
+          new java.io.File(s"$root/_BUILT").createNewFile()
+        }
+        s.sql(
+          s"""SELECT l_orderkey, l_linenumber, zkey
+              FROM zlayout.`$root/base` VERSION AS OF 1
+              ORDER BY zkey, l_orderkey, l_linenumber""")
+      },
+      Some(zquantileAsOfOracle),
+    ),
   )
 
   /** Shared fixture of the q37/q46 time-travel gates: cluster the even

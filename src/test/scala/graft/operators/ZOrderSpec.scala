@@ -1041,6 +1041,37 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(ZOrder.readCommitted(spark, out).count() === 25000L)
   }
 
+  test("mergeInto: concurrent merges serialize on the table-level lock") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zmlock").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 20000), Seq("x", "y"), nFiles = 8, out)
+    // another merge holds the table lock: this one must fail before
+    // touching the table (two merges with overlapping keys and
+    // different ids could otherwise tombstone each other's versions)
+    graft.io.Fio.mkdirs(s"$out/_zbatches")
+    assert(graft.io.Fio.createExclusive(s"$out/_zbatches/merge.inflight", "merge-a"))
+    val before = graft.io.Fio.listNames(out).sorted
+    intercept[GraftConcurrentWriteException] {
+      ZOrder.mergeInto(spark, out, shaped(0, 100).withColumn("y", col("y") + 1000),
+        keys = Seq("id"), cols = Seq("x", "y"), batchId = 0)
+    }
+    assert(graft.io.Fio.listNames(out).sorted === before)
+    // the holder crashed: age the lock, the merge takes over and both
+    // phases run
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$out/_zbatches/merge.inflight"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    val (tombs, files) = ZOrder.mergeInto(spark, out,
+      shaped(0, 100).withColumn("y", col("y") + 1000),
+      keys = Seq("id"), cols = Seq("x", "y"), batchId = 0)
+    assert(tombs === 100L && files > 0)
+    assert(!graft.io.Fio.exists(s"$out/_zbatches/merge.inflight"))
+    assert(ZOrder.readWithDeletes(spark, out).count() === 20000L)
+  }
+
   test("compactQuantileCommitted: compaction is a commit — history survives, current view compacts") {
     import spark.implicits._
     implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)

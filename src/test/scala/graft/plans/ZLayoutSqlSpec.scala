@@ -105,6 +105,25 @@ class ZLayoutSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("t.key = s.key"))
   }
 
+  test("INSERT INTO: an exactly-once batch append at the next id; OVERWRITE refused") {
+    import spark.implicits._
+    val out = freshLayout()
+    batch(1000, 1200).createOrReplaceTempView("zsql_ins_src")
+    val r = spark.sql(s"INSERT INTO zlayout.`$out` SELECT * FROM zsql_ins_src").head()
+    assert(r.getLong(0) === 0L && r.getLong(1) >= 1L)
+    assert(spark.sql(s"SELECT count(*) FROM zlayout.`$out`").as[Long].head() === 1200L)
+    // a second INSERT commits the NEXT id; both snapshots time-travel
+    batch(1200, 1300).createOrReplaceTempView("zsql_ins_src2")
+    assert(spark.sql(s"INSERT INTO zlayout.`$out` SELECT * FROM zsql_ins_src2")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM zlayout.`$out` VERSION AS OF 0")
+      .as[Long].head() === 1200L)
+    assert(spark.sql(s"SELECT count(*) FROM zlayout.`$out`").as[Long].head() === 1300L)
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE zlayout.`$out` SELECT * FROM zsql_ins_src"))
+    assert(e.getMessage.contains("INSERT OVERWRITE"))
+  }
+
   test("the zlayout namespace never shadows ordinary SQL") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zsqlplain").toString
