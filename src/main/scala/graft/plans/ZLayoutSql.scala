@@ -158,9 +158,16 @@ case class GraftAppendCommand(path: String, source: LogicalPlan)
     val (cols, bits, keyCol, curve) = ZOrder.readMeta(path)
     val batchId = ZOrder.committedBatches(path).map(_.toLong)
       .foldLeft(-1L)(math.max) + 1L
-    val files = ZOrder.appendQuantileOnce(
-      src, cols, path, batchId, nFiles = 1, bits = bits,
-      keyCol = keyCol, curve = curve)
+    // route by layout family: a quantile layout carries its frozen
+    // `_zqbounds` boundary table; a linear layout freezes (min, max)
+    // lane bounds from its manifest — both exactly-once
+    val files =
+      if (graft.io.Fio.exists(graft.io.Fio.child(path, "_zqbounds")))
+        ZOrder.appendQuantileOnce(src, cols, path, batchId, nFiles = 1,
+          bits = bits, keyCol = keyCol, curve = curve)
+      else
+        ZOrder.appendOnce(src, cols, path, batchId, nFiles = 1,
+          bits = bits, keyCol = keyCol, curve = curve)
     Seq(Row(batchId, files.toLong))
   }
 }

@@ -122,6 +122,12 @@ class ZLayoutSqlSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[Exception](spark.sql(
       s"INSERT OVERWRITE zlayout.`$out` SELECT * FROM zsql_ins_src"))
     assert(e.getMessage.contains("INSERT OVERWRITE"))
+    // the LINEAR layout routes to appendOnce (frozen manifest bounds)
+    import spark.implicits._
+    val lin = java.nio.file.Files.createTempDirectory("graft-zsql-lin").toString
+    ZOrder.cluster(batch(0, 1000), Seq("x", "y"), nFiles = 4, lin)
+    spark.sql(s"INSERT INTO zlayout.`$lin` SELECT * FROM zsql_ins_src")
+    assert(spark.sql(s"SELECT count(*) FROM zlayout.`$lin`").as[Long].head() === 1200L)
   }
 
   test("the zlayout namespace never shadows ordinary SQL") {
