@@ -239,11 +239,18 @@ object VolumeBench {
       reps: Int = 3): Seq[(String, Double)] = {
     val mhd = ensureFixture(workDir)
     val entries = Seq.newBuilder[(String, Double)]
+    // Per-spec rep counts (default: the block's `reps`): rep i runs every
+    // spec whose count is ≥ i, still interleaved, so a reduced-rep spec's
+    // single sample shares rep 1's ambient window with the full-rep
+    // headline next to it (the headline's run1-vs-median spread is the
+    // in-artifact ambient control for the single-sample variants). The
+    // ×15 sink VARIANTS run once by budget design — see the ×15 block.
     def sampleInterleaved(
-        specs: Seq[(String, () => Double)]): (Seq[(String, Double)], Map[String, Double]) = {
+        specs: Seq[(String, () => Double)],
+        repsOf: Map[String, Int] = Map.empty): (Seq[(String, Double)], Map[String, Double]) = {
       val local = Seq.newBuilder[(String, Double)]
       val runs = specs.map { case (name, _) => name -> Seq.newBuilder[Double] }.toMap
-      for (_ <- 1 to reps; (name, body) <- specs) {
+      for (i <- 1 to reps; (name, body) <- specs if repsOf.getOrElse(name, reps) >= i) {
         // the previous rep's publish queued an O(files) background delete
         // of the store it replaced — let it drain so the timed rep isn't
         // contending with its predecessor's retirement I/O (the r7 ×2-zarr
@@ -271,8 +278,9 @@ object VolumeBench {
     def gated(
         blockTag: String,
         specs: Seq[(String, () => Double)],
-        preProbe: Double): (Seq[(String, Double)], Map[String, Double], Double) = {
-      val (e1, m1) = sampleInterleaved(specs)
+        preProbe: Double,
+        repsOf: Map[String, Int] = Map.empty): (Seq[(String, Double)], Map[String, Double], Double) = {
+      val (e1, m1) = sampleInterleaved(specs, repsOf)
       val p1 = diskProbe(workDir)
       val ratio = math.max(preProbe, p1) / math.max(1e-9, math.min(preProbe, p1))
       if (ratio <= 2.0) {
@@ -283,7 +291,7 @@ object VolumeBench {
         e1.foreach { case (k, v) => entries += (s"vol_retry_${blockTag}_try1_$k" -> v) }
         entries += (s"vol_retry_${blockTag}_try1_probe_pre" -> preProbe)
         entries += (s"vol_retry_${blockTag}_try1_probe_post" -> p1)
-        val (e2, m2) = sampleInterleaved(specs)
+        val (e2, m2) = sampleInterleaved(specs, repsOf)
         val p2 = diskProbe(workDir)
         entries ++= e2
         entries += (s"vol_retry_$blockTag" -> 1.0)
@@ -326,15 +334,27 @@ object VolumeBench {
     if (!sys.env.get("SPARK_GRAFT_VOLBENCH").contains("x2only")) {
       // one untimed warmup before the timed probes: the ×15 kernel stage
       // swung 68.5→17.8 s across r7 reps on identical code (JIT + page
-      // cache) — the first probe was absorbing one-time JVM cost
+      // cache) — the first probe was absorbing one-time JVM cost.
+      // ONE timed sample after the warmup (r20 budget cut, see below).
       stageTimes(spark, mhd, 15)
-      val stages = (1 to reps).map(_ => stageTimes(spark, mhd, 15))
+      val stages = Seq(stageTimes(spark, mhd, 15))
       stages.zipWithIndex.foreach { case ((r, k), i) =>
         entries += (s"vol_atlas_x15_stage_scan_run${i + 1}" -> r)
         entries += (s"vol_atlas_x15_stage_kernel_run${i + 1}" -> k)
       }
       entries += ("vol_atlas_x15_stage_scan" -> median(stages.map(_._1)))
       entries += ("vol_atlas_x15_stage_kernel" -> median(stages.map(_._2)))
+      // BUDGET DESIGN (r20): the ×15 block alone was ~19 min of the
+      // driver's wall budget at 3 reps × 4 specs (~86–98 s each), and the
+      // r19 round closed with NO official bench artifact (rc:124 — killed
+      // at the budget). The internal-sink HEADLINE keeps median-of-3; the
+      // zarr/zarr3s sink variants and the sink-free codec probe run ONCE,
+      // interleaved inside rep 1 next to the headline's run1 — their
+      // single samples stay ambient-attributable (same window as
+      // x15_run1, bracketing disk probes unchanged, block-level >2×
+      // probe-disagreement retry still re-runs everything once). A
+      // single-sample variant that disagrees >2× with the headline it
+      // shares a window with is adjudicable from the artifact itself.
       val (x15Entries, _, postProbe) = gated("x15", Seq(
         "vol_atlas_upscale_x15" ->
           (() => upscale(spark, mhd, 15, s"$workDir/out_x15")),
@@ -347,7 +367,10 @@ object VolumeBench {
         // an ambient-I/O window hits all four equally
         "vol_atlas_x15_stage_encode" ->
           (() => encodeStageTime(spark, mhd, 15)),
-      ), midProbe)
+      ), midProbe, repsOf = Map(
+        "vol_atlas_upscale_x15_zarr" -> 1,
+        "vol_atlas_upscale_x15_zarr3s" -> 1,
+        "vol_atlas_x15_stage_encode" -> 1))
       // the derived sink split: what the zarr headline pays ON TOP of
       // scan+kernel+codec — file create/write/close syscalls and disk.
       // Paired PER REP (rep i's headline − rep i's encode probe — the two
