@@ -182,6 +182,19 @@ object Fio {
     val (fs, p) = resolve(path); fs.getFileStatus(p).getModificationTime
   }
 
+  /** Bump a file's modification time to now — the lock-heartbeat
+    * primitive: a writer holding a lock across a long staging write
+    * touches it periodically so its age never crosses the stale-takeover
+    * window while the writer is alive (ZOrder lock protocol). Returns
+    * false (never throws) if the file vanished — the heartbeat loop must
+    * not kill a publish whose lock was released a beat early.
+    */
+  def touch(path: String)(implicit fc: FioConf): Boolean = {
+    val (fs, p) = resolve(path)
+    try { fs.setTimes(p, System.currentTimeMillis(), -1); true }
+    catch { case _: java.io.IOException => false }
+  }
+
   /** CREATE-IF-ABSENT atomic file write — the compare-and-swap primitive
     * of the layout commit protocol: exactly one concurrent caller
     * succeeds, every other returns false (never overwrites). On
@@ -204,11 +217,26 @@ object Fio {
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
+      // Two failure modes, kept distinct (r19 advice): CREATE losing the
+      // race maps to false; a failed content WRITE/CLOSE after a
+      // successful create means this caller DID create the file (it holds
+      // the lock / the marker exists, possibly empty) — reporting false
+      // there would tell a committed publisher it lost, so the created
+      // file is rolled back and the error propagates instead.
+      val out =
+        try fs.create(p, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.io.IOException if fs.exists(p) => return false // non-FAEE "exists" impls
+        }
       try {
-        val out = fs.create(p, false)
         try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
         true
-      } catch { case _: java.io.IOException if fs.exists(p) => false }
+      } catch {
+        case e: java.io.IOException =>
+          try fs.delete(p, false) catch { case _: java.io.IOException => () }
+          throw e
+      }
     }
   }
 

@@ -557,10 +557,12 @@ object ZOrder {
       bits: Int = 8,
       keyCol: String = "zkey",
       curve: String = "morton",
-      staleLockMs: Long = defaultStaleLockMs): Int = {
+      staleLockMs: Long = defaultStaleLockMs,
+      requireFresh: Boolean = false): Int = {
     implicit val fc: FioConf = FioConf.of(df.sparkSession)
+    checkAppendSchema(df, out, cols, keyCol)
     publishBatchOnce(df.sparkSession, out, batchId, cols, nFiles, keyCol,
-      staleLockMs = staleLockMs)(
+      staleLockMs = staleLockMs, requireFresh = requireFresh)(
       frozenQuantileKeyed(df, cols, out, bits, keyCol, curve))
   }
 
@@ -578,9 +580,11 @@ object ZOrder {
       nFiles: Int = 1,
       bits: Int = 16,
       keyCol: String = "zkey",
-      curve: String = "morton"): Int = {
+      curve: String = "morton",
+      requireFresh: Boolean = false): Int = {
     val spark = df.sparkSession
     implicit val fc: FioConf = FioConf.of(spark)
+    checkAppendSchema(df, out, cols, keyCol)
     val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
       .select(col("column"), col("min_v"), col("max_v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -589,8 +593,42 @@ object ZOrder {
       require(rows.nonEmpty, s"no manifest stats for lane column $c under $out")
       c -> (rows.map(_._2).min, rows.map(_._3).max)
     }.toMap
-    publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol)(
+    publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol,
+      requireFresh = requireFresh)(
       withZKeyFrozen(df, cols, bounds, bits, keyCol, curve))
+  }
+
+  /** SCHEMA-EVOLUTION CONTRACT of the append faces (defined in r20 —
+    * before this the behavior was whatever parquet happened to do, which
+    * at 100 TB ingest lifetimes means a renamed upstream column silently
+    * forks the table's schema across batches and every later union-read
+    * dies or NULL-fills): an appended batch must carry EXACTLY the
+    * committed table's data columns (names, order-insensitive; the
+    * layout key column is added by the append itself). Anything else is
+    * refused BY NAME, listing the missing/extra columns — widen or
+    * project the source first; deliberate schema changes go through a
+    * committed compaction of the projected table. Nothing to check
+    * before the first commit (the bootstrap cluster defines the schema).
+    */
+  private def checkAppendSchema(
+      df: DataFrame, out: String, cols: Seq[String], keyCol: String)(
+      implicit fc: FioConf): Unit = {
+    val snap = snapshotKeepNames(out, Long.MaxValue)
+    if (snap.isEmpty) return
+    val table = df.sparkSession.read.parquet(Fio.child(out, snap.head))
+      .schema.fieldNames.filterNot(_ == keyCol).toSet
+    val incoming = df.schema.fieldNames.filterNot(_ == keyCol).toSet
+    if (incoming != table) {
+      val missing = (table -- incoming).toSeq.sorted
+      val extra = (incoming -- table).toSeq.sorted
+      throw new IllegalArgumentException(
+        s"append into $out refused: batch schema does not match the committed " +
+          s"table schema${if (missing.nonEmpty) s"; missing columns: ${missing.mkString(", ")}" else ""}" +
+          s"${if (extra.nonEmpty) s"; extra columns: ${extra.mkString(", ")}" else ""} — " +
+          "project the source to the table's columns (the layout has no silent " +
+          "schema evolution; a deliberate change is a committed compaction of the " +
+          "projected table)")
+    }
   }
 
   // appendOnce keeps the default stale-lock window; concurrent-writer
@@ -606,8 +644,13 @@ object ZOrder {
     * create-if-absent). `keyed` is by-name: a short-circuited replay
     * never computes the keying.
     *
-    * Writer isolation, three layers:
+    * Writer isolation, four layers:
     *
+    *  0. TABLE COMMIT LOCK ([[withTableLock]]): every mutator of the
+    *     layout serializes on one heartbeated `merge.inflight` — two
+    *     publishes of DIFFERENT ids cannot interleave with each other or
+    *     with maintenance sidecar rewrites (reentrant: a merge holding
+    *     the lock publishes without re-acquiring).
     *  1. MONOTONIC-REPLAY GUARD: a batch id at or below the max
     *     committed id is refused (unless already committed — that
     *     replay short-circuits first). Replaying an OLDER uncommitted
@@ -635,11 +678,25 @@ object ZOrder {
       keyCol: String,
       staleLockMs: Long = defaultStaleLockMs,
       compaction: Boolean = false,
+      requireFresh: Boolean = false,
       beforeCommit: () => Unit = () => ())(keyed: => DataFrame)(
       implicit fc: FioConf): Int = {
     val batchesDir = Fio.child(out, "_zbatches")
     val marker = Fio.child(batchesDir, batchId.toString)
-    if (Fio.exists(marker)) return 0
+    // `requireFresh` is the SQL commands' contract: they derive the id
+    // inside the table lock, so a marker already existing for it means a
+    // protocol-violating out-of-band writer — the old silent `return 0`
+    // told a MERGE its append replayed when in fact its rows were never
+    // written (while its tombstone half still ran: silent data loss).
+    def onMarker: Int =
+      if (!requireFresh) 0
+      else throw new GraftConcurrentWriteException(
+        s"batch $batchId under $out: a commit marker already exists for a " +
+          "freshly derived id — a concurrent writer published it out of band; " +
+          "this command's rows were NOT written (the caller must re-derive and retry)")
+    if (Fio.exists(marker)) return onMarker
+    withTableLock(out, staleLockMs) {
+    if (Fio.exists(marker)) onMarker else {
     val ceiling = maxCommitted(out)
     require(batchId > ceiling,
       s"batch $batchId under $out is not newer than the max committed batch " +
@@ -649,6 +706,7 @@ object ZOrder {
     Fio.mkdirs(batchesDir)
     val lock = Fio.child(batchesDir, s"$batchId.inflight")
     acquireWriterLock(lock, staleLockMs)
+    val hb = heartbeat(lock, staleLockMs)
     try {
       val prefix = s"zb$batchId-"
       // partial prior publish: purge this batch's files + sidecar rows
@@ -694,20 +752,67 @@ object ZOrder {
           "a concurrent writer won a stale-lock takeover race — this attempt's " +
           "files were superseded; treat as lost and do not retry this id")
       published.size
-    } finally Fio.delete(lock)
+    } finally { hb.close(); releaseWriterLock(lock) }
+    }
+    }
   }
 
-  /** Stale-lock window of the writer lock: how long an `<id>.inflight`
-    * file blocks a second writer before it is presumed crashed and taken
-    * over. One minute covers any live writer's purge+stage+rename gap
-    * (the data write itself happens INSIDE the lock but staging is
-    * per-writer — contention is only on the tiny rename/sidecar span);
-    * crash replays that restart faster than this fail retryably with a
-    * named exception rather than corrupting a live writer's publish.
+  /** Stale-lock window of the writer lock: how long a lock file blocks a
+    * second writer before its holder is presumed crashed and taken over.
+    * Every held lock is HEARTBEATED (its mtime bumped at `staleLockMs/4`)
+    * for as long as its holder is alive — so age is measured from the
+    * last heartbeat, not from creation, and a publish whose staging write
+    * runs long never becomes takeover-able mid-flight (the r19 failure
+    * shape: a >60 s staging inside the lock let a second live writer
+    * "take over" and interleave purge/rename with the first). Only a
+    * crashed holder's lock ever ages out; replays that restart inside
+    * the window fail retryably with a named exception.
     */
   val defaultStaleLockMs: Long = 60000L
 
+  /** One shared daemon thread bumps every held lock's mtime. */
+  private lazy val lockHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lock-heartbeat"); t.setDaemon(true); t
+    })
+
+  private def heartbeat(lock: String, staleLockMs: Long)(
+      implicit fc: FioConf): AutoCloseable = {
+    val period = math.max(staleLockMs / 4, 250L)
+    val task = lockHeartbeats.scheduleAtFixedRate(
+      new Runnable { def run(): Unit = { Fio.touch(lock); () } },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    new AutoCloseable { def close(): Unit = { task.cancel(false); () } }
+  }
+
+  /** Locks currently held by THIS process, by qualified path. Layer A of
+    * the acquisition protocol: contenders inside one JVM — multiple
+    * streams or threads sharing a session, the common local[...] shape —
+    * arbitrate on this set and never reach the filesystem TOCTOU paths
+    * at all.
+    */
+  private val processLocks: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def acquireWriterLock(lock: String, staleLockMs: Long)(
+      implicit fc: FioConf): Unit = {
+    val key = Fio.qualify(lock)
+    if (!processLocks.add(key))
+      throw new GraftConcurrentWriteException(
+        s"$lock is held by a live concurrent writer in this process — " +
+          "the loser must not publish (retry only after the holder releases)")
+    var ok = false
+    try { acquireCrossProcess(lock, staleLockMs); ok = true }
+    finally if (!ok) processLocks.remove(key)
+  }
+
+  private def releaseWriterLock(lock: String)(implicit fc: FioConf): Unit = {
+    Fio.delete(lock)
+    processLocks.remove(Fio.qualify(lock))
+    ()
+  }
+
+  private def acquireCrossProcess(lock: String, staleLockMs: Long)(
       implicit fc: FioConf): Unit = {
     val nonce = java.util.UUID.randomUUID().toString
     if (Fio.createExclusive(lock, nonce)) return
@@ -718,11 +823,92 @@ object ZOrder {
         s"$lock is held by a live concurrent writer (age ${age} ms < " +
           s"stale window $staleLockMs ms) — two writers chose the same batch id; " +
           "the loser must not publish (retry only if the holder crashed)")
-    Fio.delete(lock)
+    // ATOMIC takeover (r19 advice closed): RENAME the lock to a
+    // nonce-owned tombstone — of N racing waiters exactly one rename
+    // succeeds (the others' source is gone) — then VERIFY the captured
+    // file really is the stale lock observed above (rename preserves
+    // mtime): a waiter whose age check raced a completed takeover would
+    // otherwise capture the NEW holder's fresh lock and break mutual
+    // exclusion (the old delete+create pair had the same hole one step
+    // earlier). A fresh capture is restored immediately; the restore's
+    // own μs re-create window is the documented residual of plain
+    // filesystems without compare-and-swap — the atomic commit marker
+    // (layer 3) still arbitrates any publish that slips through it.
+    // A LIVE writer's lock never reads as stale meanwhile: its
+    // heartbeat bumps the mtime at staleLockMs/4.
+    val tomb = s"$lock.takeover.${nonce.take(8)}"
+    // a vanished source surfaces as `false` on HDFS but as a
+    // FileNotFoundException from RawLocalFileSystem's copy fallback —
+    // both mean the same thing: another waiter took the lock first
+    val renamed =
+      try Fio.rename(lock, tomb)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!renamed)
+      throw new GraftConcurrentWriteException(
+        s"$lock: lost the stale-lock takeover race to another writer")
+    val capturedAge = try System.currentTimeMillis() - Fio.mtime(tomb)
+    catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    if (capturedAge < staleLockMs) {
+      try Fio.rename(tomb, lock)
+      catch { case _: java.io.IOException => () }
+      throw new GraftConcurrentWriteException(
+        s"$lock: captured a live writer's lock in a takeover race (restored) — " +
+          "another waiter completed the takeover first")
+    }
+    Fio.delete(tomb)
     if (!Fio.createExclusive(lock, nonce))
       throw new GraftConcurrentWriteException(
         s"$lock: lost the stale-lock takeover race to another writer")
   }
+
+  /** Paths whose TABLE lock this thread already holds — [[withTableLock]]
+    * is reentrant per thread so composed mutators ([[mergeInto]] calling
+    * [[appendQuantileOnce]], SQL commands deriving ids then publishing)
+    * acquire once at the outermost face.
+    */
+  private val heldTableLocks = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+  }
+
+  /** ONE table-level commit lock (`_zbatches/merge.inflight`) serializes
+    * every MUTATOR of a layout — publishes, deletes, merges, committed
+    * compaction, vacuum, snapshot expiry, and the SQL commands' derive-
+    * id-then-publish spans (the Delta one-commit-at-a-time discipline).
+    * Readers never take it: snapshot visibility flips atomically with
+    * the commit marker. The lock is heartbeated while held (see
+    * [[defaultStaleLockMs]]), so long stagings under it are safe; a
+    * crashed holder's lock ages out and is taken over atomically.
+    * Reentrant per thread. This closes the r19 races: a batch id derived
+    * outside any lock could collide (two SQL writers reading the same
+    * maxCommitted — one silently lost its rows), maintenance rewrote
+    * sidecars read-modify-write against a live publish's manifest
+    * append, and compaction could lose a delete issued between its
+    * snapshot pin and its commit.
+    */
+  def withTableLock[T](out: String, staleLockMs: Long = defaultStaleLockMs)(
+      body: => T)(implicit fc: FioConf): T = {
+    val key = Fio.qualify(out)
+    if (heldTableLocks.get.contains(key)) return body
+    Fio.mkdirs(Fio.child(out, "_zbatches"))
+    val lock = Fio.child(out, "_zbatches/merge.inflight")
+    acquireWriterLock(lock, staleLockMs)
+    val hb = heartbeat(lock, staleLockMs)
+    heldTableLocks.get += key
+    try body
+    finally {
+      heldTableLocks.get -= key
+      hb.close()
+      releaseWriterLock(lock)
+    }
+  }
+
+  /** The next batch id of a layout: one past the max committed. Callers
+    * MUST derive it inside [[withTableLock]] and publish with
+    * `requireFresh = true` in the same span — deriving it unlocked is
+    * the r19 lost-append race.
+    */
+  def nextBatchId(out: String)(implicit fc: FioConf): Long = maxCommitted(out) + 1L
 
   /** Rewrite a (file, ...) sidecar parquet dir EXCLUDING rows of the
     * given file names — the purge step of [[appendQuantileOnce]]'s
@@ -797,17 +983,26 @@ object ZOrder {
       curve: String = "morton",
       staleLockMs: Long = defaultStaleLockMs): Int = {
     implicit val fc: FioConf = FioConf.of(spark)
-    // survivors of the CURRENT committed snapshot, deletes applied
-    // physically; localCheckpoint pins the multiset so the staging
-    // write, the CDF retrain, and the boundary table all see the same
-    // rows even as this very publish starts renaming files in. Lazy:
-    // a short-circuited replay (marker present) never pays the scan.
-    lazy val live = readCommitted(spark, out, applyDeletes = true)
-      .drop(keyCol).localCheckpoint(true)
-    publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol,
-      staleLockMs = staleLockMs, compaction = true,
-      beforeCommit = () => writeQuantileBounds(live, cols, bits, out))(
-      withZKeyQuantile(live, cols, bits, keyCol, curve))
+    // the TABLE lock spans snapshot pin → staging → commit: a delete or
+    // merge issued in that window would tombstone pre-compaction files
+    // the compaction has already folded — the post-compaction view never
+    // sees it (r19 verdict gap #3); with every mutator on the same lock
+    // the delete either lands before the pin (applied physically) or
+    // after the commit (against the compacted files). The lock is
+    // heartbeated, so the long re-cluster staging cannot age it out.
+    withTableLock(out, staleLockMs) {
+      // survivors of the CURRENT committed snapshot, deletes applied
+      // physically; localCheckpoint pins the multiset so the staging
+      // write, the CDF retrain, and the boundary table all see the same
+      // rows even as this very publish starts renaming files in. Lazy:
+      // a short-circuited replay (marker present) never pays the scan.
+      lazy val live = readCommitted(spark, out, applyDeletes = true)
+        .drop(keyCol).localCheckpoint(true)
+      publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol,
+        staleLockMs = staleLockMs, compaction = true,
+        beforeCommit = () => writeQuantileBounds(live, cols, bits, out))(
+        withZKeyQuantile(live, cols, bits, keyCol, curve))
+    }
   }
 
   /** EXPIRE the snapshot history a committed compaction superseded:
@@ -831,33 +1026,42 @@ object ZOrder {
       out: String,
       upToBatch: Long = Long.MaxValue): Seq[String] = {
     implicit val fc: FioConf = FioConf.of(spark)
-    val cStar = compactionIds(out).filter(_ <= upToBatch).foldLeft(-1L)(math.max)
-    if (cStar < 0) return Nil
-    val marked = committedBatches(out)
-    val victims = dataFiles(out)
-      .map(p => new org.apache.hadoop.fs.Path(p).getName)
-      .filter { n =>
-        batchIdOf(n) match {
-          case None => true // base cluster: folded into the compaction
-          case Some(id) => id.toLong < cStar // committed → folded; orphan → dead
+    // table lock (r19 advice closed): the sidecar rewrites below are
+    // whole-dir read-modify-writes — racing a live publish's manifest
+    // append would drop the new batch's rows, and prunedReadAdmitting
+    // builds its keep set solely from manifest rows, so the committed
+    // file would be silently skipped. On the shared commit lock the
+    // rewrite sees either the publish completely or not at all.
+    withTableLock(out) {
+      val cStar = compactionIds(out).filter(_ <= upToBatch).foldLeft(-1L)(math.max)
+      if (cStar < 0) Nil else {
+        val marked = committedBatches(out)
+        val victims = dataFiles(out)
+          .map(p => new org.apache.hadoop.fs.Path(p).getName)
+          .filter { n =>
+            batchIdOf(n) match {
+              case None => true // base cluster: folded into the compaction
+              case Some(id) => id.toLong < cStar // committed → folded; orphan → dead
+            }
+          }
+        if (victims.nonEmpty) {
+          victims.foreach(n => Fio.delete(Fio.child(out, n)))
+          rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), victims.toSet)
+          Seq("_zbloom", "_zdeletes").foreach { sc =>
+            if (Fio.exists(Fio.child(out, sc)))
+              rewriteSidecarExcluding(spark, Fio.child(out, sc), victims.toSet)
+          }
         }
-      }
-    if (victims.nonEmpty) {
-      victims.foreach(n => Fio.delete(Fio.child(out, n)))
-      rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), victims.toSet)
-      Seq("_zbloom", "_zdeletes").foreach { sc =>
-        if (Fio.exists(Fio.child(out, sc)))
-          rewriteSidecarExcluding(spark, Fio.child(out, sc), victims.toSet)
+        val batchesDir = Fio.child(out, "_zbatches")
+        marked.filter(_.toLong < cStar).foreach { id =>
+          Fio.delete(Fio.child(batchesDir, id))
+          Fio.delete(Fio.child(batchesDir, s"$id.compact"))
+        }
+        val floor = math.max(cStar, expiryFloor(out))
+        Fio.writeString(Fio.child(batchesDir, "_zexpire"), floor.toString)
+        victims
       }
     }
-    val batchesDir = Fio.child(out, "_zbatches")
-    marked.filter(_.toLong < cStar).foreach { id =>
-      Fio.delete(Fio.child(batchesDir, id))
-      Fio.delete(Fio.child(batchesDir, s"$id.compact"))
-    }
-    val floor = math.max(cStar, expiryFloor(out))
-    Fio.writeString(Fio.child(batchesDir, "_zexpire"), floor.toString)
-    victims
   }
 
   // ------------------------------------------------------------------
@@ -904,9 +1108,17 @@ object ZOrder {
     * untouched: envelopes stay a superset after row removal by
     * definition, so `_zmanifest`/`_zbloom` stay valid as-is.
     */
-  def deleteWhere(spark: SparkSession, out: String, predicate: Column): Long =
-    appendTombstones(spark, out,
-      tombstoneKeys(committedScan(spark, out)).filter(predicate))
+  def deleteWhere(spark: SparkSession, out: String, predicate: Column): Long = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    // table lock: a delete racing a committed compaction would resolve
+    // the OLD keep set, tombstone pre-compaction files, and the post-
+    // compaction view (old tombstones applied physically) would never
+    // see it — a silently lost delete (the r19 verdict's gap #3)
+    withTableLock(out) {
+      appendTombstones(spark, out,
+        tombstoneKeys(committedScan(spark, out)).filter(predicate))
+    }
+  }
 
   /** The delete verbs' base scan: the COMMITTED file view, not the raw
     * dir. A delete issued in the window between a crashed publish and
@@ -938,13 +1150,16 @@ object ZOrder {
       keys: Seq[String],
       excludeFilePrefix: Option[String] = None,
       stamp: Option[Long] = None): Long = {
-    val scan = tombstoneKeys(committedScan(spark, out))
-    val scoped = excludeFilePrefix
-      .map(p => scan.filter(!col("__zd_file").startsWith(p)))
-      .getOrElse(scan)
-    appendTombstones(spark, out,
-      scoped.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi"),
-      stamp)
+    implicit val fc: FioConf = FioConf.of(spark)
+    withTableLock(out) {
+      val scan = tombstoneKeys(committedScan(spark, out))
+      val scoped = excludeFilePrefix
+        .map(p => scan.filter(!col("__zd_file").startsWith(p)))
+        .getOrElse(scan)
+      appendTombstones(spark, out,
+        scoped.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi"),
+        stamp)
+    }
   }
 
   /** Shared tombstone-writing tail of [[deleteWhere]]/[[deleteMatching]]:
@@ -1008,30 +1223,117 @@ object ZOrder {
       bits: Int = 8,
       keyCol: String = "zkey",
       curve: String = "morton",
-      staleLockMs: Long = defaultStaleLockMs): (Long, Int) = {
+      staleLockMs: Long = defaultStaleLockMs,
+      requireFresh: Boolean = false): (Long, Int) = {
     implicit val fc: FioConf = FioConf.of(spark)
-    // TABLE-LEVEL merge serialization: two concurrent merges with
-    // overlapping keys and DIFFERENT batch ids could each tombstone the
-    // other's freshly appended versions (each excludes only its OWN
-    // files by name) — a lost update neither per-batch lock prevents.
-    // One `merge.inflight` lock spans both phases, so merges serialize
-    // per table (the Delta one-commit-at-a-time discipline); the loser
-    // fails deterministically, a crashed merge's lock ages out on the
-    // same stale window and its replay re-runs both phases (append
-    // short-circuits, re-tombstoning is read-idempotent).
-    Fio.mkdirs(Fio.child(out, "_zbatches"))
-    val lock = Fio.child(out, "_zbatches/merge.inflight")
-    acquireWriterLock(lock, staleLockMs)
-    try {
+    // TABLE-LEVEL serialization: two concurrent merges with overlapping
+    // keys and DIFFERENT batch ids could each tombstone the other's
+    // freshly appended versions (each excludes only its OWN files by
+    // name) — a lost update neither per-batch lock prevents. The table
+    // commit lock spans both phases, so merges serialize per table
+    // against every other mutator (the Delta one-commit-at-a-time
+    // discipline); the loser fails deterministically, a crashed merge's
+    // lock ages out on the stale window and its replay re-runs both
+    // phases (append short-circuits, re-tombstoning is read-idempotent).
+    withTableLock(out, staleLockMs) {
       val published = appendQuantileOnce(
-        source, cols, out, batchId, nFiles, bits, keyCol, curve, staleLockMs)
+        source, cols, out, batchId, nFiles, bits, keyCol, curve, staleLockMs,
+        requireFresh)
       val tombs = deleteMatching(spark, out, source, keys,
         excludeFilePrefix = Some(s"zb$batchId-"),
         // the merge's OWN id, not the observed max: both halves of the
         // upsert must flip at exactly this version (see appendTombstones)
         stamp = Some(batchId))
       (tombs, published)
-    } finally Fio.delete(lock)
+    }
+  }
+
+  /** [[mergeInto]] at the NEXT batch id, derived INSIDE the table lock —
+    * the SQL MERGE entry point (GraftMergeCommand). Deriving the id
+    * outside the lock was the r19 high-severity race: two writers
+    * reading the same maxCommitted made the later append silently replay
+    * (0 files) while its tombstone half still ran. Returns
+    * (batchId, tombstones, files).
+    */
+  def mergeIntoNext(
+      spark: SparkSession,
+      out: String,
+      source: DataFrame,
+      keys: Seq[String],
+      cols: Seq[String],
+      nFiles: Int = 1,
+      bits: Int = 8,
+      keyCol: String = "zkey",
+      curve: String = "morton",
+      staleLockMs: Long = defaultStaleLockMs): (Long, Long, Int) = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    withTableLock(out, staleLockMs) {
+      val batchId = nextBatchId(out)
+      val (tombs, files) = mergeInto(spark, out, source, keys, cols, batchId,
+        nFiles, bits, keyCol, curve, staleLockMs, requireFresh = true)
+      (batchId, tombs, files)
+    }
+  }
+
+  /** UPDATE the rows of a layout matching `predicate` with simultaneous
+    * SET assignments — tombstone+append, exactly the [[mergeInto]] shape
+    * with the source derived from the table itself (the Delta UPDATE
+    * lowering): the new versions of every matching LIVE row publish as
+    * one exactly-once batch through the layout's frozen boundaries, and
+    * every committed old version tombstones with the batch's OWN id, so
+    * the update is atomic in version space (as-of the update: new
+    * values; one version earlier: old values). All SET right-hand sides
+    * evaluate against the OLD row (`SET a = b, b = a` swaps). The batch
+    * id derives inside the table lock. Returns (batchId, live rows
+    * updated, files published).
+    */
+  def updateWhere(
+      spark: SparkSession,
+      out: String,
+      predicate: Column,
+      sets: Seq[(String, Column)],
+      staleLockMs: Long = defaultStaleLockMs): (Long, Long, Int) = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    val (cols, bits, keyCol, curve) = readMeta(out)
+    withTableLock(out, staleLockMs) {
+      val batchId = nextBatchId(out)
+      val live = readCommitted(spark, out, applyDeletes = true)
+      val dataCols = live.schema.fieldNames.filterNot(_ == keyCol).toSeq
+      sets.foreach { case (c, _) =>
+        require(dataCols.exists(_.equalsIgnoreCase(c)),
+          s"UPDATE $out: SET column $c does not exist (the layout key column " +
+            s"$keyCol is derived and cannot be assigned)")
+      }
+      val updated = live.filter(predicate).select(dataCols.map { c =>
+        sets.find(_._1.equalsIgnoreCase(c)) match {
+          case Some((_, v)) => v.as(c)
+          case None => col(c)
+        }
+      }: _*)
+      val files =
+        if (Fio.exists(Fio.child(out, "_zqbounds")))
+          appendQuantileOnce(updated, cols, out, batchId, nFiles = 1,
+            bits = bits, keyCol = keyCol, curve = curve,
+            staleLockMs = staleLockMs, requireFresh = true)
+        else
+          appendOnce(updated, cols, out, batchId, nFiles = 1,
+            bits = bits, keyCol = keyCol, curve = curve, requireFresh = true)
+      // old versions: every committed row matching the predicate, the
+      // fresh batch excluded by name (its rows may still match);
+      // re-tombstoning an already-dead match is read-idempotent
+      val scan = tombstoneKeys(committedScan(spark, out))
+        .filter(!col("__zd_file").startsWith(s"zb$batchId-"))
+        .filter(predicate)
+      appendTombstones(spark, out, scan, Some(batchId))
+      // updated_rows = the new batch's size (live matches only — the
+      // tombstone count also re-counts already-dead committed matches)
+      val nUpdated =
+        if (files == 0) 0L
+        else spark.read.parquet(
+          Fio.listNames(out).filter(_.startsWith(s"zb$batchId-"))
+            .map(Fio.child(out, _)): _*).count()
+      (batchId, nUpdated, files)
+    }
   }
 
   /** Subtract `_zdeletes` tombstones from a scan of `paths`: tag each
@@ -1257,6 +1559,13 @@ object ZOrder {
       out: String,
       staleLockMs: Long = defaultStaleLockMs): Seq[String] = {
     implicit val fc: FioConf = FioConf.of(spark)
+    // table lock: vacuum's sidecar rewrites are whole-dir read-modify-
+    // writes (see expireSnapshots) — serialized against live publishes
+    // on the shared commit lock. With every mutator on this lock the
+    // per-batch inflight check below is belt-and-braces for writers
+    // that crashed BETWEEN lock release and marker (impossible by
+    // protocol order) and for pre-lock manual writes.
+    withTableLock(out, staleLockMs) {
     // a batch whose writer lock is LIVE is a publish in flight, not a
     // crashed one — deleting its renamed-in files would leave the
     // writer's imminent marker pointing at nothing. The same stale
@@ -1288,6 +1597,7 @@ object ZOrder {
       }
     }
     staging ++ orphans
+    }
   }
 
   /** One table-level column statistic of [[analyzeLayout]]. */

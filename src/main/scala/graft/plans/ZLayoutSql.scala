@@ -5,7 +5,8 @@ import graft.operators.ZOrder
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.{CreateTable, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.expr
@@ -24,6 +25,11 @@ import org.apache.spark.sql.types.LongType
   *    that version's lineage are applied);
   *  - `DELETE FROM zlayout.`/path` WHERE p`           → positional
   *    tombstones ([[ZOrder.deleteWhere]]); returns `deleted_rows`;
+  *  - `UPDATE zlayout.`/path` SET c = e, … [WHERE p]`  → version-atomic
+  *    tombstone+append update ([[ZOrder.updateWhere]]): new versions
+  *    re-key through the frozen boundaries as one exactly-once batch,
+  *    old versions tombstone with the batch's own id; returns
+  *    (`updated_rows`, `batch_id`);
   *  - `INSERT INTO zlayout.`/path` <query>`           → exactly-once
   *    batch append through the frozen boundaries
   *    ([[ZOrder.appendQuantileOnce]] at the next batch id); returns
@@ -49,28 +55,100 @@ import org.apache.spark.sql.types.LongType
   */
 case class ZLayoutSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Warehouse root for NAMED layout tables (`zlayout.name`, no `/` in
+    * the identifier): `spark.graft.zlayout.warehouse`, defaulting under
+    * the session's SQL warehouse dir — so SQL-only users address tables
+    * by name and never need physical paths (the r19 verdict's gap #2,
+    * closed without a full V2 catalog: the same resolution rule serves
+    * both spellings, so every verb — SELECT / VERSION AS OF / DELETE /
+    * UPDATE / MERGE / INSERT / CREATE TABLE AS / DROP TABLE — works on
+    * names and paths alike).
+    */
+  private def warehouse: String = spark.conf.get(
+    "spark.graft.zlayout.warehouse",
+    graft.io.Fio.child(spark.conf.get(
+      "spark.sql.warehouse.dir", "spark-warehouse"), "zlayout"))
+
+  /** A bare table NAME resolves under the warehouse; anything with a
+    * path separator is a physical path (the original spelling).
+    */
+  private def resolveIdent(ident: String): String =
+    if (ident.contains("/")) ident else graft.io.Fio.child(warehouse, ident)
+
   /** The layout path named by a (possibly aliased) `zlayout.`path``
-    * two-part identifier, if this subtree is one.
+    * or `zlayout.name` two-part identifier, if this subtree is one.
     */
   private def layoutPath(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(_, child) => layoutPath(child)
     case u: UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("zlayout") =>
-      Some(u.multipartIdentifier(1))
+      Some(resolveIdent(u.multipartIdentifier(1)))
     case _ => None
   }
 
-  /** The equi-key column names of a MERGE condition: a conjunction of
-    * `t.k = s.k` terms, same column name on both sides. Anything else
-    * is refused — mapping an arbitrary ON expression onto the layout's
-    * key-match upsert would silently change semantics.
+  /** The layout path of a DDL identifier, if in the zlayout namespace —
+    * matched both unresolved and after the built-in catalog resolution
+    * has already turned it into a `ResolvedIdentifier` under the session
+    * catalog with namespace ["zlayout"] (rule order inside the
+    * resolution batch means we usually see the latter).
     */
-  private def equiKeys(cond: Expression): Seq[String] = cond match {
-    case And(l, r) => equiKeys(l) ++ equiKeys(r)
+  private def ddlPath(plan: LogicalPlan): Option[String] = plan match {
+    case UnresolvedIdentifier(Seq(ns, ident), _) if ns.equalsIgnoreCase("zlayout") =>
+      Some(resolveIdent(ident))
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+        if t.multipartIdentifier.length == 2 &&
+          t.multipartIdentifier.head.equalsIgnoreCase("zlayout") =>
+      Some(resolveIdent(t.multipartIdentifier(1)))
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+        if r.identifier.namespace.length == 1 &&
+          r.identifier.namespace.head.equalsIgnoreCase("zlayout") =>
+      Some(resolveIdent(r.identifier.name))
+    case _ => None
+  }
+
+  /** Relation/alias names a column qualifier may resolve to on one side
+    * of the MERGE — the SubqueryAlias names plus the relation's own last
+    * identifier part.
+    */
+  private def aliasNames(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) => aliasNames(child) + id.name.toLowerCase
+    case u: UnresolvedRelation => Set(u.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
+  /** The equi-key column names of a MERGE condition: a conjunction of
+    * `t.k = s.k` terms, same column name on both sides, ONE side
+    * qualified to the target and the other to the source. Anything else
+    * is refused — mapping an arbitrary ON expression onto the layout's
+    * key-match upsert would silently change semantics, and an
+    * unqualified or same-side pair (`ON t.id = t.id`, a qualifier typo)
+    * would silently lower to a plain key semi-join on that column (the
+    * r19 advice: validate qualifiers, don't guess).
+    */
+  private def equiKeys(
+      cond: Expression, target: Set[String], source: Set[String]): Seq[String] = cond match {
+    case And(l, r) => equiKeys(l, target, source) ++ equiKeys(r, target, source)
     case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) => {
+      def qual(x: UnresolvedAttribute): Option[String] =
+        x.nameParts.init.lastOption.map(_.toLowerCase)
+      val (qa, qb) = (qual(a), qual(b))
+      def oneEach(x: String, y: String): Boolean =
+        target(x) && source(y) && !(source(x) && target(y))
+      val ok = (qa, qb) match {
+        case (Some(x), Some(y)) => oneEach(x, y) || oneEach(y, x)
+        case _ => false
+      }
+      if (!ok)
+        throw new IllegalArgumentException(
+          s"MERGE INTO zlayout: ON term ${EqualTo(a, b).sql} must reference the " +
+            s"TARGET on one side and the SOURCE on the other, both qualified " +
+            s"(target aliases: ${target.mkString(", ")}; source aliases: " +
+            s"${source.mkString(", ")}) — unqualified or same-side terms are " +
+            "refused rather than silently lowered to a key match")
       Seq(a.nameParts.last)
+    }
     case other =>
       throw new IllegalArgumentException(
         s"MERGE INTO zlayout supports only conjunctions of t.key = s.key " +
@@ -104,7 +182,18 @@ case class ZLayoutSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable if layoutPath(m.targetTable).isDefined =>
         requireUpsertShape(m)
         GraftMergeCommand(
-          layoutPath(m.targetTable).get, m.sourceTable, equiKeys(m.mergeCondition))
+          layoutPath(m.targetTable).get, m.sourceTable,
+          equiKeys(m.mergeCondition,
+            aliasNames(m.targetTable), aliasNames(m.sourceTable)))
+      case u: UpdateTable if layoutPath(u.table).isDefined =>
+        GraftUpdateCommand(
+          layoutPath(u.table).get,
+          u.assignments.map(a => (a.key match {
+            case k: UnresolvedAttribute => k.nameParts.last
+            case other => throw new IllegalArgumentException(
+              s"UPDATE zlayout: SET target must be a plain column, got ${other.sql}")
+          }, a.value.sql)),
+          u.condition.map(_.sql))
       case i: InsertIntoStatement if layoutPath(i.table).isDefined =>
         require(!i.overwrite && i.partitionSpec.isEmpty,
           "INSERT into zlayout supports only plain `INSERT INTO zlayout.`path` " +
@@ -112,6 +201,38 @@ case class ZLayoutSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "upserts, DELETE + compaction for replacement; INSERT OVERWRITE and " +
             "partition specs have no layout meaning and are refused)")
         GraftAppendCommand(layoutPath(i.table).get, i.query)
+      case c: CreateTableAsSelect if ddlPath(c.name).isDefined =>
+        val props = c.tableSpec match {
+          case ts: UnresolvedTableSpec => ts.properties
+          case _ => Map.empty[String, String]
+        }
+        GraftCreateTableCommand(ddlPath(c.name).get, props, c.query, c.ignoreIfExists)
+      // the session-catalog conversion (ResolveSessionCatalog) usually
+      // wins the race within the resolution batch and lowers the V2 CTAS
+      // to the V1 CreateTable precursor before this rule sees it — claim
+      // it back by its identifier's database
+      case c: org.apache.spark.sql.execution.datasources.CreateTable
+          if c.tableDesc.identifier.database.exists(_.equalsIgnoreCase("zlayout")) =>
+        c.query match {
+          case Some(q) =>
+            GraftCreateTableCommand(
+              resolveIdent(c.tableDesc.identifier.table), c.tableDesc.properties, q,
+              c.mode == org.apache.spark.sql.SaveMode.Ignore)
+          case None =>
+            throw new IllegalArgumentException(
+              "CREATE TABLE zlayout.<name> requires AS SELECT — a layout is " +
+                "created by clustering data; an empty layout has no boundary " +
+                "statistics to freeze")
+        }
+      case c: CreateTable if ddlPath(c.name).isDefined =>
+        throw new IllegalArgumentException(
+          "CREATE TABLE zlayout.<name> requires AS SELECT — a layout is " +
+            "created by clustering data (CREATE TABLE zlayout.t TBLPROPERTIES" +
+            "('cols'='x,y'[, 'nfiles'='8', 'bits'='8', 'curve'='morton', " +
+            "'layout'='quantile']) AS SELECT …); an empty layout has no " +
+            "boundary statistics to freeze")
+      case d: DropTable if ddlPath(d.child).isDefined =>
+        GraftDropTableCommand(ddlPath(d.child).get, d.ifExists)
       case t: RelationTimeTravel if layoutPath(t.relation).isDefined =>
         val version = t.version.getOrElse(throw new IllegalArgumentException(
           "zlayout time travel is by VERSION AS OF <batch id> (commit ids are " +
@@ -156,19 +277,24 @@ case class GraftAppendCommand(path: String, source: LogicalPlan)
     implicit val fc: FioConf = FioConf.of(session)
     val src = org.apache.spark.sql.GraftSqlBridge.ofRows(session, source)
     val (cols, bits, keyCol, curve) = ZOrder.readMeta(path)
-    val batchId = ZOrder.committedBatches(path).map(_.toLong)
-      .foldLeft(-1L)(math.max) + 1L
-    // route by layout family: a quantile layout carries its frozen
-    // `_zqbounds` boundary table; a linear layout freezes (min, max)
-    // lane bounds from its manifest — both exactly-once
-    val files =
-      if (graft.io.Fio.exists(graft.io.Fio.child(path, "_zqbounds")))
-        ZOrder.appendQuantileOnce(src, cols, path, batchId, nFiles = 1,
-          bits = bits, keyCol = keyCol, curve = curve)
-      else
-        ZOrder.appendOnce(src, cols, path, batchId, nFiles = 1,
-          bits = bits, keyCol = keyCol, curve = curve)
-    Seq(Row(batchId, files.toLong))
+    // the id derives INSIDE the table lock and publishes requireFresh in
+    // the same span (r19 advice: two racing INSERTs reading the same
+    // maxCommitted made the later one silently no-op — inserted_files=0
+    // reported as success); the publish itself re-enters the held lock
+    ZOrder.withTableLock(path) {
+      val batchId = ZOrder.nextBatchId(path)
+      // route by layout family: a quantile layout carries its frozen
+      // `_zqbounds` boundary table; a linear layout freezes (min, max)
+      // lane bounds from its manifest — both exactly-once
+      val files =
+        if (graft.io.Fio.exists(graft.io.Fio.child(path, "_zqbounds")))
+          ZOrder.appendQuantileOnce(src, cols, path, batchId, nFiles = 1,
+            bits = bits, keyCol = keyCol, curve = curve, requireFresh = true)
+        else
+          ZOrder.appendOnce(src, cols, path, batchId, nFiles = 1,
+            bits = bits, keyCol = keyCol, curve = curve, requireFresh = true)
+      Seq(Row(batchId, files.toLong))
+    }
   }
 }
 
@@ -187,11 +313,99 @@ case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String
     implicit val fc: FioConf = FioConf.of(session)
     val src = org.apache.spark.sql.GraftSqlBridge.ofRows(session, source)
     val (cols, bits, keyCol, curve) = ZOrder.readMeta(path)
-    val batchId = ZOrder.committedBatches(path).map(_.toLong)
-      .foldLeft(-1L)(math.max) + 1L
-    val (tombs, files) = ZOrder.mergeInto(
-      session, path, src, keys, cols, batchId,
+    // id derived inside the table lock; a marker appearing for it fails
+    // loud instead of the old silent replay short-circuit, whose append
+    // no-opped while deleteMatching still tombstoned the matched rows
+    val (_, tombs, files) = ZOrder.mergeIntoNext(
+      session, path, src, keys, cols,
       nFiles = 1, bits = bits, keyCol = keyCol, curve = curve)
     Seq(Row(tombs, files.toLong))
+  }
+}
+
+/** `CREATE TABLE zlayout.<name> TBLPROPERTIES('cols'='x,y', …) AS
+  * SELECT …` — bootstrap a NAMED quantile (default) or linear layout
+  * under the zlayout warehouse by clustering the source query. The
+  * clustering parameters travel as table properties: `cols` (required,
+  * comma-separated lane columns), `nfiles` (8), `bits` (8), `curve`
+  * (`morton`|`hilbert`), `layout` (`quantile`|`linear`). The created
+  * table carries its parameters in `_zmeta`, so every later verb (DML,
+  * INSERT, time travel, maintenance) recovers them by name. `IF NOT
+  * EXISTS` short-circuits; re-creating an existing table otherwise
+  * fails loud.
+  */
+case class GraftCreateTableCommand(
+    path: String, props: Map[String, String], source: LogicalPlan,
+    ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("created", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    implicit val fc: FioConf = FioConf.of(session)
+    def prop(k: String): Option[String] =
+      props.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+    if (graft.io.Fio.exists(graft.io.Fio.child(path, "_zmeta"))) {
+      if (ignoreIfExists) return Seq(Row(0L))
+      throw new IllegalArgumentException(
+        s"zlayout table already exists at $path (use CREATE TABLE IF NOT " +
+          "EXISTS to no-op, DROP TABLE to replace)")
+    }
+    val cols = prop("cols").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE zlayout requires TBLPROPERTIES('cols'='c1,c2,…') — " +
+          "the lane columns the layout clusters on"))
+    val nFiles = prop("nfiles").map(_.toInt).getOrElse(8)
+    val bits = prop("bits").map(_.toInt).getOrElse(8)
+    val curve = prop("curve").getOrElse("morton")
+    val layout = prop("layout").getOrElse("quantile")
+    val src = org.apache.spark.sql.GraftSqlBridge.ofRows(session, source)
+    layout.toLowerCase match {
+      case "quantile" => ZOrder.clusterQuantile(src, cols, nFiles, path, bits, curve = curve)
+      case "linear" => ZOrder.cluster(src, cols, nFiles, path, bits, curve = curve)
+      case other => throw new IllegalArgumentException(
+        s"unknown zlayout 'layout' property: $other (quantile|linear)")
+    }
+    Seq(Row(1L))
+  }
+}
+
+/** `DROP TABLE zlayout.<name>`: delete the layout directory — data,
+  * sidecars, and commit history. `IF EXISTS` tolerates absence.
+  */
+case class GraftDropTableCommand(path: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dropped", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    implicit val fc: FioConf = FioConf.of(session)
+    if (!graft.io.Fio.exists(path)) {
+      if (ifExists) return Seq(Row(0L))
+      throw new IllegalArgumentException(s"zlayout table not found at $path")
+    }
+    graft.io.Fio.delete(path)
+    Seq(Row(1L))
+  }
+}
+
+/** `UPDATE zlayout.`path` SET c = e, … [WHERE p]` lowered to the
+  * layout's version-atomic tombstone+append update
+  * ([[ZOrder.updateWhere]]): new versions of every matching live row
+  * publish as one exactly-once batch, old versions tombstone with the
+  * batch's own id. SET targets and the predicate travel as SQL text and
+  * re-resolve against the layout's own scan (the GraftDeleteCommand
+  * discipline). Returns (`updated_rows`, `batch_id`).
+  */
+case class GraftUpdateCommand(
+    path: String, sets: Seq[(String, String)], conditionSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("updated_rows", LongType)(),
+    AttributeReference("batch_id", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (batchId, updated, _) = ZOrder.updateWhere(
+      session, path,
+      conditionSql.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)),
+      sets.map { case (c, v) => (c, expr(v)) })
+    Seq(Row(updated, batchId))
   }
 }

@@ -2197,7 +2197,76 @@ object RelationalQueries {
       },
       Some(zquantileAsOfOracle),
     ),
+    // SQL SURFACE, UPDATE (GraftUpdateCommand → ZOrder.updateWhere, new
+    // in r20 — the one SQL verb the r19 surface left falling through to
+    // Spark's default v1 failure): `UPDATE zlayout.`path` SET yv = yv +
+    // 100 WHERE l_orderkey % 5 = 2` lowers to the version-atomic
+    // tombstone+append update — new versions of the matched rows re-key
+    // through the FROZEN quantile boundaries as one exactly-once batch,
+    // old versions tombstone with the batch's own id. The oracle is the
+    // q38/q45 frozen-rule skeleton with the update set derived from the
+    // table itself: unmatched rows keep their trained-CDF keys (the
+    // frozen rule coincides on seen values), updated rows key by the
+    // frozen clamp rule over yv+100.
+    Q(
+      "q49_zupdate_sql",
+      (s, d) => {
+        val root = zupdateSqlFixture(s, d)
+        s.sql(
+          s"""SELECT l_orderkey, l_linenumber, zkey FROM zlayout.`$root/base`
+              ORDER BY zkey, l_orderkey, l_linenumber""")
+      },
+      Some(zupdateOracle),
+    ),
+    // NAMED-CATALOG SQL (r20, verdict gap #2): the whole lifecycle by
+    // TABLE NAME, no physical path anywhere — `CREATE TABLE
+    // zlayout.<name> TBLPROPERTIES('cols'='xv,yv') AS SELECT` bootstraps
+    // a quantile layout under the zlayout warehouse (clustering
+    // parameters as table properties, persisted in `_zmeta`), `INSERT
+    // INTO zlayout.<name>` commits the odd half as an exactly-once batch
+    // through the frozen boundaries, and the readback is a plain
+    // name-addressed SELECT. Oracle: the q37 frozen-clamp skeleton with
+    // the FULL odd set appended (seed-trained CDF, frozen keying over
+    // everything).
+    Q(
+      "q50_zcatalog_sql",
+      (s, d) => {
+        val name = zcatalogSqlFixture(s, d)
+        s.sql(
+          s"""SELECT l_orderkey, l_linenumber, zkey FROM zlayout.$name
+              ORDER BY zkey, l_orderkey, l_linenumber""")
+      },
+      Some(zquantileAsOfOracleSql("(SELECT c FROM oddn)", "")),
+    ),
   )
+
+  /** Fixture of the q50 named-catalog gate: warehouse-addressed CTAS of
+    * the even half + one INSERT of the whole odd half, all by name.
+    */
+  private def zcatalogSqlFixture(s: SparkSession, d: String): String = {
+    val li = T(s, d, "lineitem")
+    val name = "t_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.similarity.Ann.inputFingerprint(li)
+    val wh = sys.props("java.io.tmpdir") + "/graft_zwh"
+    s.conf.set("spark.graft.zlayout.warehouse", wh)
+    if (!new java.io.File(s"$wh/$name/_BUILT").exists()) {
+      s.sql(s"DROP TABLE IF EXISTS zlayout.$name")
+      li.select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+        col("l_suppkey").cast("bigint").as("yv"))
+        .createOrReplaceTempView("graft_zcat_src")
+      s.sql(
+        s"""CREATE TABLE zlayout.$name
+            TBLPROPERTIES('cols'='xv,yv', 'nfiles'='8', 'bits'='8')
+            AS SELECT * FROM graft_zcat_src WHERE l_orderkey % 2 = 0""")
+      s.sql(
+        s"INSERT INTO zlayout.$name SELECT * FROM graft_zcat_src WHERE l_orderkey % 2 = 1")
+      new java.io.File(s"$wh/$name/_BUILT").createNewFile()
+    }
+    name
+  }
 
   /** Shared fixture of the q37/q46 time-travel gates: cluster the even
     * half, land the odd half as FOUR appendQuantileOnce batches over a
@@ -2318,6 +2387,100 @@ object RelationalQueries {
       new java.io.File(s"$root/_DELETED").createNewFile()
     }
     root
+  }
+
+  /** Fixture of the q49 SQL-update gate: the whole skewed corpus
+    * quantile-clustered, then every l_orderkey % 5 == 2 row's yv shifted
+    * by +100 through the SQL UPDATE surface (tombstone+append at batch
+    * 0, new versions re-keyed through the frozen boundaries).
+    */
+  private def zupdateSqlFixture(s: SparkSession, d: String): String = {
+    val li = T(s, d, "lineitem")
+    val skewed = li.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("bigint").as("l_linenumber"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+      col("l_suppkey").cast("bigint").as("yv"))
+    val root = sys.props("java.io.tmpdir") + "/graft_zupdsql/" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.similarity.Ann.inputFingerprint(li)
+    if (!new java.io.File(s"$root/_UPDATED").exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      graft.operators.ZOrder.clusterQuantile(skewed, Seq("xv", "yv"),
+        nFiles = 8, out = s"$root/base", bits = 8)
+      s.sql(s"UPDATE zlayout.`$root/base` SET yv = yv + 100 WHERE l_orderkey % 5 = 2")
+      new java.io.File(s"$root/_UPDATED").createNewFile()
+    }
+    root
+  }
+
+  /** The q49 oracle: the [[zmergeUpsertOracle]] frozen-rule skeleton
+    * with the "merged" set derived from the table itself — rows
+    * l_orderkey % 5 <> 2 unchanged, matched rows with yv+100 — all keyed
+    * by the frozen clamp rule over boundaries trained on the ORIGINAL
+    * full corpus (for seen values the rule coincides with the stored
+    * trained keys, so one uniform rule covers both halves).
+    */
+  // lazy: defined below the `all` Seq that captures it — a plain val
+  // would still be null when `all` initializes (r20's verify NPE)
+  private lazy val zupdateOracle: String = {
+    def cdf(h: String) =
+      s"SELECT v, CAST(((SUM(cnt) OVER (ORDER BY v) - cnt) * 256) // (SELECT n FROM nn) AS BIGINT) AS b FROM $h"
+    def frozen(vals: String, bnd: String) =
+      s"SELECT $vals.v, COALESCE(MAX($bnd.b), 0) AS b FROM $vals " +
+        s"LEFT JOIN $bnd ON $bnd.mn <= $vals.v GROUP BY $vals.v"
+    s"""
+        WITH base AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 (CAST(1 AS BIGINT) << CAST(l_orderkey % 20 AS INT)) AS xv,
+                 CAST(l_suppkey AS BIGINT) AS yv
+          FROM lineitem
+        ),
+        merged AS (
+          SELECT l_orderkey, l_linenumber, xv, yv FROM base WHERE l_orderkey % 5 <> 2
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, xv, yv + 100 AS yv FROM base
+          WHERE l_orderkey % 5 = 2
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM base),
+        hx AS (SELECT xv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cx AS (${cdf("hx")}),
+        hy AS (SELECT yv AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        cy AS (${cdf("hy")}),
+        bndx AS (SELECT b, MIN(v) AS mn FROM cx GROUP BY b),
+        bndy AS (SELECT b, MIN(v) AS mn FROM cy GROUP BY b),
+        valx AS (SELECT DISTINCT xv AS v FROM merged),
+        valy AS (SELECT DISTINCT yv AS v FROM merged),
+        fx AS (${frozen("valx", "bndx")}),
+        fy AS (${frozen("valy", "bndy")}),
+        lanes AS (
+          SELECT merged.l_orderkey, merged.l_linenumber, fx.b AS a, fy.b AS b
+          FROM merged JOIN fx ON merged.xv = fx.v JOIN fy ON merged.yv = fy.v
+        ), s1 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+          FROM lanes
+        ), s2 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+          FROM s1
+        ), s3 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT l_orderkey, l_linenumber,
+                 ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+          FROM s3
+        )
+        SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
+        FROM s4
+        ORDER BY zkey, l_orderkey, l_linenumber
+      """
   }
 
   /** Fixture of the q45 SQL-merge twin: the q38 shape (whole skewed

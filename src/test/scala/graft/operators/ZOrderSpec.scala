@@ -1202,4 +1202,104 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(removed.nonEmpty && graft.io.Fio.listNames(out).forall(!_.startsWith("zb0-")))
     assert(spark.read.parquet(out).count() === 20000L)
   }
+
+  test("schema contract: an append whose columns diverge from the table is refused by name") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zschema").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 5000), Seq("x", "y"), nFiles = 4, out)
+    // extra column
+    val e1 = intercept[IllegalArgumentException] {
+      ZOrder.appendQuantileOnce(
+        shaped(5000, 5100).withColumn("extra", lit(1)), Seq("x", "y"), out, batchId = 0)
+    }
+    assert(e1.getMessage.contains("extra columns: extra"))
+    // missing column
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.appendQuantileOnce(shaped(5000, 5100).drop("id"), Seq("x", "y"), out, batchId = 0)
+    }
+    assert(e2.getMessage.contains("missing columns: id"))
+    // nothing committed by the refusals; a conforming append still lands
+    assert(ZOrder.committedBatches(out).isEmpty)
+    assert(ZOrder.appendQuantileOnce(shaped(5000, 5100), Seq("x", "y"), out, batchId = 0) > 0)
+    assert(ZOrder.readCommitted(spark, out).count() === 5100L)
+  }
+
+  test("requireFresh: a marker appearing for a freshly derived id fails loud, never a silent replay") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zfresh").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 5000), Seq("x", "y"), nFiles = 4, out)
+    ZOrder.appendQuantileOnce(shaped(5000, 5100), Seq("x", "y"), out, batchId = 0)
+    // replay semantics unchanged without the flag: short-circuits to 0
+    assert(ZOrder.appendQuantileOnce(shaped(5000, 5100), Seq("x", "y"), out, batchId = 0) === 0)
+    // with the flag (the SQL commands' contract): the same marker is a
+    // concurrent-write error — the rows were NOT written
+    val e = intercept[GraftConcurrentWriteException] {
+      ZOrder.appendQuantileOnce(shaped(5100, 5200), Seq("x", "y"), out,
+        batchId = 0, requireFresh = true)
+    }
+    assert(e.getMessage.contains("freshly derived"))
+  }
+
+  test("table lock heartbeat: a long-held lock never goes stale while its holder is alive") {
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zhb").toString
+    val windowMs = 600L
+    @volatile var contenderError: Option[Throwable] = None
+    ZOrder.withTableLock(out, staleLockMs = windowMs) {
+      // hold the lock for 3× the stale window; the heartbeat (window/4)
+      // must keep its mtime fresh the whole time
+      Thread.sleep(3 * windowMs)
+      val t = new Thread(() => {
+        try ZOrder.withTableLock(out, staleLockMs = windowMs) { fail("contender must not enter") }
+        catch { case e: Throwable => contenderError = Some(e) }
+      })
+      t.start(); t.join()
+    }
+    assert(contenderError.exists(_.isInstanceOf[GraftConcurrentWriteException]),
+      s"contender saw: $contenderError")
+    assert(contenderError.get.getMessage.contains("live concurrent writer"),
+      "the aged-but-heartbeated lock must read as LIVE, not stale")
+    // released: a fresh acquisition succeeds
+    ZOrder.withTableLock(out, staleLockMs = windowMs) { () }
+  }
+
+  test("stale-lock takeover is atomic: racing waiters admit exactly one writer at a time") {
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-ztakeover").toString
+    graft.io.Fio.mkdirs(s"$out/_zbatches")
+    val lock = s"$out/_zbatches/merge.inflight"
+    assert(graft.io.Fio.createExclusive(lock, "crashed-writer"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(lock),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        try {
+          ZOrder.withTableLock(out) {
+            val now = active.incrementAndGet()
+            maxActive.getAndUpdate(m => math.max(m, now))
+            Thread.sleep(50)
+            active.decrementAndGet()
+          }
+          winners.incrementAndGet()
+        } catch { case _: GraftConcurrentWriteException => losers.incrementAndGet() }
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(winners.get() + losers.get() === 6)
+    assert(winners.get() >= 1, "the stale lock must be taken over by someone")
+    assert(maxActive.get() === 1,
+      s"mutual exclusion violated: ${maxActive.get()} writers inside the lock at once")
+  }
 }

@@ -130,6 +130,109 @@ class ZLayoutSqlSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM zlayout.`$lin`").as[Long].head() === 1200L)
   }
 
+  test("UPDATE: SET lowers to the version-atomic tombstone+append update") {
+    import spark.implicits._
+    val out = freshLayout()
+    // version-stamp baseline: one committed batch so the update lands at id 1
+    ZOrder.appendQuantileOnce(batch(1000, 1100), Seq("x", "y"), out, batchId = 0)
+    val r = spark.sql(
+      s"UPDATE zlayout.`$out` SET y = y + 100000 WHERE id % 10 = 3").head()
+    assert(r.getLong(0) === 110L, "110 live rows updated")
+    assert(r.getLong(1) === 1L, "update committed at the next batch id")
+    val after = spark.sql(s"SELECT id, y FROM zlayout.`$out`").as[(Long, Long)].collect()
+    assert(after.length === 1100, "row count unchanged by UPDATE")
+    assert(after.filter(_._1 % 10 == 3).forall(_._2 >= 100000), "matched rows updated")
+    assert(after.filter(_._1 % 10 != 3).forall(_._2 < 100000), "unmatched rows untouched")
+    // VERSION-ATOMIC: as-of one version earlier, every old value is back
+    val v0 = spark.sql(s"SELECT id, y FROM zlayout.`$out` VERSION AS OF 0")
+      .as[(Long, Long)].collect()
+    assert(v0.length === 1100 && v0.forall(_._2 < 100000))
+    // simultaneous SET semantics: every RHS evaluates against the OLD row
+    val swapOut = freshLayout()
+    spark.sql(s"UPDATE zlayout.`$swapOut` SET x = y, y = x WHERE id < 10")
+    val swapped = spark.sql(s"SELECT id, x, y FROM zlayout.`$swapOut` WHERE id < 10")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    swapped.foreach { case (id, x, y) =>
+      assert(x === (id * 7919) % 331 && y === id % 10, s"swap must read old values at id=$id")
+    }
+    // the derived key column cannot be assigned; unknown columns refused
+    val e1 = intercept[Exception](
+      spark.sql(s"UPDATE zlayout.`$out` SET zkey = 0 WHERE id = 1"))
+    assert(e1.getMessage.contains("derived"))
+    val e2 = intercept[Exception](
+      spark.sql(s"UPDATE zlayout.`$out` SET nope = 0 WHERE id = 1"))
+    assert(e2.getMessage.contains("does not exist"))
+  }
+
+  test("MERGE INTO: ON terms must reference target on one side and source on the other") {
+    val out = freshLayout()
+    batch(0, 10).createOrReplaceTempView("zsql_qual_src")
+    // same-side term (qualifier typo): refused, not silently lowered
+    val e1 = intercept[Exception](spark.sql(
+      s"""MERGE INTO zlayout.`$out` t USING zsql_qual_src s ON t.id = t.id
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e1.getMessage.contains("TARGET on one side"))
+    // unqualified terms: ambiguous, refused
+    val e2 = intercept[Exception](spark.sql(
+      s"""MERGE INTO zlayout.`$out` t USING zsql_qual_src s ON id = id
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e2.getMessage.contains("TARGET on one side"))
+    // reversed but valid (s.id = t.id) still works
+    val r = spark.sql(
+      s"""MERGE INTO zlayout.`$out` t USING zsql_qual_src s ON s.id = t.id
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""").head()
+    assert(r.getLong(0) === 10L)
+  }
+
+  test("named tables: CREATE TABLE AS / SELECT / DML / DROP by name under the warehouse") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-zwh").toString
+    spark.conf.set("spark.graft.zlayout.warehouse", wh)
+    spark.range(1000).select(
+      col("id"), (col("id") % 10).as("x"), ((col("id") * 7919) % 331).as("y"))
+      .createOrReplaceTempView("zsql_cat_src")
+    // CREATE TABLE ... AS SELECT bootstraps a quantile layout by name
+    spark.sql(
+      """CREATE TABLE zlayout.events_clean
+         TBLPROPERTIES('cols'='x,y', 'nfiles'='4')
+         AS SELECT * FROM zsql_cat_src""")
+    assert(new java.io.File(s"$wh/events_clean/_zmeta").exists(),
+      "table materialized under the warehouse with its _zmeta parameters")
+    assert(spark.sql("SELECT count(*) FROM zlayout.events_clean").as[Long].head() === 1000L)
+    // re-create: loud without IF NOT EXISTS, silent with
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE zlayout.events_clean TBLPROPERTIES('cols'='x,y') AS SELECT * FROM zsql_cat_src"))
+    assert(e.getMessage.contains("already exists"))
+    spark.sql(
+      "CREATE TABLE IF NOT EXISTS zlayout.events_clean TBLPROPERTIES('cols'='x,y') AS SELECT * FROM zsql_cat_src")
+    // the FULL verb surface works by name: INSERT, DELETE, UPDATE, MERGE, time travel
+    spark.sql("INSERT INTO zlayout.events_clean SELECT id + 1000 AS id, x, y FROM zsql_cat_src LIMIT 100")
+    assert(spark.sql("SELECT count(*) FROM zlayout.events_clean").as[Long].head() === 1100L)
+    spark.sql("DELETE FROM zlayout.events_clean WHERE id >= 1050")
+    assert(spark.sql("SELECT count(*) FROM zlayout.events_clean").as[Long].head() === 1050L)
+    spark.sql("UPDATE zlayout.events_clean SET y = y + 100000 WHERE id < 5")
+    assert(spark.sql("SELECT count(*) FROM zlayout.events_clean WHERE y >= 100000")
+      .as[Long].head() === 5L)
+    // name-addressed time travel: version 0 carries the insert and the
+    // version-0-stamped delete, but predates the UPDATE (batch 1)
+    assert(spark.sql("SELECT count(*) FROM zlayout.events_clean VERSION AS OF 0")
+      .as[Long].head() === 1050L)
+    assert(spark.sql(
+      "SELECT count(*) FROM zlayout.events_clean VERSION AS OF 0 WHERE y >= 100000")
+      .as[Long].head() === 0L, "the update is invisible one version earlier")
+    // cols property is required; empty CREATE TABLE refused by name
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE zlayout.bad AS SELECT * FROM zsql_cat_src"))
+    assert(e2.getMessage.contains("cols"))
+    val e3 = intercept[Exception](spark.sql("CREATE TABLE zlayout.bad2 (x INT)"))
+    assert(e3.getMessage.contains("AS SELECT"))
+    // DROP TABLE removes the directory; IF EXISTS tolerates absence
+    spark.sql("DROP TABLE zlayout.events_clean")
+    assert(!new java.io.File(s"$wh/events_clean").exists())
+    intercept[Exception](spark.sql("DROP TABLE zlayout.events_clean"))
+    spark.sql("DROP TABLE IF EXISTS zlayout.events_clean")
+  }
+
   test("the zlayout namespace never shadows ordinary SQL") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-zsqlplain").toString
