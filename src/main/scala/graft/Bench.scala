@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   * The JSON carries `"agg"`; volume headlines also report their
   * individual runs as `<name>_runN`.
   *
-  * SOFT DEADLINE: `SPARK_GRAFT_BENCH_DEADLINE_SEC` (default 1440) from
+  * SOFT DEADLINE: `SPARK_GRAFT_BENCH_DEADLINE_SEC` (default 1800) from
   * JVM start. Once crossed, remaining registered queries run ONE rep and
   * the crossover/scale-curve blocks are skipped — all explicitly marked
   * in the JSON (`deadline_degraded`, `deadline_skipped`) — so a
@@ -42,7 +42,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // registered queries run min-of-2 (see the aggregation rule above)
     val regReps = math.min(reps, 2)
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1440").toDouble
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1800").toDouble
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     def overDeadline: Boolean = elapsedSec > deadlineSec
     val degraded = scala.collection.mutable.LinkedHashSet[String]()

@@ -45,6 +45,27 @@ object FioConf {
   implicit lazy val default: FioConf = new FioConf(new Configuration())
 }
 
+/** Pluggable compare-and-swap primitive for the layout commit protocol
+  * ([[Fio.createExclusive]]). `file://` (O_CREAT|O_EXCL) and HDFS
+  * (NameNode-atomic create-no-overwrite) are genuinely atomic natively;
+  * S3A's create is check-then-write, so the writer-concurrency
+  * guarantees silently weaken on the storage most 100 TB deployments
+  * use — UNLESS a conditional-write layer is plugged in here. Set the
+  * Hadoop conf key `graft.cas.provider` (reachable as
+  * `spark.hadoop.graft.cas.provider` in Spark conf) to a class name
+  * implementing this trait; every lock/marker create routes through it.
+  * Implementations for real object stores: an S3 `If-None-Match: *`
+  * conditional PUT (supported by S3 since 2024 and exposed by recent
+  * Hadoop S3A via `fs.s3a.create.conditional.enabled`), a
+  * DynamoDB/ZooKeeper coordinator (the S3AFileSystem-era Delta/
+  * Iceberg lock-provider pattern), or a database row with a unique
+  * key. Must return true to EXACTLY ONE concurrent caller per path;
+  * false to every other (never overwrite).
+  */
+trait CasProvider {
+  def createExclusive(path: String, content: String, conf: Configuration): Boolean
+}
+
 /** Positioned-read handle over one file — the Hadoop replacement for every
   * `RandomAccessFile(path, "r")` the stores used to open. One instance per
   * task; `readFully(pos, …)` maps to `FSDataInputStream.readFully`, which
@@ -203,9 +224,18 @@ object Fio {
     * Object-store caveat stated, not hidden: S3A's create is
     * check-then-write, so true CAS there needs a conditional-put layer
     * (S3 If-None-Match) or a coordination service — the same caveat
-    * Delta documents for its log commits.
+    * Delta documents for its log commits. The [[CasProvider]] hook
+    * (`graft.cas.provider` Hadoop conf key) routes this primitive
+    * through such a layer when configured — spec-pinned that every
+    * call reaches the plugin and none the filesystem.
     */
   def createExclusive(path: String, content: String)(implicit fc: FioConf): Boolean = {
+    val provider = fc.conf.get("graft.cas.provider")
+    if (provider != null && provider.nonEmpty)
+      return casProviders.computeIfAbsent(provider, cls =>
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[CasProvider])
+        .createExclusive(path, content, fc.conf)
     val (fs, p) = resolve(path)
     if ("file" == p.toUri.getScheme) {
       val local = java.nio.file.Paths.get(p.toUri.getPath)
@@ -372,6 +402,10 @@ object Fio {
 
   def readLines(path: String)(implicit fc: FioConf): Seq[String] =
     readString(path).split("\n", -1).toSeq.map(_.stripSuffix("\r"))
+
+  /** Instantiated-once cache of configured [[CasProvider]]s by class name. */
+  private val casProviders =
+    new java.util.concurrent.ConcurrentHashMap[String, CasProvider]()
 
   /** Memoized "this directory exists" set for the local whole-file write
     * fast path — store writers land hundreds of thousands of chunk files

@@ -15,6 +15,22 @@ import org.scalatest.funsuite.AnyFunSuite
   *     volume + sources trees (the single documented escape hatch is
   *     Fio's positioned-write handle for posix-only single-file sinks).
   */
+/** Test double for the pluggable CAS hook: records calls, grants or
+  * refuses by a switch — proves the commit protocol's primitive is
+  * routed through the plugin, the object-store extension point.
+  */
+class RecordingCasProvider extends CasProvider {
+  override def createExclusive(
+      path: String, content: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    RecordingCasProvider.calls.add(s"$path:$content")
+    RecordingCasProvider.grant
+  }
+}
+object RecordingCasProvider {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile var grant = true
+}
+
 class FioSpec extends AnyFunSuite with SparkSpec {
 
   private def tmpDir(tag: String): String =
@@ -137,6 +153,23 @@ class FioSpec extends AnyFunSuite with SparkSpec {
     * Fio.scala itself hosts the documented posix positioned-write escape
     * hatch.
     */
+  test("CAS provider hook: graft.cas.provider routes every createExclusive through the plugin") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("graft.cas.provider", classOf[RecordingCasProvider].getName)
+    implicit val fc: FioConf = new FioConf(conf)
+    RecordingCasProvider.calls.clear()
+    RecordingCasProvider.grant = true
+    assert(Fio.createExclusive("/definitely/not/created/lock", "nonce-1"))
+    RecordingCasProvider.grant = false
+    assert(!Fio.createExclusive("/definitely/not/created/lock", "nonce-2"))
+    import scala.jdk.CollectionConverters._
+    assert(RecordingCasProvider.calls.asScala.toSeq ===
+      Seq("/definitely/not/created/lock:nonce-1", "/definitely/not/created/lock:nonce-2"),
+      "both calls must route through the provider, none through the filesystem")
+    // nothing ever touched the local filesystem under that path
+    assert(!new java.io.File("/definitely/not/created/lock").exists())
+  }
+
   test("grep gate: no RandomAccessFile/java.nio.file/File streams in volume+sources trees") {
     import scala.jdk.CollectionConverters._
     val roots = Seq("src/main/scala/graft/volume", "src/main/scala/graft/sources")
