@@ -966,6 +966,13 @@ object PlanAudit {
     // SQL-INSERT-built history read as-of via SQL: pure file selection
     // + output sort, q37's contract through the DML surface
     "q48_zinsert_sql" -> 1,
+    // SQL-UPDATE result read (r20): committed view + tombstone
+    // anti-join + output sort — the q44 shape with the update's
+    // version-atomic batch in the keep set
+    "q49_zupdate_sql" -> 1,
+    // named-catalog read (r20): CTAS+INSERT-built table read by NAME —
+    // the same committed-view scan + output sort as the path spelling
+    "q50_zcatalog_sql" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

@@ -40,6 +40,13 @@ import org.apache.spark.sql.types.LongType
   *    own `_zmeta` parameters and the next batch id; returns
   *    (`updated_rows`, `inserted_files`).
   *
+  * NAMED TABLES (r20): a bare identifier (`zlayout.events_clean`, no
+  * `/`) resolves under the warehouse (`spark.graft.zlayout.warehouse`)
+  * in every verb above, plus the catalog verbs: `CREATE TABLE
+  * zlayout.t TBLPROPERTIES('cols'='x,y'[, 'nfiles', 'bits', 'curve',
+  * 'layout'='quantile|linear']) AS SELECT …`, `DROP TABLE [IF EXISTS]`,
+  * and `SHOW TABLES IN zlayout ['pat*']`.
+  *
   * Design notes, Spark-first: the `zlayout` head is a RESERVED
   * two-part-identifier namespace the built-in resolver cannot claim (no
   * catalog or database of that name resolves), so the rule only ever
@@ -105,6 +112,17 @@ case class ZLayoutSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           r.identifier.namespace.head.equalsIgnoreCase("zlayout") =>
       Some(resolveIdent(r.identifier.name))
     case _ => None
+  }
+
+  /** Is this SHOW TABLES namespace the zlayout warehouse? Matched
+    * unresolved and post-resolution (same race as [[ddlPath]]).
+    */
+  private def zNamespace(plan: LogicalPlan): Boolean = plan match {
+    case org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(Seq(ns), _) =>
+      ns.equalsIgnoreCase("zlayout")
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedNamespace =>
+      r.namespace.length == 1 && r.namespace.head.equalsIgnoreCase("zlayout")
+    case _ => false
   }
 
   /** Relation/alias names a column qualifier may resolve to on one side
@@ -201,6 +219,9 @@ case class ZLayoutSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "upserts, DELETE + compaction for replacement; INSERT OVERWRITE and " +
             "partition specs have no layout meaning and are refused)")
         GraftAppendCommand(layoutPath(i.table).get, i.query)
+      case s: org.apache.spark.sql.catalyst.plans.logical.ShowTables
+          if zNamespace(s.namespace) =>
+        GraftShowTablesCommand(warehouse, s.pattern)
       case c: CreateTableAsSelect if ddlPath(c.name).isDefined =>
         val props = c.tableSpec match {
           case ts: UnresolvedTableSpec => ts.properties
@@ -384,6 +405,31 @@ case class GraftDropTableCommand(path: String, ifExists: Boolean)
     }
     graft.io.Fio.delete(path)
     Seq(Row(1L))
+  }
+}
+
+/** `SHOW TABLES IN zlayout ['pattern']`: list the named layout tables
+  * under the warehouse — a directory is a table iff it carries the
+  * `_zmeta` parameters sidecar. Output mirrors Spark's SHOW TABLES
+  * (namespace, tableName, isTemporary).
+  */
+case class GraftShowTablesCommand(warehouse: String, pattern: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("tableName", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("isTemporary", org.apache.spark.sql.types.BooleanType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    implicit val fc: FioConf = FioConf.of(session)
+    if (!graft.io.Fio.exists(warehouse)) return Seq.empty
+    val re = pattern.map(p =>
+      java.util.regex.Pattern.compile(
+        p.replace("*", ".*").replace("|", "|"), // SHOW TABLES glob: * = any
+        java.util.regex.Pattern.CASE_INSENSITIVE))
+    graft.io.Fio.listNames(warehouse).sorted
+      .filter(n => graft.io.Fio.exists(graft.io.Fio.child(warehouse, s"$n/_zmeta")))
+      .filter(n => re.forall(_.matcher(n).matches()))
+      .map(n => Row("zlayout", n, false))
   }
 }
 

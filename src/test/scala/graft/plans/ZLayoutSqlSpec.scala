@@ -226,6 +226,14 @@ class ZLayoutSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("cols"))
     val e3 = intercept[Exception](spark.sql("CREATE TABLE zlayout.bad2 (x INT)"))
     assert(e3.getMessage.contains("AS SELECT"))
+    // SHOW TABLES lists _zmeta-carrying dirs under the warehouse
+    spark.sql(
+      "CREATE TABLE zlayout.second TBLPROPERTIES('cols'='x,y') AS SELECT * FROM zsql_cat_src")
+    val shown = spark.sql("SHOW TABLES IN zlayout")
+      .select("tableName").as[String].collect().sorted
+    assert(shown.sameElements(Array("events_clean", "second")), shown.mkString(","))
+    assert(spark.sql("SHOW TABLES IN zlayout 'ev*'").count() === 1L)
+    spark.sql("DROP TABLE zlayout.second")
     // DROP TABLE removes the directory; IF EXISTS tolerates absence
     spark.sql("DROP TABLE zlayout.events_clean")
     assert(!new java.io.File(s"$wh/events_clean").exists())
