@@ -558,11 +558,13 @@ object ZOrder {
       keyCol: String = "zkey",
       curve: String = "morton",
       staleLockMs: Long = defaultStaleLockMs,
-      requireFresh: Boolean = false): Int = {
+      requireFresh: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Int = {
     implicit val fc: FioConf = FioConf.of(df.sparkSession)
     checkAppendSchema(df, out, cols, keyCol)
     publishBatchOnce(df.sparkSession, out, batchId, cols, nFiles, keyCol,
-      staleLockMs = staleLockMs, requireFresh = requireFresh)(
+      staleLockMs = staleLockMs, requireFresh = requireFresh,
+      beforeCommit = beforeCommit)(
       frozenQuantileKeyed(df, cols, out, bits, keyCol, curve))
   }
 
@@ -581,7 +583,8 @@ object ZOrder {
       bits: Int = 16,
       keyCol: String = "zkey",
       curve: String = "morton",
-      requireFresh: Boolean = false): Int = {
+      requireFresh: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Int = {
     val spark = df.sparkSession
     implicit val fc: FioConf = FioConf.of(spark)
     checkAppendSchema(df, out, cols, keyCol)
@@ -594,7 +597,7 @@ object ZOrder {
       c -> (rows.map(_._2).min, rows.map(_._3).max)
     }.toMap
     publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol,
-      requireFresh = requireFresh)(
+      requireFresh = requireFresh, beforeCommit = beforeCommit)(
       withZKeyFrozen(df, cols, bounds, bits, keyCol, curve))
   }
 
@@ -709,23 +712,7 @@ object ZOrder {
     val hb = heartbeat(lock, staleLockMs)
     try {
       val prefix = s"zb$batchId-"
-      // partial prior publish: purge this batch's files + sidecar rows
-      val stale = dataFiles(out).map(p => new org.apache.hadoop.fs.Path(p).getName)
-        .filter(_.startsWith(prefix))
-      if (stale.nonEmpty) {
-        stale.foreach(n => Fio.delete(Fio.child(out, n)))
-        rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), stale.toSet)
-        if (Fio.exists(Fio.child(out, "_zbloom")))
-          rewriteSidecarExcluding(spark, Fio.child(out, "_zbloom"), stale.toSet)
-        // positional tombstones against a replaced file would delete
-        // arbitrary OTHER rows after the rewrite (row_index is physical) —
-        // and the batch they targeted never committed, so they die with it
-        if (Fio.exists(Fio.child(out, "_zdeletes")))
-          rewriteSidecarExcluding(spark, Fio.child(out, "_zdeletes"), stale.toSet)
-      }
-      // crashed-attempt staging leftovers of THIS batch (any writer nonce)
-      Fio.listNames(out).filter(_.startsWith(s"_staging_batch_${batchId}_"))
-        .foreach(n => Fio.delete(Fio.child(out, n)))
+      purgeBatchLeftovers(spark, out, batchId)
       val staging = Fio.child(out,
         s"_staging_batch_${batchId}_${java.util.UUID.randomUUID().toString.take(8)}")
       keyed
@@ -910,20 +897,70 @@ object ZOrder {
     */
   def nextBatchId(out: String)(implicit fc: FioConf): Long = maxCommitted(out) + 1L
 
+  /** Purge every leftover of an UNCOMMITTED prior attempt at `batchId`:
+    * renamed-in `zb<id>-*` data files plus their manifest/bloom rows,
+    * positional tombstones AGAINST those files (row_index against a
+    * replaced file would delete arbitrary other rows), tombstones OWNED
+    * by the attempt (the `zbown<id>-*` sidecar files a version-atomic
+    * UPDATE/MERGE writes pre-marker — a crashed attempt's dormant
+    * stamps must not activate when this id is republished, possibly by
+    * an unrelated writer), and crashed staging dirs. Idempotent; caller
+    * holds the table lock. [[updateWhere]] runs it BEFORE constructing
+    * its own scan DataFrames (a parquet relation snapshots its file
+    * listing at construction — purging the sidecar after would leave
+    * the plan pointing at rewritten files), and [[publishBatchOnce]]
+    * re-runs it (as a no-op then) for every other entry point.
+    */
+  private def purgeBatchLeftovers(
+      spark: SparkSession, out: String, batchId: Long)(
+      implicit fc: FioConf): Unit = {
+    val prefix = s"zb$batchId-"
+    // owned tombstone files FIRST: the whole-dir rewrite below would
+    // anonymize their owner-encoding names and strand the dormant rows
+    // forever (activating on a later unrelated commit of this id)
+    val sidecar = Fio.child(out, "_zdeletes")
+    if (Fio.exists(sidecar))
+      Fio.listNames(sidecar).filter(_.startsWith(s"zbown$batchId-"))
+        .foreach(n => Fio.delete(Fio.child(sidecar, n)))
+    val stale = dataFiles(out).map(p => new org.apache.hadoop.fs.Path(p).getName)
+      .filter(_.startsWith(prefix))
+    if (stale.nonEmpty) {
+      stale.foreach(n => Fio.delete(Fio.child(out, n)))
+      rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), stale.toSet)
+      if (Fio.exists(Fio.child(out, "_zbloom")))
+        rewriteSidecarExcluding(spark, Fio.child(out, "_zbloom"), stale.toSet)
+      if (hasTombstones(out))
+        rewriteSidecarExcluding(spark, sidecar, stale.toSet)
+    }
+    Fio.listNames(out).filter(_.startsWith(s"_staging_batch_${batchId}_"))
+      .foreach(n => Fio.delete(Fio.child(out, n)))
+  }
+
+  /** Rewrite a sidecar parquet dir keeping only rows matching `keep` —
+    * the purge primitive of the replay cleanup and maintenance paths.
+    * Sidecars are O(files)/O(deleted) rows; materialize the survivors
+    * eagerly before overwriting the dir being read. All callers hold
+    * the table lock.
+    */
+  private def rewriteSidecarWhere(
+      spark: SparkSession,
+      sidecarDir: String,
+      keep: Column): Unit = {
+    val kept = spark.read.parquet(sidecarDir)
+      .filter(keep)
+      .localCheckpoint(true)
+    kept.coalesce(1).write.mode("overwrite").parquet(sidecarDir)
+  }
+
   /** Rewrite a (file, ...) sidecar parquet dir EXCLUDING rows of the
     * given file names — the purge step of [[appendQuantileOnce]]'s
-    * partial-replay cleanup. Sidecars are O(files) rows; materialize
-    * the survivors eagerly before overwriting the dir being read.
+    * partial-replay cleanup.
     */
   private def rewriteSidecarExcluding(
       spark: SparkSession,
       sidecarDir: String,
-      names: Set[String]): Unit = {
-    val kept = spark.read.parquet(sidecarDir)
-      .filter(!col("file").isin(names.toSeq: _*))
-      .localCheckpoint(true)
-    kept.coalesce(1).write.mode("overwrite").parquet(sidecarDir)
-  }
+      names: Set[String]): Unit =
+    rewriteSidecarWhere(spark, sidecarDir, !col("file").isin(names.toSeq: _*))
 
   /** COMPACT a quantile layout: full re-cluster with RETRAINED CDF
     * boundaries — [[compact]]'s equi-depth twin. Reads through
@@ -1044,12 +1081,17 @@ object ZOrder {
               case Some(id) => id.toLong < cStar // committed → folded; orphan → dead
             }
           }
+        // drop crashed pre-marker tombstone files FIRST: the whole-dir
+        // rewrite below would anonymize their owner-encoding names, and
+        // a later republish of that id could then never purge them
+        purgeUncommittedOwnedTombstones(out)
         if (victims.nonEmpty) {
           victims.foreach(n => Fio.delete(Fio.child(out, n)))
           rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), victims.toSet)
           Seq("_zbloom", "_zdeletes").foreach { sc =>
-            if (Fio.exists(Fio.child(out, sc)))
-              rewriteSidecarExcluding(spark, Fio.child(out, sc), victims.toSet)
+            val d = Fio.child(out, sc)
+            if (Fio.exists(d) && Fio.listNames(d).exists(_.endsWith(".parquet")))
+              rewriteSidecarExcluding(spark, d, victims.toSet)
           }
         }
         val batchesDir = Fio.child(out, "_zbatches")
@@ -1149,7 +1191,8 @@ object ZOrder {
       source: DataFrame,
       keys: Seq[String],
       excludeFilePrefix: Option[String] = None,
-      stamp: Option[Long] = None): Long = {
+      stamp: Option[Long] = None,
+      owned: Boolean = false): Long = {
     implicit val fc: FioConf = FioConf.of(spark)
     withTableLock(out) {
       val scan = tombstoneKeys(committedScan(spark, out))
@@ -1158,7 +1201,7 @@ object ZOrder {
         .getOrElse(scan)
       appendTombstones(spark, out,
         scoped.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi"),
-        stamp)
+        stamp, owned)
     }
   }
 
@@ -1176,7 +1219,8 @@ object ZOrder {
     */
   private def appendTombstones(
       spark: SparkSession, out: String, matched: DataFrame,
-      stampOverride: Option[Long] = None): Long = {
+      stampOverride: Option[Long] = None,
+      owned: Boolean = false): Long = {
     implicit val fc: FioConf = FioConf.of(spark)
     import spark.implicits._
     val sidecar = Fio.child(out, "_zdeletes")
@@ -1189,7 +1233,21 @@ object ZOrder {
         lit(stamp).as("batch"))
       .as[ZDelete]
       .write.mode("append").parquet(sidecar)
-    val added = Fio.listNames(sidecar).filter(_.endsWith(".parquet")).filterNot(before)
+    var added = Fio.listNames(sidecar).filter(_.endsWith(".parquet")).filterNot(before)
+    // OWNED tombstones (the pre-marker half of a version-atomic
+    // UPDATE/MERGE) land under `zbown<batch>-*` names, so a replay of an
+    // uncommitted attempt can purge exactly its own rows by FILE NAME —
+    // the stamp alone cannot distinguish "written by batch k's publish"
+    // from "standalone delete issued while k was the max committed".
+    if (owned && added.nonEmpty) {
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      added = added.zipWithIndex.map { case (n, i) =>
+        val dst = s"zbown$stamp-$i-$nonce.parquet"
+        require(Fio.rename(Fio.child(sidecar, n), Fio.child(sidecar, dst)),
+          s"owned-tombstone rename failed for $n under $sidecar")
+        dst
+      }
+    }
     if (added.isEmpty) 0L
     else spark.read.parquet(added.map(Fio.child(sidecar, _)): _*).count()
   }
@@ -1198,19 +1256,16 @@ object ZOrder {
     * is appended through the frozen `_zqbounds` and every EXISTING row
     * matching a source row's `keys` is tombstoned — merge-on-read, no
     * data file rewritten, the Delta MERGE / Iceberg upsert shape on the
-    * layout's own primitives. REPLAY-IDEMPOTENT by construction, in
-    * foreachBatch order of operations:
-    *
-    *  1. append FIRST via [[appendQuantileOnce]] (marker-committed;
-    *     a replay short-circuits);
-    *  2. tombstone old versions SECOND via [[deleteMatching]], with the
-    *     new batch's own files excluded by name (the new versions match
-    *     their own keys and must survive).
-    *
-    * A crash between 1 and 2 replays to: append no-ops (marker), the
-    * tombstone scan re-runs — and re-tombstoning an already-dead row is
-    * read-idempotent, so the final state is identical for every crash
-    * point. Returns (tombstones written, files published).
+    * layout's own primitives. ONE COMMIT POINT (r20): the tombstone
+    * half runs as the publish's `beforeCommit` hook, stamped with the
+    * merge's own batch id — dormant under the read-side maxCommitted
+    * ceiling until the append's marker lands, at which instant both
+    * halves flip together. Every crash point therefore rolls back to
+    * "nothing happened" (unmarked files invisible, stamped tombstones
+    * dormant; a replay purges both and re-runs the whole publish;
+    * replay of a COMMITTED id short-circuits on the marker without
+    * recomputing either half). Returns (tombstones written, files
+    * published) — (0, 0) on a short-circuited replay.
     */
   def mergeInto(
       spark: SparkSession,
@@ -1236,14 +1291,26 @@ object ZOrder {
     // lock ages out on the stale window and its replay re-runs both
     // phases (append short-circuits, re-tombstoning is read-idempotent).
     withTableLock(out, staleLockMs) {
+      // SINGLE COMMIT POINT (r20): the tombstone half runs as the
+      // publish's beforeCommit hook — written BEFORE the marker,
+      // stamped with the merge's own id, and therefore DORMANT (the
+      // read-side maxCommitted ceiling ignores stamps above the max
+      // committed batch) until the marker lands, at which instant both
+      // halves become visible together. The r19 order (append commits,
+      // THEN tombstones) left a crash window where readers saw both row
+      // versions until a replay; now every crash point rolls back to
+      // "nothing happened" (unmarked files invisible, stamped
+      // tombstones dormant and purged by replay/vacuum). The scan runs
+      // pre-marker, so the new batch is excluded from it by
+      // committedScan itself; the name filter stays as belt-and-braces.
+      var tombs = 0L
       val published = appendQuantileOnce(
         source, cols, out, batchId, nFiles, bits, keyCol, curve, staleLockMs,
-        requireFresh)
-      val tombs = deleteMatching(spark, out, source, keys,
-        excludeFilePrefix = Some(s"zb$batchId-"),
-        // the merge's OWN id, not the observed max: both halves of the
-        // upsert must flip at exactly this version (see appendTombstones)
-        stamp = Some(batchId))
+        requireFresh,
+        beforeCommit = () =>
+          tombs = deleteMatching(spark, out, source, keys,
+            excludeFilePrefix = Some(s"zb$batchId-"), stamp = Some(batchId),
+            owned = true))
       (tombs, published)
     }
   }
@@ -1297,6 +1364,12 @@ object ZOrder {
     val (cols, bits, keyCol, curve) = readMeta(out)
     withTableLock(out, staleLockMs) {
       val batchId = nextBatchId(out)
+      // purge any crashed prior attempt at this id BEFORE constructing
+      // the scan DataFrames below: a parquet relation snapshots its file
+      // listing at construction, and the publish's own (re-run, no-op)
+      // purge would otherwise rewrite the _zdeletes files the plan
+      // already points at
+      purgeBatchLeftovers(spark, out, batchId)
       val live = readCommitted(spark, out, applyDeletes = true)
       val dataCols = live.schema.fieldNames.filterNot(_ == keyCol).toSeq
       sets.foreach { case (c, _) =>
@@ -1310,21 +1383,31 @@ object ZOrder {
           case None => col(c)
         }
       }: _*)
+      // SINGLE COMMIT POINT: the tombstone half (every committed row
+      // matching the predicate — the new batch is unmarked during the
+      // hook, so committedScan excludes it; re-tombstoning an already-
+      // dead match is read-idempotent) writes pre-marker, stamped with
+      // this batch id and dormant until the marker lands — a crashed
+      // UPDATE rolls back to "nothing happened" instead of leaving both
+      // row versions visible, and a re-run cannot double-apply the SET
+      // (the crashed attempt's rows were never live).
+      val tombstoneHalf: () => Unit = () => {
+        val scan = tombstoneKeys(committedScan(spark, out))
+          .filter(!col("__zd_file").startsWith(s"zb$batchId-"))
+          .filter(predicate)
+        appendTombstones(spark, out, scan, Some(batchId), owned = true)
+        ()
+      }
       val files =
         if (Fio.exists(Fio.child(out, "_zqbounds")))
           appendQuantileOnce(updated, cols, out, batchId, nFiles = 1,
             bits = bits, keyCol = keyCol, curve = curve,
-            staleLockMs = staleLockMs, requireFresh = true)
+            staleLockMs = staleLockMs, requireFresh = true,
+            beforeCommit = tombstoneHalf)
         else
           appendOnce(updated, cols, out, batchId, nFiles = 1,
-            bits = bits, keyCol = keyCol, curve = curve, requireFresh = true)
-      // old versions: every committed row matching the predicate, the
-      // fresh batch excluded by name (its rows may still match);
-      // re-tombstoning an already-dead match is read-idempotent
-      val scan = tombstoneKeys(committedScan(spark, out))
-        .filter(!col("__zd_file").startsWith(s"zb$batchId-"))
-        .filter(predicate)
-      appendTombstones(spark, out, scan, Some(batchId))
+            bits = bits, keyCol = keyCol, curve = curve, requireFresh = true,
+            beforeCommit = tombstoneHalf)
       // updated_rows = the new batch's size (live matches only — the
       // tombstone count also re-counts already-dead committed matches)
       val nUpdated =
@@ -1344,9 +1427,28 @@ object ZOrder {
   private def withDeletesApplied(
       spark: SparkSession,
       out: String,
-      paths: Seq[String]): DataFrame =
+      paths: Seq[String]): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
     subtractTombstones(spark.read.parquet(paths: _*),
-      spark.read.parquet(Fio.child(out, "_zdeletes")))
+      committedTombstones(spark, out, Long.MaxValue))
+  }
+
+  /** The tombstone rows VISIBLE at snapshot `upTo` — the stamp ceiling:
+    * rows stamped ABOVE the max committed batch are a not-yet-committed
+    * version-atomic UPDATE/MERGE's pre-marker half, dormant until their
+    * batch's marker lands (every legitimate committed tombstone carries
+    * a stamp ≤ maxCommitted by construction: standalone deletes stamp
+    * the observed max, upsert stamps commit with their own marker).
+    * Pre-stamp sidecars (no `batch` column — layouts written before the
+    * versioned-tombstone change) are all-committed by definition.
+    */
+  private def committedTombstones(
+      spark: SparkSession, out: String, upTo: Long)(
+      implicit fc: FioConf): DataFrame = {
+    val dels = spark.read.parquet(Fio.child(out, "_zdeletes"))
+    if (!dels.columns.contains("batch")) dels
+    else dels.filter(col("batch") <= math.min(upTo, maxCommitted(out)))
+  }
 
   /** The tombstone merge itself: tag `scan` with its (file, pos) keys
     * and anti-join `dels` on them (any extra sidecar columns — the
@@ -1372,7 +1474,7 @@ object ZOrder {
     // folded files and their compacted replacement — only the committed
     // view is the current state (dir-scan semantics would double-read)
     if (compactionIds(out).nonEmpty) readCommitted(spark, out, applyDeletes = true)
-    else if (Fio.exists(Fio.child(out, "_zdeletes")))
+    else if (hasTombstones(out))
       withDeletesApplied(spark, out, dataFiles(out))
     else spark.read.parquet(out)
   }
@@ -1398,7 +1500,7 @@ object ZOrder {
         keep.filter(snap.contains)
       }
     if (live.isEmpty) spark.read.parquet(out).filter(lit(false))
-    else if (Fio.exists(Fio.child(out, "_zdeletes")))
+    else if (hasTombstones(out))
       withDeletesApplied(spark, out, live.map(Fio.child(out, _)))
     else spark.read.parquet(live.map(Fio.child(out, _)): _*)
   }
@@ -1513,13 +1615,16 @@ object ZOrder {
     val keep = snapshotKeepNames(out, upToBatch).map(Fio.child(out, _))
     val sidecar = Fio.child(out, "_zdeletes")
     if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
-    else if (applyDeletes && Fio.exists(sidecar))
+    else if (applyDeletes && hasTombstones(out))
       // tombstones stamped ≤ upTo: the deletions in this version's
       // lineage. Stamps against files a compaction folded away anti-join
       // against nothing (file names are unique per batch) — compaction
       // applied them physically, so the merge stays exact either way.
+      // The maxCommitted ceiling additionally keeps a pre-marker
+      // version-atomic UPDATE/MERGE's tombstones dormant until their
+      // batch commits (see committedTombstones).
       subtractTombstones(spark.read.parquet(keep: _*),
-        spark.read.parquet(sidecar).filter(col("batch") <= upToBatch))
+        committedTombstones(spark, out, upToBatch))
     else spark.read.parquet(keep: _*)
   }
 
@@ -1588,16 +1693,53 @@ object ZOrder {
     val orphans = dataFiles(out)
       .map(p => new org.apache.hadoop.fs.Path(p).getName)
       .filter(n => batchIdOf(n).exists(id => !marked.contains(id) && !inflight.contains(id)))
+    // DORMANT owned tombstones (`zbown<id>-*` with id uncommitted): a
+    // crashed version-atomic UPDATE/MERGE's pre-marker half. The read
+    // ceiling already ignores them, and no writer can be mid-publish
+    // while vacuum holds the table lock, so every such file is dead —
+    // reclaimed by name BEFORE the orphan rewrite below, which would
+    // anonymize the owner-encoding names a later republish purges by.
+    purgeUncommittedOwnedTombstones(out)
     if (orphans.nonEmpty) {
       orphans.foreach(n => Fio.delete(Fio.child(out, n)))
       rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), orphans.toSet)
       Seq("_zbloom", "_zdeletes").foreach { sc =>
-        if (Fio.exists(Fio.child(out, sc)))
-          rewriteSidecarExcluding(spark, Fio.child(out, sc), orphans.toSet)
+        val d = Fio.child(out, sc)
+        if (Fio.exists(d) && Fio.listNames(d).exists(_.endsWith(".parquet")))
+          rewriteSidecarExcluding(spark, d, orphans.toSet)
       }
     }
     staging ++ orphans
     }
+  }
+
+  /** Does the layout carry any tombstone DATA? A purge can leave the
+    * `_zdeletes` dir existing but empty of parquet files — reading an
+    * empty dir fails schema inference, so every tombstone read site
+    * guards on this, not on bare existence.
+    */
+  private def hasTombstones(out: String)(implicit fc: FioConf): Boolean = {
+    val sidecar = Fio.child(out, "_zdeletes")
+    Fio.exists(sidecar) && Fio.listNames(sidecar).exists(_.endsWith(".parquet"))
+  }
+
+  /** Delete `zbown<id>-*` tombstone sidecar files of UNCOMMITTED batch
+    * ids — crashed pre-marker halves of version-atomic UPDATE/MERGE.
+    * Caller holds the table lock (so no id can be mid-publish).
+    */
+  private def purgeUncommittedOwnedTombstones(out: String)(
+      implicit fc: FioConf): Unit = {
+    val sidecar = Fio.child(out, "_zdeletes")
+    if (!Fio.exists(sidecar)) return
+    val marked = committedBatches(out)
+    Fio.listNames(sidecar)
+      .filter { n =>
+        n.startsWith("zbown") && {
+          val id = n.stripPrefix("zbown").takeWhile(_.isDigit)
+          id.nonEmpty && !marked.contains(id)
+        }
+      }
+      .foreach(n => Fio.delete(Fio.child(sidecar, n)))
   }
 
   /** One table-level column statistic of [[analyzeLayout]]. */

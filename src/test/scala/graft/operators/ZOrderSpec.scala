@@ -1203,6 +1203,46 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(out).count() === 20000L)
   }
 
+  test("version-atomic UPDATE: a crash before the marker rolls back to nothing-happened") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zupdatomic").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 10000), Seq("x", "y"), nFiles = 4, out)
+    ZOrder.appendQuantileOnce(shaped(10000, 11000), Seq("x", "y"), out, batchId = 0)
+    def snapshot(): Seq[(Long, Long)] = ZOrder.readCommitted(spark, out, applyDeletes = true)
+      .select(col("id"), col("y")).as[(Long, Long)].collect().sorted.toSeq
+    val before = snapshot()
+    val (bid, n, files) = ZOrder.updateWhere(spark, out,
+      col("id") % 10 === 3, Seq(("y", col("y") + 100000)))
+    assert(bid === 1L && n === 1100L && files > 0)
+    val updated = snapshot()
+    assert(updated.count(_._2 >= 100000) === 1100)
+    // CRASH SIMULATION: the marker never landed — files unmarked AND the
+    // pre-marker tombstones (stamped 1) dormant under the read ceiling:
+    // the table must read EXACTLY as before the update, not half of it
+    graft.io.Fio.delete(s"$out/_zbatches/1")
+    assert(snapshot() === before,
+      "a crashed UPDATE must be invisible in both halves (no dead old rows, no new rows)")
+    // re-running the update converges exactly-once: the replay purge
+    // drops the crashed attempt's files AND its stamped tombstones, so
+    // the SET is not double-applied and no duplicate versions survive
+    val (bid2, n2, _) = ZOrder.updateWhere(spark, out,
+      col("id") % 10 === 3, Seq(("y", col("y") + 100000)))
+    assert(bid2 === 1L && n2 === 1100L)
+    assert(snapshot() === updated, "re-run after crash == the state one clean UPDATE produces")
+    // vacuum also reclaims a crashed attempt's dormant tombstones (the
+    // purge may leave the sidecar dir empty of parquet entirely)
+    graft.io.Fio.delete(s"$out/_zbatches/1")
+    ZOrder.vacuum(spark, out)
+    assert(snapshot() === before)
+    val remaining = graft.io.Fio.listNames(s"$out/_zdeletes").filter(_.endsWith(".parquet"))
+    assert(remaining.isEmpty ||
+      spark.read.parquet(s"$out/_zdeletes").filter(col("batch") > 0).count() === 0L,
+      "dormant stamps reclaimed by vacuum")
+  }
+
   test("schema contract: an append whose columns diverge from the table is refused by name") {
     import spark.implicits._
     implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
