@@ -404,6 +404,60 @@ object Bench {
           errors("containment_crossover") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           Seq.empty
       }
+    // ANALYZE→PLANNER BRIDGE flip probe (r20, verdict #8): fresh
+    // `_zstats` live stats must flip a deleted-heavy layout's join side
+    // to broadcast (raw file bytes sit ABOVE the threshold, live bytes
+    // below it — only the ZStatsRule stamp can make the build side
+    // eligible), and disabling the bridge must flip it back to
+    // sort-merge with IDENTICAL output. The decision pins ride
+    // `zstats_flip_*`; a wrong strategy or an output mismatch is a
+    // bench ERROR, not a probe footnote — the artifact itself defends
+    // that the stats feed the planner and never the results.
+    if (wanted("zstats_flip") && !overDeadline) {
+      try {
+        import org.apache.spark.sql.functions._
+        val zr = java.nio.file.Files.createTempDirectory("graft-benchzstats").toString + "/t"
+        val src = spark.range(40000).select(
+          col("id").as("k"), (col("id") % 997).as("xv"), (col("id") % 991).as("yv"),
+          lpad(lit("p"), 200, "x").as("payload"))
+        graft.operators.ZOrder.clusterQuantile(src, Seq("xv", "yv"), nFiles = 4, out = zr)
+        graft.operators.ZOrder.deleteWhere(spark, zr, col("k") % 20 =!= 0)
+        graft.operators.ZOrder.analyzeLayout(spark, zr, Seq("xv", "yv"))
+        graft.plans.ZStatsRule.invalidateCache()
+        implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+        val st = graft.operators.ZOrder.liveStatsIfFresh(zr).get
+        val raw = st.fileNames.toSeq.map(n =>
+          graft.io.Fio.size(graft.io.Fio.child(zr, n))).sum
+        val big = spark.range(3L * 1000 * 1000).toDF("k2")
+        def q = graft.operators.ZOrder.readCommitted(spark, zr, applyDeletes = true)
+          .join(big, col("k") === col("k2"))
+          .agg(sum("xv").as("sx"), count(col("payload")).as("np"))
+        val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (raw / 3).toString)
+        try {
+          val on = q
+          val onStrat = graft.plans.PlanAudit.innerJoinStrategies(on)
+          val onRows = on.collect().toSeq
+          spark.conf.set("spark.graft.zstats.inject", "false")
+          val off = q
+          val offStrat = graft.plans.PlanAudit.innerJoinStrategies(off)
+          val offRows = off.collect().toSeq
+          docProbes("zstats_flip_bcast") = if (onStrat == Seq("broadcast")) 1.0 else 0.0
+          docProbes("zstats_flip_smj") = if (offStrat == Seq("sortmerge")) 1.0 else 0.0
+          if (onStrat != Seq("broadcast") || offStrat != Seq("sortmerge"))
+            errors("zstats_flip") =
+              s"expected broadcast-with-stats / sortmerge-without, got $onStrat / $offStrat"
+          if (onRows != offRows)
+            errors("zstats_identity") = "stats-injected plan changed the RESULT"
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+          spark.conf.set("spark.graft.zstats.inject", "true")
+        }
+      } catch {
+        case e: Throwable =>
+          errors("zstats_flip") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    } else if (wanted("zstats_flip")) skippedBlocks += "zstats_flip"
     // CROSS-RUN contamination check — the defense the in-run detector
     // cannot give: a window contended for a whole query's reps leaves
     // min ≈ median (the r17 close: q24 0.84 → 7.18 s with every rep

@@ -16,6 +16,10 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
     }
     ext.injectOptimizerRule(session => graft.plans.SizeGuardRule(session))
+    // ANALYZE→planner bridge: fresh `_zstats` live row/byte stats are
+    // stamped onto zlayout scan relations so broadcast-vs-shuffle
+    // decisions see post-tombstone sizes (see ZStatsRule)
+    ext.injectOptimizerRule(session => graft.plans.ZStatsRule(session))
     // SQL surface for the lakehouse verbs: SELECT/VERSION AS OF/DELETE
     // FROM/MERGE INTO over `zlayout.`/path`` tables (see ZLayoutSqlRule)
     ext.injectResolutionRule(session => graft.plans.ZLayoutSqlRule(session))

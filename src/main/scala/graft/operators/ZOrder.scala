@@ -504,7 +504,7 @@ object ZOrder {
       keyCol: String,
       curve: String)(implicit fc: FioConf): DataFrame = {
     val spark = df.sparkSession
-    val stored = spark.read.parquet(Fio.child(out, "_zqbounds"))
+    val stored = readSidecar(spark, Fio.child(out, "_zqbounds"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val lanes = cols.map { c =>
       val rows = stored.filter(_._1 == c).map(t => (t._2, t._3)).toSeq
@@ -559,12 +559,16 @@ object ZOrder {
       curve: String = "morton",
       staleLockMs: Long = defaultStaleLockMs,
       requireFresh: Boolean = false,
-      beforeCommit: () => Unit = () => ()): Int = {
+      beforeCommit: () => Unit = () => (),
+      allowWiden: Boolean = false): Int = {
     implicit val fc: FioConf = FioConf.of(df.sparkSession)
-    checkAppendSchema(df, out, cols, keyCol)
+    val widens = checkAppendSchema(df, out, cols, keyCol, allowWiden)
+    val hook: () => Unit =
+      if (!widens) beforeCommit
+      else () => { recordWidenedSchema(out, batchId, df, keyCol); beforeCommit() }
     publishBatchOnce(df.sparkSession, out, batchId, cols, nFiles, keyCol,
       staleLockMs = staleLockMs, requireFresh = requireFresh,
-      beforeCommit = beforeCommit)(
+      beforeCommit = hook)(
       frozenQuantileKeyed(df, cols, out, bits, keyCol, curve))
   }
 
@@ -584,11 +588,15 @@ object ZOrder {
       keyCol: String = "zkey",
       curve: String = "morton",
       requireFresh: Boolean = false,
-      beforeCommit: () => Unit = () => ()): Int = {
+      beforeCommit: () => Unit = () => (),
+      allowWiden: Boolean = false): Int = {
     val spark = df.sparkSession
     implicit val fc: FioConf = FioConf.of(spark)
-    checkAppendSchema(df, out, cols, keyCol)
-    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+    val widens = checkAppendSchema(df, out, cols, keyCol, allowWiden)
+    val hook: () => Unit =
+      if (!widens) beforeCommit
+      else () => { recordWidenedSchema(out, batchId, df, keyCol); beforeCommit() }
+    val manifest = readSidecar(spark, Fio.child(out, "_zmanifest"))
       .select(col("column"), col("min_v"), col("max_v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val bounds = cols.map { c =>
@@ -597,7 +605,7 @@ object ZOrder {
       c -> (rows.map(_._2).min, rows.map(_._3).max)
     }.toMap
     publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol,
-      requireFresh = requireFresh, beforeCommit = beforeCommit)(
+      requireFresh = requireFresh, beforeCommit = hook)(
       withZKeyFrozen(df, cols, bounds, bits, keyCol, curve))
   }
 
@@ -607,32 +615,99 @@ object ZOrder {
     * forks the table's schema across batches and every later union-read
     * dies or NULL-fills): an appended batch must carry EXACTLY the
     * committed table's data columns (names, order-insensitive; the
-    * layout key column is added by the append itself). Anything else is
-    * refused BY NAME, listing the missing/extra columns — widen or
-    * project the source first; deliberate schema changes go through a
-    * committed compaction of the projected table. Nothing to check
-    * before the first commit (the bootstrap cluster defines the schema).
+    * layout key column is added by the append itself) — with ONE
+    * sanctioned evolution: a batch carrying every committed column PLUS
+    * new ones is a WIDEN, accepted only when the caller passed
+    * `allowWiden = true` to an exactly-once append. A widen is itself
+    * part of the batch's commit: the batch's schema is recorded under
+    * `_zschema/<batchId>` pre-marker (dormant until the marker lands,
+    * purged by replay/vacuum like any uncommitted half), and every read
+    * face serves the widest COMMITTED schema at its snapshot — old
+    * files null-fill the new columns at read time, no file rewrites,
+    * and time travel below the widen batch serves the pre-widen
+    * schema. Anything else (missing columns, or a widen without the
+    * explicit opt-in) is refused BY NAME, listing the columns.
+    * Nothing to check before the first commit (the bootstrap cluster
+    * defines the schema). Returns true iff this append widens.
     */
   private def checkAppendSchema(
-      df: DataFrame, out: String, cols: Seq[String], keyCol: String)(
-      implicit fc: FioConf): Unit = {
+      df: DataFrame, out: String, cols: Seq[String], keyCol: String,
+      allowWiden: Boolean = false)(
+      implicit fc: FioConf): Boolean = {
     val snap = snapshotKeepNames(out, Long.MaxValue)
-    if (snap.isEmpty) return
-    val table = df.sparkSession.read.parquet(Fio.child(out, snap.head))
-      .schema.fieldNames.filterNot(_ == keyCol).toSet
+    if (snap.isEmpty) return false
+    // the committed table's data columns: the widest committed _zschema
+    // record when the table was ever widened (any single FILE may
+    // predate the widen), else the uniform file schema
+    val table = schemaAsOf(out, Long.MaxValue)
+      .map(_.fieldNames.toSet)
+      .getOrElse(df.sparkSession.read.parquet(Fio.child(out, snap.head))
+        .schema.fieldNames.toSet)
+      .filterNot(_ == keyCol)
     val incoming = df.schema.fieldNames.filterNot(_ == keyCol).toSet
-    if (incoming != table) {
-      val missing = (table -- incoming).toSeq.sorted
-      val extra = (incoming -- table).toSeq.sorted
-      throw new IllegalArgumentException(
-        s"append into $out refused: batch schema does not match the committed " +
-          s"table schema${if (missing.nonEmpty) s"; missing columns: ${missing.mkString(", ")}" else ""}" +
-          s"${if (extra.nonEmpty) s"; extra columns: ${extra.mkString(", ")}" else ""} — " +
-          "project the source to the table's columns (the layout has no silent " +
-          "schema evolution; a deliberate change is a committed compaction of the " +
-          "projected table)")
-    }
+    if (incoming == table) return false
+    val missing = (table -- incoming).toSeq.sorted
+    val extra = (incoming -- table).toSeq.sorted
+    if (allowWiden && missing.isEmpty && extra.nonEmpty) return true
+    throw new IllegalArgumentException(
+      s"append into $out refused: batch schema does not match the committed " +
+        s"table schema${if (missing.nonEmpty) s"; missing columns: ${missing.mkString(", ")}" else ""}" +
+        s"${if (extra.nonEmpty) s"; extra columns: ${extra.mkString(", ")}" else ""} — " +
+        "project the source to the table's columns (a strict SUPERSET batch " +
+        "is accepted as a committed widen when the caller passes " +
+        "allowWiden = true to an exactly-once append; other changes go " +
+        "through a committed compaction of the projected table)")
   }
+
+  /** Record the widened schema of batch `batchId` — called as part of
+    * the publish's pre-marker span, so the record commits atomically
+    * with the batch (an id without a marker is dormant; replay/vacuum
+    * purge it). Stored as the batch files' full on-disk schema (data
+    * columns + the long layout key) in Spark DDL form.
+    */
+  private def recordWidenedSchema(
+      out: String, batchId: Long, df: DataFrame, keyCol: String)(
+      implicit fc: FioConf): Unit = {
+    val full = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(_.name == keyCol) :+
+        org.apache.spark.sql.types.StructField(keyCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+    Fio.writeString(Fio.child(out, s"_zschema/$batchId"), full.toDDL)
+  }
+
+  /** The widest COMMITTED schema record at or below snapshot `upTo`, or
+    * None for a never-widened layout (the fast path: one existence
+    * check, zero behavior change). Records of uncommitted ids are
+    * dormant — a crashed widen is invisible here exactly as its data
+    * files are invisible to [[snapshotKeepNames]].
+    */
+  private def schemaAsOf(out: String, upTo: Long)(
+      implicit fc: FioConf): Option[org.apache.spark.sql.types.StructType] = {
+    val dir = Fio.child(out, "_zschema")
+    if (!Fio.exists(dir)) return None
+    val marked = committedBatches(out)
+    val ids = Fio.listNames(dir)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .filter(n => marked.contains(n) && n.toLong <= upTo)
+    if (ids.isEmpty) None
+    else Some(org.apache.spark.sql.types.StructType.fromDDL(
+      Fio.readString(Fio.child(dir, ids.maxBy(_.toLong)))))
+  }
+
+  /** Parquet read of layout `paths` under the snapshot-`upTo` schema:
+    * the widest committed `_zschema` record when one exists (old files
+    * null-fill the widened columns), the files' own uniform schema
+    * otherwise. Every committed/pruned/delete-scan read face routes
+    * here so widening composes with tombstones, time travel, and
+    * pruning for free.
+    */
+  private def readFiles(
+      spark: SparkSession, out: String, paths: Seq[String],
+      upTo: Long = Long.MaxValue)(implicit fc: FioConf): DataFrame =
+    schemaAsOf(out, upTo) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
 
   // appendOnce keeps the default stale-lock window; concurrent-writer
   // tuning goes through appendQuantileOnce/compactQuantileCommitted
@@ -922,6 +997,10 @@ object ZOrder {
     if (Fio.exists(sidecar))
       Fio.listNames(sidecar).filter(_.startsWith(s"zbown$batchId-"))
         .foreach(n => Fio.delete(Fio.child(sidecar, n)))
+    // a crashed WIDEN's schema record: dormant (id uncommitted), but a
+    // republish of this id — possibly a non-widening writer — must not
+    // inherit the dead attempt's schema when its marker lands
+    Fio.delete(Fio.child(out, s"_zschema/$batchId"))
     val stale = dataFiles(out).map(p => new org.apache.hadoop.fs.Path(p).getName)
       .filter(_.startsWith(prefix))
     if (stale.nonEmpty) {
@@ -946,7 +1025,7 @@ object ZOrder {
       spark: SparkSession,
       sidecarDir: String,
       keep: Column): Unit = {
-    val kept = spark.read.parquet(sidecarDir)
+    val kept = readSidecar(spark, sidecarDir)
       .filter(keep)
       .localCheckpoint(true)
     kept.coalesce(1).write.mode("overwrite").parquet(sidecarDir)
@@ -1174,8 +1253,8 @@ object ZOrder {
   private def committedScan(spark: SparkSession, out: String): DataFrame = {
     implicit val fc: FioConf = FioConf.of(spark)
     val keep = snapshotKeepNames(out, Long.MaxValue)
-    if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
-    else spark.read.parquet(keep.map(Fio.child(out, _)): _*)
+    if (keep.isEmpty) readFiles(spark, out, Seq(out)).filter(lit(false))
+    else readFiles(spark, out, keep.map(Fio.child(out, _)))
   }
 
   /** DELETE the rows of a layout whose `keys` columns match a row of
@@ -1429,7 +1508,7 @@ object ZOrder {
       out: String,
       paths: Seq[String]): DataFrame = {
     implicit val fc: FioConf = FioConf.of(spark)
-    subtractTombstones(spark.read.parquet(paths: _*),
+    subtractTombstones(readFiles(spark, out, paths),
       committedTombstones(spark, out, Long.MaxValue))
   }
 
@@ -1445,7 +1524,7 @@ object ZOrder {
   private def committedTombstones(
       spark: SparkSession, out: String, upTo: Long)(
       implicit fc: FioConf): DataFrame = {
-    val dels = spark.read.parquet(Fio.child(out, "_zdeletes"))
+    val dels = readSidecar(spark, Fio.child(out, "_zdeletes"))
     if (!dels.columns.contains("batch")) dels
     else dels.filter(col("batch") <= math.min(upTo, maxCommitted(out)))
   }
@@ -1476,7 +1555,7 @@ object ZOrder {
     if (compactionIds(out).nonEmpty) readCommitted(spark, out, applyDeletes = true)
     else if (hasTombstones(out))
       withDeletesApplied(spark, out, dataFiles(out))
-    else spark.read.parquet(out)
+    else readFiles(spark, out, Seq(out))
   }
 
   /** Shared base scan of every pruning read: the surviving file NAMES
@@ -1499,10 +1578,10 @@ object ZOrder {
         val snap = snapshotKeepNames(out, Long.MaxValue).toSet
         keep.filter(snap.contains)
       }
-    if (live.isEmpty) spark.read.parquet(out).filter(lit(false))
+    if (live.isEmpty) readFiles(spark, out, Seq(out)).filter(lit(false))
     else if (hasTombstones(out))
       withDeletesApplied(spark, out, live.map(Fio.child(out, _)))
-    else spark.read.parquet(live.map(Fio.child(out, _)): _*)
+    else readFiles(spark, out, live.map(Fio.child(out, _)))
   }
 
   // ------------------------------------------------------------------
@@ -1614,7 +1693,7 @@ object ZOrder {
     implicit val fc: FioConf = FioConf.of(spark)
     val keep = snapshotKeepNames(out, upToBatch).map(Fio.child(out, _))
     val sidecar = Fio.child(out, "_zdeletes")
-    if (keep.isEmpty) spark.read.parquet(out).filter(lit(false))
+    if (keep.isEmpty) readFiles(spark, out, Seq(out), upToBatch).filter(lit(false))
     else if (applyDeletes && hasTombstones(out))
       // tombstones stamped ≤ upTo: the deletions in this version's
       // lineage. Stamps against files a compaction folded away anti-join
@@ -1623,9 +1702,9 @@ object ZOrder {
       // The maxCommitted ceiling additionally keeps a pre-marker
       // version-atomic UPDATE/MERGE's tombstones dormant until their
       // batch commits (see committedTombstones).
-      subtractTombstones(spark.read.parquet(keep: _*),
+      subtractTombstones(readFiles(spark, out, keep, upToBatch),
         committedTombstones(spark, out, upToBatch))
-    else spark.read.parquet(keep: _*)
+    else readFiles(spark, out, keep, upToBatch)
   }
 
   /** The CURRENT committed snapshot: every marked batch, no uncommitted
@@ -1700,6 +1779,14 @@ object ZOrder {
     // reclaimed by name BEFORE the orphan rewrite below, which would
     // anonymize the owner-encoding names a later republish purges by.
     purgeUncommittedOwnedTombstones(out)
+    // ...and crashed widens' dormant schema records, same contract
+    locally {
+      val sd = Fio.child(out, "_zschema")
+      if (Fio.exists(sd))
+        Fio.listNames(sd)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit) && !marked.contains(n))
+          .foreach(n => Fio.delete(Fio.child(sd, n)))
+    }
     if (orphans.nonEmpty) {
       orphans.foreach(n => Fio.delete(Fio.child(out, n)))
       rewriteSidecarExcluding(spark, Fio.child(out, "_zmanifest"), orphans.toSet)
@@ -1775,7 +1862,92 @@ object ZOrder {
       ZColStat(c, rows, rows - r.getAs[Long](s"__nn_$c"), r.getAs[Long](s"__ndv_$c")))
     val df = spark.createDataset(stats).toDF()
     df.coalesce(1).write.mode("overwrite").parquet(Fio.child(out, "_zstats"))
+    writeStatsSnapshot(spark, out, rows)
     df
+  }
+
+  /** The table-level snapshot half of ANALYZE — CBO/AQE food. Records
+    * the LIVE row count plus a live-byte estimate (file bytes scaled by
+    * the live-row fraction: tombstoned rows still occupy file bytes
+    * until compaction, so raw scan size OVERSTATES a deleted-heavy
+    * table to the join planner) and the exact snapshot fingerprint the
+    * numbers describe: the live data-file name set and the tombstone
+    * sidecar's (name, size) list. [[liveStatsIfFresh]] serves the stats
+    * only while that fingerprint still matches — any append, delete,
+    * merge, compaction, or vacuum since ANALYZE silently disables the
+    * bridge rather than feeding the planner stale numbers. Stored as
+    * `_SNAPSHOT` INSIDE `_zstats` (underscore-prefixed: invisible to
+    * the parquet reads over the column-stats rows).
+    */
+  private def writeStatsSnapshot(
+      spark: SparkSession, out: String, liveRows: Long)(
+      implicit fc: FioConf): Unit = {
+    val files = analyzedScanFiles(out)
+    val bytes = files.map(n => Fio.size(Fio.child(out, n))).sum
+    // parquet footer metadata count — one cheap job, no column IO
+    val rawRows =
+      if (!hasTombstones(out)) liveRows
+      else if (files.isEmpty) 0L
+      else spark.read.parquet(files.map(Fio.child(out, _)): _*).count()
+    val liveBytes =
+      if (rawRows <= 0L) 0L
+      else math.max(1L, (bytes.toDouble * liveRows / rawRows).toLong)
+    val snap =
+      s"""rows=$liveRows
+         |bytes=$liveBytes
+         |files=${files.sorted.mkString(",")}
+         |dels=${tombstoneFingerprint(out)}
+         |""".stripMargin
+    Fio.writeString(Fio.child(out, "_zstats/_SNAPSHOT"), snap)
+  }
+
+  /** The file NAMES [[analyzeLayout]]'s live scan reads — must mirror
+    * [[readWithDeletes]]'s branch exactly (committed view once a
+    * compaction is in the lineage, dir scan otherwise) so the snapshot
+    * fingerprint describes the scan that produced the numbers.
+    */
+  private def analyzedScanFiles(out: String)(implicit fc: FioConf): Seq[String] =
+    if (compactionIds(out).nonEmpty) snapshotKeepNames(out, Long.MaxValue)
+    else dataFiles(out).map(p => new org.apache.hadoop.fs.Path(p).getName)
+
+  /** Order-independent identity of the tombstone sidecar: sorted
+    * (name, size) pairs of its parquet files. Appending tombstones adds
+    * a file; purge/vacuum/expire rewrites change names — every mutation
+    * the live-row count depends on moves this string.
+    */
+  private def tombstoneFingerprint(out: String)(implicit fc: FioConf): String = {
+    val sidecar = Fio.child(out, "_zdeletes")
+    if (!Fio.exists(sidecar)) ""
+    else Fio.listNames(sidecar).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$n:${Fio.size(Fio.child(sidecar, n))}").mkString(";")
+  }
+
+  /** Table-level live stats of a layout, as recorded by the last
+    * [[analyzeLayout]] — or None if never analyzed or ANY mutation
+    * landed since (fingerprint mismatch). The consumer is
+    * [[graft.plans.ZStatsRule]], which stamps these onto the layout's
+    * scan relations so broadcast-vs-shuffle decisions see live bytes
+    * instead of the raw file bytes that overstate a deleted-heavy
+    * table; freshness-or-nothing keeps the bridge advisory-safe.
+    */
+  case class ZLiveStats(rows: Long, bytes: Long, fileNames: Set[String])
+
+  def liveStatsIfFresh(out: String)(implicit fc: FioConf): Option[ZLiveStats] = {
+    val snap = Fio.readStringIfExists(Fio.child(out, "_zstats/_SNAPSHOT"))
+      .getOrElse(return None)
+    val kv = snap.linesIterator.flatMap { l =>
+      l.indexOf('=') match {
+        case -1 => None
+        case i => Some(l.substring(0, i) -> l.substring(i + 1))
+      }
+    }.toMap
+    try {
+      val files = kv.getOrElse("files", "").split(",").filter(_.nonEmpty).toSet
+      val fresh = files == analyzedScanFiles(out).toSet &&
+        kv.getOrElse("dels", "") == tombstoneFingerprint(out)
+      if (!fresh) None
+      else Some(ZLiveStats(kv("rows").toLong, kv("bytes").toLong, files))
+    } catch { case _: NumberFormatException | _: NoSuchElementException => None }
   }
 
   /** Per-file column stats row of the skipping manifest. */
@@ -1846,6 +2018,22 @@ object ZOrder {
     Fio.listNames(out).filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
       .map(Fio.child(out, _))
 
+  /** Read a sidecar DIRECTORY by explicit file list. Handing the dir
+    * path itself to the parquet reader trips Spark's metadata-path
+    * filter (every sidecar name starts with `_`) into one "All paths
+    * were ignored" WARN per read — at one line per committed read that
+    * flooded the r19 driver tail and buried real warnings. An explicit
+    * file list is filter-exempt and plan-identical. An empty dir falls
+    * back to the dir spelling so callers keep Spark's own
+    * error/empty-schema semantics.
+    */
+  private def readSidecar(spark: SparkSession, dir: String): DataFrame = {
+    implicit val fc: FioConf = FioConf.of(spark)
+    val files = Fio.listNames(dir).filter(_.endsWith(".parquet"))
+    if (files.isEmpty) spark.read.parquet(dir)
+    else spark.read.parquet(files.map(Fio.child(dir, _)): _*)
+  }
+
   /** APPEND a batch to an existing layout WITHOUT re-clustering the
     * world — the layout-maintenance twin of the IVF index's frozen
     * quantizer: lane bounds are derived from the EXISTING manifest
@@ -1868,7 +2056,7 @@ object ZOrder {
       curve: String = "morton"): Unit = {
     val spark = df.sparkSession
     implicit val fc: FioConf = FioConf.of(spark)
-    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+    val manifest = readSidecar(spark, Fio.child(out, "_zmanifest"))
       .select(col("column"), col("min_v"), col("max_v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val bounds = cols.map { c =>
@@ -1995,7 +2183,7 @@ object ZOrder {
       out: String,
       box: Seq[(String, Long, Long)],
       admit: String => Boolean): (DataFrame, ZPruneProbe) = {
-    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+    val manifest = readSidecar(spark, Fio.child(out, "_zmanifest"))
       .select(col("file"), col("column"), col("min_v"), col("max_v"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -2025,7 +2213,7 @@ object ZOrder {
       spark: SparkSession,
       out: String,
       box: Seq[(String, Long, Long)]): (DataFrame, ZPruneProbe) = {
-    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+    val manifest = readSidecar(spark, Fio.child(out, "_zmanifest"))
     val files = manifest.select(col("file")).distinct()
     val violates = box.map { case (c, lo, hi) =>
       col("column") === c && (col("max_v") < lo || col("min_v") > hi)
@@ -2137,7 +2325,7 @@ object ZOrder {
     // last-build) by construction
     import spark.implicits._
     val universe = byName.keySet.toSeq.toDF("file")
-    val side = spark.read.parquet(sidecar).select(col("column"), col("file"))
+    val side = readSidecar(spark, sidecar).select(col("column"), col("file"))
     var newlyCovered = Set.empty[String]
     val parts = cols.flatMap { c =>
       val missing = universe
@@ -2216,7 +2404,7 @@ object ZOrder {
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
       probeHashes.exists(bf.mightContainLong)
     }
-    val rows = spark.read.parquet(Fio.child(out, "_zbloom"))
+    val rows = readSidecar(spark, Fio.child(out, "_zbloom"))
       .filter(col("column") === column)
       .select(col("file"), mightAny(col("bloom")).as("hit"))
       .collect()
@@ -2255,7 +2443,7 @@ object ZOrder {
       probeHashes.exists(bf.mightContainLong)
     }
     val all = dataFiles(out).map(f => new org.apache.hadoop.fs.Path(f).getName)
-    val side = spark.read.parquet(Fio.child(out, "_zbloom"))
+    val side = readSidecar(spark, Fio.child(out, "_zbloom"))
       .filter(col("column") === column)
     val hits = side.filter(mightAny(col("bloom")))
       .select(col("file")).collect().map(_.getString(0)).toSeq
@@ -2308,7 +2496,7 @@ object ZOrder {
     // not cover is never bloom-pruned (superset guarantee)
     val bloomKeep = hit.toSet
     val all = dataFiles(out).map(f => new org.apache.hadoop.fs.Path(f).getName)
-    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+    val manifest = readSidecar(spark, Fio.child(out, "_zmanifest"))
       .select(col("file"), col("column"), col("min_v"), col("max_v"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -2364,14 +2552,14 @@ object ZOrder {
     // box leg: a file is DROPPED iff some stat row of a boxed column
     // violates the box — files without manifest rows have no violating
     // row and survive (the superset rule for orphans)
-    val manifest = spark.read.parquet(Fio.child(out, "_zmanifest"))
+    val manifest = readSidecar(spark, Fio.child(out, "_zmanifest"))
     val violates = box.map { case (c, lo, hi) =>
       col("column") === c && (col("max_v") < lo || col("min_v") > hi)
     }.reduceOption(_ || _).getOrElse(lit(false))
     val boxKeep = universe
       .join(manifest.filter(violates).select(col("file")).distinct(), Seq("file"), "left_anti")
     // point leg: bloom hits ∪ files the sidecar does not cover
-    val side = spark.read.parquet(Fio.child(out, "_zbloom"))
+    val side = readSidecar(spark, Fio.child(out, "_zbloom"))
       .filter(col("column") === column)
     val bloomHits = side.filter(mightAny(col("bloom"))).select(col("file"))
     val uncovered = universe.join(side.select(col("file")), Seq("file"), "left_anti")

@@ -114,6 +114,21 @@ object PlanAudit {
     Shape(per.forall(_._1), s"scans=${scans.size} " + per.map(_._2).mkString("; "))
   }
 
+  /** The equi-join strategies of `df`'s initial physical plan, INNER
+    * joins only (the tombstone-merge LeftAnti rides every committed
+    * layout read and would drown the signal): "broadcast", "sortmerge",
+    * or "shuffledhash" per node, in traversal order. The
+    * ANALYZE→planner bridge's flip evidence ([[ZStatsRule]]): fresh
+    * live stats must turn the deleted-heavy layout side into a
+    * broadcast build.
+    */
+  def innerJoinStrategies(df: DataFrame): Seq[String] =
+    nodes(df.queryExecution.executedPlan).collect {
+      case b: BroadcastHashJoinExec if b.joinType.sql == "INNER" => "broadcast"
+      case s: SortMergeJoinExec if s.joinType.sql == "INNER" => "sortmerge"
+      case s: ShuffledHashJoinExec if s.joinType.sql == "INNER" => "shuffledhash"
+    }
+
   /** Candidate generation must stay BANDED: no Cartesian product and no
     * broadcast nested-loop join anywhere in the plan — either node means
     * a pair stream went all-pairs, the exact shape hamming-band /
@@ -973,6 +988,16 @@ object PlanAudit {
     // named-catalog read (r20): CTAS+INSERT-built table read by NAME —
     // the same committed-view scan + output sort as the path spelling
     "q50_zcatalog_sql" -> 1,
+    // stats-bridge join (r20): broadcast of the tombstone-shrunk layout
+    // side + agg exchange + output sort = 2. At sf0.1 the layout's RAW
+    // file bytes exceed the broadcast threshold and only the fresh
+    // `_zstats` live-byte stamp keeps the build side a broadcast — a
+    // 4-exchange plan here means the ANALYZE→planner bridge went dark
+    "q51_zstats_join" -> 2,
+    // widened-table committed read: union-schema file scan (old files
+    // null-fill at read, a pure scan option) + output sort = 1 — a 2nd
+    // exchange would mean widening stopped being metadata-only
+    "q52_zschema_widen" -> 1,
     // 3-D curve keys: same shape as q24 — min/max agg merge + output
     // sort; the interleave / Skilling stages are pure projections
     "q28_morton3_keys" -> 2,

@@ -2238,6 +2238,67 @@ object RelationalQueries {
       },
       Some(zquantileAsOfOracleSql("(SELECT c FROM oddn)", "")),
     ),
+    // ANALYZE→PLANNER BRIDGE (r20, verdict #8): the layout keeps 100%
+    // of its file bytes after tombstoning 90% of its rows, so Spark's
+    // blind scan estimate overstates the join side 10× until
+    // compaction. The fixture deletes all but l_orderkey % 10 = 3,
+    // runs ANALYZE (which now persists the live row/byte snapshot
+    // beside the column stats), and the injected ZStatsRule stamps
+    // those LIVE numbers onto the committed scan — at sf0.1 the raw
+    // bytes sit over the broadcast threshold and only the bridge keeps
+    // the join a broadcast (the 2-exchange pin is the flip's evidence
+    // in the artifact; ZStatsSpec pins the flip both ways and the
+    // staleness guard). The hash gates output identity THROUGH the
+    // stats-injected plan: join the live rows back to lineitem and
+    // aggregate — DuckDB reproduces it from the delete predicate alone.
+    Q(
+      "q51_zstats_join",
+      (s, d) => {
+        val root = zstatsFixture(s, d)
+        // join ORDERS (o_orderkey is unique in the testdata; lineitem's
+        // (l_orderkey, l_linenumber) is NOT — the q47 duplicate-key
+        // lesson), so each live layout row matches exactly one order
+        // and the aggregate is fan-out-free. Measures are exact-integer
+        // (count + bigint sum) — no float-summation knife edge.
+        val live = graft.operators.ZOrder
+          .readCommitted(s, s"$root/base", applyDeletes = true)
+          .select(col("l_orderkey"), col("l_linenumber"))
+        live.join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("sum_ln"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_ln
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_orderkey % 10 = 3
+           GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    ),
+    // SCHEMA WIDEN (r20, the widen half of verdict gap #4 — r20's base
+    // contract refused every mismatch; this adds the ONE sanctioned
+    // evolution): the even half bootstraps the table WITHOUT qv, the
+    // odd half appends WITH qv under `allowWiden = true` — a committed
+    // widen whose `_zschema` record lands atomically with the batch
+    // marker. The committed read serves the UNION schema: pre-widen
+    // files null-fill qv at read time (no file rewrites), the widened
+    // batch carries its values. The oracle derives the same union from
+    // lineitem alone (CASE on the batch parity), so the hash pins
+    // null-fill exactness row by row across both file generations.
+    Q(
+      "q52_zschema_widen",
+      (s, d) => {
+        val root = zwidenFixture(s, d)
+        graft.operators.ZOrder.readCommitted(s, s"$root/base")
+          .select(col("l_orderkey"), col("l_linenumber"), col("qv"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("qv").asc_nulls_first)
+      },
+      Some(
+        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  CASE WHEN l_orderkey % 2 = 1 THEN l_quantity END AS qv
+           FROM lineitem
+           ORDER BY l_orderkey, l_linenumber, qv NULLS FIRST"""),
+    ),
   )
 
   /** Fixture of the q50 named-catalog gate: warehouse-addressed CTAS of
@@ -2527,6 +2588,75 @@ object RelationalQueries {
     * .ZOrder.deleteWhere]] — built once per (dir, input fingerprint),
     * like the other layout fixtures.
     */
+  /** Fixture of the q51 stats-bridge gate: the zdelete skeleton with a
+    * 90% delete and an ANALYZE on top, so the committed read carries a
+    * FRESH `_zstats` snapshot (nothing mutates the layout after the
+    * marker lands — the fingerprint stays valid across bench reps).
+    */
+  private def zstatsFixture(s: SparkSession, d: String): String = {
+    val li = T(s, d, "lineitem")
+    val skewed = li.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("bigint").as("l_linenumber"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+      col("l_suppkey").cast("bigint").as("yv"))
+    val root = sys.props("java.io.tmpdir") + "/graft_zstatsjoin/" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.similarity.Ann.inputFingerprint(li)
+    if (!new java.io.File(s"$root/_ANALYZED").exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      graft.operators.ZOrder.clusterQuantile(skewed, Seq("xv", "yv"),
+        nFiles = 8, out = s"$root/base", bits = 8)
+      graft.operators.ZOrder.deleteWhere(s, s"$root/base",
+        col("l_orderkey") % 10 =!= 3)
+      graft.operators.ZOrder.analyzeLayout(s, s"$root/base", Seq("xv", "yv"))
+      graft.plans.ZStatsRule.invalidateCache()
+      new java.io.File(s"$root/_ANALYZED").createNewFile()
+    }
+    root
+  }
+
+  /** Fixture of the q52 widen gate: evens bootstrap the narrow table,
+    * odds land as ONE committed widen batch carrying `qv = l_quantity`.
+    */
+  private def zwidenFixture(s: SparkSession, d: String): String = {
+    val li = T(s, d, "lineitem")
+    def shaped(extra: Boolean) = {
+      val base = li.select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+        col("l_suppkey").cast("bigint").as("yv"))
+      if (!extra) base.filter(col("l_orderkey") % 2 === 0)
+      else li.select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 20 AS INT))").as("xv"),
+        col("l_suppkey").cast("bigint").as("yv"),
+        col("l_quantity").as("qv")).filter(col("l_orderkey") % 2 === 1)
+    }
+    val root = sys.props("java.io.tmpdir") + "/graft_zwiden/" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.similarity.Ann.inputFingerprint(li)
+    if (!new java.io.File(s"$root/_WIDENED").exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      graft.operators.ZOrder.clusterQuantile(shaped(extra = false), Seq("xv", "yv"),
+        nFiles = 8, out = s"$root/base", bits = 8)
+      graft.operators.ZOrder.appendQuantileOnce(shaped(extra = true), Seq("xv", "yv"),
+        out = s"$root/base", batchId = 0, nFiles = 4, bits = 8, allowWiden = true)
+      new java.io.File(s"$root/_WIDENED").createNewFile()
+    }
+    root
+  }
+
   private def zdeleteFixture(s: SparkSession, d: String): String = {
     val li = T(s, d, "lineitem")
     val skewed = li.select(

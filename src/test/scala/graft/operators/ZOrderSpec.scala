@@ -1267,6 +1267,59 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(ZOrder.readCommitted(spark, out).count() === 5100L)
   }
 
+  test("schema widen: opt-in superset commits atomically, reads null-fill, time travel pre-widen, crash rolls back") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-zwiden").toString
+    def shaped(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 317).as("x"), ((col("id") * 7919) % 331).as("y"))
+    ZOrder.clusterQuantile(shaped(0, 5000), Seq("x", "y"), nFiles = 4, out)
+    // a superset batch WITHOUT the opt-in stays refused (the r20 base contract)
+    intercept[IllegalArgumentException] {
+      ZOrder.appendQuantileOnce(shaped(5000, 5100).withColumn("w", col("id") * 2),
+        Seq("x", "y"), out, batchId = 0)
+    }
+    // the committed widen
+    assert(ZOrder.appendQuantileOnce(shaped(5000, 5100).withColumn("w", col("id") * 2),
+      Seq("x", "y"), out, batchId = 0, allowWiden = true) > 0)
+    val cur = ZOrder.readCommitted(spark, out)
+    assert(cur.columns.toSet === Set("id", "x", "y", "w", "zkey"))
+    assert(cur.count() === 5100L)
+    // old files null-fill the widened column at read time — no rewrites
+    assert(cur.filter(col("w").isNull).count() === 5000L)
+    assert(cur.filter(col("w") === col("id") * 2).count() === 100L)
+    // time travel below the widen serves the PRE-widen schema
+    assert(!ZOrder.readAsOfBatch(spark, out, -1L).columns.contains("w"))
+    // the table's schema IS the widened one now: an old-shape batch is
+    // refused by name, the widened shape is the new exact match
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.appendQuantileOnce(shaped(5100, 5200), Seq("x", "y"), out, batchId = 1)
+    }
+    assert(e.getMessage.contains("missing columns: w"))
+    assert(ZOrder.appendQuantileOnce(shaped(5100, 5200).withColumn("w", col("id") * 2),
+      Seq("x", "y"), out, batchId = 1) > 0)
+    // deletes compose with widening: a predicate over the widened column
+    // evaluates (as NULL) over pre-widen files
+    ZOrder.deleteWhere(spark, out, col("w").isNull && col("id") < 1000)
+    assert(ZOrder.readWithDeletes(spark, out).count() === 4200L)
+    // CRASH: a widen whose marker never landed is invisible in BOTH
+    // halves (no rows, no schema), and a later conforming republish of
+    // the id purges the dormant record
+    assert(ZOrder.appendQuantileOnce(
+      shaped(5200, 5300).withColumn("w", col("id") * 2).withColumn("w2", lit(7)),
+      Seq("x", "y"), out, batchId = 2, allowWiden = true) > 0)
+    graft.io.Fio.delete(s"$out/_zbatches/2")
+    val afterCrash = ZOrder.readCommitted(spark, out)
+    assert(!afterCrash.columns.contains("w2"), "crashed widen's schema must stay dormant")
+    assert(afterCrash.count() === 5200L)
+    assert(ZOrder.appendQuantileOnce(shaped(5200, 5300).withColumn("w", col("id") * 2),
+      Seq("x", "y"), out, batchId = 2) > 0)
+    assert(!graft.io.Fio.exists(s"$out/_zschema/2"), "republish must purge the dead record")
+    val fin = ZOrder.readCommitted(spark, out)
+    assert(fin.columns.toSet === Set("id", "x", "y", "w", "zkey"))
+    assert(fin.count() === 5300L)
+  }
+
   test("requireFresh: a marker appearing for a freshly derived id fails loud, never a silent replay") {
     import spark.implicits._
     implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
