@@ -38,7 +38,12 @@ import org.apache.spark.sql.types.LongType
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
   *    → merge-on-read upsert ([[ZOrder.mergeInto]]) with the layout's
   *    own `_zmeta` parameters and the next batch id; returns
-  *    (`updated_rows`, `inserted_files`).
+  *    (`updated_rows`, `inserted_files`);
+  *  - `ANALYZE TABLE zlayout.<t> COMPUTE STATISTICS [FOR COLUMNS c, …
+  *    | FOR ALL COLUMNS]` → [[ZOrder.analyzeLayout]] (per-column
+  *    rows/nulls/NDV into `_zstats` + the `_SNAPSHOT` the
+  *    [[ZStatsRule]] planner bridge serves); the bare form analyzes
+  *    the `_zmeta` clustering lanes.
   *
   * NAMED TABLES (r20): a bare identifier (`zlayout.events_clean`, no
   * `/`) resolves under the warehouse (`spark.graft.zlayout.warehouse`)
@@ -254,6 +259,26 @@ case class ZLayoutSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "boundary statistics to freeze")
       case d: DropTable if ddlPath(d.child).isDefined =>
         GraftDropTableCommand(ddlPath(d.child).get, d.ifExists)
+      // ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS c, … | FOR ALL
+      // COLUMNS] → ZOrder.analyzeLayout (one live-view pass: per-column
+      // rows/nulls/NDV into `_zstats` + the table-level _SNAPSHOT that
+      // feeds the ZStatsRule planner bridge). The bare form analyzes
+      // the layout's clustering lanes (_zmeta cols — the columns every
+      // skipping/boundary decision derives from).
+      case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable
+          if ddlPath(a.child).isDefined =>
+        require(a.partitionSpec.isEmpty,
+          "ANALYZE zlayout: PARTITION specs have no layout meaning " +
+            "(layouts partition by clustered files, not hive partitions)")
+        require(!a.noScan,
+          "ANALYZE zlayout … NOSCAN is refused: layout stats ARE one scan " +
+            "of the live view (row counts, NDV, and the planner-bridge " +
+            "snapshot all derive from it) — run without NOSCAN")
+        GraftAnalyzeCommand(ddlPath(a.child).get, Nil, allColumns = false)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn
+          if ddlPath(a.child).isDefined =>
+        GraftAnalyzeCommand(ddlPath(a.child).get,
+          a.columnNames.getOrElse(Nil), a.allColumns)
       case t: RelationTimeTravel if layoutPath(t.relation).isDefined =>
         val version = t.version.getOrElse(throw new IllegalArgumentException(
           "zlayout time travel is by VERSION AS OF <batch id> (commit ids are " +
@@ -430,6 +455,36 @@ case class GraftShowTablesCommand(warehouse: String, pattern: Option[String])
       .filter(n => graft.io.Fio.exists(graft.io.Fio.child(warehouse, s"$n/_zmeta")))
       .filter(n => re.forall(_.matcher(n).matches()))
       .map(n => Row("zlayout", n, false))
+  }
+}
+
+/** `ANALYZE TABLE zlayout.<t> COMPUTE STATISTICS [FOR COLUMNS …]` →
+  * [[ZOrder.analyzeLayout]]: one map-side-combined pass over the LIVE
+  * view (tombstones subtracted) persists per-column rows/nulls/HLL-NDV
+  * to `_zstats` and the table-level `_SNAPSHOT` the
+  * [[ZStatsRule]] planner bridge serves — so `ANALYZE` from plain SQL
+  * is what flips a deleted-heavy layout's joins back to broadcast.
+  * Column scope: explicit FOR COLUMNS list; FOR ALL COLUMNS = every
+  * data column; the bare form = the `_zmeta` clustering lanes. Returns
+  * the stats rows (the q40 shape: col_name, n_rows, n_nulls, ndv).
+  */
+case class GraftAnalyzeCommand(path: String, cols: Seq[String], allColumns: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("n_rows", LongType)(),
+    AttributeReference("n_nulls", LongType)(),
+    AttributeReference("ndv", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    implicit val fc: FioConf = FioConf.of(session)
+    val (lanes, _, keyCol, _) = ZOrder.readMeta(path)
+    val target =
+      if (allColumns)
+        ZOrder.readCommitted(session, path).schema.fieldNames
+          .filterNot(_ == keyCol).toSeq
+      else if (cols.nonEmpty) cols
+      else lanes
+    ZOrder.analyzeLayout(session, path, target).collect().toSeq
   }
 }
 

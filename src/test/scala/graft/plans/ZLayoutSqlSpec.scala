@@ -249,4 +249,41 @@ class ZLayoutSqlSpec extends AnyFunSuite with SparkSpec {
     spark.range(7).toDF("v").createOrReplaceTempView("zsql_plain_view")
     assert(spark.sql("SELECT sum(v) FROM zsql_plain_view").as[Long].head() === 21L)
   }
+
+  test("ANALYZE TABLE: lowers to analyzeLayout, feeds the planner bridge, refusals by name") {
+    import spark.implicits._
+    implicit val fc: graft.io.FioConf = graft.io.FioConf.of(spark)
+    val out = freshLayout()
+    spark.sql(s"DELETE FROM zlayout.`$out` WHERE id % 10 <> 3")
+    // the bare form analyzes the _zmeta clustering lanes
+    val rows = spark.sql(s"ANALYZE TABLE zlayout.`$out` COMPUTE STATISTICS")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.keySet === Set("x", "y"))
+    assert(rows("x") === 100L) // live rows, tombstones subtracted
+    // the planner-bridge snapshot landed and is FRESH — SQL ANALYZE is
+    // what re-arms the broadcast flip after a delete wave
+    assert(graft.io.Fio.exists(s"$out/_zstats/_SNAPSHOT"))
+    assert(ZOrder.liveStatsIfFresh(out).exists(_.rows == 100L))
+    // column scoping: FOR COLUMNS list, FOR ALL COLUMNS = data columns
+    val forCols = spark.sql(
+      s"ANALYZE TABLE zlayout.`$out` COMPUTE STATISTICS FOR COLUMNS id")
+      .collect().map(_.getString(0)).toSet
+    assert(forCols === Set("id"))
+    val allCols = spark.sql(
+      s"ANALYZE TABLE zlayout.`$out` COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect().map(_.getString(0)).toSet
+    assert(allCols === Set("id", "x", "y"))
+    // SQL rows == the Scala face's rows (twin contract)
+    val scala0 = ZOrder.analyzeLayout(spark, out, Seq("id", "x", "y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val sql0 = spark.sql(
+      s"ANALYZE TABLE zlayout.`$out` COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sql0 === scala0)
+    // refusals by name: NOSCAN and PARTITION have no layout meaning
+    val e1 = intercept[Exception] {
+      spark.sql(s"ANALYZE TABLE zlayout.`$out` COMPUTE STATISTICS NOSCAN")
+    }
+    assert(e1.getMessage.contains("NOSCAN"))
+  }
 }
