@@ -2244,11 +2244,12 @@ object RelationalQueries {
     // compaction. The fixture deletes all but l_orderkey % 10 = 3,
     // runs ANALYZE (which now persists the live row/byte snapshot
     // beside the column stats), and the injected ZStatsRule stamps
-    // those LIVE numbers onto the committed scan — at sf0.1 the raw
-    // bytes sit over the broadcast threshold and only the bridge keeps
-    // the join a broadcast (the 2-exchange pin is the flip's evidence
-    // in the artifact; ZStatsSpec pins the flip both ways and the
-    // staleness guard). The hash gates output identity THROUGH the
+    // those LIVE numbers onto the committed scan. The 2-exchange pin
+    // guards the stats-injected plan's broadcast shape; the FLIP
+    // itself (broadcast with stats, sort-merge without, identical
+    // rows) is pinned by the zstats_flip_* bench probes at an explicit
+    // between-live-and-raw threshold and by ZStatsSpec, staleness
+    // guard included. The hash gates output identity THROUGH the
     // stats-injected plan: join the live rows back to lineitem and
     // aggregate — DuckDB reproduces it from the delete predicate alone.
     Q(
