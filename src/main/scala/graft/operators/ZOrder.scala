@@ -1862,7 +1862,7 @@ object ZOrder {
       ZColStat(c, rows, rows - r.getAs[Long](s"__nn_$c"), r.getAs[Long](s"__ndv_$c")))
     val df = spark.createDataset(stats).toDF()
     df.coalesce(1).write.mode("overwrite").parquet(Fio.child(out, "_zstats"))
-    writeStatsSnapshot(spark, out, rows)
+    writeStatsSnapshot(spark, out, rows, stats)
     df
   }
 
@@ -1880,7 +1880,8 @@ object ZOrder {
     * the parquet reads over the column-stats rows).
     */
   private def writeStatsSnapshot(
-      spark: SparkSession, out: String, liveRows: Long)(
+      spark: SparkSession, out: String, liveRows: Long,
+      colStats: Seq[ZColStat])(
       implicit fc: FioConf): Unit = {
     val files = analyzedScanFiles(out)
     val bytes = files.map(n => Fio.size(Fio.child(out, n))).sum
@@ -1892,11 +1893,18 @@ object ZOrder {
     val liveBytes =
       if (rawRows <= 0L) 0L
       else math.max(1L, (bytes.toDouble * liveRows / rawRows).toLong)
+    // per-column NDV/null lines ride the snapshot as ndv:nulls:NAME
+    // (name LAST — column names can contain ':' but never a newline),
+    // so the planner bridge serves column stats without a parquet read
+    // at rule time
+    val colLines = colStats.map(c =>
+      s"colstat=${c.ndv}:${c.n_nulls}:${c.col_name}").mkString("\n")
     val snap =
       s"""rows=$liveRows
          |bytes=$liveBytes
          |files=${files.sorted.mkString(",")}
          |dels=${tombstoneFingerprint(out)}
+         |$colLines
          |""".stripMargin
     Fio.writeString(Fio.child(out, "_zstats/_SNAPSHOT"), snap)
   }
@@ -1930,24 +1938,36 @@ object ZOrder {
     * instead of the raw file bytes that overstate a deleted-heavy
     * table; freshness-or-nothing keeps the bridge advisory-safe.
     */
-  case class ZLiveStats(rows: Long, bytes: Long, fileNames: Set[String])
+  case class ZLiveStats(
+      rows: Long, bytes: Long, fileNames: Set[String],
+      colStats: Map[String, (Long, Long)]) // name -> (ndv, nulls)
 
   def liveStatsIfFresh(out: String)(implicit fc: FioConf): Option[ZLiveStats] = {
     val snap = Fio.readStringIfExists(Fio.child(out, "_zstats/_SNAPSHOT"))
       .getOrElse(return None)
-    val kv = snap.linesIterator.flatMap { l =>
+    val kvs = snap.linesIterator.flatMap { l =>
       l.indexOf('=') match {
         case -1 => None
         case i => Some(l.substring(0, i) -> l.substring(i + 1))
       }
-    }.toMap
+    }.toSeq
+    val kv = kvs.toMap
     try {
       val files = kv.getOrElse("files", "").split(",").filter(_.nonEmpty).toSet
       val fresh = files == analyzedScanFiles(out).toSet &&
         kv.getOrElse("dels", "") == tombstoneFingerprint(out)
       if (!fresh) None
-      else Some(ZLiveStats(kv("rows").toLong, kv("bytes").toLong, files))
-    } catch { case _: NumberFormatException | _: NoSuchElementException => None }
+      else {
+        val cols = kvs.collect { case ("colstat", v) =>
+          val Array(ndv, nulls, name) = v.split(":", 3)
+          name -> (ndv.toLong, nulls.toLong)
+        }.toMap
+        Some(ZLiveStats(kv("rows").toLong, kv("bytes").toLong, files, cols))
+      }
+    } catch {
+      case _: NumberFormatException | _: NoSuchElementException |
+          _: MatchError => None
+    }
   }
 
   /** Per-file column stats row of the skipping manifest. */

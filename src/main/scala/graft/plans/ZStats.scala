@@ -78,6 +78,17 @@ case class ZStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       ZStatsRule.freshStats(dir, cacheMs) match {
         case Some(st) if scanNames.forall(_ == st.fileNames) =>
+          // per-column NDV/null counts ride along for CBO consumers
+          // (join reorder, filter selectivity under
+          // spark.sql.cbo.planStats.enabled) — names are matched
+          // against the scan's own schema, anything else dropped
+          val names = fs.schema.fieldNames.toSet
+          val colStats = st.colStats.collect {
+            case (name, (ndv, nulls)) if names.contains(name) =>
+              name -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+                distinctCount = Some(BigInt(math.max(0L, ndv))),
+                nullCount = Some(BigInt(math.max(0L, nulls))))
+          }
           Some(CatalogTable(
             identifier = TableIdentifier(new org.apache.hadoop.fs.Path(dir).getName,
               Some("zlayout")),
@@ -87,7 +98,8 @@ case class ZStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
             provider = Some("parquet"),
             stats = Some(CatalogStatistics(
               sizeInBytes = BigInt(math.max(1L, st.bytes)),
-              rowCount = Some(BigInt(math.max(0L, st.rows)))))))
+              rowCount = Some(BigInt(math.max(0L, st.rows))),
+              colStats = colStats))))
         case _ => None
       }
     case _ => None

@@ -109,4 +109,40 @@ class ZStatsSpec extends AnyFunSuite with SparkSpec {
       assert(plainLr.nonEmpty && plainLr.forall(_.catalogTable.isEmpty))
     } finally spark.conf.unset("spark.graft.zstats.cacheMs")
   }
+
+  test("column NDV/null counts reach plan statistics under planStats") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zstats3").toString + "/t"
+    implicit val fc: FioConf = FioConf.of(spark)
+    val df = spark.range(8000).select(
+      col("id").as("k"), (col("id") % 64).as("xv"), expr("id div 64").as("yv"))
+    ZOrder.clusterQuantile(df, Seq("xv", "yv"), nFiles = 4, out = out)
+    ZOrder.deleteWhere(spark, out, col("k") % 4 =!= 0)
+    ZOrder.analyzeLayout(spark, out, Seq("xv", "yv"))
+    ZStatsRule.invalidateCache()
+    // the snapshot carries the per-column stats the ANALYZE measured
+    val st = ZOrder.liveStatsIfFresh(out).get
+    assert(st.colStats.keySet === Set("xv", "yv"))
+    assert(st.colStats("xv")._2 === 0L) // no nulls
+    spark.conf.set("spark.graft.zstats.cacheMs", "0")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    try {
+      val scan = spark.read.parquet(out)
+      val lr = scan.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.head
+      val stats = lr.stats
+      assert(stats.rowCount.contains(BigInt(2000)))
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.contains("xv") && byName("xv").distinctCount.isDefined)
+      // the NDV is the LIVE view's: only k % 4 == 0 survives the
+      // delete, so xv = k % 64 has exactly 16 distinct values — the
+      // stat the blind estimate could never know (HLL++ at rsd 0.02
+      // is exact at this cardinality; allow 1 either way)
+      val ndv = byName("xv").distinctCount.get.toLong
+      assert(math.abs(ndv - 16L) <= 1, s"ndv=$ndv")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.planStats.enabled")
+      spark.conf.unset("spark.graft.zstats.cacheMs")
+    }
+  }
 }
