@@ -433,7 +433,9 @@ object Bench {
           .join(big, col("k") === col("k2"))
           .agg(sum("xv").as("sx"), count(col("payload")).as("np"))
         val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevInject = spark.conf.getOption("spark.graft.zstats.inject")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (raw / 3).toString)
+        spark.conf.set("spark.graft.zstats.inject", "true")
         try {
           val on = q
           val onStrat = graft.plans.PlanAudit.innerJoinStrategies(on)
@@ -451,7 +453,12 @@ object Bench {
             errors("zstats_identity") = "stats-injected plan changed the RESULT"
         } finally {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
-          spark.conf.set("spark.graft.zstats.inject", "true")
+          // restore the CALLER's kill-switch setting, not a hardcoded
+          // default — a bridge-off baseline run must stay bridge-off
+          prevInject match {
+            case Some(v) => spark.conf.set("spark.graft.zstats.inject", v)
+            case None => spark.conf.unset("spark.graft.zstats.inject")
+          }
         }
       } catch {
         case e: Throwable =>

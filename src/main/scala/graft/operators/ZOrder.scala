@@ -562,14 +562,22 @@ object ZOrder {
       beforeCommit: () => Unit = () => (),
       allowWiden: Boolean = false): Int = {
     implicit val fc: FioConf = FioConf.of(df.sparkSession)
-    val widens = checkAppendSchema(df, out, cols, keyCol, allowWiden)
-    val hook: () => Unit =
-      if (!widens) beforeCommit
-      else () => { recordWidenedSchema(out, batchId, df, keyCol); beforeCommit() }
-    publishBatchOnce(df.sparkSession, out, batchId, cols, nFiles, keyCol,
-      staleLockMs = staleLockMs, requireFresh = requireFresh,
-      beforeCommit = hook)(
-      frozenQuantileKeyed(df, cols, out, bits, keyCol, curve))
+    // replay fast path stays lock-free: a committed marker means this
+    // batch is done — the pre-wrap behavior a foreachBatch restart
+    // relies on even while another batch's publish holds the lock
+    if (!requireFresh && Fio.exists(Fio.child(out, s"_zbatches/$batchId")))
+      return 0
+    // schema validation under the TABLE lock (reentrant into the
+    // publish): two concurrent widens validated against the same
+    // pre-widen schema would otherwise both commit and the max-id
+    // schema record would hide the earlier widen's column
+    withTableLock(out, staleLockMs) {
+      val hook = widenAwareHook(df, out, batchId, cols, keyCol, allowWiden, beforeCommit)
+      publishBatchOnce(df.sparkSession, out, batchId, cols, nFiles, keyCol,
+        staleLockMs = staleLockMs, requireFresh = requireFresh,
+        beforeCommit = hook)(
+        frozenQuantileKeyed(df, cols, out, bits, keyCol, curve))
+    }
   }
 
   /** EXACTLY-ONCE [[append]] — [[appendQuantileOnce]]'s linear-lane twin
@@ -592,21 +600,38 @@ object ZOrder {
       allowWiden: Boolean = false): Int = {
     val spark = df.sparkSession
     implicit val fc: FioConf = FioConf.of(spark)
+    // same lock-free replay fast path + lock-held validation as
+    // appendQuantileOnce (see there)
+    if (!requireFresh && Fio.exists(Fio.child(out, s"_zbatches/$batchId")))
+      return 0
+    withTableLock(out) {
+      val hook = widenAwareHook(df, out, batchId, cols, keyCol, allowWiden, beforeCommit)
+      val manifest = readSidecar(spark, Fio.child(out, "_zmanifest"))
+        .select(col("column"), col("min_v"), col("max_v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val bounds = cols.map { c =>
+        val rows = manifest.filter(_._1 == c)
+        require(rows.nonEmpty, s"no manifest stats for lane column $c under $out")
+        c -> (rows.map(_._2).min, rows.map(_._3).max)
+      }.toMap
+      publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol,
+        requireFresh = requireFresh, beforeCommit = hook)(
+        withZKeyFrozen(df, cols, bounds, bits, keyCol, curve))
+    }
+  }
+
+  /** The shared widen-aware pre-commit hook of the `*Once` appends:
+    * validate the batch schema (with the table lock HELD — the caller
+    * wraps) and, on a sanctioned widen, prepend the `_zschema` record
+    * write to the publish's pre-marker span.
+    */
+  private def widenAwareHook(
+      df: DataFrame, out: String, batchId: Long, cols: Seq[String],
+      keyCol: String, allowWiden: Boolean, beforeCommit: () => Unit)(
+      implicit fc: FioConf): () => Unit = {
     val widens = checkAppendSchema(df, out, cols, keyCol, allowWiden)
-    val hook: () => Unit =
-      if (!widens) beforeCommit
-      else () => { recordWidenedSchema(out, batchId, df, keyCol); beforeCommit() }
-    val manifest = readSidecar(spark, Fio.child(out, "_zmanifest"))
-      .select(col("column"), col("min_v"), col("max_v"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val bounds = cols.map { c =>
-      val rows = manifest.filter(_._1 == c)
-      require(rows.nonEmpty, s"no manifest stats for lane column $c under $out")
-      c -> (rows.map(_._2).min, rows.map(_._3).max)
-    }.toMap
-    publishBatchOnce(spark, out, batchId, cols, nFiles, keyCol,
-      requireFresh = requireFresh, beforeCommit = hook)(
-      withZKeyFrozen(df, cols, bounds, bits, keyCol, curve))
+    if (!widens) beforeCommit
+    else () => { recordWidenedSchema(out, batchId, df, keyCol); beforeCommit() }
   }
 
   /** SCHEMA-EVOLUTION CONTRACT of the append faces (defined in r20 —
@@ -1852,6 +1877,14 @@ object ZOrder {
       rsd: Double = 0.02): DataFrame = {
     implicit val fc: FioConf = FioConf.of(spark)
     import spark.implicits._
+    // capture the snapshot FINGERPRINT before the scan: a mutation
+    // landing mid-ANALYZE then mismatches at read time and the stats
+    // stay dormant — captured after, the same race would pair
+    // pre-mutation numbers with the post-mutation fingerprint and the
+    // planner bridge would serve them as fresh forever (fail-safe
+    // direction only)
+    val files = analyzedScanFiles(out)
+    val delFp = tombstoneFingerprint(out)
     val live = readWithDeletes(spark, out)
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__nn_$c"),
@@ -1862,7 +1895,7 @@ object ZOrder {
       ZColStat(c, rows, rows - r.getAs[Long](s"__nn_$c"), r.getAs[Long](s"__ndv_$c")))
     val df = spark.createDataset(stats).toDF()
     df.coalesce(1).write.mode("overwrite").parquet(Fio.child(out, "_zstats"))
-    writeStatsSnapshot(spark, out, rows, stats)
+    writeStatsSnapshot(spark, out, rows, stats, files, delFp)
     df
   }
 
@@ -1881,9 +1914,9 @@ object ZOrder {
     */
   private def writeStatsSnapshot(
       spark: SparkSession, out: String, liveRows: Long,
-      colStats: Seq[ZColStat])(
+      colStats: Seq[ZColStat],
+      files: Seq[String], delFp: String)(
       implicit fc: FioConf): Unit = {
-    val files = analyzedScanFiles(out)
     val bytes = files.map(n => Fio.size(Fio.child(out, n))).sum
     // parquet footer metadata count — one cheap job, no column IO
     val rawRows =
@@ -1903,7 +1936,7 @@ object ZOrder {
       s"""rows=$liveRows
          |bytes=$liveBytes
          |files=${files.sorted.mkString(",")}
-         |dels=${tombstoneFingerprint(out)}
+         |dels=$delFp
          |$colLines
          |""".stripMargin
     Fio.writeString(Fio.child(out, "_zstats/_SNAPSHOT"), snap)
@@ -2049,7 +2082,12 @@ object ZOrder {
     */
   private def readSidecar(spark: SparkSession, dir: String): DataFrame = {
     implicit val fc: FioConf = FioConf.of(spark)
-    val files = Fio.listNames(dir).filter(_.endsWith(".parquet"))
+    // missing OR empty dir falls back to the dir spelling — callers
+    // keep Spark's own AnalysisException ("Path does not exist") and
+    // empty-schema semantics, not a raw Hadoop listing error
+    val files =
+      if (!Fio.exists(dir)) Seq.empty
+      else Fio.listNames(dir).filter(_.endsWith(".parquet"))
     if (files.isEmpty) spark.read.parquet(dir)
     else spark.read.parquet(files.map(Fio.child(dir, _)): _*)
   }

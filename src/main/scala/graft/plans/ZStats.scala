@@ -66,18 +66,29 @@ case class ZStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (roots.isEmpty) return None
       // the layout dir: a whole-dir read roots AT the dir; a committed
       // read roots at its data FILES (dir = common parent). Mixed or
-      // disagreeing parents → not a layout read.
+      // disagreeing parents → not a layout read. A dir-rooted scan's
+      // effective file set is the dir's data files — resolved
+      // explicitly so a post-compaction raw dir read (which covers the
+      // folded files AND their replacement, a strict superset of the
+      // analyzed committed set) is never stamped with live stats.
       val (dir, scanNames) =
-        if (roots.length == 1 && !roots.head.getName.endsWith(".parquet"))
-          (roots.head.toString, None)
-        else {
+        if (roots.length == 1 && !roots.head.getName.endsWith(".parquet")) {
+          val d = roots.head.toString
+          val names =
+            try {
+              if (!Fio.exists(d)) return None
+              Fio.listNames(d)
+                .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSet
+            } catch { case _: java.io.IOException => return None }
+          (d, names)
+        } else {
           val parents = roots.map(_.getParent).distinct
           if (parents.length != 1 || parents.head == null) return None
           if (!roots.forall(_.getName.endsWith(".parquet"))) return None
-          (parents.head.toString, Some(roots.map(_.getName).toSet))
+          (parents.head.toString, roots.map(_.getName).toSet)
         }
       ZStatsRule.freshStats(dir, cacheMs) match {
-        case Some(st) if scanNames.forall(_ == st.fileNames) =>
+        case Some(st) if scanNames == st.fileNames =>
           // per-column NDV/null counts ride along for CBO consumers
           // (join reorder, filter selectivity under
           // spark.sql.cbo.planStats.enabled) — names are matched

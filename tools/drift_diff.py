@@ -19,9 +19,12 @@ def load(path):
     if "parsed" in doc and isinstance(doc["parsed"], dict):
         doc = doc["parsed"]
     qs = doc.get("queries", {})
+    # drop per-run samples AND one-shot cold entries — cold timings
+    # (JIT + fixture build) routinely swing past any drift ratio and
+    # would inflate the report with non-drift
     return {k: v for k, v in qs.items()
             if isinstance(v, (int, float)) and v >= 0
-            and not re.search(r"_run\d+$", k)}
+            and not re.search(r"_run\d+$", k) and not k.endswith("_cold")}
 
 
 def main():
